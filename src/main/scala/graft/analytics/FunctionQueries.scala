@@ -1,0 +1,97 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import graft.util.{GQuery, Tables}
+
+/** Scalar function battery — string / date / math / JSON (SURVEY.md §2B).
+  * The only scalar functions the reference itself uses are JSON serde
+  * (transaction_producer.py:47, transaction_consumer.py:82) and
+  * current_user/current_timestamp in its audit trigger (README.md:190-191);
+  * the rest is the engine's general surface. Each function is chosen so
+  * Spark and DuckDB agree bit-for-bit (e.g. no libm-dependent log/exp on
+  * the oracle path, explicit casts where return types differ).
+  */
+object FunctionQueries {
+
+  val queries: Seq[GQuery] = Seq(
+
+    GQuery("q24_string_funcs",
+      (s, d) => Tables(s, d, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          substring(col("p_name"), 1, 4).as("pre"),
+          length(col("p_name")).as("len"),
+          regexp_replace(col("p_type"), "A", "@").as("rep"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
+          element_at(split(col("p_name"), " "), 1).as("first_word"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("rex"),
+          lpad(col("p_brand"), 10, "*").as("pad"),
+          instr(col("p_name"), "a").as("pos_a"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+        substring(p_name, 1, 4) AS pre, CAST(length(p_name) AS INT) AS len,
+        replace(p_type, 'A', '@') AS rep,
+        concat_ws('|', p_brand, p_type) AS cat,
+        split_part(p_name, ' ', 1) AS first_word,
+        regexp_extract(p_name, '([a-z]+)', 1) AS rex,
+        lpad(p_brand, 10, '*') AS pad,
+        CAST(position('a' IN p_name) AS INT) AS pos_a
+        FROM part ORDER BY p_partkey""")),
+
+    GQuery("q25_date_funcs",
+      (s, d) => Tables(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dy"),
+          quarter(col("o_orderdate")).as("qt"),
+          date_trunc("month", col("o_orderdate")).as("mstart"),
+          date_add(col("o_orderdate").cast("date"), 30).as("d30"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("dd"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+        CAST(year(o_orderdate) AS INT) AS yr,
+        CAST(month(o_orderdate) AS INT) AS mo,
+        CAST(day(o_orderdate) AS INT) AS dy,
+        CAST(quarter(o_orderdate) AS INT) AS qt,
+        date_trunc('month', o_orderdate) AS mstart,
+        CAST(o_orderdate AS DATE) + 30 AS d30,
+        CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS dd
+        FROM orders ORDER BY o_orderkey""")),
+
+    GQuery("q26_math_funcs",
+      (s, d) => Tables(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          sqrt(col("l_quantity")).as("sq"),
+          ceil(col("l_extendedprice")).as("ce"),
+          floor(col("l_extendedprice")).as("fl"),
+          abs(col("l_discount") - 0.05).as("ab"),
+          (col("l_orderkey") % 7).as("md"),
+          greatest(col("l_quantity"), col("l_discount") * 100).as("gr"),
+          least(col("l_quantity"), col("l_discount") * 100).as("le"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+        sqrt(l_quantity) AS sq,
+        CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+        CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+        abs(l_discount - 0.05) AS ab,
+        l_orderkey % 7 AS md,
+        greatest(l_quantity, l_discount * 100) AS gr,
+        least(l_quantity, l_discount * 100) AS le
+        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    GQuery("q27_json_funcs",
+      (s, d) => Tables(s, d, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+        CAST(json_extract_string(props, '$.k') AS INT) AS k
+        FROM events ORDER BY event_id"""))
+  )
+}

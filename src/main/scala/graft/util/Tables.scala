@@ -1,0 +1,61 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders + determinism helpers shared by every query in the engine.
+  *
+  * Determinism discipline: the driver hash-compares our results against a
+  * DuckDB oracle. Floating-point SUM/AVG over a shuffled dataset is
+  * order-dependent, so every money/quantity aggregate goes through exact
+  * DECIMAL arithmetic (associative + commutative ⇒ partition-order
+  * independent) and is cast back to DOUBLE only at the end. The oracle SQL
+  * mirrors the same casts.
+  */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw
+    * nanos (legacy long mode) and truncate to microseconds — the same
+    * floor DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP, so the
+    * oracle sees identical values. TimestampNTZ keeps both engines in
+    * naive wall-clock land (no tz shifts on either side).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+}
+
+object Det {
+  /** Exact decimal view of a 2-decimal-valued double column. */
+  def dec(c: Column, p: Int = 18, s: Int = 2): Column = c.cast(DecimalType(p, s))
+
+  /** Order-independent sum of a money-like double column, as double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Order-independent avg (exact decimal sum / count), as double. */
+  def davg(c: Column): Column = (sum(dec(c)).cast("double") / count(c))
+
+  /** (1 - discount) as an exact decimal factor. */
+  def oneMinus(c: Column): Column = (lit(1.0) - c).cast(DecimalType(4, 2))
+  def onePlus(c: Column): Column = (lit(1.0) + c).cast(DecimalType(4, 2))
+}
+
+/** One engine query: a DataFrame program over the testdata tables plus an
+  * optional DuckDB-dialect oracle equivalent (None ⇒ driver does a weaker
+  * rows-only check).
+  */
+final case class GQuery(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
