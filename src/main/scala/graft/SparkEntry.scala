@@ -16,7 +16,8 @@ object SparkEntry {
     analytics.RelationalQueries.queries ++
       analytics.WindowQueries.queries ++
       analytics.FunctionQueries.queries ++
-      analytics.TemporalQueries.queries
+      analytics.TemporalQueries.queries ++
+      cdc.CdcQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

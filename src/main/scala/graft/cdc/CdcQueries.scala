@@ -1,0 +1,166 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StructType, StructField, StringType, IntegerType, LongType}
+
+import graft.functions.DebeziumDecimal
+import graft.gen.TransactionGen
+import graft.operators.Materialize
+import graft.util.{GQuery, Tables}
+
+/** CDC operator surface registered with the driver (SURVEY.md §2A).
+  * Streaming forms are spec-tested with MemoryStream (graft.streaming);
+  * these batch forms pin the SAME semantics against the DuckDB oracle —
+  * the expressions are identical, only the source differs.
+  */
+object CdcQueries {
+
+  /** Envelope round-trip: orders → synthetic Debezium envelopes (JSON,
+    * amount as `precise` base64 bytes) → parse → decimal decode →
+    * last-write-wins apply with deletes. Exercises O7/O13 (JSON serde),
+    * O16-O19 (envelope + precise decimal), O14/O18 (keyed apply) end to
+    * end; the oracle recomputes the expected materialized state
+    * relationally.
+    */
+  private val envelopeApply = GQuery("cdc_envelope_apply",
+    (s, d) => {
+      val orders = Tables(s, d, "orders")
+      val amt = col("o_totalprice").cast(DecimalType(18, 2))
+      def payload(amount: org.apache.spark.sql.Column) = struct(
+        col("o_orderkey").cast("string").as("transaction_id"),
+        struct(lit(2).as("scale"),
+          base64(DebeziumDecimal.debeziumDecimalEncode(amount)).as("value")).as("amount"))
+      val v1 = orders.select(
+        lit(null).cast(payloadType).as("before"),
+        payload(amt).as("after"),
+        when(col("o_orderstatus") === "P", "d").otherwise("c").as("op"),
+        lit(1000L).as("ts_ms"))
+      val v2 = orders.filter(col("o_orderkey") % 2 === 0).select(
+        payload(amt).as("before"),
+        payload(amt + 10).as("after"),
+        lit("u").as("op"),
+        lit(2000L).as("ts_ms"))
+      val wire = v1.unionByName(v2)
+        .select(to_json(struct(col("before"), col("after"), col("op"), col("ts_ms"))).as("value"))
+
+      val parsed = Envelope.parse(wire, payloadType)
+      val rows = parsed
+        .withColumn("__row", Envelope.currentImage)
+        .select(col("op"), col("ts_ms"),
+          col("__row.transaction_id").as("transaction_id"),
+          DebeziumDecimal.fromMode("precise", col("__row.amount"), targetScale = 2)
+            .as("amount_dec"))
+      Materialize.applyCdc(rows,
+          keys = Seq("transaction_id"), order = Seq(col("ts_ms")))
+        .select(
+          col("transaction_id").cast("bigint").as("orderkey"),
+          col("op"),
+          col("amount_dec").cast("double").as("amount"))
+        .orderBy(col("orderkey"))
+    },
+    Some("""WITH ch AS (
+        SELECT o_orderkey AS k, 1000 AS ts,
+               CASE WHEN o_orderstatus = 'P' THEN 'd' ELSE 'c' END AS op,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS amt
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 2000, 'u', CAST(o_totalprice AS DECIMAL(18,2)) + 10
+        FROM orders WHERE o_orderkey % 2 = 0),
+      last AS (
+        SELECT k, op, amt,
+               row_number() OVER (PARTITION BY k ORDER BY ts DESC) AS rn
+        FROM ch)
+      SELECT k AS orderkey, op, CAST(amt AS DOUBLE) AS amount
+      FROM last WHERE rn = 1 AND op <> 'd' ORDER BY orderkey"""))
+
+  private val payloadType: StructType = StructType(Seq(
+    StructField("transaction_id", StringType),
+    StructField("amount", StructType(Seq(
+      StructField("scale", IntegerType),
+      StructField("value", StringType))))))
+
+  /** O19 `precise` codec in isolation: encode every lineitem price to
+    * Debezium bytes and decode back; the oracle is the identity.
+    */
+  private val decimalRoundtrip = GQuery("cdc_decimal_roundtrip",
+    (s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val asDec = col("l_extendedprice").cast(DecimalType(18, 2))
+      li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        DebeziumDecimal.debeziumDecimalBinary(
+          DebeziumDecimal.debeziumDecimalEncode(asDec), lit(2), targetScale = 2)
+          .cast("double").as("decoded"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS decoded
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  /** O14/O18 batch materialization on the events stream table: latest
+    * image per key, error events acting as tombstones.
+    */
+  private val applyOps = GQuery("cdc_apply_ops",
+    (s, d) => {
+      val ev = Tables(s, d, "events")
+        .withColumn("op", when(col("event_type") === "error", "d").otherwise("u"))
+      Materialize.applyCdc(ev,
+          keys = Seq("user_id"), order = Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("value").as("last_value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, event_id AS last_event_id, value AS last_value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"""))
+
+  /** Trigger-2 change diff (O21): treat consecutive events per user as
+    * before/after images; emit the reference's change_info JSONB shape
+    * {col: {old, new}} for columns where new IS DISTINCT FROM old
+    * (README.md:219-243, example :257-263). DuckDB builds the identical
+    * minified JSON via json_merge_patch.
+    */
+  private val changeDiffQ = GQuery("cdc_change_diff",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ev = Tables(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k"))
+        .withColumn("before",
+          struct(lag(col("event_type"), 1).over(w).as("event_type"),
+            lag(col("k"), 1).over(w).as("k")))
+        .withColumn("after", struct(col("event_type"), col("k")))
+        .filter(col("before.event_type").isNotNull)
+      ev.select(col("event_id"), col("user_id"),
+          ChangeDiff.changeInfoJson(col("before"), col("after"),
+            Seq("event_type", "k")).as("change_info"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id,
+      CAST(json_merge_patch(
+        COALESCE(CASE WHEN prev_t IS DISTINCT FROM event_type
+          THEN json_object('event_type', json_object('old', prev_t, 'new', event_type)) END, '{}'),
+        COALESCE(CASE WHEN prev_k IS DISTINCT FROM k
+          THEN json_object('k', json_object('old', prev_k, 'new', k)) END, '{}')
+      ) AS VARCHAR) AS change_info
+      FROM (SELECT event_id, user_id, event_type,
+              json_extract_string(props, '$.k') AS k,
+              lag(event_type) OVER w AS prev_t,
+              lag(json_extract_string(props, '$.k')) OVER w AS prev_k
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+      WHERE prev_t IS NOT NULL ORDER BY event_id"""))
+
+  /** O1 generator — deterministic, no SQL oracle (domains/determinism are
+    * spec-tested); driver does the rows-only check.
+    */
+  private val genTransactions = GQuery("gen_transactions",
+    (s, _) => TransactionGen.batch(s, 10000, seed = 42L)
+      .orderBy(col("transaction_id")),
+    None)
+
+  val queries: Seq[GQuery] = Seq(
+    envelopeApply, decimalRoundtrip, applyOps, changeDiffQ, genTransactions)
+}

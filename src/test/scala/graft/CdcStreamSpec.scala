@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.Envelope
+import graft.model.Schemas
+import graft.streaming.CdcPipeline
+import graft.streaming.CdcPipeline.ChangeRec
+
+/** End-to-end streaming CDC: synthetic Debezium envelope JSON (insert /
+  * update / delete, duplicate delivery, precise base64 decimals) through
+  * parse → decode → stateful last-write-wins materialization, driven by
+  * MemoryStream exactly like the Kafka source would feed it.
+  */
+class CdcStreamSpec extends AnyFunSuite {
+  import GraftSpark.spark
+  import spark.implicits._
+
+  private def env(op: String, id: String, amountB64: String, scale: Int,
+                  tsMs: Long, before: Boolean = false): String = {
+    val payload =
+      s"""{"transaction_id":"$id","amount":{"scale":$scale,"value":"$amountB64"}}"""
+    val (b, a) = if (op == "d") (payload, "null") else
+      (if (before) payload else "null", payload)
+    s"""{"before":$b,"after":$a,"op":"$op","ts_ms":$tsMs,"source":{"table":"transactions"}}"""
+  }
+
+  // 500.00 at scale 2 (README.md:269-287) and 123.45
+  private val b500 = "AAAB9A=="
+  private val b12345 = java.util.Base64.getEncoder.encodeToString(
+    java.math.BigInteger.valueOf(12345).toByteArray)
+
+  test("envelope stream materializes to last-write-wins state with deletes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val raw = input.toDF().withColumnRenamed("value", "value")
+
+    val parsed = Envelope.parse(raw, CdcStreamSpecSchemas.payload)
+    val rows = parsed
+      .withColumn("__row", Envelope.currentImage)
+      .select(col("op"), col("ts_ms"),
+        col("__row.transaction_id").as("transaction_id"),
+        graft.functions.DebeziumDecimal.fromMode("precise", col("__row.amount"), 2)
+          .cast("string").as("amount"))
+    val changes = CdcPipeline.toChangeRecs(rows, "transaction_id", "ts_ms")
+    val out = CdcPipeline.materialize(changes)
+
+    val q = out.writeStream.format("memory").queryName("cdc_state")
+      .outputMode("append").start()
+    try {
+      // batch 1: two inserts, one duplicate delivery (at-least-once)
+      input.addData(
+        env("c", "t1", b500, 2, 1000),
+        env("c", "t1", b500, 2, 1000), // duplicate
+        env("c", "t2", b12345, 2, 1001))
+      q.processAllAvailable()
+      // batch 2: update t1, delete t2, garbage line (consumer skips, O12)
+      input.addData(
+        env("u", "t1", b12345, 2, 2000, before = true),
+        env("d", "t2", b12345, 2, 2001),
+        "{not json")
+      q.processAllAvailable()
+
+      val state = spark.table("cdc_state")
+        .groupBy("key")
+        .agg(max_by(struct(col("op"), col("json")), col("tsMs")).as("s"))
+        .select(col("key"), col("s.op").as("op"), col("s.json").as("json"))
+        .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+
+      assert(state("t1")._1 == "u")
+      assert(state("t1")._2.contains("123.45"))
+      assert(state("t2")._1 == "d") // tombstone emitted
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark suppresses duplicate keys (O14 contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val df = input.toDF().toDF("key", "ts")
+    val q = CdcPipeline.dedupWithinWatermark(df, "key", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+      input.addData(("k1", t0), ("k1", t1), ("k2", t0))
+      q.processAllAvailable()
+      val n = spark.table("dedup_out").count()
+      assert(n == 2) // k1 once, k2 once
+    } finally q.stop()
+  }
+}
+
+object CdcStreamSpecSchemas {
+  import org.apache.spark.sql.types._
+  val payload: StructType = StructType(Seq(
+    StructField("transaction_id", StringType),
+    StructField("amount", Schemas.preciseDecimal)))
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.ChangeDiff
+
+class ChangeDiffSpec extends AnyFunSuite {
+  import GraftSpark.spark
+  import spark.implicits._
+
+  private def diffJson(before: (String, String), after: (String, String)): String =
+    Seq((before, after)).toDF("b", "a")
+      .select(ChangeDiff.changeInfoJson(
+        struct(col("b._1").as("x"), col("b._2").as("y")),
+        struct(col("a._1").as("x"), col("a._2").as("y")),
+        Seq("x", "y")).as("ci"))
+      .head().getString(0)
+
+  test("identical rows diff to the empty document") {
+    assert(diffJson(("a", "b"), ("a", "b")) == "{}")
+  }
+
+  test("changed columns appear with old and new (README.md:257-263 shape)") {
+    assert(diffJson(("a", "b"), ("a", "c")) == """{"y":{"old":"b","new":"c"}}""")
+    assert(diffJson(("a", "b"), ("z", "c")) ==
+      """{"x":{"old":"a","new":"z"},"y":{"old":"b","new":"c"}}""")
+  }
+
+  test("IS DISTINCT FROM null semantics (README.md:226)") {
+    // null -> value is a change; null -> null is not
+    assert(diffJson((null, "b"), ("a", "b")) == """{"x":{"new":"a"}}""")
+    assert(diffJson((null, "b"), (null, "b")) == "{}")
+    assert(diffJson(("a", "b"), (null, "b")) == """{"x":{"old":"a"}}""")
+  }
+
+  test("audit enrichment stamps modified_by/modified_at (README.md:190-191)") {
+    val df = ChangeDiff.withAudit(Seq(1).toDF("v"), user = "graft")
+    val row = df.select(col("modified_by"), col("modified_at").isNotNull).head()
+    assert(row.getString(0) == "graft" && row.getBoolean(1))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsofJoin, Materialize, RangeJoin}
+
+class OperatorsSpec extends AnyFunSuite {
+  import GraftSpark.spark
+  import spark.implicits._
+
+  // (key, ts, id, value)
+  private lazy val trades = Seq(
+    ("a", 10L, 1L, 1.0), ("a", 20L, 2L, 2.0), ("a", 30L, 3L, 3.0),
+    ("b", 15L, 4L, 4.0)).toDF("k", "ts", "id", "v")
+  private lazy val quotes = Seq(
+    ("a", 5L, 100L, 0.5), ("a", 20L, 101L, 0.7), ("a", 25L, 102L, 0.9),
+    ("c", 1L, 103L, 9.9)).toDF("k", "ts", "id", "q")
+
+  test("asof strict: latest strictly-prior right row per left row") {
+    val got = AsofJoin.asofJoin(trades, quotes, Seq("k"), "ts", "ts",
+        Seq("q" -> "last_q"), strict = true)
+      .select("id", "last_q").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got == Map[Long, Option[Double]](
+      1L -> Some(0.5),  // ts=10: only quote at 5
+      2L -> Some(0.5),  // ts=20 strict: quote at 20 excluded
+      3L -> Some(0.9),  // ts=30: quote at 25
+      4L -> None))      // key b: no quotes
+  }
+
+  test("asof non-strict includes same-ts right rows") {
+    val got = AsofJoin.asofJoin(trades, quotes, Seq("k"), "ts", "ts",
+        Seq("q" -> "last_q"), strict = false)
+      .select("id", "last_q").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got(2L) == Some(0.7))
+  }
+
+  test("banded range join equals the naive theta join") {
+    val li = Seq((1L, 3.0), (2L, 10.0), (3L, 47.0)).toDF("id", "v")
+    val bands = Seq((10L, 2, 4), (11L, 9, 12), (12L, 46, 50), (13L, 1, 2))
+      .toDF("bid", "lo", "hi")
+    val naive = li.join(bands, col("v").between(col("lo"), col("hi")))
+      .select("id", "bid").as[(Long, Long)].collect().toSet
+    val banded = RangeJoin.banded(li, col("v"), bands, col("lo"), col("hi"), 4.0)
+      .select("id", "bid").as[(Long, Long)].collect().toSet
+    assert(banded == naive && naive.nonEmpty)
+  }
+
+  test("latestByKey / firstByKey / applyCdc") {
+    val ch = Seq(
+      ("k1", 1L, "c", "v1"), ("k1", 3L, "u", "v3"), ("k1", 2L, "u", "v2"),
+      ("k2", 1L, "c", "w1"), ("k2", 2L, "d", "w2"),
+      ("k3", 5L, "c", "x1")).toDF("key", "ts", "op", "payload")
+    val latest = Materialize.latestByKey(ch, Seq("key"), Seq(col("ts")))
+      .select("key", "payload").as[(String, String)].collect().toMap
+    assert(latest == Map("k1" -> "v3", "k2" -> "w2", "k3" -> "x1"))
+    val first = Materialize.firstByKey(ch, Seq("key"), Seq(col("ts")))
+      .select("key", "payload").as[(String, String)].collect().toMap
+    assert(first == Map("k1" -> "v1", "k2" -> "w1", "k3" -> "x1"))
+    val state = Materialize.applyCdc(ch, Seq("key"), Seq(col("ts")))
+      .select("key", "payload").as[(String, String)].collect().toMap
+    assert(state == Map("k1" -> "v3", "k3" -> "x1")) // k2 deleted
+  }
+}
