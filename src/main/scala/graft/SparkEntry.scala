@@ -17,7 +17,8 @@ object SparkEntry {
       analytics.WindowQueries.queries ++
       analytics.FunctionQueries.queries ++
       analytics.TemporalQueries.queries ++
-      cdc.CdcQueries.queries
+      cdc.CdcQueries.queries ++
+      ops.LlmQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

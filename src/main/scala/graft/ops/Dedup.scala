@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text pipelines (SURVEY.md §2B
+  * north-star ops): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: every variant is a pure shuffle-on-key plan — no
+  * pairwise O(n²) stage ever materializes over the full corpus. Exact
+  * dedup groups on a content hash; Jaccard joins only docs sharing a
+  * shingle (inverted index); MinHash bands cut that to docs sharing a
+  * band bucket; SimHash bands do the same for Hamming neighborhoods.
+  * At 100 TB each stage is a hash shuffle + local aggregation, and the
+  * candidate-pair verify is proportional to candidates, not n².
+  */
+object Dedup {
+
+  /** Word tokens, empties dropped (trailing-space artifacts). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Distinct word n-gram shingles per document. */
+  def shingles(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    val toks = df.withColumn("__toks", tokens(col(textCol)))
+    toks
+      .withColumn("__sh", expr(
+        s"array_distinct(transform(sequence(1, greatest(size(__toks) - ${n - 1}, 0)), " +
+          s"i -> concat_ws(' ', slice(__toks, i, $n))))"))
+      .drop("__toks")
+  }
+
+  /** Exact dedup: group by content hash, keep the smallest id. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** All pairs (i < j) with n-gram Jaccard ≥ threshold, via an inverted
+    * index on shingles: join only documents that share a shingle, count
+    * shared shingles once per pair, then |A∩B| / (|A|+|B|-|A∩B|).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(df, textCol, n)
+      .select(col(idCol).as("doc"), explode(col("__sh")).as("s"))
+    val counts = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("i"), col("b.doc").as("j"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(counts.withColumnRenamed("doc", "i").withColumnRenamed("n_sh", "ni"), "i")
+      .join(counts.withColumnRenamed("doc", "j").withColumnRenamed("n_sh", "nj"), "j")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("ni") + col("nj") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature columns: sig_k = min over shingles of
+    * xxhash64(k, shingle). Pure built-ins, one explode + one groupBy.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int): DataFrame = {
+    val sh = shingles(df, textCol, n)
+      .select(col(idCol).as("doc"), explode(col("__sh")).as("s"))
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"sig_$i"))
+    sh.groupBy("doc").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash+LSH candidate pairs: signatures split into `bands` bands of
+    * `k/bands` rows; docs sharing any band bucket become candidates;
+    * candidates are then verified with exact Jaccard (so output ⊆
+    * jaccardPairs(threshold); recall < 1 is the LSH trade-off).
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, n, k)
+    val rows = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * rows until (b + 1) * rows).map(i => col(s"sig_$i")): _*).as("h"))
+    }
+    val buckets = sigs.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("i"), col("b.doc").as("j"))
+      .distinct()
+    // verify candidates exactly (join back shingle sets, same math as
+    // jaccardPairs but restricted to the candidate set). The second join
+    // keys on (doc, shingle) so the intermediate stays |sh_i| per pair —
+    // joining on doc alone would cross the two shingle lists.
+    val sh = shingles(df, textCol, n)
+      .select(col(idCol).as("doc"), explode(col("__sh")).as("s"))
+    val counts = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val shI = sh.withColumnRenamed("doc", "i").withColumnRenamed("s", "si")
+    val shJ = sh.withColumnRenamed("doc", "jj").withColumnRenamed("s", "sj")
+    val common = cands
+      .join(shI, "i")
+      .join(shJ, col("j") === col("jj") && col("si") === col("sj"))
+      .groupBy("i", "j").agg(count(lit(1)).as("common"))
+    common
+      .join(counts.withColumnRenamed("doc", "i").withColumnRenamed("n_sh", "ni"), "i")
+      .join(counts.withColumnRenamed("doc", "j").withColumnRenamed("n_sh", "nj"), "j")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("ni") + col("nj") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash from token hashes: bit b of the fingerprint is the
+    * sign of Σ_tokens (bit b of xxhash64(token) ? +1 : -1). Built-ins
+    * only: explode → per-bit contributions → groupBy sum → bit pack.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 64): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+        explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val contribs = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"c_$b")
+    }
+    val summed = toks.groupBy("doc").agg(contribs.head, contribs.tail: _*)
+    val packed = (0 until bits).map { b =>
+      when(col(s"c_$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    summed.select(col("doc"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates with Hamming distance ≤ maxDist, using
+    * the pigeonhole band trick: split 64 bits into maxDist+1 chunks; any
+    * pair within distance shares at least one exact chunk → band join,
+    * then exact popcount verify.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val sh = simhash(df, idCol, textCol)
+    val bandCols = (0 until chunks).map { c =>
+      struct(lit(c).as("band"),
+        shiftright(col("simhash"), c * width)
+          .bitwiseAND((1L << width) - 1).as("v"))
+    }
+    val buckets = sh.select(col("doc"), col("simhash"),
+      explode(array(bandCols: _*)).as("bk"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("i"), col("b.doc").as("j"),
+        col("a.simhash").as("si"), col("b.simhash").as("sj"))
+      .distinct()
+      .withColumn("dist", bit_count(col("si").bitwiseXOR(col("sj"))))
+      .filter(col("dist") <= maxDist)
+      .select("i", "j", "dist")
+  }
+}

@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.util.{GQuery, Tables}
+
+/** Driver registry for the LLM-data-pipeline operators (dedup,
+  * similarity search, text analysis, multimodal) over the `documents`
+  * and `embeddings` tables.
+  *
+  * Oracle notes: cosine is recomputed in DuckDB with explicit
+  * per-element DOUBLE casts (list_sum is sequential) so scores are
+  * bit-identical to the native CosineSimilarity kernel; DuckDB's own
+  * list_cosine_similarity accumulates in float32 and drifts ~1e-7.
+  * MinHash-LSH and SimHash are approximate-by-construction → rows-only
+  * here, recall-tested in DedupSpec.
+  */
+object LlmQueries {
+
+  private val shingleCte =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i)),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)""".stripMargin
+
+  private val sqlCos =
+    """list_sum(list_transform(list_zip(q.embedding, v.embedding),
+      |   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      | / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |  * sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+      .stripMargin
+
+  val queries: Seq[GQuery] = Seq(
+
+    GQuery("dedup_exact",
+      (s, d) => Dedup.exact(Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("content_hash")),
+      Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        COUNT(*) AS dup_cnt FROM documents GROUP BY text ORDER BY content_hash""")),
+
+    GQuery("dedup_jaccard",
+      (s, d) => Dedup.jaccardPairs(Tables(s, d, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy(col("i"), col("j")),
+      Some(s"""$shingleCte,
+        pairs AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT i, j, common::DOUBLE / (ca.n + cb.n - common) AS jc
+          FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j)
+        SELECT i, j, round(jc, 6) AS jaccard FROM jac
+        WHERE jc >= 0.8 ORDER BY i, j""")),
+
+    // LSH candidates verified by exact Jaccard — approximate recall, so
+    // rows-only (DedupSpec measures recall vs dedup_jaccard).
+    GQuery("dedup_minhash_lsh",
+      (s, d) => Dedup.minhashLsh(Tables(s, d, "documents"),
+          "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.8)
+        .orderBy(col("i"), col("j")),
+      None),
+
+    GQuery("dedup_simhash",
+      (s, d) => Dedup.simhashPairs(Tables(s, d, "documents"),
+          "doc_id", "text", maxDist = 3)
+        .orderBy(col("i"), col("j")),
+      None),
+
+    GQuery("sim_topk_bruteforce",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 10)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""SELECT qid, nid, score, rn FROM (
+          SELECT q.vec_id AS qid, v.vec_id AS nid,
+            round($sqlCos, 4) AS score,
+            CAST(row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY round($sqlCos, 4) DESC NULLS LAST, v.vec_id) AS INT) AS rn
+          FROM embeddings q, embeddings v
+          WHERE q.vec_id % 100 = 0 AND v.vec_id <> q.vec_id)
+        WHERE rn <= 10 ORDER BY qid, rn""")),
+
+    GQuery("sim_ann_lsh",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        Similarity.lshTopK(emb,
+            emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+            dim = 64, k = 10)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
+    GQuery("text_stats",
+      (s, d) => TextAnalysis.stats(Tables(s, d, "documents"), "text")
+        .select("doc_id", "n_bytes", "n_chars_m", "token_cnt", "uniq_tokens",
+          "avg_token_len", "type_token_ratio")
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        CAST(length(text) AS INT) AS n_chars_m,
+        CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS token_cnt,
+        CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS INT) AS uniq_tokens,
+        CAST(length(replace(text, ' ', '')) AS DOUBLE)
+          / len(list_filter(string_split(text, ' '), x -> x <> '')) AS avg_token_len,
+        CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE)
+          / len(list_filter(string_split(text, ' '), x -> x <> '')) AS type_token_ratio
+        FROM documents ORDER BY doc_id""")),
+
+    GQuery("text_fingerprint",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct(
+          list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp
+        FROM documents ORDER BY doc_id""")),
+
+    GQuery("text_regex_tokens",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.regexTokenCount(col("text")).as("n_regex_tokens"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '${TextAnalysis.tokenPattern}')) AS INT)
+          AS n_regex_tokens
+        FROM documents ORDER BY doc_id""")),
+
+    GQuery("text_langid",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id")),
+      Some {
+        val hits = TextAnalysis.langStopwords.map { case (lang, words) =>
+          s"len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), " +
+            s"x -> x IN (${words.map(w => s"'$w'").mkString(", ")}))) AS h_$lang"
+        }.mkString(", ")
+        val langs = TextAnalysis.langStopwords.map(_._1)
+        val best = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+        // foldRight over list order ⇒ first language is the outermost CASE,
+        // matching TextAnalysis.langId's first-listed-wins tie rule.
+        val pick = langs.foldRight(s"'${langs.head}'") { (l, acc) =>
+          s"CASE WHEN h_$l = $best THEN '$l' ELSE $acc END"
+        }
+        s"""SELECT doc_id, lang, $pick AS lang_pred
+           FROM (SELECT doc_id, lang, $hits FROM documents)
+           ORDER BY doc_id"""
+      }),
+
+    GQuery("multimodal_features",
+      (s, d) => Multimodal.extractFeatures(
+          Multimodal.asMediaTable(Tables(s, d, "documents")))
+        .select("doc_id", "mime", "n_bytes")
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, 'application/octet-stream' AS mime,
+        CAST(octet_length(encode(text)) AS INT) AS n_bytes
+        FROM documents ORDER BY doc_id""")),
+
+    GQuery("multimodal_frames",
+      (s, d) => Multimodal.sampleFrames(
+          Multimodal.asMediaTable(Tables(s, d, "documents")), n = 8)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(octet_length(col("frame"))).as("total_bytes"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE)
+          / CAST(ceil(octet_length(encode(text)) / 8.0) AS INT)) AS BIGINT) AS n_frames,
+        CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes
+        FROM documents ORDER BY doc_id"""))
+  )
+}

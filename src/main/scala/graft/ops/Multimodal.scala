@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2B north-star ops): media
+  * payloads as opaque BINARY columns with typed metadata, plus
+  * decode / feature-extract / frame-sample stages.
+  *
+  * The actual codec work (JPEG decode, audio resample, …) requires
+  * native libraries not present in this environment, so the decode
+  * kernel is a clearly-marked deterministic STUB — but everything
+  * Spark-side is real and tested: the schema, the binary column
+  * handling, the partition-wise batch shape (`mapPartitions`, the Scala
+  * analogue of arrow-batched UDF execution), and the per-frame expansion
+  * (posexplode). Swapping the stub for a real codec changes no plumbing.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, mime: String, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
+                           checksum: Long, features: Array[Float])
+
+  /** Wrap a text table as a media table: payload = utf-8 bytes. Stands in
+    * for reading real image/audio blobs from parquet binary columns.
+    */
+  def asMediaTable(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      lit("application/octet-stream").as("mime"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** STUB decode kernel: deterministic pseudo-features from the payload
+    * bytes. A real implementation would decode pixels/samples here; the
+    * signature (bytes in, fixed-width float features out) is the real
+    * contract.
+    */
+  def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      out(i % dim) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Partition-wise feature extraction: one kernel invocation per row,
+    * batched per partition (no per-row task overhead; this is where an
+    * arrow/pandas batch boundary would sit in PySpark).
+    */
+  def extractFeatures(media: DataFrame, dim: Int = 8): DataFrame = {
+    implicit val inEnc = Encoders.product[MediaRow]
+    implicit val outEnc = Encoders.product[MediaFeatures]
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        var crc = 0L
+        var i = 0
+        while (i < r.payload.length) { crc = crc * 31 + (r.payload(i) & 0xff); i += 1 }
+        MediaFeatures(r.doc_id, r.mime, r.payload.length, crc,
+          stubDecode(r.payload, dim))
+      }
+    }.toDF()
+  }
+
+  /** Frame sampling: slice the payload into `n` fixed-size "frames"
+    * (stand-in for video frame extraction), one output row per frame.
+    */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame =
+    media
+      .withColumn("frame_size",
+        ceil(octet_length(col("payload")).cast("double") / n).cast("int"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, $n - 1), i -> substring(payload, i * frame_size + 1, frame_size))"))
+          .as(Seq("frame_idx", "frame")))
+      .filter(octet_length(col("frame")) > 0)
+}

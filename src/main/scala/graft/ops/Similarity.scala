@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CosineSimilarity.cosineSimilarity
+
+/** Similarity search over embedding columns (SURVEY.md §2B north-star
+  * ops): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH bucketed variant as the 100 TB path.
+  *
+  * Scale design: brute force broadcasts the (small) query set against the
+  * corpus — a map-only scan, no shuffle of the corpus — and takes top-k
+  * with a per-query window. The LSH variant buckets both sides on sign
+  * signatures so candidate generation is an equi-join on (band, bucket);
+  * cost is proportional to bucket collisions, not |Q|·|C|.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector (brute force).
+    * Output: qid, nid, score (rounded for engine-portable comparison), rn.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val scored = c.join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("score", round(cosineSimilarity(col("qvec"), col("nvec")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "nid", "score", "rn")
+  }
+
+  /** `bits` sign-of-projection hash bits from deterministic hyperplanes
+    * (seeded Gaussian, generated driver-side — d·bits floats, tiny). The
+    * projection is expressed with zip_with/aggregate built-ins so it
+    * stays codegen'd.
+    */
+  def signBits(vec: Column, dim: Int, bits: Int, seed: Long): Seq[Column] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until bits).map { _ =>
+      val plane = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val planeCol = array(plane.map(v => lit(v)).toSeq: _*)
+      aggregate(
+        zip_with(vec, planeCol, (x, p) => x * p),
+        lit(0.0), (acc, x) => acc + x) >= 0
+    }
+  }
+
+  /** LSH ANN: same output shape as bruteForceTopK but only scoring
+    * candidates that share at least one signature band with the query.
+    * Recall < 1 by construction; spec-tested against the exact baseline.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, dim: Int, k: Int,
+              bits: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame = {
+    val rows = bits / bands
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame = {
+      val b = signBits(col(vec), dim, bits, seed)
+      val bandCols = (0 until bands).map { band =>
+        struct(lit(band).as("band"),
+          hash(b.slice(band * rows, (band + 1) * rows)
+            .map(_.cast("int")): _*).as("h"))
+      }
+      df.select(col(id), col(vec), explode(array(bandCols: _*)).as("bk"))
+    }
+    val qb = withBuckets(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")), "qid", "qvec")
+    val cb = withBuckets(
+      corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid", "nvec")
+    val joined = cb.as("c").join(broadcast(qb.as("q")),
+        col("c.bk") === col("q.bk") && col("c.nid") =!= col("q.qid"))
+      .select(col("q.qid").as("qid"), col("c.nid").as("nid"),
+        col("q.qvec").as("qvec"), col("c.nvec").as("nvec"))
+      .distinct()
+      .withColumn("score", round(cosineSimilarity(col("qvec"), col("nvec")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid"))
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "nid", "score", "rn")
+  }
+}

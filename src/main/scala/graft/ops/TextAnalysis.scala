@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (SURVEY.md §2B north-star
+  * ops): quality stats, regex tokenization, document fingerprinting,
+  * n-gram/stopword language ID. All pure column expressions — map-only,
+  * codegen'd, no shuffle except where an aggregate is requested.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column = filter(split(text, " "), t => t =!= "")
+
+  /** Quality/statistics columns for a text column. */
+  def stats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df
+      .withColumn("n_bytes", octet_length(t))
+      .withColumn("n_chars_m", length(t))
+      .withColumn("token_cnt", size(tokens(t)))
+      .withColumn("uniq_tokens", size(array_distinct(tokens(t))))
+      .withColumn("avg_token_len",
+        length(regexp_replace(t, " ", "")).cast("double") / size(tokens(t)))
+      .withColumn("type_token_ratio",
+        size(array_distinct(tokens(t))).cast("double") / size(tokens(t)))
+  }
+
+  /** BPE-ish regex token count: alpha runs, digit runs, single symbols.
+    * The pattern is RE2-and-Java-regex compatible on purpose.
+    */
+  val tokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(tokenPattern), lit(0)))
+
+  /** Order-insensitive content fingerprint: md5 of the sorted distinct
+    * token set — catches shuffled/duplicated-word near-dups that an
+    * exact hash misses, at hash-join cost.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Stopword-hit language ID: score each candidate language by how many
+    * tokens hit its stopword list; argmax wins, first-listed wins ties.
+    * (The classic cheap heuristic; on synthetic single-vocab corpora it
+    * degenerates gracefully to the tie order.)
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est", "un"),
+    "es" -> Seq("el", "la", "y", "es", "un"))
+
+  def langHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(w => w: Any): _*)))
+
+  def langId(text: Column): Column = {
+    val scored = langStopwords.map { case (lang, words) =>
+      (lang, langHits(text, words))
+    }
+    // argmax with deterministic tie order = list order
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.reverse.foldLeft(lit(langStopwords.head._1)) { case (acc, (lang, hits)) =>
+      when(hits === best, lit(lang)).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.CosineSimilarity
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.util.Tables
+
+class LlmOpsSpec extends AnyFunSuite {
+  import GraftSpark.{spark, sfDir}
+  import spark.implicits._
+
+  test("cosine expression matches a hand computation, handles edge cases") {
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f)),        // orthogonal → 0
+      (Array(1f, 2f), Array(2f, 4f)),        // parallel → 1
+      (Array(1f, 2f), Array(-1f, -2f)))      // opposite → -1
+      .toDF("a", "b")
+      .select(CosineSimilarity.cosineSimilarity(col("a"), col("b")).as("c"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(math.abs(got(0)) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+    // zero norm and length mismatch → null
+    val bad = Seq((Array(0f, 0f), Array(1f, 2f)), (Array(1f), Array(1f, 2f)))
+      .toDF("a", "b")
+      .select(CosineSimilarity.cosineSimilarity(col("a"), col("b")).as("c"))
+    assert(bad.filter(col("c").isNull).count() == 2)
+  }
+
+  test("LSH ANN achieves high recall@10 vs brute force on sf0.001") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, q, "vec_id", "embedding", 64, 10)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.6, s"recall=$recall") // 32 bits / 8×4-bit bands on 500 vecs
+  }
+
+  test("minhash LSH finds the planted near-duplicates (recall on j≥0.95)") {
+    val docs = Tables(spark, sfDir, "documents")
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.95)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4, 0.95)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty) {
+      val recall = (exact intersect lsh).size.toDouble / exact.size
+      assert(recall >= 0.9, s"recall=$recall over ${exact.size} pairs")
+    }
+  }
+
+  test("simhash: identical docs distance 0; near-dup pairs ⊆ low hamming") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words entirely unrelated content here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("i", "j", "dist").as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1 && p._2 == 2 && p._3 == 0))
+    assert(!pairs.exists(p => p._2 == 3 || p._1 == 3))
+  }
+
+  test("langId picks the language whose stopwords dominate") {
+    val df = Seq(
+      (1L, "der hund und die katze ist da"),
+      (2L, "the cat and the dog is here"),
+      (3L, "el gato y el perro es aqui"))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.langId(col("text")).as("lang"))
+    val got = df.as[(Long, String)].collect().toMap
+    assert(got(1L) == "de" && got(2L) == "en" && got(3L) == "es")
+  }
+
+  test("multimodal: stub features are deterministic, frames cover payload") {
+    val media = Multimodal.asMediaTable(
+      Tables(spark, sfDir, "documents").limit(50))
+    val f1 = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
+    val f2 = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
+    assert(f1.sameElements(f2))
+    val frames = Multimodal.sampleFrames(media, 8)
+      .groupBy("doc_id").agg(sum(octet_length(col("frame"))).as("tb"))
+    val orig = media.select(col("doc_id"),
+      octet_length(col("payload")).as("nb"))
+    val mismatch = frames.join(orig, "doc_id")
+      .filter(col("tb") =!= col("nb")).count()
+    assert(mismatch == 0)
+  }
+}
