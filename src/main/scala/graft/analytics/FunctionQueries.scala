@@ -92,6 +92,23 @@ object FunctionQueries {
         .orderBy(col("event_id")),
       Some("""SELECT event_id,
         CAST(json_extract_string(props, '$.k') AS INT) AS k
-        FROM events ORDER BY event_id"""))
+        FROM events ORDER BY event_id""")),
+
+    // Typed Aggregator registered via functions.udaf (SURVEY.md §2B
+    // "UDF/UDAF/UDTF"): quantity-weighted mean price per return flag,
+    // with exact decimal accumulation inside the UDAF buffer.
+    GQuery("q39_udaf_weighted_avg",
+      (s, d) => {
+        val wavg = udaf(graft.functions.WeightedAvg)
+        Tables(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

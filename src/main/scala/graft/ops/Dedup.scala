@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.CosineSimilarity.cosineSimilarity
+
 /** Deduplication operators for large-scale text pipelines (SURVEY.md §2B
   * north-star ops): exact, n-gram Jaccard, MinHash+LSH, SimHash.
   *
@@ -140,6 +142,52 @@ object Dedup {
         col("common").cast("double") / (col("ni") + col("nj") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, exact: every (i < j) pair
+    * with cosine ≥ threshold. The right side is broadcast, so this is a
+    * map-side nested-loop over the corpus — correct at any n but O(n²)
+    * compares; it is the oracle-checkable baseline. The 100 TB path is
+    * [[embeddingPairsLsh]], which only scores pairs sharing a
+    * random-hyperplane band bucket.
+    */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("i"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("j"), col(vecCol).as("__vb"))
+    a.join(broadcast(b), col("i") < col("j"))
+      .withColumn("cos", round(cosineSimilarity(col("__va"), col("__vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("i", "j", "cos")
+  }
+
+  /** Embedding-cosine near-dup with random-hyperplane LSH blocking:
+    * candidates = pairs sharing ≥1 signature band (equi-join on the
+    * bucket, shuffle ∝ postings not n²), then exact cosine verify.
+    * Output ⊆ [[embeddingPairs]]; recall < 1 is the LSH trade-off
+    * (spec-tested against the exact baseline).
+    */
+  def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, threshold: Double, bits: Int = 64,
+                        bands: Int = 16, seed: Long = 42L): DataFrame = {
+    val rows = bits / bands
+    val b = Similarity.signBits(col("__v"), dim, bits, seed)
+    val bandCols = (0 until bands).map { band =>
+      struct(lit(band).as("band"),
+        hash(b.slice(band * rows, (band + 1) * rows)
+          .map(_.cast("int")): _*).as("h"))
+    }
+    val buckets = df
+      .select(col(idCol).as("doc"), col(vecCol).as("__v"))
+      .select(col("doc"), col("__v"), explode(array(bandCols: _*)).as("bk"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("i"), col("b.doc").as("j"),
+        col("a.__v").as("__va"), col("b.__v").as("__vb"))
+      .distinct()
+      .withColumn("cos", round(cosineSimilarity(col("__va"), col("__vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("i", "j", "cos")
   }
 
   /** 64-bit SimHash from token hashes: bit b of the fingerprint is the

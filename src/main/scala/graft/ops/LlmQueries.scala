@@ -33,6 +33,9 @@ object LlmQueries {
       |  * sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
       .stripMargin
 
+  private val sqlCosAb = sqlCos.replace("q.embedding", "a.embedding")
+    .replace("v.embedding", "b.embedding")
+
   val queries: Seq[GQuery] = Seq(
 
     GQuery("dedup_exact",
@@ -70,6 +73,27 @@ object LlmQueries {
         .orderBy(col("i"), col("j")),
       None),
 
+    // Embedding-cosine near-dup, exact all-pairs (oracle-checked). The
+    // 0.4 threshold is tuned to this synthetic corpus (near-orthogonal
+    // vectors, max pairwise cosine ≈ 0.6) so the result is non-trivial;
+    // real near-dup corpora would use ≥ 0.9.
+    GQuery("dedup_embedding",
+      (s, d) => Dedup.embeddingPairs(Tables(s, d, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy(col("i"), col("j")),
+      Some(s"""SELECT a.vec_id AS i, b.vec_id AS j,
+          round(${sqlCosAb}, 4) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(${sqlCosAb}, 4) >= 0.4 ORDER BY i, j""")),
+
+    // LSH-blocked variant of the same op — approximate recall → rows-only
+    // (LlmOpsSpec measures recall against dedup_embedding).
+    GQuery("dedup_embedding_lsh",
+      (s, d) => Dedup.embeddingPairsLsh(Tables(s, d, "embeddings"),
+          "vec_id", "embedding", dim = 64, threshold = 0.4)
+        .orderBy(col("i"), col("j")),
+      None),
+
     GQuery("sim_topk_bruteforce",
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
@@ -96,6 +120,18 @@ object LlmQueries {
       },
       None),
 
+    // IVF-Flat ANN (k-means coarse quantizer, nprobe lists searched).
+    // Approximate → rows-only; recall vs brute force in LlmOpsSpec.
+    GQuery("sim_ann_ivf",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        Similarity.ivfTopK(emb,
+            emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+            k = 10)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
     GQuery("text_stats",
       (s, d) => TextAnalysis.stats(Tables(s, d, "documents"), "text")
         .select("doc_id", "n_bytes", "n_chars_m", "token_cnt", "uniq_tokens",
@@ -111,6 +147,34 @@ object LlmQueries {
         CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE)
           / len(list_filter(string_split(text, ' '), x -> x <> '')) AS type_token_ratio
         FROM documents ORDER BY doc_id""")),
+
+    GQuery("text_quality",
+      (s, d) => TextAnalysis.quality(Tables(s, d, "documents"), "text")
+        .select("doc_id", "punct_ratio", "digit_ratio", "stopword_ratio",
+          "quality_score")
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+          / length(text) AS punct_ratio,
+        (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+          / length(text) AS digit_ratio,
+        len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+            x -> x IN ('the', 'a', 'of', 'and', 'is')))::DOUBLE
+          / len(list_filter(string_split(text, ' '), x -> x <> '')) AS stopword_ratio,
+        (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / length(text))
+          * (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text))
+          * least(1.0, len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE / 20.0)
+          AS quality_score
+        FROM documents ORDER BY doc_id""")),
+
+    // Order-sensitive Rabin–Karp fingerprint — xxhash64 is Spark-specific
+    // so no DuckDB oracle; Horner-chain properties pinned in LlmOpsSpec.
+    GQuery("text_rolling_hash",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.rollingHash(col("text")).as("rh"))
+        .orderBy(col("doc_id")),
+      None),
 
     GQuery("text_fingerprint",
       (s, d) => Tables(s, d, "documents")

@@ -51,6 +51,54 @@ object Similarity {
     }
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus;
+    * each vector is assigned to its nearest centroid's inverted list, and
+    * a query scores only the `nprobe` lists whose centroids are closest
+    * to it — the classic FAISS-style IVF-Flat layout, expressed as
+    * DataFrame ops.
+    *
+    * Scale design: the centroid table is nlist×dim floats (tiny →
+    * broadcast); assignment is a map-only `transform`; the probe join is
+    * an equi-join on the list id, so the shuffle is ∝ probed postings,
+    * not |Q|·|C|. At 100 TB the inverted lists would be written out
+    * partitioned by list id so probes prune at the file level. Train on
+    * a sample when the corpus outgrows the driver-coordinated fit.
+    * Recall < 1 by construction; spec-tested against the exact baseline.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .withColumn("features", array_to_vector(col("nvec").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(c)
+    val assigned = model.transform(c)
+      .select(col("nid"), col("nvec"), col("prediction").as("list"))
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }.toSeq
+      .toDF("list", "cvec")
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("cd").desc, col("list"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("cd", cosineSimilarity(col("qvec"), col("cvec")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select("qid", "qvec", "list")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid"))
+    assigned.join(broadcast(probes), "list")
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("score", round(cosineSimilarity(col("qvec"), col("nvec")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "nid", "score", "rn")
+  }
+
   /** LSH ANN: same output shape as bruteForceTopK but only scoring
     * candidates that share at least one signature band with the query.
     * Recall < 1 by construction; spec-tested against the exact baseline.

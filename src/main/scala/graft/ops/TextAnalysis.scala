@@ -27,6 +27,49 @@ object TextAnalysis {
         size(array_distinct(tokens(t))).cast("double") / size(tokens(t)))
   }
 
+  /** Quality-scoring columns: punctuation / digit / stopword ratios plus
+    * a composite [0,1] score. All map-only per-row arithmetic (IEEE ops
+    * are bit-deterministic per row, so the oracle can reproduce them
+    * exactly — no partition-order dependence like float aggregates).
+    * The score multiplies three independent quality signals: low
+    * punctuation, low digit density, and enough tokens to be prose.
+    */
+  def quality(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val chars = length(t).cast("double")
+    val toks = size(tokens(t)).cast("double")
+    val punct = (length(t) - length(regexp_replace(t, "[^a-zA-Z0-9 ]", "")))
+      .cast("double")
+    val digits = (length(t) - length(regexp_replace(t, "[0-9]", "")))
+      .cast("double")
+    val stops = langHits(t, langStopwords.head._2).cast("double")
+    df
+      .withColumn("punct_ratio", punct / chars)
+      .withColumn("digit_ratio", digits / chars)
+      .withColumn("stopword_ratio", stops / toks)
+      .withColumn("quality_score",
+        (lit(1.0) - punct / chars) * (lit(1.0) - digits / chars) *
+          least(lit(1.0), toks / lit(20.0)))
+  }
+
+  /** Rabin–Karp rolling fingerprint over the token stream: Horner's rule
+    * `h := (h * B + xxhash64(token)) mod 2³¹` — explicit modular
+    * arithmetic because ANSI mode (Spark 4 default) makes wrap-around
+    * multiply an error. Intermediate values stay ≤ 2³¹·B < 2⁶³, so the
+    * chain never overflows. Order-SENSITIVE (unlike [[fingerprint]]), so
+    * reordered near-dups hash apart while identical prose hashes
+    * together. Map-only; the `aggregate` HOF is interpreted but runs once
+    * per document, not per pair. No DuckDB oracle (xxhash64 is
+    * Spark-specific) — pinned by property specs instead.
+    */
+  val rollingBase = 1000003L
+  val rollingMod = 1L << 31
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) =>
+        pmod(acc * lit(rollingBase) + pmod(xxhash64(t), lit(rollingMod)),
+          lit(rollingMod)))
+
   /** BPE-ish regex token count: alpha runs, digit runs, single symbols.
     * The pattern is RE2-and-Java-regex compatible on purpose.
     */

@@ -40,6 +40,73 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall > 0.6, s"recall=$recall") // 32 bits / 8×4-bit bands on 500 vecs
   }
 
+  test("IVF ANN achieves reasonable recall@10 vs brute force on sf0.001") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+        k = 10, nlist = 8, nprobe = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // near-orthogonal synthetic vectors are a worst case for IVF; half
+    // the lists probed ⇒ expect at least half the true neighbors found
+    assert(recall > 0.4, s"recall=$recall")
+  }
+
+  test("embedding LSH near-dup pairs ⊆ exact pairs, with decent recall") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val exact = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.35)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", 64, 0.35)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"${(lsh diff exact).size} false positives")
+    if (exact.nonEmpty) {
+      val recall = (exact intersect lsh).size.toDouble / exact.size
+      assert(recall > 0.3, s"recall=$recall over ${exact.size} pairs")
+    }
+  }
+
+  test("rolling hash: order-sensitive Horner chain mod 2^31") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha"),   // permutation → different hash
+      (3L, "alpha beta gamma"),   // identical → same hash
+      (4L, ""))                   // empty → 0
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.rollingHash(col("text")).as("rh"))
+    val got = df.as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(3L))
+    assert(got(1L) != got(2L))
+    assert(got(4L) == 0L)
+    assert(got.values.forall(h => h >= 0 && h < TextAnalysis.rollingMod))
+    // Horner step: rh("a b") == (rh("a")*B + xxhash64("b") mod M) mod M
+    val parts = Seq(("a b", "a", "b")).toDF("ab", "a", "b")
+      .select(
+        TextAnalysis.rollingHash(col("ab")).as("rab"),
+        TextAnalysis.rollingHash(col("a")).as("ra"),
+        pmod(xxhash64(col("b")), lit(TextAnalysis.rollingMod)).as("hb"))
+      .select(col("rab"),
+        pmod(col("ra") * lit(TextAnalysis.rollingBase) + col("hb"),
+          lit(TextAnalysis.rollingMod)).as("expect"))
+      .as[(Long, Long)].collect().head
+    assert(parts._1 == parts._2)
+  }
+
+  test("quality score stays in [0,1] and penalizes punct/digit-heavy text") {
+    val df = Seq(
+      (1L, "the cat and the dog is a good friend of the house and is here " +
+        "with all of the family and the children today"),
+      (2L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+      (3L, "123 456 789 012 345 678 901 234 567 890"))
+      .toDF("doc_id", "text")
+    val q = TextAnalysis.quality(df, "text")
+      .select(col("doc_id"), col("quality_score"))
+      .as[(Long, Double)].collect().toMap
+    assert(q.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(q(1L) > q(2L) && q(1L) > q(3L))
+  }
+
   test("minhash LSH finds the planted near-duplicates (recall on j≥0.95)") {
     val docs = Tables(spark, sfDir, "documents")
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.95)
