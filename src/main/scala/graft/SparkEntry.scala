@@ -18,7 +18,8 @@ object SparkEntry {
       analytics.FunctionQueries.queries ++
       analytics.TemporalQueries.queries ++
       cdc.CdcQueries.queries ++
-      ops.LlmQueries.queries
+      ops.LlmQueries.queries ++
+      sources.FileFormats.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

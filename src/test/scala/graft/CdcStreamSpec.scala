@@ -75,6 +75,41 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tumbling-window agg with watermark drops late rows (§2B streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("user", "ts", "amount")
+    val agg = df
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"), sum(col("amount").cast("decimal(18,2)")).as("total"))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        ("u1", t("2024-01-01 00:01:00"), 10.0),
+        ("u1", t("2024-01-01 00:03:00"), 20.0),
+        ("u2", t("2024-01-01 00:02:00"), 5.0))
+      q.processAllAvailable()
+      // advance the watermark far past the first window…
+      input.addData(("u1", t("2024-01-01 01:00:00"), 1.0))
+      q.processAllAvailable()
+      // …so the first windows finalize (append mode emits them), and a
+      // straggler behind the watermark must be DROPPED, not re-opened.
+      input.addData(("u1", t("2024-01-01 00:01:30"), 999.0))
+      q.processAllAvailable()
+      input.addData(("u1", t("2024-01-01 02:00:00"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select(col("user"), col("n"), col("total").cast("double"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.contains(("u1", 2L, 30.0))) // both on-time u1 rows, no 999
+      assert(rows.contains(("u2", 1L, 5.0)))
+      assert(!rows.exists(_._3 == 999.0))
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark suppresses duplicate keys (O14 contract)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp)]
