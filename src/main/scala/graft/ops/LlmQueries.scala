@@ -86,11 +86,13 @@ object LlmQueries {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE round(${sqlCosAb}, 4) >= 0.4 ORDER BY i, j""")),
 
-    // LSH-blocked variant of the same op — approximate recall → rows-only
-    // (LlmOpsSpec measures recall against dedup_embedding).
+    // LSH-blocked variant at a realistic near-dup threshold (0.9): the
+    // 8×8-bit bands admit ~2.5% of random pairs as candidates, so the
+    // scan is bucket-join-bounded, not n². Approximate recall →
+    // rows-only; LlmOpsSpec proves recall on planted near-duplicates.
     GQuery("dedup_embedding_lsh",
       (s, d) => Dedup.embeddingPairsLsh(Tables(s, d, "embeddings"),
-          "vec_id", "embedding", dim = 64, threshold = 0.4)
+          "vec_id", "embedding", dim = 64, threshold = 0.9)
         .orderBy(col("i"), col("j")),
       None),
 

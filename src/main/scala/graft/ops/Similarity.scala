@@ -35,20 +35,25 @@ object Similarity {
       .select("qid", "nid", "score", "rn")
   }
 
-  /** `bits` sign-of-projection hash bits from deterministic hyperplanes
-    * (seeded Gaussian, generated driver-side — d·bits floats, tiny). The
-    * projection is expressed with zip_with/aggregate built-ins so it
-    * stays codegen'd.
+  /** Per-band LSH bucket structs `(band, h)` from one packed
+    * sign-of-projection signature (graft.functions.HyperplaneSignature —
+    * a single native codegen'd dim×bits loop; a per-bit
+    * `zip_with`+`aggregate` column stack was interpreted and slower than
+    * brute force). Band value = `rows` consecutive signature bits via
+    * shiftright/mask.
     */
-  def signBits(vec: Column, dim: Int, bits: Int, seed: Long): Seq[Column] = {
-    val rnd = new scala.util.Random(seed)
-    (0 until bits).map { _ =>
-      val plane = Array.fill(dim)(rnd.nextGaussian().toFloat)
-      val planeCol = array(plane.map(v => lit(v)).toSeq: _*)
-      aggregate(
-        zip_with(vec, planeCol, (x, p) => x * p),
-        lit(0.0), (acc, x) => acc + x) >= 0
-    }
+  def bandBuckets(vec: Column, dim: Int, bits: Int, bands: Int,
+                  seed: Long): Column = {
+    import graft.functions.HyperplaneSignature
+    val rows = bits / bands
+    require(rows >= 1 && rows < 64, s"need 1..63 bits per band, got $rows")
+    val sig = HyperplaneSignature.hyperplaneSignature(
+      vec, HyperplaneSignature.planes(dim, bits, seed))
+    val mask = (1L << rows) - 1
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(sig, b * rows).bitwiseAND(lit(mask)).as("h"))
+    }: _*)
   }
 
   /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus;
@@ -106,26 +111,21 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, dim: Int, k: Int,
               bits: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame = {
-    val rows = bits / bands
-    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame = {
-      val b = signBits(col(vec), dim, bits, seed)
-      val bandCols = (0 until bands).map { band =>
-        struct(lit(band).as("band"),
-          hash(b.slice(band * rows, (band + 1) * rows)
-            .map(_.cast("int")): _*).as("h"))
-      }
-      df.select(col(id), col(vec), explode(array(bandCols: _*)).as("bk"))
-    }
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(id), col(vec),
+        explode(bandBuckets(col(vec), dim, bits, bands, seed)).as("bk"))
     val qb = withBuckets(
       queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")), "qid", "qvec")
     val cb = withBuckets(
       corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid", "nvec")
+    // score before dedup — re-scoring a candidate once per shared band
+    // is ~dim flops in the native kernel; a distinct() carrying both
+    // vectors would shuffle 2×dim floats per candidate instead.
     val joined = cb.as("c").join(broadcast(qb.as("q")),
         col("c.bk") === col("q.bk") && col("c.nid") =!= col("q.qid"))
       .select(col("q.qid").as("qid"), col("c.nid").as("nid"),
-        col("q.qvec").as("qvec"), col("c.nvec").as("nvec"))
+        round(cosineSimilarity(col("q.qvec"), col("c.nvec")), 4).as("score"))
       .distinct()
-      .withColumn("score", round(cosineSimilarity(col("qvec"), col("nvec")), 4))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("nid"))
     joined.withColumn("rn", row_number().over(w))

@@ -54,17 +54,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall > 0.4, s"recall=$recall")
   }
 
-  test("embedding LSH near-dup pairs ⊆ exact pairs, with decent recall") {
+  test("embedding LSH finds planted near-duplicates (⊆ exact, high recall)") {
+    // plant near-dups: jittered copies of every 5th vector (cos ≈ 0.999)
     val emb = Tables(spark, sfDir, "embeddings")
-    val exact = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.35)
+      .select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f) + lit(0.003f))
+          .cast("array<float>").as("embedding"))
+    val corpus = emb.unionByName(planted)
+    val exact = Dedup.embeddingPairs(corpus, "vec_id", "embedding", 0.9)
       .select("i", "j").as[(Long, Long)].collect().toSet
-    val lsh = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", 64, 0.35)
+    val lsh = Dedup.embeddingPairsLsh(corpus, "vec_id", "embedding", 64, 0.9)
       .select("i", "j").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact), s"${(lsh diff exact).size} false positives")
-    if (exact.nonEmpty) {
-      val recall = (exact intersect lsh).size.toDouble / exact.size
-      assert(recall > 0.3, s"recall=$recall over ${exact.size} pairs")
-    }
+    assert(exact.nonEmpty, "planted near-dups must exceed the threshold")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall > 0.8, s"recall=$recall over ${exact.size} pairs")
   }
 
   test("rolling hash: order-sensitive Horner chain mod 2^31") {
