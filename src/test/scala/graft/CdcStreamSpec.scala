@@ -110,6 +110,30 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join with watermarks (§2B range/interval)") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(String, java.sql.Timestamp)]
+    val clicks = MemoryStream[(String, java.sql.Timestamp)]
+    val impDf = imps.toDF().toDF("ad", "impTime").withWatermark("impTime", "10 minutes")
+    val clkDf = clicks.toDF().toDF("cad", "clickTime").withWatermark("clickTime", "10 minutes")
+    val joined = impDf.join(clkDf,
+      col("ad") === col("cad") &&
+        col("clickTime") >= col("impTime") &&
+        col("clickTime") <= col("impTime") + expr("INTERVAL 5 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      imps.addData(("a1", t("2024-01-01 00:00:00")), ("a2", t("2024-01-01 00:00:00")))
+      clicks.addData(
+        ("a1", t("2024-01-01 00:03:00")),  // within 5 min → joins
+        ("a2", t("2024-01-01 00:09:00")))  // outside window → dropped
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").select("ad").as[String].collect()
+      assert(rows.toSeq == Seq("a1"))
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark suppresses duplicate keys (O14 contract)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp)]
