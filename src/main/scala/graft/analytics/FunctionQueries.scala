@@ -73,7 +73,10 @@ object FunctionQueries {
           (col("l_orderkey") % 7).as("md"),
           greatest(col("l_quantity"), col("l_discount") * 100).as("gr"),
           least(col("l_quantity"), col("l_discount") * 100).as("le"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        // (l_orderkey, l_linenumber) is not unique in the synthetic
+        // data — extend the sort until it is total
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("sq"),
+          col("ce"), col("ab")),
       Some("""SELECT l_orderkey, l_linenumber,
         sqrt(l_quantity) AS sq,
         CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
@@ -82,7 +85,7 @@ object FunctionQueries {
         l_orderkey % 7 AS md,
         greatest(l_quantity, l_discount * 100) AS gr,
         least(l_quantity, l_discount * 100) AS le
-        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, sq, ce, ab""")),
 
     GQuery("q27_json_funcs",
       (s, d) => Tables(s, d, "events")

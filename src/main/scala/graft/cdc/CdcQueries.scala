@@ -24,7 +24,9 @@ object CdcQueries {
     */
   private val envelopeApply = GQuery("cdc_envelope_apply",
     (s, d) => {
-      val orders = Tables(s, d, "orders")
+      // single-row-group testdata scans as ONE partition; the JSON
+      // round-trip + codec below is per-row-heavy, so spread first
+      val orders = Tables.spread(Tables(s, d, "orders"))
       val amt = col("o_totalprice").cast(DecimalType(18, 2))
       def payload(amount: org.apache.spark.sql.Column) = struct(
         col("o_orderkey").cast("string").as("transaction_id"),
@@ -84,18 +86,21 @@ object CdcQueries {
     */
   private val decimalRoundtrip = GQuery("cdc_decimal_roundtrip",
     (s, d) => {
-      val li = Tables(s, d, "lineitem")
+      val li = Tables.spread(Tables(s, d, "lineitem"))
       val asDec = col("l_extendedprice").cast(DecimalType(18, 2))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // include `decoded` in the sort so the order is total (remaining
+      // ties are fully identical rows).
       li.select(
         col("l_orderkey"), col("l_linenumber"),
         DebeziumDecimal.debeziumDecimalBinary(
           DebeziumDecimal.debeziumDecimalEncode(asDec), lit(2), targetScale = 2)
           .cast("double").as("decoded"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("decoded"))
     },
     Some("""SELECT l_orderkey, l_linenumber,
       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS decoded
-      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+      FROM lineitem ORDER BY l_orderkey, l_linenumber, decoded"""))
 
   /** O14/O18 batch materialization on the events stream table: latest
     * image per key, error events acting as tombstones.

@@ -153,7 +153,10 @@ object Dedup {
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("i"), col(vecCol).as("__va"))
+    // probe side spread wide — the broadcast nested loop does all the
+    // O(n²) cosine work on the probe partitions
+    val a = graft.util.Tables.spread(
+      df.select(col(idCol).as("i"), col(vecCol).as("__va")))
     val b = df.select(col(idCol).as("j"), col(vecCol).as("__vb"))
     a.join(broadcast(b), col("i") < col("j"))
       .withColumn("cos", round(cosineSimilarity(col("__va"), col("__vb")), 4))

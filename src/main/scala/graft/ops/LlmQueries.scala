@@ -222,7 +222,7 @@ object LlmQueries {
 
     GQuery("multimodal_features",
       (s, d) => Multimodal.extractFeatures(
-          Multimodal.asMediaTable(Tables(s, d, "documents")))
+          Multimodal.asMediaTable(Tables.spread(Tables(s, d, "documents"))))
         .select("doc_id", "mime", "n_bytes")
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id, 'application/octet-stream' AS mime,
@@ -231,7 +231,7 @@ object LlmQueries {
 
     GQuery("multimodal_frames",
       (s, d) => Multimodal.sampleFrames(
-          Multimodal.asMediaTable(Tables(s, d, "documents")), n = 8)
+          Multimodal.asMediaTable(Tables.spread(Tables(s, d, "documents"))), n = 8)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_frames"),
           sum(octet_length(col("frame"))).as("total_bytes"))

@@ -24,7 +24,9 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    // corpus spread wide: all |Q|·|C| cosine work lands on its partitions
+    val c = graft.util.Tables.spread(
+      corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")))
     val scored = c.join(broadcast(q), col("nid") =!= col("qid"))
       .withColumn("score", round(cosineSimilarity(col("qvec"), col("nvec")), 4))
     val w = Window.partitionBy(col("qid"))

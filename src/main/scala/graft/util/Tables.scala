@@ -34,6 +34,18 @@ object Tables {
       .withColumn("ts",
         timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
   }
+
+  /** Spread a narrow source across all cores before per-row-heavy work
+    * (JSON serde, codecs, O(n²) similarity probes). The testdata files
+    * are single-row-group parquet, so the scan yields ONE partition and
+    * an expensive map pipeline would otherwise run on one core of 32.
+    * Guarded: on a real cluster where the source is already wide this
+    * is a no-op — no gratuitous exchange at 100 TB.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
 }
 
 object Det {
