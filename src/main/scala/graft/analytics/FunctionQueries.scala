@@ -97,6 +97,44 @@ object FunctionQueries {
         CAST(json_extract_string(props, '$.k') AS INT) AS k
         FROM events ORDER BY event_id""")),
 
+    // Array-function battery (§2B "array/map scalar fns"): tokenization
+    // into arrays, then size/distinct/sort/contains/slice/join — 1-based
+    // indexing in both engines.
+    GQuery("q40_array_funcs",
+      (s, d) => {
+        val toks = filter(split(col("text"), " "), t => t =!= "")
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          size(toks).as("n_toks"),
+          size(array_distinct(toks)).as("n_uniq"),
+          array_contains(toks, "the").as("has_the"),
+          element_at(array_sort(array_distinct(toks)), 1).as("first_sorted"),
+          concat_ws("-", slice(toks, 1, 3)).as("first3"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_toks,
+        CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS INT) AS n_uniq,
+        list_contains(list_filter(string_split(text, ' '), x -> x <> ''), 'the') AS has_the,
+        list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))[1] AS first_sorted,
+        array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[1:3], '-') AS first3
+        FROM documents ORDER BY doc_id""")),
+
+    // UDTF shape (§2B "UDF/UDAF/UDTF"): explode = the engine's generator
+    // surface; classic word count with a total (cnt desc, token) order.
+    GQuery("q41_wordcount",
+      (s, d) => Tables(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(100),
+      Some("""SELECT token, COUNT(*) AS cnt FROM (
+          SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+          FROM documents)
+        GROUP BY token ORDER BY cnt DESC NULLS LAST, token LIMIT 100""")),
+
     // Typed Aggregator registered via functions.udaf (SURVEY.md §2B
     // "UDF/UDAF/UDTF"): quantity-weighted mean price per return flag,
     // with exact decimal accumulation inside the UDAF buffer.

@@ -119,12 +119,18 @@ object CdcPipeline {
                               path: String, keys: Seq[String]): Unit = {
     val existing =
       try Some(spark.read.parquet(path)) catch { case _: Exception => None }
+    // priority 0 = already-committed rows, 1 = this batch: first-write
+    // wins across batches exactly like the PK conflict in the reference
+    // sink (duplicate keys WITHIN one batch are arbitrary, as in a
+    // single multi-row INSERT .. ON CONFLICT).
     val all = existing match {
-      case Some(e) => e.unionByName(batch.select(e.columns.map(col).toSeq: _*))
-      case None => batch
+      case Some(e) => e.withColumn("__pri", lit(0))
+        .unionByName(batch.select(e.columns.map(col).toSeq: _*)
+          .withColumn("__pri", lit(1)))
+      case None => batch.withColumn("__pri", lit(1))
     }
-    val merged = Materialize.firstByKey(all, keys,
-      keys.map(col)) // arrival order not meaningful across files; key-stable
+    val merged = Materialize.firstByKey(all, keys, Seq(col("__pri")))
+      .drop("__pri")
     val tmp = path + "__staged"
     merged.write.mode("overwrite").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(

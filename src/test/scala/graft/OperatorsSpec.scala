@@ -63,4 +63,16 @@ class OperatorsSpec extends AnyFunSuite {
       .select("key", "payload").as[(String, String)].collect().toMap
     assert(state == Map("k1" -> "v3", "k3" -> "x1")) // k2 deleted
   }
+
+  test("idempotentParquetUpsert: ON CONFLICT DO NOTHING across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/t"
+    val b1 = Seq(("k1", "v1"), ("k2", "v2")).toDF("key", "value")
+    val b2 = Seq(("k2", "DUP"), ("k3", "v3")).toDF("key", "value")
+    graft.streaming.CdcPipeline.idempotentParquetUpsert(spark, b1, dir, Seq("key"))
+    graft.streaming.CdcPipeline.idempotentParquetUpsert(spark, b2, dir, Seq("key"))
+    val got = spark.read.parquet(dir)
+      .select("key", "value").as[(String, String)].collect().toMap
+    // k2's duplicate delivery must NOT overwrite the first write
+    assert(got == Map("k1" -> "v1", "k2" -> "v2", "k3" -> "v3"))
+  }
 }
