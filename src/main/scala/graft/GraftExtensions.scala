@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, DebeziumDecimalDecode, DebeziumDecimalEncode}
+
+/** SparkSessionExtensions entry point: makes the engine's native
+  * expressions callable from SQL, so a user can
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * SELECT debezium_decimal(unbase64(payload.value), payload.scale) ...
+  * }}}
+  *
+  * No custom Rule/Strategy is injected — the reference does nothing
+  * Catalyst cannot already plan (SURVEY.md §4); the extension surface is
+  * exactly the three scalar kernels Spark lacks.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.injections.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", null, name, usage, "")
+
+  val injections: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("debezium_decimal",
+      info("debezium_decimal",
+        "debezium_decimal(bytes, scale) - decode Debezium precise-mode decimal (scale 18)"),
+      (args: Seq[Expression]) => DebeziumDecimalDecode(args(0), args(1), targetScale = 18)),
+    ("debezium_decimal_encode",
+      info("debezium_decimal_encode",
+        "debezium_decimal_encode(dec) - unscaled two's-complement bytes"),
+      (args: Seq[Expression]) => DebeziumDecimalEncode(args.head)),
+    ("cosine_similarity",
+      info("cosine_similarity",
+        "cosine_similarity(a, b) - cosine of two ARRAY<FLOAT> vectors"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+
+  /** Register the same functions on an already-built session (tests and
+    * notebook use, where `spark.sql.extensions` was not set at startup).
+    */
+  def registerAll(spark: SparkSession): Unit =
+    injections.foreach { case (name, i, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), i, builder)
+    }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The engine's native expressions exposed to SQL via
+  * SparkSessionExtensions / FunctionRegistry (same injection list).
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+  import GraftSpark.spark
+
+  GraftExtensions.registerAll(spark)
+
+  test("debezium_decimal is callable from SQL (README wire example)") {
+    // AAAB9A== = 0x01F4 = 500 unscaled, at scale 2 → 5.00
+    // (reference README.md:269-287; see DebeziumDecimalSpec on why the
+    // README's 459.38 prose pairing is illustrative only)
+    val got = spark.sql(
+      "SELECT CAST(debezium_decimal(unbase64('AAAB9A=='), 2) AS DOUBLE) v")
+      .collect().head.getDouble(0)
+    assert(got == 5.0)
+  }
+
+  test("encode/decode round-trip from SQL") {
+    val got = spark.sql(
+      """SELECT CAST(debezium_decimal(
+        |  debezium_decimal_encode(CAST(-123.45 AS DECIMAL(10,2))), 2)
+        |  AS DOUBLE) v""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(got == -123.45)
+  }
+
+  test("cosine_similarity is callable from SQL") {
+    val got = spark.sql(
+      """SELECT cosine_similarity(
+        |  CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+        |  CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) v""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+}
