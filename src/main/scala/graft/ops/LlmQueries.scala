@@ -229,6 +229,22 @@ object LlmQueries {
         CAST(octet_length(encode(text)) AS INT) AS n_bytes
         FROM documents ORDER BY doc_id""")),
 
+    // Resized length is exactly reproducible relationally: ceil(n/stride)
+    // with stride = ceil(n/target) — so the oracle checks the contract
+    // even though the byte content is kernel-defined.
+    GQuery("multimodal_resize",
+      (s, d) => Multimodal.resize(
+          Multimodal.asMediaTable(Tables.spread(Tables(s, d, "documents"))),
+          target = 64)
+        .select(col("doc_id"), col("n_bytes"),
+          octet_length(col("resized")).as("resized_bytes"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        CAST(CASE WHEN octet_length(encode(text)) <= 64 THEN octet_length(encode(text))
+          ELSE ceil(octet_length(encode(text))::DOUBLE
+                    / ceil(octet_length(encode(text)) / 64.0)) END AS INT) AS resized_bytes
+        FROM documents ORDER BY doc_id""")),
+
     GQuery("multimodal_frames",
       (s, d) => Multimodal.sampleFrames(
           Multimodal.asMediaTable(Tables.spread(Tables(s, d, "documents"))), n = 8)

@@ -63,6 +63,34 @@ object Multimodal {
     }.toDF()
   }
 
+  case class ResizedRow(doc_id: Long, mime: String, n_bytes: Int,
+                        resized: Array[Byte])
+
+  /** STUB resize kernel: deterministic stride-downsample of the payload
+    * to ≤ `target` bytes (a real implementation would rescale pixels /
+    * resample audio here — the contract is bytes-in, smaller-bytes-out,
+    * batched per partition like [[extractFeatures]]).
+    */
+  def resize(media: DataFrame, target: Int): DataFrame = {
+    implicit val inEnc = Encoders.product[MediaRow]
+    implicit val outEnc = Encoders.product[ResizedRow]
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        val n = r.payload.length
+        val out =
+          if (n <= target) r.payload
+          else {
+            val stride = math.ceil(n.toDouble / target).toInt
+            val res = new Array[Byte]((n + stride - 1) / stride)
+            var i = 0
+            while (i < res.length) { res(i) = r.payload(i * stride); i += 1 }
+            res
+          }
+        ResizedRow(r.doc_id, r.mime, n, out)
+      }
+    }.toDF()
+  }
+
   /** Frame sampling: slice the payload into `n` fixed-size "frames"
     * (stand-in for video frame extraction), one output row per frame.
     */

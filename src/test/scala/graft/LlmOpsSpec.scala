@@ -149,6 +149,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(1L) == "de" && got(2L) == "en" && got(3L) == "es")
   }
 
+  test("multimodal resize: ≤ target bytes, deterministic, identity when small") {
+    val media = Multimodal.asMediaTable(
+      Tables(spark, sfDir, "documents").limit(50))
+    val r1 = Multimodal.resize(media, 64).orderBy("doc_id").collect()
+    val r2 = Multimodal.resize(media, 64).orderBy("doc_id").collect()
+    assert(r1.sameElements(r2))
+    r1.foreach { row =>
+      val n = row.getAs[Int]("n_bytes")
+      val res = row.getAs[Array[Byte]]("resized")
+      assert(res.length <= 64)
+      if (n <= 64) assert(res.length == n)
+    }
+  }
+
   test("multimodal: stub features are deterministic, frames cover payload") {
     val media = Multimodal.asMediaTable(
       Tables(spark, sfDir, "documents").limit(50))
