@@ -23,11 +23,16 @@ object Bench {
     qs.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = qs.map { case (name, fn) =>
+    // two timed passes, keep the per-query minimum: single-pass numbers
+    // swing ±20% from GC/compilation hiccups at these sub-second scales
+    def timed(): Map[String, Double] = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
+    val (r1, r2) = (timed(), timed())
+    val results = qs.map { case (name, _) =>
+      name -> math.min(r1(name), r2(name)) }
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -135,6 +135,21 @@ object FunctionQueries {
           FROM documents)
         GROUP BY token ORDER BY cnt DESC NULLS LAST, token LIMIT 100""")),
 
+    // Exact percentiles (sort-based, linear interpolation — both engines
+    // define quantile_cont/percentile identically, and the interpolation
+    // arithmetic is per-group IEEE, not an order-dependent float sum).
+    GQuery("q42_percentiles",
+      (s, d) => Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("med_qty"),
+          percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.5) AS med_qty,
+        quantile_cont(l_extendedprice, 0.9) AS p90_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Typed Aggregator registered via functions.udaf (SURVEY.md §2B
     // "UDF/UDAF/UDTF"): quantity-weighted mean price per return flag,
     // with exact decimal accumulation inside the UDAF buffer.

@@ -110,6 +110,37 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pipeline throughput far exceeds the reference's 2 msg/s ceiling") {
+    // The reference paces itself to ≤2 msg/s (sleep(0.5) per message,
+    // transaction_producer.py:51) and commits per message. Push 10k
+    // envelopes through parse → decode → stateful materialize and check
+    // the engine clears it orders of magnitude faster.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val parsed = Envelope.parse(input.toDF(), CdcStreamSpecSchemas.payload)
+    val rows = parsed.withColumn("__row", Envelope.currentImage)
+      .select(col("op"), col("ts_ms"),
+        col("__row.transaction_id").as("transaction_id"),
+        graft.functions.DebeziumDecimal.fromMode("precise", col("__row.amount"), 2)
+          .cast("string").as("amount"))
+    val out = CdcPipeline.materialize(
+      CdcPipeline.toChangeRecs(rows, "transaction_id", "ts_ms"))
+    val q = out.writeStream.format("memory").queryName("tp_out")
+      .outputMode("append").start()
+    try {
+      val n = 10000
+      input.addData((0 until n).map(i => env("c", s"t$i", b500, 2, 1000L + i)))
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val got = spark.table("tp_out").count()
+      assert(got == n)
+      val rate = n / secs
+      info(f"$rate%.0f msg/s through parse+decode+materialize")
+      assert(rate > 200, f"rate=$rate%.0f msg/s — reference ceiling is 2")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join with watermarks (§2B range/interval)") {
     implicit val sqlCtx = spark.sqlContext
     val imps = MemoryStream[(String, java.sql.Timestamp)]
