@@ -135,6 +135,28 @@ object FunctionQueries {
           FROM documents)
         GROUP BY token ORDER BY cnt DESC NULLS LAST, token LIMIT 100""")),
 
+    // Unpivot/melt — the inverse of q38_pivot. Sorted on the full output
+    // row: (l_orderkey, l_linenumber) is not unique in the synthetic
+    // lineitem, so metric+val complete the total order.
+    GQuery("q43_unpivot",
+      (s, d) => Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_discount").cast("double").as("discount"),
+          col("l_tax").cast("double").as("tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("discount"), col("tax")),
+          "metric", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"),
+          col("val")),
+      Some("""SELECT l_orderkey, l_linenumber, metric, val FROM (
+          UNPIVOT (SELECT l_orderkey, l_linenumber,
+                   CAST(l_quantity AS DOUBLE) AS quantity,
+                   CAST(l_discount AS DOUBLE) AS discount,
+                   CAST(l_tax AS DOUBLE) AS tax FROM lineitem)
+          ON quantity, discount, tax INTO NAME metric VALUE val)
+        ORDER BY l_orderkey, l_linenumber, metric, val""")),
+
     // Exact percentiles (sort-based, linear interpolation — both engines
     // define quantile_cont/percentile identically, and the interpolation
     // arithmetic is per-group IEEE, not an order-dependent float sum).
