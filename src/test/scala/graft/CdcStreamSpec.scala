@@ -110,6 +110,31 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session window merges gap-bounded activity (§2B)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val agg = input.toDF().toDF("user", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // u1: two events 3 min apart (one session), then one 20 min later
+      // (a second session)
+      input.addData(("u1", t("2024-01-01 00:00:00")),
+        ("u1", t("2024-01-01 00:03:00")), ("u1", t("2024-01-01 00:23:00")))
+      q.processAllAvailable()
+      input.addData(("u1", t("2024-01-01 01:30:00"))) // advance watermark
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out")
+        .select(col("user"), col("n")).as[(String, Long)].collect().toSeq
+      assert(sessions.count(_ == ("u1", 2L)) == 1) // merged 2-event session
+      assert(sessions.count(_ == ("u1", 1L)) == 1) // separate later session
+    } finally q.stop()
+  }
+
   test("pipeline throughput far exceeds the reference's 2 msg/s ceiling") {
     // The reference paces itself to ≤2 msg/s (sleep(0.5) per message,
     // transaction_producer.py:51) and commits per message. Push 10k
