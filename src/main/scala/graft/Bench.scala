@@ -24,19 +24,25 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // two timed passes, keep the per-query minimum: single-pass numbers
-    // swing ±20% from GC/compilation hiccups at these sub-second scales
+    // swing ±20% from GC/compilation hiccups at these sub-second scales.
+    // A query that throws records -1 (not its instant wall time) and lands
+    // in "errors" — a regression must not masquerade as a speedup.
     def timed(): Map[String, Double] = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     val (r1, r2) = (timed(), timed())
     val results = qs.map { case (name, _) =>
-      name -> math.min(r1(name), r2(name)) }
+      val (a, b) = (r1(name), r2(name))
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b)) }
+    val errors = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val ejson = errors.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"errors":$ejson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

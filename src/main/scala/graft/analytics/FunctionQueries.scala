@@ -108,7 +108,10 @@ object FunctionQueries {
           size(toks).as("n_toks"),
           size(array_distinct(toks)).as("n_uniq"),
           array_contains(toks, "the").as("has_the"),
-          element_at(array_sort(array_distinct(toks)), 1).as("first_sorted"),
+          // try_element_at: ANSI mode (Spark 4 default) makes element_at
+          // throw on an empty array (whitespace-only doc); DuckDB's list[1]
+          // yields NULL there, so the null-returning variant matches.
+          try_element_at(array_sort(array_distinct(toks)), lit(1)).as("first_sorted"),
           concat_ws("-", slice(toks, 1, 3)).as("first3"))
           .orderBy(col("doc_id"))
       },
@@ -147,6 +150,10 @@ object FunctionQueries {
         .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("quantity"), col("discount"), col("tax")),
           "metric", "val")
+        // Spark's unpivot keeps NULL-valued rows, DuckDB's UNPIVOT drops
+        // them — filter explicitly so both engines agree by construction
+        // (not just on the non-null synthetic data).
+        .filter(col("val").isNotNull)
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"),
           col("val")),
       Some("""SELECT l_orderkey, l_linenumber, metric, val FROM (

@@ -155,19 +155,23 @@ object LlmQueries {
         .select("doc_id", "punct_ratio", "digit_ratio", "stopword_ratio",
           "quality_score")
         .orderBy(col("doc_id")),
-      Some("""SELECT doc_id,
-        (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
-          / length(text) AS punct_ratio,
-        (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
-          / length(text) AS digit_ratio,
-        len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
-            x -> x IN ('the', 'a', 'of', 'and', 'is')))::DOUBLE
-          / len(list_filter(string_split(text, ' '), x -> x <> '')) AS stopword_ratio,
-        (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / length(text))
-          * (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text))
-          * least(1.0, len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE / 20.0)
-          AS quality_score
-        FROM documents ORDER BY doc_id""")),
+      // CASE guards mirror TextAnalysis.quality's empty-doc definition
+      // (ratios are 0.0 when length/token count is zero, not NaN).
+      Some("""WITH q AS (SELECT doc_id, length(text) AS chars,
+          len(list_filter(string_split(text, ' '), x -> x <> '')) AS toks,
+          length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
+          length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+          len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+              x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS stops
+          FROM documents)
+        SELECT doc_id,
+        CASE WHEN chars > 0 THEN punct::DOUBLE / chars ELSE 0.0 END AS punct_ratio,
+        CASE WHEN chars > 0 THEN digits::DOUBLE / chars ELSE 0.0 END AS digit_ratio,
+        CASE WHEN toks > 0 THEN stops::DOUBLE / toks ELSE 0.0 END AS stopword_ratio,
+        (1.0 - CASE WHEN chars > 0 THEN punct::DOUBLE / chars ELSE 0.0 END)
+          * (1.0 - CASE WHEN chars > 0 THEN digits::DOUBLE / chars ELSE 0.0 END)
+          * least(1.0, toks::DOUBLE / 20.0) AS quality_score
+        FROM q ORDER BY doc_id""")),
 
     // Order-sensitive Rabin–Karp fingerprint — xxhash64 is Spark-specific
     // so no DuckDB oracle; Horner-chain properties pinned in LlmOpsSpec.

@@ -43,12 +43,17 @@ object TextAnalysis {
     val digits = (length(t) - length(regexp_replace(t, "[0-9]", "")))
       .cast("double")
     val stops = langHits(t, langStopwords.head._2).cast("double")
+    // Empty text / zero tokens would divide 0.0/0.0 → NaN (doubles dodge
+    // the ANSI zero check, which only covers integral/decimal); pin the
+    // empty-doc result to 0.0 and mirror the same CASE in the oracle.
+    def safe(num: Column, den: Column): Column =
+      when(den > 0, num / den).otherwise(lit(0.0))
     df
-      .withColumn("punct_ratio", punct / chars)
-      .withColumn("digit_ratio", digits / chars)
-      .withColumn("stopword_ratio", stops / toks)
+      .withColumn("punct_ratio", safe(punct, chars))
+      .withColumn("digit_ratio", safe(digits, chars))
+      .withColumn("stopword_ratio", safe(stops, toks))
       .withColumn("quality_score",
-        (lit(1.0) - punct / chars) * (lit(1.0) - digits / chars) *
+        (lit(1.0) - safe(punct, chars)) * (lit(1.0) - safe(digits, chars)) *
           least(lit(1.0), toks / lit(20.0)))
   }
 
