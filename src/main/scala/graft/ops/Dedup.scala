@@ -43,6 +43,15 @@ object Dedup {
     * separate per-doc count aggregation AND its two downstream joins; at
     * 100 TB that's two full shuffles saved.
     *
+    * `maxDf` caps document frequency: shingles present in more than
+    * `maxDf` documents are dropped BEFORE `n_sh` is computed and before
+    * any pair join. On a real corpus stop-phrase shingles ("of the and")
+    * have posting lists ∝ corpus size, and the pair join over one is
+    * quadratic in its length — the classic skew-killer for inverted-index
+    * similarity. The hot set itself is tiny (only shingles with df >
+    * maxDf), so the cap is a map-side broadcast anti-join, not a shuffle;
+    * its df aggregation is partial-agg'd before the exchange.
+    *
     * Built with posexplode + window `lead` instead of the array
     * higher-order functions in [[shingles]]: `transform`/`filter`/`slice`
     * are `CodegenFallback` (interpreted, row-at-a-time) while
@@ -51,7 +60,7 @@ object Dedup {
     * is hash-partitioned on `doc` or `(doc, s)`; nothing driver-side.
     */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
-                    n: Int): DataFrame = {
+                    n: Int, maxDf: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc").orderBy("pos")
     val toks = df
@@ -59,7 +68,7 @@ object Dedup {
         posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
       .filter(col("t") =!= "")
     val grams = (1 until n).map(i => lead(col("t"), i).over(w))
-    val sh = toks
+    val sh0 = toks
       .select(col("doc") +: col("t") +: grams.zipWithIndex.map {
         case (c, i) => c.as(s"t$i")
       }: _*)
@@ -67,6 +76,13 @@ object Dedup {
       .select(col("doc"), concat_ws(" ",
         col("t") +: (0 until n - 1).map(i => col(s"t$i")): _*).as("s"))
       .distinct()
+    val sh =
+      if (maxDf == Int.MaxValue) sh0
+      else {
+        val hot = sh0.groupBy("s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf).select("s")
+        sh0.join(broadcast(hot), Seq("s"), "left_anti")
+      }
     sh.withColumn("n_sh",
       count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
   }
@@ -81,8 +97,9 @@ object Dedup {
     * so no count-join is needed afterwards.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, threshold: Double): DataFrame = {
-    val sh = invertedIndex(df, idCol, textCol, n)
+                   n: Int, threshold: Double,
+                   maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = invertedIndex(df, idCol, textCol, n, maxDf)
     sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("i"), col("b.doc").as("j"),
@@ -98,8 +115,8 @@ object Dedup {
     * xxhash64(k, shingle). Pure built-ins, one explode + one groupBy.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, k: Int): DataFrame = {
-    val sh = invertedIndex(df, idCol, textCol, n)
+                        n: Int, k: Int, maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = invertedIndex(df, idCol, textCol, n, maxDf)
     val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"sig_$i"))
     sh.groupBy("doc").agg(aggs.head, aggs.tail: _*)
   }
@@ -110,8 +127,9 @@ object Dedup {
     * jaccardPairs(threshold); recall < 1 is the LSH trade-off).
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-                 n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
-    val sh = invertedIndex(df, idCol, textCol, n)
+                 n: Int, k: Int, bands: Int, threshold: Double,
+                 maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = invertedIndex(df, idCol, textCol, n, maxDf)
     val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"sig_$i"))
     // carry n_sh through the signature agg (functionally dependent on doc)
     val sigs = sh.groupBy("doc", "n_sh").agg(aggs.head, aggs.tail: _*)

@@ -17,13 +17,22 @@ import graft.util.{GQuery, Tables}
   */
 object LlmQueries {
 
+  /** Document-frequency cap for shingle postings — mirrored between the
+    * Spark side (Dedup.invertedIndex maxDf broadcast anti-join) and the
+    * oracle's hot/ANTI JOIN CTE. 5 is active on the sf0.01 corpus (max
+    * df there is 7) while keeping every genuine near-dup pair.
+    */
+  private val shingleMaxDf = 5
+
   private val shingleCte =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
       |  FROM documents),
-      |sh AS (
+      |sh0 AS (
       |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > $shingleMaxDf),
+      |sh AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (s)),
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)""".stripMargin
 
   private val sqlCos =
@@ -46,7 +55,7 @@ object LlmQueries {
 
     GQuery("dedup_jaccard",
       (s, d) => Dedup.jaccardPairs(Tables(s, d, "documents"),
-          "doc_id", "text", n = 3, threshold = 0.8)
+          "doc_id", "text", n = 3, threshold = 0.8, maxDf = shingleMaxDf)
         .orderBy(col("i"), col("j")),
       Some(s"""$shingleCte,
         pairs AS (
@@ -63,7 +72,8 @@ object LlmQueries {
     // rows-only (DedupSpec measures recall vs dedup_jaccard).
     GQuery("dedup_minhash_lsh",
       (s, d) => Dedup.minhashLsh(Tables(s, d, "documents"),
-          "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.8)
+          "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.8,
+          maxDf = shingleMaxDf)
         .orderBy(col("i"), col("j")),
       None),
 
@@ -124,12 +134,15 @@ object LlmQueries {
 
     // IVF-Flat ANN (k-means coarse quantizer, nprobe lists searched).
     // Approximate → rows-only; recall vs brute force in LlmOpsSpec.
+    // maxFit=500 keeps the quantizer fit on a bounded seeded sample at
+    // every scale factor (live at sf0.1's 2000 vectors) — the fit must
+    // never scale with the corpus.
     GQuery("sim_ann_ivf",
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
         Similarity.ivfTopK(emb,
             emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
-            k = 10)
+            k = 10, maxFit = 500L)
           .orderBy(col("qid"), col("rn"))
       },
       None),

@@ -74,17 +74,28 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, maxFit: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
       .withColumn("features", array_to_vector(col("nvec").cast("array<double>")))
+    // Train the coarse quantizer on a seeded sample of ≤ maxFit vectors:
+    // Voronoi cell centers stabilize long before the full corpus is seen,
+    // and the KMeans fit is the only driver-coordinated stage — at 100 TB
+    // it must NOT scale with the corpus. Assignment of the full corpus is
+    // still the map-only model.transform below. The count() is parquet
+    // metadata only (no data scan).
+    val nCorpus = c.count()
+    val fitOn =
+      if (nCorpus <= maxFit) c
+      else c.sample(withReplacement = false,
+        math.min(1.0, maxFit.toDouble * 1.05 / nCorpus), seed)
     // a coarse quantizer only needs rough Voronoi cells — 5 iterations
     // converges the bench recall identically to 10 at half the fit cost
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-      .fit(c)
+      .fit(fitOn)
     val assigned = model.transform(c)
       .select(col("nid"), col("nvec"), col("prediction").as("list"))
     val cents = model.clusterCenters.zipWithIndex

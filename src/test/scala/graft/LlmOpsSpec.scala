@@ -54,6 +54,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall > 0.4, s"recall=$recall")
   }
 
+  test("IVF sampled-fit quantizer (maxFit < corpus) keeps recall") {
+    // the 100 TB contract: the KMeans fit sees a bounded sample, never
+    // the corpus — recall must survive training on 1/5th of the vectors
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+        k = 10, nlist = 8, nprobe = 4, maxFit = 100L)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall=$recall")
+  }
+
   test("embedding LSH finds planted near-duplicates (⊆ exact, high recall)") {
     // plant near-dups: jittered copies of every 5th vector (cos ≈ 0.999)
     val emb = Tables(spark, sfDir, "embeddings")
