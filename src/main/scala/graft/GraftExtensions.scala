@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DebeziumDecimalDecode, DebeziumDecimalEncode}
+import graft.functions.{ChangeDiffJsonExpr, CosineSimilarity, DebeziumDecimalDecode, DebeziumDecimalEncode}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions callable from SQL, so a user can
@@ -42,7 +42,12 @@ object GraftExtensions {
     ("cosine_similarity",
       info("cosine_similarity",
         "cosine_similarity(a, b) - cosine of two ARRAY<FLOAT> vectors"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    ("change_diff",
+      info("change_diff",
+        "change_diff(before, after) - JSON {col: {old, new}} of columns " +
+          "where after IS DISTINCT FROM before; structs of STRING fields"),
+      (args: Seq[Expression]) => ChangeDiffJsonExpr(args(0), args(1))))
 
   /** Register the same functions on an already-built session (tests and
     * notebook use, where `spark.sql.extensions` was not set at startup).

@@ -158,14 +158,128 @@ object CdcQueries {
             WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
       WHERE prev_t IS NOT NULL ORDER BY event_id"""))
 
-  /** O1 generator — deterministic, no SQL oracle (domains/determinism are
-    * spec-tested); driver does the rows-only check.
+  /** One md5 hex slice as a BIGINT — DuckDB mirror of
+    * TransactionGen.hashSlice (`conv(substring(hx, start, 6), 16, 10)`),
+    * as a per-char polynomial (strpos over the hex alphabet, shifted).
+    */
+  private def duckHexSlice(start: Int): String =
+    s"CAST(list_sum(list_transform(range(6), k -> " +
+      s"CAST(strpos('0123456789abcdef', hx[$start+k]) - 1 AS BIGINT) " +
+      s"* (1::BIGINT << CAST(4*(5-k) AS INT)))) AS BIGINT)"
+
+  private def duckPick(values: Seq[String], h: String): String = {
+    val arr = values.map(v => s"'$v'").mkString("[", ",", "]")
+    s"($arr)[CAST(($h) % ${values.size} AS INT) + 1]"
+  }
+
+  /** O1 generator, oracle-checked end to end: every one of the 12 fields
+    * is md5-derived (TransactionGen.project), and DuckDB has md5 + string
+    * slicing, so the oracle regenerates the identical rows. The amount
+    * decimal is built from integer cents via a string (DuckDB decimal
+    * division detours through DOUBLE and would drift at scale 18).
+    */
+  /** DuckDB CTE regenerating TransactionGen.batch(n=10000, seed=42)
+    * exactly: table `g` with the 12 transaction columns. The amount
+    * decimal is built from integer cents via a string (DuckDB decimal
+    * division detours through DOUBLE and would drift at scale 18).
+    */
+  private val duckGenCte: String = {
+    val cities = Seq("Berlin", "Paris", "Tunis", "Lyon", "Hamburg",
+      "Madrid", "Rome", "Vienna", "Prague", "Lisbon")
+    val countries = Seq("Germany", "France", "Tunisia", "Spain",
+      "Italy", "Austria", "Czechia", "Portugal")
+    val merchants = Seq("Acme Corp", "Globex", "Initech", "Umbrella",
+      "Soylent", "Stark Industries", "Wayne Enterprises", "Wonka")
+    s"""WITH ids AS (SELECT unnest(range(10000)) AS id),
+      h AS (SELECT id, md5('42:' || id) AS hx FROM ids),
+      sl AS (SELECT id, hx, ${duckHexSlice(1)} AS h1,
+             ${duckHexSlice(7)} AS h2, ${duckHexSlice(13)} AS h3 FROM h),
+      c AS (SELECT hx, h1, h2, h3, h3 % 99001 + 1000 AS cents FROM sl),
+      g AS (SELECT
+        concat_ws('-', hx[1:8], hx[9:12], hx[13:16], hx[17:20], hx[21:32]) AS transaction_id,
+        'user_' || (h1 % 10000) AS user_id,
+        epoch_ms((1700000000 + (h2 % 2592000)) * 1000) AS "timestamp",
+        CAST((cents // 100) || '.' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0')
+             AS DECIMAL(38,18)) AS amount,
+        ${duckPick(Seq("EUR", "USD"), "h1+1")} AS currency,
+        ${duckPick(cities, "h1+2")} AS city,
+        ${duckPick(countries, "h1+3")} AS country,
+        ${duckPick(merchants, "h2+1")} AS merchant_name,
+        ${duckPick(Seq("credit_card", "debit_card", "online_transfer"), "h2+2")} AS payment_method,
+        concat_ws('.', h1 % 256, h2 % 256, h3 % 256, (h1+h2) % 256) AS ip_address,
+        ${duckPick(Seq("", "DISCOUNT10", ""), "h3+1")} AS voucher_code,
+        md5('aff:' || hx) AS affiliate_id
+      FROM c)"""
+  }
+
+  /** O1 generator, oracle-checked end to end: every one of the 12 fields
+    * is md5-derived (TransactionGen.project), and DuckDB has md5 + string
+    * slicing, so the oracle regenerates the identical rows.
     */
   private val genTransactions = GQuery("gen_transactions",
     (s, _) => TransactionGen.batch(s, 10000, seed = 42L)
       .orderBy(col("transaction_id")),
-    None)
+    Some(s"$duckGenCte SELECT * FROM g ORDER BY transaction_id"))
+
+  /** Trigger-2 diff over the FULL 15-column transaction row (12 payload +
+    * modified_by/modified_at audit + the change_info output itself) — the
+    * wide-schema case the native ChangeDiffJson expression exists for
+    * (SURVEY.md:149; to_json(map_filter(...)) is interpreted and drags at
+    * this width). Before-image = the generator output with null audit
+    * columns; after-image = deterministic rule mutations + the Trigger-1
+    * audit stamp (README.md:190-191), so the oracle reproduces both
+    * images from the gen CTE and builds the identical JSON.
+    */
+  private val changeDiffWide = GQuery("cdc_change_diff_wide",
+    (s, _) => {
+      import graft.model.Schemas
+      val base = Tables.spread(TransactionGen.batch(s, 10000, seed = 42L))
+        // amount at wire scale (18,2): decimal(38,18)+1 would shift the
+        // result scale to 17 and break string parity with the oracle
+        .withColumn("amount", col("amount").cast(DecimalType(18, 2)))
+        .withColumn("modified_by", lit(null).cast("string"))
+        .withColumn("modified_at", lit(null).cast("timestamp"))
+      val fields = Schemas.transaction.fieldNames.toSeq ++
+        Seq("modified_by", "modified_at")
+      val mutate: Map[String, org.apache.spark.sql.Column] = Map(
+        "amount" -> when(col("currency") === "EUR", col("amount") + 1)
+          .otherwise(col("amount")),
+        "city" -> when(col("user_id").endsWith("0"), lit("Metropolis"))
+          .otherwise(col("city")),
+        "payment_method" -> when(col("payment_method") === "online_transfer",
+          lit("crypto")).otherwise(col("payment_method")),
+        "voucher_code" -> when(col("voucher_code") === "DISCOUNT10",
+          lit("DISCOUNT20")).otherwise(col("voucher_code")),
+        "modified_by" -> lit("graft_etl"),
+        "modified_at" -> lit("2024-01-01 00:00:00").cast("timestamp"))
+      val before = struct(fields.map(f => col(f).as(f)): _*)
+      val after = struct(fields.map(f =>
+        mutate.getOrElse(f, col(f)).as(f)): _*)
+      base.select(col("transaction_id"),
+          ChangeDiff.changeInfoJson(before, after, fields).as("change_info"))
+        .orderBy(col("transaction_id"))
+    },
+    // String-built JSON entries in struct-field order; concat_ws drops the
+    // NULL (unchanged) entries, exactly matching the native expression's
+    // "only columns where new IS DISTINCT FROM old" + ignore-null-fields
+    // output contract.
+    Some(s"""$duckGenCte
+      SELECT transaction_id, '{' || concat_ws(',',
+        CASE WHEN currency = 'EUR' THEN
+          '"amount":{"old":"' || CAST(CAST(amount AS DECIMAL(18,2)) AS VARCHAR)
+          || '","new":"' || CAST(CAST(amount AS DECIMAL(18,2)) + 1 AS VARCHAR) || '"}' END,
+        CASE WHEN ends_with(user_id, '0') THEN
+          '"city":{"old":"' || city || '","new":"Metropolis"}' END,
+        CASE WHEN payment_method = 'online_transfer' THEN
+          '"payment_method":{"old":"online_transfer","new":"crypto"}' END,
+        CASE WHEN voucher_code = 'DISCOUNT10' THEN
+          '"voucher_code":{"old":"DISCOUNT10","new":"DISCOUNT20"}' END,
+        '"modified_by":{"new":"graft_etl"}',
+        '"modified_at":{"new":"2024-01-01 00:00:00"}'
+      ) || '}' AS change_info
+      FROM g ORDER BY transaction_id"""))
 
   val queries: Seq[GQuery] = Seq(
-    envelopeApply, decimalRoundtrip, applyOps, changeDiffQ, genTransactions)
+    envelopeApply, decimalRoundtrip, applyOps, changeDiffQ, genTransactions,
+    changeDiffWide)
 }

@@ -31,11 +31,22 @@ object ChangeDiff {
       !(v.getField("old") <=> v.getField("new")))
   }
 
-  /** The JSONB `change_info` payload: the diff map serialized, or "{}"
-    * when nothing changed (empty map), mirroring README.md:257-263.
+  /** The JSONB `change_info` payload: the diff serialized, or "{}" when
+    * nothing changed, mirroring README.md:257-263.
+    *
+    * Backed by the native [[graft.functions.ChangeDiffJson]] expression
+    * (single codegen'd pass) rather than `to_json(map_filter(...))` —
+    * both of those built-ins are CodegenFallback, which drags on wide
+    * schemas like the 15-column transaction row. Same output byte for
+    * byte (pinned by the cdc_change_diff oracle, which predates the
+    * native kernel).
     */
-  def changeInfoJson(before: Column, after: Column, fields: Seq[String]): Column =
-    to_json(changeDiff(before, after, fields))
+  def changeInfoJson(before: Column, after: Column, fields: Seq[String]): Column = {
+    def asStringStruct(c: Column) =
+      struct(fields.map(f => c.getField(f).cast("string").as(f)): _*)
+    graft.functions.ChangeDiffJson.changeDiffJson(
+      asStringStruct(before), asStringStruct(after))
+  }
 
   /** Trigger-1 audit enrichment on the update path (README.md:190-191).
     * `user` defaults to the Spark user — the engine's `current_user`.

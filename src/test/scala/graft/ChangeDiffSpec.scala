@@ -39,4 +39,34 @@ class ChangeDiffSpec extends AnyFunSuite {
     val row = df.select(col("modified_by"), col("modified_at").isNotNull).head()
     assert(row.getString(0) == "graft" && row.getBoolean(1))
   }
+
+  test("native change_diff stays in whole-stage codegen (no fallback)") {
+    // the point of the Expression over to_json(map_filter(...)): both of
+    // those are CodegenFallback and would break the codegen span
+    // range source (not a local Seq) so ConvertToLocalRelation can't fold
+    // the whole plan away before the codegen check
+    val df = spark.range(4)
+      .select(col("id").cast("string").as("bx"), lit("b").as("by"),
+        col("id").cast("string").as("ax"), lit("c").as("ay"))
+      .select(ChangeDiff.changeInfoJson(
+        struct(col("bx").as("x"), col("by").as("y")),
+        struct(col("ax").as("x"), col("ay").as("y")),
+        Seq("x", "y")).as("ci"))
+    val exec = df.queryExecution.executedPlan
+    assert(exec.find(_.isInstanceOf[
+      org.apache.spark.sql.execution.WholeStageCodegenExec]).isDefined,
+      exec.toString)
+    // the diff projection itself must sit INSIDE the codegen region
+    assert(exec.toString.linesIterator.next().startsWith("*"), exec.toString)
+    // escaping parity with to_json (Jackson): quotes, backslash, control
+    val tricky = "a\"b\\c\nd\tef"
+    val got = Seq((tricky, "x")).toDF("b", "a")
+      .select(ChangeDiff.changeInfoJson(
+        struct(col("b").as("v")), struct(col("a").as("v")), Seq("v")))
+      .head().getString(0)
+    val viaToJson = Seq((tricky, "x")).toDF("b", "a")
+      .select(to_json(map(lit("v"), struct(col("b").as("old"), col("a").as("new")))))
+      .head().getString(0)
+    assert(got == viaToJson, s"$got != $viaToJson")
+  }
 }
