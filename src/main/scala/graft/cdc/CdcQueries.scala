@@ -279,7 +279,44 @@ object CdcQueries {
       ) || '}' AS change_info
       FROM g ORDER BY transaction_id"""))
 
+  /** O14 as the reference actually runs it: ≥3 successive batches into
+    * the bucket-pruned parquet sink (CdcPipeline.idempotentParquetUpsert)
+    * with keys colliding BOTH across batches (first batch wins — the
+    * `ON CONFLICT DO NOTHING` contract, transaction_consumer.py:85-103)
+    * and within a batch (the o_orderkey tiebreak decides, deterministic
+    * under replay). The oracle recomputes the final table relationally:
+    * winner per key = min (batch index, o_orderkey).
+    */
+  private val incrementalUpsert = GQuery("cdc_incremental_upsert",
+    (s, d) => {
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_inc_upsert").getAbsolutePath
+      // clean slate: the sink is stateful on disk and this query may run
+      // against different scale factors in one JVM
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val orders = Tables(s, d, "orders").select(
+        (col("o_orderkey") % 500).as("k"),
+        col("o_orderkey").as("okey"),
+        col("o_totalprice").as("total"))
+      (0 until 3).foreach { b =>
+        val batch = orders.filter(col("okey") % 3 === b)
+        graft.streaming.CdcPipeline.idempotentParquetUpsert(
+          s, batch, path, keys = Seq("k"), tieBreak = Seq(col("okey")))
+      }
+      s.read.parquet(path)
+        .select(col("k"), col("okey"), col("total"))
+        .orderBy(col("k"))
+    },
+    Some("""SELECT k, okey, total FROM (
+        SELECT o_orderkey % 500 AS k, o_orderkey AS okey,
+               o_totalprice AS total,
+               row_number() OVER (PARTITION BY o_orderkey % 500
+                 ORDER BY o_orderkey % 3, o_orderkey) AS rn
+        FROM orders) WHERE rn = 1 ORDER BY k"""))
+
   val queries: Seq[GQuery] = Seq(
     envelopeApply, decimalRoundtrip, applyOps, changeDiffQ, genTransactions,
-    changeDiffWide)
+    changeDiffWide, incrementalUpsert)
 }

@@ -114,29 +114,64 @@ object CdcPipeline {
     * cluster deployment would use): first write for a key wins across
     * batches, which together with Kafka at-least-once gives the
     * reference's effectively-once contract (SURVEY.md §4).
+    *
+    * Scale design — the sink is a keyed, bucket-pruned MERGE, not a
+    * table rewrite. The table is directory-partitioned by
+    * `__bucket = pmod(hash(keys), nBuckets)`; a batch
+    *  1. computes the (≤ nBuckets, typically few) bucket ids it touches,
+    *  2. reads ONLY those partitions of the committed table (partition
+    *     pruning at file-listing time — untouched buckets are never
+    *     opened),
+    *  3. first-write-wins-merges batch against committed rows, and
+    *  4. dynamic-partition-overwrites exactly the touched buckets.
+    * Per-batch I/O and shuffle are therefore ∝ |batch ∪ its buckets|,
+    * not O(table) — the property a delete-heavy 100 TB CDC stream needs.
+    * Files in untouched buckets are left byte-identical (asserted in
+    * OperatorsSpec).
+    *
+    * Determinism: across batches, committed rows always win (`__pri` 0
+    * vs 1). WITHIN a batch, duplicate keys are resolved by `tieBreak` —
+    * a monotone sequence (Kafka offset/LSN) when the caller has one, or
+    * the default stable hash of all non-key columns — so a replayed or
+    * retried batch commits the same winner as its first attempt (the
+    * reference's Postgres sink is deterministic the same way: first
+    * arrival wins, and redelivery replays the same order).
     */
   def idempotentParquetUpsert(spark: SparkSession, batch: DataFrame,
-                              path: String, keys: Seq[String]): Unit = {
+                              path: String, keys: Seq[String],
+                              nBuckets: Int = 64,
+                              tieBreak: Seq[org.apache.spark.sql.Column] = Nil): Unit = {
+    val valueCols = batch.columns.filterNot(keys.contains).toSeq
+    val tie =
+      if (tieBreak.nonEmpty) tieBreak
+      else Seq(xxhash64(valueCols.map(col): _*))
+    val bucket = pmod(hash(keys.map(col): _*), lit(nBuckets)).cast("int")
+    val batchB = batch.withColumn("__bucket", bucket)
+    // ≤ nBuckets ints — a bounded driver-side list, needed to prune the
+    // committed-table read; NOT a data collect.
+    val touched = batchB.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
     val existing =
-      try Some(spark.read.parquet(path)) catch { case _: Exception => None }
-    // priority 0 = already-committed rows, 1 = this batch: first-write
-    // wins across batches exactly like the PK conflict in the reference
-    // sink (duplicate keys WITHIN one batch are arbitrary, as in a
-    // single multi-row INSERT .. ON CONFLICT).
+      try {
+        val t = spark.read.parquet(path)
+        if (t.columns.contains("__bucket"))
+          Some(t.filter(col("__bucket").isin(touched: _*)))
+        else None
+      } catch { case _: Exception => None }
     val all = existing match {
       case Some(e) => e.withColumn("__pri", lit(0))
-        .unionByName(batch.select(e.columns.map(col).toSeq: _*)
+        .unionByName(batchB.select(e.columns.map(col).toSeq: _*)
           .withColumn("__pri", lit(1)))
-      case None => batch.withColumn("__pri", lit(1))
+      case None => batchB.withColumn("__pri", lit(1))
     }
-    val merged = Materialize.firstByKey(all, keys, Seq(col("__pri")))
+    val merged = Materialize
+      .firstByKey(all, keys :+ "__bucket", col("__pri") +: tie)
       .drop("__pri")
-    val tmp = path + "__staged"
-    merged.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // dynamic mode replaces only the partitions present in `merged` =
+    // the touched buckets; other bucket directories are not rewritten
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket")
+      .parquet(path)
   }
 }

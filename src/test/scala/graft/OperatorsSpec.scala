@@ -75,4 +75,58 @@ class OperatorsSpec extends AnyFunSuite {
     // k2's duplicate delivery must NOT overwrite the first write
     assert(got == Map("k1" -> "v1", "k2" -> "v2", "k3" -> "v3"))
   }
+
+  test("idempotentParquetUpsert rewrites only the buckets a batch touches") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_b").toString + "/t"
+    def upsert(df: org.apache.spark.sql.DataFrame): Unit =
+      graft.streaming.CdcPipeline.idempotentParquetUpsert(
+        spark, df, dir, Seq("key"), nBuckets = 8)
+    // batch 1 spreads keys over several buckets
+    upsert((0 until 64).map(i => (s"k$i", s"v$i")).toDF("key", "value"))
+    def filesPerBucket(): Map[String, Set[String]] =
+      Files.list(Paths.get(dir)).iterator.asScala
+        .filter(p => p.getFileName.toString.startsWith("__bucket="))
+        .map { p =>
+          p.getFileName.toString ->
+            Files.list(p).iterator.asScala.map(_.getFileName.toString)
+              .filterNot(_.startsWith(".")).toSet
+        }.toMap
+    val before = filesPerBucket()
+    assert(before.size > 1, s"expected several buckets, got ${before.keySet}")
+    // batch 2: a single key → a single bucket; every other bucket's
+    // files must remain untouched (the O(table)-per-batch rewrite is gone)
+    upsert(Seq(("k1", "DUP"), ("brandnew", "x")).toDF("key", "value"))
+    val after = filesPerBucket()
+    val touched = before.keySet.filter(b =>
+      before(b) != after.getOrElse(b, Set.empty))
+    assert(touched.size <= 2, s"batch of 2 keys rewrote buckets $touched")
+    assert(before.keySet.subsetOf(after.keySet))
+    // and the merge semantics held
+    val got = spark.read.parquet(dir)
+      .select("key", "value").as[(String, String)].collect().toMap
+    assert(got("k1") == "v1" && got("brandnew") == "x" && got.size == 65)
+  }
+
+  test("idempotentParquetUpsert within-batch duplicate winner is replay-stable") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft_sink_r").toString + "/a"
+    val dirB = java.nio.file.Files.createTempDirectory("graft_sink_r").toString + "/b"
+    // duplicate key in ONE batch, no natural order — the stable-hash
+    // tiebreak must pick the same winner on a replayed attempt
+    val batch = Seq(("k", "first"), ("k", "second"), ("q", "z"))
+      .toDF("key", "value")
+    graft.streaming.CdcPipeline.idempotentParquetUpsert(spark, batch, dirA, Seq("key"))
+    graft.streaming.CdcPipeline.idempotentParquetUpsert(spark, batch, dirB, Seq("key"))
+    val a = spark.read.parquet(dirA).select("key", "value")
+      .as[(String, String)].collect().toMap
+    val b = spark.read.parquet(dirB).select("key", "value")
+      .as[(String, String)].collect().toMap
+    assert(a == b)
+    // and a redelivery of the same batch into the committed table is a no-op
+    graft.streaming.CdcPipeline.idempotentParquetUpsert(spark, batch, dirA, Seq("key"))
+    val a2 = spark.read.parquet(dirA).select("key", "value")
+      .as[(String, String)].collect().toMap
+    assert(a2 == a)
+  }
 }
