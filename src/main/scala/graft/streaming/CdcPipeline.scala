@@ -93,6 +93,75 @@ object CdcPipeline {
       }
   }
 
+  /** [[ChangeRec]] plus the event-time column the watermark rides on. */
+  case class ChangeRecT(key: String, tsMs: Long, seq: Long, op: String,
+                        json: String, eventTime: java.sql.Timestamp)
+
+  /** [[materialize]] with tombstone eviction: identical last-write-wins
+    * semantics, but a key whose latest op is a delete keeps its state only
+    * until `watermark ≥ delete time + tombstoneTtl` — then the state row
+    * is dropped. Without this, a delete-heavy 100 TB stream's state grows
+    * with every key ever deleted (the reference's sink table also never
+    * shrinks, but its deletes are rows in Postgres, not executor memory).
+    *
+    * The tombstone must outlive the duplicate-delivery window (the
+    * watermark delay): while it lives, a late replayed insert with an
+    * older ts_ms still loses to it; after eviction such a replay is
+    * impossible because the watermark already passed it. A genuinely NEW
+    * insert for the key (ts_ms past the delete) wins whether or not the
+    * tombstone is still resident.
+    *
+    * GroupState timeouts are cleared on every invocation for the group,
+    * so a live upsert after a delete automatically cancels the pending
+    * eviction; only ops that leave a tombstone re-arm it.
+    */
+  def materializeWithTtl(changes: Dataset[ChangeRec], watermarkDelay: String,
+                         tombstoneTtlMs: Long): Dataset[Upsert] = {
+    implicit val stringEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.product[KeyState]
+    implicit val outEnc = Encoders.product[Upsert]
+    implicit val inEnc = Encoders.product[ChangeRecT]
+    val ttlMs = tombstoneTtlMs
+    val withTime = changes
+      .withColumn("eventTime", timestamp_millis(col("tsMs")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[ChangeRecT]
+    withTime.groupByKey(_.key)
+      .flatMapGroupsWithState[KeyState, Upsert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[ChangeRecT], state: GroupState[KeyState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed deleteTs + ttl: no on-time event can
+            // precede the tombstone anymore — drop the state row
+            state.remove()
+            Iterator.empty
+          } else {
+            def geq(aTs: Long, aSeq: Long, bTs: Long, bSeq: Long): Boolean =
+              aTs > bTs || (aTs == bTs && aSeq >= bSeq)
+            val newest = it.reduceOption { (a, b) =>
+              if (geq(a.tsMs, a.seq, b.tsMs, b.seq)) a else b
+            }
+            val out = newest match {
+              case Some(rec) =>
+                val cur = state.getOption
+                val wins = cur.forall(c => geq(rec.tsMs, rec.seq, c.tsMs, c.seq))
+                if (wins) {
+                  state.update(KeyState(rec.tsMs, rec.seq, rec.op, rec.json))
+                  Iterator.single(Upsert(key, rec.tsMs, rec.op, rec.json))
+                } else Iterator.empty
+              case None => Iterator.empty
+            }
+            state.getOption.foreach { s =>
+              if (s.op == "d")
+                state.setTimeoutTimestamp(
+                  math.max(s.tsMs + ttlMs,
+                    state.getCurrentWatermarkMs() + 1))
+            }
+            out
+          }
+      }
+  }
+
   /** Adapt an op-tagged flat DataFrame (Envelope.toRows output) to
     * ChangeRec for [[materialize]].
     */

@@ -75,6 +75,46 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("materializeWithTtl evicts tombstoned keys once past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long, String, String)]
+    val changes = input.toDF().toDF("key", "tsMs", "seq", "op", "json")
+      .as[ChangeRec]
+    // 1 min watermark delay, 1 min tombstone ttl → eviction at delete+2min
+    val out = CdcPipeline.materializeWithTtl(changes,
+      watermarkDelay = "1 minute", tombstoneTtlMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("ttl_state")
+      .outputMode("append").start()
+    def stateRows(): Long = {
+      val p = q.lastProgress
+      if (p == null) -1 else p.stateOperators.map(_.numRowsTotal).sum
+    }
+    try {
+      val t0 = 1700000000000L
+      input.addData(("k1", t0, 1L, "c", "{v:1}"), ("k2", t0, 2L, "c", "{v:2}"))
+      q.processAllAvailable()
+      input.addData(("k1", t0 + 1000, 3L, "d", "{}"))
+      q.processAllAvailable()
+      assert(stateRows() == 2, s"live + tombstone expected, got ${stateRows()}")
+      // advance event time far past delete + watermark + ttl; the extra
+      // batch lets the new watermark trigger the timeout pass
+      input.addData(("k9", t0 + 600000, 4L, "c", "{v:9}"))
+      q.processAllAvailable()
+      input.addData(("k9", t0 + 601000, 5L, "u", "{v:10}"))
+      q.processAllAvailable()
+      assert(stateRows() == 2, s"tombstone should be evicted, got ${stateRows()}")
+      // a NEW insert for the evicted key must win and re-create state
+      input.addData(("k1", t0 + 700000, 6L, "c", "{v:back}"))
+      q.processAllAvailable()
+      val last = spark.table("ttl_state")
+        .groupBy("key").agg(max_by(struct(col("op"), col("json")), col("tsMs")).as("s"))
+        .select(col("key"), col("s.op"), col("s.json"))
+        .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+      assert(last("k1") == ("c", "{v:back}"))
+      assert(stateRows() == 3, s"k1 re-created, got ${stateRows()}")
+    } finally q.stop()
+  }
+
   test("tumbling-window agg with watermark drops late rows (§2B streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, Double)]
