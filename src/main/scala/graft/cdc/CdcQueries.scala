@@ -302,8 +302,12 @@ object CdcQueries {
         col("o_totalprice").as("total"))
       (0 until 3).foreach { b =>
         val batch = orders.filter(col("okey") % 3 === b)
+        // nBuckets sizes file-level pruning granularity per table; 16 is
+        // plenty for the test-scale key space (64-bucket default is for
+        // real tables)
         graft.streaming.CdcPipeline.idempotentParquetUpsert(
-          s, batch, path, keys = Seq("k"), tieBreak = Seq(col("okey")))
+          s, batch, path, keys = Seq("k"), nBuckets = 16,
+          tieBreak = Seq(col("okey")))
       }
       s.read.parquet(path)
         .select(col("k"), col("okey"), col("total"))

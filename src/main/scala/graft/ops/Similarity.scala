@@ -93,8 +93,10 @@ object Similarity {
       else c.sample(withReplacement = false,
         math.min(1.0, maxFit.toDouble * 1.05 / nCorpus), seed)
     // a coarse quantizer only needs rough Voronoi cells — 5 iterations
-    // converges the bench recall identically to 10 at half the fit cost
+    // converges the bench recall identically to 10 at half the fit cost,
+    // and random init skips k-means||'s extra passes over the sample
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+      .setInitMode("random")
       .fit(fitOn)
     val assigned = model.transform(c)
       .select(col("nid"), col("nvec"), col("prediction").as("list"))

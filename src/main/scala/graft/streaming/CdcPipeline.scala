@@ -237,8 +237,14 @@ object CdcPipeline {
       .firstByKey(all, keys :+ "__bucket", col("__pri") +: tie)
       .drop("__pri")
     // dynamic mode replaces only the partitions present in `merged` =
-    // the touched buckets; other bucket directories are not rewritten
-    merged.write.mode("overwrite")
+    // the touched buckets; other bucket directories are not rewritten.
+    // Repartition on __bucket first: otherwise every shuffle task writes
+    // into every touched bucket dir — tasks × buckets small files per
+    // batch. One exchange of the (compact) merged rows buys one file per
+    // bucket per batch, which is also what keeps the file count sane
+    // over a long stream at scale.
+    merged.repartition(col("__bucket"))
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__bucket")
       .parquet(path)

@@ -39,12 +39,31 @@ object Tables {
     * (JSON serde, codecs, O(n²) similarity probes). The testdata files
     * are single-row-group parquet, so the scan yields ONE partition and
     * an expensive map pipeline would otherwise run on one core of 32.
-    * Guarded: on a real cluster where the source is already wide this
-    * is a no-op — no gratuitous exchange at 100 TB.
+    *
+    * Guard is metadata-only — file listing the plan already holds, plus
+    * driver-side FileStatus calls for the (few) files — never `df.rdd`,
+    * which would force an RDD-lineage conversion per call and bypass AQE.
+    * On a real cluster this is a no-op two ways: many files ⇒ already
+    * wide; few LARGE files ⇒ the parquet scan splits them at
+    * maxPartitionBytes, so repartitioning would shuffle data that is
+    * already parallel. Only a genuinely small input gets the exchange.
     */
   def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+    val sc = df.sparkSession.sparkContext
+    val p = sc.defaultParallelism
+    val files = try df.inputFiles catch { case _: Exception => Array.empty[String] }
+    if (files.isEmpty || files.length >= p) df
+    else {
+      val maxPart = df.sparkSession.conf
+        .get("spark.sql.files.maxPartitionBytes", "134217728")
+        .stripSuffix("b").toLong
+      val fs = org.apache.hadoop.fs.FileSystem.get(sc.hadoopConfiguration)
+      val bytes = files.map { f =>
+        try fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
+        catch { case _: Exception => Long.MaxValue / files.length }
+      }.sum
+      if (bytes < p.toLong * maxPart) df.repartition(p) else df
+    }
   }
 }
 
