@@ -342,6 +342,25 @@ object RelationalQueries {
           .agg(count(lit(1)).as("n"))
       },
       Some("""SELECT COUNT(*) AS n FROM lineitem
-        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)"""))
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)""")),
+
+    // Skew-mitigated join (operators/SaltedJoin): spread each probe key
+    // over 8 salts, replicate the build side per salt — the result must
+    // be EXACTLY the plain join's, which is what the oracle checks.
+    GQuery("q44_salted_join",
+      (s, d) => {
+        val joined = graft.operators.SaltedJoin.saltedJoin(
+          Tables(s, d, "lineitem"), Tables(s, d, "supplier"),
+          probeKeys = Seq("l_suppkey"), buildKeys = Seq("s_suppkey"),
+          salts = 8)
+        joined.groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"),
+            graft.util.Det.dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy(col("s_nationkey"))
+      },
+      Some("""SELECT s_nationkey, COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey ORDER BY s_nationkey"""))
   )
 }

@@ -195,6 +195,26 @@ object LlmQueries {
         .orderBy(col("doc_id")),
       None),
 
+    // Same Horner chain with an md5-derived token hash → the
+    // order-sensitive fingerprint is hash-checked against DuckDB
+    // (list_reduce mirrors the fold; hex-slice polynomial mirrors conv).
+    GQuery("text_rolling_hash_md5",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.rollingHashPortable(col("text")).as("rh"))
+        .orderBy(col("doc_id")),
+      Some {
+        val hexval = "CAST(list_sum(list_transform(range(8), k -> " +
+          "CAST(strpos('0123456789abcdef', md5(t)[1+k]) - 1 AS BIGINT) " +
+          "* (1::BIGINT << CAST(4*(7-k) AS INT)))) AS BIGINT) % 2147483648"
+        s"""SELECT doc_id, list_reduce(
+            list_prepend(0::BIGINT,
+              list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                t -> $hexval)),
+            (acc, x) -> (acc * 1000003 + x) % 2147483648) AS rh
+          FROM documents ORDER BY doc_id"""
+      }),
+
     GQuery("text_fingerprint",
       (s, d) => Tables(s, d, "documents")
         .select(col("doc_id"),

@@ -75,6 +75,21 @@ object TextAnalysis {
         pmod(acc * lit(rollingBase) + pmod(xxhash64(t), lit(rollingMod)),
           lit(rollingMod)))
 
+  /** Oracle-portable [[rollingHash]] variant: token hash = first 8 hex
+    * chars of md5 (both engines have md5; xxhash64 is Spark-only), same
+    * Horner chain mod 2³¹ — so the order-sensitive fingerprint itself is
+    * hash-checkable against DuckDB, not just property-tested. Use
+    * [[rollingHash]] in production pipelines (xxhash64 is codegen'd and
+    * ~an order of magnitude cheaper than md5 per token).
+    */
+  def rollingHashPortable(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) =>
+        pmod(acc * lit(rollingBase) +
+          pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+            lit(rollingMod)),
+          lit(rollingMod)))
+
   /** BPE-ish regex token count: alpha runs, digit runs, single symbols.
     * The pattern is RE2-and-Java-regex compatible on purpose.
     */

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.operators.Materialize
 
@@ -160,6 +160,54 @@ object CdcPipeline {
             out
           }
       }
+  }
+
+  /** [[materialize]] on Spark 4's `transformWithState` — the successor
+    * API to flatMapGroupsWithState: typed per-key `ValueState` in the
+    * RocksDB state store (incremental checkpoints, state no longer bound
+    * by executor heap — the 100 TB-of-keys path), native TTL support,
+    * and timers decoupled from the data path. Semantics are identical to
+    * [[materialize]] (last-write-wins, tombstones emitted); the optional
+    * `stateTtl` bounds EVERY key's state lifetime (measured from last
+    * update) — the reference's sink keeps rows forever, so NONE is the
+    * faithful default and a real deployment picks its retention.
+    */
+  def materializeTws(changes: Dataset[ChangeRec],
+                     stateTtl: TTLConfig = TTLConfig.NONE): Dataset[Upsert] = {
+    implicit val stringEnc = Encoders.STRING
+    implicit val outEnc = Encoders.product[Upsert]
+    changes.groupByKey(_.key)
+      .transformWithState(new LwwProcessor(stateTtl),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Last-write-wins keyed processor for [[materializeTws]]. */
+  private class LwwProcessor(stateTtl: TTLConfig)
+    extends StatefulProcessor[String, ChangeRec, Upsert] {
+    @transient private var state: ValueState[KeyState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[KeyState](
+        "lww", Encoders.product[KeyState], stateTtl)
+
+    override def handleInputRows(key: String, rows: Iterator[ChangeRec],
+                                 timerValues: TimerValues): Iterator[Upsert] = {
+      def geq(aTs: Long, aSeq: Long, bTs: Long, bSeq: Long): Boolean =
+        aTs > bTs || (aTs == bTs && aSeq >= bSeq)
+      val newest = rows.reduceOption { (a, b) =>
+        if (geq(a.tsMs, a.seq, b.tsMs, b.seq)) a else b
+      }
+      newest match {
+        case Some(rec) =>
+          val cur = if (state.exists()) Option(state.get()) else None
+          val wins = cur.forall(c => geq(rec.tsMs, rec.seq, c.tsMs, c.seq))
+          if (wins) {
+            state.update(KeyState(rec.tsMs, rec.seq, rec.op, rec.json))
+            Iterator.single(Upsert(key, rec.tsMs, rec.op, rec.json))
+          } else Iterator.empty
+        case None => Iterator.empty
+      }
+    }
   }
 
   /** Adapt an op-tagged flat DataFrame (Envelope.toRows output) to

@@ -75,6 +75,44 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState materialization matches flatMapGroupsWithState LWW") {
+    // Spark 4's transformWithState requires the RocksDB state store —
+    // which is also the point: per-key state off the executor heap
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, Long, Long, String, String)]
+      val changes = input.toDF().toDF("key", "tsMs", "seq", "op", "json")
+        .as[ChangeRec]
+      val q = CdcPipeline.materializeTws(changes)
+        .writeStream.format("memory").queryName("tws_state")
+        .outputMode("append").start()
+      try {
+        input.addData(("t1", 1000L, 1L, "c", "{a:1}"),
+          ("t1", 1000L, 1L, "c", "{a:1}"), // duplicate delivery
+          ("t2", 1001L, 2L, "c", "{b:1}"))
+        q.processAllAvailable()
+        input.addData(("t1", 2000L, 3L, "u", "{a:2}"),
+          ("t2", 2001L, 4L, "d", "{}"),
+          ("t1", 1500L, 5L, "u", "{stale}")) // older ts loses
+        q.processAllAvailable()
+        val last = spark.table("tws_state")
+          .groupBy("key")
+          .agg(max_by(struct(col("op"), col("json")), col("tsMs")).as("s"))
+          .select(col("key"), col("s.op"), col("s.json"))
+          .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+        assert(last("t1") == ("u", "{a:2}"))
+        assert(last("t2") == ("d", "{}")) // tombstone emitted
+        assert(!spark.table("tws_state").collect().exists(_.getString(3) == "{stale}"))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("materializeWithTtl evicts tombstoned keys once past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long, Long, String, String)]

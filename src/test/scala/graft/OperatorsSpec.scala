@@ -109,6 +109,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("k1") == "v1" && got("brandnew") == "x" && got.size == 65)
   }
 
+  test("saltedJoin spreads a single hot key across salts, result unchanged") {
+    import graft.operators.SaltedJoin
+    // pathological skew: EVERY probe row has the same join key
+    val probe = spark.range(10000).select(lit(1L).as("k"), col("id").as("v"))
+    val build = Seq((1L, "hot"), (2L, "cold")).toDF("bk", "name")
+    val joined = SaltedJoin.saltedJoin(probe, build, Seq("k"), Seq("bk"), salts = 8)
+    assert(joined.count() == 10000) // exactly the plain join's cardinality
+    assert(joined.filter(col("name") =!= "hot").count() == 0)
+    // the hot key's rows really fan out over the salt space (the salt is
+    // a row hash, so distinct salts ≈ min(salts, distinct rows))
+    val usedSalts = probe
+      .select(pmod(xxhash64(col("k"), col("v")), lit(8)).as("s"))
+      .distinct().count()
+    assert(usedSalts == 8, s"expected all 8 salts in use, got $usedSalts")
+  }
+
   test("idempotentParquetUpsert within-batch duplicate winner is replay-stable") {
     val dirA = java.nio.file.Files.createTempDirectory("graft_sink_r").toString + "/a"
     val dirB = java.nio.file.Files.createTempDirectory("graft_sink_r").toString + "/b"
