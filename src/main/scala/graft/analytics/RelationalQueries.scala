@@ -362,5 +362,47 @@ object RelationalQueries {
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_nationkey ORDER BY s_nationkey"""))
-  )
+  ) ++ Seq(bucketedJoin)
+
+  /** Co-located join via bucketed tables: both sides written with
+    * `bucketBy(8, key) + sortBy(key)`, so the fact-fact join runs with
+    * NO shuffle exchange on either side (asserted on the physical plan
+    * in OperatorsSpec; the in-task sort remains when a bucket spans
+    * multiple files) — at 100 TB, pre-bucketing the two biggest tables
+    * on their join key turns every recurring join into a map-side merge
+    * of co-located bucket files. The oracle checks the result equals the
+    * plain join.
+    */
+  private lazy val bucketedJoin = GQuery("q45_bucketed_join",
+    (s, d) => {
+      buildBucketedTables(s, d)
+      val j = s.table("g_orders_b").join(s.table("g_lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      j.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          graft.util.Det.dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** (Re)write the two bucketed external tables under java.io.tmpdir.
+    * Also used by the no-shuffle plan assertion in OperatorsSpec.
+    */
+  def buildBucketedTables(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_bucketed").getAbsolutePath
+    def write(name: String, df: org.apache.spark.sql.DataFrame, key: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      df.write.bucketBy(8, key).sortBy(key)
+        .option("path", s"$base/$name")
+        .mode("overwrite").format("parquet").saveAsTable(name)
+    }
+    write("g_orders_b", Tables(s, d, "orders")
+      .select("o_orderkey", "o_orderpriority"), "o_orderkey")
+    write("g_lineitem_b", Tables(s, d, "lineitem")
+      .select("l_orderkey", "l_extendedprice"), "l_orderkey")
+  }
 }

@@ -109,6 +109,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("k1") == "v1" && got("brandnew") == "x" && got.size == 65)
   }
 
+  test("bucketed co-located join plans with no shuffle exchange") {
+    graft.analytics.RelationalQueries.buildBucketedTables(spark, GraftSpark.sfDir)
+    // disable broadcast so the planner must merge-join — at fact-fact
+    // scale that is the only option, and bucketing must kill the shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("g_orders_b").join(spark.table("g_lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      val exec = j.queryExecution.executedPlan
+      assert(exec.toString.contains("SortMergeJoin"), exec.toString)
+      val shuffles = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(shuffles.isEmpty, s"bucketed join still shuffles:\n$exec")
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("saltedJoin spreads a single hot key across salts, result unchanged") {
     import graft.operators.SaltedJoin
     // pathological skew: EVERY probe row has the same join key
