@@ -40,6 +40,36 @@ object FunctionQueries {
         CAST(position('a' IN p_name) AS INT) AS pos_a
         FROM part ORDER BY p_partkey""")),
 
+    // Second string battery: edit distance, char translation, reverse /
+    // repeat / left / right / ascii — every function chosen to agree
+    // bit-for-bit with the DuckDB twin (initcap deliberately absent:
+    // DuckDB has none).
+    GQuery("q46_string_funcs2",
+      (s, d) => Tables(s, d, "part")
+        .select(
+          col("p_partkey"),
+          levenshtein(col("p_brand"), col("p_type")).as("lev"),
+          translate(col("p_type"), "AEIOU", "aeiou").as("tr"),
+          reverse(col("p_name")).as("rev"),
+          repeat(col("p_brand"), 2).as("rep2"),
+          ascii(col("p_name")).as("asc"),
+          substring(col("p_name"), 1, 3).as("l3"),
+          col("p_name").substr(length(col("p_name")) - 2, lit(3)).as("r3"),
+          col("p_name").startsWith("a").as("sw"),
+          col("p_name").contains("ing").as("has_ing"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+        CAST(levenshtein(p_brand, p_type) AS INT) AS lev,
+        translate(p_type, 'AEIOU', 'aeiou') AS tr,
+        reverse(p_name) AS rev,
+        repeat(p_brand, 2) AS rep2,
+        CAST(ascii(p_name) AS INT) AS asc,
+        left(p_name, 3) AS l3,
+        right(p_name, 3) AS r3,
+        starts_with(p_name, 'a') AS sw,
+        contains(p_name, 'ing') AS has_ing
+        FROM part ORDER BY p_partkey""")),
+
     GQuery("q25_date_funcs",
       (s, d) => Tables(s, d, "orders")
         .select(
@@ -60,6 +90,27 @@ object FunctionQueries {
         date_trunc('month', o_orderdate) AS mstart,
         CAST(o_orderdate AS DATE) + 30 AS d30,
         CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS dd
+        FROM orders ORDER BY o_orderkey""")),
+
+    // Second date battery: calendar-edge functions. dayofweek maps
+    // explicitly (Spark 1=Sunday..7 vs DuckDB 0=Sunday..6); weekofyear
+    // is ISO in both; add_months clamps to month end in both.
+    GQuery("q47_date_funcs2",
+      (s, d) => Tables(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          last_day(col("o_orderdate").cast("date")).as("eom"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          weekofyear(col("o_orderdate")).as("woy"),
+          add_months(col("o_orderdate").cast("date"), 2).as("plus2m"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+        last_day(CAST(o_orderdate AS DATE)) AS eom,
+        CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        CAST(weekofyear(o_orderdate) AS INT) AS woy,
+        CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m
         FROM orders ORDER BY o_orderkey""")),
 
     GQuery("q26_math_funcs",
@@ -86,6 +137,34 @@ object FunctionQueries {
         greatest(l_quantity, l_discount * 100) AS gr,
         least(l_quantity, l_discount * 100) AS le
         FROM lineitem ORDER BY l_orderkey, l_linenumber, sq, ce, ab""")),
+
+    // Map scalar functions (§2B "array/map scalar fns"): construct,
+    // probe, and enumerate a MAP column. Output columns are plain
+    // strings/ints so the oracle mirrors the SEMANTICS relationally
+    // (DuckDB's MAP type does not round-trip through the compare).
+    GQuery("q48_map_funcs",
+      (s, d) => {
+        val m = map(
+          lit("et"), col("event_type"),
+          lit("uid"), col("user_id").cast("string"))
+        Tables(s, d, "events").select(
+          col("event_id"),
+          element_at(m, "et").as("v_et"),
+          element_at(m, "uid").as("v_uid"),
+          size(m).as("n_entries"),
+          concat_ws(",", map_keys(m)).as("keys"),
+          concat_ws(",", map_values(m)).as("vals"),
+          map_contains_key(m, "et").as("has_et"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+        event_type AS v_et,
+        CAST(user_id AS VARCHAR) AS v_uid,
+        2 AS n_entries,
+        'et,uid' AS keys,
+        event_type || ',' || CAST(user_id AS VARCHAR) AS vals,
+        true AS has_et
+        FROM events ORDER BY event_id""")),
 
     GQuery("q27_json_funcs",
       (s, d) => Tables(s, d, "events")
