@@ -75,6 +75,28 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming foreachBatch into the bucket-pruned parquet sink (O14 e2e)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sink")
+      .toString + "/t"
+    val input = MemoryStream[(String, String)]
+    val q = input.toDF().toDF("key", "value").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        CdcPipeline.idempotentParquetUpsert(spark, batch, dir,
+          keys = Seq("key"), nBuckets = 8)
+      }
+      .start()
+    try {
+      input.addData(("k1", "v1"), ("k2", "v2"))
+      q.processAllAvailable()
+      input.addData(("k2", "REDELIVERED"), ("k3", "v3"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(dir).select("key", "value")
+        .as[(String, String)].collect().toMap
+      assert(got == Map("k1" -> "v1", "k2" -> "v2", "k3" -> "v3"))
+    } finally q.stop()
+  }
+
   test("transformWithState materialization matches flatMapGroupsWithState LWW") {
     // Spark 4's transformWithState requires the RocksDB state store —
     // which is also the point: per-key state off the executor heap

@@ -37,4 +37,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(math.abs(got - 1.0) < 1e-12)
   }
+
+  test("change_diff is callable from SQL (Trigger-2 shape)") {
+    val got = spark.sql(
+      """SELECT change_diff(
+        |  named_struct('amount', '10.00', 'city', 'Paris'),
+        |  named_struct('amount', '12.50', 'city', 'Paris')) v""".stripMargin)
+      .collect().head.getString(0)
+    assert(got == """{"amount":{"old":"10.00","new":"12.50"}}""")
+  }
 }

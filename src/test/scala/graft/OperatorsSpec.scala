@@ -109,6 +109,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("k1") == "v1" && got("brandnew") == "x" && got.size == 65)
   }
 
+  test("approx_count_distinct stays within HLL++ error vs exact (q36 semantics)") {
+    val ev = graft.util.Tables(spark, GraftSpark.sfDir, "events")
+    val exact = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    // default rsd = 0.05; allow 3 sigma
+    val approx = ev.select(approx_count_distinct(col("user_id"))).head().getLong(0)
+    val err = math.abs(approx - exact).toDouble / exact
+    assert(err <= 0.15, s"approx=$approx exact=$exact err=$err")
+  }
+
   test("bucketed co-located join plans with no shuffle exchange") {
     graft.analytics.RelationalQueries.buildBucketedTables(spark, GraftSpark.sfDir)
     // disable broadcast so the planner must merge-join — at fact-fact
