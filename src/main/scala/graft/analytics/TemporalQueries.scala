@@ -70,6 +70,29 @@ object TemporalQueries {
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""")),
 
+    // Sliding window (1 h span, 30 min slide): every event lands in
+    // exactly span/slide = 2 windows. The oracle replicates each event
+    // into its two epoch-aligned window starts (time_bucket and the
+    // bucket one slide earlier) — both engines align slides to the
+    // epoch, so the buckets coincide exactly.
+    GQuery("q49_sliding_window",
+      (s, d) => Tables(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("wstart"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("wstart"), col("event_type")),
+      Some("""WITH w AS (
+          SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS wstart,
+                 event_type, value FROM events
+          UNION ALL
+          SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                   - INTERVAL '30 minutes',
+                 event_type, value FROM events)
+        SELECT wstart, event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM w GROUP BY 1, 2 ORDER BY wstart, event_type""")),
+
     GQuery("q35_session_window",
       (s, d) => Tables(s, d, "events")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
