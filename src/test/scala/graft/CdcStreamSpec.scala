@@ -175,6 +175,59 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment join (dimension lookup on a stream)") {
+    // the standard CDC downstream shape: a change stream enriched
+    // against a static dimension — map-side broadcast, no stream state
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "EUR"), (2L, "USD")).toDF("cid", "currency")
+    val input = MemoryStream[(Long, Double)]
+    val joined = input.toDF().toDF("cid", "amount")
+      .join(broadcast(dim), Seq("cid"), "left")
+    val q = joined.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 10.0), (2L, 20.0), (9L, 5.0)) // 9 has no dim row
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select(col("cid"), col("currency"))
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got == Map(1L -> Some("EUR"), 2L -> Some("USD"), 9L -> None))
+    } finally q.stop()
+  }
+
+  test("stream-stream LEFT OUTER join null-pads unmatched rows past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[(String, java.sql.Timestamp)]
+    val right = MemoryStream[(String, java.sql.Timestamp)]
+    val l = left.toDF().toDF("k", "lts").withWatermark("lts", "5 minutes")
+    val r = right.toDF().toDF("rk", "rts").withWatermark("rts", "5 minutes")
+    val joined = l.join(r,
+      col("k") === col("rk") &&
+        col("rts") >= col("lts") && col("rts") <= col("lts") + expr("INTERVAL 10 minutes"),
+      "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("lsj_out")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      left.addData(("a", t("2024-01-01 00:00:00")), ("b", t("2024-01-01 00:01:00")))
+      right.addData(("a", t("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      // matched row emits promptly; the unmatched left row ("b") must
+      // wait until the watermark proves no match can arrive
+      right.addData(("zz", t("2024-01-01 01:00:00"))) // advance watermark
+      left.addData(("zz2", t("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      right.addData(("zz", t("2024-01-01 02:00:00")))
+      left.addData(("zz2", t("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("lsj_out")
+        .select(col("k"), col("rk"))
+        .collect().map(r => r.getString(0) -> Option(r.getString(1)))
+      assert(got.contains("a" -> Some("a")))
+      assert(got.contains("b" -> None), s"unmatched left row not null-padded: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("tumbling-window agg with watermark drops late rows (§2B streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, Double)]
