@@ -132,7 +132,8 @@ object ChangeDiffJson {
         case '\r' => sb.append("\\r")
         case '\t' => sb.append("\\t")
         case _ =>
-          if (c < ' ') sb.append(f"\\u${c.toInt}%04x") else sb.append(c)
+          // Jackson uses UPPERCASE hex for control-char escapes
+          if (c < ' ') sb.append(f"\\u${c.toInt}%04X") else sb.append(c)
       }
       i += 1
     }

@@ -40,6 +40,34 @@ class ChangeDiffSpec extends AnyFunSuite {
     assert(row.getString(0) == "graft" && row.getBoolean(1))
   }
 
+  test("native change_diff byte-equals the to_json(map_filter(...)) composite (property)") {
+    // the native kernel replaced the built-in composite; any formatting
+    // divergence (escaping, null handling, ordering) breaks the oracle —
+    // pin equality over seeded random + hostile strings
+    val rnd = new scala.util.Random(42)
+    def randStr(): String =
+      if (rnd.nextInt(10) == 0) null
+      else (0 until rnd.nextInt(12)).map { _ =>
+        rnd.nextInt(6) match {
+          case 0 => rnd.nextPrintableChar()
+          case 1 => '"'
+          case 2 => '\\'
+          case 3 => (rnd.nextInt(0x1f) + 1).toChar // control chars
+          case 4 => "é漢🦆".charAt(rnd.nextInt(3))
+          case _ => ('a' + rnd.nextInt(26)).toChar
+        }
+      }.mkString
+    val cases = (0 until 300).map(_ => (randStr(), randStr(), randStr(), randStr()))
+    val df = cases.toDF("bx", "by", "ax", "ay")
+    val before = struct(col("bx").as("x"), col("by").as("y"))
+    val after = struct(col("ax").as("x"), col("ay").as("y"))
+    val both = df.select(
+      ChangeDiff.changeInfoJson(before, after, Seq("x", "y")).as("native"),
+      to_json(ChangeDiff.changeDiff(before, after, Seq("x", "y"))).as("composite"))
+    val bad = both.filter(!(col("native") <=> col("composite"))).collect()
+    assert(bad.isEmpty, bad.take(3).mkString("\n"))
+  }
+
   test("native change_diff stays in whole-stage codegen (no fallback)") {
     // the point of the Expression over to_json(map_filter(...)): both of
     // those are CodegenFallback and would break the codegen span
