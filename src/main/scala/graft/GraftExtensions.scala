@@ -30,24 +30,43 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.functions", null, name, usage, "")
 
+  /** Arity check at resolution time — raw `args(i)` would surface a
+    * user typo as IndexOutOfBoundsException instead of a useful error.
+    */
+  private def arity(name: String, n: Int, args: Seq[Expression]): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$name requires exactly $n arguments, got ${args.length}")
+
   val injections: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("debezium_decimal",
       info("debezium_decimal",
         "debezium_decimal(bytes, scale) - decode Debezium precise-mode decimal (scale 18)"),
-      (args: Seq[Expression]) => DebeziumDecimalDecode(args(0), args(1), targetScale = 18)),
+      (args: Seq[Expression]) => {
+        arity("debezium_decimal", 2, args)
+        DebeziumDecimalDecode(args(0), args(1), targetScale = 18)
+      }),
     ("debezium_decimal_encode",
       info("debezium_decimal_encode",
         "debezium_decimal_encode(dec) - unscaled two's-complement bytes"),
-      (args: Seq[Expression]) => DebeziumDecimalEncode(args.head)),
+      (args: Seq[Expression]) => {
+        arity("debezium_decimal_encode", 1, args)
+        DebeziumDecimalEncode(args.head)
+      }),
     ("cosine_similarity",
       info("cosine_similarity",
         "cosine_similarity(a, b) - cosine of two ARRAY<FLOAT> vectors"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+      (args: Seq[Expression]) => {
+        arity("cosine_similarity", 2, args)
+        CosineSimilarity(args(0), args(1))
+      }),
     ("change_diff",
       info("change_diff",
         "change_diff(before, after) - JSON {col: {old, new}} of columns " +
           "where after IS DISTINCT FROM before; structs of STRING fields"),
-      (args: Seq[Expression]) => ChangeDiffJsonExpr(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        arity("change_diff", 2, args)
+        ChangeDiffJsonExpr(args(0), args(1))
+      }))
 
   /** Register the same functions on an already-built session (tests and
     * notebook use, where `spark.sql.extensions` was not set at startup).

@@ -172,12 +172,6 @@ object CdcQueries {
     s"($arr)[CAST(($h) % ${values.size} AS INT) + 1]"
   }
 
-  /** O1 generator, oracle-checked end to end: every one of the 12 fields
-    * is md5-derived (TransactionGen.project), and DuckDB has md5 + string
-    * slicing, so the oracle regenerates the identical rows. The amount
-    * decimal is built from integer cents via a string (DuckDB decimal
-    * division detours through DOUBLE and would drift at scale 18).
-    */
   /** DuckDB CTE regenerating TransactionGen.batch(n=10000, seed=42)
     * exactly: table `g` with the 12 transaction columns. The amount
     * decimal is built from integer cents via a string (DuckDB decimal
@@ -221,9 +215,10 @@ object CdcQueries {
       .orderBy(col("transaction_id")),
     Some(s"$duckGenCte SELECT * FROM g ORDER BY transaction_id"))
 
-  /** Trigger-2 diff over the FULL 15-column transaction row (12 payload +
-    * modified_by/modified_at audit + the change_info output itself) — the
-    * wide-schema case the native ChangeDiffJson expression exists for
+  /** Trigger-2 diff over the full transaction row: 14 diffed input
+    * columns (12 payload + modified_by/modified_at audit) producing the
+    * change_info 15th — the wide-schema case the native ChangeDiffJson
+    * expression exists for
     * (SURVEY.md:149; to_json(map_filter(...)) is interpreted and drags at
     * this width). Before-image = the generator output with null audit
     * columns; after-image = deterministic rule mutations + the Trigger-1

@@ -27,6 +27,8 @@ object SaltedJoin {
                  probeKeys: Seq[String], buildKeys: Seq[String],
                  salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!probe.columns.contains("__salt") && !build.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name; rename the input column")
     val p = probe.withColumn("__salt",
       pmod(xxhash64(probe.columns.map(col).toSeq: _*), lit(salts)).cast("int"))
     val b = build.withColumn("__salt",

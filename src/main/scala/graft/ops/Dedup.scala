@@ -78,11 +78,17 @@ object Dedup {
       .distinct()
     val sh =
       if (maxDf == Int.MaxValue) sh0
-      else {
-        val hot = sh0.groupBy("s").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > maxDf).select("s")
-        sh0.join(broadcast(hot), Seq("s"), "left_anti")
-      }
+      else
+        // window count on `s` keeps the cap single-lineage: a
+        // groupBy+broadcast-anti-join variant re-derived the whole
+        // posting lineage for the hot set (ReuseExchange does not fire
+        // across the agg/broadcast boundary — verified in the plan)
+        sh0.withColumn("__df",
+            count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy("s"))
+              .cast("int"))
+          .filter(col("__df") <= maxDf)
+          .drop("__df")
     sh.withColumn("n_sh",
       count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
   }

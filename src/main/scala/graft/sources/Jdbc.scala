@@ -101,11 +101,13 @@ object Jdbc {
     */
   def upsertBatch(batch: DataFrame, url: String, table: String,
                   keys: Seq[String], batchSize: Int = 500): Unit = {
-    import org.apache.spark.sql.functions.{col, xxhash64}
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
     val cols = batch.columns.toSeq
     val valueCols = cols.filterNot(keys.contains)
-    val deduped = graft.operators.Materialize.firstByKey(
-      batch, keys, Seq(xxhash64(valueCols.map(col): _*)))
+    // all-columns-are-keys ⇒ same-key rows are identical; no tiebreak
+    val tie = if (valueCols.isEmpty) lit(0)
+              else xxhash64(valueCols.map(col): _*)
+    val deduped = graft.operators.Materialize.firstByKey(batch, keys, Seq(tie))
     val colList = cols.mkString(", ")
     // VALUES over bare ? parameters has no type context (Derby rejects
     // it outright) — cast each placeholder to the column's SQL type

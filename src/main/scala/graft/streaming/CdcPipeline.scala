@@ -176,9 +176,16 @@ object CdcPipeline {
                      stateTtl: TTLConfig = TTLConfig.NONE): Dataset[Upsert] = {
     implicit val stringEnc = Encoders.STRING
     implicit val outEnc = Encoders.product[Upsert]
+    // TTL'd state is only legal under ProcessingTime mode (Spark rejects
+    // a non-zero ttl with TimeMode.None at query start), so the time
+    // mode follows the ttl argument.
+    val timeMode =
+      if (stateTtl.ttlDuration == null || stateTtl.ttlDuration.isZero)
+        TimeMode.None()
+      else TimeMode.ProcessingTime()
     changes.groupByKey(_.key)
       .transformWithState(new LwwProcessor(stateTtl),
-        TimeMode.None(), OutputMode.Append())
+        timeMode, OutputMode.Append())
   }
 
   /** Last-write-wins keyed processor for [[materializeTws]]. */
@@ -261,6 +268,8 @@ object CdcPipeline {
     val valueCols = batch.columns.filterNot(keys.contains).toSeq
     val tie =
       if (tieBreak.nonEmpty) tieBreak
+      // all-columns-are-keys ⇒ same-key rows are identical; no tiebreak
+      else if (valueCols.isEmpty) Seq(lit(0))
       else Seq(xxhash64(valueCols.map(col): _*))
     val bucket = pmod(hash(keys.map(col): _*), lit(nBuckets)).cast("int")
     val batchB = batch.withColumn("__bucket", bucket)
@@ -268,13 +277,40 @@ object CdcPipeline {
     // committed-table read; NOT a data collect.
     val touched = batchB.select("__bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
+    // Only a genuinely ABSENT table means "first batch". A read error or
+    // a layout mismatch must fail loudly — treating it as absent would
+    // let dynamic overwrite replace committed buckets with batch-only
+    // winners (silent first-write-wins violation / data loss).
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketsMarker = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
     val existing =
-      try {
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) None
+      else {
         val t = spark.read.parquet(path)
-        if (t.columns.contains("__bucket"))
-          Some(t.filter(col("__bucket").isin(touched: _*)))
-        else None
-      } catch { case _: Exception => None }
+        require(t.columns.contains("__bucket"),
+          s"existing table at $path is not __bucket-partitioned")
+        if (fs.exists(bucketsMarker)) {
+          val in = fs.open(bucketsMarker)
+          val committed =
+            try new String(in.readAllBytes,
+              java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+            finally in.close()
+          require(committed == nBuckets,
+            s"sink at $path was bucketed with nBuckets=$committed, " +
+              s"got $nBuckets — bucket ids would not line up")
+        } else {
+          // marker lost (crash between data and marker write): the
+          // partition directory ids at least bound the bucket count
+          val ids = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+            .map(_.getPath.getName).filter(_.startsWith("__bucket="))
+            .map(_.stripPrefix("__bucket=").toInt)
+          require(ids.isEmpty || ids.max < nBuckets,
+            s"sink at $path has bucket ids up to ${ids.max} — " +
+              s"written with more than $nBuckets buckets")
+        }
+        Some(t.filter(col("__bucket").isin(touched: _*)))
+      }
     val all = existing match {
       case Some(e) => e.withColumn("__pri", lit(0))
         .unionByName(batchB.select(e.columns.map(col).toSeq: _*)
@@ -296,5 +332,11 @@ object CdcPipeline {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__bucket")
       .parquet(path)
+    // (re)write the marker after every batch — heals the crash window
+    // between the first data write and the first marker write
+    val out = fs.create(bucketsMarker, true)
+    try out.write(nBuckets.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 }

@@ -54,9 +54,11 @@ object Tables {
     val files = try df.inputFiles catch { case _: Exception => Array.empty[String] }
     if (files.isEmpty || files.length >= p) df
     else {
-      val maxPart = df.sparkSession.conf
-        .get("spark.sql.files.maxPartitionBytes", "134217728")
-        .stripSuffix("b").toLong
+      // byteStringAsBytes handles every legal form (134217728, 128m,
+      // 1g, …) — a bare .toLong would crash on unit suffixes
+      val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        df.sparkSession.conf
+          .get("spark.sql.files.maxPartitionBytes", "134217728"))
       val fs = org.apache.hadoop.fs.FileSystem.get(sc.hadoopConfiguration)
       val bytes = files.map { f =>
         try fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
