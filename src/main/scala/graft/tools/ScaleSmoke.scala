@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scaling smoke: run the heaviest operator families on a
+  * synthetically replicated corpus (N× the sf0.1 documents/embeddings
+  * tables, distinct ids per replica) and print per-scale wall times.
+  * The point is the growth CURVE, not the absolute numbers: a bucketed
+  * candidate-join operator should scale near-linearly in corpus size,
+  * an accidental all-pairs would go quadratic. Results recorded in
+  * PLANS.md.
+  *
+  * Usage: runMain graft.tools.ScaleSmoke [sfDir] [replicas...]
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 2, 4)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def replicate(df: DataFrame, idCol: String, n: Int): DataFrame = {
+      val step = 10000000L
+      df.crossJoin(spark.range(n).toDF("__r"))
+        .withColumn(idCol, col(idCol) + col("__r") * step)
+        .drop("__r")
+    }
+    // Texts must be perturbed per replica — verbatim copies would make
+    // every replica a near-dup of its siblings and the OUTPUT (pair
+    // cliques) would grow quadratically by construction, hiding the
+    // operator's own scaling. Tagging every token keeps replica sets
+    // mutually dissimilar: true pairs stay within one replica, so
+    // output grows linearly and wall time measures the plan.
+    def replicateDocs(df: DataFrame, n: Int): DataFrame = {
+      val step = 10000000L
+      df.crossJoin(spark.range(n).toDF("__r"))
+        .withColumn("doc_id", col("doc_id") + col("__r") * step)
+        .withColumn("text",
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(t, lit("_"), col("__r")))))
+        .drop("__r")
+    }
+    def timed(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"SCALE $tag rows=$rows%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+
+    val docs = graft.util.Tables(spark, sfDir, "documents")
+    val emb = graft.util.Tables(spark, sfDir, "embeddings")
+    for (n <- reps) {
+      val d = replicateDocs(docs, n)
+      val e = replicate(emb, "vec_id", n)
+      timed(s"jaccard x$n")(
+        graft.ops.Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.8, maxDf = 5).count())
+      timed(s"minhash_lsh x$n")(
+        graft.ops.Dedup.minhashLsh(d, "doc_id", "text", 3, 16, 4, 0.8, maxDf = 5).count())
+      timed(s"simhash x$n")(
+        graft.ops.Dedup.simhashPairs(d, "doc_id", "text", 3).count())
+      timed(s"embed_lsh x$n")(
+        graft.ops.Dedup.embeddingPairsLsh(e, "vec_id", "embedding", 64, 0.9).count())
+      timed(s"exact_dedup x$n")(
+        graft.ops.Dedup.exact(d, "doc_id", "text").count())
+    }
+    spark.stop()
+  }
+}
