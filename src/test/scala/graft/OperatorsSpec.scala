@@ -118,6 +118,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(err <= 0.15, s"approx=$approx exact=$exact err=$err")
   }
 
+  test("partitioned events read prunes partitions at file-listing time") {
+    val path = graft.sources.FileFormats.writePartitionedEvents(
+      spark, GraftSpark.sfDir)
+    val df = spark.read.parquet(path).filter(col("event_type") === "click")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.replaceAll("\\s", "")
+      .matches("(?s).*PartitionFilters:.*event_type.*"), plan)
+    // and the pruning is real: strictly fewer files opened than exist
+    val scanned = df.select(input_file_name()).distinct().count()
+    val all = spark.read.parquet(path)
+      .select(input_file_name()).distinct().count()
+    assert(scanned > 0 && scanned < all, s"scanned $scanned of $all files")
+  }
+
   test("bucketed co-located join plans with no shuffle exchange") {
     graft.analytics.RelationalQueries.buildBucketedTables(spark, GraftSpark.sfDir)
     // disable broadcast so the planner must merge-join — at fact-fact
