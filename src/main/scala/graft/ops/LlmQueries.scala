@@ -257,6 +257,49 @@ object LlmQueries {
            ORDER BY doc_id"""
       }),
 
+    // REAL image decode (pure-JVM P6 codec): synthetic images whose
+    // dimensions and pixels are closed-form in doc_id, decoded back to
+    // per-channel means — the oracle regenerates every pixel via lateral
+    // generate_series and must agree on the exact integer sums.
+    GQuery("multimodal_img_decode",
+      (s, d) => Multimodal.decodeImages(
+          Multimodal.asImageTable(Tables.spread(Tables(s, d, "documents"))))
+        .orderBy(col("doc_id")),
+      Some("""WITH g AS (
+          SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+        px AS (
+          SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+          FROM g,
+            LATERAL (SELECT unnest(range(w)) AS x) xs,
+            LATERAL (SELECT unnest(range(h)) AS y) ys)
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          avg((7*doc_id + 3*x + 5*y) % 256) AS mean_r,
+          avg((11*doc_id + x + 2*y) % 256) AS mean_g,
+          avg((13*doc_id + 3*x + y) % 256) AS mean_b
+        FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
+    // REAL nearest-neighbor resize: decode → resample to 4×4 → re-encode
+    // → decode again. The oracle mirrors the integer sampling formula
+    // sx = x2·w/4, sy = y2·h/4 pixel for pixel.
+    GQuery("multimodal_img_resize",
+      (s, d) => Multimodal.decodeImages(
+          Multimodal.resizeImages(
+            Multimodal.asImageTable(Tables.spread(Tables(s, d, "documents"))),
+            w2 = 4, h2 = 4))
+        .orderBy(col("doc_id")),
+      Some("""WITH g AS (
+          SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+        px AS (
+          SELECT doc_id, (xs.x2 * w) // 4 AS sx, (ys.y2 * h) // 4 AS sy
+          FROM g,
+            LATERAL (SELECT unnest(range(4)) AS x2) xs,
+            LATERAL (SELECT unnest(range(4)) AS y2) ys)
+        SELECT doc_id, 4 AS width, 4 AS height,
+          avg((7*doc_id + 3*sx + 5*sy) % 256) AS mean_r,
+          avg((11*doc_id + sx + 2*sy) % 256) AS mean_g,
+          avg((13*doc_id + 3*sx + sy) % 256) AS mean_b
+        FROM px GROUP BY doc_id ORDER BY doc_id""")),
+
     GQuery("multimodal_features",
       (s, d) => Multimodal.extractFeatures(
           Multimodal.asMediaTable(Tables.spread(Tables(s, d, "documents"))))

@@ -91,6 +91,65 @@ object Multimodal {
     }.toDF()
   }
 
+  // ----- REAL image path (pure-JVM PPM codec, no native libs) ---------
+
+  case class ImageRow(doc_id: Long, mime: String, payload: Array[Byte])
+  case class ImageStats(doc_id: Long, width: Int, height: Int,
+                        mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Deterministic image table: one synthetic P6 payload per document id
+    * (PpmImage.synthesize — dimensions and pixels closed-form in doc_id,
+    * so the DuckDB oracle regenerates them). Stands in for a parquet
+    * binary column of real images.
+    */
+  def asImageTable(documents: DataFrame): DataFrame = {
+    implicit val outEnc = Encoders.product[ImageRow]
+    implicit val idEnc = Encoders.scalaLong
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        ImageRow(id, "image/x-portable-pixmap",
+          PpmImage.encode(PpmImage.synthesize(id)))
+      }
+    }.toDF()
+  }
+
+  /** REAL decode kernel: parse the P6 header and pixel buffer, emit
+    * dimensions + per-channel means — actual pixel-space work, batched
+    * per partition like [[extractFeatures]].
+    */
+  def decodeImages(images: DataFrame): DataFrame = {
+    implicit val inEnc = Encoders.product[ImageRow]
+    implicit val outEnc = Encoders.product[ImageStats]
+    images.as[ImageRow].mapPartitions { it =>
+      it.map { r =>
+        val img = PpmImage.decode(r.payload)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < img.pixels.length) {
+          sr += img.pixels(i) & 0xff
+          sg += img.pixels(i + 1) & 0xff
+          sb += img.pixels(i + 2) & 0xff
+          i += 3
+        }
+        val n = (img.width * img.height).toDouble
+        ImageStats(r.doc_id, img.width, img.height, sr / n, sg / n, sb / n)
+      }
+    }.toDF()
+  }
+
+  /** REAL resize kernel: decode → nearest-neighbor pixel resample →
+    * re-encode. Output is a valid P6 payload at (w2, h2).
+    */
+  def resizeImages(images: DataFrame, w2: Int, h2: Int): DataFrame = {
+    implicit val rowEnc = Encoders.product[ImageRow]
+    images.as[ImageRow].mapPartitions { it =>
+      it.map { r =>
+        ImageRow(r.doc_id, r.mime,
+          PpmImage.encode(PpmImage.resize(PpmImage.decode(r.payload), w2, h2)))
+      }
+    }.toDF()
+  }
+
   /** Frame sampling: slice the payload into `n` fixed-size "frames"
     * (stand-in for video frame extraction), one output row per frame.
     */

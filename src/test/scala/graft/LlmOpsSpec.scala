@@ -29,6 +29,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(bad.filter(col("c").isNull).count() == 2)
   }
 
+  test("PPM codec: encode/decode round-trip, resize samples the right pixels") {
+    import graft.ops.PpmImage
+    for (id <- Seq(0L, 1L, 7L, 123L, 499L)) {
+      val img = PpmImage.synthesize(id)
+      val back = PpmImage.decode(PpmImage.encode(img))
+      assert(back.width == img.width && back.height == img.height)
+      assert(java.util.Arrays.equals(back.pixels, img.pixels))
+      // nearest-neighbor: out(x,y) must equal src(x*w/w2, y*h/h2)
+      val rs = PpmImage.resize(img, 4, 4)
+      for (x <- 0 until 4; y <- 0 until 4) {
+        val expected = img(x * img.width / 4, y * img.height / 4)
+        assert(rs(x, y) == expected, s"id=$id ($x,$y)")
+      }
+    }
+  }
+
   test("LSH ANN achieves high recall@10 vs brute force on sf0.001") {
     val emb = Tables(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") % 50 === 0)
