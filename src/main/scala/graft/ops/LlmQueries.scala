@@ -300,6 +300,42 @@ object LlmQueries {
           avg((13*doc_id + 3*sx + sy) % 256) AS mean_b
         FROM px GROUP BY doc_id ORDER BY doc_id""")),
 
+    // REAL audio decode (pure-JVM RIFF/PCM16 codec): synthetic clips
+    // whose sample values are closed-form in (doc_id, i); the oracle
+    // regenerates every sample and must agree on the exact integer sums.
+    GQuery("multimodal_audio_decode",
+      (s, d) => Multimodal.decodeAudio(
+          Multimodal.asAudioTable(Tables.spread(Tables(s, d, "documents"))))
+        .orderBy(col("doc_id")),
+      Some("""WITH g AS (
+          SELECT doc_id, 400 + doc_id % 200 AS n FROM documents),
+        sm AS (
+          SELECT doc_id, n, si.i AS i
+          FROM g, LATERAL (SELECT unnest(range(n)) AS i) si)
+        SELECT doc_id, 8000 AS sample_rate, CAST(n AS INT) AS n_samples,
+          CAST(n AS DOUBLE) * 1000 / 8000 AS duration_ms,
+          avg(abs((31*doc_id + 7*i) % 65536 - 32768)) AS mean_abs
+        FROM sm GROUP BY doc_id, n ORDER BY doc_id""")),
+
+    // REAL decimating resample (k=4): every 4th sample survives, rate
+    // drops to 2000 Hz — the oracle samples the same indices.
+    GQuery("multimodal_audio_resample",
+      (s, d) => Multimodal.decodeAudio(
+          Multimodal.resampleAudio(
+            Multimodal.asAudioTable(Tables.spread(Tables(s, d, "documents"))),
+            k = 4))
+        .orderBy(col("doc_id")),
+      Some("""WITH g AS (
+          SELECT doc_id, 400 + doc_id % 200 AS n,
+                 (400 + doc_id % 200 + 3) // 4 AS n2 FROM documents),
+        sm AS (
+          SELECT doc_id, n2, si.i AS i
+          FROM g, LATERAL (SELECT unnest(range(n2)) AS i) si)
+        SELECT doc_id, 2000 AS sample_rate, CAST(n2 AS INT) AS n_samples,
+          CAST(n2 AS DOUBLE) * 1000 / 2000 AS duration_ms,
+          avg(abs((31*doc_id + 7*(4*i)) % 65536 - 32768)) AS mean_abs
+        FROM sm GROUP BY doc_id, n2 ORDER BY doc_id""")),
+
     GQuery("multimodal_features",
       (s, d) => Multimodal.extractFeatures(
           Multimodal.asMediaTable(Tables.spread(Tables(s, d, "documents"))))

@@ -150,6 +150,55 @@ object Multimodal {
     }.toDF()
   }
 
+  // ----- REAL audio path (pure-JVM RIFF/PCM16 codec) -------------------
+
+  case class AudioRow(doc_id: Long, mime: String, payload: Array[Byte])
+  case class AudioStats(doc_id: Long, sample_rate: Int, n_samples: Int,
+                        duration_ms: Double, mean_abs: Double)
+
+  /** Deterministic audio table: one synthetic PCM16 WAV per document id
+    * (WavAudio.synthesize — sample count and every sample closed-form in
+    * doc_id, SQL-regenerable).
+    */
+  def asAudioTable(documents: DataFrame): DataFrame = {
+    implicit val outEnc = Encoders.product[AudioRow]
+    implicit val idEnc = Encoders.scalaLong
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        AudioRow(id, "audio/wav", WavAudio.encode(WavAudio.synthesize(id)))
+      }
+    }.toDF()
+  }
+
+  /** REAL decode kernel: parse the RIFF header and PCM buffer, emit rate
+    * / length / duration / mean absolute amplitude.
+    */
+  def decodeAudio(audio: DataFrame): DataFrame = {
+    implicit val inEnc = Encoders.product[AudioRow]
+    implicit val outEnc = Encoders.product[AudioStats]
+    audio.as[AudioRow].mapPartitions { it =>
+      it.map { r =>
+        val clip = WavAudio.decode(r.payload)
+        var sum = 0L
+        clip.samples.foreach(s => sum += math.abs(s.toLong))
+        AudioStats(r.doc_id, clip.sampleRate, clip.samples.length,
+          clip.samples.length * 1000.0 / clip.sampleRate,
+          sum.toDouble / clip.samples.length)
+      }
+    }.toDF()
+  }
+
+  /** REAL resample kernel: decode → decimate by k → re-encode. */
+  def resampleAudio(audio: DataFrame, k: Int): DataFrame = {
+    implicit val rowEnc = Encoders.product[AudioRow]
+    audio.as[AudioRow].mapPartitions { it =>
+      it.map { r =>
+        AudioRow(r.doc_id, r.mime,
+          WavAudio.encode(WavAudio.decimate(WavAudio.decode(r.payload), k)))
+      }
+    }.toDF()
+  }
+
   /** Frame sampling: slice the payload into `n` fixed-size "frames"
     * (stand-in for video frame extraction), one output row per frame.
     */

@@ -45,6 +45,22 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV codec: encode/decode round-trip, decimation keeps every k-th sample") {
+    import graft.ops.WavAudio
+    for (id <- Seq(0L, 3L, 42L, 499L)) {
+      val clip = WavAudio.synthesize(id)
+      val back = WavAudio.decode(WavAudio.encode(clip))
+      assert(back.sampleRate == clip.sampleRate)
+      assert(java.util.Arrays.equals(back.samples, clip.samples))
+      val dec = WavAudio.decimate(clip, 4)
+      assert(dec.sampleRate == 2000)
+      assert(dec.samples.length == (clip.samples.length + 3) / 4)
+      dec.samples.zipWithIndex.foreach { case (s, i) =>
+        assert(s == clip.samples(4 * i), s"id=$id i=$i")
+      }
+    }
+  }
+
   test("LSH ANN achieves high recall@10 vs brute force on sf0.001") {
     val emb = Tables(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") % 50 === 0)
