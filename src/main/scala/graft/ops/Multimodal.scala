@@ -5,15 +5,19 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (SURVEY.md §2B north-star ops): media
   * payloads as opaque BINARY columns with typed metadata, plus
-  * decode / feature-extract / frame-sample stages.
+  * decode / feature-extract / resize / resample / frame-sample stages.
   *
-  * The actual codec work (JPEG decode, audio resample, …) requires
-  * native libraries not present in this environment, so the decode
-  * kernel is a clearly-marked deterministic STUB — but everything
-  * Spark-side is real and tested: the schema, the binary column
-  * handling, the partition-wise batch shape (`mapPartitions`, the Scala
-  * analogue of arrow-batched UDF execution), and the per-frame expansion
-  * (posexplode). Swapping the stub for a real codec changes no plumbing.
+  * Two tiers of kernels share identical Spark-side plumbing (binary
+  * columns, partition-wise `mapPartitions` batching — the Scala analogue
+  * of arrow-batched UDF execution — and posexplode frame expansion):
+  *  - REAL codecs for formats decodable in pure JVM code: PPM images
+  *    ([[PpmImage]] — pixel decode, nearest-neighbor resize) and
+  *    PCM16 WAV audio ([[WavAudio]] — sample decode, decimating
+  *    resample), both oracle-checked pixel/sample-exact;
+  *  - clearly-marked deterministic STUBS where a codec needs native
+  *    libraries this environment does not ship (JPEG, MP3, video
+  *    containers) — swapping a stub for a real codec changes no
+  *    plumbing, as the PPM/WAV pair demonstrates.
   */
 object Multimodal {
 
@@ -93,7 +97,6 @@ object Multimodal {
 
   // ----- REAL image path (pure-JVM PPM codec, no native libs) ---------
 
-  case class ImageRow(doc_id: Long, mime: String, payload: Array[Byte])
   case class ImageStats(doc_id: Long, width: Int, height: Int,
                         mean_r: Double, mean_g: Double, mean_b: Double)
 
@@ -103,11 +106,11 @@ object Multimodal {
     * binary column of real images.
     */
   def asImageTable(documents: DataFrame): DataFrame = {
-    implicit val outEnc = Encoders.product[ImageRow]
+    implicit val outEnc = Encoders.product[MediaRow]
     implicit val idEnc = Encoders.scalaLong
     documents.select(col("doc_id")).as[Long].mapPartitions { it =>
       it.map { id =>
-        ImageRow(id, "image/x-portable-pixmap",
+        MediaRow(id, "image/x-portable-pixmap",
           PpmImage.encode(PpmImage.synthesize(id)))
       }
     }.toDF()
@@ -118,9 +121,9 @@ object Multimodal {
     * per partition like [[extractFeatures]].
     */
   def decodeImages(images: DataFrame): DataFrame = {
-    implicit val inEnc = Encoders.product[ImageRow]
+    implicit val inEnc = Encoders.product[MediaRow]
     implicit val outEnc = Encoders.product[ImageStats]
-    images.as[ImageRow].mapPartitions { it =>
+    images.as[MediaRow].mapPartitions { it =>
       it.map { r =>
         val img = PpmImage.decode(r.payload)
         var sr = 0L; var sg = 0L; var sb = 0L
@@ -141,10 +144,10 @@ object Multimodal {
     * re-encode. Output is a valid P6 payload at (w2, h2).
     */
   def resizeImages(images: DataFrame, w2: Int, h2: Int): DataFrame = {
-    implicit val rowEnc = Encoders.product[ImageRow]
-    images.as[ImageRow].mapPartitions { it =>
+    implicit val rowEnc = Encoders.product[MediaRow]
+    images.as[MediaRow].mapPartitions { it =>
       it.map { r =>
-        ImageRow(r.doc_id, r.mime,
+        MediaRow(r.doc_id, r.mime,
           PpmImage.encode(PpmImage.resize(PpmImage.decode(r.payload), w2, h2)))
       }
     }.toDF()
@@ -152,7 +155,6 @@ object Multimodal {
 
   // ----- REAL audio path (pure-JVM RIFF/PCM16 codec) -------------------
 
-  case class AudioRow(doc_id: Long, mime: String, payload: Array[Byte])
   case class AudioStats(doc_id: Long, sample_rate: Int, n_samples: Int,
                         duration_ms: Double, mean_abs: Double)
 
@@ -161,11 +163,11 @@ object Multimodal {
     * doc_id, SQL-regenerable).
     */
   def asAudioTable(documents: DataFrame): DataFrame = {
-    implicit val outEnc = Encoders.product[AudioRow]
+    implicit val outEnc = Encoders.product[MediaRow]
     implicit val idEnc = Encoders.scalaLong
     documents.select(col("doc_id")).as[Long].mapPartitions { it =>
       it.map { id =>
-        AudioRow(id, "audio/wav", WavAudio.encode(WavAudio.synthesize(id)))
+        MediaRow(id, "audio/wav", WavAudio.encode(WavAudio.synthesize(id)))
       }
     }.toDF()
   }
@@ -174,9 +176,9 @@ object Multimodal {
     * / length / duration / mean absolute amplitude.
     */
   def decodeAudio(audio: DataFrame): DataFrame = {
-    implicit val inEnc = Encoders.product[AudioRow]
+    implicit val inEnc = Encoders.product[MediaRow]
     implicit val outEnc = Encoders.product[AudioStats]
-    audio.as[AudioRow].mapPartitions { it =>
+    audio.as[MediaRow].mapPartitions { it =>
       it.map { r =>
         val clip = WavAudio.decode(r.payload)
         var sum = 0L
@@ -190,10 +192,10 @@ object Multimodal {
 
   /** REAL resample kernel: decode → decimate by k → re-encode. */
   def resampleAudio(audio: DataFrame, k: Int): DataFrame = {
-    implicit val rowEnc = Encoders.product[AudioRow]
-    audio.as[AudioRow].mapPartitions { it =>
+    implicit val rowEnc = Encoders.product[MediaRow]
+    audio.as[MediaRow].mapPartitions { it =>
       it.map { r =>
-        AudioRow(r.doc_id, r.mime,
+        MediaRow(r.doc_id, r.mime,
           WavAudio.encode(WavAudio.decimate(WavAudio.decode(r.payload), k)))
       }
     }.toDF()

@@ -37,14 +37,22 @@ object PpmImage {
     def nextInt(): Int = {
       while (i < bytes.length && bytes(i).toChar.isWhitespace) i += 1
       var v = 0
+      var digits = 0
       while (i < bytes.length && !bytes(i).toChar.isWhitespace) {
-        v = v * 10 + (bytes(i) - '0'); i += 1
+        require(bytes(i) >= '0' && bytes(i) <= '9',
+          s"malformed ppm header byte '${bytes(i).toChar}' at $i")
+        v = v * 10 + (bytes(i) - '0'); i += 1; digits += 1
       }
+      require(digits > 0, s"missing ppm header field at $i")
       v
     }
     val w = nextInt(); val h = nextInt(); val maxv = nextInt()
     require(maxv == 255, s"unsupported maxval $maxv")
     i += 1 // the single whitespace after maxval
+    // a truncated buffer must fail loudly — copyOfRange would silently
+    // zero-pad and fabricate black pixels
+    require(i + w * h * 3 <= bytes.length,
+      s"truncated ppm: need ${w * h * 3} pixel bytes, have ${bytes.length - i}")
     val px = java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3)
     Image(w, h, px)
   }

@@ -53,7 +53,7 @@ object WavAudio {
     require(k > 0)
     val out = new Array[Short]((clip.samples.length + k - 1) / k)
     var i = 0
-    while (i < out.length) { out(i) = clip.samples(i.toLong.toInt * k); i += 1 }
+    while (i < out.length) { out(i) = clip.samples(i * k); i += 1 }
     Clip(clip.sampleRate / k, out)
   }
 

@@ -87,6 +87,9 @@ object FileFormats {
     val marker = new java.io.File(base, ".sfdir").toPath
     if (java.nio.file.Files.exists(marker) &&
         java.nio.file.Files.readString(marker) == d) return path
+    // invalidate BEFORE the rewrite: a crash mid-write must not leave a
+    // marker that validates the half-written layout for the old sf
+    java.nio.file.Files.deleteIfExists(marker)
     Tables(s, d, "events")
       .write.mode("overwrite").partitionBy("event_type").parquet(path)
     base.mkdirs()
