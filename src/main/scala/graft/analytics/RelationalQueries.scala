@@ -362,7 +362,36 @@ object RelationalQueries {
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_nationkey ORDER BY s_nationkey"""))
-  ) ++ Seq(bucketedJoin)
+  ) ++ Seq(bucketedJoin, correlatedSql)
+
+  /** Correlated scalar subqueries through the SQL entry path: each order
+    * compared against ITS customer's aggregate — Catalyst decorrelates
+    * the two per-row subqueries into aggregate+join (no per-row
+    * re-execution; the same shape a 100 TB plan needs). The predicate is
+    * written in exact DECIMAL products (price·cnt > 2·sum) so no
+    * float-average boundary row can flip between engines.
+    */
+  private lazy val correlatedSql = GQuery("q50_correlated_sql",
+    (s, d) => {
+      Tables(s, d, "orders").createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+              (SELECT COUNT(*) FROM v_orders o2
+               WHERE o2.o_custkey = o.o_custkey)
+          > 2 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FROM v_orders o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+            (SELECT COUNT(*) FROM orders o2
+             WHERE o2.o_custkey = o.o_custkey)
+        > 2 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey"""))
 
   /** Co-located join via bucketed tables: both sides written with
     * `bucketBy(8, key) + sortBy(key)`, so the fact-fact join runs with
