@@ -18,20 +18,6 @@ import graft.functions.CosineSimilarity.cosineSimilarity
   */
 object Dedup {
 
-  /** Word tokens, empties dropped (trailing-space artifacts). */
-  def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= "")
-
-  /** Distinct word n-gram shingles per document. */
-  def shingles(df: DataFrame, textCol: String, n: Int): DataFrame = {
-    val toks = df.withColumn("__toks", tokens(col(textCol)))
-    toks
-      .withColumn("__sh", expr(
-        s"array_distinct(transform(sequence(1, greatest(size(__toks) - ${n - 1}, 0)), " +
-          s"i -> concat_ws(' ', slice(__toks, i, $n))))"))
-      .drop("__toks")
-  }
-
   /** Exact dedup: group by content hash, keep the smallest id. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_hash"))
@@ -52,8 +38,8 @@ object Dedup {
     * maxDf), so the cap is a map-side broadcast anti-join, not a shuffle;
     * its df aggregation is partial-agg'd before the exchange.
     *
-    * Built with posexplode + window `lead` instead of the array
-    * higher-order functions in [[shingles]]: `transform`/`filter`/`slice`
+    * Built with posexplode + window `lead` instead of array
+    * higher-order functions: `transform`/`filter`/`slice`
     * are `CodegenFallback` (interpreted, row-at-a-time) while
     * posexplode/lead/concat_ws stay inside whole-stage codegen — measured
     * 2.4× faster end-to-end on the jaccard pipeline at sf0.1. Every stage
