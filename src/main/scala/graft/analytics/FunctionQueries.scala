@@ -258,6 +258,22 @@ object FunctionQueries {
         quantile_cont(l_extendedprice, 0.9) AS p90_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Approximate percentiles (Greenwald-Khanna sketch) — the mergeable,
+    // bounded-memory path beside q42's exact sort-based percentiles; the
+    // sketch is Spark-specific so the driver does the rows-only check,
+    // and OperatorsSpec pins the rank-error bound against the exact
+    // values.
+    GQuery("q51_approx_percentile",
+      (s, d) => Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("p50_approx"),
+          approx_percentile(col("l_extendedprice"), lit(0.9), lit(1000))
+            .as("p90_approx"))
+        .orderBy(col("l_returnflag")),
+      None),
+
     // Typed Aggregator registered via functions.udaf (SURVEY.md §2B
     // "UDF/UDAF/UDTF"): quantity-weighted mean price per return flag,
     // with exact decimal accumulation inside the UDAF buffer.

@@ -116,6 +116,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
   }
 
+  test("approx_percentile stays within GK rank error vs exact (q51 semantics)") {
+    val li = graft.util.Tables(spark, GraftSpark.sfDir, "lineitem")
+      .select(col("l_extendedprice").as("x"))
+    val Seq(approx50, exact50) = li
+      .agg(approx_percentile(col("x"), lit(0.5), lit(1000)),
+        percentile(col("x"), lit(0.5)))
+      .head().toSeq.map(_.toString.toDouble)
+    // accuracy=1000 ⇒ rank error ≤ 1/1000; translate to a generous
+    // value tolerance on this distribution
+    assert(math.abs(approx50 - exact50) / exact50 < 0.05,
+      s"approx=$approx50 exact=$exact50")
+  }
+
+  test("malformed rows are isolated, not fatal, on file reads (file-side O12)") {
+    // the consumer's error-skip contract applied to file sources:
+    // PERMISSIVE mode routes bad records to _corrupt_record
+    val dir = java.nio.file.Files.createTempDirectory("graft_badjson")
+    val f = dir.resolve("data.json")
+    java.nio.file.Files.writeString(f,
+      """{"id": 1, "v": "ok"}
+        |{not json at all
+        |{"id": 3, "v": "also ok"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString).cache()
+    assert(df.filter(col("_corrupt_record").isNull).count() == 2)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
+    // DROPMALFORMED: the skip variant
+    val dropped = spark.read
+      .schema(org.apache.spark.sql.types.StructType(schema.take(2)))
+      .option("mode", "DROPMALFORMED").json(dir.toString)
+    assert(dropped.count() == 2)
+    df.unpersist()
+  }
+
   test("approx_count_distinct stays within HLL++ error vs exact (q36 semantics)") {
     val ev = graft.util.Tables(spark, GraftSpark.sfDir, "events")
     val exact = ev.select(countDistinct(col("user_id"))).head().getLong(0)
