@@ -108,17 +108,7 @@ object Jdbc {
     val tie = if (valueCols.isEmpty) lit(0)
               else xxhash64(valueCols.map(col): _*)
     val deduped = graft.operators.Materialize.firstByKey(batch, keys, Seq(tie))
-    val colList = cols.mkString(", ")
-    // VALUES over bare ? parameters has no type context (Derby rejects
-    // it outright) — cast each placeholder to the column's SQL type
-    val placeholders = batch.schema.fields
-      .map(f => s"CAST(? AS ${sqlTypeName(f.dataType)})").mkString(", ")
-    val keyMatch = keys.map(k => s"t.$k = v.$k").mkString(" AND ")
-    val sql =
-      s"""INSERT INTO $table ($colList)
-         |SELECT ${cols.map(c => s"v.$c").mkString(", ")}
-         |FROM (VALUES ($placeholders)) AS v($colList)
-         |WHERE NOT EXISTS (SELECT 1 FROM $table t WHERE $keyMatch)""".stripMargin
+    val sql = insertIgnoreSql(url, table, cols, keys, batch.schema)
     val schema = deduped.schema
     deduped.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
@@ -143,6 +133,35 @@ object Jdbc {
           } finally ps.close()
         } finally conn.close()
       }
+    }
+  }
+
+  /** The idempotent-insert statement, dialect-aware: Postgres (the
+    * reference's actual sink, transaction_consumer.py:85-88) gets the
+    * native `ON CONFLICT (keys) DO NOTHING` — one round trip, race-free
+    * under concurrent writers; everything else gets the portable
+    * set-based `INSERT ... WHERE NOT EXISTS` (exposed for the JdbcSpec
+    * assertion — no Postgres runs in this environment, so the pg text is
+    * checked as text while the portable form runs live on Derby).
+    */
+  def insertIgnoreSql(url: String, table: String, cols: Seq[String],
+                      keys: Seq[String],
+                      schema: org.apache.spark.sql.types.StructType): String = {
+    val colList = cols.mkString(", ")
+    if (url.startsWith("jdbc:postgresql")) {
+      val placeholders = cols.map(_ => "?").mkString(", ")
+      s"""INSERT INTO $table ($colList) VALUES ($placeholders)
+         |ON CONFLICT (${keys.mkString(", ")}) DO NOTHING""".stripMargin
+    } else {
+      // VALUES over bare ? parameters has no type context (Derby rejects
+      // it outright) — cast each placeholder to the column's SQL type
+      val placeholders = schema.fields
+        .map(f => s"CAST(? AS ${sqlTypeName(f.dataType)})").mkString(", ")
+      val keyMatch = keys.map(k => s"t.$k = v.$k").mkString(" AND ")
+      s"""INSERT INTO $table ($colList)
+         |SELECT ${cols.map(c => s"v.$c").mkString(", ")}
+         |FROM (VALUES ($placeholders)) AS v($colList)
+         |WHERE NOT EXISTS (SELECT 1 FROM $table t WHERE $keyMatch)""".stripMargin
     }
   }
 

@@ -93,6 +93,20 @@ class JdbcSpec extends AnyFunSuite {
     assert(got("k1") == "v1" && got("k2") == "v2" && got.size == 3)
   }
 
+  test("postgres URLs get the native ON CONFLICT DO NOTHING form") {
+    // the reference's exact sink statement (transaction_consumer.py:85-88)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("K",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("V",
+        org.apache.spark.sql.types.StringType)))
+    val pg = Jdbc.insertIgnoreSql("jdbc:postgresql://host/db", "SINK",
+      Seq("K", "V"), Seq("K"), schema)
+    assert(pg.contains("ON CONFLICT (K) DO NOTHING"), pg)
+    val derby = Jdbc.insertIgnoreSql(url, "SINK", Seq("K", "V"), Seq("K"), schema)
+    assert(derby.contains("WHERE NOT EXISTS"), derby)
+  }
+
   test("streaming foreachBatch JDBC sink (E2 consumer path end-to-end)") {
     try exec("DROP TABLE STREAMSINK") catch { case _: Exception => () }
     exec(
