@@ -20,10 +20,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    table, pushdown is the difference between a bounded fetch and a
   *    full-table exfiltration per batch.
   *  - Writes are an executor-side batched idempotent insert for
-  *    `foreachBatch`: set-based `INSERT ... WHERE NOT EXISTS` (portable
-  *    SQL, works on Derby/Postgres/anything), batched via
-  *    `PreparedStatement.addBatch` — NOT the reference's one
-  *    statement + commit per message (transaction_consumer.py:103).
+  *    `foreachBatch`, batched via `PreparedStatement.addBatch` — NOT the
+  *    reference's one statement + commit per message
+  *    (transaction_consumer.py:103). Postgres URLs use the native
+  *    `INSERT ... ON CONFLICT (keys) DO NOTHING` (the reference's exact
+  *    statement — requires the key columns to carry a unique
+  *    constraint, as the reference's PRIMARY KEY does); every other
+  *    database gets a portable set-based `INSERT ... WHERE NOT EXISTS`.
   */
 object Jdbc {
 
@@ -92,12 +95,14 @@ object Jdbc {
   def scanLimit(spark: SparkSession, url: String, table: String, n: Int): DataFrame =
     read(spark, url, table).limit(n)
 
-  /** Idempotent keyed insert of one micro-batch: the reference sink's
-    * `ON CONFLICT DO NOTHING` as portable set-based SQL, executed on the
-    * executors with statement batching. Duplicate keys WITHIN the batch
-    * are pre-resolved (smallest-hash row wins, replay-stable — same
-    * contract as CdcPipeline.idempotentParquetUpsert); keys already in
-    * the table win unconditionally.
+  /** Idempotent keyed insert of one micro-batch, executed on the
+    * executors with statement batching (dialect-aware SQL — see
+    * [[insertIgnoreSql]]; on Postgres the key columns must carry a
+    * unique constraint, which the reference sink's PRIMARY KEY does).
+    * Duplicate keys WITHIN the batch are pre-resolved (smallest-hash row
+    * wins, replay-stable — same contract as
+    * CdcPipeline.idempotentParquetUpsert); keys already in the table win
+    * unconditionally.
     */
   def upsertBatch(batch: DataFrame, url: String, table: String,
                   keys: Seq[String], batchSize: Int = 500): Unit = {
@@ -108,7 +113,7 @@ object Jdbc {
     val tie = if (valueCols.isEmpty) lit(0)
               else xxhash64(valueCols.map(col): _*)
     val deduped = graft.operators.Materialize.firstByKey(batch, keys, Seq(tie))
-    val sql = insertIgnoreSql(url, table, cols, keys, batch.schema)
+    val sql = insertIgnoreSql(url, table, keys, batch.schema)
     val schema = deduped.schema
     deduped.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
@@ -144,9 +149,11 @@ object Jdbc {
     * assertion — no Postgres runs in this environment, so the pg text is
     * checked as text while the portable form runs live on Derby).
     */
-  def insertIgnoreSql(url: String, table: String, cols: Seq[String],
-                      keys: Seq[String],
+  def insertIgnoreSql(url: String, table: String, keys: Seq[String],
                       schema: org.apache.spark.sql.types.StructType): String = {
+    // column names AND placeholder types both derive from the schema so
+    // they cannot drift out of order
+    val cols = schema.fieldNames.toSeq
     val colList = cols.mkString(", ")
     if (url.startsWith("jdbc:postgresql")) {
       val placeholders = cols.map(_ => "?").mkString(", ")

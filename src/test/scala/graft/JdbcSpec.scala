@@ -101,9 +101,9 @@ class JdbcSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StructField("V",
         org.apache.spark.sql.types.StringType)))
     val pg = Jdbc.insertIgnoreSql("jdbc:postgresql://host/db", "SINK",
-      Seq("K", "V"), Seq("K"), schema)
+      Seq("K"), schema)
     assert(pg.contains("ON CONFLICT (K) DO NOTHING"), pg)
-    val derby = Jdbc.insertIgnoreSql(url, "SINK", Seq("K", "V"), Seq("K"), schema)
+    val derby = Jdbc.insertIgnoreSql(url, "SINK", Seq("K"), schema)
     assert(derby.contains("WHERE NOT EXISTS"), derby)
   }
 

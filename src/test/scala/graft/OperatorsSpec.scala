@@ -158,6 +158,8 @@ class OperatorsSpec extends AnyFunSuite {
       .option("mode", "DROPMALFORMED").json(dir.toString)
     assert(dropped.count() == 2)
     df.unpersist()
+    java.nio.file.Files.deleteIfExists(f)
+    java.nio.file.Files.deleteIfExists(dir)
   }
 
   test("approx_count_distinct stays within HLL++ error vs exact (q36 semantics)") {
