@@ -114,6 +114,43 @@ object WindowQueries {
         MAX(value) AS max_value, MIN(value) AS min_value, COUNT(*) AS n
         FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // Value-range frames + positional analytics: RANGE BETWEEN frames a
+    // window by ORDER-BY VALUE distance (all ties included — no
+    // peer-row nondeterminism), first/last/nth_value over an explicit
+    // unbounded rows frame with a total compound order. The range sum
+    // runs in exact DECIMAL so frame accumulation order cannot drift
+    // between engines.
+    GQuery("q52_window_frames",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wRange = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"))
+          .rangeBetween(-1000L, Window.currentRow)
+        val wRows = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(dec(col("o_totalprice"))).over(wRange)
+              .cast("double").as("range_sum"),
+            first(col("o_orderkey")).over(wRows).as("first_k"),
+            last(col("o_orderkey")).over(wRows).as("last_k"),
+            nth_value(col("o_orderkey"), 2).over(wRows).as("second_k"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_totalprice
+          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum,
+        first_value(o_orderkey) OVER w2 AS first_k,
+        last_value(o_orderkey) OVER w2 AS last_k,
+        nth_value(o_orderkey, 2) OVER w2 AS second_k
+        FROM orders
+        WINDOW w2 AS (PARTITION BY o_custkey
+          ORDER BY o_totalprice, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey""")),
+
     GQuery("q38_pivot",
       (s, d) => {
         val types = Seq("click", "error", "purchase", "signup", "view")
