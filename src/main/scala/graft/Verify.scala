@@ -11,14 +11,35 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // pin dumped timestamps to µs: the INT96 default reads back as
+      // timestamp[ns] in pyarrow and the driver's hasher canonicalizes
+      // ns differently from DuckDB's µs rendering (r2 gen_transactions)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Canonicalize dumped timestamps to NAIVE µs (timestamp_ntz):
+        // tz-less values are what DuckDB's oracle produces, and the
+        // session tz is UTC so the cast is an identity on the rendered
+        // value. Raw TimestampType would write either INT96 (pyarrow:
+        // ns) or µs-with-UTC-flag (pyarrow: tz-aware) — both hash
+        // differently from the oracle in the driver's compare.
+        val canon = df.schema.fields.foldLeft(df) { (d, f) =>
+          f.dataType match {
+            case org.apache.spark.sql.types.TimestampType =>
+              d.withColumn(f.name,
+                org.apache.spark.sql.functions.col(f.name)
+                  .cast(org.apache.spark.sql.types.TimestampNTZType))
+            case _ => d
+          }
+        }
+        canon.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

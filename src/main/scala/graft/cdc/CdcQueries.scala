@@ -212,8 +212,14 @@ object CdcQueries {
     */
   private val genTransactions = GQuery("gen_transactions",
     (s, _) => TransactionGen.batch(s, 10000, seed = 42L)
+      // canonicalize for the driver's hasher: raw decimal(38,18) hashes
+      // differently from DuckDB's rendering even when every value matches
+      // (proven in r2) — compare at wire scale as DOUBLE, like
+      // cdc_envelope_apply does
+      .withColumn("amount", col("amount").cast(DecimalType(18, 2)).cast("double"))
       .orderBy(col("transaction_id")),
-    Some(s"$duckGenCte SELECT * FROM g ORDER BY transaction_id"))
+    Some(s"$duckGenCte SELECT * REPLACE (CAST(amount AS DOUBLE) AS amount) " +
+      "FROM g ORDER BY transaction_id"))
 
   /** Trigger-2 diff over the full transaction row: 14 diffed input
     * columns (12 payload + modified_by/modified_at audit) producing the

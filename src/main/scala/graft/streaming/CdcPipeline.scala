@@ -287,9 +287,6 @@ object CdcPipeline {
     val existing =
       if (!fs.exists(new org.apache.hadoop.fs.Path(path))) None
       else {
-        val t = spark.read.parquet(path)
-        require(t.columns.contains("__bucket"),
-          s"existing table at $path is not __bucket-partitioned")
         if (fs.exists(bucketsMarker)) {
           val in = fs.open(bucketsMarker)
           val committed =
@@ -300,15 +297,20 @@ object CdcPipeline {
             s"sink at $path was bucketed with nBuckets=$committed, " +
               s"got $nBuckets — bucket ids would not line up")
         } else {
-          // marker lost (crash between data and marker write): the
-          // partition directory ids at least bound the bucket count
-          val ids = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-            .map(_.getPath.getName).filter(_.startsWith("__bucket="))
-            .map(_.stripPrefix("__bucket=").toInt)
-          require(ids.isEmpty || ids.max < nBuckets,
-            s"sink at $path has bucket ids up to ${ids.max} — " +
-              s"written with more than $nBuckets buckets")
+          // Marker lost (crash window between the first data write and
+          // the first marker write). Directory ids alone CANNOT prove
+          // the layout: a table written with fewer buckets (say 8) also
+          // satisfies ids.max < 16, but its keys hash to different ids
+          // under nBuckets=16 — pruned merges would then miss committed
+          // rows in unread buckets (first-write-wins violated, same key
+          // landing in two bucket dirs). Recover instead of guessing:
+          // re-derive every row's bucket from its keys under the current
+          // nBuckets and swap the table atomically, then resume pruning.
+          recoverBucketLayout(spark, fs, path, keys, nBuckets)
         }
+        val t = spark.read.parquet(path)
+        require(t.columns.contains("__bucket"),
+          s"existing table at $path is not __bucket-partitioned")
         Some(t.filter(col("__bucket").isin(touched: _*)))
       }
     val all = existing match {
@@ -334,9 +336,53 @@ object CdcPipeline {
       .parquet(path)
     // (re)write the marker after every batch — heals the crash window
     // between the first data write and the first marker write
-    val out = fs.create(bucketsMarker, true)
+    writeBucketsMarker(fs, bucketsMarker, nBuckets)
+  }
+
+  private def writeBucketsMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                 marker: org.apache.hadoop.fs.Path,
+                                 nBuckets: Int): Unit = {
+    val out = fs.create(marker, true)
     try out.write(nBuckets.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** One-time unpruned repair of a marker-less sink table: read ALL
+    * committed rows (their directory ids are untrusted), recompute
+    * `__bucket` from the keys under the CURRENT nBuckets, write the
+    * re-bucketed table + marker to a sibling staging dir, and swap it in
+    * with directory renames (atomic per rename on HDFS-like stores).
+    * Cost is one full table rewrite — paid only in the crash window the
+    * marker exists to close, never on the per-batch path. If a crash
+    * lands between the two renames, the table survives intact at
+    * `<path>.__graft_pre_recovery` for manual repair (the next call
+    * fails loudly on the missing main dir rather than merging against
+    * half a table).
+    */
+  private def recoverBucketLayout(spark: SparkSession,
+                                  fs: org.apache.hadoop.fs.FileSystem,
+                                  path: String, keys: Seq[String],
+                                  nBuckets: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val main = new Path(path)
+    val staged = new Path(path + ".__graft_recovery")
+    val retired = new Path(path + ".__graft_pre_recovery")
+    require(!fs.exists(retired),
+      s"$retired exists — a previous recovery of $path did not complete; " +
+        "inspect and remove it before resuming")
+    if (fs.exists(staged)) fs.delete(staged, true)
+    spark.read.parquet(path).drop("__bucket")
+      .withColumn("__bucket",
+        pmod(hash(keys.map(col): _*), lit(nBuckets)).cast("int"))
+      .repartition(col("__bucket"))
+      .write.partitionBy("__bucket").parquet(staged.toString)
+    // marker goes INTO the staged dir (underscore-prefixed files are
+    // invisible to parquet reads) so the swapped-in table is never
+    // observable marker-less again
+    writeBucketsMarker(fs, new Path(staged, "_graft_buckets"), nBuckets)
+    require(fs.rename(main, retired), s"recovery: rename $main -> $retired failed")
+    require(fs.rename(staged, main), s"recovery: rename $staged -> $main failed")
+    fs.delete(retired, true)
   }
 }

@@ -24,10 +24,22 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def replicate(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    // Embeddings get a per-replica diagonal ±1 sign flip (a hash bit of
+    // (component index, replica)). That's an orthogonal transform, so
+    // cosines WITHIN a replica are preserved exactly — true near-dup
+    // pairs survive untouched — while twins across replicas agree on
+    // only ~half the signs (expected cosine ≈ 0, far under threshold).
+    // Verbatim replication would hand every vector n-1 identical twins
+    // and make the pair count quadratic by construction, exactly the
+    // artifact the doc perturbation below avoids.
+    def replicateEmb(df: DataFrame, n: Int): DataFrame = {
       val step = 10000000L
       df.crossJoin(spark.range(n).toDF("__r"))
-        .withColumn(idCol, col(idCol) + col("__r") * step)
+        .withColumn("vec_id", col("vec_id") + col("__r") * step)
+        .withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            when(col("__r") === 0 || pmod(hash(i, col("__r")), lit(2)) === 0, x)
+              .otherwise(-x)))
         .drop("__r")
     }
     // Texts must be perturbed per replica — verbatim copies would make
@@ -55,7 +67,7 @@ object ScaleSmoke {
     val emb = graft.util.Tables(spark, sfDir, "embeddings")
     for (n <- reps) {
       val d = replicateDocs(docs, n)
-      val e = replicate(emb, "vec_id", n)
+      val e = replicateEmb(emb, n)
       timed(s"jaccard x$n")(
         graft.ops.Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.8, maxDf = 5).count())
       timed(s"minhash_lsh x$n")(

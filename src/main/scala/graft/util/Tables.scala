@@ -59,10 +59,15 @@ object Tables {
       val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         df.sparkSession.conf
           .get("spark.sql.files.maxPartitionBytes", "134217728"))
-      val fs = org.apache.hadoop.fs.FileSystem.get(sc.hadoopConfiguration)
       val bytes = files.map { f =>
-        try fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
-        catch { case _: Exception => Long.MaxValue / files.length }
+        // resolve the filesystem PER PATH: FileSystem.get(conf) returns
+        // the default FS, so an s3a://… or file:// input under an HDFS
+        // default would throw on every stat and silently disable the
+        // repartition via the Long.MaxValue fallback
+        try {
+          val path = new org.apache.hadoop.fs.Path(f)
+          path.getFileSystem(sc.hadoopConfiguration).getFileStatus(path).getLen
+        } catch { case _: Exception => Long.MaxValue / files.length }
       }.sum
       if (bytes < p.toLong * maxPart) df.repartition(p) else df
     }

@@ -109,6 +109,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("k1") == "v1" && got("brandnew") == "x" && got.size == 65)
   }
 
+  test("idempotentParquetUpsert recovers a marker-less sink with a different bucket count") {
+    // The crash window the _graft_buckets marker closes: data written,
+    // marker not yet. A later caller with a DIFFERENT nBuckets must not
+    // trust directory ids (8-bucket ids all satisfy < 16 but keys hash
+    // differently under 16) — it must re-bucket the committed rows
+    // before resuming pruned merges, or first-write-wins breaks.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_r").toString + "/t"
+    val b1 = (0 until 64).map(i => (s"k$i", s"v$i")).toDF("key", "value")
+    graft.streaming.CdcPipeline.idempotentParquetUpsert(
+      spark, b1, dir, Seq("key"), nBuckets = 8)
+    // simulate the crash: marker lost
+    val marker = java.nio.file.Paths.get(dir, "_graft_buckets")
+    java.nio.file.Files.delete(marker)
+    // next batch arrives configured with 16 buckets and duplicate keys
+    val b2 = (0 until 64).map(i => (s"k$i", "DUP")).toDF("key", "value")
+    graft.streaming.CdcPipeline.idempotentParquetUpsert(
+      spark, b2, dir, Seq("key"), nBuckets = 16)
+    val got = spark.read.parquet(dir)
+      .select("key", "value").as[(String, String)].collect()
+    // no key duplicated across bucket dirs, every first write preserved
+    assert(got.length == 64, s"expected 64 rows, got ${got.length}")
+    assert(got.toMap == (0 until 64).map(i => s"k$i" -> s"v$i").toMap)
+    // marker healed with the new count; buckets consistent with keys
+    assert(new String(java.nio.file.Files.readAllBytes(marker)).trim == "16")
+    val badBucket = spark.read.parquet(dir)
+      .filter(col("__bucket") =!= pmod(hash(col("key")), lit(16)).cast("int"))
+      .count()
+    assert(badBucket == 0L, s"$badBucket rows in a bucket their key does not hash to")
+    // no leftover staging/retired dirs
+    val parent = java.nio.file.Paths.get(dir).getParent
+    import scala.jdk.CollectionConverters._
+    val leftovers = java.nio.file.Files.list(parent).iterator.asScala
+      .map(_.getFileName.toString).filter(_.contains("__graft_")).toList
+    assert(leftovers.isEmpty, s"recovery left $leftovers behind")
+  }
+
   test("registered query names are unique") {
     // a duplicate name silently drops a query in the driver-facing map
     val names = SparkEntry.allQueries.map(_.name)
