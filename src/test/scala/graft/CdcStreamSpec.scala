@@ -343,6 +343,125 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("topic log round-trip: produce → paced consume → idempotent sink, with checkpoint resume (O8/O9/O10)") {
+    // The broker-less stand-in for the Kafka round-trip: FileTopic speaks
+    // the Kafka source's exact record schema, so everything downstream of
+    // `readStream` here is byte-for-byte what runs against kafkaSource.
+    import graft.streaming.FileTopic
+    val root = java.nio.file.Files.createTempDirectory("graft_topic").toString
+    val topicDir = s"$root/txns"
+    val sinkDir = s"$root/sink"
+    val ckpt = s"$root/ckpt"
+    val nPart = 4
+
+    def payload(ids: Seq[Int], tag: String) =
+      ids.map(i => (s"t$i", tag)).toDF("transaction_id", "state")
+
+    def runConsumer(counter: java.util.concurrent.atomic.AtomicInteger,
+                    rowsSeen: java.util.concurrent.atomic.AtomicLong) = {
+      val parsed = FileTopic.source(spark, topicDir, maxFilesPerTrigger = Some(1))
+        .select(col("value").cast("string").as("json")) // as with Kafka
+        .select(from_json(col("json"), org.apache.spark.sql.types.StructType
+          .fromDDL("transaction_id STRING, state STRING")).as("r"))
+        .select("r.*")
+      parsed.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            counter.incrementAndGet()
+            rowsSeen.addAndGet(batch.count())
+            CdcPipeline.idempotentParquetUpsert(spark, batch, sinkDir,
+              keys = Seq("transaction_id"), nBuckets = 8)
+          }
+        }
+        .start()
+    }
+
+    // produce epoch 1: 12 keys, keyed by transaction_id like the reference
+    FileTopic.produce(
+      CdcPipeline.toKafkaRecords(payload(0 until 12, "v1"), "transaction_id"),
+      topicDir, "transactions", nPart)
+    val batches1 = new java.util.concurrent.atomic.AtomicInteger
+    val rows1 = new java.util.concurrent.atomic.AtomicLong
+    val q1 = runConsumer(batches1, rows1)
+    try { q1.processAllAvailable() } finally q1.stop()
+    // pacing: maxFilesPerTrigger=1 over one-segment-per-partition epochs
+    // must split consumption into multiple triggers, not one big batch
+    assert(batches1.get() > 1, s"pacing produced ${batches1.get()} batch(es)")
+    assert(rows1.get() == 12L)
+
+    // epoch 2 while the consumer is DOWN: redeliver 3 old keys with a
+    // conflicting tag (at-least-once) plus 6 genuinely new keys
+    FileTopic.produce(
+      CdcPipeline.toKafkaRecords(
+        payload(0 until 3, "REDELIVERED").unionAll(payload(12 until 18, "v2")),
+        "transaction_id"),
+      topicDir, "transactions", nPart)
+    val batches2 = new java.util.concurrent.atomic.AtomicInteger
+    val rows2 = new java.util.concurrent.atomic.AtomicLong
+    val q2 = runConsumer(batches2, rows2)
+    try { q2.processAllAvailable() } finally q2.stop()
+    // checkpoint resume: only epoch-2 segments were consumed
+    assert(rows2.get() == 9L,
+      s"resume re-read old segments: saw ${rows2.get()} rows, expected 9")
+
+    // end-to-end effectively-once: first write of every key survives
+    val got = spark.read.parquet(sinkDir)
+      .select("transaction_id", "state").as[(String, String)].collect().toMap
+    assert(got.size == 18)
+    assert((0 until 12).forall(i => got(s"t$i") == "v1"))
+    assert((12 until 18).forall(i => got(s"t$i") == "v2"))
+
+    // transport contract: kafka schema, keyed partitioning, per-partition
+    // contiguous monotone offsets across produce calls
+    // (directory partitioning appends `partition` last on read — the
+    // contract is the field set + types, which projection restores)
+    val log = spark.read.schema(FileTopic.recordSchema).parquet(topicDir)
+      .select(FileTopic.recordSchema.fieldNames.map(col).toSeq: _*)
+    assert(log.schema.map(f => f.name -> f.dataType) ==
+      FileTopic.recordSchema.map(f => f.name -> f.dataType))
+    val badPart = log.filter(
+      col("partition") =!= pmod(hash(col("key")), lit(nPart)).cast("int")).count()
+    assert(badPart == 0L, s"$badPart records outside their key's partition")
+    val offs = log.groupBy("partition")
+      .agg(count(lit(1)).as("n"), min("offset").as("lo"),
+        max("offset").as("hi"), count_distinct(col("offset")).as("d"))
+      .collect()
+    offs.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == r.getLong(1) - 1 &&
+        r.getLong(4) == r.getLong(1),
+        s"partition ${r.getInt(0)} offsets not contiguous from 0: $r")
+    }
+  }
+
+  test("session_window closes a session only after the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val sessions = input.toDF().toDF("user", "ts")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user"), col("cnt"),
+        col("session_window.start").as("start"))
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+      // two events 5 min apart → one open session; watermark = max ts
+      input.addData(("u1", t(0)), ("u1", t(5)))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").isEmpty,
+        "session emitted while still open (watermark has not passed the gap)")
+      // an event 30 min later moves the watermark past start+gap: the
+      // first session closes (append-mode emit); the new one stays open
+      input.addData(("u1", t(35)))
+      q.processAllAvailable()
+      val done = spark.table("sess_out")
+        .select("user", "cnt").as[(String, Long)].collect().toSeq
+      assert(done == Seq(("u1", 2L)), s"expected first session only, got $done")
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark suppresses duplicate keys (O14 contract)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp)]
