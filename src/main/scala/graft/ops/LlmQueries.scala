@@ -147,6 +147,23 @@ object LlmQueries {
       },
       None),
 
+    // Same quantizer/probes as sim_ann_ivf, but through the PERSISTED
+    // index: inverted lists written partitionBy("list"), probes pushed as
+    // a static partition filter so unprobed list dirs are never opened
+    // (the 100 TB layout; PartitionFilters plan-asserted in LlmOpsSpec).
+    // Approximate → rows-only; result ≡ sim_ann_ivf is spec-asserted.
+    GQuery("sim_ann_ivf_indexed",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_ivf_idx").toString + "/index"
+        Similarity.ivfWriteIndex(emb, "vec_id", "embedding", idx, maxFit = 500L)
+        Similarity.ivfProbeIndex(s, idx,
+            emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 10)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
     GQuery("text_stats",
       (s, d) => TextAnalysis.stats(Tables(s, d, "documents"), "text")
         .select("doc_id", "n_bytes", "n_chars_m", "token_cnt", "uniq_tokens",

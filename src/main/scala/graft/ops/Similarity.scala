@@ -72,9 +72,12 @@ object Similarity {
     * a sample when the corpus outgrows the driver-coordinated fit.
     * Recall < 1 by construction; spec-tested against the exact baseline.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-              seed: Long = 42L, maxFit: Long = 100000L): DataFrame = {
+  /** Coarse quantizer fit + corpus assignment shared by the in-memory and
+    * persisted IVF paths: returns (assigned `(nid, nvec, list)`, centroid
+    * table `(list, cvec)` — nlist rows, broadcast-sized).
+    */
+  private def ivfFit(corpus: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int, seed: Long, maxFit: Long): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -103,14 +106,24 @@ object Similarity {
     val cents = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }.toSeq
       .toDF("list", "cvec")
+    (assigned, cents)
+  }
+
+  /** Rank the `nprobe` closest inverted lists per query. */
+  private def probeLists(queries: DataFrame, cents: DataFrame, idCol: String,
+                         vecCol: String, nprobe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("cd").desc, col("list"))
-    val probes = q.crossJoin(broadcast(cents))
+    q.crossJoin(broadcast(cents))
       .withColumn("cd", cosineSimilarity(col("qvec"), col("cvec")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
       .select("qid", "qvec", "list")
+  }
+
+  /** Score probed postings and keep the top k per query. */
+  private def scoreProbed(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("nid"))
     assigned.join(broadcast(probes), "list")
@@ -119,6 +132,51 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("qid", "nid", "score", "rn")
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              seed: Long = 42L, maxFit: Long = 100000L): DataFrame = {
+    val (assigned, cents) = ivfFit(corpus, idCol, vecCol, nlist, seed, maxFit)
+    scoreProbed(assigned, probeLists(queries, cents, idCol, vecCol, nprobe), k)
+  }
+
+  private def centroidsPath(indexPath: String) = s"$indexPath/_graft_centroids"
+
+  /** Persist the IVF index: inverted lists directory-partitioned by list
+    * id (`indexPath/list=<i>/…`) plus the nlist-row centroid table in an
+    * underscore sidecar (invisible to parquet reads of the index root).
+    * This is the 100 TB layout: a probe touches `nprobe/nlist` of the
+    * corpus AT THE FILE LEVEL — unprobed lists are never listed, opened,
+    * or scanned. One exchange on `list` keeps it to one file per list per
+    * write (same small-files discipline as the bucketed CDC sink).
+    */
+  def ivfWriteIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    indexPath: String, nlist: Int = 16, seed: Long = 42L,
+                    maxFit: Long = 100000L): Unit = {
+    val (assigned, cents) = ivfFit(corpus, idCol, vecCol, nlist, seed, maxFit)
+    assigned.repartition(col("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(indexPath)
+    cents.coalesce(1).write.mode("overwrite").parquet(centroidsPath(indexPath))
+  }
+
+  /** ANN top-k over a persisted IVF index. The probed list ids are
+    * collected driver-side — bounded at ≤ nlist ints, NOT a data collect
+    * — and pushed as a static partition filter, so the scan's
+    * PartitionFilters prune every unprobed `list=` directory before any
+    * file is read (asserted in LlmOpsSpec). Same output contract as
+    * [[ivfTopK]] given the same quantizer seed.
+    */
+  def ivfProbeIndex(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(centroidsPath(indexPath))
+    val probes = probeLists(queries, cents, idCol, vecCol, nprobe)
+    val probed = probes.select("list").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val assigned = spark.read.parquet(indexPath)
+      .filter(col("list").isin(probed: _*))
+    scoreProbed(assigned, probes, k)
   }
 
   /** LSH ANN: same output shape as bruteForceTopK but only scoring

@@ -86,6 +86,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall > 0.4, s"recall=$recall")
   }
 
+  test("persisted IVF index: probe prunes unprobed list dirs and matches in-memory IVF") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf").toString + "/index"
+    Similarity.ivfWriteIndex(emb, "vec_id", "embedding", idx, nlist = 8)
+    // layout: one list=<i>/ dir per inverted list + centroid sidecar
+    import scala.jdk.CollectionConverters._
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(idx))
+      .iterator.asScala.map(_.getFileName.toString).toSet
+    assert(dirs.count(_.startsWith("list=")) == 8, s"layout: $dirs")
+    assert(dirs.contains("_graft_centroids"))
+    val probed = Similarity.ivfProbeIndex(spark, idx, q,
+      "vec_id", "embedding", k = 10, nprobe = 4)
+    // the probe plan must prune at the partition level: the static isin
+    // filter shows up as PartitionFilters on the index scan, so unprobed
+    // list directories are never opened
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      ".*PartitionFilters: \\[[^\\]]*list".r.findFirstIn(plan).isDefined,
+      s"no partition filter on list in plan:\n$plan")
+    // same quantizer seed ⇒ identical results to the in-memory path
+    val mem = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+        k = 10, nlist = 8, nprobe = 4)
+      .select("qid", "nid", "score", "rn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val got = probed.select("qid", "nid", "score", "rn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == mem, s"indexed path diverged: ${(got diff mem).take(5)} vs ${(mem diff got).take(5)}")
+  }
+
   test("IVF sampled-fit quantizer (maxFit < corpus) keeps recall") {
     // the 100 TB contract: the KMeans fit sees a bounded sample, never
     // the corpus — recall must survive training on 1/5th of the vectors
