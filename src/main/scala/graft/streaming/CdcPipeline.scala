@@ -284,6 +284,7 @@ object CdcPipeline {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bucketsMarker = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
+    completePendingRecovery(fs, path)
     val existing =
       if (!fs.exists(new org.apache.hadoop.fs.Path(path))) None
       else {
@@ -339,6 +340,51 @@ object CdcPipeline {
     writeBucketsMarker(fs, bucketsMarker, nBuckets)
   }
 
+  /** Finish (or refuse to paper over) a recovery swap interrupted between
+    * [[recoverBucketLayout]]'s two renames. Crash states, by rename order
+    * (staged fully written + marker → main→retired → staged→main →
+    * delete retired):
+    *
+    *  - main ABSENT, staged complete (marker inside), retired present:
+    *    crash between the renames. The staged table IS the committed
+    *    table (same rows, re-bucketed) — complete the swap: rename
+    *    staged→main, drop retired.
+    *  - main present WITH marker, retired present: crash after the swap,
+    *    before retired cleanup — drop the leftover.
+    *  - main ABSENT with any other sibling state (retired but no usable
+    *    staged, or staged but no retired): not a state the recovery
+    *    sequence can produce — fail loudly rather than treat the missing
+    *    main dir as "first batch", which would silently start a fresh
+    *    table and abandon the committed rows sitting in the sibling dir.
+    */
+  private def completePendingRecovery(fs: org.apache.hadoop.fs.FileSystem,
+                                      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val main = new Path(path)
+    val staged = new Path(path + ".__graft_recovery")
+    val retired = new Path(path + ".__graft_pre_recovery")
+    val stagedComplete =
+      fs.exists(staged) && fs.exists(new Path(staged, "_graft_buckets"))
+    if (!fs.exists(main)) {
+      if (fs.exists(staged) || fs.exists(retired)) {
+        if (stagedComplete && fs.exists(retired)) {
+          require(fs.rename(staged, main),
+            s"recovery completion: rename $staged -> $main failed")
+          fs.delete(retired, true)
+        } else throw new IllegalStateException(
+          s"sink at $path is missing but recovery siblings exist " +
+            s"(staged=${fs.exists(staged)} complete=$stagedComplete, " +
+            s"retired=${fs.exists(retired)}) — refusing to start a fresh " +
+            "table over an interrupted recovery; inspect the sibling dirs")
+      } // else: genuinely absent → first batch
+    } else if (fs.exists(retired) &&
+        fs.exists(new Path(main, "_graft_buckets"))) {
+      // swap completed (main carries the marker staged was built with);
+      // only the retired-cleanup step was lost
+      fs.delete(retired, true)
+    }
+  }
+
   private def writeBucketsMarker(fs: org.apache.hadoop.fs.FileSystem,
                                  marker: org.apache.hadoop.fs.Path,
                                  nBuckets: Int): Unit = {
@@ -355,10 +401,11 @@ object CdcPipeline {
     * with directory renames (atomic per rename on HDFS-like stores).
     * Cost is one full table rewrite — paid only in the crash window the
     * marker exists to close, never on the per-batch path. If a crash
-    * lands between the two renames, the table survives intact at
-    * `<path>.__graft_pre_recovery` for manual repair (the next call
-    * fails loudly on the missing main dir rather than merging against
-    * half a table).
+    * lands between the two renames, the committed rows survive in BOTH
+    * sibling dirs and the next call's [[completePendingRecovery]]
+    * finishes the swap (or fails loudly on an unrecognizable state)
+    * before anything could mistake the missing main dir for a first
+    * batch.
     */
   private def recoverBucketLayout(spark: SparkSession,
                                   fs: org.apache.hadoop.fs.FileSystem,

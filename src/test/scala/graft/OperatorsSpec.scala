@@ -145,6 +145,71 @@ class OperatorsSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"recovery left $leftovers behind")
   }
 
+  test("idempotentParquetUpsert completes a recovery interrupted between renames") {
+    // Crash window inside recoverBucketLayout: staged table fully written
+    // (marker inside), main renamed to .__graft_pre_recovery, then crash
+    // before staged→main. The next upsert must finish the swap and merge
+    // against the committed rows — NOT treat the missing main dir as a
+    // first batch (which would abandon everything in the retired dir).
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_c").toString + "/t"
+    val b1 = Seq(("k1", "v1"), ("k2", "v2")).toDF("key", "value")
+    graft.streaming.CdcPipeline.idempotentParquetUpsert(spark, b1, dir, Seq("key"))
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val fs = new Path(dir).getFileSystem(conf)
+    // staged = committed table re-written with marker inside (what
+    // recoverBucketLayout produces); then main renamed away = the crash
+    FileUtil.copy(fs, new Path(dir), fs, new Path(dir + ".__graft_recovery"),
+      false, conf)
+    assert(fs.rename(new Path(dir), new Path(dir + ".__graft_pre_recovery")))
+    val b2 = Seq(("k1", "DUP"), ("k3", "v3")).toDF("key", "value")
+    graft.streaming.CdcPipeline.idempotentParquetUpsert(spark, b2, dir, Seq("key"))
+    val got = spark.read.parquet(dir)
+      .select("key", "value").as[(String, String)].collect().toMap
+    assert(got == Map("k1" -> "v1", "k2" -> "v2", "k3" -> "v3"),
+      s"committed rows lost across interrupted recovery: $got")
+    assert(!fs.exists(new Path(dir + ".__graft_recovery")))
+    assert(!fs.exists(new Path(dir + ".__graft_pre_recovery")))
+  }
+
+  test("idempotentParquetUpsert refuses a missing table with unrecognizable recovery siblings") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_f").toString + "/t"
+    val b1 = Seq(("k1", "v1")).toDF("key", "value")
+    graft.streaming.CdcPipeline.idempotentParquetUpsert(spark, b1, dir, Seq("key"))
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(conf)
+    // retired exists but no staged dir: not a state recovery can produce —
+    // must fail loudly rather than write a fresh table over it
+    assert(fs.rename(new Path(dir), new Path(dir + ".__graft_pre_recovery")))
+    val e = intercept[IllegalStateException] {
+      graft.streaming.CdcPipeline.idempotentParquetUpsert(
+        spark, Seq(("k9", "x")).toDF("key", "value"), dir, Seq("key"))
+    }
+    assert(e.getMessage.contains("interrupted recovery"))
+    // the committed rows are still where the error said to look
+    assert(fs.exists(new Path(dir + ".__graft_pre_recovery")))
+  }
+
+  test("idempotentParquetUpsert clears a leftover retired dir after a completed swap") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_l").toString + "/t"
+    val b1 = Seq(("k1", "v1")).toDF("key", "value")
+    graft.streaming.CdcPipeline.idempotentParquetUpsert(spark, b1, dir, Seq("key"))
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val fs = new Path(dir).getFileSystem(conf)
+    // crash after staged→main but before retired cleanup
+    FileUtil.copy(fs, new Path(dir), fs, new Path(dir + ".__graft_pre_recovery"),
+      false, conf)
+    graft.streaming.CdcPipeline.idempotentParquetUpsert(
+      spark, Seq(("k2", "v2")).toDF("key", "value"), dir, Seq("key"))
+    assert(!fs.exists(new Path(dir + ".__graft_pre_recovery")),
+      "retired dir from a completed swap was not cleaned up")
+    val got = spark.read.parquet(dir)
+      .select("key", "value").as[(String, String)].collect().toMap
+    assert(got == Map("k1" -> "v1", "k2" -> "v2"))
+  }
+
   test("registered query names are unique") {
     // a duplicate name silently drops a query in the driver-facing map
     val names = SparkEntry.allQueries.map(_.name)
