@@ -54,9 +54,24 @@ object FileTopic {
 
   /** Append a batch of (key, value) records — e.g. the output of
     * [[CdcPipeline.toKafkaRecords]] — to the topic log as one segment per
-    * partition. Offsets continue from the previous produce; within a
-    * produce, records are ordered by (key, value) — deterministic, and
-    * order per key is what Kafka guarantees, not order across keys.
+    * partition. Offsets continue from the previous produce. Within a
+    * produce, `ordering` (e.g. a sequence/LSN column from the caller's
+    * DataFrame) decides per-partition offset order — the Kafka contract is
+    * produce order per key, and only the caller knows it; without an
+    * `ordering`, byte order on (key, value) is the documented
+    * deterministic fallback (order per key across DISTINCT values is then
+    * arbitrary-but-stable, fine for redelivery, wrong for intra-batch
+    * key updates — pass `ordering` for those).
+    *
+    * Crash safety: base offsets are RESERVED in the sidecar before the
+    * data is appended, so a produce that dies mid-write leaves an offset
+    * gap, never a duplicate (partition, offset) pair — the same contract
+    * a Kafka log keeps (gaps exist there too, e.g. aborted transactions;
+    * consumers track positions, they never assume density). If the
+    * sidecar itself is lost, the next produce rebuilds it from
+    * max(offset) actually present in the log — the sidecar is a cache,
+    * the log is the truth — paying one offset-column scan only in that
+    * repair case, never per produce.
     *
     * The sidecar read/update is driver-side but bounded at nPartitions
     * lines; the data path is one narrow shuffle on `partition` (the same
@@ -64,47 +79,86 @@ object FileTopic {
     * partition per produce — segment granularity, not row granularity.
     */
   def produce(records: DataFrame, dir: String, topic: String,
-              nPartitions: Int = 4): Unit = {
+              nPartitions: Int = 4,
+              ordering: Seq[org.apache.spark.sql.Column] = Nil): Unit = {
     val spark = records.sparkSession
     val fs = offsetsPath(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base: Map[Int, Long] =
-      if (!fs.exists(offsetsPath(dir))) Map.empty
-      else {
-        val in = fs.open(offsetsPath(dir))
-        try new String(in.readAllBytes,
-          java.nio.charset.StandardCharsets.UTF_8)
-          .linesIterator.filter(_.nonEmpty).map { l =>
-            val Array(p, o) = l.split("=", 2); p.toInt -> o.toLong
-          }.toMap
-        finally in.close()
+    // keep the caller's columns until the offset window has run, so
+    // `ordering` can reference any of them; cache so the reserve-count,
+    // the write and nothing else ever re-evaluate a non-deterministic
+    // source differently
+    val prepared = records
+      .withColumn("__graft_key", col("key").cast("binary"))
+      .withColumn("__graft_part",
+        pmod(hash(col("__graft_key")), lit(nPartitions)).cast("int"))
+      .persist()
+    try {
+      val counts: Map[Int, Long] = prepared.groupBy("__graft_part").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val base = readBaseOffsets(spark, fs, dir)
+      // reserve BEFORE the append: crash between here and the data write
+      // costs an offset gap, never a reused offset
+      val reserved = base ++ counts.map { case (p, c) =>
+        p -> (base.getOrElse(p, 0L) + c)
       }
-    val baseCol = base.foldLeft(lit(0L)) { case (acc, (p, o)) =>
-      when(col("partition") === p, lit(o)).otherwise(acc)
+      writeSidecar(fs, dir, reserved)
+      val baseCol = base.foldLeft(lit(0L)) { case (acc, (p, o)) =>
+        when(col("__graft_part") === p, lit(o)).otherwise(acc)
+      }
+      val ord =
+        if (ordering.nonEmpty) ordering
+        else Seq(col("__graft_key"), col("value").cast("binary"))
+      val framed = prepared
+        .withColumn("__graft_off",
+          baseCol + row_number().over(
+            Window.partitionBy("__graft_part").orderBy(ord: _*)) - 1)
+        .select(col("__graft_key").as("key"),
+          col("value").cast("binary").as("value"),
+          lit(topic).as("topic"),
+          col("__graft_part").as("partition"),
+          col("__graft_off").as("offset"),
+          current_timestamp().as("timestamp"),
+          lit(0).as("timestampType")) // CreateTime
+      // directory-partitioned by `partition` (like a broker's per-partition
+      // segment dirs): exactly one segment FILE per partition per produce
+      // regardless of shuffle-task collisions, and consumers of a single
+      // partition prune at the directory level
+      framed.repartition(col("partition"))
+        .write.mode("append").partitionBy("partition").parquet(dir)
+    } finally prepared.unpersist()
+  }
+
+  /** Next offset per partition: the sidecar when present (cache), else —
+    * sidecar lost/deleted — rebuilt from max(offset) in the log itself
+    * (truth). An empty/absent log means a fresh topic: all zeros.
+    */
+  private def readBaseOffsets(spark: SparkSession,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              dir: String): Map[Int, Long] = {
+    if (fs.exists(offsetsPath(dir))) {
+      val in = fs.open(offsetsPath(dir))
+      try new String(in.readAllBytes,
+        java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.filter(_.nonEmpty).map { l =>
+          val Array(p, o) = l.split("=", 2); p.toInt -> o.toLong
+        }.toMap
+      finally in.close()
+    } else {
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val hasSegments = fs.exists(dirPath) && fs.listStatus(dirPath)
+        .exists(_.getPath.getName.startsWith("partition="))
+      if (!hasSegments) Map.empty
+      else spark.read.parquet(dir)
+        .groupBy("partition").agg(max("offset").as("m"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1)).toMap
     }
-    val framed = records
-      .select(col("key").cast("binary").as("key"),
-        col("value").cast("binary").as("value"))
-      .withColumn("topic", lit(topic))
-      .withColumn("partition",
-        pmod(hash(col("key")), lit(nPartitions)).cast("int"))
-      .withColumn("offset",
-        baseCol + row_number().over(
-          Window.partitionBy("partition").orderBy("key", "value")) - 1)
-      .withColumn("timestamp", current_timestamp())
-      .withColumn("timestampType", lit(0)) // CreateTime
-    // directory-partitioned by `partition` (like a broker's per-partition
-    // segment dirs): exactly one segment FILE per partition per produce
-    // regardless of shuffle-task collisions, and consumers of a single
-    // partition prune at the directory level
-    framed.repartition(col("partition"))
-      .write.mode("append").partitionBy("partition").parquet(dir)
-    // advance the sidecar: next offset per partition (≤ nPartitions rows)
-    val next = framed.groupBy("partition").agg(max("offset").as("m"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1)).toMap
-    val merged = base ++ next
+  }
+
+  private def writeSidecar(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                           next: Map[Int, Long]): Unit = {
     val out = fs.create(offsetsPath(dir), true)
-    try out.write(merged.toSeq.sorted.map { case (p, o) => s"$p=$o" }
+    try out.write(next.toSeq.sorted.map { case (p, o) => s"$p=$o" }
       .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }

@@ -434,6 +434,54 @@ class CdcStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("FileTopic offsets: log is truth on sidecar loss, caller ordering wins, gaps tolerated") {
+    import graft.streaming.FileTopic
+    val root = java.nio.file.Files.createTempDirectory("graft_topic2").toString
+
+    // 1. sidecar lost → next produce rebuilds base offsets from the log:
+    // no (partition, offset) pair may repeat across the two epochs
+    val d1 = s"$root/t1"
+    def recs(kv: (String, String)*) = kv.toDF("key", "value")
+    FileTopic.produce(recs("k1" -> "a", "k2" -> "b", "k3" -> "c"), d1, "t", 2)
+    val fs = new org.apache.hadoop.fs.Path(d1)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(d1, "_graft_next_offsets"), false))
+    FileTopic.produce(recs("k1" -> "d", "k4" -> "e"), d1, "t", 2)
+    val log1 = spark.read.parquet(d1)
+    assert(log1.count() == 5L)
+    val dupPairs = log1.groupBy("partition", "offset").count()
+      .filter(col("count") > 1).count()
+    assert(dupPairs == 0L,
+      "sidecar loss produced duplicate (partition, offset) pairs")
+
+    // 2. ordering column: two records for ONE key in one produce whose
+    // byte order CONTRADICTS produce order — offsets must follow the
+    // caller's sequence, so offset-as-tieBreak picks the true last write
+    val d2 = s"$root/t2"
+    val seqRecs = Seq(("k9", "z-insert", 1L), ("k9", "a-update", 2L))
+      .toDF("key", "value", "seq")
+    FileTopic.produce(seqRecs, d2, "t", 1, ordering = Seq(col("seq")))
+    val byOff = spark.read.parquet(d2).orderBy("offset")
+      .select(col("value").cast("string")).as[String].collect()
+    assert(byOff.toSeq == Seq("z-insert", "a-update"),
+      s"offsets ignored the caller's sequence: $byOff")
+
+    // 3. reserved-but-unwritten offsets (crash between sidecar reserve
+    // and data append) leave a GAP; the next produce continues past it
+    // and a consumer never assumes density
+    val d3 = s"$root/t3"
+    FileTopic.produce(recs("k1" -> "a"), d3, "t", 1)
+    val sc = new org.apache.hadoop.fs.Path(d3, "_graft_next_offsets")
+    val out = fs.create(sc, true)
+    out.write("0=6".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close() // simulates a produce that reserved 5 offsets then died
+    FileTopic.produce(recs("k2" -> "b"), d3, "t", 1)
+    val offs3 = spark.read.parquet(d3).select("offset").as[Long].collect().sorted
+    assert(offs3.toSeq == Seq(0L, 6L), s"gap not preserved: ${offs3.toSeq}")
+    val dup3 = offs3.distinct.length == offs3.length
+    assert(dup3, "offset reuse across the simulated crash")
+  }
+
   test("session_window closes a session only after the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp)]
