@@ -24,6 +24,48 @@ object LlmQueries {
     */
   private val shingleMaxDf = 5
 
+  /** DuckDB rendering of Dedup.md5Hash32 / the md5-derived 32-bit token
+    * hash: first 8 hex chars of md5($e) as a BIGINT via the per-char
+    * polynomial (DuckDB has no conv()).
+    */
+  private def duckHex32(e: String): String =
+    "CAST(list_sum(list_transform(range(8), k -> " +
+      s"CAST(strpos('0123456789abcdef', md5($e)[1+k]) - 1 AS BIGINT) " +
+      "* (1::BIGINT << CAST(4*(7-k) AS INT)))) AS BIGINT)"
+
+  /** One persisted IVF index per dataset dir per JVM. In production the
+    * index is a long-lived table built by an offline job; here the
+    * memoization is what keeps `sim_ann_ivf_indexed` measuring the probe
+    * path (its point) instead of re-paying the build per invocation.
+    * Cached dirs are deleted on JVM exit.
+    */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private lazy val ivfCleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      ivfIndexCache.values.forEach { idx =>
+        val root = java.nio.file.Paths.get(idx).getParent
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator.asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: java.io.IOException => () } // best-effort
+      }
+    }))
+  }
+
+  private def ivfIndexFor(datasetDir: String,
+                          emb: org.apache.spark.sql.DataFrame): String = {
+    ivfCleanupHook
+    ivfIndexCache.computeIfAbsent(datasetDir, _ => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_ivf_idx").toString + "/index"
+      Similarity.ivfWriteIndex(emb, "vec_id", "embedding", idx, maxFit = 500L)
+      idx
+    })
+  }
+
   private val shingleCte =
     s"""WITH toks AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
@@ -82,6 +124,71 @@ object LlmQueries {
           "doc_id", "text", maxDist = 3)
         .orderBy(col("i"), col("j")),
       None),
+
+    // md5-twin of dedup_minhash_lsh: permutation hash = first 8 md5 hex
+    // chars, band key = comma-joined signature string — every stage
+    // (signatures → bands → candidate join → exact-Jaccard verify) is
+    // replayed verbatim by the oracle, so the LSH pipeline itself is
+    // hash-checked, not just recall-tested.
+    GQuery("dedup_minhash_md5",
+      (s, d) => Dedup.minhashLshPortable(Tables(s, d, "documents"),
+          "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.8,
+          maxDf = shingleMaxDf)
+        .orderBy(col("i"), col("j")),
+      Some(s"""$shingleCte,
+        sigs AS (
+          SELECT doc_id, i, min(${duckHex32("i::VARCHAR || ' ' || s")}) AS sig
+          FROM sh, range(16) r(i) GROUP BY doc_id, i),
+        bnd AS (
+          SELECT doc_id, i // 4 AS band,
+                 string_agg(sig::VARCHAR, ',' ORDER BY i) AS bv
+          FROM sigs GROUP BY doc_id, i // 4),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+          FROM bnd a JOIN bnd b
+            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        pairs AS (
+          SELECT c.i, c.j, count(*) AS common
+          FROM cands c
+          JOIN sh sa ON sa.doc_id = c.i
+          JOIN sh sb ON sb.doc_id = c.j AND sb.s = sa.s
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT i, j, common::DOUBLE / (ca.n + cb.n - common) AS jc
+          FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j)
+        SELECT i, j, round(jc, 6) AS jaccard FROM jac
+        WHERE jc >= 0.8 ORDER BY i, j""")),
+
+    // md5-twin of dedup_simhash: 32-bit fingerprints from md5-hashed
+    // tokens; pigeonhole bands (4 × 8 bits for maxDist 3) and popcount
+    // verify replayed exactly in the oracle.
+    GQuery("dedup_simhash_md5",
+      (s, d) => Dedup.simhashPairsPortable(Tables(s, d, "documents"),
+          "doc_id", "text", maxDist = 3)
+        .orderBy(col("i"), col("j")),
+      Some(s"""WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+          FROM documents),
+        h AS (SELECT doc_id, ${duckHex32("t")} AS h FROM toks),
+        bitsums AS (
+          SELECT doc_id, b,
+                 sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS c
+          FROM h, range(32) r(b) GROUP BY doc_id, b),
+        sims AS (
+          SELECT doc_id,
+                 sum(CASE WHEN c > 0 THEN (1::BIGINT << CAST(b AS INT))
+                     ELSE 0::BIGINT END) AS sh
+          FROM bitsums GROUP BY doc_id),
+        bnd AS (
+          SELECT doc_id, sh, c AS band, (sh >> CAST(c * 8 AS INT)) & 255 AS v
+          FROM sims, range(4) r(c)),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+                 a.sh AS si, b.sh AS sj
+          FROM bnd a JOIN bnd b
+            ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
+        SELECT i, j, CAST(bit_count(xor(si, sj)) AS INT) AS dist
+        FROM cands WHERE bit_count(xor(si, sj)) <= 3 ORDER BY i, j""")),
 
     // Embedding-cosine near-dup, exact all-pairs (oracle-checked). The
     // 0.4 threshold is tuned to this synthetic corpus (near-orthogonal
@@ -151,13 +258,15 @@ object LlmQueries {
     // index: inverted lists written partitionBy("list"), probes pushed as
     // a static partition filter so unprobed list dirs are never opened
     // (the 100 TB layout; PartitionFilters plan-asserted in LlmOpsSpec).
+    // The index is built ONCE per (session, dataset dir) and reused —
+    // repeated bench/verify invocations time the probe path the name
+    // promises, not index build, and /tmp doesn't accumulate a dir per
+    // run (the cached dirs are removed on JVM exit).
     // Approximate → rows-only; result ≡ sim_ann_ivf is spec-asserted.
     GQuery("sim_ann_ivf_indexed",
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
-        val idx = java.nio.file.Files
-          .createTempDirectory("graft_ivf_idx").toString + "/index"
-        Similarity.ivfWriteIndex(emb, "vec_id", "embedding", idx, maxFit = 500L)
+        val idx = ivfIndexFor(d, emb)
         Similarity.ivfProbeIndex(s, idx,
             emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 10)
           .orderBy(col("qid"), col("rn"))
