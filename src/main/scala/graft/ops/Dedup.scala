@@ -64,17 +64,29 @@ object Dedup {
       .distinct()
     val sh =
       if (maxDf == Int.MaxValue) sh0
-      else
-        // window count on `s` keeps the cap single-lineage: a
-        // groupBy+broadcast-anti-join variant re-derived the whole
-        // posting lineage for the hot set (ReuseExchange does not fire
-        // across the agg/broadcast boundary — verified in the plan)
-        sh0.withColumn("__df",
-            count(lit(1)).over(
-              org.apache.spark.sql.expressions.Window.partitionBy("s"))
-              .cast("int"))
-          .filter(col("__df") <= maxDf)
-          .drop("__df")
+      else {
+        // df via partial-agg'd groupBy, NOT a window on `s`: the window
+        // variant shuffled EVERY posting of a shingle into one task to
+        // count it, so a stop-phrase shingle present in half the corpus
+        // put half the corpus's postings in a single partition — an OOM
+        // at 100 TB (windows can't be skew-split by AQE). The groupBy
+        // sends one partial count per map partition per shingle through
+        // the exchange instead — skew-free by construction (ScaleSmoke's
+        // planted-hot-shingle curve). sh0 is persisted so the df pass
+        // and the anti-join probe share one materialization instead of
+        // re-deriving the shingling lineage (the exchange can't be
+        // reused across the partial-agg boundary); Spark's
+        // ContextCleaner unpersists it when the plan is dropped.
+        val sh0p = sh0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hot = sh0p.groupBy("s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf).select("s")
+        // `hot` holds only shingles with df > maxDf — tiny on any real
+        // corpus. No broadcast hint: AQE plans the anti-join as a
+        // broadcast when it is small and falls back to a skew-splittable
+        // shuffle join if an adversarial corpus makes it big.
+        sh0p.join(hot, Seq("s"), "left_anti")
+      }
     sh.withColumn("n_sh",
       count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
   }
@@ -103,6 +115,16 @@ object Dedup {
       .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Per-permutation shingle hash for the md5-twin variants: the first 8
+    * hex chars of md5("i s") as a 32-bit value. Twice the cost of
+    * xxhash64 and half the bits — the production path stays xxhash64; the
+    * md5 derivation exists so DuckDB (which lacks xxhash64) can replay
+    * signatures, bands and verification EXACTLY, turning the LSH family
+    * from rows-only into hash-checked oracles.
+    */
+  private[ops] def md5Hash32(prefix: Column, s: Column): Column =
+    conv(substring(md5(concat_ws(" ", prefix, s)), 1, 8), 16, 10).cast("long")
+
   /** MinHash signature columns: sig_k = min over shingles of
     * xxhash64(k, shingle). Pure built-ins, one explode + one groupBy.
     */
@@ -117,18 +139,27 @@ object Dedup {
     * `k/bands` rows; docs sharing any band bucket become candidates;
     * candidates are then verified with exact Jaccard (so output ⊆
     * jaccardPairs(threshold); recall < 1 is the LSH trade-off).
+    *
+    * `sigHash` is the per-permutation shingle hash (default xxhash64 —
+    * codegen'd, 64-bit); `bandKey` compacts one band's signature rows to
+    * a join key (default Murmur3 `hash`). [[minhashLshPortable]] swaps
+    * both for md5/string derivations DuckDB can replay — the PLAN is
+    * identical either way, only the hash kernels change.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  n: Int, k: Int, bands: Int, threshold: Double,
-                 maxDf: Int = Int.MaxValue): DataFrame = {
+                 maxDf: Int = Int.MaxValue,
+                 sigHash: (Int, Column) => Column =
+                   (i, s) => xxhash64(lit(i), s),
+                 bandKey: Seq[Column] => Column = cs => hash(cs: _*)): DataFrame = {
     val sh = invertedIndex(df, idCol, textCol, n, maxDf)
-    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"sig_$i"))
+    val aggs = (0 until k).map(i => min(sigHash(i, col("s"))).as(s"sig_$i"))
     // carry n_sh through the signature agg (functionally dependent on doc)
     val sigs = sh.groupBy("doc", "n_sh").agg(aggs.head, aggs.tail: _*)
     val rows = k / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        hash((b * rows until (b + 1) * rows).map(i => col(s"sig_$i")): _*).as("h"))
+        bandKey((b * rows until (b + 1) * rows).map(i => col(s"sig_$i"))).as("h"))
     }
     val buckets = sigs.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
     val cands = buckets.as("a").join(buckets.as("b"),
@@ -153,6 +184,20 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** md5-twin of [[minhashLsh]]: same plan, same bands/verify, but the
+    * permutation hash is [[md5Hash32]] and the band key is the
+    * comma-joined signature string — both replayable in DuckDB, so the
+    * full LSH pipeline (signatures → band buckets → candidate join →
+    * exact-Jaccard verify) is hash-checked against an oracle instead of
+    * rows-only.
+    */
+  def minhashLshPortable(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, k: Int, bands: Int, threshold: Double,
+                         maxDf: Int = Int.MaxValue): DataFrame =
+    minhashLsh(df, idCol, textCol, n, k, bands, threshold, maxDf,
+      sigHash = (i, s) => md5Hash32(lit(i), s),
+      bandKey = cs => concat_ws(",", cs: _*))
 
   /** Embedding-cosine near-duplicate pairs, exact: every (i < j) pair
     * with cosine ≥ threshold. The right side is broadcast, so this is a
@@ -211,13 +256,14 @@ object Dedup {
     * sign of Σ_tokens (bit b of xxhash64(token) ? +1 : -1). Built-ins
     * only: explode → per-bit contributions → groupBy sum → bit pack.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 64): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 64,
+              tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     // explode-then-filter keeps the tokenizer inside codegen (the array
     // `filter` HOF in [[tokens]] is CodegenFallback)
     val toks = df.select(col(idCol).as("doc"),
         explode(split(col(textCol), " ")).as("t"))
       .filter(col("t") =!= "")
-      .withColumn("h", xxhash64(col("t")))
+      .withColumn("h", tokenHash(col("t")))
     val contribs = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"c_$b")
     }
@@ -234,10 +280,11 @@ object Dedup {
     * then exact popcount verify.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int): DataFrame = {
+                   maxDist: Int, bits: Int = 64,
+                   tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val chunks = maxDist + 1
-    val width = 64 / chunks
-    val sh = simhash(df, idCol, textCol)
+    val width = bits / chunks
+    val sh = simhash(df, idCol, textCol, bits, tokenHash)
     val bandCols = (0 until chunks).map { c =>
       struct(lit(c).as("band"),
         shiftright(col("simhash"), c * width)
@@ -254,4 +301,14 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select("i", "j", "dist")
   }
+
+  /** md5-twin of [[simhashPairs]]: 32-bit fingerprints from
+    * [[md5Hash32]]-hashed tokens so DuckDB can replay fingerprints,
+    * pigeonhole bands and the popcount verify exactly. Same plan shape;
+    * 32 bits (vs 64) because the portable hash yields 32.
+    */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           maxDist: Int): DataFrame =
+    simhashPairs(df, idCol, textCol, maxDist, bits = 32,
+      tokenHash = t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
 }

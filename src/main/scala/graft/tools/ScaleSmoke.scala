@@ -63,6 +63,18 @@ object ScaleSmoke {
       println(f"SCALE $tag rows=$rows%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
 
+    // Adversarial df-skew: one 3-token phrase appended to every other
+    // document, so one shingle's posting list is 50% of the corpus (the
+    // stop-phrase case the df-cap exists for). The cap must drop it via
+    // the partial-agg'd groupBy + anti-join BEFORE any pair join; the
+    // hot curve tracking the unplanted one proves no stage is
+    // proportional to that posting list landing in one task.
+    def plantHot(df: DataFrame): DataFrame =
+      df.withColumn("text",
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" zqhot vxhot wkhot")))
+          .otherwise(col("text")))
+
     val docs = graft.util.Tables(spark, sfDir, "documents")
     val emb = graft.util.Tables(spark, sfDir, "embeddings")
     for (n <- reps) {
@@ -70,6 +82,9 @@ object ScaleSmoke {
       val e = replicateEmb(emb, n)
       timed(s"jaccard x$n")(
         graft.ops.Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.8, maxDf = 5).count())
+      timed(s"jaccard_hot x$n")(
+        graft.ops.Dedup.jaccardPairs(plantHot(d), "doc_id", "text", 3, 0.8,
+          maxDf = 5).count())
       timed(s"minhash_lsh x$n")(
         graft.ops.Dedup.minhashLsh(d, "doc_id", "text", 3, 16, 4, 0.8, maxDf = 5).count())
       timed(s"simhash x$n")(
