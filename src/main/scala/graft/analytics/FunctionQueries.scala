@@ -289,6 +289,62 @@ object FunctionQueries {
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
           / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Row generation: sequence + explode (generate_series twin) — every
+    // order key divisible by 100 expanded to a 3-day date range. The
+    // generator is per-row (map-side); no shuffle beyond the final sort.
+    GQuery("q57_sequence_explode",
+      (s, d) => Tables(s, d, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          explode(sequence(col("o_orderdate").cast("date"),
+            date_add(col("o_orderdate").cast("date"), 2))).as("day"))
+        .orderBy(col("o_orderkey"), col("day")),
+      Some("""SELECT o_orderkey,
+        CAST(unnest(generate_series(CAST(o_orderdate AS DATE),
+          CAST(o_orderdate AS DATE) + 2, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM orders WHERE o_orderkey % 100 = 0
+        ORDER BY o_orderkey, day""")),
+
+    // Bitwise + boolean aggregates (bit_and/or/xor, bool_and/or,
+    // count_if) — all order-insensitive, so partition-order safe.
+    GQuery("q58_bitbool_agg",
+      (s, d) => Tables(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(bit_and(col("user_id").cast("long")).as("ba"),
+          bit_or(col("user_id").cast("long")).as("bo"),
+          bit_xor(col("user_id").cast("long")).as("bx"),
+          bool_and(col("value") > 0).as("all_pos"),
+          bool_or(col("value") > 100).as("any_big"),
+          count_if(col("value") > 50).as("n_big"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+        bit_and(CAST(user_id AS BIGINT)) AS ba,
+        bit_or(CAST(user_id AS BIGINT)) AS bo,
+        bit_xor(CAST(user_id AS BIGINT)) AS bx,
+        bool_and(value > 0) AS all_pos,
+        bool_or(value > 100) AS any_big,
+        CAST(count_if(value > 50) AS BIGINT) AS n_big
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // regexp_extract_all + array slicing over the documents corpus
+    // (map-side scalar work; the text scan is the only cost).
+    GQuery("q59_regexp_extract",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"),
+          array_join(slice(
+            regexp_extract_all(col("text"), lit("[a-z]{6,}"), lit(0)),
+            1, 5), ",").as("long_words"),
+          size(regexp_extract_all(col("text"), lit("[a-z]{6,}"), lit(0)))
+            .as("n_long"))
+        .orderBy(col("doc_id")),
+      // COALESCE: DuckDB's slice of a no-match (empty) list is NULL and
+      // array_to_string propagates it; Spark's array_join of an empty
+      // array is '' — canonicalize to ''.
+      Some("""SELECT doc_id,
+        COALESCE(array_to_string(regexp_extract_all(text, '[a-z]{6,}')[1:5], ','), '') AS long_words,
+        CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS INT) AS n_long
+        FROM documents ORDER BY doc_id"""))
   )
 }

@@ -362,7 +362,102 @@ object RelationalQueries {
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_nationkey ORDER BY s_nationkey"""))
-  ) ++ Seq(bucketedJoin, correlatedSql)
+  ) ++ Seq(bucketedJoin, correlatedSql) ++ round4
+
+  /** TPC-H Q18 shape ("large-volume customers"): the heavy-order set is
+    * derived by a partial-agg'd groupBy on the fact table, so the only
+    * full shuffle is lineitem by l_orderkey; the filtered survivors are
+    * tiny, which AQE sees at runtime and broadcasts into the orders
+    * join, and the customer dim is broadcast outright — at 100 TB the
+    * plan stays one fact shuffle + two broadcasts.
+    */
+  private lazy val heavyGroupTopk = GQuery("q53_heavy_group_topk",
+    (s, d) => {
+      val big = Tables(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      Tables(s, d, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    },
+    Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN (SELECT l_orderkey,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey) b ON o_orderkey = b.l_orderkey
+      WHERE sum_qty > 250
+      ORDER BY o_totalprice DESC NULLS LAST, o_orderkey"""))
+
+  /** TPC-H Q21 shape (minus the missing receipt/commit dates): per
+    * lineitem, one EXISTS and one NOT EXISTS both correlated on the
+    * same order — Catalyst decorrelates them into a semi- and an
+    * anti-join on l_orderkey, no per-row re-execution (the SQL entry
+    * path is the point, as with q50).
+    */
+  private lazy val doubleCorrelated = GQuery("q54_exists_not_exists",
+    (s, d) => {
+      Tables(s, d, "supplier").createOrReplaceTempView("v_supplier")
+      Tables(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+      Tables(s, d, "orders").createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT s_name, COUNT(*) AS waitcount
+        FROM v_supplier, v_lineitem l1, v_orders
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM v_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM v_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+        ORDER BY waitcount DESC, s_name""")
+    },
+    Some("""SELECT s_name, COUNT(*) AS waitcount
+      FROM supplier, lineitem l1, orders
+      WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > l1.l_shipdate)
+      GROUP BY s_name
+      ORDER BY waitcount DESC NULLS LAST, s_name"""))
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT (top-2 suppliers
+    * per nation): Catalyst rewrites the per-row limit into a
+    * rank-filtered window join rather than re-running the subquery per
+    * outer row.
+    */
+  private lazy val lateralTopN = GQuery("q56_lateral_topn",
+    (s, d) => {
+      Tables(s, d, "nation").createOrReplaceTempView("v_nation")
+      Tables(s, d, "supplier").createOrReplaceTempView("v_supplier")
+      s.sql("""
+        SELECT n_name, t.s_name, t.s_acctbal
+        FROM v_nation, LATERAL (
+          SELECT s_name, s_acctbal FROM v_supplier
+          WHERE s_nationkey = n_nationkey
+          ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+        ORDER BY n_name, t.s_acctbal DESC, t.s_name""")
+    },
+    Some("""SELECT n_name, t.s_name, t.s_acctbal
+      FROM nation, LATERAL (
+        SELECT s_name, s_acctbal FROM supplier
+        WHERE s_nationkey = n_nationkey
+        ORDER BY s_acctbal DESC NULLS LAST, s_name LIMIT 2) t
+      ORDER BY n_name, t.s_acctbal DESC NULLS LAST, t.s_name"""))
+
+  private lazy val round4: Seq[GQuery] =
+    Seq(heavyGroupTopk, doubleCorrelated, lateralTopN)
 
   /** Correlated scalar subqueries through the SQL entry path: each order
     * compared against ITS customer's aggregate — Catalyst decorrelates

@@ -168,6 +168,32 @@ object WindowQueries {
         COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
         COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
         COUNT(*) FILTER (WHERE event_type = 'view') AS view
-        FROM events GROUP BY user_id ORDER BY user_id"""))
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // IGNORE NULLS analytics: per user, the previous and latest 'click'
+    // value as of each event — the standard gap-filling / last-observation-
+    // carried-forward idiom. Both engines skip the nulls the CASE plants
+    // on non-click rows.
+    GQuery("q55_ignore_nulls",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val clickVal = when(col("event_type") === "click", col("value"))
+        Tables(s, d, "events")
+          .withColumn("prev_click_val", lag(clickVal, 1, null, true).over(w))
+          .withColumn("last_click_val", last(clickVal, true).over(wRun))
+          .select("event_id", "user_id", "prev_click_val", "last_click_val")
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+        lag(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+          OVER w AS prev_click_val,
+        last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_val
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        ORDER BY user_id, event_id"""))
   )
 }
