@@ -273,6 +273,52 @@ object LlmQueries {
       },
       None),
 
+    // Deterministic train/valid/test assignment (80/10/10): a pure
+    // function of doc_id, so reruns, repartitions and corpus growth
+    // never move a document between splits (rand()-based sampling has
+    // none of those properties). Map-side only; oracle replays the md5
+    // bucket exactly.
+    GQuery("sample_hash_split",
+      (s, d) => Sampling.hashSplit(Tables(s, d, "documents"), "doc_id",
+          "graft", Seq("train" -> 8000, "valid" -> 1000, "test" -> 1000))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+        CASE WHEN ${duckHex32("'graft:' || doc_id")} % 10000 < 8000 THEN 'train'
+             WHEN ${duckHex32("'graft:' || doc_id")} % 10000 < 9000 THEN 'valid'
+             ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id""")),
+
+    // Content-stable 10% sample of the corpus by id hash.
+    GQuery("sample_hash_keep",
+      (s, d) => Sampling.hashSample(Tables(s, d, "documents"), "doc_id",
+          "keep", bps = 1000)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id FROM documents
+        WHERE ${duckHex32("'keep:' || doc_id")} % 10000 < 1000
+        ORDER BY doc_id""")),
+
+    // Exact 5% per event_type, chosen by hash rank within the stratum —
+    // per-group fraction is exact (ceil), assignment still deterministic.
+    GQuery("sample_stratified",
+      (s, d) => Sampling.stratifiedSample(Tables(s, d, "events"),
+          "event_id", "event_type", "strat", bps = 500)
+        .select(col("event_id"), col("event_type"))
+        .orderBy(col("event_type"), col("event_id")),
+      Some(s"""WITH h AS (
+          SELECT event_id, event_type,
+            ${duckHex32("'strat:' || event_id")} % 10000 AS b
+          FROM events),
+        r AS (
+          SELECT event_id, event_type,
+            row_number() OVER (PARTITION BY event_type ORDER BY b, event_id) AS rk,
+            count(*) OVER (PARTITION BY event_type) AS n
+          FROM h)
+        SELECT event_id, event_type FROM r
+        WHERE rk <= ceil(n * 500 / 10000.0)
+        ORDER BY event_type, event_id""")),
+
     GQuery("text_stats",
       (s, d) => TextAnalysis.stats(Tables(s, d, "documents"), "text")
         .select("doc_id", "n_bytes", "n_chars_m", "token_cnt", "uniq_tokens",

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-addressed sampling and split assignment for
+  * training-data pipelines (SURVEY.md §2B north-star ops).
+  *
+  * Why hash-based rather than `df.sample`/`rand`: a training corpus
+  * needs splits that are STABLE — the same document must land in the
+  * same split on every run, on any cluster size, after any repartition,
+  * and after incremental corpus growth (new docs never move old docs
+  * between splits). Seeded `rand()` gives none of that: it is
+  * partition-order dependent and reshuffles assignments when the input
+  * layout changes. Hashing the document id is the standard fix (the
+  * idiom behind TFDS/`datasets` split slicing): assignment is a pure
+  * function of the row, so it is reproducible, join-free, map-side and
+  * embarrassingly parallel at any scale.
+  *
+  * The hash is the first 8 hex chars of md5 (32 bits) — deliberately
+  * the portable derivation the md5-twin dedup ops use, so a DuckDB
+  * oracle replays assignments exactly; a salt string namespaces
+  * independent draws (different salt ⇒ independent split).
+  */
+object Sampling {
+
+  /** Uniform [0, 10000) bucket of a row id under a salt. */
+  private[ops] def hashBucket(idCol: Column, salt: String): Column =
+    pmod(conv(substring(md5(concat_ws(":", lit(salt), idCol.cast("string"))),
+      1, 8), 16, 10).cast("long"), lit(10000L))
+
+  /** Assign each row to a named split by basis-point weights, e.g.
+    * `Seq("train" -> 8000, "valid" -> 1000, "test" -> 1000)` (must sum
+    * to ≤ 10000; any remainder falls into the last split). Map-side
+    * only — no shuffle, no state, stable under corpus growth.
+    */
+  def hashSplit(df: DataFrame, idCol: String, salt: String,
+                splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 10000,
+      s"split weights must be basis points summing to <= 10000: $splits")
+    val b = hashBucket(col(idCol), salt)
+    val cums = splits.map(_._2).scanLeft(0)(_ + _).tail
+    val assigned = splits.zip(cums).init
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), cum), rest) => when(b < cum, name).otherwise(rest)
+      }
+    df.withColumn("split", assigned)
+  }
+
+  /** Keep a deterministic `bps`/10000 fraction of rows (content-stable
+    * sampling: the kept set is a pure function of ids, so reruns,
+    * repartitions and incremental appends agree on it).
+    */
+  def hashSample(df: DataFrame, idCol: String, salt: String,
+                 bps: Int): DataFrame =
+    df.filter(hashBucket(col(idCol), salt) < bps)
+
+  /** Deterministic stratified sample: the `bps`/10000 fraction of each
+    * group, rounded up, chosen by hash rank within the group. Unlike
+    * [[hashSample]] the per-group fraction is EXACT (ceil(n·f) rows per
+    * group, not binomial), at the cost of one shuffle on the group key
+    * — the window partitions by group, so skewed strata parallelize
+    * across groups and a hot group is one sort partition (acceptable:
+    * strata counts, unlike shingle df, are the caller's design choice).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, groupCol: String,
+                       salt: String, bps: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+    val rank = row_number().over(
+      w.orderBy(hashBucket(col(idCol), salt), col(idCol)))
+    df.withColumn("__rk", rank)
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__rk") <= ceil(col("__n") * bps / 10000.0))
+      .drop("__rk", "__n")
+  }
+}

@@ -254,4 +254,39 @@ class LlmOpsSpec extends AnyFunSuite {
       .filter(col("tb") =!= col("nb")).count()
     assert(mismatch == 0)
   }
+
+  test("hash split/sample: deterministic, partition-invariant, growth-stable, stratified-exact") {
+    import graft.ops.Sampling
+    val splits = Seq("train" -> 8000, "valid" -> 1000, "test" -> 1000)
+    val docs = spark.range(2000).toDF("doc_id")
+    def assign(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Sampling.hashSplit(df, "doc_id", "s", splits)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val a1 = assign(docs)
+    // partition layout must not change assignments (rand() would)
+    assert(assign(docs.repartition(13)) == a1)
+    // corpus growth must not move existing docs between splits
+    val aSub = assign(spark.range(500).toDF("doc_id"))
+    assert(aSub.forall { case (k, v) => a1(k) == v })
+    // proportions near the weights
+    val nTrain = a1.values.count(_ == "train")
+    assert(nTrain > 1500 && nTrain < 1700, s"train=$nTrain of 2000")
+    assert(a1.size == 2000) // total: every row assigned exactly once
+    // hashSample: kept set is a subset invariant and ~bps sized
+    val kept = Sampling.hashSample(docs, "doc_id", "k", 1000)
+      .as[Long].collect().toSet
+    val kept2 = Sampling.hashSample(docs.repartition(7), "doc_id", "k", 1000)
+      .as[Long].collect().toSet
+    assert(kept == kept2)
+    assert(kept.size > 140 && kept.size < 260, s"kept=${kept.size} of 2000")
+    // stratified: EXACT ceil(n*f) per group, deterministic
+    val grouped = spark.range(1000).toDF("id")
+      .withColumn("g", (col("id") % 3).cast("string"))
+    val got = Sampling.stratifiedSample(grouped, "id", "g", "st", 500)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    val sizes = grouped.groupBy("g").count().as[(String, Long)].collect().toMap
+    sizes.foreach { case (g, n) =>
+      assert(got(g) == math.ceil(n * 0.05).toLong, s"group $g: ${got(g)} of $n")
+    }
+  }
 }
