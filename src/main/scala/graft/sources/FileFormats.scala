@@ -71,8 +71,63 @@ object FileFormats {
       Some("""SELECT user_id, COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events WHERE event_type = 'click'
-        GROUP BY user_id ORDER BY user_id"""))
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // Opaque-binary ingestion, the front door of the multimodal
+    // pipeline: raw payload files on disk → `binaryFile` source →
+    // (id, length, digest) rows. The oracle never sees the files — it
+    // recomputes length and md5 from the source table the files were
+    // materialized from, so the whole write→list→read→parse path is
+    // what is being checked. binaryFile scans are splittable by FILE
+    // (one task per file group), the natural unit for media blobs; the
+    // pathGlobFilter keeps sidecar/marker files out of the scan.
+    GQuery("fmt_binary_files",
+      (s, d) => {
+        val dir = writePayloadFiles(s, d)
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.bin")
+          .load(dir)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+              .cast("long").as("doc_id"),
+            col("length").cast("int").as("n_bytes"),
+            md5(col("content")).as("digest"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        md5(text) AS digest
+        FROM documents WHERE doc_id < 64 ORDER BY doc_id"""))
   )
+
+  /** Materialize the first 64 documents as one raw .bin file each under
+    * a stable temp path (same rebuild-on-sf-change discipline as
+    * [[writePartitionedEvents]]). Files are written from the executors
+    * via foreachPartition — the driver never holds payloads.
+    */
+  def writePayloadFiles(s: org.apache.spark.sql.SparkSession,
+                        d: String): String = {
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_bin_files")
+    val path = new java.io.File(base, "data").getAbsolutePath
+    val marker = new java.io.File(base, ".sfdir").toPath
+    if (java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker) == d) return path
+    java.nio.file.Files.deleteIfExists(marker)
+    val dir = new java.io.File(path)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    Tables(s, d, "documents").filter(col("doc_id") < 64)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(path, s"doc_${r.getLong(0)}.bin"),
+            r.getAs[Array[Byte]]("payload"))
+        }
+      }
+    java.nio.file.Files.writeString(marker, d)
+    path
+  }
 
   /** Write events partitioned by event_type under a stable temp path
     * (rebuilt only when absent or the scale factor changed — same
