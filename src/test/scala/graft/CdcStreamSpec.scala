@@ -482,6 +482,43 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(dup3, "offset reuse across the simulated crash")
   }
 
+  test("PipelineMonitor captures per-batch progress rows with state counts (O23)") {
+    import graft.streaming.PipelineMonitor
+    implicit val sqlCtx = spark.sqlContext
+    val monitor = new PipelineMonitor(maxBatches = 2)
+    spark.streams.addListener(monitor)
+    try {
+      val input = MemoryStream[(String, Int)]
+      val agg = input.toDF().toDF("k", "v")
+        .groupBy("k").agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.outputMode("update")
+        .format("memory").queryName("mon_out").start()
+      try {
+        input.addData(("a", 1), ("b", 2)); q.processAllAvailable()
+        input.addData(("a", 3)); q.processAllAvailable()
+        input.addData(("c", 4)); q.processAllAvailable()
+      } finally q.stop()
+      // listener bus is async — poll for delivery
+      val runId = q.runId.toString
+      def mine = monitor.batches.filter(b =>
+        b.runId == runId && b.numInputRows > 0)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (mine.size < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      val got = mine
+      // ring bound: 3 data batches ran, only maxBatches=2 retained
+      assert(got.size == 2, s"expected 2 retained batches, got ${got.size}")
+      assert(got.forall(_.batchDurationMs >= 0))
+      // the retained (latest) batches each carried one row, and the
+      // stateful agg reports its state rows (grows a->b->c keys to 3)
+      assert(got.map(_.numInputRows).sum == 2L)
+      assert(got.last.stateRows == 3L,
+        s"state rows: ${got.map(_.stateRows)}")
+      assert(monitor.startedCount >= 1 && monitor.terminatedCount >= 1)
+      // the monitoring "table" is queryable like any DataFrame
+      assert(monitor.toDF(spark).filter(col("runId") === runId).count() == 2)
+    } finally spark.streams.removeListener(monitor)
+  }
+
   test("session_window closes a session only after the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp)]
