@@ -273,6 +273,49 @@ object LlmQueries {
       },
       None),
 
+    // Concat-and-chunk sequence packing (GPT-style pretraining layout):
+    // per-shard prefix sums assign every document a start offset and
+    // ctx-window; shards (md5-derived, portable) are the parallelism
+    // knob — no global serial pass. Oracle replays shard, offset and
+    // window assignment exactly.
+    GQuery("pack_sequences",
+      (s, d) => Packing.concatChunk(Tables(s, d, "documents"), "doc_id",
+          size(TextAnalysis.tokens(col("text"))), ctx = 512, shards = 8)
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("start_off"), col("bin"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id,
+          CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+          CAST((${duckHex32("'pack:' || doc_id")} % 10000) % 8 AS INT) AS shard
+        FROM documents),
+        c AS (SELECT doc_id, shard, n_tokens,
+          CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_off
+        FROM t)
+        SELECT doc_id, shard, n_tokens, start_off,
+          CAST(floor(start_off / 512.0) AS BIGINT) AS bin
+        FROM c ORDER BY doc_id""")),
+
+    // Packing-efficiency readout: documents started and tokens begun
+    // per ctx-window.
+    GQuery("pack_bin_stats",
+      (s, d) => Packing.binStats(
+          Packing.concatChunk(Tables(s, d, "documents"), "doc_id",
+            size(TextAnalysis.tokens(col("text"))), ctx = 512, shards = 8),
+          ctx = 512)
+        .orderBy(col("shard"), col("bin")),
+      Some(s"""WITH t AS (SELECT doc_id,
+          CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+          CAST((${duckHex32("'pack:' || doc_id")} % 10000) % 8 AS INT) AS shard
+        FROM documents),
+        c AS (SELECT doc_id, shard, n_tokens,
+          CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_off
+        FROM t)
+        SELECT shard, CAST(floor(start_off / 512.0) AS BIGINT) AS bin,
+          COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_started
+        FROM c GROUP BY shard, bin ORDER BY shard, bin""")),
+
     // Deterministic train/valid/test assignment (80/10/10): a pure
     // function of doc_id, so reruns, repartitions and corpus growth
     // never move a document between splits (rand()-based sampling has
