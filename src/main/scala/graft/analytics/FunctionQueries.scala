@@ -345,6 +345,24 @@ object FunctionQueries {
       Some("""SELECT doc_id,
         COALESCE(array_to_string(regexp_extract_all(text, '[a-z]{6,}')[1:5], ','), '') AS long_words,
         CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS INT) AS n_long
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // Semi-structured VARIANT path (Spark 4): parse once into the binary
+    // variant encoding, then typed extraction — the modern alternative
+    // to per-field get_json_object string re-parsing (one parse, many
+    // typed reads; the open-format answer to a JSON column at scale).
+    GQuery("q60_variant_json",
+      (s, d) => Tables(s, d, "events")
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          try_variant_get(col("v"), "$.k", "int").as("k"),
+          try_variant_get(col("v"), "$.missing", "int").as("absent"),
+          is_variant_null(col("v")).as("is_null"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+        CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        CAST(json_extract_string(props, '$.missing') AS INT) AS absent,
+        false AS is_null
+        FROM events ORDER BY event_id"""))
   )
 }

@@ -482,6 +482,31 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(dup3, "offset reuse across the simulated crash")
   }
 
+  test("envelope parse survives producer schema evolution (new field: old consumer ignores, evolved consumer backfills)") {
+    import org.apache.spark.sql.types._
+    // A Debezium topic evolves in place: the producer adds a column and
+    // old + new envelope versions coexist in the log. An old-schema
+    // consumer must keep parsing (unknown fields ignored — from_json is
+    // non-strict); an evolved-schema consumer must read old records
+    // with the new column null-backfilled. Neither direction may drop
+    // rows (the O12 skip is for MALFORMED payloads only).
+    val vOld = StructType(Seq(
+      StructField("id", LongType), StructField("state", StringType)))
+    val vNew = vOld.add(StructField("region", StringType))
+    val raw = Seq(
+      """{"op":"c","ts_ms":1,"after":{"id":1,"state":"NEW"}}""",
+      """{"op":"c","ts_ms":2,"after":{"id":2,"state":"OK","region":"eu"}}""",
+      """{not json""").toDF("value")
+    val oldSeen = Envelope.parse(raw, vOld)
+      .select(col("after.id"), col("after.state"))
+      .as[(Long, String)].collect().toSet
+    assert(oldSeen == Set((1L, "NEW"), (2L, "OK")))
+    val newSeen = Envelope.parse(raw, vNew)
+      .select(col("after.id"), col("after.region"))
+      .as[(Long, Option[String])].collect().toSet
+    assert(newSeen == Set((1L, None), (2L, Some("eu"))))
+  }
+
   test("PipelineMonitor captures per-batch progress rows with state counts (O23)") {
     import graft.streaming.PipelineMonitor
     implicit val sqlCtx = spark.sqlContext
