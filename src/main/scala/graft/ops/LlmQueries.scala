@@ -430,6 +430,29 @@ object LlmQueries {
           FROM documents ORDER BY doc_id"""
       }),
 
+    // Corpus-statistical quality: average unigram surprisal under the
+    // corpus's own token distribution (cheap LM filter). Per-token
+    // surprisal quantized to DECIMAL(28,9) before the sum so the
+    // aggregate is exact/commutative — bit-identical to the oracle.
+    GQuery("text_unigram_surprisal",
+      (s, d) => TextAnalysis.unigramSurprisal(
+          Tables(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+          FROM documents),
+        perdoc AS (SELECT doc_id, t, count(*) AS k FROM toks GROUP BY doc_id, t),
+        freq AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+        tot AS (SELECT count(*) AS total FROM toks),
+        scored AS (
+          SELECT doc_id, k,
+            CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1e6) AS BIGINT) AS nlp_u
+          FROM perdoc JOIN freq USING (t), tot)
+        SELECT doc_id, CAST(sum(k) AS INT) AS n_tokens,
+          CAST(sum(k * nlp_u) AS DOUBLE) / (sum(k) * 1e6) AS surprisal
+        FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
     GQuery("text_fingerprint",
       (s, d) => Tables(s, d, "documents")
         .select(col("doc_id"),

@@ -104,6 +104,45 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** Corpus-statistical quality score: average unigram surprisal
+    * (negative log probability) of a document's tokens under the
+    * corpus's own unigram distribution — the classic cheap
+    * language-model filter (gibberish/OCR noise scores high, common
+    * prose low).
+    *
+    * Scale design: the pipeline is (1) per-(doc, token) counts — a
+    * partial-agg'd groupBy, so a stop-token's postings never land in
+    * one task; (2) corpus df per token — same partial-agg pattern;
+    * (3) a join on token (hot tokens stream through the probe side and
+    * AQE skew-splits if needed) + a 1-row broadcast of the total; (4) a
+    * per-doc sum. Determinism: each token's surprisal is rounded to
+    * 9 decimals and summed as DECIMAL(28,9) — exact and commutative, so
+    * partition order can't perturb the result and the DuckDB oracle
+    * reproduces it bit-for-bit (raw double sums would be
+    * iteration-order-dependent).
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val perDoc = toks.groupBy("doc", "t").agg(count(lit(1)).as("k"))
+    val freq = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    perDoc.join(freq, "t").crossJoin(broadcast(total))
+      // fixed-point micro-nats via floor, NOT round/decimal-cast: Spark
+      // rounds a double's shortest decimal rendering while DuckDB rounds
+      // the binary value, so round() disagrees at half boundaries;
+      // floor(x*1e6) is a step function both engines evaluate on the
+      // identical IEEE double
+      .withColumn("nlp_u",
+        floor(-log(col("cnt").cast("double") / col("total")) * 1e6).cast("long"))
+      .groupBy("doc")
+      .agg(sum(col("k")).cast("int").as("n_tokens"),
+        // integer sum is exact/commutative; one final IEEE division
+        (sum(col("k") * col("nlp_u")).cast("double") /
+          (sum(col("k")) * lit(1e6))).as("surprisal"))
+  }
+
   /** Stopword-hit language ID: score each candidate language by how many
     * tokens hit its stopword list; argmax wins, first-listed wins ties.
     * (The classic cheap heuristic; on synthetic single-vocab corpora it
