@@ -482,6 +482,34 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(dup3, "offset reuse across the simulated crash")
   }
 
+  test("Trigger.AvailableNow drains the topic in rate-limited batches then terminates (O10)") {
+    import graft.streaming.FileTopic
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_avail").toString
+    val topicDir = s"$root/t"
+    def recs(ids: Range, tag: String) =
+      ids.map(i => (s"k$i", tag)).toDF("key", "value")
+    FileTopic.produce(recs(0 until 6, "a"), topicDir, "t", nPartitions = 4)
+    FileTopic.produce(recs(6 until 12, "b"), topicDir, "t", nPartitions = 4)
+    val batches = new java.util.concurrent.atomic.AtomicInteger
+    val rows = new java.util.concurrent.atomic.AtomicLong
+    val q = FileTopic.source(spark, topicDir, maxFilesPerTrigger = Some(2))
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()) // drain-and-stop, still paced
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) { batches.incrementAndGet(); rows.addAndGet(b.count()) }
+        ()
+      }
+      .start()
+    // AvailableNow terminates on its own once the backlog is drained —
+    // no q.stop(); that IS the contract under test
+    assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
+    assert(rows.get() == 12L, s"drained ${rows.get()} of 12 rows")
+    // 8 segment files at 2 per trigger ⇒ several paced batches, not one
+    assert(batches.get() >= 3, s"pacing yielded only ${batches.get()} batches")
+  }
+
   test("envelope parse survives producer schema evolution (new field: old consumer ignores, evolved consumer backfills)") {
     import org.apache.spark.sql.types._
     // A Debezium topic evolves in place: the producer adds a column and

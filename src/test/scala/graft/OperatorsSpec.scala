@@ -210,6 +210,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map("k1" -> "v1", "k2" -> "v2"))
   }
 
+  test("catalog introspection exposes registered tables and their schemas (O4)") {
+    // The reference's O4 is psql-side introspection (\dt / information
+    // schema); the engine-side equivalent is the Spark catalog. Assert
+    // the surface actually answers: session catalog lists registered
+    // views, listColumns matches the parquet schema, and SQL-side
+    // DESCRIBE agrees with the DataFrame schema.
+    val d = GraftSpark.sfDir
+    graft.util.Tables(spark, d, "lineitem").createOrReplaceTempView("v_introspect")
+    assert(spark.catalog.tableExists("v_introspect"))
+    assert(spark.catalog.listTables().collect().exists(_.name == "v_introspect"))
+    val cols = spark.catalog.listColumns("v_introspect")
+      .collect().map(c => c.name -> c.dataType).toMap
+    assert(cols("l_orderkey") == "bigint" && cols("l_quantity") == "double"
+      && cols("l_shipdate") == "timestamp_ntz", s"unexpected schema: $cols")
+    val described = spark.sql("DESCRIBE v_introspect")
+      .select("col_name", "data_type").as[(String, String)].collect().toMap
+    assert(described == cols.map(identity),
+      "DESCRIBE and catalog.listColumns disagree")
+    spark.catalog.dropTempView("v_introspect")
+  }
+
   test("registered query names are unique") {
     // a duplicate name silently drops a query in the driver-facing map
     val names = SparkEntry.allQueries.map(_.name)
