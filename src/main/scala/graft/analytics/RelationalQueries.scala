@@ -456,8 +456,34 @@ object RelationalQueries {
         ORDER BY s_acctbal DESC NULLS LAST, s_name LIMIT 2) t
       ORDER BY n_name, t.s_acctbal DESC NULLS LAST, t.s_name"""))
 
+  /** Multiset (bag) set operations — INTERSECT ALL / EXCEPT ALL keep
+    * duplicate multiplicities, which the q22/q23 set variants erase;
+    * multiplicities per value are compared exactly.
+    */
+  private lazy val multisetOps = GQuery("q61_multiset_ops",
+    (s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val r = li.filter(col("l_returnflag") === "R").select(col("l_quantity"))
+      val a = li.filter(col("l_returnflag") === "A").select(col("l_quantity"))
+      r.intersectAll(a).withColumn("setop", lit("intersect_all"))
+        .unionByName(r.exceptAll(a).withColumn("setop", lit("except_all")))
+        .groupBy(col("setop"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("setop"), col("l_quantity"))
+    },
+    Some("""WITH r AS (SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'),
+      a AS (SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A'),
+      u AS (
+        SELECT 'intersect_all' AS setop, l_quantity
+        FROM (SELECT * FROM r INTERSECT ALL SELECT * FROM a)
+        UNION ALL
+        SELECT 'except_all' AS setop, l_quantity
+        FROM (SELECT * FROM r EXCEPT ALL SELECT * FROM a))
+      SELECT setop, l_quantity, COUNT(*) AS n FROM u
+      GROUP BY setop, l_quantity ORDER BY setop, l_quantity"""))
+
   private lazy val round4: Seq[GQuery] =
-    Seq(heavyGroupTopk, doubleCorrelated, lateralTopN)
+    Seq(heavyGroupTopk, doubleCorrelated, lateralTopN, multisetOps)
 
   /** Correlated scalar subqueries through the SQL entry path: each order
     * compared against ITS customer's aggregate — Catalyst decorrelates

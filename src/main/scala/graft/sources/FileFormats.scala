@@ -52,6 +52,41 @@ object FileFormats {
       },
       Some("SELECT * FROM supplier ORDER BY s_suppkey")),
 
+    // Line-oriented text: the rawest ingestion format an LLM corpus
+    // arrives in (one document per line). Newline-free corpus asserted
+    // by construction of the testdata; ids re-derived by content join
+    // against the source table so the roundtrip is content-checked.
+    GQuery("fmt_text_roundtrip",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val path = tmp("graft_text")
+        docs.select(col("text")).write.mode("overwrite").text(path)
+        s.read.text(path)
+          .join(docs, col("value") === col("text"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+          .orderBy(col("doc_id"))
+      },
+      // duplicate texts match each other's lines both ways: the group
+      // count for doc d = (# docs sharing d's text); mirror by joining
+      // the table to itself on text
+      Some("""SELECT a.doc_id, COUNT(*) AS n
+        FROM documents a JOIN documents b ON a.text = b.text
+        GROUP BY a.doc_id ORDER BY a.doc_id""")),
+
+    // XML (built-in source since Spark 4): write a projection with a
+    // row tag, read it back with an explicit schema.
+    GQuery("fmt_xml_roundtrip",
+      (s, d) => {
+        val nation = Tables(s, d, "nation")
+        val path = tmp("graft_xml")
+        nation.write.mode("overwrite").option("rowTag", "nation")
+          .format("xml").save(path)
+        s.read.schema(nation.schema).option("rowTag", "nation")
+          .format("xml").load(path)
+          .orderBy(col("n_nationkey"))
+      },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
     // Directory-partitioned layout + partition pruning: events written
     // partitionBy(event_type); the filtered read prunes at FILE LISTING
     // time (PartitionFilters in the scan, one directory of five read —
