@@ -347,6 +347,42 @@ object FunctionQueries {
         CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS INT) AS n_long
         FROM documents ORDER BY doc_id""")),
 
+    // Array higher-order functions over the embedding vectors:
+    // transform / zip_with / aggregate / exists / forall — the pure-SQL
+    // expression of the vector math the native CosineSimilarity kernel
+    // does in codegen (HOFs are CodegenFallback, hence the kernel; this
+    // query pins the SEMANTICS against DuckDB's list functions).
+    GQuery("q62_hof_vectors",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings").filter(col("vec_id") % 50 === 0)
+        val v = col("embedding")
+        val dot = aggregate(
+          zip_with(v, reverse(v), (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+        val norm2 = aggregate(
+          transform(v, x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+        emb.select(col("vec_id"),
+            round(dot, 6).as("dot_rev"),
+            round(norm2, 6).as("norm2"),
+            exists(v, x => x.cast("double") > 0.2).as("has_big"),
+            forall(v, x => abs(x.cast("double")) <= 1.0).as("unit_bounded"))
+          .orderBy(col("vec_id"))
+      },
+      // list_reduce needs the init prepended; sequential fold order
+      // matches Spark's aggregate (left fold), so doubles agree
+      Some("""SELECT vec_id,
+        round(list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(list_zip(embedding, list_reverse(embedding)),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+          (acc, x) -> acc + x), 6) AS dot_rev,
+        round(list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+          (acc, x) -> acc + x), 6) AS norm2,
+        len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.2)) > 0 AS has_big,
+        len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) > 1.0)) = 0 AS unit_bounded
+        FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_id""")),
+
     // Semi-structured VARIANT path (Spark 4): parse once into the binary
     // variant encoding, then typed extraction — the modern alternative
     // to per-field get_json_object string re-parsing (one parse, many
