@@ -228,6 +228,43 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER join null-pads both sides past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[(String, java.sql.Timestamp)]
+    val right = MemoryStream[(String, java.sql.Timestamp)]
+    val l = left.toDF().toDF("k", "lts").withWatermark("lts", "5 minutes")
+    val r = right.toDF().toDF("rk", "rts").withWatermark("rts", "5 minutes")
+    val joined = l.join(r,
+      col("k") === col("rk") &&
+        col("rts") >= col("lts") && col("rts") <= col("lts") + expr("INTERVAL 10 minutes"),
+      "fullOuter")
+    val q = joined.writeStream.format("memory").queryName("fsj_out")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // "a" matches; "b" is left-only; "c" is right-only
+      left.addData(("a", t("2024-01-01 00:00:00")), ("b", t("2024-01-01 00:01:00")))
+      right.addData(("a", t("2024-01-01 00:02:00")), ("c", t("2024-01-01 00:03:00")))
+      q.processAllAvailable()
+      // push the watermark far past the join window on BOTH inputs so
+      // each side's unmatched rows become provably unmatchable
+      left.addData(("w1", t("2024-01-01 02:00:00")))
+      right.addData(("w2", t("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      left.addData(("w3", t("2024-01-01 04:00:00")))
+      right.addData(("w4", t("2024-01-01 04:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("fsj_out")
+        .select(col("k"), col("rk"))
+        .collect().map(r => Option(r.getString(0)) -> Option(r.getString(1)))
+      assert(got.contains(Some("a") -> Some("a")))
+      assert(got.contains(Some("b") -> None),
+        s"left-only row not null-padded: ${got.toSeq}")
+      assert(got.contains(None -> Some("c")),
+        s"right-only row not null-padded: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("tumbling-window agg with watermark drops late rows (§2B streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, Double)]
