@@ -29,7 +29,8 @@ object PipelineMonitor {
                            timestamp: String, numInputRows: Long,
                            inputRowsPerSecond: Double,
                            processedRowsPerSecond: Double,
-                           batchDurationMs: Long, stateRows: Long)
+                           batchDurationMs: Long, stateRows: Long,
+                           observed: Map[String, String])
 }
 
 class PipelineMonitor(maxBatches: Int = 1024) extends StreamingQueryListener {
@@ -51,10 +52,20 @@ class PipelineMonitor(maxBatches: Int = 1024) extends StreamingQueryListener {
       if (p.stateOperators == null) 0L
       else p.stateOperators.map(_.numRowsTotal).sum
     def finite(d: Double) = if (d.isNaN || d.isInfinite) 0.0 else d
+    // Dataset.observe metrics ride on the same progress event — the
+    // engine's hook for caller-defined per-batch data quality counters
+    // (e.g. malformed-row counts) with no extra pass over the data
+    val observed: Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      p.observedMetrics.asScala.toSeq.flatMap { case (name, row) =>
+        row.schema.fieldNames.toSeq.map(f =>
+          s"$name.$f" -> String.valueOf(row.getAs[Any](f)))
+      }.toMap
+    }
     buf.addLast(BatchProgress(
       p.id.toString, p.runId.toString, p.batchId, p.timestamp,
       p.numInputRows, finite(p.inputRowsPerSecond),
-      finite(p.processedRowsPerSecond), p.batchDuration, stateRows))
+      finite(p.processedRowsPerSecond), p.batchDuration, stateRows, observed))
     while (buf.size > maxBatches) buf.pollFirst() // ring: drop oldest
   }
 

@@ -580,6 +580,8 @@ class CdcStreamSpec extends AnyFunSuite {
     try {
       val input = MemoryStream[(String, Int)]
       val agg = input.toDF().toDF("k", "v")
+        .observe("graft_metrics", count(lit(1)).as("rows_seen"),
+          sum(col("v")).as("v_sum"))
         .groupBy("k").agg(count(lit(1)).as("n"))
       val q = agg.writeStream.outputMode("update")
         .format("memory").queryName("mon_out").start()
@@ -603,6 +605,11 @@ class CdcStreamSpec extends AnyFunSuite {
       assert(got.map(_.numInputRows).sum == 2L)
       assert(got.last.stateRows == 3L,
         s"state rows: ${got.map(_.stateRows)}")
+      // Dataset.observe metrics ride on the same progress rows: the
+      // last batch carried ("c", 4)
+      assert(got.last.observed("graft_metrics.rows_seen") == "1" &&
+        got.last.observed("graft_metrics.v_sum") == "4",
+        s"observed: ${got.last.observed}")
       assert(monitor.startedCount >= 1 && monitor.terminatedCount >= 1)
       // the monitoring "table" is queryable like any DataFrame
       assert(monitor.toDF(spark).filter(col("runId") === runId).count() == 2)
