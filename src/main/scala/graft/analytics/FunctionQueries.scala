@@ -347,6 +347,40 @@ object FunctionQueries {
         CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS INT) AS n_long
         FROM documents ORDER BY doc_id""")),
 
+    // Null-semantics battery: coalesce / nullif / null-safe equality.
+    // Spark's <=> is DuckDB's IS NOT DISTINCT FROM; grouping/distinct
+    // treat NULL as one key in both engines (asserted by the group
+    // count in n_by_key).
+    GQuery("q63_null_semantics",
+      (s, d) => {
+        val e = Tables(s, d, "events")
+        val v = when(col("event_type") === "error", lit(null))
+          .otherwise(col("value"))
+        e.select(col("event_id"), v.as("v"))
+          .withColumn("v_coal", coalesce(col("v"), lit(-1.0)))
+          .withColumn("self_nullsafe", col("v") <=> col("v"))
+          .withColumn("zero_if_neg", nullif(col("v_coal"), lit(-1.0)))
+          .groupBy(col("v").isNull.as("is_missing"))
+          .agg(count(lit(1)).as("n_by_key"),
+            count(col("v")).as("n_nonnull"),
+            count_if(col("self_nullsafe")).as("n_selfsafe"),
+            count_if(col("zero_if_neg").isNull).as("n_nulled"))
+          .orderBy(col("is_missing"))
+      },
+      Some("""WITH b AS (
+          SELECT event_id,
+            CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+          FROM events),
+        w AS (SELECT event_id, v, coalesce(v, -1.0) AS v_coal,
+            (v IS NOT DISTINCT FROM v) AS self_nullsafe,
+            nullif(coalesce(v, -1.0), -1.0) AS zero_if_neg
+          FROM b)
+        SELECT (v IS NULL) AS is_missing, COUNT(*) AS n_by_key,
+          COUNT(v) AS n_nonnull,
+          CAST(count_if(self_nullsafe) AS BIGINT) AS n_selfsafe,
+          CAST(count_if(zero_if_neg IS NULL) AS BIGINT) AS n_nulled
+        FROM w GROUP BY is_missing ORDER BY is_missing""")),
+
     // Array higher-order functions over the embedding vectors:
     // transform / zip_with / aggregate / exists / forall — the pure-SQL
     // expression of the vector math the native CosineSimilarity kernel
