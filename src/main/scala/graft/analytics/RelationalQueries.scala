@@ -482,8 +482,39 @@ object RelationalQueries {
       SELECT setop, l_quantity, COUNT(*) AS n FROM u
       GROUP BY setop, l_quantity ORDER BY setop, l_quantity"""))
 
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): a bounded reachability
+    * walk over a key-derived edge relation (nationkey → nationkey+5,
+    * i.e. hop to the same position in the next region) — the iterate-
+    * until-fixpoint surface (org charts, BOM explosions, graph
+    * closures) that plain joins can't express.
+    */
+  private lazy val recursiveCte = GQuery("q64_recursive_cte",
+    (s, d) => {
+      Tables(s, d, "nation").createOrReplaceTempView("v_nation")
+      s.sql("""
+        WITH RECURSIVE chain(start_key, cur_key, depth) AS (
+          SELECT n_nationkey, n_nationkey, 0 FROM v_nation
+          UNION ALL
+          SELECT c.start_key, n.n_nationkey, c.depth + 1
+          FROM chain c JOIN v_nation n ON n.n_nationkey = c.cur_key + 5
+          WHERE c.depth < 10)
+        SELECT start_key, CAST(max(depth) AS INT) AS chain_len,
+               max(cur_key) AS last_key
+        FROM chain GROUP BY start_key ORDER BY start_key""")
+    },
+    Some("""WITH RECURSIVE chain(start_key, cur_key, depth) AS (
+        SELECT n_nationkey, n_nationkey, 0 FROM nation
+        UNION ALL
+        SELECT c.start_key, n.n_nationkey, c.depth + 1
+        FROM chain c JOIN nation n ON n.n_nationkey = c.cur_key + 5
+        WHERE c.depth < 10)
+      SELECT start_key, CAST(max(depth) AS INT) AS chain_len,
+             max(cur_key) AS last_key
+      FROM chain GROUP BY start_key ORDER BY start_key"""))
+
   private lazy val round4: Seq[GQuery] =
-    Seq(heavyGroupTopk, doubleCorrelated, lateralTopN, multisetOps)
+    Seq(heavyGroupTopk, doubleCorrelated, lateralTopN, multisetOps,
+      recursiveCte)
 
   /** Correlated scalar subqueries through the SQL entry path: each order
     * compared against ITS customer's aggregate — Catalyst decorrelates
