@@ -512,9 +512,78 @@ object RelationalQueries {
              max(cur_key) AS last_key
       FROM chain GROUP BY start_key ORDER BY start_key"""))
 
+  /** TPC-H Q2 shape (no partsupp in the testdata — lineitem stands in as
+    * the part↔supplier price relation): pick, per small part, every
+    * supplier whose price equals the part's global minimum. Catalyst
+    * decorrelates the `= (SELECT min ...)` into a per-part aggregate +
+    * equi-join — one lineitem shuffle on l_partkey feeds both the min
+    * and the match, no per-row re-execution. No float arithmetic: the
+    * min/equality compare source doubles verbatim.
+    */
+  private lazy val minCostSupplier = GQuery("q65_min_cost_supplier",
+    (s, d) => {
+      Tables(s, d, "part").createOrReplaceTempView("v_part")
+      Tables(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+      Tables(s, d, "supplier").createOrReplaceTempView("v_supplier")
+      s.sql("""
+        SELECT DISTINCT p_partkey, p_name, s_name, l_extendedprice AS price
+        FROM v_part, v_lineitem, v_supplier
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND p_size < 10
+          AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+                                 FROM v_lineitem l2
+                                 WHERE l2.l_partkey = p_partkey)
+        ORDER BY p_partkey, s_name""")
+    },
+    Some("""SELECT DISTINCT p_partkey, p_name, s_name, l_extendedprice AS price
+      FROM part, lineitem, supplier
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND p_size < 10
+        AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = p_partkey)
+      ORDER BY p_partkey, s_name"""))
+
+  /** TPC-H Q22 shape (no phone column — the customer's nation-name
+    * prefix stands in for the country code): customers above the global
+    * average balance with no orders at all. The average is computed in
+    * exact DECIMAL sum / count so the boundary comparison cannot flip
+    * between engines; the NOT EXISTS decorrelates to a left-anti join
+    * on o_custkey.
+    */
+  private lazy val globalSalesFilter = GQuery("q66_anti_join_avg_filter",
+    (s, d) => {
+      Tables(s, d, "customer").createOrReplaceTempView("v_customer")
+      Tables(s, d, "nation").createOrReplaceTempView("v_nation")
+      Tables(s, d, "orders").createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT cntrycode, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM (
+          SELECT substring(n_name, 1, 2) AS cntrycode, c_acctbal
+          FROM v_customer JOIN v_nation ON c_nationkey = n_nationkey
+          WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                      / COUNT(*)
+                             FROM v_customer WHERE c_acctbal > 0.0)
+            AND NOT EXISTS (SELECT 1 FROM v_orders
+                            WHERE o_custkey = c_custkey))
+        GROUP BY cntrycode ORDER BY cntrycode""")
+    },
+    Some("""SELECT cntrycode, COUNT(*) AS numcust,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      FROM (
+        SELECT substring(n_name, 1, 2) AS cntrycode, c_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                    / COUNT(*)
+                           FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey))
+      GROUP BY cntrycode ORDER BY cntrycode"""))
+
   private lazy val round4: Seq[GQuery] =
     Seq(heavyGroupTopk, doubleCorrelated, lateralTopN, multisetOps,
-      recursiveCte)
+      recursiveCte, minCostSupplier, globalSalesFilter)
 
   /** Correlated scalar subqueries through the SQL entry path: each order
     * compared against ITS customer's aggregate — Catalyst decorrelates

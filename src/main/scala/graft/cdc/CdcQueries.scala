@@ -5,7 +5,7 @@ import org.apache.spark.sql.types.{DecimalType, StructType, StructField, StringT
 
 import graft.functions.DebeziumDecimal
 import graft.gen.TransactionGen
-import graft.operators.Materialize
+import graft.operators.{Materialize, Scd2}
 import graft.util.{GQuery, Tables}
 
 /** CDC operator surface registered with the driver (SURVEY.md §2A).
@@ -321,7 +321,73 @@ object CdcQueries {
                  ORDER BY o_orderkey % 3, o_orderkey) AS rn
         FROM orders) WHERE rn = 1 ORDER BY k"""))
 
+  /** SCD Type-2 history over the events change log: each non-error event
+    * opens a version of the user's row, the next change (or an error
+    * event acting as a delete) closes it. Single shuffle on the key —
+    * both windows share one partitioning (operators/Scd2.scala). The
+    * oracle replays lead()/row_number() with the identical total order.
+    */
+  private val scd2History = GQuery("cdc_scd2_history",
+    (s, d) => {
+      val ev = Tables(s, d, "events")
+        .withColumn("op", when(col("event_type") === "error", "d").otherwise("u"))
+      Scd2.history(ev, keys = Seq("user_id"),
+          order = Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("version"), col("event_id"), col("value"),
+          col("valid_from"), col("valid_to"),
+          col("is_current").cast("int").as("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    },
+    Some("""WITH o AS (
+        SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+        FROM events),
+      w AS (
+        SELECT *, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        FROM o)
+      SELECT user_id,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version,
+             event_id, value, ts AS valid_from, valid_to,
+             CAST(valid_to IS NULL AS INT) AS is_current
+      FROM w WHERE op <> 'd'
+      ORDER BY user_id, version"""))
+
+  /** Incremental aggregate maintenance (Materialize.deltaAggregate):
+    * per-priority COUNT/SUM maintained purely from a synthetic CDC log
+    * (insert all orders, update even keys +10, delete keys %7=0 with the
+    * correct before-image). The oracle recomputes the aggregate from the
+    * FINAL table state directly — delta-sum ≡ recompute is the identity
+    * under test, the point being that at 100 TB only the deltas are ever
+    * scanned.
+    */
+  private val incrementalAgg = GQuery("cdc_incremental_agg",
+    (s, d) => {
+      val orders = Tables(s, d, "orders")
+      val dec = DecimalType(18, 2)
+      val amt = col("o_totalprice").cast(dec)
+      val nullDec = lit(null).cast(dec)
+      val ins = orders.select(col("o_orderpriority").as("grp"),
+        lit("c").as("op"), nullDec.as("before"), amt.as("after"))
+      val upd = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderpriority").as("grp"), lit("u").as("op"),
+          amt.as("before"), (amt + 10).cast(dec).as("after"))
+      val del = orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderpriority").as("grp"), lit("d").as("op"),
+          when(col("o_orderkey") % 2 === 0, amt + 10).otherwise(amt)
+            .cast(dec).as("before"),
+          nullDec.as("after"))
+      Materialize.deltaAggregate(ins.unionByName(upd).unionByName(del),
+          groupKeys = Seq("grp"), before = col("before"), after = col("after"))
+        .orderBy(col("grp"))
+    },
+    Some("""SELECT o_orderpriority AS grp, count(*) AS live_cnt,
+        CAST(sum(CASE WHEN o_orderkey % 2 = 0
+            THEN CAST(o_totalprice AS DECIMAL(18,2)) + 10
+            ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS live_sum
+      FROM orders WHERE o_orderkey % 7 <> 0
+      GROUP BY 1 ORDER BY grp"""))
+
   val queries: Seq[GQuery] = Seq(
     envelopeApply, decimalRoundtrip, applyOps, changeDiffQ, genTransactions,
-    changeDiffWide, incrementalUpsert)
+    changeDiffWide, incrementalUpsert, scd2History, incrementalAgg)
 }

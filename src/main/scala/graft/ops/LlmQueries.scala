@@ -190,6 +190,35 @@ object LlmQueries {
         SELECT i, j, CAST(bit_count(xor(si, sj)) AS INT) AS dist
         FROM cands WHERE bit_count(xor(si, sj)) <= 3 ORDER BY i, j""")),
 
+    // Pairwise near-dup verdicts → per-document cluster assignment +
+    // canonical-member choice (connected components via hash-min label
+    // propagation — ops/Cluster.scala). The oracle closes the same pair
+    // set with a recursive CTE and must agree on every (doc, cluster,
+    // keep) row, so the iterative Spark propagation is hash-checked
+    // against a declarative transitive closure.
+    GQuery("dedup_clusters",
+      (s, d) => Cluster.dedupClusters(
+          Dedup.jaccardPairs(Tables(s, d, "documents"), "doc_id", "text",
+            n = 3, threshold = 0.8, maxDf = shingleMaxDf).select("i", "j"))
+        .orderBy(col("doc_id")),
+      Some(s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        pairs AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT i, j, common::DOUBLE / (ca.n + cb.n - common) AS jc
+          FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j),
+        e0 AS (SELECT i, j FROM jac WHERE jc >= 0.8),
+        e AS (SELECT i AS a, j AS b FROM e0 UNION SELECT j, i FROM e0),
+        reach(node, r) AS (
+          SELECT a, b FROM e
+          UNION
+          SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a)
+        SELECT node AS doc_id, least(node, min(r)) AS cluster,
+               CAST(least(node, min(r)) = node AS INT) AS keep
+        FROM reach GROUP BY node ORDER BY doc_id""")),
+
     // Embedding-cosine near-dup, exact all-pairs (oracle-checked). The
     // 0.4 threshold is tuned to this synthetic corpus (near-orthogonal
     // vectors, max pairwise cosine ≈ 0.6) so the result is non-trivial;
@@ -228,6 +257,42 @@ object LlmQueries {
           FROM embeddings q, embeddings v
           WHERE q.vec_id % 100 = 0 AND v.vec_id <> q.vec_id)
         WHERE rn <= 10 ORDER BY qid, rn""")),
+
+    // int8-quantized brute-force top-k (ops/Quantize.scala): 4×-smaller
+    // codes, exact integer dot products — the quantize → dot → top-k
+    // pipeline replayed bit-for-bit by the oracle (floor-based
+    // round-half-up and integer sums are engine-portable; the float
+    // cosine's seeded/approximate cousins are rows-only). Recall vs the
+    // float baseline is spec-tested in LlmOpsSpec.
+    GQuery("sim_topk_int8",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        Quantize.int8TopK(emb,
+            emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 10)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some {
+        val score = """round(
+            CAST(list_sum(list_transform(list_zip(q.q, v.q), p -> p[1]*p[2])) AS DOUBLE)
+            / (sqrt(CAST(q.nn AS DOUBLE)) * sqrt(CAST(v.nn AS DOUBLE))), 4)"""
+        s"""WITH qv AS (
+          SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nn
+          FROM (
+            SELECT vec_id,
+              CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0::BIGINT)
+                   ELSE list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) / (mx / 127) + 0.5) AS BIGINT)) END AS q
+            FROM (SELECT vec_id, embedding,
+                    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+                  FROM embeddings)))
+        SELECT qid, nid, score, rn FROM (
+          SELECT q.vec_id AS qid, v.vec_id AS nid, $score AS score,
+            CAST(row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY $score DESC NULLS LAST, v.vec_id) AS INT) AS rn
+          FROM qv q, qv v
+          WHERE q.vec_id % 100 = 0 AND v.vec_id <> q.vec_id)
+        WHERE rn <= 10 ORDER BY qid, rn"""
+      }),
 
     GQuery("sim_ann_lsh",
       (s, d) => {

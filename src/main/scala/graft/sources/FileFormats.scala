@@ -131,7 +131,23 @@ object FileFormats {
       },
       Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         md5(text) AS digest
-        FROM documents WHERE doc_id < 64 ORDER BY doc_id"""))
+        FROM documents WHERE doc_id < 64 ORDER BY doc_id""")),
+
+    // Small-file compaction (sources/Compaction.scala): a 48-task write
+    // leaves 48 KB-sized files — the state every micro-batch sink decays
+    // into — and the compactor bin-packs them back to ceil(bytes/target)
+    // files behind an atomic swap. The oracle checks content fidelity
+    // through the rewrite; file-count and crash-recovery invariants are
+    // spec-asserted (OperatorsSpec).
+    GQuery("fmt_compaction",
+      (s, d) => {
+        val orders = Tables(s, d, "orders")
+        val path = tmp("graft_compact")
+        orders.repartition(48).write.mode("overwrite").parquet(path)
+        Compaction.compactParquet(s, path)
+        s.read.parquet(path).orderBy(col("o_orderkey"))
+      },
+      Some("SELECT * FROM orders ORDER BY o_orderkey"))
   )
 
   /** Materialize the first 64 documents as one raw .bin file each under

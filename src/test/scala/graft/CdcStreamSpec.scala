@@ -660,6 +660,49 @@ class CdcStreamSpec extends AnyFunSuite {
       assert(n == 2) // k1 once, k2 once
     } finally q.stop()
   }
+
+  test("foreachBatch delta-agg maintains a grouped aggregate ≡ one-shot recompute (IVM)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Materialize
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivm")
+      .toString + "/agg"
+    // (grp, op, before, after)
+    val input = MemoryStream[(String, String, Option[Double], Option[Double])]
+    val q = input.toDF().toDF("grp", "op", "before", "after").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Materialize.maintainAggregate(spark, dir, b,
+          Seq("grp"), col("before"), col("after"))
+      }
+      .start()
+    try {
+      input.addData(
+        ("g1", "c", None, Some(10.0)), ("g1", "c", None, Some(20.0)),
+        ("g2", "c", None, Some(5.0)))
+      q.processAllAvailable()
+      // mid-stream state is already queryable and correct
+      val mid = spark.read.parquet(dir)
+        .select(col("grp"), col("live_cnt"), col("live_sum").cast("double"))
+        .as[(String, Long, Double)].collect()
+        .map { case (g, c, v) => g -> ((c, v)) }.toMap
+      assert(mid == Map("g1" -> ((2L, 30.0)), "g2" -> ((1L, 5.0))))
+      // batch 2: update g1, delete-only batch for g2 (its count delta is
+      // -1 — the prune=false path), then a re-insert in batch 3
+      input.addData(("g1", "u", Some(20.0), Some(25.0)),
+        ("g2", "d", Some(5.0), None))
+      q.processAllAvailable()
+      input.addData(("g2", "c", None, Some(7.0)))
+      q.processAllAvailable()
+      val got = spark.read.parquet(dir)
+        .select(col("grp"), col("live_cnt"), col("live_sum").cast("double"))
+        .as[(String, Long, Double)].collect()
+        .map { case (g, c, v) => g -> ((c, v)) }.toMap
+      assert(got == Map("g1" -> ((2L, 35.0)), "g2" -> ((1L, 7.0))))
+      // stored sum stayed exact DECIMAL across merges
+      val sumType = spark.read.parquet(dir).schema("live_sum").dataType
+      assert(sumType == org.apache.spark.sql.types.DecimalType(38, 2),
+        s"stored as $sumType")
+    } finally q.stop()
+  }
 }
 
 object CdcStreamSpecSchemas {
@@ -667,4 +710,5 @@ object CdcStreamSpecSchemas {
   val payload: StructType = StructType(Seq(
     StructField("transaction_id", StringType),
     StructField("amount", Schemas.preciseDecimal)))
+
 }

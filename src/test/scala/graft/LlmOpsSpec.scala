@@ -289,4 +289,52 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(got(g) == math.ceil(n * 0.05).toLong, s"group $g: ${got(g)} of $n")
     }
   }
+
+  test("connected components: transitive closure, canonical = min id") {
+    import graft.ops.Cluster
+    // {1,2,3} via a chain, {10,11}, a 4-chain {20..23}, pair {5,6}
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (22L, 23L), (5L, 6L)).toDF("i", "j")
+    val got = Cluster.dedupClusters(edges)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0),
+      (10L, 10L, 1), (11L, 10L, 0),
+      (20L, 20L, 1), (21L, 20L, 0), (22L, 20L, 0), (23L, 20L, 0),
+      (5L, 5L, 1), (6L, 5L, 0)))
+    // a long chain exercises multi-round propagation + early exit:
+    // diameter 9 needs several rounds, maxIter stays a backstop
+    val chain = (100L until 109L).map(i => (i, i + 1)).toDF("i", "j")
+    val labels = Cluster.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 10 && labels.values.forall(_ == 100L))
+  }
+
+  test("int8 quantization: codes bounded, error ≤ scale/2, high recall") {
+    import graft.ops.Quantize
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = Quantize.int8(emb, "vec_id", "embedding", "id", "q")
+    // codes live in [-127, 127]
+    val outOfRange = q.select(explode(col("q")).as("c"))
+      .filter(abs(col("c")) > 127).count()
+    assert(outOfRange == 0)
+    // dequantization error is bounded by scale/2 per component
+    val err = emb.select(col("vec_id").as("id"), col("embedding"))
+      .join(q, "id")
+      .select(greatest(lit(0.0), array_max(zip_with(col("embedding"), col("q"),
+        (x, c) => abs(x.cast("double") -
+          c * array_max(transform(col("embedding"), e => abs(e.cast("double")))) / 127d)
+          - array_max(transform(col("embedding"), e => abs(e.cast("double")))) / 254d
+      ))).as("excess"))
+      .agg(max(col("excess"))).as[Double].head()
+    assert(err < 1e-9, s"max excess over scale/2 bound: $err")
+    // recall@10 vs the float brute force
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val quant = Quantize.int8TopK(emb, queries, "vec_id", "embedding", 10)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall > 0.8, s"recall=$recall")
+  }
 }

@@ -363,4 +363,102 @@ class OperatorsSpec extends AnyFunSuite {
       .as[(String, String)].collect().toMap
     assert(a2 == a)
   }
+
+  test("compaction: fewer files, content identical, idempotent, crash-recoverable") {
+    import graft.sources.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp").toString + "/t"
+    val df = spark.range(10000).toDF("id").withColumn("v", col("id") * 2)
+    df.repartition(16).write.parquet(dir)
+    val st = Compaction.compactParquet(spark, dir, targetBytes = 1L << 26)
+    assert(st.rewritten && st.filesBefore == 16 && st.filesAfter == 1,
+      s"got $st")
+    assert(spark.read.parquet(dir).as[(Long, Long)].collect().toSet ==
+      (0L until 10000L).map(i => (i, i * 2)).toSet)
+    // already compact → cheap no-op
+    val st2 = Compaction.compactParquet(spark, dir, targetBytes = 1L << 26)
+    assert(!st2.rewritten && st2.filesAfter == 1)
+    // crash window: staged complete, main renamed away → next call
+    // finishes the swap and the staged content becomes the table
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val main = new org.apache.hadoop.fs.Path(dir)
+    val staged = new org.apache.hadoop.fs.Path(dir + ".__graft_compact_staged")
+    val retired = new org.apache.hadoop.fs.Path(dir + ".__graft_compact_retired")
+    spark.range(5).toDF("id").withColumn("v", lit(0L))
+      .coalesce(1).write.parquet(staged.toString)
+    assert(fs.rename(main, retired))
+    val st3 = Compaction.compactParquet(spark, dir, targetBytes = 1L << 26)
+    assert(spark.read.parquet(dir).count() == 5)
+    assert(!fs.exists(staged) && !fs.exists(retired))
+    assert(!st3.rewritten) // recovered table is a single file already
+  }
+
+  test("Scd2.history: updates chain intervals, deletes close without opening") {
+    // key a: insert@10, update@20, delete@30, re-insert@40 (still open)
+    // key b: single insert@15, never touched — open from the start
+    val ops = Seq(
+      ("a", 10L, "c", 1.0), ("a", 20L, "u", 2.0),
+      ("a", 30L, "d", 2.0), ("a", 40L, "c", 9.0),
+      ("b", 15L, "c", 5.0)).toDF("k", "ts", "op", "v")
+    val got = graft.operators.Scd2
+      .history(ops, Seq("k"), Seq(col("ts")))
+      .select("k", "version", "v", "valid_from", "valid_to", "is_current")
+      .as[(String, Int, Double, Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(got == Set(
+      ("a", 1, 1.0, 10L, Some(20L), false),   // closed by the update
+      ("a", 2, 2.0, 20L, Some(30L), false),   // closed by the DELETE
+      ("a", 3, 9.0, 40L, None, true),         // reopened after the delete
+      ("b", 1, 5.0, 15L, None, true)))
+    // exactly one current version per live key
+    val cur = graft.operators.Scd2.history(ops, Seq("k"), Seq(col("ts")))
+      .filter(col("is_current")).groupBy("k").count()
+      .as[(String, Long)].collect().toMap
+    assert(cur == Map("a" -> 1L, "b" -> 1L))
+  }
+
+  test("Scd2.history plans ONE exchange for both windows") {
+    val ops = Seq(("a", 10L, "c", 1.0)).toDF("k", "ts", "op", "v")
+    val plan = graft.operators.Scd2.history(ops, Seq("k"), Seq(col("ts")))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
+  test("deltaAggregate over a change log ≡ recompute over final state") {
+    // ins x3, update one, delete another; group g1/g2
+    val ops = Seq(
+      ("g1", "c", None, Some(10.0)),
+      ("g1", "c", None, Some(20.0)),
+      ("g2", "c", None, Some(5.0)),
+      ("g1", "u", Some(20.0), Some(25.0)),   // 20 → 25
+      ("g2", "d", Some(5.0), None)           // g2 now empty → row vanishes
+    ).toDF("grp", "op", "before", "after")
+    val got = Materialize.deltaAggregate(ops, Seq("grp"),
+        col("before"), col("after"))
+      .select("grp", "live_cnt", "live_sum")
+      .as[(String, Long, Double)].collect()
+      .map { case (g, c, v) => g -> ((c, v)) }.toMap
+    assert(got == Map("g1" -> ((2L, 35.0))))
+    // incremental application batch-by-batch reaches the same state as
+    // one-shot over the concatenated log (associativity of deltas — the
+    // foreachBatch contract)
+    val b1 = ops.limit(3)
+    val b2 = ops.exceptAll(b1)
+    // intermediate deltas use prune=false: b2 is delete-only for g2, so
+    // its count delta is -1 and must reach the merge
+    def delta(b: org.apache.spark.sql.DataFrame) =
+      Materialize.deltaAggregate(b, Seq("grp"), col("before"), col("after"),
+        prune = false)
+    val merged = delta(b1)
+      .select(col("grp"), col("live_cnt"), col("live_sum"))
+      .unionByName(delta(b2)
+        .select(col("grp"), col("live_cnt"), col("live_sum")))
+      .groupBy("grp")
+      .agg(sum("live_cnt").as("live_cnt"), sum("live_sum").as("live_sum"))
+      .filter(col("live_cnt") > 0)
+      .as[(String, Long, Double)].collect()
+      .map { case (g, c, v) => g -> ((c, v)) }.toMap
+    assert(merged == got)
+  }
 }
