@@ -48,6 +48,18 @@ object Dedup {
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
                     n: Int, maxDf: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    shingles(df, idCol, textCol, n, maxDf).withColumn("n_sh",
+      count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
+  }
+
+  /** The distinct df-capped `(doc, s)` shingle postings without the
+    * per-doc size column — for consumers that only need set membership
+    * (e.g. [[ngramOverlap]]) and shouldn't pay [[invertedIndex]]'s
+    * per-doc count window.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String,
+               n: Int, maxDf: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc").orderBy("pos")
     val toks = df
       .select(col(idCol).as("doc"),
@@ -87,8 +99,34 @@ object Dedup {
         // shuffle join if an adversarial corpus makes it big.
         sh0p.join(hot, Seq("s"), "left_anti")
       }
-    sh.withColumn("n_sh",
-      count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
+    sh
+  }
+
+  /** Benchmark decontamination: every document sharing at least one
+    * n-gram with any OTHER document in the benchmark subset, with the
+    * count of distinct shared n-grams — the standard train/test-overlap
+    * check an LLM corpus runs before training (exact n-gram collision,
+    * the method used for published train-set contamination audits).
+    *
+    * Scale: the benchmark index is tiny relative to the corpus, so the
+    * shingle equi-join broadcasts it (AQE decides); the per-doc distinct
+    * count is a partial-agg'd shuffle on doc. Boilerplate n-grams that
+    * would blow up the join are exactly what `maxDf` caps — same skew
+    * story as [[jaccardPairs]].
+    *
+    * @param benchPred predicate over the `doc` id column selecting the
+    *                  benchmark subset
+    */
+  def ngramOverlap(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, benchPred: Column => Column,
+                   maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n, maxDf)
+    val bench = sh.filter(benchPred(col("doc")))
+      .select(col("s"), col("doc").as("bdoc"))
+    sh.join(bench, Seq("s"))
+      .filter(col("doc") =!= col("bdoc"))
+      .groupBy("doc")
+      .agg(countDistinct(col("s")).as("n_shared"))
   }
 
   /** All pairs (i < j) with n-gram Jaccard ≥ threshold, via an inverted

@@ -518,6 +518,115 @@ object LlmQueries {
           CAST(sum(k * nlp_u) AS DOUBLE) / (sum(k) * 1e6) AS surprisal
         FROM scored GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Gopher-style repetition filters: duplicate-trigram ratio (map-only
+    // array ops) + top-token share (partial-agg'd (doc, token) counts —
+    // shuffles key on doc, so no stop-token can skew a partition).
+    GQuery("text_repetition",
+      (s, d) => TextAnalysis.repetition(Tables(s, d, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM documents),
+        tri AS (
+          SELECT doc_id, CASE WHEN len(tk) >= 3
+            THEN list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+            ELSE [] END AS tg
+          FROM toks),
+        trir AS (
+          SELECT doc_id, CASE WHEN len(tg) > 0
+            THEN 1.0 - len(list_distinct(tg))::DOUBLE / len(tg)
+            ELSE 0.0 END AS dup_trigram_ratio
+          FROM tri),
+        cnt AS (
+          SELECT doc_id, t, count(*) AS k
+          FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY 1, 2),
+        top AS (
+          SELECT doc_id, max(k)::DOUBLE / sum(k) AS top_token_ratio
+          FROM cnt GROUP BY doc_id)
+        SELECT t.doc_id, trir.dup_trigram_ratio,
+               COALESCE(top.top_token_ratio, 0.0) AS top_token_ratio
+        FROM toks t JOIN trir USING (doc_id) LEFT JOIN top USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // Benchmark decontamination: exact 5-gram collision against the
+    // doc_id%7 "benchmark" subset — the train/test-overlap audit an LLM
+    // corpus runs before training. Equi-join on the n-gram (benchmark
+    // side broadcast-sized), distinct-count shuffled on doc.
+    GQuery("text_decontaminate",
+      (s, d) => Dedup.ngramOverlap(Tables(s, d, "documents"),
+          "doc_id", "text", n = 5, benchPred = _ % 7 === 0)
+        .orderBy(col("doc")),
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id AS doc, array_to_string(tk[i:i+4], ' ') AS s
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS i)),
+        b AS (SELECT s, doc AS bdoc FROM sh WHERE doc % 7 = 0)
+        SELECT sh.doc, CAST(count(DISTINCT sh.s) AS BIGINT) AS n_shared
+        FROM sh JOIN b ON sh.s = b.s AND sh.doc <> b.bdoc
+        GROUP BY 1 ORDER BY doc""")),
+
+    // Source-mixture rebalancing: down-sample every language to the
+    // smallest one's size via integer-bps hash keeps — deterministic
+    // domain reweighting (the oracle replays the bps table and every
+    // per-doc keep decision exactly).
+    GQuery("sample_mix_rebalance",
+      (s, d) => Sampling.rebalanceUniform(Tables(s, d, "documents"),
+          "doc_id", "lang", "mix")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_before"),
+          sum(col("keep").cast("long")).as("n_after"))
+        .orderBy(col("lang")),
+      Some(s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        m AS (SELECT min(n) AS minn FROM c),
+        b AS (SELECT lang, (minn * 10000) // n AS bps FROM c, m),
+        k AS (SELECT d.lang,
+                CASE WHEN ${duckHex32("'mix:' || doc_id")} % 10000 < b.bps
+                     THEN 1 ELSE 0 END AS keep
+              FROM documents d JOIN b USING (lang))
+        SELECT lang, count(*) AS n_before, CAST(sum(keep) AS BIGINT) AS n_after
+        FROM k GROUP BY lang ORDER BY lang""")),
+
+    // PII scrub: deterministic synthetic PII (email, IPv4, account
+    // number derived from doc_id) appended to each document, then
+    // redacted by the shared Java/RE2-subset patterns — counts and the
+    // md5 of the redacted text must match DuckDB running the IDENTICAL
+    // regexes. Map-side regexp_replace, the shape of a 100 TB scrub.
+    GQuery("text_pii_redact",
+      (s, d) => {
+        val withPii = Tables(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@mail.example.com ip "),
+            col("doc_id") % 256, lit("."), (col("doc_id") * 7) % 256,
+            lit("."), (col("doc_id") * 13) % 256, lit("."),
+            (col("doc_id") * 29) % 256,
+            lit(" acct "), col("doc_id") * 1009 + 123456789).as("t"))
+        TextAnalysis.redactPii(withPii, "t")
+          .select(col("doc_id"), col("n_emails"), col("n_ips"),
+            md5(col("redacted")).as("redacted_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        import TextAnalysis.{emailPattern, ipPattern, longNumPattern}
+        s"""WITH p AS (SELECT doc_id,
+            text || ' contact user' || doc_id || '@mail.example.com ip ' ||
+            (doc_id % 256) || '.' || (doc_id * 7 % 256) || '.' ||
+            (doc_id * 13 % 256) || '.' || (doc_id * 29 % 256) ||
+            ' acct ' || (doc_id * 1009 + 123456789) AS t
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t, '$emailPattern')) AS INT) AS n_emails,
+          CAST(len(regexp_extract_all(t, '$ipPattern')) AS INT) AS n_ips,
+          md5(regexp_replace(regexp_replace(regexp_replace(t,
+            '$emailPattern', '<EMAIL>', 'g'),
+            '$ipPattern', '<IP>', 'g'),
+            '$longNumPattern', '<NUM>', 'g')) AS redacted_md5
+        FROM p ORDER BY doc_id"""
+      }),
+
     GQuery("text_fingerprint",
       (s, d) => Tables(s, d, "documents")
         .select(col("doc_id"),

@@ -74,4 +74,29 @@ object Sampling {
       .filter(col("__rk") <= ceil(col("__n") * bps / 10000.0))
       .drop("__rk", "__n")
   }
+
+  /** Source-mixture rebalancing toward a uniform mix: down-sample every
+    * group to (approximately) the smallest group's size by applying a
+    * per-group keep fraction `floor(min_n · 10000 / n)` basis points as
+    * a deterministic hash filter — the domain-reweighting step of a
+    * pretraining data mix, with all of [[hashSample]]'s stability
+    * guarantees (documents never flip in or out across reruns or corpus
+    * repartitions; growth of one source only thins that source).
+    *
+    * Integer basis points (BIGINT arithmetic, no float division) keep
+    * the fraction engine-portable. The plan is one partial-agg'd count
+    * per group + a broadcast join of the (tiny) per-group rate table
+    * onto the corpus — map-side at any scale.
+    */
+  def rebalanceUniform(df: DataFrame, idCol: String, groupCol: String,
+                       salt: String): DataFrame = {
+    val cnts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val minN = cnts.agg(min(col("__n")).as("__minn"))
+    val rates = cnts.crossJoin(broadcast(minN))
+      .withColumn("__bps", expr("__minn * 10000 DIV __n"))
+      .select(col(groupCol), col("__bps"))
+    df.join(broadcast(rates), groupCol)
+      .withColumn("keep", hashBucket(col(idCol), salt) < col("__bps"))
+      .drop("__bps")
+  }
 }

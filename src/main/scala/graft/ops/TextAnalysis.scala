@@ -143,6 +143,67 @@ object TextAnalysis {
           (sum(col("k")) * lit(1e6))).as("surprisal"))
   }
 
+  /** Gopher-style repetition signals (the Rae et al. repetition filters
+    * every pretraining pipeline applies): `dup_trigram_ratio` = fraction
+    * of a document's trigrams that are repeats of an earlier trigram,
+    * `top_token_ratio` = share of the document taken by its single most
+    * frequent token. Template spam and boilerplate score high on both;
+    * prose scores low.
+    *
+    * The trigram ratio is map-only (per-row array ops); the top-token
+    * ratio is one partial-agg'd (doc, token) count + per-doc max — both
+    * shuffles key on the doc id, so no token, however common, can skew a
+    * partition (counts combine map-side).
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val tri = when(n >= 3, transform(sequence(lit(1), n - 2), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val triRatio = when(size(tri) > 0,
+        lit(1.0) - size(array_distinct(tri)).cast("double") / size(tri))
+      .otherwise(lit(0.0))
+    val perTok = df
+      .select(col(idCol).as("__id"), explode(toks).as("t"))
+      .groupBy("__id", "t").agg(count(lit(1)).as("k"))
+      .groupBy("__id")
+      .agg((max(col("k")).cast("double") / sum(col("k"))).as("top_token_ratio"))
+    df.select(col(idCol), triRatio.as("dup_trigram_ratio"))
+      .join(perTok, col(idCol) === col("__id"), "left")
+      .withColumn("top_token_ratio", coalesce(col("top_token_ratio"), lit(0.0)))
+      .drop("__id")
+  }
+
+  /** PII redaction patterns — deliberately written in the common subset
+    * of Java regex and RE2 (character classes + bounded repetition, no
+    * lookaround) so the DuckDB oracle applies the IDENTICAL patterns.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipPattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val longNumPattern = "[0-9]{6,}"
+
+  /** Redact emails, IPv4 addresses and long digit runs (account-number
+    * shaped) from `textCol`, adding match counts per class and the
+    * redacted text. Order matters and is part of the contract: emails
+    * first (their local parts contain digits), then IPs, then bare digit
+    * runs. Pure map-side `regexp_replace` — codegen'd, no shuffle, the
+    * shape a 100 TB scrub pass must have.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df
+      .withColumn("n_emails", size(regexp_extract_all(t, lit(emailPattern), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(t, lit(ipPattern), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, emailPattern, "<EMAIL>"),
+            ipPattern, "<IP>"),
+          longNumPattern, "<NUM>"))
+  }
+
   /** Stopword-hit language ID: score each candidate language by how many
     * tokens hit its stopword list; argmax wins, first-listed wins ties.
     * (The classic cheap heuristic; on synthetic single-vocab corpora it

@@ -290,6 +290,68 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition: spam scores high, prose low; decontaminate finds planted overlap") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now buy now buy now"), // spam
+      (2L, "the quick brown fox jumps over a lazy dog today"), // prose
+      (3L, "")).toDF("doc_id", "text")
+    val rep = TextAnalysis.repetition(docs, "doc_id", "text")
+      .as[(Long, Double, Double)].collect()
+      .map { case (id, a, b) => id -> ((a, b)) }.toMap
+    // spam: the 10 trigram windows cycle through only 2 distinct
+    // trigrams → ratio 0.8; top token "buy" = 6 of 12 tokens
+    assert(math.abs(rep(1L)._1 - 0.8) < 1e-12 && rep(1L)._2 == 0.5)
+    // prose: all trigrams and tokens distinct
+    assert(rep(2L)._1 == 0.0 && math.abs(rep(2L)._2 - 0.1) < 1e-12)
+    // empty doc: both pinned to 0
+    assert(rep(3L) == ((0.0, 0.0)))
+    // decontamination: doc 15 shares a planted 5-gram with benchmark
+    // doc 7 (%7), doc 20 shares nothing, doc 7 only matches itself
+    val corpus = Seq(
+      (7L, "alpha beta gamma delta epsilon zeta"),            // benchmark
+      (15L, "intro words alpha beta gamma delta epsilon end"), // overlaps
+      (20L, "completely different words with no shared grams at all"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramOverlap(corpus, "doc_id", "text", n = 5,
+        benchPred = _ % 7 === 0)
+      .as[(Long, Long)].collect().toMap
+    // doc 15's "alpha beta gamma delta epsilon" is the one shared
+    // 5-gram; self-matches are excluded; doc 20 absent
+    assert(cont == Map(15L -> 1L))
+  }
+
+  test("rebalanceUniform: every group thinned toward the min, deterministic") {
+    import graft.ops.Sampling
+    val df = (0 until 900).map(i =>
+      (i.toLong, if (i < 600) "big" else if (i < 800) "mid" else "small"))
+      .toDF("id", "g")
+    val out = Sampling.rebalanceUniform(df, "id", "g", "m1")
+    val kept = out.filter(col("keep")).groupBy("g").count()
+      .as[(String, Long)].collect().toMap
+    // small keeps everything (bps = 10000); bigger groups land near 100
+    assert(kept("small") == 100L)
+    assert(kept("big") > 60 && kept("big") < 140, s"big=${kept("big")}")
+    assert(kept("mid") > 60 && kept("mid") < 140, s"mid=${kept("mid")}")
+    // keep decisions are a pure function of (id, salt): repartition
+    // cannot change them
+    val again = Sampling.rebalanceUniform(df.repartition(7), "id", "g", "m1")
+      .filter(col("keep")).select("id").as[Long].collect().toSet
+    assert(again == out.filter(col("keep")).select("id").as[Long].collect().toSet)
+  }
+
+  test("redactPii: removes emails/ips/long digit runs, counts match, order-stable") {
+    val df = Seq(
+      (1L, "reach me at jane.doe+x@corp.example.org or 10.0.255.3 acct 123456789"),
+      (2L, "no pii here just words and the number 42")).toDF("id", "t")
+    val got = TextAnalysis.redactPii(df, "t")
+      .select("id", "n_emails", "n_ips", "redacted")
+      .as[(Long, Int, Int, String)].collect()
+      .map { case (k, a, b, r) => k -> ((a, b, r)) }.toMap
+    assert(got(1L) == ((1, 1,
+      "reach me at <EMAIL> or <IP> acct <NUM>")))
+    assert(got(2L) == ((0, 0, "no pii here just words and the number 42")))
+  }
+
   test("connected components: transitive closure, canonical = min id") {
     import graft.ops.Cluster
     // {1,2,3} via a chain, {10,11}, a 4-chain {20..23}, pair {5,6}
