@@ -120,10 +120,22 @@ object Materialize {
     * merges accumulate zero float error (spec: batch-wise maintenance ≡
     * one-shot recompute, bit for bit).
     */
+  /** @param batchId streaming micro-batch id (pass foreachBatch's second
+    *                argument). Stored in a `_graft_last_batch` sidecar
+    *                INSIDE the swapped directory — so "state updated" and
+    *                "batch recorded" commit in the same atomic rename —
+    *                and checked on entry: a redelivered batch (crash
+    *                after the swap, before the checkpoint commit) is
+    *                skipped instead of double-applied. Deltas are not
+    *                naturally idempotent the way first-write-wins upserts
+    *                are, so this check is what makes the maintained
+    *                aggregate effectively-once end to end.
+    */
   def maintainAggregate(spark: org.apache.spark.sql.SparkSession,
                         path: String, batch: DataFrame, groupKeys: Seq[String],
                         before: Column, after: Column,
-                        opCol: String = "op", scale: Int = 2): Unit = {
+                        opCol: String = "op", scale: Int = 2,
+                        batchId: Option[Long] = None): Unit = {
     import graft.sources.Compaction
     import org.apache.hadoop.fs.Path
     val main = new Path(path)
@@ -141,6 +153,16 @@ object Materialize {
     if (fs.exists(main) || stagedComplete || fs.exists(Compaction.retiredPath(main)))
       Compaction.recover(fs, main)
     else if (fs.exists(stagedP)) fs.delete(stagedP, true)
+    // redelivery guard: the last applied batch id travels inside the
+    // swapped dir, so it can never disagree with the data beside it
+    val marker = new Path(main, "_graft_last_batch")
+    batchId.foreach { id =>
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        val last = try new String(in.readAllBytes()).trim.toLong finally in.close()
+        if (last >= id) return // already applied — skip the redelivery
+      }
+    }
     val delta = deltaAggregate(batch, groupKeys, before, after, opCol, scale,
       prune = false, sumAsDouble = false)
     val dec = org.apache.spark.sql.types.DecimalType(38, scale)
@@ -154,6 +176,10 @@ object Materialize {
     // every write lands via staged + swap, so the table transitions
     // atomically even on the first batch
     merged.write.mode("overwrite").parquet(stagedP.toString)
+    batchId.foreach { id =>
+      val out = fs.create(new Path(stagedP, "_graft_last_batch"), true)
+      try out.write(id.toString.getBytes) finally out.close()
+    }
     Compaction.swapIn(fs, main)
   }
 }

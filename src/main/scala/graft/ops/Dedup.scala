@@ -153,6 +153,36 @@ object Dedup {
       .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Incremental-ingest dedup: Jaccard near-dup pairs between a NEW
+    * batch of documents and the EXISTING corpus only — the shape every
+    * continuously-ingesting pipeline needs, because re-running the full
+    * corpus×corpus pair join per ingest is quadratic in corpus count
+    * over time while batch×corpus is linear in the batch.
+    *
+    * Scale: the batch's posting list is tiny next to the corpus's, so
+    * the shingle equi-join streams corpus postings past broadcast-sized
+    * batch postings (AQE picks the build side); in production the corpus
+    * side is a PERSISTED index maintained incrementally (the same
+    * layout `ivfWriteIndex` demonstrates for vectors), so only the new
+    * batch is ever shingled. Same df-cap skew guard as [[jaccardPairs]].
+    */
+  def jaccardAgainstCorpus(df: DataFrame, idCol: String, textCol: String,
+                           n: Int, threshold: Double,
+                           newPred: Column => Column,
+                           maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = invertedIndex(df, idCol, textCol, n, maxDf)
+    val batch = sh.filter(newPred(col("doc")))
+    val corpus = sh.filter(!newPred(col("doc")))
+    batch.as("a").join(corpus.as("b"), col("a.s") === col("b.s"))
+      .groupBy(col("a.doc").as("i"), col("b.doc").as("j"),
+        col("a.n_sh").as("ni"), col("b.n_sh").as("nj"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("ni") + col("nj") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Per-permutation shingle hash for the md5-twin variants: the first 8
     * hex chars of md5("i s") as a 32-bit value. Twice the cost of
     * xxhash64 and half the bits — the production path stays xxhash64; the

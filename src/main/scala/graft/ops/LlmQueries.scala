@@ -190,6 +190,27 @@ object LlmQueries {
         SELECT i, j, CAST(bit_count(xor(si, sj)) AS INT) AS dist
         FROM cands WHERE bit_count(xor(si, sj)) <= 3 ORDER BY i, j""")),
 
+    // Incremental-ingest dedup: the doc_id%10 "new batch" joined against
+    // the rest of the corpus only — batch×corpus postings, never
+    // corpus×corpus. The oracle restricts the same pair join by the
+    // same predicate.
+    GQuery("dedup_incremental",
+      (s, d) => Dedup.jaccardAgainstCorpus(Tables(s, d, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.8,
+          newPred = _ % 10 === 0, maxDf = shingleMaxDf)
+        .orderBy(col("i"), col("j")),
+      Some(s"""$shingleCte,
+        pairs AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+          FROM sh a JOIN sh b
+            ON a.s = b.s AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT i, j, common::DOUBLE / (ca.n + cb.n - common) AS jc
+          FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j)
+        SELECT i, j, round(jc, 6) AS jaccard FROM jac
+        WHERE jc >= 0.8 ORDER BY i, j""")),
+
     // Pairwise near-dup verdicts → per-document cluster assignment +
     // canonical-member choice (connected components via hash-min label
     // propagation — ops/Cluster.scala). The oracle closes the same pair

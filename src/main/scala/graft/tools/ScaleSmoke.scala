@@ -93,6 +93,17 @@ object ScaleSmoke {
         graft.ops.Dedup.embeddingPairsLsh(e, "vec_id", "embedding", 64, 0.9).count())
       timed(s"exact_dedup x$n")(
         graft.ops.Dedup.exact(d, "doc_id", "text").count())
+      // connected components over the replica's near-dup pairs: replica
+      // tagging keeps components within one replica, so the edge count
+      // and the component structure grow linearly — wall time measures
+      // the per-round join plans plus the (fixed) round count, since
+      // component DIAMETER does not grow with corpus size.
+      timed(s"cc_clusters x$n") {
+        val pairs = graft.ops.Dedup
+          .jaccardPairs(d, "doc_id", "text", 3, 0.8, maxDf = 5)
+          .select("i", "j")
+        graft.ops.Cluster.dedupClusters(pairs).count()
+      }
     }
     spark.stop()
   }

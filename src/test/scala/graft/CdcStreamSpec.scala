@@ -669,9 +669,9 @@ class CdcStreamSpec extends AnyFunSuite {
     // (grp, op, before, after)
     val input = MemoryStream[(String, String, Option[Double], Option[Double])]
     val q = input.toDF().toDF("grp", "op", "before", "after").writeStream
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
         Materialize.maintainAggregate(spark, dir, b,
-          Seq("grp"), col("before"), col("after"))
+          Seq("grp"), col("before"), col("after"), batchId = Some(id))
       }
       .start()
     try {
@@ -701,6 +701,24 @@ class CdcStreamSpec extends AnyFunSuite {
       val sumType = spark.read.parquet(dir).schema("live_sum").dataType
       assert(sumType == org.apache.spark.sql.types.DecimalType(38, 2),
         s"stored as $sumType")
+      // redelivery of an already-applied batch id (crash after swap,
+      // before checkpoint commit) must be a no-op — deltas are not
+      // idempotent, the batch-id sidecar is what makes them so
+      val replay = Seq(("g2", "c", None: Option[Double], Some(7.0)))
+        .toDF("grp", "op", "before", "after")
+      Materialize.maintainAggregate(spark, dir, replay,
+        Seq("grp"), col("before"), col("after"), batchId = Some(2L))
+      val after = spark.read.parquet(dir)
+        .select(col("grp"), col("live_cnt"), col("live_sum").cast("double"))
+        .as[(String, Long, Double)].collect()
+        .map { case (g, c, v) => g -> ((c, v)) }.toMap
+      assert(after == got, "redelivered batch was double-applied")
+      // a genuinely new batch id still applies
+      Materialize.maintainAggregate(spark, dir, replay,
+        Seq("grp"), col("before"), col("after"), batchId = Some(3L))
+      val g2 = spark.read.parquet(dir).filter(col("grp") === "g2")
+        .select(col("live_cnt")).as[Long].head()
+      assert(g2 == 2L)
     } finally q.stop()
   }
 }

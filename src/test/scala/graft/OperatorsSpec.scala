@@ -364,6 +364,86 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a2 == a)
   }
 
+  test("AQE splits a skewed sort-merge join partition (skew=true in the final plan)") {
+    // The engine's answer to skew WITHOUT manual salting (q44 is the
+    // manual variant): AQE detects an oversized partition at the shuffle
+    // boundary and splits it across tasks. Thresholds lowered so the
+    // test-sized skew (one key carrying ~95% of rows) trips the same
+    // code path a hot key trips at 100 TB.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // per-row high-entropy payload: a constant would be folded past
+      // the join and a low-entropy one compressed below any threshold —
+      // either way the skewed partition's shuffle bytes would vanish
+      def pay(seed: String) = md5(concat(lit(seed), col("id")))
+      val left = spark.range(120000)
+        .select(when(col("id") < 114000, 0L).otherwise(col("id")).as("k"),
+          pay("l").as("p"))
+      val right = spark.range(3000).select(col("id").as("k2"), pay("r").as("q"))
+      // count()/write would spawn a separate QueryExecution — collect
+      // through j's OWN execution so the adaptive plan we inspect is the
+      // one that actually ran
+      val j = left.join(right, col("k") === col("k2")).select("k", "p")
+      // key 0 matches once ×114000; keys 114000+ have no right match
+      assert(j.collect().length == 114000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-split SMJ in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("runtime bloom filter injected on the probe side of a selective shuffle join") {
+    // Catalyst's InjectRuntimeFilter: a selective filter on the build
+    // side becomes a bloom-filter semi-filter on the probe side's scan,
+    // killing never-joining fact rows before the shuffle — at 100 TB
+    // this is the difference between shuffling the whole fact table and
+    // shuffling the matching slice. Thresholds lowered so testdata-sized
+    // tables take the same code path.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1B")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = graft.util.Tables(spark, GraftSpark.sfDir, "lineitem")
+      val sel = graft.util.Tables(spark, GraftSpark.sfDir, "orders")
+        .filter(col("o_orderstatus") === "P" && col("o_totalprice") > 200000)
+      val j = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_extendedprice", "o_totalprice")
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected a bloom-filter runtime filter in:\n$optimized")
+      // and the filtered result is still correct vs the unfiltered join
+      // (count() re-plans under the conf current at call time)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val expected = li.join(sel, col("l_orderkey") === col("o_orderkey")).count()
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      assert(j.count() == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("compaction: fewer files, content identical, idempotent, crash-recoverable") {
     import graft.sources.Compaction
     val dir = java.nio.file.Files.createTempDirectory("graft_cmp").toString + "/t"
