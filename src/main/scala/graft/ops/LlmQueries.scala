@@ -448,6 +448,47 @@ object LlmQueries {
         WHERE rk <= ceil(n * 500 / 10000.0)
         ORDER BY event_type, event_id""")),
 
+    // Integer-unit PageRank (ops/Graph.scala): 5 iterations over the
+    // nation ring graph (+5/+7 mod 25), rank carried as BIGINT 1e-12
+    // units so every engine replays the iteration bit-for-bit — the
+    // oracle unrolls the same 5 stages as plain CTEs. The iterative
+    // driver loop is the same join+partial-agg shape per round that CC
+    // uses; nothing here is float-order dependent.
+    GQuery("graph_pagerank",
+      (s, d) => {
+        val nation = Tables(s, d, "nation")
+        val nodes = nation.select(col("n_nationkey").as("node"))
+        val edges = nation
+          .select(col("n_nationkey").as("src"),
+            ((col("n_nationkey") + 5) % 25).as("dst"))
+          .unionByName(nation.select(col("n_nationkey").as("src"),
+            ((col("n_nationkey") + 7) % 25).as("dst")))
+        Graph.pageRank(nodes, edges, iters = 5)
+          .orderBy(col("node"))
+      },
+      Some {
+        val init = Graph.TotalUnits / 25
+        val base = Graph.TotalUnits * 15 / 100 / 25
+        val stages = (1 to 5).map { k =>
+          s"""c$k AS (SELECT e.dst AS node, SUM(r${k - 1}.u // d.deg) AS s
+               FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+               JOIN d ON d.src = e.src
+               GROUP BY e.dst),
+             r$k AS (SELECT r${k - 1}.node,
+                 CAST($base + COALESCE((c$k.s * 85) // 100, 0) AS BIGINT) AS u
+               FROM r${k - 1} LEFT JOIN c$k USING (node))"""
+        }.mkString(",\n")
+        s"""WITH e AS (
+            SELECT n_nationkey AS src, (n_nationkey + 5) % 25 AS dst FROM nation
+            UNION ALL
+            SELECT n_nationkey, (n_nationkey + 7) % 25 FROM nation),
+          d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+          r0 AS (SELECT n_nationkey AS node, CAST($init AS BIGINT) AS u FROM nation),
+          $stages
+          SELECT node, u, CAST(u AS DOUBLE) / 1e12 AS rank
+          FROM r5 ORDER BY node"""
+      }),
+
     GQuery("text_stats",
       (s, d) => TextAnalysis.stats(Tables(s, d, "documents"), "text")
         .select("doc_id", "n_bytes", "n_chars_m", "token_cnt", "uniq_tokens",

@@ -139,6 +139,27 @@ object FileFormats {
     // files behind an atomic swap. The oracle checks content fidelity
     // through the rewrite; file-count and crash-recovery invariants are
     // spec-asserted (OperatorsSpec).
+    // Schema evolution on read: two parquet writes with different column
+    // sets under one partitioned root, mergeSchema unioning them with
+    // nulls for absent columns — the contract a long-lived ingest dir
+    // relies on when producers add fields (same evolution story the
+    // envelope schema-evolution spec covers on the wire).
+    GQuery("fmt_merge_schema",
+      (s, d) => {
+        val part = Tables(s, d, "part")
+        val path = tmp("graft_merge")
+        part.select("p_partkey", "p_name").write.parquet(s"$path/v=1")
+        part.select("p_partkey", "p_retailprice").write.parquet(s"$path/v=2")
+        s.read.option("mergeSchema", "true").parquet(path)
+          .select(col("p_partkey"), col("p_name"), col("p_retailprice"), col("v"))
+          .orderBy(col("v"), col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_name, CAST(NULL AS DOUBLE) AS p_retailprice, 1 AS v
+        FROM part
+        UNION ALL
+        SELECT p_partkey, NULL, p_retailprice, 2 FROM part
+        ORDER BY v, p_partkey""")),
+
     GQuery("fmt_compaction",
       (s, d) => {
         val orders = Tables(s, d, "orders")

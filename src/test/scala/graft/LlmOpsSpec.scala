@@ -372,6 +372,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(labels.size == 10 && labels.values.forall(_ == 100L))
   }
 
+  test("pageRank: hub outranks leaves, integer ranks partition-invariant") {
+    import graft.ops.Graph
+    // star: 10 leaves point at hub 0; hub points back at leaf 1
+    val nodes = (0L to 10L).toDF("node")
+    val edges = ((1L to 10L).map(i => (i, 0L)) :+ ((0L, 1L)))
+      .toDF("src", "dst")
+    val pr = Graph.pageRank(nodes, edges, iters = 5)
+      .select("node", "u").as[(Long, Long)].collect().toMap
+    assert(pr(0L) == pr.values.max, "hub must carry the max rank")
+    // leaf 1 receives the hub's mass, other leaves only teleport mass
+    assert(pr(1L) > pr(2L))
+    assert((2L to 10L).map(pr).toSet.size == 1, "symmetric leaves equal")
+    // exact integers ⇒ bit-identical under repartitioning
+    val pr2 = Graph.pageRank(nodes.repartition(5), edges.repartition(3),
+        iters = 5)
+      .select("node", "u").as[(Long, Long)].collect().toMap
+    assert(pr2 == pr)
+  }
+
   test("int8 quantization: codes bounded, error ≤ scale/2, high recall") {
     import graft.ops.Quantize
     val emb = Tables(spark, sfDir, "embeddings")
