@@ -405,6 +405,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("identical aggregation subtrees reuse one shuffle (Reused* in the final plan)") {
+    // Exchange reuse is what makes self-join-shaped pipelines (the
+    // dedup inverted-index pair join, q61's multiset ops) pay for their
+    // shared subtree ONCE — at 100 TB recomputing the index per join
+    // side would double the dominant cost.
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep both sides as shuffles
+    try {
+      val li = graft.util.Tables(spark, GraftSpark.sfDir, "lineitem")
+      val agg = li.groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      val j = agg.as("a")
+        .join(agg.withColumnRenamed("n", "n2"), "l_orderkey")
+        .select("l_orderkey")
+      j.collect() // execute j's own adaptive plan
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("Reused"),
+        s"expected a reused exchange/stage in:\n$plan")
+    } finally prev match {
+      case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("runtime bloom filter injected on the probe side of a selective shuffle join") {
     // Catalyst's InjectRuntimeFilter: a selective filter on the build
     // side becomes a bloom-filter semi-filter on the probe side's scan,
