@@ -14,15 +14,20 @@ import graft.functions.{ChangeDiffJsonExpr, CosineSimilarity, DebeziumDecimalDec
   * SELECT debezium_decimal(unbase64(payload.value), payload.scale) ...
   * }}}
   *
-  * No custom Rule/Strategy is injected — the reference does nothing
-  * Catalyst cannot already plan (SURVEY.md §4); the extension surface is
-  * exactly the three scalar kernels Spark lacks.
+  * Injected surface: the scalar kernels Spark lacks (the reference
+  * itself needs no custom Rule — SURVEY.md §4) plus ONE optimizer rule
+  * the analytics surface earns: [[graft.plans.BandedRangeJoinRule]],
+  * which turns `ON v BETWEEN lo AND hi` theta-joins into banded
+  * equi-joins (off unless `spark.graft.rangeJoin.binSize` is set — an
+  * opt-in with a domain-knowledge knob, not a default behavior change).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.injections.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
+  }
 }
 
 object GraftExtensions {

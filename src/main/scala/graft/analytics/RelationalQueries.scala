@@ -581,9 +581,30 @@ object RelationalQueries {
                           WHERE o_custkey = c_custkey))
       GROUP BY cntrycode ORDER BY cntrycode"""))
 
+  /** Spark-4 collation support: case-insensitive comparison and distinct
+    * counting via UTF8_LCASE, without materializing lower() copies. The
+    * oracle is the portable lower() twin — results must agree exactly on
+    * the ASCII data (collation keys replace the rewrite, not change it).
+    */
+  private lazy val collationQ = GQuery("q67_collation",
+    (s, d) => {
+      val mixed = Tables(s, d, "nation").select(col("n_nationkey"),
+        when(col("n_nationkey") % 2 === 0, upper(col("n_name")))
+          .otherwise(lower(col("n_name"))).as("name"))
+      val c = collate(col("name"), "UTF8_LCASE")
+      mixed.agg(
+        countDistinct(c).as("n_distinct"),
+        sum(when(c === lit("germany"), 1).otherwise(0)).as("n_germany"))
+    },
+    Some("""SELECT count(DISTINCT lower(name)) AS n_distinct,
+        CAST(SUM(CASE WHEN lower(name) = 'germany' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_germany
+      FROM (SELECT CASE WHEN n_nationkey % 2 = 0 THEN upper(n_name)
+                        ELSE lower(n_name) END AS name FROM nation)"""))
+
   private lazy val round4: Seq[GQuery] =
     Seq(heavyGroupTopk, doubleCorrelated, lateralTopN, multisetOps,
-      recursiveCte, minCostSupplier, globalSalesFilter)
+      recursiveCte, minCostSupplier, globalSalesFilter, collationQ)
 
   /** Correlated scalar subqueries through the SQL entry path: each order
     * compared against ITS customer's aggregate — Catalyst decorrelates

@@ -58,6 +58,33 @@ object TemporalQueries {
           AND l_quantity BETWEEN p_size - 1 AND p_size + 1
         GROUP BY p_partkey ORDER BY p_partkey""")),
 
+    // Same semantics as q33 but written as a PLAIN theta-join: the
+    // injected BandedRangeJoinRule (plans/BandedRangeJoinRule.scala)
+    // rewrites it into the banded equi-join at optimization time, so
+    // naive BETWEEN SQL gets q33's scalable plan automatically. The
+    // conf knob + rule stay active for the session (semantics-preserving
+    // by construction; OperatorsSpec proves plan + result).
+    GQuery("q68_range_join_auto",
+      (s, d) => {
+        if (!s.experimental.extraOptimizations
+            .contains(graft.plans.BandedRangeJoinRule))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.BandedRangeJoinRule
+        s.conf.set(graft.plans.BandedRangeJoinRule.WidthKey, "4.0")
+        val li = Tables(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R" && col("l_quantity") <= 3)
+        val part = Tables(s, d, "part")
+        li.join(part, col("l_quantity") >= col("p_size") - 1 &&
+            col("l_quantity") <= col("p_size") + 1)
+          .groupBy(col("p_partkey"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, COUNT(*) AS n FROM lineitem, part
+        WHERE l_returnflag = 'R' AND l_quantity <= 3
+          AND l_quantity BETWEEN p_size - 1 AND p_size + 1
+        GROUP BY p_partkey ORDER BY p_partkey""")),
+
     GQuery("q34_tumbling_window",
       (s, d) => Tables(s, d, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))

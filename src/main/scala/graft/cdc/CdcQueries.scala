@@ -387,7 +387,35 @@ object CdcQueries {
       FROM orders WHERE o_orderkey % 7 <> 0
       GROUP BY 1 ORDER BY grp"""))
 
+  /** Point-in-time ("time travel") read off the SCD2 history: the table
+    * state as of T is the version row whose [valid_from, valid_to)
+    * interval covers T. The oracle recomputes the same state DIRECTLY
+    * from the log prefix (latest non-delete op ≤ T per key) — proving
+    * the interval encoding reconstructs any historical state exactly,
+    * which is the reason warehouses keep Type-2 history at all.
+    */
+  private val scd2Asof = GQuery("cdc_scd2_asof",
+    (s, d) => {
+      val T = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+      val ev = Tables(s, d, "events")
+        .withColumn("op", when(col("event_type") === "error", "d").otherwise("u"))
+      Scd2.history(ev, keys = Seq("user_id"),
+          order = Seq(col("ts"), col("event_id")))
+        .filter(col("valid_from") <= T &&
+          (col("valid_to").isNull || col("valid_to") > T))
+        .select(col("user_id"), col("event_id"), col("value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, value,
+               CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        FROM events
+        WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-15 00:00:00')
+      WHERE rn = 1 AND op <> 'd' ORDER BY user_id"""))
+
   val queries: Seq[GQuery] = Seq(
     envelopeApply, decimalRoundtrip, applyOps, changeDiffQ, genTransactions,
-    changeDiffWide, incrementalUpsert, scd2History, incrementalAgg)
+    changeDiffWide, incrementalUpsert, scd2History, incrementalAgg, scd2Asof)
 }

@@ -44,23 +44,28 @@ object Cluster {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("cluster", col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // handle to the previous round's checkpointed frame, so its blocks
+    // can be released once the next round no longer reads them
+    var prevCp: DataFrame = labels
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("node").as("dst"), col("cluster").as("c")), "dst")
         .groupBy(col("src").as("node")).agg(min(col("c")).as("nc"))
+      // ONE materialization per round: the eager localCheckpoint runs the
+      // join (and truncates its lineage — without that, round k would
+      // replay rounds 1..k-1 and the plan would grow quadratically); the
+      // convergence count then reads the checkpointed blocks instead of
+      // re-executing the join.
       val next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("cluster").as("old"),
           least(col("cluster"), col("nc")).as("cluster"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = true)
       changed = next.filter(col("cluster") < col("old")).count()
-      val prev = labels
-      // localCheckpoint truncates the per-round join lineage — without it
-      // round k replays rounds 1..k-1 and the plan grows quadratically
-      labels = next.select("node", "cluster").localCheckpoint(eager = true)
-      prev.unpersist(blocking = false)
-      next.unpersist(blocking = false)
+      prevCp.unpersist(blocking = false)
+      prevCp = next
+      labels = next.select("node", "cluster")
       iter += 1
     }
     sym.unpersist(blocking = false)

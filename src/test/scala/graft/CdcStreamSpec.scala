@@ -661,6 +661,47 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chained stateful aggs: 1-min windows roll up into 5-min windows in one query") {
+    // Spark 3.5+ multiple-stateful-operator support: two windowed
+    // aggregations chained in a single streaming query (the hierarchical
+    // rollup every metrics pipeline wants), watermark propagated through
+    // the first agg into the second.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val base = input.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "0 seconds")
+    val w1 = base
+      .groupBy(col("k"), window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n1"))
+    val w5 = w1
+      .groupBy(col("k"), window(col("window"), "5 minutes"))
+      .agg(sum(col("n1")).as("n5"))
+      .select(col("k"), col("window.start").as("w"), col("n5"))
+    val q = w5.writeStream.format("memory").queryName("roll_out")
+      .outputMode("append").start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+      // 3 events in minutes 0-4 (first 5-min window), 1 in minute 6
+      input.addData(("u", t(0), 1.0), ("u", t(1), 1.0), ("u", t(4), 1.0),
+        ("u", t(6), 1.0))
+      q.processAllAvailable()
+      // watermark at 00:06 closes every 1-min window ≤ 00:05 but the
+      // 5-min window [00:05,00:10) is still open
+      // an event far past moves the watermark beyond [00:05, 00:10)
+      input.addData(("u", t(20), 1.0))
+      q.processAllAvailable()
+      input.addData(("u", t(40), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("roll_out")
+        .select(col("k"), col("w").cast("string"), col("n5"))
+        .as[(String, String, Long)].collect().toSet
+      assert(got.contains(("u", "2024-01-01 00:00:00", 3L)),
+        s"first 5-min rollup wrong: $got")
+      assert(got.contains(("u", "2024-01-01 00:05:00", 1L)),
+        s"second 5-min rollup wrong: $got")
+    } finally q.stop()
+  }
+
   test("foreachBatch delta-agg maintains a grouped aggregate ≡ one-shot recompute (IVM)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Materialize

@@ -405,6 +405,46 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("BandedRangeJoinRule: BETWEEN theta-join becomes a hash-joinable plan, result unchanged") {
+    import graft.plans.BandedRangeJoinRule
+    val conf = spark.conf
+    val li = Seq((1L, 3.0), (2L, 10.0), (3L, 47.0), (4L, 11.9), (5L, -2.0))
+      .toDF("id", "v")
+    val bands = Seq((10L, 2.0, 4.0), (11L, 9.0, 12.0), (12L, 46.0, 50.0),
+      (13L, 1.0, 2.0), (14L, -3.0, -1.0)).toDF("bid", "lo", "hi")
+    def q() = li.join(bands, col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("id", "bid")
+    val expected = q().as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+    // baseline plan: no equi-key → nested-loop join
+    assert(q().queryExecution.executedPlan.toString.contains("NestedLoop"))
+    val prevOpt = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prevOpt :+ BandedRangeJoinRule
+    conf.set(BandedRangeJoinRule.WidthKey, "4.0")
+    try {
+      val got = q()
+      val plan = got.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop"),
+        s"rule did not remove the nested-loop join:\n$plan")
+      assert(plan.contains("__graft_bucket_p"),
+        s"expected the bucket equi-key in:\n$plan")
+      assert(got.as[(Long, Long)].collect().toSet == expected)
+      // point side on the RIGHT also matches (mirrored rewrite)
+      val mirrored = bands.join(li,
+          col("lo") <= col("v") && col("hi") >= col("v"))
+        .select("id", "bid")
+      assert(!mirrored.queryExecution.executedPlan.toString.contains("NestedLoop"))
+      assert(mirrored.as[(Long, Long)].collect().toSet == expected)
+      // rule leaves equi-joins and non-range joins alone
+      val equi = li.join(bands, col("id") === col("bid")).queryExecution
+        .optimizedPlan.toString
+      assert(!equi.contains("__graft_bucket"))
+    } finally {
+      spark.experimental.extraOptimizations = prevOpt
+      conf.unset(BandedRangeJoinRule.WidthKey)
+    }
+  }
+
   test("identical aggregation subtrees reuse one shuffle (Reused* in the final plan)") {
     // Exchange reuse is what makes self-join-shaped pipelines (the
     // dedup inverted-index pair join, q61's multiset ops) pay for their
