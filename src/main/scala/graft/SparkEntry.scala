@@ -20,6 +20,8 @@ object SparkEntry {
       analytics.TemporalQueries.queries ++
       cdc.CdcQueries.queries ++
       ops.LlmQueries.queries ++
+      ops.Search.queries ++
+      ops.Chunking.queries ++
       sources.FileFormats.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

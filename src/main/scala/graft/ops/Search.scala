@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.{GQuery, Tables}
+
+/** Keyword retrieval over a document corpus: BM25 top-k ranking — the
+  * lexical-search half of a training-data / RAG pipeline (the dense half
+  * is [[Similarity]]). The reference has no search surface at all; this
+  * is north-star §2B scope.
+  *
+  * Scale design (the 100 TB shape):
+  *   - the inverted index is two partial-agg'd groupBys — (doc, term)
+  *     term frequencies and per-term document frequencies. Stop terms
+  *     cannot skew a partition: counts combine map-side before the
+  *     exchange (same argument as Dedup's df derivation).
+  *   - corpus constants (N, average length) are a 1-row broadcast.
+  *   - the query set is tiny and broadcasts onto the postings — the only
+  *     data-sized shuffles key on (doc) and (term), never on pairs.
+  *   - scoring touches only postings of query terms: cost ∝ the hit
+  *     lists, not the corpus.
+  *
+  * Determinism (oracle contract): per-(query, doc, term) partial scores
+  * are computed in one fixed IEEE expression shape (identical
+  * parenthesization in the DuckDB oracle), floor-quantized to micro
+  * units, and summed as BIGINT — exact and commutative, so partition
+  * order cannot perturb ranks. See TextAnalysis.unigramSurprisal for the
+  * same fixed-point pattern.
+  */
+object Search {
+
+  val k1 = 1.2
+  val b = 0.75
+
+  private def toks(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** BM25 scores for a literal query set; returns the top `k` docs per
+    * query as (qid, doc_id, rn, score_u, score). `score_u` is the exact
+    * micro-unit BIGINT the ranking is defined over; `score` is its
+    * double rendering.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Int, String)], k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val docLen = tf.groupBy("doc_id").agg(sum(col("tf")).as("len"))
+    // N and avg doc length from the SAME tf frame (no second corpus scan)
+    val stats = docLen.agg(count(lit(1)).as("n"),
+      (sum(col("len")).cast("double") / count(lit(1))).as("avglen"))
+    val dft = tf.groupBy("t").agg(count(lit(1)).as("dft"))
+
+    val qterms = queries
+      .flatMap { case (qid, q) => q.split(" ").filter(_.nonEmpty).distinct
+        .map(t => (qid, t)) }
+      .toDF("qid", "t")
+
+    // one fixed IEEE expression shape — mirrored verbatim in the oracle
+    val idf = log(((col("n") - col("dft")) + lit(0.5)) / (col("dft") + lit(0.5)) + lit(1.0))
+    val tfn = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("len") / col("avglen"))))
+    val partial = floor(idf * tfn * lit(1e6)).cast("long")
+
+    val scored = tf
+      .join(broadcast(qterms), "t")
+      .join(broadcast(dft.join(broadcast(qterms.select("t").distinct()), "t")), "t")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_u", partial)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("score_u")).as("score_u"))
+
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_u").desc, col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("doc_id"), col("rn"),
+        col("score_u"), (col("score_u").cast("double") / 1e6).as("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** DuckDB oracle for [[bm25TopK]] — generated from the same query set
+    * so the two sides cannot drift. Expression shapes are verbatim
+    * copies of the Spark columns above.
+    */
+  def bm25OracleSql(queries: Seq[(Int, String)], k: Int): String = {
+    val qvals = queries
+      .flatMap { case (qid, q) => q.split(" ").filter(_.nonEmpty).distinct
+        .map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        FROM documents),
+      tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+      doclen AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY doc_id),
+      stats AS (SELECT count(*) AS n, CAST(sum(len) AS DOUBLE) / count(*) AS avglen FROM doclen),
+      dft AS (SELECT t, count(*) AS dft FROM tf GROUP BY t),
+      q(qid, t) AS (VALUES $qvals),
+      scored AS (
+        SELECT q.qid, tf.doc_id,
+          CAST(sum(CAST(floor(
+            ln(((n - dft) + 0.5) / (dft + 0.5) + 1.0)
+            * ((tf * ${k1 + 1.0}) / (tf + $k1 * (${1.0 - b} + $b * (len / avglen))))
+            * 1e6) AS BIGINT)) AS BIGINT) AS score_u
+        FROM tf
+        JOIN q USING (t) JOIN dft USING (t)
+        JOIN doclen USING (doc_id), stats
+        GROUP BY q.qid, tf.doc_id),
+      ranked AS (
+        SELECT qid, doc_id,
+          CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY score_u DESC NULLS LAST, doc_id) AS INT) AS rn,
+          score_u
+        FROM scored)
+      SELECT qid, doc_id, rn, score_u, CAST(score_u AS DOUBLE) / 1e6 AS score
+      FROM ranked WHERE rn <= $k ORDER BY qid, rn"""
+  }
+
+  /** The registered query set — corpus-vocabulary terms so every query
+    * has real hit lists (the documents table is synthetic prose over a
+    * fixed word list, TESTDATA.md).
+    */
+  val registeredQueries: Seq[(Int, String)] = Seq(
+    1 -> "spark window agg",
+    2 -> "slow query scan",
+    3 -> "customer join table")
+
+  val queries: Seq[GQuery] = Seq(
+    GQuery("text_bm25_topk",
+      (s, d) => bm25TopK(Tables(s, d, "documents"), "doc_id", "text",
+        registeredQueries, 10),
+      Some(bm25OracleSql(registeredQueries, 10))))
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Chunking, Search}
+import graft.util.Tables
+
+class SearchSpec extends AnyFunSuite {
+  import GraftSpark.{spark, sfDir}
+  import spark.implicits._
+
+  test("bm25: hand-computed scores on a tiny corpus") {
+    val docs = Seq(
+      (1L, "cat dog cat"),     // tf(cat)=2, len 3
+      (2L, "cat fish"),        // tf(cat)=1, len 2
+      (3L, "bird bird bird"))  // no hit
+      .toDF("doc_id", "text")
+    val got = Search.bm25TopK(docs, "doc_id", "text", Seq(7 -> "cat"), 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+
+    // reference BM25 computed independently (same formula, plain Scala)
+    val n = 3.0; val dft = 2.0; val avglen = (3 + 2 + 3) / 3.0
+    def score(tf: Double, len: Double): Long = {
+      val idf = math.log((n - dft + 0.5) / (dft + 0.5) + 1.0)
+      val tfn = tf * (Search.k1 + 1.0) /
+        (tf + Search.k1 * (1.0 - Search.b + Search.b * (len / avglen)))
+      math.floor(idf * tfn * 1e6).toLong
+    }
+    assert(got.length == 2)                       // doc 3 has no query term
+    assert(got(0) == ((7, 1L, 1, score(2, 3))))   // higher tf wins rank 1
+    assert(got(1) == ((7, 2L, 2, score(1, 2))))
+  }
+
+  test("bm25: top-k on the corpus is dense-ranked, hit-only, deterministic") {
+    val docs = Tables(spark, sfDir, "documents")
+    val qs = Search.registeredQueries
+    val run1 = Search.bm25TopK(docs, "doc_id", "text", qs, 5).collect()
+    val run2 = Search.bm25TopK(docs, "doc_id", "text", qs, 5).collect()
+    assert(run1.toSeq == run2.toSeq)              // partition-order independent
+    val byQ = run1.groupBy(_.getInt(0))
+    assert(byQ.keySet == qs.map(_._1).toSet)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(2)).toSeq == (1 to rows.length)) // dense ranks
+      assert(rows.map(_.getLong(3)).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b; case _ => true  // scores non-increasing
+      })
+    }
+    // every hit actually contains at least one query term
+    val hitIds = run1.map(_.getLong(1)).toSet
+    val terms = qs.flatMap(_._2.split(" ")).distinct
+    val withTerm = docs
+      .filter(terms.map(t => col("text").contains(t)).reduce(_ || _))
+      .select("doc_id").as[Long].collect().toSet
+    assert(hitIds.subsetOf(withTerm))
+  }
+
+  test("chunking: overlap-strip reconstruction, bounds, short docs") {
+    val size = 50; val overlap = 10; val stride = size - overlap
+    val docs = Tables(spark, sfDir, "documents")
+    val chunks = Chunking.chunk(docs, "doc_id", "text", size, overlap)
+      .collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).toSeq
+      }
+    val texts = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    assert(chunks.keySet == texts.keySet)
+    for ((id, rs) <- chunks) {
+      val text = texts(id)
+      // chunk ids dense from 0; starts advance by exactly the stride
+      assert(rs.map(_.getInt(1)) == rs.indices)
+      assert(rs.map(_.getInt(2)) == rs.indices.map(_ * stride + 1))
+      // every chunk is non-empty, ≤ size, and a verbatim slice
+      rs.foreach { r =>
+        val (start, end, c) = (r.getInt(2), r.getInt(3), r.getString(4))
+        assert(c.nonEmpty && c.length <= size)
+        assert(end == start + c.length - 1)
+        assert(c == text.substring(start - 1, end))
+      }
+      // dropping the overlap from every chunk after the first rebuilds
+      // the document exactly — nothing lost, nothing duplicated
+      val rebuilt = rs.head.getString(4) +
+        rs.tail.map(_.getString(4).drop(overlap)).mkString
+      assert(rebuilt == text)
+      // a doc shorter than size yields exactly one chunk
+      if (text.length <= size) assert(rs.length == 1)
+    }
+  }
+}
