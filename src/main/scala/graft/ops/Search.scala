@@ -135,5 +135,26 @@ object Search {
     GQuery("text_bm25_topk",
       (s, d) => bm25TopK(Tables(s, d, "documents"), "doc_id", "text",
         registeredQueries, 10),
-      Some(bm25OracleSql(registeredQueries, 10))))
+      Some(bm25OracleSql(registeredQueries, 10))),
+
+    // Misra-Gries heavy hitters in the exact regime: capacity 64 ≥ the
+    // corpus's 31-token vocabulary, so no counter is ever evicted and
+    // the sketch provably equals the exact token counts (which is what
+    // lets a stream-order-dependent summary sit under a hash oracle).
+    // The approximate regime is guarantee-tested in SearchSpec.
+    GQuery("text_top_terms",
+      (s, d) => {
+        val mg = udaf(graft.functions.MisraGries(64))
+        Tables(s, d, "documents")
+          .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("t"))
+          .agg(mg(col("t")).as("m"))
+          .select(explode(col("m")))
+          .select(col("key").as("term"), col("value").as("cnt"))
+          .orderBy(col("cnt").desc, col("term"))
+          .limit(20)
+      },
+      Some("""SELECT t AS term, count(*) AS cnt FROM (
+          SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+          FROM documents)
+        GROUP BY t ORDER BY cnt DESC NULLS LAST, t LIMIT 20""")))
 }

@@ -55,6 +55,43 @@ class SearchSpec extends AnyFunSuite {
     assert(hitIds.subsetOf(withTerm))
   }
 
+  test("misra-gries: heavy-hitter guarantee under adversarial partitioning") {
+    import graft.functions.MisraGries
+    val cap = 4
+    // 10_000 tokens: "hot" has frequency 3000 > n/(cap+1) = 2000; the
+    // rest is a long tail of sub-threshold noise items
+    val tokens = Seq.fill(3000)("hot") ++
+      (0 until 7000).map(i => s"noise_${i % 700}")
+    val n = tokens.length
+    for (parts <- Seq(1, 4, 13)) {       // partitioning must not matter
+      // deterministic spread across partitions (no shuffle randomness)
+      val df = spark.createDataset(tokens.zipWithIndex)(
+          org.apache.spark.sql.Encoders.product[(String, Int)])
+        .repartition(parts, col("_2"))
+        .select(col("_1").as("t"))
+      val mg = udaf(MisraGries(cap))
+      val got = df.agg(mg(col("t")).as("m"))
+        .select(explode(col("m"))).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.size <= cap)
+      assert(got.contains("hot"), s"hot item evicted at parts=$parts")
+      // every estimate is an under-count by at most n/(cap+1)
+      val exact = tokens.groupBy(identity).view.mapValues(_.size.toLong)
+      got.foreach { case (k, est) =>
+        assert(est <= exact(k))
+        assert(exact(k) - est <= n / (cap + 1))
+      }
+    }
+    // exact regime: capacity ≥ distinct items ⇒ the sketch IS the counts
+    val small = spark.createDataset(Seq("a", "b", "a", "c", "a", "b"))(
+      org.apache.spark.sql.Encoders.STRING).toDF("t")
+    val mg10 = udaf(MisraGries(10))
+    val ex = small.agg(mg10(col("t")).as("m"))
+      .select(explode(col("m"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ex == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
   test("chunking: overlap-strip reconstruction, bounds, short docs") {
     val size = 50; val overlap = 10; val stride = size - overlap
     val docs = Tables(spark, sfDir, "documents")
