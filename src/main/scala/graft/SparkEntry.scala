@@ -22,7 +22,8 @@ object SparkEntry {
       ops.LlmQueries.queries ++
       ops.Search.queries ++
       ops.Chunking.queries ++
-      sources.FileFormats.queries
+      sources.FileFormats.queries ++
+      sources.Layout.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
