@@ -15,6 +15,7 @@ object SparkEntry {
   val allQueries: Seq[GQuery] =
     analytics.RelationalQueries.queries ++
       analytics.TpchShapes.queries ++
+      analytics.StatsQueries.queries ++
       analytics.WindowQueries.queries ++
       analytics.FunctionQueries.queries ++
       analytics.TemporalQueries.queries ++

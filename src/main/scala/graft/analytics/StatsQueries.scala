@@ -1,0 +1,128 @@
+package graft.analytics
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.{Det, GQuery, Tables}
+import Det._
+
+/** Statistical aggregates and time-series resampling (SURVEY.md §2B
+  * "Aggregations" / scalar-function breadth).
+  *
+  * Why not Spark's own var_samp/corr/regr_slope: those accumulate
+  * IEEE doubles in partition order (Welford-style merges), so results
+  * drift run-to-run under the driver's hash compare AND differ from
+  * DuckDB's sequential accumulation. Instead every second-order moment
+  * is assembled from EXACT DECIMAL power sums (n, Σx, Σy, Σx², Σy²,
+  * Σxy — associative, commutative, partition-order-proof), and the
+  * variance/correlation/regression formulas run ONCE per group on the
+  * exact sums in one fixed double-expression shape that the oracle
+  * mirrors verbatim. Same pattern as graft.util.Det, extended to
+  * second moments.
+  */
+object StatsQueries {
+
+  val queries: Seq[GQuery] = Seq(
+
+    // Full second-moment battery per return flag: quantity (x) vs
+    // extended price (y). One partial-agg'd groupBy carries all six
+    // power sums in a single pass over the fact table.
+    GQuery("q80_stats_moments",
+      (s, d) => {
+        val x = dec(col("l_quantity"))
+        val y = dec(col("l_extendedprice"))
+        val g = Tables(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(y).cast("double").as("sy"),
+            sum(x * x).cast("double").as("sxx"),
+            sum(y * y).cast("double").as("syy"),
+            sum(x * y).cast("double").as("sxy"))
+        g.select(
+            col("l_returnflag"),
+            col("n"),
+            (col("sx") / col("n")).as("avg_qty"),
+            ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+              .as("var_qty"),
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+              .as("std_qty"),
+            ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+              .as("covar_qp"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+              .as("corr_qp"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")))
+              .as("slope_qp"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH g AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+          sx / n AS avg_qty,
+          (sxx - sx * sx / n) / (n - 1) AS var_qty,
+          sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
+          (sxy - sx * sy / n) / (n - 1) AS covar_qp,
+          (n * sxy - sx * sy)
+            / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qp,
+          (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_qp
+        FROM g ORDER BY l_returnflag""")),
+
+    // Time-series resample + linear interpolation: per user, a 6-hour
+    // grid between consecutive events, value linearly interpolated.
+    // Map-only after ONE window pass (lead) keyed on the user — grid
+    // generation and interpolation are per-row expressions; grid
+    // arithmetic in exact epoch-µs BIGINTs, one double division per
+    // output row mirrored verbatim by the oracle.
+    GQuery("q81_resample_interpolate",
+      (s, d) => {
+        val step = 21600000000L // 6 h in µs
+        val ev = Tables(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("t"),
+            col("value").as("v"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("t"), col("event_id"))
+        val paired = ev
+          .withColumn("t1", lead(col("t"), 1).over(w))
+          .withColumn("v1", lead(col("v"), 1).over(w))
+          .filter(col("t1").isNotNull)
+          // first grid point at or after t (epoch-aligned): integer
+          // ceil-div — a double detour could round a near-boundary µs
+          .withColumn("g0", expr(s"((t + ${step - 1}) div $step) * $step"))
+          .filter(col("g0") < col("t1"))
+        paired
+          .select(col("user_id"), col("t"), col("t1"), col("v"), col("v1"),
+            explode(sequence(col("g0"), col("t1") - 1, lit(step))).as("g"))
+          .select(col("user_id"), col("g"),
+            (col("v") + (col("v1") - col("v")) *
+              ((col("g") - col("t")).cast("double") /
+                (col("t1") - col("t")).cast("double"))).as("v_interp"))
+          .orderBy(col("user_id"), col("g"))
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+                 "value" AS v
+          FROM events),
+        paired AS (
+          SELECT user_id, t, v,
+                 lead(t) OVER w AS t1, lead(v) OVER w AS v1
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        grid AS (
+          SELECT user_id, t, t1, v, v1,
+                 unnest(range(((t + 21599999999) // 21600000000) * 21600000000,
+                              t1, 21600000000)) AS g
+          FROM paired WHERE t1 IS NOT NULL)
+        SELECT user_id, g,
+          v + (v1 - v) * (CAST(g - t AS DOUBLE) / CAST(t1 - t AS DOUBLE))
+            AS v_interp
+        FROM grid ORDER BY user_id, g""")))
+}
