@@ -22,6 +22,7 @@ object SparkEntry {
       cdc.CdcQueries.queries ++
       ops.LlmQueries.queries ++
       ops.Search.queries ++
+      ops.KMeansStep.queries ++
       ops.Chunking.queries ++
       sources.FileFormats.queries ++
       sources.Layout.queries

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.{GQuery, Tables}
+
+/** One distributed Lloyd (k-means) iteration over the embeddings table,
+  * fully under the hash oracle — unlike the Spark-ML KMeans behind
+  * sim_ann_ivf (whose internal init/aggregation is not replayable in
+  * SQL, so those queries are rows-only), this hand-rolled step is the
+  * auditable training kernel: deterministic centroid seed, exact
+  * assignment, fixed-point mean update.
+  *
+  * Scale shape: centroids broadcast (k rows); assignment is a map-only
+  * pass over the corpus (cost ∝ n·k·dim, no shuffle); the update is ONE
+  * partial-agg'd groupBy on (cluster, dim) of integer micro-units —
+  * component sums combine map-side, so no cluster, however popular, can
+  * skew a partition. That is exactly the shape a 100 TB Lloyd iteration
+  * must have (and the reason mini-batch variants exist for the rest).
+  *
+  * Determinism: squared-L2 distances are per-row sequential double
+  * folds (identical on both engines — same argument as the cosine
+  * kernel's oracle, LlmQueries.sqlCos); argmin ties break on cluster
+  * id; mean components are floor-quantized to micro-units and summed
+  * as BIGINT, so the reported centroid update is exact and partition-
+  * order independent.
+  */
+object KMeansStep {
+
+  /** Squared L2 between two float vectors, per-element in doubles,
+    * sequential left fold — the shape DuckDB's list_sum reproduces.
+    */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, e) => acc + e)
+
+  /** Nearest deterministic centroid per vector: centroids = vectors
+    * whose id ≡ 0 (mod `centroidEvery`) — a seedless, SQL-replayable
+    * init. Returns (vec_id, cluster, d2).
+    */
+  def assign(emb: DataFrame, idCol: String, vecCol: String,
+             centroidEvery: Int): DataFrame = {
+    val cents = emb.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cluster"), col(vecCol).as("cvec"))
+    // rank on the 4-decimal rounding (ties → cluster id), the same
+    // cross-engine contract the cosine top-k oracles use: a raw
+    // last-ulp disagreement between two sequential folds must not be
+    // able to flip an argmin
+    val w = Window.partitionBy(col("__vid")).orderBy(col("d2"), col("cluster"))
+    emb.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", round(sqDist(col("__v"), col("cvec")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("__vid").as("vec_id"), col("cluster"), col("d2"))
+  }
+
+  /** The update half: per (cluster, dimension) member count and exact
+    * fixed-point component mean (micro-unit BIGINT sum, one final
+    * double division).
+    */
+  def update(emb: DataFrame, idCol: String, vecCol: String,
+             centroidEvery: Int): DataFrame = {
+    val a = assign(emb, idCol, vecCol, centroidEvery)
+      .select(col("vec_id"), col("cluster"))
+    emb.select(col(idCol).as("vec_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .join(a, "vec_id")
+      .groupBy(col("cluster"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * 1e6).cast("long")).as("sum_u"))
+      .withColumn("mean", col("sum_u").cast("double") / (col("n") * 1e6))
+      .orderBy(col("cluster"), col("dim"))
+  }
+
+  private val sqlD2 =
+    """list_sum(list_transform(list_zip(v.embedding, c.embedding), p ->
+       (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+       * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"""
+
+  private def assignSql(every: Int) =
+    s"""SELECT vec_id, cluster, d2 FROM (
+        SELECT v.vec_id, c.vec_id AS cluster, round($sqlD2, 4) AS d2,
+          CAST(row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY round($sqlD2, 4) ASC NULLS LAST, c.vec_id) AS INT) AS rn
+        FROM embeddings v, embeddings c
+        WHERE c.vec_id % $every = 0)
+      WHERE rn = 1"""
+
+  val queries: Seq[GQuery] = Seq(
+    GQuery("embed_kmeans_assign",
+      (s, d) => assign(Tables(s, d, "embeddings"), "vec_id", "embedding",
+        centroidEvery = 50).orderBy(col("vec_id")),
+      Some(assignSql(50) + "\n        ORDER BY vec_id")),
+
+    GQuery("embed_kmeans_step",
+      (s, d) => update(Tables(s, d, "embeddings"), "vec_id", "embedding",
+        centroidEvery = 50),
+      Some(s"""WITH a AS (${assignSql(50)}),
+        m AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                 unnest(embedding) AS x
+          FROM embeddings)
+        SELECT a.cluster, CAST(m.dim AS INT) AS dim, count(*) AS n,
+          CAST(sum(CAST(floor(CAST(m.x AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS sum_u,
+          CAST(sum(CAST(floor(CAST(m.x AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+            / (count(*) * 1e6) AS mean
+        FROM m JOIN a USING (vec_id)
+        GROUP BY a.cluster, m.dim
+        ORDER BY a.cluster, m.dim""")))
+}
