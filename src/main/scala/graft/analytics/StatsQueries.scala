@@ -124,5 +124,52 @@ object StatsQueries {
         SELECT user_id, g,
           v + (v1 - v) * (CAST(g - t AS DOUBLE) / CAST(t1 - t AS DOUBLE))
             AS v_interp
-        FROM grid ORDER BY user_id, g""")))
+        FROM grid ORDER BY user_id, g""")),
+
+    // Gaps-and-islands batch sessionization: a new session starts when
+    // the gap to the previous event exceeds 30 min; the session id is
+    // the running count of session starts (the classic lag + cumsum
+    // idiom — the batch twin of the streaming session_window in q35,
+    // same grouping semantics, assembled from plain window functions).
+    // ONE hash exchange on user_id feeds both windows (same key+order),
+    // then a partial-agg'd groupBy — the shape to keep at 100 TB.
+    GQuery("q82_sessionize_islands",
+      (s, d) => {
+        val gapUs = 1800000000L // 30 min
+        val ev = Tables(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("t"),
+            col("value"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("t"), col("event_id"))
+        ev
+          .withColumn("is_new",
+            when(col("t") - lag(col("t"), 1).over(w) <= gapUs, 0L)
+              .otherwise(1L))
+          .withColumn("session_id",
+            sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("t")).as("t_start"), max(col("t")).as("t_end"),
+            count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+                 "value" AS v
+          FROM events),
+        flagged AS (
+          SELECT user_id, event_id, t, v,
+            CASE WHEN t - lag(t) OVER w <= 1800000000 THEN 0 ELSE 1 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        sessions AS (
+          SELECT user_id, t, v,
+            CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS session_id
+          FROM flagged)
+        SELECT user_id, session_id, min(t) AS t_start, max(t) AS t_end,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM sessions GROUP BY user_id, session_id
+        ORDER BY user_id, session_id""")))
 }

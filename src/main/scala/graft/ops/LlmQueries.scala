@@ -580,6 +580,32 @@ object LlmQueries {
           CAST(sum(k * nlp_u) AS DOUBLE) / (sum(k) * 1e6) AS surprisal
         FROM scored GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Second-order LM filter: average bigram surprisal under the
+    // corpus's own transition model (TextAnalysis.bigramSurprisal) —
+    // same fixed-point micro-nat discipline as the unigram twin.
+    GQuery("text_bigram_surprisal",
+      (s, d) => TextAnalysis.bigramSurprisal(
+          Tables(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM documents),
+        big AS (
+          SELECT doc_id, tk[i] AS t1, tk[i + 1] AS t2
+          FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) s),
+        perdoc AS (SELECT doc_id, t1, t2, count(*) AS k
+                   FROM big GROUP BY doc_id, t1, t2),
+        c2 AS (SELECT t1, t2, count(*) AS cnt2 FROM big GROUP BY t1, t2),
+        c1 AS (SELECT t1, count(*) AS cnt1 FROM big GROUP BY t1),
+        scored AS (
+          SELECT doc_id, k,
+            CAST(floor(-ln(CAST(cnt2 AS DOUBLE) / cnt1) * 1e6) AS BIGINT) AS nlp_u
+          FROM perdoc JOIN c2 USING (t1, t2) JOIN c1 USING (t1))
+        SELECT doc_id, CAST(sum(k) AS INT) AS n_bigrams,
+          CAST(sum(k * nlp_u) AS DOUBLE) / (sum(k) * 1e6) AS surprisal2
+        FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
     // Gopher-style repetition filters: duplicate-trigram ratio (map-only
     // array ops) + top-token share (partial-agg'd (doc, token) counts —
     // shuffles key on doc, so no stop-token can skew a partition).

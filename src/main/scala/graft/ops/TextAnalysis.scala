@@ -143,6 +143,42 @@ object TextAnalysis {
           (sum(col("k")) * lit(1e6))).as("surprisal"))
   }
 
+  /** Bigram-LM surprisal — the second-order refinement of
+    * [[unigramSurprisal]]: average −log p(tₙ | tₙ₋₁) under the corpus's
+    * own bigram model (p = bigram count / context count, contexts from
+    * the same bigram stream so probabilities sum to 1 per context).
+    * Catches word-salad documents whose unigram mix looks fine but
+    * whose transitions are improbable.
+    *
+    * Same scale shape as the unigram scorer: per-(doc, bigram) counts
+    * and corpus bigram/context counts are partial-agg'd groupBys (no
+    * hot token can skew a partition), the two model tables join on the
+    * bigram/context key, and the per-token surprisal is floor-quantized
+    * to micro-nats and integer-summed — bit-reproducible by the oracle.
+    * Documents with fewer than two tokens have no transitions and drop
+    * out (mirrored in the oracle).
+    */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = tokens(col(textCol))
+    val bigrams = df
+      .select(col(idCol).as("doc"),
+        explode(when(size(tk) >= 2,
+          transform(sequence(lit(1), size(tk) - 1), i =>
+            struct(element_at(tk, i).as("t1"), element_at(tk, i + 1).as("t2"))))
+          .otherwise(array().cast("array<struct<t1:string,t2:string>>"))).as("b"))
+      .select(col("doc"), col("b.t1").as("t1"), col("b.t2").as("t2"))
+    val perDoc = bigrams.groupBy("doc", "t1", "t2").agg(count(lit(1)).as("k"))
+    val c2 = bigrams.groupBy("t1", "t2").agg(count(lit(1)).as("cnt2"))
+    val c1 = bigrams.groupBy("t1").agg(count(lit(1)).as("cnt1"))
+    perDoc.join(c2, Seq("t1", "t2")).join(c1, Seq("t1"))
+      .withColumn("nlp_u",
+        floor(-log(col("cnt2").cast("double") / col("cnt1")) * 1e6).cast("long"))
+      .groupBy("doc")
+      .agg(sum(col("k")).cast("int").as("n_bigrams"),
+        (sum(col("k") * col("nlp_u")).cast("double") /
+          (sum(col("k")) * lit(1e6))).as("surprisal2"))
+  }
+
   /** Gopher-style repetition signals (the Rae et al. repetition filters
     * every pretraining pipeline applies): `dup_trigram_ratio` = fraction
     * of a document's trigrams that are repeats of an earlier trigram,

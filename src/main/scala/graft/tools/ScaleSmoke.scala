@@ -93,6 +93,21 @@ object ScaleSmoke {
         graft.ops.Dedup.embeddingPairsLsh(e, "vec_id", "embedding", 64, 0.9).count())
       timed(s"exact_dedup x$n")(
         graft.ops.Dedup.exact(d, "doc_id", "text").count())
+      // BM25: query terms re-tagged per replica so hit-list work scales
+      // with the corpus too (untagged terms would only ever hit replica
+      // 0 and the curve would measure just the index build)
+      timed(s"bm25 x$n") {
+        val qtags = (0 until n).flatMap { r =>
+          graft.ops.Search.registeredQueries.map { case (qid, q) =>
+            (qid * 100 + r, q.split(" ").map(t => s"${t}_$r").mkString(" "))
+          }
+        }
+        graft.ops.Search.bm25TopK(d, "doc_id", "text", qtags, 10).count()
+      }
+      // k-means assignment with k held constant (centroidEvery ∝ n):
+      // the map-only broadcast pass should be linear in the corpus
+      timed(s"kmeans_assign x$n")(
+        graft.ops.KMeansStep.assign(e, "vec_id", "embedding", 50 * n).count())
       // connected components over the replica's near-dup pairs: replica
       // tagging keeps components within one replica, so the edge count
       // and the component structure grow linearly — wall time measures
