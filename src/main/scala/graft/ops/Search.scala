@@ -46,9 +46,16 @@ object Search {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // The index is built ONCE and persisted: docLen/stats/dft all
+    // derive from tf, but DataFrame lineage is a tree — without the
+    // persist each branch re-runs the corpus explode (4 scans of the
+    // corpus in the physical plan; column pruning makes the subtrees
+    // unequal, so ReuseExchange cannot dedup them). In production the
+    // inverted index is a long-lived table, same as the IVF index.
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docLen = tf.groupBy("doc_id").agg(sum(col("tf")).as("len"))
     // N and avg doc length from the SAME tf frame (no second corpus scan)
     val stats = docLen.agg(count(lit(1)).as("n"),
