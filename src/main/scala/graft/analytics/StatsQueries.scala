@@ -171,5 +171,117 @@ object StatsQueries {
           COUNT(*) AS n_events,
           CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM sessions GROUP BY user_id, session_id
-        ORDER BY user_id, session_id""")))
+        ORDER BY user_id, session_id""")),
+
+    // DataSketches HLL algebra: one sketch per order priority over the
+    // customer key, plus their union — the partial-aggregate pattern
+    // for distinct counts at 100 TB (sketches build map-side with
+    // commutative register-max inserts, merge losslessly, and the
+    // union of per-group sketches IS the sketch of the union — spec-
+    // asserted in SketchSpec). Estimates are deterministic for given
+    // data (insert order cannot change a register max) but engine-
+    // specific → rows-only here, like the HLL++ q36.
+    GQuery("q83_hll_sketch_union",
+      (s, d) => {
+        val ord = Tables(s, d, "orders")
+        val per = ord.groupBy(col("o_orderpriority").as("grp"))
+          .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"))
+        val all = per.agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+          .select(lit("ALL").as("grp"), col("sk"))
+        per.unionByName(all)
+          .select(col("grp"),
+            hll_sketch_estimate(col("sk")).as("est_distinct"))
+          .orderBy(col("grp"))
+      },
+      None),
+
+    // Equi-depth histogram: 16 equal-mass buckets of the price column,
+    // cut at exact percentiles (sort-based, linear interpolation — the
+    // q42 cross-engine pairing percentile ↔ quantile_cont). The cut
+    // array is a 1-row broadcast; bucket assignment is a map-only
+    // count-of-cuts-below fold. The rank-normalization half of the
+    // Z-order layout as a first-class query.
+    GQuery("q84_equidepth_histogram",
+      (s, d) => {
+        val probs = (1 to 15).map(_ / 16.0)
+        val li = Tables(s, d, "lineitem")
+        val cuts = li.agg(
+          percentile(col("l_extendedprice"),
+            array(probs.map(lit): _*)).as("cuts"))
+        li.crossJoin(broadcast(cuts))
+          .withColumn("bucket",
+            aggregate(col("cuts"), lit(0),
+              (acc, c) => acc +
+                when(col("l_extendedprice") > c, 1).otherwise(0)))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("l_extendedprice")).as("lo"),
+            max(col("l_extendedprice")).as("hi"))
+          .orderBy(col("bucket"))
+      },
+      Some {
+        val probs = (1 to 15).map(_ / 16.0).mkString("[", ", ", "]")
+        s"""WITH cuts AS (
+            SELECT quantile_cont(l_extendedprice, $probs) AS cuts
+            FROM lineitem)
+          SELECT bucket, COUNT(*) AS n, min(p) AS lo, max(p) AS hi
+          FROM (
+            SELECT l_extendedprice AS p,
+              CAST(len(list_filter(cuts, c -> l_extendedprice > c)) AS INT)
+                AS bucket
+            FROM lineitem, cuts)
+          GROUP BY bucket ORDER BY bucket"""
+      }),
+
+    // Table reconciliation (CDC validation): detect inserts, deletes
+    // and updates between a table and its drifted twin via ONE full
+    // outer join on the key — the anti-entropy pass a replication
+    // pipeline (the reference's whole purpose) runs to prove sink ≡
+    // source. The drifted twin is derived deterministically so the
+    // oracle replays it: keys ≡0 (mod 97) deleted, ≡0 (mod 101)
+    // price-bumped, ≡0 (mod 103) re-inserted under key+10M.
+    GQuery("q85_table_reconcile",
+      (s, d) => {
+        val ord = Tables(s, d, "orders")
+        val key = col("o_orderkey")
+        val b = ord.filter(pmod(key, lit(97)) =!= 0)
+          .withColumn("o_totalprice",
+            when(pmod(key, lit(101)) === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")))
+          .unionByName(ord.filter(pmod(key, lit(103)) === 0)
+            .withColumn("o_orderkey", key + 10000000L))
+        val j = ord.select(key.as("ka"), col("o_totalprice").as("pa"))
+          .join(b.select(key.as("kb"), col("o_totalprice").as("pb")),
+            col("ka") === col("kb"), "full_outer")
+        j.withColumn("diff_class",
+            when(col("kb").isNull, "only_source")
+              .when(col("ka").isNull, "only_sink")
+              .when(col("pa") =!= col("pb"), "changed")
+              .otherwise("equal"))
+          .groupBy(col("diff_class"))
+          .agg(count(lit(1)).as("n"),
+            min(coalesce(col("ka"), col("kb"))).as("min_key"),
+            max(coalesce(col("ka"), col("kb"))).as("max_key"))
+          .orderBy(col("diff_class"))
+      },
+      Some("""WITH b AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 97 <> 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_totalprice
+          FROM orders WHERE o_orderkey % 103 = 0),
+        j AS (
+          SELECT a.o_orderkey AS ka, a.o_totalprice AS pa,
+                 b.o_orderkey AS kb, b.o_totalprice AS pb
+          FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+        SELECT CASE WHEN kb IS NULL THEN 'only_source'
+                    WHEN ka IS NULL THEN 'only_sink'
+                    WHEN pa <> pb THEN 'changed'
+                    ELSE 'equal' END AS diff_class,
+          COUNT(*) AS n,
+          min(coalesce(ka, kb)) AS min_key,
+          max(coalesce(ka, kb)) AS max_key
+        FROM j GROUP BY 1 ORDER BY 1""")))
 }

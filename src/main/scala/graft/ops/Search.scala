@@ -129,6 +129,29 @@ object Search {
       FROM ranked WHERE rn <= $k ORDER BY qid, rn"""
   }
 
+  /** Per-term index statistics (document frequency + total term
+    * frequency) for one batch of documents — the mergeable unit of
+    * incremental index maintenance.
+    */
+  def termStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .groupBy("t").agg(count(lit(1)).as("dft"), sum(col("tf")).as("tf_total"))
+
+  /** Merge a batch's term stats into an existing index: counts ADD
+    * (documents are append-only in an ingest pipeline, so a term's df
+    * and tf contributions from disjoint batches are independent). This
+    * is the index-side analogue of Materialize.maintainAggregate — at
+    * scale the merged table is a stored partial aggregate updated per
+    * ingest batch (foreachBatch MERGE), never a corpus rebuild; cost is
+    * ∝ the batch, not the corpus.
+    */
+  def mergeTermStats(index: DataFrame, batch: DataFrame): DataFrame =
+    index.unionByName(batch)
+      .groupBy("t")
+      .agg(sum(col("dft")).as("dft"), sum(col("tf_total")).as("tf_total"))
+
   /** The registered query set — corpus-vocabulary terms so every query
     * has real hit lists (the documents table is synthetic prose over a
     * fixed word list, TESTDATA.md).
@@ -163,5 +186,28 @@ object Search {
       Some("""SELECT t AS term, count(*) AS cnt FROM (
           SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
           FROM documents)
-        GROUP BY t ORDER BY cnt DESC NULLS LAST, t LIMIT 20""")))
+        GROUP BY t ORDER BY cnt DESC NULLS LAST, t LIMIT 20""")),
+
+    // Incremental index maintenance: the corpus arrives in three
+    // disjoint ingest batches; each batch's term stats merge into the
+    // running index by count addition. The oracle is the ONE-SHOT index
+    // over the full corpus — proving merge ≡ rebuild, the property that
+    // lets a 100 TB index absorb a per-batch MERGE instead of a rescan.
+    GQuery("search_incremental_index",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val batches = (0 until 3).map(r =>
+          termStats(docs.filter(pmod(col("doc_id"), lit(3)) === r),
+            "doc_id", "text"))
+        batches.reduce(mergeTermStats)
+          .orderBy(col("t"))
+      },
+      Some("""SELECT t, count(*) AS dft, CAST(sum(tf) AS BIGINT) AS tf_total
+        FROM (
+          SELECT doc_id, t, count(*) AS tf FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+            FROM documents)
+          GROUP BY doc_id, t)
+        GROUP BY t ORDER BY t""")))
 }
