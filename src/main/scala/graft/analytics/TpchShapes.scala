@@ -402,7 +402,72 @@ object TpchShapes {
              > CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 0.2)
       ORDER BY s_suppkey"""))
 
+  /** TPC-H Q10 (returned-item reporting): customers who returned goods
+    * in a quarter, ranked by lost revenue, top 20. One fact-fact join
+    * (quarter-filtered orders × R-flagged lineitem), customer and
+    * nation dims broadcast, one agg pair, top-k.
+    */
+  private lazy val returnedItems = GQuery("q86_returned_items",
+    (s, d) => {
+      val ord = Tables(s, d, "orders")
+        .filter(col("o_orderdate") >= ts("1997-01-01") &&
+          col("o_orderdate") < ts("1997-04-01"))
+      val li = Tables(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(revenueCol.as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some(s"""SELECT c_custkey, c_name, c_acctbal, n_name, $revenueSql AS revenue
+      FROM customer, orders, lineitem, nation
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1997-04-01'
+        AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC NULLS LAST, c_custkey
+      LIMIT 20"""))
+
+  /** TPC-H Q16 (parts/supplier relationship): how many distinct
+    * suppliers ship each (brand, type, size-class), excluding suppliers
+    * in deficit (the acctbal < 0 exclusion stands in for the LIKE
+    * '%Complaints%' filter — same NOT-IN-subquery shape, decorrelated
+    * to a left-anti join). The distinct count shuffles once on the
+    * (brand, type, size) group key.
+    */
+  private lazy val supplierPartCounts = GQuery("q87_supplier_part_counts",
+    (s, d) => {
+      val bad = Tables(s, d, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      val parts = Tables(s, d, "part")
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+          col("p_size") <= 25)
+      Tables(s, d, "lineitem")
+        .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"),
+          (floor(col("p_size") / 5) * 5).cast("int").as("size_class"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("size_class"))
+    },
+    Some("""SELECT p_brand, p_type,
+        CAST(floor(p_size / 5) * 5 AS INT) AS size_class,
+        COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') AND p_size <= 25
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, size_class
+      ORDER BY supplier_cnt DESC NULLS LAST, p_brand, p_type, size_class"""))
+
   val queries: Seq[GQuery] = Seq(volumeShipping, marketShare, productProfit,
     partValueThreshold, priorityClasses, custDistribution, promoRevenue,
-    topSupplier, smallQtyRevenue, disjunctivePredicates, potentialPromotion)
+    topSupplier, smallQtyRevenue, disjunctivePredicates, potentialPromotion,
+    returnedItems, supplierPartCounts)
 }
