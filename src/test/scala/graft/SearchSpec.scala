@@ -92,6 +92,44 @@ class SearchSpec extends AnyFunSuite {
     assert(ex == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("streaming incremental index: per-batch merges converge to the one-shot index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString + "/idx"
+    val input = MemoryStream[(Long, String)]
+    // ingest pipeline: each micro-batch's term stats merge into the
+    // stored index (read-modify-write of a vocabulary-sized table —
+    // cost ∝ batch + vocabulary, never the corpus)
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val stats = graft.ops.Search.termStats(batch, "doc_id", "text")
+        val merged =
+          if (new java.io.File(dir).exists)
+            graft.ops.Search.mergeTermStats(spark.read.parquet(dir), stats)
+          else stats
+        val out = merged.collect() // vocabulary-sized
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(out.toIndexedSeq), merged.schema)
+          .write.mode("overwrite").parquet(dir)
+      }
+      .start()
+    val docs = Seq(
+      1L -> "cat dog cat", 2L -> "dog fish", 3L -> "cat cat cat",
+      4L -> "fish", 5L -> "dog dog cat")
+    try {
+      input.addData(docs.take(2): _*); q.processAllAvailable()
+      input.addData(docs.slice(2, 4): _*); q.processAllAvailable()
+      input.addData(docs.drop(4): _*); q.processAllAvailable()
+    } finally q.stop()
+    val incremental = spark.read.parquet(dir)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val oneShot = graft.ops.Search.termStats(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(incremental == oneShot)
+    assert(incremental.map(_._1) == Seq("cat", "dog", "fish"))
+  }
+
   test("chunking: overlap-strip reconstruction, bounds, short docs") {
     val size = 50; val overlap = 10; val stride = size - overlap
     val docs = Tables(spark, sfDir, "documents")
