@@ -188,6 +188,37 @@ object Search {
           FROM documents)
         GROUP BY t ORDER BY cnt DESC NULLS LAST, t LIMIT 20""")),
 
+    // Group-wise heavy hitters: one Misra-Gries summary per language
+    // (sketches build map-side per group and merge), top 5 terms each.
+    // Exact regime again (capacity ≥ vocabulary), so the DuckDB twin is
+    // the plain per-group count — at real scale the same query runs
+    // with capacity ≪ vocabulary and bounded state per group.
+    GQuery("text_top_terms_by_lang",
+      (s, d) => {
+        val mg = udaf(graft.functions.MisraGries(64))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("cnt").desc, col("term"))
+        Tables(s, d, "documents")
+          .select(col("lang"),
+            explode(filter(split(col("text"), " "), t => t =!= "")).as("t"))
+          .groupBy(col("lang")).agg(mg(col("t")).as("m"))
+          .select(col("lang"), explode(col("m")))
+          .select(col("lang"), col("key").as("term"), col("value").as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .orderBy(col("lang"), col("rn"))
+      },
+      Some("""SELECT lang, term, cnt, rn FROM (
+          SELECT lang, t AS term, count(*) AS cnt,
+            CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY count(*) DESC NULLS LAST, t) AS INT) AS rn
+          FROM (
+            SELECT lang,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+            FROM documents)
+          GROUP BY lang, t)
+        WHERE rn <= 5 ORDER BY lang, rn""")),
+
     // Incremental index maintenance: the corpus arrives in three
     // disjoint ingest batches; each batch's term stats merge into the
     // running index by count addition. The oracle is the ONE-SHOT index
