@@ -48,8 +48,13 @@ object Layout {
     val tagged = df.withColumn("__da", dimA.cast("double"))
       .withColumn("__db", dimB.cast("double"))
     val Array(cutsA, cutsB) =
-      Array("__da", "__db").map(c =>
-        tagged.stat.approxQuantile(c, probs, 1.0 / (4 * nb)).distinct.sorted)
+      Array("__da", "__db").map { c =>
+        val cuts = tagged.stat.approxQuantile(c, probs, 1.0 / (4 * nb))
+          .distinct.sorted
+        // empty input / all-null dim → no quantiles; a single dummy cut
+        // keeps the kernel total (everything lands in bucket 0 or 1)
+        if (cuts.isEmpty) Array(0.0) else cuts
+      }
     df.withColumn("__z", ZOrderValue.zOrderValue(
         SortedCutsBucket.sortedCutsBucket(dimA.cast("double"), cutsA),
         SortedCutsBucket.sortedCutsBucket(dimB.cast("double"), cutsB)))

@@ -265,6 +265,41 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT SEMI join emits matched left rows exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[(String, java.sql.Timestamp)]
+    val right = MemoryStream[(String, java.sql.Timestamp)]
+    val l = left.toDF().toDF("k", "lts").withWatermark("lts", "5 minutes")
+    val r = right.toDF().toDF("rk", "rts").withWatermark("rts", "5 minutes")
+    val joined = l.join(r,
+      col("k") === col("rk") &&
+        col("rts") >= col("lts") && col("rts") <= col("lts") + expr("INTERVAL 10 minutes"),
+      "left_semi")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      left.addData(("a", t("2024-01-01 00:00:00")), ("b", t("2024-01-01 00:01:00")))
+      // "a" matches TWICE inside the window — semi must emit it ONCE;
+      // "b" never matches and must never appear
+      right.addData(("a", t("2024-01-01 00:02:00")), ("a", t("2024-01-01 00:03:00")))
+      q.processAllAvailable()
+      left.addData(("w1", t("2024-01-01 02:00:00")))
+      right.addData(("w2", t("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      left.addData(("w3", t("2024-01-01 04:00:00")))
+      right.addData(("w4", t("2024-01-01 04:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").select(col("k"))
+        .collect().map(_.getString(0)).toSeq
+      assert(got.count(_ == "a") == 1,
+        s"semi join must emit a matched row exactly once: $got")
+      assert(!got.contains("b"), s"unmatched row leaked through semi: $got")
+      // the semi output carries ONLY left-side columns
+      assert(spark.table("ssj_out").columns.toSeq == Seq("k", "lts"))
+    } finally q.stop()
+  }
+
   test("tumbling-window agg with watermark drops late rows (§2B streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, Double)]
