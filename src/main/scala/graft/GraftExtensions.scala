@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ChangeDiffJsonExpr, CosineSimilarity, DebeziumDecimalDecode, DebeziumDecimalEncode}
+import graft.functions.{ChangeDiffJsonExpr, CosineSimilarity, DebeziumDecimalDecode, DebeziumDecimalEncode, SquaredDistance}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions callable from SQL, so a user can
@@ -63,6 +63,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("cosine_similarity", 2, args)
         CosineSimilarity(args(0), args(1))
+      }),
+    ("squared_distance",
+      info("squared_distance",
+        "squared_distance(a, b) - squared L2 of two ARRAY<FLOAT> vectors"),
+      (args: Seq[Expression]) => {
+        arity("squared_distance", 2, args)
+        SquaredDistance(args(0), args(1))
       }),
     ("change_diff",
       info("change_diff",

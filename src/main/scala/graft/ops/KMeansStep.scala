@@ -28,15 +28,13 @@ import graft.util.{GQuery, Tables}
   */
 object KMeansStep {
 
-  /** Squared L2 between two float vectors, per-element in doubles,
-    * sequential left fold — the shape DuckDB's list_sum reproduces.
+  /** Squared L2 between two float vectors — the native codegen'd
+    * kernel (an aggregate/zip_with HOF stack is CodegenFallback and
+    * interpreted per pair; same accumulation order, so results are
+    * bit-identical — see [[graft.functions.SquaredDistance]]).
     */
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        (x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, e) => acc + e)
+    graft.functions.SquaredDistance.squaredDistance(a, b)
 
   /** Nearest deterministic centroid per vector: centroids = vectors
     * whose id ≡ 0 (mod `centroidEvery`) — a seedless, SQL-replayable

@@ -38,6 +38,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(math.abs(got - 1.0) < 1e-12)
   }
 
+  test("squared_distance is callable from SQL, codegen'd, null on mismatch") {
+    val got = spark.sql(
+      """SELECT squared_distance(
+        |  CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |  CAST(array(4.0, 6.0) AS ARRAY<FLOAT>)) v""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(got == 25.0)                           // 3² + 4²
+    val mismatch = spark.sql(
+      """SELECT squared_distance(
+        |  CAST(array(1.0) AS ARRAY<FLOAT>),
+        |  CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)) v""".stripMargin)
+      .collect().head
+    assert(mismatch.isNullAt(0))
+  }
+
   test("change_diff is callable from SQL (Trigger-2 shape)") {
     val got = spark.sql(
       """SELECT change_diff(
