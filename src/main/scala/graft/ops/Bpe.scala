@@ -11,6 +11,15 @@ import graft.util.{GQuery, Tables}
   * al. 2016), the standard subword vocabulary construction for LLM
   * pretraining.
   *
+  * The corpus is a TOKEN ARRAY per document (a `|` separator token
+  * between words never participates in a pair, so merges stay
+  * word-internal), and a merge rewrite is a greedy left-to-right scan
+  * over tokens: whenever (prev, current) equals the rule, fuse and
+  * consume both. Token-aligned by construction — a substring `replace`
+  * over a space-joined rendering would also fuse across token
+  * boundaries (e.g. rule 'b c' matching the tail of token "ab"),
+  * silently deviating from BPE on both engines at once.
+  *
   * Distributed shape (what a 100 TB trainer must look like): each round
   * is ONE partial-agg'd pair-count groupBy (symbol pairs combine
   * map-side, so a stop-pair cannot skew a partition) + a 1-row argmax +
@@ -18,110 +27,162 @@ import graft.util.{GQuery, Tables}
   * re-derives rounds 1..k-1; the driver holds only the merge table
   * (numMerges rows). Nothing driver-side ever scales with the corpus.
   *
-  * Determinism & oracle contract: the corpus is held as a space-joined
-  * symbol string per document with `|` separating words (`|` never
-  * participates in a pair, so merges cannot cross word boundaries);
-  * argmax ties break lexicographically on the pair; a merge rewrite is
-  * leftmost non-overlapping literal replacement — semantics Spark's
-  * `replace` and DuckDB's `replace` share. The DuckDB oracle therefore
-  * replays ENTIRE TRAINING round by round as an unrolled CTE chain
-  * whose merge strings are scalar subqueries, and hash-matches both
-  * the learned merge table and the re-encoded corpus.
+  * Determinism & oracle contract: argmax ties break lexicographically
+  * on the pair; the greedy scan is deterministic per row. The DuckDB
+  * oracle replays ENTIRE TRAINING round by round as an unrolled
+  * MATERIALIZED CTE chain — candidate positions, leftmost
+  * non-overlapping selection via alternation inside runs of consecutive
+  * candidates (provably the greedy scan's choice set), and list
+  * reassembly — and hash-matches both the learned merge table and the
+  * re-encoded per-document token counts.
   */
 object Bpe {
 
   val Sep = "|"
 
-  /** One document → its space-joined character-symbol string:
-    * "cat dog" → "c a t | d o g". (Spark's split("", -1) keeps a
+  /** One document → its character-token array with word separators:
+    * "cat dog" → [c, a, t, |, d, o, g]. (Spark's split("", -1) keeps a
     * trailing empty token — filtered, to match DuckDB's char split.)
     */
-  def toSymbols(text: Column): Column =
-    concat_ws(" " + Sep + " ",
-      transform(filter(split(text, " "), w => w =!= ""),
-        w => concat_ws(" ", filter(split(w, ""), c => c =!= ""))))
+  def toSymbols(text: Column): Column = {
+    val words = filter(split(text, " "), w => w =!= "")
+    val withTrailingSep =
+      flatten(transform(words, w =>
+        concat(filter(split(w, ""), c => c =!= ""), array(lit(Sep)))))
+    // drop the trailing separator
+    slice(withTrailingSep, lit(1),
+      greatest(size(withTrailingSep) - 1, lit(0)))
+  }
 
-  /** Adjacent symbol pairs of one symbol string, word-internal only. */
-  private def pairs(sym: Column): Column = {
-    val arr = filter(split(sym, " "), t => t =!= "")
+  /** Adjacent word-internal pairs of a token array, rendered "a b". */
+  private def pairs(arr: Column): Column =
     filter(
       when(size(arr) >= 2,
         transform(sequence(lit(1), size(arr) - 1), i =>
-          concat(element_at(arr, i), lit(" "), element_at(arr, i + 1))))
+          when(element_at(arr, i) =!= Sep && element_at(arr, i + 1) =!= Sep,
+            concat(element_at(arr, i), lit(" "), element_at(arr, i + 1)))))
         .otherwise(array().cast("array<string>")),
-      p => !p.contains(Sep))
+      p => p.isNotNull)
+
+  /** Apply ONE merge rule to a token array: greedy left-to-right scan,
+    * fusing every (a, b) adjacency whose left token was not already
+    * consumed. Struct-accumulator fold — pure column expressions,
+    * map-only.
+    */
+  def mergeOnce(arr: Column, a: String, b: String, fused: String): Column = {
+    def st(out: Column, prev: Column) =
+      struct(out.as("out"), prev.as("prev"))
+    val nilStr = lit(null).cast("string")
+    aggregate(arr,
+      st(array().cast("array<string>"), nilStr),
+      (acc, t) => {
+        val out = acc.getField("out")
+        val prev = acc.getField("prev")
+        when(prev === a && t === b, st(concat(out, array(lit(fused))), nilStr))
+          .when(prev.isNull, st(out, t))
+          .otherwise(st(concat(out, array(prev)), t))
+      },
+      acc => when(acc.getField("prev").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("prev")))))
   }
 
   /** Learn `numMerges` merge rules. Returns (round, pair, fused, cnt)
     * — driver-side size = numMerges, never corpus-sized.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[(Int, String, String, Long)] = {
-    var corpus = docs.select(toSymbols(col(textCol)).as("sym"))
+    var corpus = docs.select(toSymbols(col(textCol)).as("tk"))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (round <- 1 to numMerges) {
       val top = corpus
-        .select(explode(pairs(col("sym"))).as("p"))
+        .select(explode(pairs(col("tk"))).as("p"))
         .groupBy("p").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("p"))
         .limit(1).collect()
       if (top.nonEmpty) {
         val pair = top(0).getString(0)
         val cnt = top(0).getLong(1)
-        val fused = pair.replace(" ", "")
+        val Array(a, b) = pair.split(" ", 2)
+        val fused = a + b
         merges += ((round, pair, fused, cnt))
         // each round's plan otherwise re-derives all previous rounds
         corpus = corpus
-          .select(replace(col("sym"), lit(pair), lit(fused)).as("sym"))
+          .select(mergeOnce(col("tk"), a, b, fused).as("tk"))
           .localCheckpoint()
       }
     }
     merges.result()
   }
 
-  /** Encode: apply the learned merges in training order (leftmost
-    * non-overlapping replacement per rule — the training-time rewrite
-    * semantics, shared by both engines). Map-only column expression.
+  /** Encode: apply the learned merges in training order (the greedy
+    * scan per rule — the training-time rewrite semantics). Map-only
+    * column expression.
     */
   def encode(text: Column, merges: Seq[(String, String)]): Column =
-    merges.foldLeft(toSymbols(text)) { case (sym, (pair, fused)) =>
-      replace(sym, lit(pair), lit(fused))
+    merges.foldLeft(toSymbols(text)) { case (arr, (pair, fused)) =>
+      val Array(a, b) = pair.split(" ", 2)
+      mergeOnce(arr, a, b, fused)
     }
 
-  /** Token count of an encoded symbol string (separators excluded). */
-  def tokenCount(sym: Column): Column =
-    size(filter(split(sym, " "), t => t =!= Sep && t =!= ""))
+  /** Token count of an encoded array (separators excluded). */
+  def tokenCount(arr: Column): Column =
+    size(filter(arr, t => t =!= Sep))
 
   // ---------------------------------------------------------------- //
 
-  /** DuckDB replay of the whole training loop: round r's corpus CTE
-    * rewrites round r-1's with the merge chosen by a scalar subquery
-    * over round r-1's pair counts. Same symbolization, same tie order,
-    * same leftmost-replacement semantics. The chain carries doc_id so
-    * the final corpus can be re-counted per document.
+  /** DuckDB replay of the whole training loop. Round r: pair counts →
+    * 1-row argmax m_r → candidate positions for that pair → leftmost
+    * non-overlapping selection (alternate inside each run of
+    * consecutive candidate positions — exactly the greedy scan's
+    * picks) → list reassembly dropping consumed right-tokens. AS
+    * MATERIALIZED is load-bearing: inlined CTEs would re-expand the
+    * chain per reference (2^rounds evaluations of the base corpus).
     */
   private def oracleCorpusCtes(numMerges: Int): String = {
     val sym =
-      """array_to_string(list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
-         w -> array_to_string(string_split(w, ''), ' ')), ' | ')"""
-    val pairsOf = (rel: String) =>
-      s"""SELECT a[i] || ' ' || a[i + 1] AS p
-          FROM (SELECT string_split(sym, ' ') AS a FROM $rel),
-               LATERAL (SELECT unnest(range(1, len(a))) AS i) s
-          WHERE a[i] <> '$Sep' AND a[i + 1] <> '$Sep'"""
-    // AS MATERIALIZED is load-bearing: each c_{r-1} is referenced twice
-    // (pair counts + rewrite); inlined CTEs would re-expand the whole
-    // chain per reference — 2^numMerges evaluations of c0
+      """flatten(list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+         w -> list_append(string_split(w, ''), '|')))"""
     val ctes = new StringBuilder(
-      s"c0 AS MATERIALIZED (SELECT doc_id, $sym AS sym FROM documents)")
+      s"""c0 AS MATERIALIZED (
+          SELECT doc_id, l[1:len(l)-1] AS tk
+          FROM (SELECT doc_id, $sym AS l FROM documents))""")
     for (r <- 1 to numMerges) {
+      val prev = s"c${r - 1}"
       ctes.append(s""",
+        pos$r AS MATERIALIZED (
+          SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS t
+          FROM $prev),
+        adj$r AS MATERIALIZED (
+          SELECT doc_id, pos, t, lead(t) OVER w AS tn
+          FROM pos$r WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
         m$r AS MATERIALIZED (
-                SELECT p, count(*) AS cnt FROM (${pairsOf(s"c${r - 1}")})
-                GROUP BY p ORDER BY cnt DESC NULLS LAST, p LIMIT 1),
+          SELECT t || ' ' || tn AS p, t AS a, tn AS b,
+                 t || tn AS fused, count(*) AS cnt
+          FROM adj$r
+          WHERE tn IS NOT NULL AND t <> '|' AND tn <> '|'
+          GROUP BY t, tn ORDER BY cnt DESC NULLS LAST, p LIMIT 1),
+        sel$r AS MATERIALIZED (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY doc_id, isl ORDER BY pos) AS rnk
+            FROM (
+              SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+              FROM adj$r
+              WHERE t = (SELECT a FROM m$r) AND tn = (SELECT b FROM m$r)))
+          WHERE rnk % 2 = 1),
         c$r AS MATERIALIZED (
-                SELECT doc_id, replace(sym, (SELECT p FROM m$r),
-                  replace((SELECT p FROM m$r), ' ', '')) AS sym
-                FROM c${r - 1})""")
+          SELECT doc_id,
+                 list(CASE WHEN here THEN (SELECT fused FROM m$r) ELSE t END
+                      ORDER BY pos) AS tk
+          FROM (
+            SELECT p.doc_id, p.pos, p.t,
+                   s.pos IS NOT NULL AS here,
+                   sp.pos IS NOT NULL AS consumed
+            FROM pos$r p
+            LEFT JOIN sel$r s ON s.doc_id = p.doc_id AND s.pos = p.pos
+            LEFT JOIN sel$r sp ON sp.doc_id = p.doc_id AND sp.pos = p.pos - 1)
+          WHERE NOT consumed
+          GROUP BY doc_id)""")
     }
     ctes.toString
   }
@@ -153,8 +214,8 @@ object Bpe {
       },
       Some {
         val rows = (1 to numMerges).map(r =>
-          s"""SELECT $r AS round, p AS pair, replace(p, ' ', '') AS fused, cnt
-              FROM m$r""").mkString("\n          UNION ALL ")
+          s"SELECT $r AS round, p AS pair, fused, cnt FROM m$r")
+          .mkString("\n          UNION ALL ")
         s"""WITH ${oracleCorpusCtes(numMerges)}
           SELECT CAST(round AS INT) AS round, pair, fused, cnt
           FROM ($rows) ORDER BY round"""
@@ -171,8 +232,7 @@ object Bpe {
       },
       Some(s"""WITH ${oracleCorpusCtes(numMerges)}
         SELECT doc_id,
-          CAST(len(list_filter(string_split(sym, ' '),
-            t -> t <> '$Sep' AND t <> '')) AS INT) AS n_bpe
+          CAST(len(list_filter(tk, t -> t <> '$Sep')) AS INT) AS n_bpe
         FROM c$numMerges ORDER BY doc_id"""))
   )
 }

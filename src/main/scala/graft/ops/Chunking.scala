@@ -28,10 +28,12 @@ object Chunking {
     val stride = size - overlap
     val t = col(textCol)
     // last start: the largest k*stride+1 that still begins inside the
-    // text AND is not fully covered by the previous chunk
+    // text AND is not fully covered by the previous chunk; an empty
+    // document yields NO chunks (the never-empty-chunk contract)
     val starts = sequence(lit(1),
       greatest(lit(1), length(t) - lit(size) + lit(stride)), lit(stride))
     docs
+      .filter(length(t) > 0)
       .select(col(idCol).as("doc_id"), t.as("__t"), explode(starts).as("start"))
       .select(
         col("doc_id"),
@@ -39,7 +41,8 @@ object Chunking {
         col("start"),
         least(col("start") + (size - 1), length(col("__t"))).as("end"),
         substring(col("__t"), col("start"), lit(size)).as("chunk"))
-      .orderBy(col("doc_id"), col("chunk_id"))
+    // NO ordering here: chunking is map-only and must stay shuffle-free
+    // (the registered query adds its own deterministic ORDER BY)
   }
 
   def chunkOracleSql(size: Int, overlap: Int): String = {
@@ -52,12 +55,13 @@ object Chunking {
       FROM (
         SELECT doc_id, text,
                unnest(range(1, greatest(1, length(text) - $size + $stride) + 1, $stride)) AS start
-        FROM documents)
+        FROM documents WHERE length(text) > 0)
       ORDER BY doc_id, chunk_id"""
   }
 
   val queries: Seq[GQuery] = Seq(
     GQuery("text_chunk_overlap",
-      (s, d) => chunk(Tables(s, d, "documents"), "doc_id", "text", 120, 20),
+      (s, d) => chunk(Tables(s, d, "documents"), "doc_id", "text", 120, 20)
+        .orderBy(col("doc_id"), col("chunk_id")),
       Some(chunkOracleSql(120, 20))))
 }

@@ -9,8 +9,10 @@ import graft.util.{GQuery, Tables}
   * fully under the hash oracle — unlike the Spark-ML KMeans behind
   * sim_ann_ivf (whose internal init/aggregation is not replayable in
   * SQL, so those queries are rows-only), this hand-rolled step is the
-  * auditable training kernel: deterministic centroid seed, exact
-  * assignment, fixed-point mean update.
+  * auditable training kernel: deterministic centroid seed, assignment
+  * by argmin over 4-decimal-rounded distances (ties → cluster id — the
+  * cross-engine ranking contract; a sub-rounding near-tie may resolve
+  * to either centroid, deterministically), fixed-point mean update.
   *
   * Scale shape: centroids broadcast (k rows); assignment is a map-only
   * pass over the corpus (cost ∝ n·k·dim, no shuffle); the update is ONE

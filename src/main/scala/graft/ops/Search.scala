@@ -33,8 +33,11 @@ object Search {
   val k1 = 1.2
   val b = 0.75
 
-  private def toks(text: Column): Column =
-    filter(split(text, " "), t => t =!= "")
+  /** The project's one canonical tokenization — the BM25 index MUST
+    * split exactly like the quality/surprisal filters over the same
+    * corpus.
+    */
+  private def toks(text: Column): Column = TextAnalysis.tokens(text)
 
   /** BM25 scores for a literal query set; returns the top `k` docs per
     * query as (qid, doc_id, rn, score_u, score). `score_u` is the exact
@@ -99,7 +102,7 @@ object Search {
   def bm25OracleSql(queries: Seq[(Int, String)], k: Int): String = {
     val qvals = queries
       .flatMap { case (qid, q) => q.split(" ").filter(_.nonEmpty).distinct
-        .map(t => s"($qid, '$t')") }
+        .map(t => s"($qid, '${t.replace("'", "''")}')") } // SQL-escape quotes
       .mkString(", ")
     s"""WITH tok AS (
         SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t

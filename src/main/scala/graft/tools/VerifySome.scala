@@ -1,12 +1,11 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
-
-/** Dev-only: Verify for a subset of queries — same dump canonicalization
-  * as [[graft.Verify]], but only for the names given on the command line
-  * (prefix match), so a new query batch iterates in seconds instead of
-  * re-dumping all registered queries.
+/** Dev-only: Verify for a subset of queries — the same dump path as
+  * [[graft.Verify]] (shared session, canonicalization and oracle-json
+  * helpers, so subset runs can never hash differently from full runs),
+  * restricted to the names given on the command line (prefix match): a
+  * new query batch iterates in seconds instead of re-dumping every
+  * registered query.
   *
   * Usage: runMain graft.tools.VerifySome <sfDir> <outDir> <name...>
   */
@@ -15,50 +14,17 @@ object VerifySome {
     val sfDir = args(0)
     val outDir = args(1)
     val wanted = args.drop(2)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.Verify.session()
     new java.io.File(outDir).mkdirs()
     val selected = graft.SparkEntry.queries.filter { case (n, _) =>
       wanted.exists(n.startsWith)
     }
     selected.foreach { case (name, fn) =>
-      try {
-        val df = fn(spark, sfDir)
-        val canon = df.schema.fields.foldLeft(df) { (d, f) =>
-          f.dataType match {
-            case org.apache.spark.sql.types.TimestampType =>
-              d.withColumn(f.name,
-                org.apache.spark.sql.functions.col(f.name)
-                  .cast(org.apache.spark.sql.types.TimestampNTZType))
-            case _ => d
-          }
-        }
-        canon.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      if (graft.Verify.dumpQuery(spark, sfDir, outDir, name, fn))
         println(s"[verify-some] dumped $name")
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify-some] $name failed: ${e.getMessage}")
-      }
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = graft.SparkEntry.oracleSql
-      .filter { case (k, _) => selected.contains(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.Verify.writeOracleJson(outDir,
+      graft.SparkEntry.oracleSql.filter { case (k, _) => selected.contains(k) })
     spark.stop()
   }
 }

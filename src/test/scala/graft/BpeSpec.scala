@@ -18,40 +18,55 @@ class BpeSpec extends AnyFunSuite {
       ("l o", "lo"), ("lo w", "low"), ("e s", "es")))
     assert(merges.head._4 == 4)            // 'l o' count over 4 words
     // encoding with those merges: "low" is a single token now
+    val mm = merges.map(m => (m._2, m._3))
     val enc = Seq("low lowest")
       .toDF("text")
-      .select(Bpe.encode(col("text"), merges.map(m => (m._2, m._3))).as("sym"),
-        Bpe.tokenCount(Bpe.encode(col("text"),
-          merges.map(m => (m._2, m._3)))).as("n"))
+      .select(Bpe.encode(col("text"), mm).as("tk"),
+        Bpe.tokenCount(Bpe.encode(col("text"), mm)).as("n"))
       .head()
-    assert(enc.getString(0) == "low | low es t")
+    assert(enc.getSeq[String](0) == Seq("low", "|", "low", "es", "t"))
     assert(enc.getInt(1) == 4)
+  }
+
+  test("bpe merges are token-aligned: a rule never fuses across symbol boundaries") {
+    // After 'a b'->'ab', the word "abc" is tokens [ab, c]. A substring
+    // rewrite of rule 'b c' would match the tail of token "ab" and
+    // produce "abc" — a token that was never learned. The token-aligned
+    // scan must leave [ab, c] alone.
+    val tk = Seq(1).toDF("i")
+      .select(Bpe.mergeOnce(
+        Bpe.mergeOnce(Bpe.toSymbols(lit("abc")), "a", "b", "ab"),
+        "b", "c", "bc").as("tk"))
+      .head().getSeq[String](0)
+    assert(tk == Seq("ab", "c"), s"boundary-crossing fuse: $tk")
+    // and within one rule, greedy leftmost non-overlap: a a a -> [aa, a]
+    val run = Seq(1).toDF("i")
+      .select(Bpe.mergeOnce(Bpe.toSymbols(lit("aaa")), "a", "a", "aa").as("tk"))
+      .head().getSeq[String](0)
+    assert(run == Seq("aa", "a"))
   }
 
   test("bpe invariants: lossless, monotone, word-bounded") {
     val docs = graft.util.Tables(spark, GraftSpark.sfDir, "documents")
     val merges = Bpe.train(docs, "text", 6)
     assert(merges.size == 6)
-    // counts never increase across rounds (greedy argmax on a corpus
-    // whose pair mass only shrinks... not strictly true in general BPE,
-    // but each round's max is >= what that same pair counted later)
     assert(merges.map(_._4).forall(_ > 0))
-    // no merge rule ever crosses a word boundary
+    // no merge rule ever touches the word separator
     assert(merges.forall(m => !m._2.contains(Bpe.Sep)))
 
     val mm = merges.map(m => (m._2, m._3))
     val got = docs
       .select(col("text"),
-        Bpe.encode(col("text"), mm).as("sym"),
+        Bpe.encode(col("text"), mm).as("tk"),
         Bpe.tokenCount(Bpe.encode(col("text"), mm)).as("n_bpe"),
         Bpe.tokenCount(Bpe.toSymbols(col("text"))).as("n_chars_sym"))
       .collect()
     got.foreach { r =>
       val text = r.getString(0)
-      val sym = r.getString(1)
-      // lossless: stripping spaces and separators reproduces the text
-      // with its own spaces removed
-      assert(sym.replace(" ", "").replace(Bpe.Sep, "") == text.replace(" ", ""))
+      val tk = r.getSeq[String](1)
+      // lossless: dropping separators and concatenating reproduces the
+      // text with its own spaces removed
+      assert(tk.filter(_ != Bpe.Sep).mkString == text.replace(" ", ""))
       // merging can only shrink the token stream
       assert(r.getInt(2) <= r.getInt(3))
     }
