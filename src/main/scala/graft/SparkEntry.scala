@@ -16,6 +16,7 @@ object SparkEntry {
     analytics.RelationalQueries.queries ++
       analytics.TpchShapes.queries ++
       analytics.StatsQueries.queries ++
+      analytics.ProfileQueries.queries ++
       analytics.WindowQueries.queries ++
       analytics.FunctionQueries.queries ++
       analytics.TemporalQueries.queries ++

@@ -1,0 +1,117 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.{Det, GQuery, Tables}
+import Det._
+
+/** Data-quality surface: generic per-column table profiling and
+  * statistical outlier detection — the audit passes a pipeline runs
+  * before trusting a new ingest (the reference's replication story has
+  * no validation at all; its only check is the PK conflict skip,
+  * transaction_consumer.py:88).
+  */
+object ProfileQueries {
+
+  /** One profile row per column: count / nulls / exact distinct /
+    * min / max (stringified). ONE aggregation pass computes every
+    * metric (multiple count-distincts expand map-side in a single
+    * plan); the row-per-column shape comes from exploding a built
+    * struct array — no second scan, no per-column jobs.
+    *
+    * Cross-engine string discipline: numeric min/max go through
+    * DECIMAL(18,2) before the string cast (double→string rendering is
+    * engine-specific; decimal rendering is not), timestamps through
+    * the µs string form both engines share.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    def asStr(c: String) = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DoubleType =>
+        dec(col(c)).cast("string")
+      case _ => col(c).cast("string")
+    }
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__cnt"),
+        countDistinct(col(c)).as(s"${c}__dst"),
+        min(asStr(c)).as(s"${c}__min"),
+        max(asStr(c)).as(s"${c}__max"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = array(cols.map { c =>
+      struct(lit(c).as("column"),
+        lit(df.schema(c).dataType.simpleString).as("dtype"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"${c}__cnt")).as("n_null"),
+        col(s"${c}__dst").as("n_distinct"),
+        col(s"${c}__min").as("min_str"),
+        col(s"${c}__max").as("max_str"))
+    }: _*)
+    one.select(explode(rows).as("p")).select("p.*").orderBy("column")
+  }
+
+  val queries: Seq[GQuery] = Seq(
+
+    GQuery("profile_orders",
+      (s, d) => profile(Tables(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")),
+      Some {
+        val cols = Seq(
+          ("o_orderkey", "bigint", "CAST(o_orderkey AS VARCHAR)"),
+          ("o_custkey", "bigint", "CAST(o_custkey AS VARCHAR)"),
+          ("o_orderstatus", "string", "o_orderstatus"),
+          ("o_totalprice", "double",
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"),
+          ("o_orderdate", "timestamp_ntz", "CAST(o_orderdate AS VARCHAR)"),
+          ("o_orderpriority", "string", "o_orderpriority"))
+        cols.map { case (c, t, str) =>
+          s"""SELECT '$c' AS "column", '$t' AS dtype,
+              COUNT(*) AS n_rows,
+              COUNT(*) - COUNT($c) AS n_null,
+              COUNT(DISTINCT $c) AS n_distinct,
+              min($str) AS min_str, max($str) AS max_str
+            FROM orders"""
+        }.mkString("", "\n          UNION ALL ",
+          "\n          ORDER BY \"column\"")
+      }),
+
+    // 3-sigma outliers per group on the heavy-tailed events value
+    // column (lineitem prices are bounded — max |z| < 2 — which is
+    // itself a finding q80's moments expose), with mean/stddev from
+    // the exact DECIMAL power sums so the cut line is bit-identical on
+    // both engines. One pass for the moments (tiny, broadcast back),
+    // one pass for the flagging — scanned twice, shuffled never.
+    GQuery("q88_outliers_3sigma",
+      (s, d) => {
+        val y = dec(col("value"))
+        val ev = Tables(s, d, "events")
+        val m = ev.groupBy(col("event_type").as("et"))
+          .agg(count(lit(1)).as("n"),
+            sum(y).cast("double").as("sy"),
+            sum(y * y).cast("double").as("syy"))
+          .select(col("et"),
+            (col("sy") / col("n")).as("mean"),
+            sqrt((col("syy") - col("sy") * col("sy") / col("n")) /
+              (col("n") - 1)).as("sd"))
+        ev.join(broadcast(m), col("event_type") === col("et"))
+          .filter(abs(col("value") - col("mean")) > col("sd") * 3.0)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_outliers"),
+            min(col("value")).as("lo"),
+            max(col("value")).as("hi"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH m AS (
+          SELECT event_type AS et,
+            CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean,
+            sqrt((CAST(SUM(CAST("value" AS DECIMAL(18,2)) * CAST("value" AS DECIMAL(18,2))) AS DOUBLE)
+                  - CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE)
+                    * CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+                 / (COUNT(*) - 1)) AS sd
+          FROM events GROUP BY event_type)
+        SELECT event_type, COUNT(*) AS n_outliers,
+          min("value") AS lo, max("value") AS hi
+        FROM events JOIN m ON event_type = et
+        WHERE abs("value" - mean) > sd * 3.0
+        GROUP BY event_type ORDER BY event_type""")))
+}
