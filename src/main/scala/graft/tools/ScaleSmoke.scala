@@ -108,6 +108,10 @@ object ScaleSmoke {
       // the map-only broadcast pass should be linear in the corpus
       timed(s"kmeans_assign x$n")(
         graft.ops.KMeansStep.assign(e, "vec_id", "embedding", 50 * n).count())
+      // BPE training: fixed round count, each round one partial-agg'd
+      // pair count + map-only rewrite → linear in the corpus
+      timed(s"bpe_train x$n")(
+        graft.ops.Bpe.train(d, "text", 4).size.toLong)
       // connected components over the replica's near-dup pairs: replica
       // tagging keeps components within one replica, so the edge count
       // and the component structure grow linearly — wall time measures
