@@ -66,25 +66,13 @@ object Bpe {
 
   /** Apply ONE merge rule to a token array: greedy left-to-right scan,
     * fusing every (a, b) adjacency whose left token was not already
-    * consumed. Struct-accumulator fold — pure column expressions,
-    * map-only.
+    * consumed — the native codegen'd kernel
+    * [[graft.functions.BpeApplyMerge]] (see its scaladoc for why every
+    * pure-column rendering of this sequential scan measured out as
+    * quadratic or exploded the analyzer).
     */
-  def mergeOnce(arr: Column, a: String, b: String, fused: String): Column = {
-    def st(out: Column, prev: Column) =
-      struct(out.as("out"), prev.as("prev"))
-    val nilStr = lit(null).cast("string")
-    aggregate(arr,
-      st(array().cast("array<string>"), nilStr),
-      (acc, t) => {
-        val out = acc.getField("out")
-        val prev = acc.getField("prev")
-        when(prev === a && t === b, st(concat(out, array(lit(fused))), nilStr))
-          .when(prev.isNull, st(out, t))
-          .otherwise(st(concat(out, array(prev)), t))
-      },
-      acc => when(acc.getField("prev").isNull, acc.getField("out"))
-        .otherwise(concat(acc.getField("out"), array(acc.getField("prev")))))
-  }
+  def mergeOnce(arr: Column, a: String, b: String, fused: String): Column =
+    graft.functions.BpeApplyMerge.bpeApplyMerge(arr, a, b, fused)
 
   /** Learn `numMerges` merge rules. Returns (round, pair, fused, cnt)
     * — driver-side size = numMerges, never corpus-sized.
