@@ -113,5 +113,41 @@ object ProfileQueries {
           min("value") AS lo, max("value") AS hi
         FROM events JOIN m ON event_type = et
         WHERE abs("value" - mean) > sd * 3.0
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // Winsorization (clip at the 5th/95th percentile per group) — the
+    // standard robust-preprocessing step before training on noisy
+    // numerics. Exact percentile cuts (q42's quantile_cont pairing)
+    // broadcast back; the clip is map-side. The winsorized sum goes
+    // through floor-quantized micro-units: clipped boundary values are
+    // interpolated doubles, and a DECIMAL(18,2) cast would round them
+    // by engine-specific rules.
+    GQuery("q89_winsorize",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val m = ev.groupBy(col("event_type").as("et"))
+          .agg(percentile(col("value"), lit(0.05)).as("lo"),
+            percentile(col("value"), lit(0.95)).as("hi"))
+        ev.join(broadcast(m), col("event_type") === col("et"))
+          .withColumn("w", least(greatest(col("value"), col("lo")), col("hi")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+            sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+            (sum(floor(col("w") * 1e6).cast("long")).cast("double") / 1e6)
+              .as("winsorized_sum"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH m AS (
+          SELECT event_type AS et,
+                 quantile_cont("value", 0.05) AS lo,
+                 quantile_cont("value", 0.95) AS hi
+          FROM events GROUP BY event_type)
+        SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN "value" < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+          CAST(SUM(CASE WHEN "value" > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+          CAST(SUM(CAST(floor(least(greatest("value", lo), hi) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+            AS winsorized_sum
+        FROM events JOIN m ON event_type = et
         GROUP BY event_type ORDER BY event_type""")))
 }
