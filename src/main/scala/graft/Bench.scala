@@ -19,7 +19,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    // optional CLI filter (substring match) for local single-query timing;
+    // the driver passes no args and gets the full suite.
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    val qs = if (args.isEmpty) all
+             else all.filter { case (n, _) => args.exists(n.contains) }
     qs.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
@@ -42,7 +46,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val ejson = errors.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"errors":$ejson,"sf":"$sfDir"}""")
+    // headline total goes LAST in the line: the driver's artifact keeps the
+    // tail of stdout, and r1–r4 artifacts lost the leading total field when
+    // the long line was head-truncated.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$ejson,"queries":$qjson,"value":$total}""")
     spark.stop()
   }
 }

@@ -56,14 +56,18 @@ object BehaviorQueries {
     // Weekly cohort retention: users grouped by first-activity week
     // (ISO Monday truncation on both engines), distinct actives per
     // (cohort, weeks-since). Two aggregates on the user key + one on
-    // the (cohort, offset) pair — the cohort table is user-sized and
-    // broadcasts.
+    // the (cohort, offset) pair. The cohort table has one row PER USER,
+    // so it is deliberately NOT broadcast-hinted: a forced hint can't
+    // size-adapt and becomes a driver/executor OOM at 100× users. The
+    // plain equi-join on user_id lets AQE pick — broadcast at small
+    // scale, shuffled hash join (same key both sides, one exchange of
+    // the small table) at large.
     GQuery("q91_cohort_retention",
       (s, d) => {
         val ev = Tables(s, d, "events")
         val cohort = ev.groupBy(col("user_id").as("u"))
           .agg(date_trunc("week", min(col("ts"))).as("cw"))
-        ev.join(broadcast(cohort), col("user_id") === col("u"))
+        ev.join(cohort, col("user_id") === col("u"))
           .select(col("u"), col("cw"),
             (datediff(date_trunc("week", col("ts")), col("cw")) / 7)
               .cast("int").as("week_offset"))

@@ -19,22 +19,26 @@ object ProfileQueries {
     * plan); the row-per-column shape comes from exploding a built
     * struct array — no second scan, no per-column jobs.
     *
-    * Cross-engine string discipline: numeric min/max go through
-    * DECIMAL(18,2) before the string cast (double→string rendering is
-    * engine-specific; decimal rendering is not), timestamps through
-    * the µs string form both engines share.
+    * Cross-engine string discipline: min/max aggregate the NATIVE
+    * column type first and only the aggregated extreme is stringified
+    * (min(CAST(x AS STRING)) is the lexicographic extreme — for
+    * numeric columns that reports e.g. '99996' > '600000', wrong for
+    * an audit). Doubles go through DECIMAL(18,2) before the string
+    * cast (double→string rendering is engine-specific; decimal
+    * rendering is not), timestamps through the µs string form both
+    * engines share.
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    def asStr(c: String) = df.schema(c).dataType match {
-      case org.apache.spark.sql.types.DoubleType =>
-        dec(col(c)).cast("string")
-      case _ => col(c).cast("string")
+    import org.apache.spark.sql.Column
+    def strify(c: String, e: Column) = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DoubleType => dec(e).cast("string")
+      case _ => e.cast("string")
     }
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__cnt"),
         countDistinct(col(c)).as(s"${c}__dst"),
-        min(asStr(c)).as(s"${c}__min"),
-        max(asStr(c)).as(s"${c}__max"))
+        strify(c, min(col(c))).as(s"${c}__min"),
+        strify(c, max(col(c))).as(s"${c}__max"))
     }
     val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
     val rows = array(cols.map { c =>
@@ -56,20 +60,23 @@ object ProfileQueries {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority")),
       Some {
+        // aggregate the native type, stringify the extreme (mirrors
+        // profile()'s strify-of-min, not min-of-strify)
         val cols = Seq(
-          ("o_orderkey", "bigint", "CAST(o_orderkey AS VARCHAR)"),
-          ("o_custkey", "bigint", "CAST(o_custkey AS VARCHAR)"),
-          ("o_orderstatus", "string", "o_orderstatus"),
+          ("o_orderkey", "bigint", "CAST(%s AS VARCHAR)"),
+          ("o_custkey", "bigint", "CAST(%s AS VARCHAR)"),
+          ("o_orderstatus", "string", "%s"),
           ("o_totalprice", "double",
-            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"),
-          ("o_orderdate", "timestamp_ntz", "CAST(o_orderdate AS VARCHAR)"),
-          ("o_orderpriority", "string", "o_orderpriority"))
-        cols.map { case (c, t, str) =>
+            "CAST(CAST(%s AS DECIMAL(18,2)) AS VARCHAR)"),
+          ("o_orderdate", "timestamp_ntz", "CAST(%s AS VARCHAR)"),
+          ("o_orderpriority", "string", "%s"))
+        cols.map { case (c, t, wrap) =>
           s"""SELECT '$c' AS "column", '$t' AS dtype,
               COUNT(*) AS n_rows,
               COUNT(*) - COUNT($c) AS n_null,
               COUNT(DISTINCT $c) AS n_distinct,
-              min($str) AS min_str, max($str) AS max_str
+              ${wrap.format(s"min($c)")} AS min_str,
+              ${wrap.format(s"max($c)")} AS max_str
             FROM orders"""
         }.mkString("", "\n          UNION ALL ",
           "\n          ORDER BY \"column\"")
@@ -149,5 +156,30 @@ object ProfileQueries {
           CAST(SUM(CAST(floor(least(greatest("value", lo), hi) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
             AS winsorized_sum
         FROM events JOIN m ON event_type = et
-        GROUP BY event_type ORDER BY event_type""")))
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // Production twin of q89: per-group cut points from
+    // approx_percentile (mergeable GK sketch, bounded memory) instead
+    // of exact percentile() (buffers all values per group). The clip
+    // and the winsorized sum are unchanged map-side work. Sketch cuts
+    // are engine-specific → rows-only; tolerance vs the exact cuts is
+    // spec-asserted (ApproxPercentileSpec). m stays broadcast: its
+    // cardinality is the EVENT-TYPE domain (bounded), not a key table.
+    GQuery("q89_winsorize_approx",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val m = ev.groupBy(col("event_type").as("et"))
+          .agg(approx_percentile(col("value"), lit(0.05), lit(10000)).as("lo"),
+            approx_percentile(col("value"), lit(0.95), lit(10000)).as("hi"))
+        ev.join(broadcast(m), col("event_type") === col("et"))
+          .withColumn("w", least(greatest(col("value"), col("lo")), col("hi")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+            sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+            (sum(floor(col("w") * 1e6).cast("long")).cast("double") / 1e6)
+              .as("winsorized_sum"))
+          .orderBy(col("event_type"))
+      },
+      None))
 }

@@ -233,6 +233,35 @@ object StatsQueries {
           GROUP BY bucket ORDER BY bucket"""
       }),
 
+    // Production twin of q84: cuts from approx_percentile — the
+    // GK/QuantileSummaries sketch, a mergeable partial aggregate with
+    // BOUNDED memory per partition — instead of exact percentile(),
+    // an ImperativeAggregate that buffers every value per group (a
+    // memory cliff at 100 TB; the exact twin above exists to be
+    // oracle-replayable). accuracy=10000 bounds rank error to
+    // n/10000. Sketch estimates are engine-specific → rows-only; the
+    // tolerance contract vs the exact cuts is spec-asserted
+    // (ApproxPercentileSpec).
+    GQuery("q84_equidepth_approx",
+      (s, d) => {
+        val probs = (1 to 15).map(_ / 16.0)
+        val li = Tables(s, d, "lineitem")
+        val cuts = li.agg(
+          approx_percentile(col("l_extendedprice"),
+            array(probs.map(lit): _*), lit(10000)).as("cuts"))
+        li.crossJoin(broadcast(cuts))
+          .withColumn("bucket",
+            aggregate(col("cuts"), lit(0),
+              (acc, c) => acc +
+                when(col("l_extendedprice") > c, 1).otherwise(0)))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("l_extendedprice")).as("lo"),
+            max(col("l_extendedprice")).as("hi"))
+          .orderBy(col("bucket"))
+      },
+      None),
+
     // Table reconciliation (CDC validation): detect inserts, deletes
     // and updates between a table and its drifted twin via ONE full
     // outer join on the key — the anti-entropy pass a replication

@@ -54,15 +54,20 @@ object Bpe {
       greatest(size(withTrailingSep) - 1, lit(0)))
   }
 
-  /** Adjacent word-internal pairs of a token array, rendered "a b". */
-  private def pairs(arr: Column): Column =
+  /** Adjacent word-internal pairs of a token array, rendered "a b".
+    * Built from two shifted slices zipped element-wise: the slices are
+    * codegen'd and evaluated once; the zip_with lambda sees element
+    * VALUES (the element_at-per-index form re-evaluated its array
+    * operand per element — see TextAnalysis.bigramSurprisal). size<2 →
+    * zero-length slices → empty result, as before.
+    */
+  private def pairs(arr: Column): Column = {
+    val n = size(arr)
     filter(
-      when(size(arr) >= 2,
-        transform(sequence(lit(1), size(arr) - 1), i =>
-          when(element_at(arr, i) =!= Sep && element_at(arr, i + 1) =!= Sep,
-            concat(element_at(arr, i), lit(" "), element_at(arr, i + 1)))))
-        .otherwise(array().cast("array<string>")),
+      zip_with(slice(arr, lit(1), n - 1), slice(arr, lit(2), n - 1), (a, b) =>
+        when(a =!= Sep && b =!= Sep, concat(a, lit(" "), b))),
       p => p.isNotNull)
+  }
 
   /** Apply ONE merge rule to a token array: greedy left-to-right scan,
     * fusing every (a, b) adjacency whose left token was not already

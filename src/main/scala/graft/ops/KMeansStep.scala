@@ -10,9 +10,10 @@ import graft.util.{GQuery, Tables}
   * sim_ann_ivf (whose internal init/aggregation is not replayable in
   * SQL, so those queries are rows-only), this hand-rolled step is the
   * auditable training kernel: deterministic centroid seed, assignment
-  * by argmin over 4-decimal-rounded distances (ties → cluster id — the
-  * cross-engine ranking contract; a sub-rounding near-tie may resolve
-  * to either centroid, deterministically), fixed-point mean update.
+  * by argmin over floor-quantized micro-unit distances (ties → cluster
+  * id — the cross-engine ranking contract; a sub-quantum near-tie may
+  * resolve to either centroid, deterministically), fixed-point mean
+  * update.
   *
   * Scale shape: centroids broadcast (k rows); assignment is a map-only
   * pass over the corpus (cost ∝ n·k·dim, no shuffle); the update is ONE
@@ -46,17 +47,22 @@ object KMeansStep {
              centroidEvery: Int): DataFrame = {
     val cents = emb.filter(col(idCol) % centroidEvery === 0)
       .select(col(idCol).as("cluster"), col(vecCol).as("cvec"))
-    // rank on the 4-decimal rounding (ties → cluster id), the same
-    // cross-engine contract the cosine top-k oracles use: a raw
-    // last-ulp disagreement between two sequential folds must not be
-    // able to flip an argmin
-    val w = Window.partitionBy(col("__vid")).orderBy(col("d2"), col("cluster"))
+    // rank on floor-quantized micro-units (ties → cluster id), the
+    // same cross-engine contract bm25TopK/winsorize use. NOT round():
+    // Spark rounds the shortest-decimal RENDERING (BigDecimal HALF_UP)
+    // while DuckDB rounds the binary double, so a value just under a
+    // .00005 boundary that renders at it flips the emitted key between
+    // engines. floor() acts on the binary value identically in both —
+    // and the underlying doubles are bit-identical sequential folds.
+    val w = Window.partitionBy(col("__vid")).orderBy(col("d2_u"), col("cluster"))
     emb.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
       .crossJoin(broadcast(cents))
-      .withColumn("d2", round(sqDist(col("__v"), col("cvec")), 4))
+      .withColumn("d2_u", floor(sqDist(col("__v"), col("cvec")) * 1e6).cast("long"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("__vid").as("vec_id"), col("cluster"), col("d2"))
+      .select(col("__vid").as("vec_id"), col("cluster"),
+        // rendering only — the ranking key is the BIGINT above
+        (col("d2_u").cast("double") / 1e6).as("d2"))
   }
 
   /** The update half: per (cluster, dimension) member count and exact
@@ -82,10 +88,12 @@ object KMeansStep {
        * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"""
 
   private def assignSql(every: Int) =
-    s"""SELECT vec_id, cluster, d2 FROM (
-        SELECT v.vec_id, c.vec_id AS cluster, round($sqlD2, 4) AS d2,
+    s"""SELECT vec_id, cluster, CAST(d2_u AS DOUBLE) / 1e6 AS d2 FROM (
+        SELECT v.vec_id, c.vec_id AS cluster,
+          CAST(floor($sqlD2 * 1e6) AS BIGINT) AS d2_u,
           CAST(row_number() OVER (PARTITION BY v.vec_id
-            ORDER BY round($sqlD2, 4) ASC NULLS LAST, c.vec_id) AS INT) AS rn
+            ORDER BY CAST(floor($sqlD2 * 1e6) AS BIGINT) ASC NULLS LAST,
+                     c.vec_id) AS INT) AS rn
         FROM embeddings v, embeddings c
         WHERE c.vec_id % $every = 0)
       WHERE rn = 1"""

@@ -800,6 +800,43 @@ object LlmQueries {
           avg((13*doc_id + 3*sx + sy) % 256) AS mean_b
         FROM px GROUP BY doc_id ORDER BY doc_id""")),
 
+    // REAL JPEG decode (JDK javax.imageio): the same synthetic pattern
+    // as the PPM pair, pushed through actual lossy DCT compression.
+    // Dimensions survive the codec exactly → full hash oracle on the
+    // decode path end-to-end; pixel means are lossy (≈±1 unit at
+    // quality 1.0) → tolerance-checked in JpegSpec instead, the same
+    // exact-twin/approximate-op split as MinHash vs its md5 twin.
+    GQuery("multimodal_jpeg_dims",
+      (s, d) => Multimodal.decodeJpeg(
+          Multimodal.asJpegTable(Tables.spread(Tables(s, d, "documents"))))
+        .select(col("doc_id"), col("width"), col("height"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS width,
+          CAST(8 + doc_id % 7 AS INT) AS height
+        FROM documents ORDER BY doc_id""")),
+
+    // Full decoded statistics of the lossy payload — engine-specific by
+    // nature (the JDK's IDCT), so rows-only here; JpegSpec pins the
+    // channel means to the closed-form source within ±1.5 units.
+    GQuery("multimodal_jpeg_decode",
+      (s, d) => Multimodal.decodeJpeg(
+          Multimodal.asJpegTable(Tables.spread(Tables(s, d, "documents"))))
+        .orderBy(col("doc_id")),
+      None),
+
+    // decode → nearest-neighbor 4×4 resample (the SAME pixel-space
+    // kernel as multimodal_img_resize) → JPEG re-encode → decode:
+    // output dimensions are contract-exact through two lossy trips.
+    GQuery("multimodal_jpeg_resize",
+      (s, d) => Multimodal.decodeJpeg(
+          Multimodal.resizeJpeg(
+            Multimodal.asJpegTable(Tables.spread(Tables(s, d, "documents"))),
+            w2 = 4, h2 = 4))
+        .select(col("doc_id"), col("width"), col("height"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, 4 AS width, 4 AS height
+        FROM documents ORDER BY doc_id""")),
+
     // REAL audio decode (pure-JVM RIFF/PCM16 codec): synthetic clips
     // whose sample values are closed-form in (doc_id, i); the oracle
     // regenerates every sample and must agree on the exact integer sums.

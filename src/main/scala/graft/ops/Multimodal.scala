@@ -10,14 +10,16 @@ import org.apache.spark.sql.functions._
   * Two tiers of kernels share identical Spark-side plumbing (binary
   * columns, partition-wise `mapPartitions` batching — the Scala analogue
   * of arrow-batched UDF execution — and posexplode frame expansion):
-  *  - REAL codecs for formats decodable in pure JVM code: PPM images
-  *    ([[PpmImage]] — pixel decode, nearest-neighbor resize) and
-  *    PCM16 WAV audio ([[WavAudio]] — sample decode, decimating
-  *    resample), both oracle-checked pixel/sample-exact;
+  *  - REAL codecs for formats decodable with the JDK alone: PPM images
+  *    ([[PpmImage]] — pixel decode, nearest-neighbor resize), baseline
+  *    JPEG ([[JpegImage]] — the JDK's javax.imageio encoder/decoder;
+  *    lossy, so dims are hash-oracled and pixel stats tolerance-spec'd)
+  *    and PCM16 WAV audio ([[WavAudio]] — sample decode, decimating
+  *    resample); PPM/WAV are oracle-checked pixel/sample-exact;
   *  - clearly-marked deterministic STUBS where a codec needs native
-  *    libraries this environment does not ship (JPEG, MP3, video
+  *    libraries this environment does not ship (MP3, video
   *    containers) — swapping a stub for a real codec changes no
-  *    plumbing, as the PPM/WAV pair demonstrates.
+  *    plumbing, as the PPM/WAV/JPEG trio demonstrates.
   */
 object Multimodal {
 
@@ -149,6 +151,60 @@ object Multimodal {
       it.map { r =>
         MediaRow(r.doc_id, r.mime,
           PpmImage.encode(PpmImage.resize(PpmImage.decode(r.payload), w2, h2)))
+      }
+    }.toDF()
+  }
+
+  // ----- REAL JPEG path (JDK javax.imageio — no native install) --------
+
+  /** Deterministic JPEG table: the SAME synthetic pattern as the PPM
+    * path, encoded through the JDK's baseline JPEG writer at quality
+    * 1.0 — real lossy compression over real pixels.
+    */
+  def asJpegTable(documents: DataFrame): DataFrame = {
+    implicit val outEnc = Encoders.product[MediaRow]
+    implicit val idEnc = Encoders.scalaLong
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        MediaRow(id, "image/jpeg", JpegImage.encode(PpmImage.synthesize(id)))
+      }
+    }.toDF()
+  }
+
+  /** REAL JPEG decode kernel: inverse-DCT the payload back to pixels,
+    * emit dimensions + per-channel means. Identical plumbing to
+    * [[decodeImages]]; only the codec differs.
+    */
+  def decodeJpeg(images: DataFrame): DataFrame = {
+    implicit val inEnc = Encoders.product[MediaRow]
+    implicit val outEnc = Encoders.product[ImageStats]
+    images.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        val img = JpegImage.decode(r.payload)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < img.pixels.length) {
+          sr += img.pixels(i) & 0xff
+          sg += img.pixels(i + 1) & 0xff
+          sb += img.pixels(i + 2) & 0xff
+          i += 3
+        }
+        val n = (img.width * img.height).toDouble
+        ImageStats(r.doc_id, img.width, img.height, sr / n, sg / n, sb / n)
+      }
+    }.toDF()
+  }
+
+  /** REAL JPEG resize kernel: decode → nearest-neighbor resample (the
+    * same pixel-space [[PpmImage.resize]] the PPM path uses) →
+    * re-encode as JPEG.
+    */
+  def resizeJpeg(images: DataFrame, w2: Int, h2: Int): DataFrame = {
+    implicit val rowEnc = Encoders.product[MediaRow]
+    images.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        MediaRow(r.doc_id, r.mime,
+          JpegImage.encode(PpmImage.resize(JpegImage.decode(r.payload), w2, h2)))
       }
     }.toDF()
   }

@@ -4,8 +4,9 @@ package graft.ops
   * `P6\n<w> <h>\n255\n` followed by w·h RGB byte triples. Chosen because
   * it is a REAL raster format decodable without any native library, so
   * the multimodal pipeline's decode/resize kernels can operate on actual
-  * pixels (the JPEG/audio codecs stay stubbed — they need libs this
-  * environment does not ship; the plumbing is identical either way).
+  * pixels — and losslessly, so pixel statistics are SQL-replayable
+  * (the lossy twin is [[JpegImage]]; MP3/video stay stubbed — they need
+  * libs this environment does not ship; the plumbing is identical).
   */
 object PpmImage {
 

@@ -11,15 +11,18 @@ import graft.util.{GQuery, Tables}
   * is north-star §2B scope.
   *
   * Scale design (the 100 TB shape):
-  *   - the inverted index is two partial-agg'd groupBys — (doc, term)
-  *     term frequencies and per-term document frequencies. Stop terms
-  *     cannot skew a partition: counts combine map-side before the
-  *     exchange (same argument as Dedup's df derivation).
-  *   - corpus constants (N, average length) are a 1-row broadcast.
+  *   - per-doc lengths and corpus constants (N, average length) are
+  *     map-only passes — size(tokens) plus a 1-row broadcast; no
+  *     corpus-sized shuffle anywhere.
+  *   - postings are filtered to the query terms BEFORE the explode, so
+  *     the only index shuffle is ∝ the hit lists, not the corpus; the
+  *     per-(doc, term) counts still combine map-side, so a stop term in
+  *     a query cannot skew a partition.
   *   - the query set is tiny and broadcasts onto the postings — the only
-  *     data-sized shuffles key on (doc) and (term), never on pairs.
-  *   - scoring touches only postings of query terms: cost ∝ the hit
-  *     lists, not the corpus.
+  *     data-sized join keys on (doc), never on pairs.
+  *   - a standing corpus index for repeated query batches is the
+  *     [[termStats]]/[[mergeTermStats]] path (build once, MERGE per
+  *     ingest batch), not a per-call rebuild.
   *
   * Determinism (oracle contract): per-(query, doc, term) partial scores
   * are computed in one fixed IEEE expression shape (identical
@@ -49,20 +52,31 @@ object Search {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // The index is built ONCE and persisted: docLen/stats/dft all
-    // derive from tf, but DataFrame lineage is a tree — without the
-    // persist each branch re-runs the corpus explode (4 scans of the
-    // corpus in the physical plan; column pruning makes the subtrees
-    // unequal, so ReuseExchange cannot dedup them). In production the
-    // inverted index is a long-lived table, same as the IVF index.
-    val tf = docs
-      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("t"))
-      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docLen = tf.groupBy("doc_id").agg(sum(col("tf")).as("len"))
-    // N and avg doc length from the SAME tf frame (no second corpus scan)
+    // Ad-hoc literal queries never need the FULL inverted index (the
+    // r4 rendering built and persisted per-(doc, term) tf for the whole
+    // corpus — a corpus-sized shuffle plus a columnar cache build, and
+    // the bench's warm 1.55 s was really the next call free-riding on
+    // the previous call's cache):
+    //   - per-doc length is a map-only size(tokens) — no explode, no
+    //     shuffle;
+    //   - postings are filtered to QUERY TERMS before the explode, so
+    //     the only index shuffle is ∝ the hit lists, not the corpus.
+    // The long-lived-index production path (build once, reuse across
+    // query batches) remains termStats/mergeTermStats below.
+    val qtermSet = queries
+      .flatMap(_._2.split(" ").filter(_.nonEmpty)).distinct
+    val docLen = docs
+      .select(col(idCol).as("doc_id"), size(toks(col(textCol))).as("len"))
+      // mirror the tf-derived domain: docs with ≥ 1 token (the oracle's
+      // doclen comes from tf and never sees empty docs)
+      .filter(col("len") > 0)
     val stats = docLen.agg(count(lit(1)).as("n"),
       (sum(col("len")).cast("double") / count(lit(1))).as("avglen"))
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(filter(toks(col(textCol)),
+          t => t.isInCollection(qtermSet))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy("t").agg(count(lit(1)).as("dft"))
 
     val qterms = queries
@@ -78,7 +92,7 @@ object Search {
 
     val scored = tf
       .join(broadcast(qterms), "t")
-      .join(broadcast(dft.join(broadcast(qterms.select("t").distinct()), "t")), "t")
+      .join(broadcast(dft), "t")
       .join(docLen, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("score_u", partial)

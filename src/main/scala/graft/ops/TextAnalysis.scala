@@ -115,8 +115,8 @@ object TextAnalysis {
     * one task; (2) corpus df per token — same partial-agg pattern;
     * (3) a join on token (hot tokens stream through the probe side and
     * AQE skew-splits if needed) + a 1-row broadcast of the total; (4) a
-    * per-doc sum. Determinism: each token's surprisal is rounded to
-    * 9 decimals and summed as DECIMAL(28,9) — exact and commutative, so
+    * per-doc sum. Determinism: each token's surprisal is floor-quantized
+    * to micro-nat BIGINTs and integer-summed — exact and commutative, so
     * partition order can't perturb the result and the DuckDB oracle
     * reproduces it bit-for-bit (raw double sums would be
     * iteration-order-dependent).
@@ -125,10 +125,19 @@ object TextAnalysis {
     val toks = df
       .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("t"))
       .filter(col("t") =!= "")
-    val perDoc = toks.groupBy("doc", "t").agg(count(lit(1)).as("k"))
+    // Two-scan shape: the model table (corpus token frequencies) is a
+    // partial-agg'd groupBy DIRECTLY off the explode — map-side combine
+    // reduces each task to its distinct tokens, so the shuffle is
+    // vocabulary-sized, not corpus-sized. The scoring pass re-runs the
+    // explode (a scan is cheaper than a corpus-sized shuffle; the
+    // earlier perDoc(doc,t) + persist rendering shuffled ~every
+    // occurrence and paid a columnar cache build for a table the model
+    // pass reads once — measured 2.2 s vs ~1 s for this form at sf0.1).
+    // The occurrence⋈freq join broadcasts while the vocab fits and AQE
+    // size-adapts to a shuffle join at 100 TB vocabularies.
     val freq = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
-    val total = toks.agg(count(lit(1)).as("total"))
-    perDoc.join(freq, "t").crossJoin(broadcast(total))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    toks.join(freq, "t").crossJoin(broadcast(total))
       // fixed-point micro-nats via floor, NOT round/decimal-cast: Spark
       // rounds a double's shortest decimal rendering while DuckDB rounds
       // the binary value, so round() disagrees at half boundaries;
@@ -137,10 +146,10 @@ object TextAnalysis {
       .withColumn("nlp_u",
         floor(-log(col("cnt").cast("double") / col("total")) * 1e6).cast("long"))
       .groupBy("doc")
-      .agg(sum(col("k")).cast("int").as("n_tokens"),
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
         // integer sum is exact/commutative; one final IEEE division
-        (sum(col("k") * col("nlp_u")).cast("double") /
-          (sum(col("k")) * lit(1e6))).as("surprisal"))
+        (sum(col("nlp_u")).cast("double") /
+          (count(lit(1)) * lit(1e6))).as("surprisal"))
   }
 
   /** Bigram-LM surprisal — the second-order refinement of
@@ -150,37 +159,55 @@ object TextAnalysis {
     * Catches word-salad documents whose unigram mix looks fine but
     * whose transitions are improbable.
     *
-    * Same scale shape as the unigram scorer: per-(doc, bigram) counts
-    * and corpus bigram/context counts are partial-agg'd groupBys (no
-    * hot token can skew a partition), the two model tables join on the
-    * bigram/context key, and the per-token surprisal is floor-quantized
-    * to micro-nats and integer-summed — bit-reproducible by the oracle.
+    * Same scale shape as the unigram scorer: corpus bigram/context
+    * counts are partial-agg'd groupBys straight off the explode (no hot
+    * pair can skew a partition — counts combine map-side), the model
+    * join is tiny-on-tiny, and the per-transition surprisal is
+    * floor-quantized to micro-nats and integer-summed — bit-
+    * reproducible by the oracle.
     * Documents with fewer than two tokens have no transitions and drop
     * out (mirrored in the oracle).
     */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tk = tokens(col(textCol))
+    // adjacent pairs via slice + arrays_zip — codegen'd end to end. The
+    // first rendering (transform(sequence(1, n-1), i -> struct(
+    // element_at(tk,i), element_at(tk,i+1)))) was the suite's slowest
+    // stage: higher-order functions are CodegenFallback (interpreted),
+    // and outside whole-stage codegen there is no common-subexpression
+    // elimination, so the tokenize re-ran per element_at — measured
+    // 2.3–3.5 s for the explode ALONE at sf0.1 vs ~0.2 s zipped.
+    // n = 1 → zero-length slices → empty zip → explode drops the doc,
+    // exactly as the old size<2 guard did.
+    val n = size(tk)
     val bigrams = df
       .select(col(idCol).as("doc"),
-        explode(when(size(tk) >= 2,
-          transform(sequence(lit(1), size(tk) - 1), i =>
-            struct(element_at(tk, i).as("t1"), element_at(tk, i + 1).as("t2"))))
-          .otherwise(array().cast("array<struct<t1:string,t2:string>>"))).as("b"))
+        explode(arrays_zip(slice(tk, lit(1), n - 1).as("t1"),
+          slice(tk, lit(2), n - 1).as("t2"))).as("b"))
       .select(col("doc"), col("b.t1").as("t1"), col("b.t2").as("t2"))
-    // one explode pass: the corpus-level model tables re-aggregate the
-    // already-reduced (doc, bigram) counts instead of re-running the
-    // bigram explode per table (sum of per-doc counts ≡ corpus counts;
-    // measured 3.4 s → ~1 s at sf0.1)
-    val perDoc = bigrams.groupBy("doc", "t1", "t2").agg(count(lit(1)).as("k"))
-    val c2 = perDoc.groupBy("t1", "t2").agg(sum("k").as("cnt2"))
-    val c1 = perDoc.groupBy("t1").agg(sum("k").as("cnt1"))
-    perDoc.join(c2, Seq("t1", "t2")).join(c1, Seq("t1"))
+    // Two-scan shape (same rationale as unigramSurprisal): the bigram
+    // model is partial-agg'd straight off the explode (shuffle ∝
+    // distinct bigram TYPES, not occurrences), the context counts and
+    // per-bigram −log p are derived model-on-model (tiny), and the
+    // scoring pass re-runs the explode and joins occurrences to the
+    // finished model — ONE corpus-sized join key, zero corpus-sized
+    // shuffles. The earlier perDoc(doc,t1,t2) + persist rendering
+    // shuffled every occurrence TWICE (groupBy key, then join key) and
+    // paid a columnar cache build; per-doc bigram counts barely dedup
+    // occurrences (256k distinct / 266k occurrences at sf0.1), so the
+    // reduction never paid for its shuffle. Summing nlp_u per
+    // OCCURRENCE is the same integer sum as k·nlp_u per distinct pair.
+    val c2 = bigrams.groupBy("t1", "t2").agg(count(lit(1)).as("cnt2"))
+    val c1 = c2.groupBy("t1").agg(sum("cnt2").as("cnt1"))
+    val model = c2.join(c1, "t1")
       .withColumn("nlp_u",
         floor(-log(col("cnt2").cast("double") / col("cnt1")) * 1e6).cast("long"))
+      .select("t1", "t2", "nlp_u")
+    bigrams.join(model, Seq("t1", "t2"))
       .groupBy("doc")
-      .agg(sum(col("k")).cast("int").as("n_bigrams"),
-        (sum(col("k") * col("nlp_u")).cast("double") /
-          (sum(col("k")) * lit(1e6))).as("surprisal2"))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        (sum(col("nlp_u")).cast("double") /
+          (count(lit(1)) * lit(1e6))).as("surprisal2"))
   }
 
   /** Gopher-style repetition signals (the Rae et al. repetition filters
@@ -198,9 +225,14 @@ object TextAnalysis {
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     val n = size(toks)
-    val tri = when(n >= 3, transform(sequence(lit(1), n - 2), i =>
-        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-          element_at(toks, i + 2))))
+    // trigram strings from three shifted slices: the zip and slices are
+    // codegen'd and evaluated once per row; the transform lambda only
+    // touches the zipped struct's fields (the element_at-per-index form
+    // re-ran the tokenize per element — see bigramSurprisal)
+    val tri = when(n >= 3,
+        transform(arrays_zip(slice(toks, lit(1), n - 2).as("a"),
+            slice(toks, lit(2), n - 2).as("b"), slice(toks, lit(3), n - 2).as("c")),
+          s => concat_ws(" ", s("a"), s("b"), s("c"))))
       .otherwise(array().cast("array<string>"))
     val triRatio = when(size(tri) > 0,
         lit(1.0) - size(array_distinct(tri)).cast("double") / size(tri))

@@ -24,6 +24,18 @@ import graft.operators.Materialize
 object CdcPipeline {
 
   // ----- transport (O8/O11): needs a broker at runtime, plan-only here --
+  //
+  // Embedded-broker round-trip attempt (2026-08-13, round 5): a live
+  // toKafkaRecords → broker → kafkaSource spec needs BOTH
+  // spark-sql-kafka-0-10 (the "kafka" DataSource — NOT in
+  // /opt/spark/jars, verified `ls | grep -i kafka` → empty) and
+  // kafka-clients/an embeddable broker (absent from the offline
+  // coursier cache, verified `find ~/.cache/coursier -iname '*kafka*'`
+  // → empty). COURSIER_MODE=offline + zero egress means neither can
+  // resolve, so the round-trip cannot execute in this sandbox. The
+  // executable contract twin remains FileTopic (keyed records, offsets,
+  // sidecar-first reservation, crash = gaps-not-dups, checkpoint
+  // resume — CdcStreamSpec), and these builders stay plan-only.
 
   def kafkaSource(spark: SparkSession, brokers: String, subscribe: String,
                   startingOffsets: String = "earliest"): DataFrame =

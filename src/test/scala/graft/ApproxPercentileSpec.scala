@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.{ProfileQueries, StatsQueries}
+import graft.util.Tables
+
+/** Tolerance contract for the approx-percentile production twins
+  * (q84_equidepth_approx / q89_winsorize_approx): the GK sketch at
+  * accuracy=10000 guarantees rank error ≤ n/10000 per cut; these specs
+  * assert the realized rank error against that bound (with 2× slack
+  * for the final cross-partition merge) — the check the hash oracle
+  * can't do because sketch estimates are engine-specific.
+  */
+class ApproxPercentileSpec extends AnyFunSuite {
+  import GraftSpark.{spark, sfDir}
+
+  test("approx equi-depth cuts sit within the GK rank-error bound") {
+    val li = Tables(spark, sfDir, "lineitem").select(col("l_extendedprice"))
+    val n = li.count()
+    val probs = (1 to 15).map(_ / 16.0)
+    val cuts = li.agg(approx_percentile(col("l_extendedprice"),
+        array(probs.map(lit): _*), lit(10000)).as("cuts"))
+      .collect()(0).getSeq[Double](0)
+    assert(cuts.length == 15)
+    val bound = math.max(2.0 * n / 10000.0, 2.0)
+    probs.zip(cuts).foreach { case (p, c) =>
+      // realized rank of the sketch's cut vs the target rank p·n
+      val rank = li.filter(col("l_extendedprice") <= c).count()
+      assert(math.abs(rank - p * n) <= bound,
+        s"cut at p=$p has rank $rank, target ${p * n} (bound $bound)")
+    }
+  }
+
+  test("approx equi-depth buckets are near-equal mass") {
+    val got = StatsQueries.queries.find(_.name == "q84_equidepth_approx").get
+      .fn(spark, sfDir).collect()
+    val total = got.map(r => r.getAs[Long]("n")).sum
+    assert(got.length == 16)
+    got.foreach { r =>
+      val nB = r.getAs[Long]("n")
+      assert(math.abs(nB - total / 16.0) <= total * 0.005 + 2,
+        s"bucket ${r.getAs[Int]("bucket")} mass $nB vs ideal ${total / 16}")
+    }
+  }
+
+  test("approx winsorize cuts match the per-group rank contract") {
+    val ev = Tables(spark, sfDir, "events")
+    val m = ev.groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("n"),
+        approx_percentile(col("value"), lit(0.05), lit(10000)).as("lo"),
+        approx_percentile(col("value"), lit(0.95), lit(10000)).as("hi"))
+      .collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val (et, n) = (r.getAs[String]("et"), r.getAs[Long]("n"))
+      val bound = math.max(2.0 * n / 10000.0, 2.0)
+      val loRank = ev.filter(col("event_type") === et &&
+        col("value") <= r.getAs[Double]("lo")).count()
+      val hiRank = ev.filter(col("event_type") === et &&
+        col("value") <= r.getAs[Double]("hi")).count()
+      assert(math.abs(loRank - 0.05 * n) <= bound,
+        s"$et lo-cut rank $loRank vs ${0.05 * n} (bound $bound)")
+      assert(math.abs(hiRank - 0.95 * n) <= bound,
+        s"$et hi-cut rank $hiRank vs ${0.95 * n} (bound $bound)")
+    }
+  }
+
+  test("approx twins return the same groups as their exact twins") {
+    // same bucket/group domain — the twins must be drop-in swaps
+    val exactW = ProfileQueries.queries.find(_.name == "q89_winsorize").get
+      .fn(spark, sfDir).select("event_type").collect().map(_.getString(0))
+    val approxW = ProfileQueries.queries.find(_.name == "q89_winsorize_approx")
+      .get.fn(spark, sfDir).select("event_type").collect().map(_.getString(0))
+    assert(exactW.sameElements(approxW))
+  }
+}

@@ -31,21 +31,20 @@ class KMeansSpec extends AnyFunSuite {
         "vec_id", "embedding", every)
       .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
     assert(got.size == all.size)
-    // Spark's round() rounds the double's shortest decimal RENDERING
-    // (BigDecimal.valueOf), not the exact binary expansion — replicate
-    // that, or half-boundary values flip the comparison
-    def round4(x: Double): Double =
-      BigDecimal(x.toString).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the cross-engine ranking key is the floor-quantized micro-unit
+    // BIGINT (floor acts on the binary double identically in Spark and
+    // DuckDB — round() does not; see KMeansStep.assign)
+    def q6(x: Double): Long = math.floor(x * 1e6).toLong
     for ((vid, v) <- all) {
-      // the operator's contract: argmin on the 4-decimal rounding with
-      // cluster-id tie-break (the cross-engine oracle ranking), which
-      // must also BE a true raw-distance argmin up to that rounding
-      val byContract = cents.toSeq.map { case (cid, c) => (round4(d2(v, c)), cid) }.min
+      // the operator's contract: argmin on the micro-unit quantization
+      // with cluster-id tie-break (the cross-engine oracle ranking),
+      // which must also BE a true raw-distance argmin up to a quantum
+      val byContract = cents.toSeq.map { case (cid, c) => (q6(d2(v, c)), cid) }.min
       assert(got(vid) == byContract._2,
         s"vec $vid assigned ${got(vid)}, contract argmin ${byContract._2}")
       val rawBest = cents.toSeq.map { case (_, c) => d2(v, c) }.min
-      assert(round4(d2(v, cents(got(vid)))) <= round4(rawBest) + 1e-12,
-        s"vec $vid assigned a centroid farther than the true argmin by > rounding")
+      assert(q6(d2(v, cents(got(vid)))) <= q6(rawBest),
+        s"vec $vid assigned a centroid farther than the true argmin by > a quantum")
     }
   }
 
