@@ -1,5 +1,6 @@
 package graft.analytics
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.{Det, GQuery, Tables}
@@ -20,6 +21,28 @@ import Det._
   * second moments.
   */
 object StatsQueries {
+
+  /** Approximate equi-depth histogram — the production (bounded-memory)
+    * twin of q84_equidepth_histogram: cuts from the mergeable GK
+    * sketch, bucket assignment map-only against the 1-row broadcast
+    * cut array. Factored for ScaleSmoke reuse over replicated inputs.
+    */
+  def equidepthApprox(li: DataFrame, nBuckets: Int = 16): DataFrame = {
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cuts = li.agg(
+      approx_percentile(col("l_extendedprice"),
+        array(probs.map(lit): _*), lit(10000)).as("cuts"))
+    li.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        aggregate(col("cuts"), lit(0),
+          (acc, c) => acc +
+            when(col("l_extendedprice") > c, 1).otherwise(0)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .orderBy(col("bucket"))
+  }
 
   val queries: Seq[GQuery] = Seq(
 
@@ -243,23 +266,7 @@ object StatsQueries {
     // tolerance contract vs the exact cuts is spec-asserted
     // (ApproxPercentileSpec).
     GQuery("q84_equidepth_approx",
-      (s, d) => {
-        val probs = (1 to 15).map(_ / 16.0)
-        val li = Tables(s, d, "lineitem")
-        val cuts = li.agg(
-          approx_percentile(col("l_extendedprice"),
-            array(probs.map(lit): _*), lit(10000)).as("cuts"))
-        li.crossJoin(broadcast(cuts))
-          .withColumn("bucket",
-            aggregate(col("cuts"), lit(0),
-              (acc, c) => acc +
-                when(col("l_extendedprice") > c, 1).otherwise(0)))
-          .groupBy(col("bucket"))
-          .agg(count(lit(1)).as("n"),
-            min(col("l_extendedprice")).as("lo"),
-            max(col("l_extendedprice")).as("hi"))
-          .orderBy(col("bucket"))
-      },
+      (s, d) => equidepthApprox(Tables(s, d, "lineitem")),
       None),
 
     // Table reconciliation (CDC validation): detect inserts, deletes

@@ -57,11 +57,15 @@ object ScaleSmoke {
             t => concat(t, lit("_"), col("__r")))))
         .drop("__r")
     }
-    def timed(tag: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = f
-      println(f"SCALE $tag rows=$rows%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
-    }
+    // SCALE_OPS=prefix1,prefix2 limits the sweep to matching tags so a
+    // new operator's curve doesn't pay for re-running the whole zoo
+    val only = sys.env.get("SCALE_OPS").map(_.split(",").toSet)
+    def timed(tag: String)(f: => Long): Unit =
+      if (only.forall(_.exists(tag.startsWith))) {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"SCALE $tag rows=$rows%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
 
     // Adversarial df-skew: one 3-token phrase appended to every other
     // document, so one shingle's posting list is 50% of the corpus (the
@@ -75,8 +79,26 @@ object ScaleSmoke {
           concat(col("text"), lit(" zqhot vxhot wkhot")))
           .otherwise(col("text")))
 
+    // Events replicate by USER (id offset per replica): per-user event
+    // histories stay intact within a replica, so funnel stage sets and
+    // cohort membership grow linearly in users — wall time measures the
+    // chained per-user aggregates, not a synthetic clique.
+    def replicateEvents(df: DataFrame, n: Int): DataFrame = {
+      val step = 10000000L
+      df.crossJoin(spark.range(n).toDF("__r"))
+        .withColumn("user_id", col("user_id") + col("__r") * step)
+        .drop("__r")
+    }
+    // Lineitem replicates verbatim: the approx-percentile sketch sees
+    // n× the values of the identical distribution (cuts stay put; the
+    // sketch merge tree and the bucket-assign scan are what scale).
+    def replicateRows(df: DataFrame, n: Int): DataFrame =
+      df.crossJoin(spark.range(n).toDF("__r")).drop("__r")
+
     val docs = graft.util.Tables(spark, sfDir, "documents")
     val emb = graft.util.Tables(spark, sfDir, "embeddings")
+    val events = graft.util.Tables(spark, sfDir, "events")
+    val lineitem = graft.util.Tables(spark, sfDir, "lineitem")
     for (n <- reps) {
       val d = replicateDocs(docs, n)
       val e = replicateEmb(emb, n)
@@ -123,6 +145,19 @@ object ScaleSmoke {
           .select("i", "j")
         graft.ops.Cluster.dedupClusters(pairs).count()
       }
+      // behavioral analytics over n× users: three chained user-keyed
+      // min-aggs (funnel) / cohort equi-join with no forced broadcast
+      timed(s"funnel x$n")(
+        graft.analytics.BehaviorQueries.funnel(replicateEvents(events, n)).count())
+      timed(s"cohort x$n")(
+        graft.analytics.BehaviorQueries
+          .cohortRetention(replicateEvents(events, n)).count())
+      // approx-percentile production twin over n× values: GK sketch
+      // merge + map-only bucket assign — the exact twin's per-group
+      // value buffering is the memory cliff this path exists to avoid
+      timed(s"equidepth_approx x$n")(
+        graft.analytics.StatsQueries
+          .equidepthApprox(replicateRows(lineitem, n)).count())
     }
     spark.stop()
   }
