@@ -4,6 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
 
 /** REAL JPEG codec on the JDK's bundled `javax.imageio` baseline
   * encoder/decoder — no native library install, works headless, and the
@@ -37,15 +38,20 @@ object JpegImage {
       }
       y += 1
     }
+    // MemoryCacheImageOutputStream, NOT ImageIO.createImageOutputStream:
+    // the factory honors ImageIO.getUseCache() (default TRUE) and backs
+    // every stream with a TEMP FILE — one file create+delete per image
+    // dominated the kernel (bench: 4-7 s per jpeg query at sf0.1).
     val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
     val param = writer.getDefaultWriteParam
     param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(quality)
     val bos = new ByteArrayOutputStream()
-    val ios = ImageIO.createImageOutputStream(bos)
+    val ios = new MemoryCacheImageOutputStream(bos)
     try {
       writer.setOutput(ios)
       writer.write(null, new IIOImage(bi, null, null), param)
+      ios.flush()
     } finally {
       writer.dispose()
       ios.close()
@@ -57,7 +63,18 @@ object JpegImage {
     * bytes (ImageIO.read returns null rather than throwing).
     */
   def decode(bytes: Array[Byte]): PpmImage.Image = {
-    val bi = ImageIO.read(new ByteArrayInputStream(bytes))
+    // memory-cache stream for the same temp-file reason as encode();
+    // a dedicated reader also skips ImageIO.read's format re-probe
+    val readers = ImageIO.getImageReadersByFormatName("jpeg")
+    val reader = readers.next()
+    val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+    val bi = try {
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
     require(bi != null, "not a decodable image payload")
     val w = bi.getWidth
     val h = bi.getHeight
