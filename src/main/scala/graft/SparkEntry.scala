@@ -23,6 +23,7 @@ object SparkEntry {
       analytics.TemporalQueries.queries ++
       cdc.CdcQueries.queries ++
       ops.LlmQueries.queries ++
+      ops.SpanDedup.queries ++
       ops.Search.queries ++
       ops.KMeansStep.queries ++
       ops.Bpe.queries ++

@@ -145,6 +145,10 @@ object ScaleSmoke {
           .select("i", "j")
         graft.ops.Cluster.dedupClusters(pairs).count()
       }
+      // span dedup over n× docs (replica token-tagging keeps k-grams
+      // distinct across replicas: duplication structure grows linearly)
+      timed(s"span_coverage x$n")(
+        graft.ops.SpanDedup.spanCoverage(d, "doc_id", "text", 8).count())
       // behavioral analytics over n× users: three chained user-keyed
       // min-aggs (funnel) / cohort equi-join with no forced broadcast
       timed(s"funnel x$n")(

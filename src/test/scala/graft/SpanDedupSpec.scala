@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.SpanDedup
+
+class SpanDedupSpec extends AnyFunSuite {
+  import GraftSpark.spark
+  import spark.implicits._
+
+  private val boiler = "all rights reserved see license file for details" // 8 tokens
+
+  test("planted boilerplate span is found across otherwise-distinct docs") {
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler delta epsilon"),
+      (2L, s"$boiler zeta eta theta iota kappa lambda"),
+      (3L, "mu nu xi omicron pi rho sigma tau upsilon phi chi psi"))
+      .toDF("doc_id", "text")
+    val dup = SpanDedup.duplicatedSpans(docs, "doc_id", "text", k = 8)
+      .collect()
+    // exactly the planted 8-gram: docs 1 and 2 share it, doc 3 shares nothing
+    assert(dup.length == 1)
+    assert(dup(0).getAs[Long]("n_occ") == 2 && dup(0).getAs[Long]("n_docs") == 2)
+  }
+
+  test("coverage merges overlapping spans and reports clean docs as zero") {
+    // doc 1 repeats a 10-token run: positions 0..2 all start duplicated
+    // 8-grams (3 overlapping intervals over tokens 0..9 → 10 covered)
+    val run = "a b c d e f g h i j"
+    val docs = Seq(
+      (1L, s"$run x1 y1 z1"),
+      (2L, s"$run x2 y2 z2"),
+      (3L, "p q r s t u v w aa bb cc dd"))
+      .toDF("doc_id", "text")
+    val cov = SpanDedup.spanCoverage(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Long]("n_dup_positions"),
+          r.getAs[Long]("covered_tokens"), r.getAs[Double]("dup_ratio")))
+      .toMap
+    // 13 tokens, dup positions 0,1,2 (8-grams inside the shared run),
+    // intervals [0,8) [1,9) [2,10) merge to 10 covered tokens
+    assert(cov(1L) == ((13, 3L, 10L, 10.0 / 13)))
+    assert(cov(2L) == ((13, 3L, 10L, 10.0 / 13)))
+    assert(cov(3L) == ((12, 0L, 0L, 0.0)))
+  }
+
+  test("disjoint repeats in ONE doc count and cover without merging") {
+    val span = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"$span filler0 filler1 filler2 $span"),
+      (2L, "unrelated words only here nothing repeated at all ever said twice"))
+      .toDF("doc_id", "text")
+    val cov = SpanDedup.spanCoverage(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        (r.getAs[Long]("n_dup_positions"), r.getAs[Long]("covered_tokens")))
+      .toMap
+    // positions 0 and 11, gap 11 > k → two disjoint intervals, 16 covered
+    assert(cov(1L) == ((2L, 16L)))
+    assert(cov(2L) == ((0L, 0L)))
+  }
+
+  test("docs shorter than k emit no fingerprints but still report") {
+    val docs = Seq((1L, "too short"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val cov = SpanDedup.spanCoverage(docs, "doc_id", "text", k = 8)
+      .orderBy("doc").collect()
+    assert(cov.length == 2)
+    assert(cov(0).getAs[Int]("n_tokens") == 2 &&
+      cov(0).getAs[Long]("covered_tokens") == 0L)
+    // an 8-token doc has exactly one 8-gram; unique → uncovered
+    assert(cov(1).getAs[Long]("covered_tokens") == 0L)
+  }
+}
