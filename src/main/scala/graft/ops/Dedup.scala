@@ -38,12 +38,16 @@ object Dedup {
     * maxDf), so the cap is a map-side broadcast anti-join, not a shuffle;
     * its df aggregation is partial-agg'd before the exchange.
     *
-    * Built with posexplode + window `lead` instead of array
-    * higher-order functions: `transform`/`filter`/`slice`
-    * are `CodegenFallback` (interpreted, row-at-a-time) while
-    * posexplode/lead/concat_ws stay inside whole-stage codegen — measured
-    * 2.4× faster end-to-end on the jaccard pipeline at sf0.1. Every stage
-    * is hash-partitioned on `doc` or `(doc, s)`; nothing driver-side.
+    * Shingle construction history: r2–r4 used posexplode + a `lead()`
+    * window (2.4× faster than the first transform/element_at HOF
+    * rendering, whose lambda re-ran the tokenize per element), but the
+    * window hash-partitions and sorts the ENTIRE token stream on doc —
+    * a corpus-sized exchange just to line up adjacent tokens. Round 5
+    * replaced it with the zipped-shifted-slices form (SpanDedup.kgrams,
+    * map-only, lambda touches only zip-struct fields): parity inside
+    * the sf0.1 noise band, one full corpus shuffle fewer at scale.
+    * Every remaining stage is hash-partitioned on `doc` or `(doc, s)`;
+    * nothing driver-side.
     */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
                     n: Int, maxDf: Int = Int.MaxValue): DataFrame = {
@@ -59,20 +63,15 @@ object Dedup {
     */
   def shingles(df: DataFrame, idCol: String, textCol: String,
                n: Int, maxDf: Int = Int.MaxValue): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc").orderBy("pos")
-    val toks = df
+    // n-gram strings via SpanDedup.kgrams — n shifted slices zipped
+    // element-wise, codegen'd, MAP-ONLY. This replaces the r2–r4
+    // posexplode + lead() window rendering, which paid a corpus-wide
+    // shuffle on doc just to line up adjacent tokens (the window needs
+    // hash-partitioning + sort). Same shingle sets: both operate on the
+    // order-preserved non-empty token stream.
+    val sh0 = df
       .select(col(idCol).as("doc"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
-      .filter(col("t") =!= "")
-    val grams = (1 until n).map(i => lead(col("t"), i).over(w))
-    val sh0 = toks
-      .select(col("doc") +: col("t") +: grams.zipWithIndex.map {
-        case (c, i) => c.as(s"t$i")
-      }: _*)
-      .filter(if (n > 1) col(s"t${n - 2}").isNotNull else lit(true))
-      .select(col("doc"), concat_ws(" ",
-        col("t") +: (0 until n - 1).map(i => col(s"t$i")): _*).as("s"))
+        explode(SpanDedup.kgrams(TextAnalysis.tokens(col(textCol)), n)).as("s"))
       .distinct()
     val sh =
       if (maxDf == Int.MaxValue) sh0
