@@ -17,6 +17,7 @@ object SparkEntry {
       analytics.TpchShapes.queries ++
       analytics.StatsQueries.queries ++
       analytics.ProfileQueries.queries ++
+      analytics.DriftQueries.queries ++
       analytics.BehaviorQueries.queries ++
       analytics.WindowQueries.queries ++
       analytics.FunctionQueries.queries ++

@@ -1,0 +1,160 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.util.{GQuery, Tables}
+
+/** Distribution-drift monitoring — the validation pass a pipeline runs
+  * between ingest snapshots before trusting new data (the natural
+  * extension of [[ProfileQueries]]'s static audit): population
+  * stability index on a numeric column across a time cutoff, and
+  * per-source token-distribution KL divergence against the corpus.
+  * The reference replicates rows but never validates them; this is
+  * north-star data-quality scope.
+  *
+  * Determinism contract (both queries): bin/token counts are integers;
+  * fractions are one fixed IEEE expression shape mirrored verbatim in
+  * the oracle; each bin/token term is floor-quantized to nano/micro
+  * units and integer-summed, so partition order cannot perturb the
+  * reported divergence (the unigramSurprisal pattern).
+  */
+object DriftQueries {
+
+  /** PSI of `value` per event_type: current window vs reference window
+    * (split at `cutoff`), bins = reference-window deciles. Laplace
+    * smoothing (+0.5 per bin) keeps empty current bins finite — the
+    * standard industrial form. Scale shape: decile cuts are one
+    * exact-percentile agg over the reference (the oracle-replayable
+    * twin — production would swap in approx_percentile exactly as
+    * q84_equidepth_approx does); binning + counting is ONE map-only
+    * pass over events with the tiny cut table broadcast, then all
+    * remaining algebra runs on (event_type × 10) rows.
+    */
+  def psi(ev: DataFrame, cutoff: String): DataFrame = {
+    val probs = (1 to 9).map(_ / 10.0)
+    val ref = ev.filter(col("ts") < lit(cutoff).cast("timestamp"))
+    val cuts = ref.groupBy(col("event_type").as("et"))
+      .agg(percentile(col("value"), array(probs.map(lit): _*)).as("cuts"))
+    val binned = ev
+      .join(broadcast(cuts), col("event_type") === col("et"))
+      .withColumn("bin",
+        aggregate(col("cuts"), lit(0),
+          (acc, c) => acc + when(col("value") > c, 1).otherwise(0)))
+      .withColumn("w",
+        when(col("ts") < lit(cutoff).cast("timestamp"), lit("ref"))
+          .otherwise(lit("cur")))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("w") === "ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("w") === "cur", 1L).otherwise(0L)).as("n_cur"))
+    val totals = binned.groupBy(col("event_type").as("e2"))
+      .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    binned.join(totals, col("event_type") === col("e2"))
+      .withColumn("p",
+        (col("n_cur").cast("double") + 0.5) / (col("t_cur") + 5.0))
+      .withColumn("q",
+        (col("n_ref").cast("double") + 0.5) / (col("t_ref") + 5.0))
+      .withColumn("term_n",
+        floor((col("p") - col("q")) * log(col("p") / col("q")) * 1e9).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(max(col("t_ref")).as("n_ref"), max(col("t_cur")).as("n_cur"),
+        (sum(col("term_n")).cast("double") / 1e9).as("psi"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Per-source token-distribution KL divergence vs the whole corpus,
+    * add-1 smoothed over the corpus vocabulary (so a token absent from
+    * a source still contributes its prior mass — full-vocab KL, not
+    * intersection KL). All counts are partial-agg'd groupBys off one
+    * token explode; the vocab × sources completion is an equi-join
+    * (sources are a bounded enum); the heavy stream never shuffles on
+    * anything wider than a token.
+    */
+  def tokenDriftKl(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(srcCol).as("src"), explode(split(col(textCol), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val corpus = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val consts = corpus.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("vocab"))
+    val perSrc = toks.groupBy("src", "t").agg(count(lit(1)).as("k"))
+    val srcTotals = perSrc.groupBy(col("src").as("s2"))
+      .agg(sum(col("k")).as("t_src"))
+    // complete the (source × vocab) grid so absent tokens keep k = 0
+    val grid = corpus
+      .crossJoin(srcTotals)
+      .join(perSrc,
+        col("s2") === perSrc("src") && corpus("t") === perSrc("t"), "left")
+      .select(col("s2").as("src"), corpus("t").as("t"), col("cnt"),
+        col("t_src"), coalesce(col("k"), lit(0L)).as("k"))
+    grid.crossJoin(broadcast(consts))
+      .withColumn("p",
+        (col("k").cast("double") + 1.0) / (col("t_src") + col("vocab")))
+      .withColumn("q",
+        (col("cnt").cast("double") + 1.0) / (col("total") + col("vocab")))
+      .withColumn("term_n", floor(col("p") * log(col("p") / col("q")) * 1e9).cast("long"))
+      .groupBy(col("src"))
+      .agg(max(col("t_src")).as("n_tokens"),
+        (sum(col("term_n")).cast("double") / 1e9).as("kl"))
+      .orderBy(col("src"))
+  }
+
+  val queries: Seq[GQuery] = Seq(
+
+    GQuery("q92_psi_value_drift",
+      (s, d) => psi(Tables(s, d, "events"), "2024-01-16"),
+      Some("""WITH ref AS (
+          SELECT event_type AS et, quantile_cont("value",
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+          FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+          GROUP BY event_type),
+        binned AS (
+          SELECT event_type,
+            CAST(len(list_filter(cuts, c -> "value" > c)) AS INT) AS bin,
+            CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+            CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+              THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+          FROM events JOIN ref ON event_type = et
+          GROUP BY event_type, bin),
+        tot AS (
+          SELECT event_type AS e2, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
+          FROM binned GROUP BY event_type)
+        SELECT event_type, CAST(max(t_ref) AS BIGINT) AS n_ref,
+          CAST(max(t_cur) AS BIGINT) AS n_cur,
+          CAST(SUM(CAST(floor(
+            ((CAST(n_cur AS DOUBLE) + 0.5) / (t_cur + 5.0)
+              - (CAST(n_ref AS DOUBLE) + 0.5) / (t_ref + 5.0))
+            * ln(((CAST(n_cur AS DOUBLE) + 0.5) / (t_cur + 5.0))
+                 / ((CAST(n_ref AS DOUBLE) + 0.5) / (t_ref + 5.0)))
+            * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS psi
+        FROM binned JOIN tot ON event_type = e2
+        GROUP BY event_type ORDER BY event_type""")),
+
+    GQuery("q93_token_drift_kl",
+      (s, d) => tokenDriftKl(Tables(s, d, "documents"), "source", "text"),
+      Some("""WITH tok AS (
+          SELECT source AS src, unnest(list_filter(string_split(text, ' '),
+            x -> x <> '')) AS t
+          FROM documents),
+        corpus AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+        consts AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+          count(*) AS vocab FROM corpus),
+        per_src AS (SELECT src, t, count(*) AS k FROM tok GROUP BY src, t),
+        src_tot AS (SELECT src AS s2, CAST(SUM(k) AS BIGINT) AS t_src
+          FROM per_src GROUP BY src),
+        grid AS (
+          SELECT s2 AS src, corpus.t, cnt, t_src,
+            coalesce(k, 0) AS k
+          FROM corpus CROSS JOIN src_tot
+          LEFT JOIN per_src ON per_src.src = s2 AND per_src.t = corpus.t)
+        SELECT src, CAST(max(t_src) AS BIGINT) AS n_tokens,
+          CAST(SUM(CAST(floor(
+            ((CAST(k AS DOUBLE) + 1.0) / (t_src + vocab))
+            * ln(((CAST(k AS DOUBLE) + 1.0) / (t_src + vocab))
+                 / ((CAST(cnt AS DOUBLE) + 1.0) / (total + vocab)))
+            * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS kl
+        FROM grid, consts
+        GROUP BY src ORDER BY src"""))
+  )
+}
