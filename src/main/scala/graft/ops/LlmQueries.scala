@@ -837,6 +837,49 @@ object LlmQueries {
       Some("""SELECT doc_id, 4 AS width, 4 AS height
         FROM documents ORDER BY doc_id""")),
 
+    // REAL video-container decode (animated GIF via javax.imageio):
+    // frame count, dimensions and whole-clip mean luma. GIF is
+    // palette-based and LOSSLESS, so unlike JPEG the pixel statistics
+    // get a full hash oracle — the lateral ranges regenerate every
+    // (frame, x, y) pixel closed-form.
+    GQuery("multimodal_video_decode",
+      (s, d) => Multimodal.decodeVideo(
+          Multimodal.asVideoTable(Tables.spread(Tables(s, d, "documents"))))
+        .orderBy(col("doc_id")),
+      Some("""WITH g AS (
+          SELECT doc_id, 2 + doc_id % 4 AS nf, 8 + doc_id % 9 AS w,
+                 8 + doc_id % 7 AS h FROM documents),
+        px AS (
+          SELECT doc_id, nf, w, h, fs.f AS f, xs.x AS x, ys.y AS y
+          FROM g,
+            LATERAL (SELECT unnest(range(nf)) AS f) fs,
+            LATERAL (SELECT unnest(range(w)) AS x) xs,
+            LATERAL (SELECT unnest(range(h)) AS y) ys)
+        SELECT doc_id, CAST(nf AS INT) AS n_frames, CAST(w AS INT) AS width,
+          CAST(h AS INT) AS height,
+          avg((17*doc_id + 37*f + 3*x + 5*y) % 256) AS mean_luma
+        FROM px GROUP BY doc_id, nf, w, h ORDER BY doc_id""")),
+
+    // REAL frame sampling (every 2nd frame) — the video analogue of
+    // the audio decimation pair; per-frame mean luma, frame-exact.
+    GQuery("multimodal_video_frames",
+      (s, d) => Multimodal.sampleVideoFrames(
+          Multimodal.asVideoTable(Tables.spread(Tables(s, d, "documents"))),
+          stride = 2)
+        .orderBy(col("doc_id"), col("frame_idx")),
+      Some("""WITH g AS (
+          SELECT doc_id, 2 + doc_id % 4 AS nf, 8 + doc_id % 9 AS w,
+                 8 + doc_id % 7 AS h FROM documents),
+        px AS (
+          SELECT doc_id, w, h, fs.f AS f, xs.x AS x, ys.y AS y
+          FROM g,
+            LATERAL (SELECT unnest(range(0, nf, 2)) AS f) fs,
+            LATERAL (SELECT unnest(range(w)) AS x) xs,
+            LATERAL (SELECT unnest(range(h)) AS y) ys)
+        SELECT doc_id, CAST(f AS INT) AS frame_idx,
+          avg((17*doc_id + 37*f + 3*x + 5*y) % 256) AS mean_luma
+        FROM px GROUP BY doc_id, f ORDER BY doc_id, f""")),
+
     // REAL audio decode (pure-JVM RIFF/PCM16 codec): synthetic clips
     // whose sample values are closed-form in (doc_id, i); the oracle
     // regenerates every sample and must agree on the exact integer sums.

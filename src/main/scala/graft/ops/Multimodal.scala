@@ -257,6 +257,70 @@ object Multimodal {
     }.toDF()
   }
 
+  // ----- REAL video path (animated GIF via javax.imageio) -------------
+
+  case class VideoStats(doc_id: Long, n_frames: Int, width: Int, height: Int,
+                        mean_luma: Double)
+  case class FrameStats(doc_id: Long, frame_idx: Int, mean_luma: Double)
+
+  /** Deterministic video table: one synthetic animated GIF per document
+    * id ([[GifVideo.synthesize]] — frame count, dimensions and every
+    * pixel closed-form in doc_id, so the DuckDB oracle regenerates
+    * them; GIF is lossless, so the oracle is exact like PPM/WAV).
+    */
+  def asVideoTable(documents: DataFrame): DataFrame = {
+    implicit val outEnc = Encoders.product[MediaRow]
+    implicit val idEnc = Encoders.scalaLong
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        MediaRow(id, "image/gif", GifVideo.encode(GifVideo.synthesize(id)))
+      }
+    }.toDF()
+  }
+
+  /** REAL container decode: parse every GIF frame, emit frame count /
+    * dimensions / whole-clip mean luma (exact integer sums).
+    */
+  def decodeVideo(video: DataFrame): DataFrame = {
+    implicit val inEnc = Encoders.product[MediaRow]
+    implicit val outEnc = Encoders.product[VideoStats]
+    video.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        val clip = GifVideo.decode(r.payload)
+        var s = 0L
+        clip.frames.foreach { f =>
+          var i = 0
+          while (i < f.length) { s += f(i) & 0xff; i += 1 }
+        }
+        val n = clip.frames.length.toLong * clip.width * clip.height
+        VideoStats(r.doc_id, clip.frames.length, clip.width, clip.height,
+          s.toDouble / n)
+      }
+    }.toDF()
+  }
+
+  /** REAL frame sampling: decode the container, keep every `stride`-th
+    * frame, one output row per sampled frame with its mean luma — the
+    * video analogue of [[resampleAudio]]'s decimation.
+    */
+  def sampleVideoFrames(video: DataFrame, stride: Int): DataFrame = {
+    implicit val inEnc = Encoders.product[MediaRow]
+    implicit val outEnc = Encoders.product[FrameStats]
+    video.as[MediaRow].mapPartitions { it =>
+      it.flatMap { r =>
+        val clip = GifVideo.decode(r.payload)
+        clip.frames.indices.collect {
+          case f if f % stride == 0 =>
+            val buf = clip.frames(f)
+            var s = 0L
+            var i = 0
+            while (i < buf.length) { s += buf(i) & 0xff; i += 1 }
+            FrameStats(r.doc_id, f, s.toDouble / buf.length)
+        }
+      }
+    }.toDF()
+  }
+
   /** Frame sampling: slice the payload into `n` fixed-size "frames"
     * (stand-in for video frame extraction), one output row per frame.
     */
