@@ -219,7 +219,13 @@ object Dedup {
                  sigHash: (Int, Column) => Column =
                    (i, s) => xxhash64(lit(i), s),
                  bandKey: Seq[Column] => Column = cs => hash(cs: _*)): DataFrame = {
+    // the annotated index feeds the signature agg AND both verify-side
+    // posting scans; persist it so the n_sh window + df-cap anti-join
+    // run once, not three times (Spark's ContextCleaner reclaims the
+    // entry when the plan is dropped — same ownership story as sh0
+    // inside shingles())
     val sh = invertedIndex(df, idCol, textCol, n, maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val aggs = (0 until k).map(i => min(sigHash(i, col("s"))).as(s"sig_$i"))
     // carry n_sh through the signature agg (functionally dependent on doc)
     val sigs = sh.groupBy("doc", "n_sh").agg(aggs.head, aggs.tail: _*)
@@ -306,6 +312,9 @@ object Dedup {
       .select(col(idCol).as("doc"), col(vecCol).as("__v"))
       .select(col("doc"), col("__v"),
         explode(Similarity.bandBuckets(col("__v"), dim, bits, bands, seed)).as("bk"))
+      // both self-join sides read the same postings; the persist runs
+      // the hyperplane signatures (bands × dim flops per vector) once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // score BEFORE dedup: the native cosine kernel is ~dim flops per
     // candidate (re-scored once per shared band, ≤ `bands`×), while a
     // distinct() on (i, j, vec_a, vec_b) would shuffle both full vectors
@@ -351,7 +360,12 @@ object Dedup {
                    tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val chunks = maxDist + 1
     val width = bits / chunks
+    // one narrow row per doc; persisting it runs the fingerprint
+    // computation (explode + 64-way contribution agg) once instead of
+    // once per self-join side — AQE often plans one side broadcast,
+    // which breaks ReuseExchange on the otherwise-identical subtrees
     val sh = simhash(df, idCol, textCol, bits, tokenHash)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until chunks).map { c =>
       struct(lit(c).as("band"),
         shiftright(col("simhash"), c * width)
