@@ -119,7 +119,11 @@ object Dedup {
   def ngramOverlap(df: DataFrame, idCol: String, textCol: String,
                    n: Int, benchPred: Column => Column,
                    maxDf: Int = Int.MaxValue): DataFrame = {
+    // the corpus scan and the benchmark side filter the SAME shingle
+    // table — persist it so the shingling runs once (filters prune the
+    // cached columnar batches, not the lineage)
     val sh = shingles(df, idCol, textCol, n, maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = sh.filter(benchPred(col("doc")))
       .select(col("s"), col("doc").as("bdoc"))
     sh.join(bench, Seq("s"))
@@ -169,7 +173,10 @@ object Dedup {
                            n: Int, threshold: Double,
                            newPred: Column => Column,
                            maxDf: Int = Int.MaxValue): DataFrame = {
+    // batch and corpus sides filter the same annotated index — persist
+    // (same single-materialization story as minhashLsh)
     val sh = invertedIndex(df, idCol, textCol, n, maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batch = sh.filter(newPred(col("doc")))
     val corpus = sh.filter(!newPred(col("doc")))
     batch.as("a").join(corpus.as("b"), col("a.s") === col("b.s"))
