@@ -70,6 +70,23 @@ object Layout {
       .sortWithinPartitions(dim)
       .write.mode("overwrite").parquet(out)
 
+  /** Training-order shuffle layout: materialize the corpus in a
+    * deterministic pseudo-random GLOBAL order — sort on a seeded hash
+    * of the id. Every pretraining pipeline does this once per epoch
+    * seed: a sequential reader then streams an unbiased interleave of
+    * sources/domains instead of parquet ingestion order. Costs exactly
+    * one range exchange (the same shuffle any global ORDER BY pays);
+    * no window, nothing driver-side. Determinism: same seed + same ids
+    * → the same order, any partitioning.
+    */
+  def writeShuffled(df: DataFrame, idCol: Column, out: String,
+                    nFiles: Int, seed: Long): Unit =
+    df.withColumn("__h", xxhash64(lit(seed), idCol))
+      .repartitionByRange(nFiles, col("__h"), idCol)
+      .sortWithinPartitions(col("__h"), idCol)
+      .drop("__h")
+      .write.mode("overwrite").parquet(out)
+
   /** The z-value kernel itself under the hash oracle: the DuckDB twin
     * recomputes the bit interleave arithmetically (bit i of a → 2i, bit
     * i of b → 2i+1), proving the native expression's packing exactly on
@@ -91,5 +108,26 @@ object Layout {
             + ((b >> i) & 1) * (1::BIGINT << (2*i + 1)))) AS BIGINT) AS z
         FROM (SELECT event_id, CAST(user_id AS INT) AS a,
                      CAST(floor("value") AS INT) AS b FROM events)
-        ORDER BY event_id""")))
+        ORDER BY event_id""")),
+
+    // The shuffle-layout ordering contract under the hash oracle, via
+    // the md5-portable key (xxhash64 is Spark-only; writeShuffled uses
+    // it in production — LayoutSpec proves hash-family equivalence of
+    // the layout properties). Rank comes from operators/GlobalOrder:
+    // range exchange + partition-local row_number + broadcast offsets,
+    // NEVER a single-partition global window — at 100 TB the naive
+    // Window.orderBy rendering is one task holding the corpus.
+    GQuery("layout_shuffle_rank",
+      (s, d) => graft.operators.GlobalOrder.globalRank(
+          Tables(s, d, "documents")
+            .select(col("doc_id"), md5(concat(lit("42:"),
+              col("doc_id").cast("string"))).as("k")),
+          "rank", col("k"), col("doc_id"))
+        .select(col("doc_id"), col("k"), col("rank"))
+        .orderBy(col("rank")),
+      Some("""SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS k,
+          CAST(row_number() OVER (
+            ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)) ASC NULLS LAST,
+                     doc_id) AS BIGINT) AS rank
+        FROM documents ORDER BY rank""")))
 }
