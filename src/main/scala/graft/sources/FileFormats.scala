@@ -32,6 +32,24 @@ object FileFormats {
       },
       Some("SELECT * FROM nation ORDER BY n_nationkey")),
 
+    // REAL Avro object-container round-trip on the bundled avro jars
+    // (sources/AvroFiles — the spark-avro DSv2 module is not shipped,
+    // so the write is one DataFileWriter container per partition and
+    // the read composes binaryFile + DataFileReader; no shuffle either
+    // direction). Oracle = the source table: decode must be lossless.
+    GQuery("fmt_avro_roundtrip",
+      (s, d) => {
+        val cust = Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("c_mktsegment"))
+        val path = tmp("graft_avro")
+        AvroFiles.write(cust, path)
+        AvroFiles.read(s, path, cust.schema)
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        FROM customer ORDER BY c_custkey""")),
+
     GQuery("fmt_json_roundtrip",
       (s, d) => {
         val part = Tables(s, d, "part")
