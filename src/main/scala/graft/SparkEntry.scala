@@ -25,6 +25,7 @@ object SparkEntry {
       cdc.CdcQueries.queries ++
       ops.LlmQueries.queries ++
       ops.SpanDedup.queries ++
+      ops.EntityResolution.queries ++
       ops.Search.queries ++
       ops.KMeansStep.queries ++
       ops.Bpe.queries ++

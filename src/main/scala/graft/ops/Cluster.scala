@@ -11,65 +11,105 @@ import org.apache.spark.storage.StorageLevel
   * do that: {A~B, B~C} must collapse to one cluster {A,B,C} even though
   * (A,C) was never scored.
   *
-  * Algorithm: hash-min label propagation. Every node starts labeled with
-  * its own id; each round, a node's label becomes the min of its own and
-  * its neighbors' labels; fixpoint = every node carries the min id of its
-  * component. Each round is one equi-join (edges × labels) + one partial
-  * agg'd groupBy-min — pure shuffle-on-key plans, nothing driver-side but
-  * the convergence counter. Rounds needed = component diameter; dup
-  * clusters are near-cliques (diameter ≤ ~3), so 3–5 rounds close real
-  * corpora. The per-round changed-label count is a cheap action on the
-  * (tiny) label frame, and labels are persisted + localCheckpointed every
-  * few rounds so lineage doesn't grow with iterations — the standard
-  * Spark iterative-graph discipline (GraphFrames' CC does the same).
+  * Algorithm: alternating large-star / small-star (Kiveris et al. 2014,
+  * "Connected Components in MapReduce and Beyond") — the canonical
+  * shared-nothing CC. Each round rewrites the EDGE set with two
+  * grouped-min passes:
+  *   large-star: every node links its LARGER neighbors to the minimum
+  *   of its neighborhood; small-star: every node links its smaller
+  *   neighbors (and itself) to that minimum. Both are one partial-agg'd
+  *   groupBy-min + one equi-join — pure shuffle-on-key plans, nothing
+  *   driver-side but the (exact) fixpoint test. Convergence is
+  *   O(log² n) rounds REGARDLESS of component diameter; at fixpoint the
+  *   edges form stars from every node to its component minimum.
+  *
+  * History: rounds 2–4 used hash-min label propagation, which needs
+  * component-DIAMETER rounds. Near-clique dup clusters (diameter ≤ ~3)
+  * never exposed that; round 5's entity-resolution graphs (chains of
+  * single-edit neighbors) did — at sf0.1 the ER graph still had 2012
+  * clusters after 20 propagation rounds vs the true 1997, i.e. a
+  * SILENTLY WRONG fixpoint under any fixed round cap, and adding
+  * pointer-jumping compression still left minima crawling along graph
+  * edges. Star contraction rewrites the edges themselves, so reach
+  * multiplies per round.
   *
   * At 100 TB: edges ∝ verified near-dup pairs (already candidate-bounded
-  * by LSH), labels ∝ distinct docs in any pair — both orders of magnitude
-  * smaller than the corpus. A giant component (spam template cluster)
-  * skews one key's neighbor list; the groupBy-min is partial-agg'd so
-  * even that collapses map-side.
+  * by LSH), both star passes are partial-agg'd groupBy-mins; a giant
+  * component (spam template cluster) skews one grouping key only until
+  * its first contraction round collapses it onto the minimum.
   */
 object Cluster {
 
   /** Assign every node appearing in `edges` (columns `i`, `j`) the min
     * node id of its connected component. Returns (`node`, `cluster`).
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val spark = edges.sparkSession
-    // undirected: propagate both ways
-    val sym = edges.select(col("i").as("src"), col("j").as("dst"))
-      .union(edges.select(col("j").as("src"), col("i").as("dst")))
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // canonical undirected edge set, self-loops dropped
+    var e = edges
+      .select(least(col("i"), col("j")).as("u"),
+        greatest(col("i"), col("j")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    // every node that appears in any pair — the label domain (fixed
+    // across rounds; star contraction may drop a node from the edge
+    // set once it is directly attached to its minimum)
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("cluster", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // handle to the previous round's checkpointed frame, so its blocks
-    // can be released once the next round no longer reads them
-    var prevCp: DataFrame = labels
+
+    // large-star: u links every STRICTLY LARGER neighbor to
+    // m = min(N(u) ∪ {u}); small-star: u links its ≤ neighbors and
+    // itself to the minimum of that set. Both: partial-agg'd
+    // groupBy-min + equi-join, emitted edges deduped.
+    def largeStar(cur: DataFrame): DataFrame = {
+      val adj = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val mins = adj.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      adj.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(cur: DataFrame): DataFrame = {
+      val o = cur.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = o.groupBy("u").agg(min(col("v")).as("m"))
+      o.join(mins, "u")
+        .select(col("v").as("n"), col("m"))
+        .union(mins.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      val nbrMin = sym
-        .join(labels.select(col("node").as("dst"), col("cluster").as("c")), "dst")
-        .groupBy(col("src").as("node")).agg(min(col("c")).as("nc"))
-      // ONE materialization per round: the eager localCheckpoint runs the
-      // join (and truncates its lineage — without that, round k would
-      // replay rounds 1..k-1 and the plan would grow quadratically); the
-      // convergence count then reads the checkpointed blocks instead of
-      // re-executing the join.
-      val next = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("cluster").as("old"),
-          least(col("cluster"), col("nc")).as("cluster"))
-        .localCheckpoint(eager = true)
-      changed = next.filter(col("cluster") < col("old")).count()
-      prevCp.unpersist(blocking = false)
-      prevCp = next
-      labels = next.select("node", "cluster")
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // ONE materialization per round (the eager localCheckpoint also
+      // truncates lineage so round k never replays rounds 1..k-1)
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = true)
+      // exact fixpoint test on the (pair-bounded) edge set — a hash
+      // compare could terminate early on a collision
+      converged = next.count() == e.count() &&
+        next.exceptAll(e).limit(1).count() == 0
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] iter=$iter edges=${next.count()} converged=$converged")
+      e.unpersist(blocking = false)
+      e = next
       iter += 1
     }
-    sym.unpersist(blocking = false)
-    labels
+
+    // fixpoint edges are stars (node → component min); the min itself
+    // appears only on the v side and labels itself
+    val out = nodes
+      .join(e.select(col("u").as("node"), col("v").as("c")), Seq("node"), "left")
+      .groupBy("node")
+      .agg(coalesce(min(col("c")), first(col("node"))).as("cluster"))
+    nodes.unpersist(blocking = false)
+    out
   }
 
   /** Cluster assignment + canonical-document choice over near-dup pairs:

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.EntityResolution
+
+class EntityResolutionSpec extends AnyFunSuite {
+  import GraftSpark.spark
+  import spark.implicits._
+
+  test("deletion-variant blocking finds exactly the distance-≤1 pairs") {
+    val recs = Seq(
+      (1L, "acme corp", 7),     // 1–2: substitution (dist 1)
+      (2L, "acme c0rp", 7),
+      (3L, "acme cor", 7),      // 1–3: deletion (dist 1)
+      (4L, "acme corporation", 7), // dist > 1 from all
+      (5L, "acme corp", 9),     // same name, DIFFERENT block → no pair
+      (6L, "zenith llc", 7))
+      .toDF("id", "name", "blk")
+    val got = EntityResolution.matchPairs(recs, "id", "name", "blk")
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    // 2–3 ("acme c0rp" vs "acme cor") is distance 2 — correctly absent
+    assert(got == Set((1L, 2L), (1L, 3L)))
+    // and the engine's set must equal the quadratic ground truth
+    val truth = (for {
+      a <- recs.collect(); b <- recs.collect()
+      if a.getInt(2) == b.getInt(2) && a.getLong(0) < b.getLong(0)
+      d = levDist(a.getString(1), b.getString(1)) if d <= 1
+    } yield (a.getLong(0), b.getLong(0))).toSet
+    assert(got == truth)
+  }
+
+  test("entities cluster transitively through chains of near-matches") {
+    val recs = Seq(
+      (10L, "smith", 1), (11L, "smyth", 1), (12L, "smythe", 1), // chain
+      (20L, "jones", 1))
+      .toDF("id", "name", "blk")
+    val ent = EntityResolution.entities(recs, "id", "name", "blk")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster"))
+      .toMap
+    // smith–smyth dist 1, smyth–smythe dist 1, smith–smythe dist 2:
+    // transitivity must still put all three in entity 10
+    assert(ent(10L) == 10L && ent(11L) == 10L && ent(12L) == 10L)
+    assert(!ent.contains(20L) || ent(20L) == 20L) // singleton drops or self
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+}
