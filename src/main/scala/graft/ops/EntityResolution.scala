@@ -48,9 +48,14 @@ object EntityResolution {
                  blockCol: String): DataFrame = {
     val recs = df.select(col(idCol).as("id"), col(nameCol).as("nm"),
       col(blockCol).as("blk"))
+    // the join key is the HASH of the variant, not the string: 8-byte
+    // shuffle keys instead of ~name-length strings, and a collision
+    // can only ADD a candidate the levenshtein verify then rejects —
+    // the result set is provably unchanged
     val variants = recs
       .select(col("id"), col("nm"), col("blk"),
-        explode(deletionVariants(col("nm"))).as("v"))
+        explode(deletionVariants(col("nm"))).as("v0"))
+      .select(col("id"), col("nm"), col("blk"), xxhash64(col("v0")).as("v"))
     variants.as("a").join(variants.as("b"),
         col("a.blk") === col("b.blk") && col("a.v") === col("b.v") &&
           col("a.id") < col("b.id"))
