@@ -95,10 +95,25 @@ object ScaleSmoke {
     def replicateRows(df: DataFrame, n: Int): DataFrame =
       df.crossJoin(spark.range(n).toDF("__r")).drop("__r")
 
+    // Customers replicate with a DOUBLE-digit replica tag on the name:
+    // a single-digit tag would leave cross-replica twins at distance 1
+    // (one substitution) and hand every record n-1 fake matches; two
+    // changed characters puts twins at distance 2 > the ER threshold,
+    // so match structure grows linearly in replicas.
+    def replicateCustomers(df: DataFrame, n: Int): DataFrame = {
+      val step = 10000000L
+      df.crossJoin(spark.range(n).toDF("__r"))
+        .withColumn("c_custkey", col("c_custkey") + col("__r") * step)
+        .withColumn("c_name",
+          concat(col("c_name"), lit("_"), col("__r"), col("__r")))
+        .drop("__r")
+    }
+
     val docs = graft.util.Tables(spark, sfDir, "documents")
     val emb = graft.util.Tables(spark, sfDir, "embeddings")
     val events = graft.util.Tables(spark, sfDir, "events")
     val lineitem = graft.util.Tables(spark, sfDir, "lineitem")
+    val customer = graft.util.Tables(spark, sfDir, "customer")
     for (n <- reps) {
       val d = replicateDocs(docs, n)
       val e = replicateEmb(emb, n)
@@ -156,6 +171,14 @@ object ScaleSmoke {
       timed(s"cohort x$n")(
         graft.analytics.BehaviorQueries
           .cohortRetention(replicateEvents(events, n)).count())
+      // entity resolution over n× customers: deletion-variant equi-join
+      // candidates + levenshtein verify + star-contraction components
+      timed(s"er_pairs x$n")(
+        graft.ops.EntityResolution.matchPairs(replicateCustomers(customer, n),
+          "c_custkey", "c_name", "c_nationkey").count())
+      timed(s"er_entities x$n")(
+        graft.ops.EntityResolution.entities(replicateCustomers(customer, n),
+          "c_custkey", "c_name", "c_nationkey").count())
       // approx-percentile production twin over n× values: GK sketch
       // merge + map-only bucket assign — the exact twin's per-group
       // value buffering is the memory cliff this path exists to avoid
