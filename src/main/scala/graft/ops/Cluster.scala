@@ -88,8 +88,12 @@ object Cluster {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // ONE materialization per round (the eager localCheckpoint also
-      // truncates lineage so round k never replays rounds 1..k-1)
+      // ONE star cycle per materialization (the eager localCheckpoint
+      // also truncates lineage so round k never replays rounds 1..k-1).
+      // Chaining TWO cycles per checkpoint was measured and rejected:
+      // the deeper unmaterialized plan (4 grouped-min passes + 2
+      // distincts in one query) planned strictly worse — 5.5 s vs
+      // 1.7 s for dedup_clusters at sf0.1.
       val next = smallStar(largeStar(e)).localCheckpoint(eager = true)
       // exact fixpoint test on the (pair-bounded) edge set — a hash
       // compare could terminate early on a collision
