@@ -418,6 +418,46 @@ object LlmQueries {
              ELSE 'test' END AS split
         FROM documents ORDER BY doc_id""")),
 
+    // Deterministic uniform contrastive negatives: 4 per anchor, a pure
+    // function of (doc_id, j, salt) over the dense id domain, self-
+    // collisions bumped to the next id. The oracle replays the md5 draw
+    // and the bump exactly; the payload-fetch equi-join is the shape a
+    // training job pays anyway.
+    GQuery("sample_negatives",
+      (s, d) => Sampling.negativeSamples(Tables(s, d, "documents"),
+          "doc_id", k = 4, salt = "neg")
+        .orderBy(col("anchor"), col("j")),
+      Some(s"""WITH c AS (SELECT count(*) AS n FROM documents),
+        cand AS (
+          SELECT doc_id AS anchor, js.j AS j,
+            ${duckHex32("'neg:' || doc_id || ':' || js.j")} % c.n AS h, c.n AS n
+          FROM documents, c, LATERAL (SELECT unnest(range(4)) AS j) js)
+        SELECT anchor, CAST(j AS INT) AS j,
+          CASE WHEN h = anchor THEN (h + 1) % n ELSE h END AS neg_id
+        FROM cand ORDER BY anchor, j""")),
+
+    // Hard negatives for contrastive training: top-5 corpus vectors per
+    // query in the cosine band [0.15, 0.40) — informative but not
+    // positive/near-dup. Exact brute-force scan with the band filter
+    // before the window (per-query state ∝ band survivors).
+    GQuery("sim_hard_negatives",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        Similarity.hardNegatives(emb,
+            emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+            k = 5, lo = 0.15, hi = 0.40)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""SELECT qid, nid, score, rn FROM (
+          SELECT q.vec_id AS qid, v.vec_id AS nid,
+            round($sqlCos, 4) AS score,
+            CAST(row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY round($sqlCos, 4) DESC NULLS LAST, v.vec_id) AS INT) AS rn
+          FROM embeddings q, embeddings v
+          WHERE q.vec_id % 100 = 0 AND v.vec_id <> q.vec_id
+            AND round($sqlCos, 4) >= 0.15 AND round($sqlCos, 4) < 0.40)
+        WHERE rn <= 5 ORDER BY qid, rn""")),
+
     // Content-stable 10% sample of the corpus by id hash.
     GQuery("sample_hash_keep",
       (s, d) => Sampling.hashSample(Tables(s, d, "documents"), "doc_id",

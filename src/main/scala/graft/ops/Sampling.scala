@@ -99,4 +99,33 @@ object Sampling {
       .withColumn("keep", hashBucket(col(idCol), salt) < col("__bps"))
       .drop("__bps")
   }
+
+  /** Deterministic uniform negative sampling for contrastive training:
+    * `k` pseudo-random negatives per anchor over a DENSE id domain
+    * [0, n) — negative j of anchor a is `md5(salt:a:j) mod n`, with a
+    * self-collision deterministically bumped to the next id. The same
+    * stability contract as [[hashSplit]]: the negative set is a pure
+    * function of (id, j, salt), so reruns, repartitions and cluster
+    * sizes agree, and the draw is refreshed per epoch by changing the
+    * salt. Map-only candidate construction (k rows per anchor) + ONE
+    * equi-join on the id — which is exactly the payload-fetch join the
+    * training job needs anyway; no per-anchor scan, no rand().
+    */
+  def negativeSamples(df: DataFrame, idCol: String, k: Int,
+                      salt: String): DataFrame = {
+    // bounded metadata action (the id-domain size), same class as
+    // GlobalOrder's partition counts
+    val n = df.count()
+    val cand = df.select(col(idCol).as("anchor"))
+      .select(col("anchor"), explode(array((0 until k).map(lit): _*)).as("j"))
+      .withColumn("h",
+        pmod(conv(substring(md5(concat_ws(":", lit(salt),
+          col("anchor").cast("string"), col("j").cast("string"))),
+          1, 8), 16, 10).cast("long"), lit(n)))
+      .withColumn("neg_id",
+        when(col("h") === col("anchor"), pmod(col("h") + 1, lit(n)))
+          .otherwise(col("h")))
+    cand.join(df.select(col(idCol).as("__nid")), col("neg_id") === col("__nid"))
+      .select(col("anchor"), col("j"), col("neg_id"))
+  }
 }

@@ -37,6 +37,30 @@ object Similarity {
       .select("qid", "nid", "score", "rn")
   }
 
+  /** Hard-negative mining: per query, the top-`k` corpus vectors whose
+    * cosine lands in [lo, hi) — similar enough to be informative for
+    * contrastive training, dissimilar enough to exclude positives and
+    * near-duplicates (the [[graft.ops.Sampling.negativeSamples]] draw
+    * is the uniform-negative counterpart). Same broadcast-query scan
+    * shape as [[bruteForceTopK]]; the band filter runs before the
+    * window, so per-query state is the survivors, not the corpus.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, lo: Double, hi: Double): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = graft.util.Tables.spread(
+      corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")))
+    val scored = c.join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("score", round(cosineSimilarity(col("qvec"), col("nvec")), 4))
+      .filter(col("score") >= lo && col("score") < hi)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "nid", "score", "rn")
+  }
+
   /** Per-band LSH bucket structs `(band, h)` from one packed
     * sign-of-projection signature (graft.functions.HyperplaneSignature —
     * a single native codegen'd dim×bits loop; a per-bit

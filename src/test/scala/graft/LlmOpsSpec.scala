@@ -418,4 +418,40 @@ class LlmOpsSpec extends AnyFunSuite {
     val recall = (exact intersect quant).size.toDouble / exact.size
     assert(recall > 0.8, s"recall=$recall")
   }
+
+  test("negative sampling: k per anchor, never self, partition-invariant") {
+    import graft.ops.Sampling
+    val docs = Tables(spark, sfDir, "documents").select("doc_id")
+    val neg = Sampling.negativeSamples(docs, "doc_id", k = 4, salt = "ep1")
+      .collect().map(r => (r.getAs[Long]("anchor"), r.getAs[Int]("j"),
+        r.getAs[Long]("neg_id")))
+    val n = docs.count()
+    assert(neg.length == n * 4)
+    assert(neg.forall { case (a, _, g) => a != g }, "self-negative leaked")
+    assert(neg.forall { case (_, _, g) => g >= 0 && g < n }, "id out of domain")
+    // stability: a different partitioning draws the identical set
+    val neg2 = Sampling.negativeSamples(docs.repartition(7), "doc_id",
+        k = 4, salt = "ep1")
+      .collect().map(r => (r.getAs[Long]("anchor"), r.getAs[Int]("j"),
+        r.getAs[Long]("neg_id")))
+    assert(neg.toSet == neg2.toSet)
+    // a different salt (epoch) draws a different set
+    val neg3 = Sampling.negativeSamples(docs, "doc_id", k = 4, salt = "ep2")
+      .collect().map(r => (r.getAs[Long]("anchor"), r.getAs[Int]("j"),
+        r.getAs[Long]("neg_id")))
+    assert(neg.toSet != neg3.toSet)
+  }
+
+  test("hard negatives: scores inside the band, subset of the corpus scan") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+    val hard = Similarity.hardNegatives(emb, qs, "vec_id", "embedding",
+        k = 5, lo = 0.15, hi = 0.40).collect()
+    assert(hard.nonEmpty)
+    hard.foreach { r =>
+      val s = r.getAs[Double]("score")
+      assert(s >= 0.15 && s < 0.40, s"score $s outside band")
+      assert(r.getAs[Long]("qid") != r.getAs[Long]("nid"))
+    }
+  }
 }
