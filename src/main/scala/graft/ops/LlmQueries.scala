@@ -937,6 +937,44 @@ object LlmQueries {
           avg(abs((31*doc_id + 7*i) % 65536 - 32768)) AS mean_abs
         FROM sm GROUP BY doc_id, n ORDER BY doc_id""")),
 
+    // REAL lossy compression with a DETERMINISTIC loss: G.711 μ-law
+    // companding (the telephony codec) is pure integer arithmetic, so
+    // the oracle replays the full encode→decode round trip closed-form
+    // — per-sample sign/clip/bias, segment by magnitude range, 4-bit
+    // mantissa, mid-step reconstruction — and must agree on the exact
+    // decoded sums AND the max companding error.
+    GQuery("multimodal_mulaw_roundtrip",
+      (s, d) => Multimodal.decodeMulaw(
+          Multimodal.asMulawTable(Tables.spread(Tables(s, d, "documents"))))
+        .orderBy(col("doc_id")),
+      Some("""WITH g AS (
+          SELECT doc_id, 400 + doc_id % 200 AS n FROM documents),
+        sm AS (
+          SELECT doc_id, n, si.i AS i,
+            CAST((31*doc_id + 7*si.i) % 65536 - 32768 AS INT) AS s
+          FROM g, LATERAL (SELECT unnest(range(n)) AS i) si),
+        enc AS (
+          SELECT doc_id, n, s,
+            s < 0 AS neg,
+            LEAST(CASE WHEN s < 0 THEN -s ELSE s END, 32635) + 132 AS m1
+          FROM sm),
+        seg AS (
+          SELECT doc_id, n, s, neg, m1,
+            CASE WHEN m1 >= 16384 THEN 7 WHEN m1 >= 8192 THEN 6
+                 WHEN m1 >= 4096 THEN 5 WHEN m1 >= 2048 THEN 4
+                 WHEN m1 >= 1024 THEN 3 WHEN m1 >= 512 THEN 2
+                 WHEN m1 >= 256 THEN 1 ELSE 0 END AS e
+          FROM enc),
+        dec AS (
+          SELECT doc_id, n, s,
+            CASE WHEN neg THEN -((((m1 >> (e+3)) & 15) * 8 + 132) << e) + 132
+                 ELSE ((((m1 >> (e+3)) & 15) * 8 + 132) << e) - 132 END AS d
+          FROM seg)
+        SELECT doc_id, 8000 AS sample_rate, CAST(n AS INT) AS n_samples,
+          avg(abs(d)) AS mean_abs,
+          CAST(max(abs(d - s)) AS INT) AS max_err
+        FROM dec GROUP BY doc_id, n ORDER BY doc_id""")),
+
     // REAL decimating resample (k=4): every 4th sample survives, rate
     // drops to 2000 Hz — the oracle samples the same indices.
     GQuery("multimodal_audio_resample",

@@ -246,6 +246,50 @@ object Multimodal {
     }.toDF()
   }
 
+  case class MulawStats(doc_id: Long, sample_rate: Int, n_samples: Int,
+                        mean_abs: Double, max_err: Int)
+
+  /** Deterministic μ-law table: the synthesized PCM16 clip compressed
+    * through the REAL G.711 companding into a real wFormatTag=7 WAV.
+    */
+  def asMulawTable(documents: DataFrame): DataFrame = {
+    implicit val outEnc = Encoders.product[MediaRow]
+    implicit val idEnc = Encoders.scalaLong
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        MediaRow(id, "audio/basic",
+          MuLawAudio.encode(WavAudio.synthesize(id)))
+      }
+    }.toDF()
+  }
+
+  /** REAL lossy-codec decode: expand μ-law back to PCM16, emit sample
+    * stats of the DECODED signal plus the max companding error vs the
+    * regenerated source — G.711's loss is deterministic integer math,
+    * so every output column is SQL-replayable exactly (unlike JPEG).
+    */
+  def decodeMulaw(audio: DataFrame): DataFrame = {
+    implicit val inEnc = Encoders.product[MediaRow]
+    implicit val outEnc = Encoders.product[MulawStats]
+    audio.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        val clip = MuLawAudio.decode(r.payload)
+        val src = WavAudio.synthesize(r.doc_id)
+        var sum = 0L
+        var maxErr = 0
+        var i = 0
+        while (i < clip.samples.length) {
+          sum += math.abs(clip.samples(i).toLong)
+          val e = math.abs(clip.samples(i) - src.samples(i))
+          if (e > maxErr) maxErr = e
+          i += 1
+        }
+        MulawStats(r.doc_id, clip.sampleRate, clip.samples.length,
+          sum.toDouble / clip.samples.length, maxErr)
+      }
+    }.toDF()
+  }
+
   /** REAL resample kernel: decode → decimate by k → re-encode. */
   def resampleAudio(audio: DataFrame, k: Int): DataFrame = {
     implicit val rowEnc = Encoders.product[MediaRow]
