@@ -71,7 +71,9 @@ object Cluster {
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
+      // no distinct here: duplicate edges cannot change any grouped
+      // min, and smallStar's closing distinct canonicalizes the round —
+      // dropping it removes one exchange per round
     }
     def smallStar(cur: DataFrame): DataFrame = {
       val o = cur.select(greatest(col("u"), col("v")).as("u"),

@@ -263,6 +263,68 @@ object LlmQueries {
         .orderBy(col("i"), col("j")),
       None),
 
+    // Embedding-batch quality audit: per-source centroid (exact
+    // fixed-point component means) and mean cosine-to-centroid — a
+    // corrupted or mis-normalized embedding batch shows up as low
+    // coherence for its source. Scale shape: per-(source, dim)
+    // micro-unit sums partial-agg off one posexplode (no vector ever
+    // shuffles whole), the centroid table is source-cardinality
+    // (bounded enum → broadcast), the scoring pass is map-only. All
+    // folds sequential-per-row → the oracle replays them bit-exactly.
+    GQuery("embed_source_coherence",
+      (s, d) => {
+        val docs = Tables(s, d, "documents").select(col("doc_id"), col("source"))
+        val emb = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val j = docs.join(emb, col("doc_id") === col("vec_id"))
+          .select(col("source"), col("embedding"))
+        val comp = j
+          .select(col("source"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy("source", "dim")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("x").cast("double") * 1e6).cast("long")).as("su"))
+        val cent = comp.groupBy("source")
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("su"),
+              col("n")))),
+            st => st("su").cast("double") / (st("n") * 1e6)).as("cvec"))
+        def sq(a: org.apache.spark.sql.Column) = aggregate(a, lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))
+        val dot = aggregate(zip_with(col("embedding"), col("cvec"),
+            (x, y) => x.cast("double") * y), lit(0.0), (acc, e) => acc + e)
+        j.join(broadcast(cent), "source")
+          .withColumn("c",
+            dot / (sqrt(sq(col("embedding"))) * sqrt(sq(col("cvec")))))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_vecs"),
+            (sum(floor(col("c") * 1e6).cast("long")).cast("double") /
+              (count(lit(1)) * 1e6)).as("mean_cos"))
+          .orderBy("source")
+      },
+      Some("""WITH j AS (
+          SELECT d.source, e.embedding
+          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        comp AS (
+          SELECT source, dim, count(*) AS n,
+            SUM(CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS su
+          FROM (SELECT source, generate_subscripts(embedding, 1) - 1 AS dim,
+                       unnest(embedding) AS x
+                FROM j)
+          GROUP BY source, dim),
+        cent AS (
+          SELECT source, list(CAST(su AS DOUBLE) / (n * 1e6) ORDER BY dim) AS cvec
+          FROM comp GROUP BY source),
+        cosr AS (
+          SELECT j.source,
+            list_sum(list_transform(list_zip(j.embedding, cent.cvec),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(j.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(cent.cvec, x -> x * x)))) AS c
+          FROM j JOIN cent USING (source))
+        SELECT source, count(*) AS n_vecs,
+          CAST(SUM(CAST(floor(c * 1e6) AS BIGINT)) AS DOUBLE)
+            / (count(*) * 1e6) AS mean_cos
+        FROM cosr GROUP BY source ORDER BY source""")),
+
     GQuery("sim_topk_bruteforce",
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
