@@ -1,0 +1,79 @@
+package graft
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Cluster
+
+/** Randomized correctness guard for connected components against an
+  * in-memory union-find reference — the property that would have
+  * caught the r2–r4 diameter-cap bug (hash-min propagation silently
+  * reporting a non-fixpoint on chain graphs) on day one. Seeded, so
+  * deterministic run to run; shapes chosen adversarially: long chains
+  * (diameter ≫ any plausible round cap), dense blobs, stars, and mixed
+  * sparse graphs.
+  */
+class CcPropertySpec extends AnyFunSuite {
+  import GraftSpark.spark
+  import spark.implicits._
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical label = min node of the component
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, members) =>
+      val m = members.min
+      members.map(_ -> m)
+    }.toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)], tag: String): Unit = {
+    val expect = unionFind(0, edges)
+    val got = Cluster.connectedComponents(edges.toDF("i", "j"))
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster"))
+      .toMap
+    assert(got == expect, s"$tag: engine CC != union-find reference " +
+      s"(${got.size} vs ${expect.size} nodes; " +
+      s"diff=${(got.toSet diff expect.toSet).take(5)})")
+  }
+
+  test("long chains: diameter far beyond any round cap") {
+    // a 500-node path with shuffled ids so the min sits mid-chain
+    val rnd = new Random(7)
+    val ids = rnd.shuffle((0L until 500L).toVector)
+    check(ids.sliding(2).map(p => (p(0), p(1))).toSeq, "chain-500")
+    // two disjoint chains plus a bridge
+    val a = (1000L until 1200L).map(i => (i, i + 1))
+    val b = (2000L until 2200L).map(i => (i, i + 1))
+    check(a ++ b :+ (1100L, 2100L), "bridged-chains")
+  }
+
+  test("random sparse, dense and star graphs match union-find") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 8) {
+      val n = 50 + rnd.nextInt(200)
+      val m = n / 2 + rnd.nextInt(2 * n)
+      val edges = (0 until m).map { _ =>
+        val a = rnd.nextInt(n).toLong
+        var b = rnd.nextInt(n).toLong
+        if (a == b) b = (b + 1) % n
+        (a, b)
+      }.filter(e => e._1 != e._2)
+      check(edges, s"random-$trial(n=$n,m=$m)")
+    }
+    // stars: hub larger than every leaf, and hub smaller
+    check((1L to 60L).map(i => (1000L, 1000L + i)), "star-big-hub")
+    check((1L to 60L).map(i => (0L, 100L + i)), "star-small-hub")
+  }
+}

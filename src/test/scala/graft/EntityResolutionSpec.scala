@@ -45,6 +45,29 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(!ent.contains(20L) || ent(20L) == 20L) // singleton drops or self
   }
 
+  test("randomized: variant blocking ≡ quadratic reference on dense collisions") {
+    // short strings over a 3-letter alphabet force many true distance-1
+    // pairs and many near-misses; seeded, deterministic
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      val recs = (0 until 60).map { i =>
+        val len = 3 + rnd.nextInt(4)
+        val s = (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+        (i.toLong, s, rnd.nextInt(2))
+      }
+      val df = recs.toDF("id", "name", "blk")
+      val got = EntityResolution.matchPairs(df, "id", "name", "blk")
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      val truth = (for {
+        a <- recs; b <- recs
+        if a._3 == b._3 && a._1 < b._1 && levDist(a._2, b._2) <= 1
+      } yield (a._1, b._1)).toSet
+      assert(got == truth,
+        s"trial $trial: ${(got diff truth).take(3)} extra, " +
+          s"${(truth diff got).take(3)} missing")
+    }
+  }
+
   private def levDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
