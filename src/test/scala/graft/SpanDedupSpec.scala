@@ -60,6 +60,40 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(cov(2L) == ((0L, 0L)))
   }
 
+  test("randomized: coverage equals the brute-force interval union") {
+    // tiny vocab + small k force dense gram collisions; seeded
+    val rnd = new scala.util.Random(23)
+    val k = 3
+    for (trial <- 1 to 4) {
+      val docs = (0 until 12).map { i =>
+        val len = rnd.nextInt(21)
+        (i.toLong, (0 until len)
+          .map(_ => ('a' + rnd.nextInt(4)).toChar.toString).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      // brute-force reference: gram multiset → dup grams → per-doc
+      // union of [pos, pos+k) position intervals
+      val grams = docs.flatMap { case (id, text) =>
+        val tk = text.split(" ").filter(_.nonEmpty)
+        tk.sliding(k).zipWithIndex.collect {
+          case (g, p) if g.length == k => (id, p, g.mkString(" "))
+        }
+      }
+      val dup = grams.groupBy(_._3).filter(_._2.size >= 2).keySet
+      val expect = docs.map { case (id, text) =>
+        val pos = grams.filter(g => g._1 == id && dup(g._3)).map(_._2)
+        val covered = pos.flatMap(p => p until p + k).toSet.size
+        id -> (pos.size.toLong, covered.toLong)
+      }.toMap
+      val got = SpanDedup.spanCoverage(df, "doc_id", "text", k)
+        .collect().map(r => r.getAs[Long]("doc") ->
+          (r.getAs[Long]("n_dup_positions"), r.getAs[Long]("covered_tokens")))
+        .toMap
+      assert(got == expect, s"trial $trial mismatch: " +
+        s"${got.toSet diff expect.toSet}")
+    }
+  }
+
   test("docs shorter than k emit no fingerprints but still report") {
     val docs = Seq((1L, "too short"), (2L, "a b c d e f g h"))
       .toDF("doc_id", "text")
