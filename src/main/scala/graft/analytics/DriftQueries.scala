@@ -31,11 +31,17 @@ object DriftQueries {
     * pass over events with the tiny cut table broadcast, then all
     * remaining algebra runs on (event_type × 10) rows.
     */
-  def psi(ev: DataFrame, cutoff: String): DataFrame = {
+  def psi(ev: DataFrame, cutoff: String,
+          exactCuts: Boolean = true): DataFrame = {
     val probs = (1 to 9).map(_ / 10.0)
     val ref = ev.filter(col("ts") < lit(cutoff).cast("timestamp"))
+    // exact percentile for the oracle-replayable twin; the production
+    // path is the bounded-memory GK sketch (the q84_equidepth_approx
+    // argument — exact percentile buffers every value per group)
     val cuts = ref.groupBy(col("event_type").as("et"))
-      .agg(percentile(col("value"), array(probs.map(lit): _*)).as("cuts"))
+      .agg((if (exactCuts) percentile(col("value"), array(probs.map(lit): _*))
+            else approx_percentile(col("value"), array(probs.map(lit): _*),
+              lit(10000))).as("cuts"))
     val binned = ev
       .join(broadcast(cuts), col("event_type") === col("et"))
       .withColumn("bin",
@@ -100,6 +106,14 @@ object DriftQueries {
   }
 
   val queries: Seq[GQuery] = Seq(
+
+    // Bounded-memory production twin: reference cuts from the GK
+    // sketch instead of exact percentile (engine-specific → rows-only;
+    // the exact twin below carries the hash oracle).
+    GQuery("q92_psi_drift_approx",
+      (s, d) => psi(Tables(s, d, "events"), "2024-01-16",
+        exactCuts = false),
+      None),
 
     GQuery("q92_psi_value_drift",
       (s, d) => psi(Tables(s, d, "events"), "2024-01-16"),
