@@ -67,6 +67,29 @@ class ApproxPercentileSpec extends AnyFunSuite {
     }
   }
 
+  test("approx PSI reference deciles sit within the GK rank-error bound") {
+    val ev = Tables(spark, sfDir, "events")
+      .filter(col("ts") < lit("2024-01-16").cast("timestamp"))
+    val probs = (1 to 9).map(_ / 10.0)
+    val m = ev.groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("n"),
+        approx_percentile(col("value"), array(probs.map(lit): _*),
+          lit(10000)).as("cuts"))
+      .collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val (et, n) = (r.getAs[String]("et"), r.getAs[Long]("n"))
+      val cuts = r.getSeq[Double](2)
+      val bound = math.max(2.0 * n / 10000.0, 2.0)
+      probs.zip(cuts).foreach { case (p, c) =>
+        val rank = ev.filter(col("event_type") === et &&
+          col("value") <= c).count()
+        assert(math.abs(rank - p * n) <= bound,
+          s"$et decile p=$p rank $rank vs ${p * n} (bound $bound)")
+      }
+    }
+  }
+
   test("approx twins return the same groups as their exact twins") {
     // same bucket/group domain — the twins must be drop-in swaps
     val exactW = ProfileQueries.queries.find(_.name == "q89_winsorize").get
