@@ -44,6 +44,40 @@ object StatsQueries {
       .orderBy(col("bucket"))
   }
 
+  /** EXACT percentile cuts without the memory cliff: global rank by
+    * value (range exchange + partition-local row_number — GlobalOrder,
+    * never a single-partition window), fetch only the ≤ 2·|probs|
+    * ranked rows the interpolation needs, and compute the cuts from
+    * that bounded set. Same linear-interpolation contract as Spark's
+    * `percentile()` / DuckDB's `quantile_cont` (index p·(n−1), lower +
+    * (upper−lower)·frac), so results are bit-identical — but the
+    * ImperativeAggregate's buffer-every-value-per-group is replaced by
+    * one sort shuffle, which is exactly what a 100 TB exact-percentile
+    * job must do. Ties: the rank tiebreak only orders equal values
+    * among themselves, so interpolation is unaffected.
+    */
+  def exactCutsSorted(df: DataFrame, valueCol: String,
+                      probs: Seq[Double]): Array[Double] = {
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+      .withColumn("__tb", monotonically_increasing_id())
+    val ranked = graft.operators.GlobalOrder
+      .globalRank(vals, "r", col("v"), col("__tb"))
+    val n = df.count()
+    val want = probs.flatMap { p =>
+      val idx = p * (n - 1) // 0-based fractional position
+      Seq(math.floor(idx).toLong + 1, math.ceil(idx).toLong + 1)
+    }.distinct
+    val at = ranked.filter(col("r").isInCollection(want))
+      .select("r", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    probs.map { p =>
+      val idx = p * (n - 1)
+      val lo = at(math.floor(idx).toLong + 1)
+      val hi = at(math.ceil(idx).toLong + 1)
+      lo + (hi - lo) * (idx - math.floor(idx))
+    }.toArray
+  }
+
   val queries: Seq[GQuery] = Seq(
 
     // Full second-moment battery per return flag: quantity (x) vs
@@ -234,6 +268,41 @@ object StatsQueries {
         li.crossJoin(broadcast(cuts))
           .withColumn("bucket",
             aggregate(col("cuts"), lit(0),
+              (acc, c) => acc +
+                when(col("l_extendedprice") > c, 1).otherwise(0)))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("l_extendedprice")).as("lo"),
+            max(col("l_extendedprice")).as("hi"))
+          .orderBy(col("bucket"))
+      },
+      Some {
+        val probs = (1 to 15).map(_ / 16.0).mkString("[", ", ", "]")
+        s"""WITH cuts AS (
+            SELECT quantile_cont(l_extendedprice, $probs) AS cuts
+            FROM lineitem)
+          SELECT bucket, COUNT(*) AS n, min(p) AS lo, max(p) AS hi
+          FROM (
+            SELECT l_extendedprice AS p,
+              CAST(len(list_filter(cuts, c -> l_extendedprice > c)) AS INT)
+                AS bucket
+            FROM lineitem, cuts)
+          GROUP BY bucket ORDER BY bucket"""
+      }),
+
+    // EXACT-at-scale twin of q84: the same cuts (bit-identical — SAME
+    // oracle SQL) from the sort-based distributed computation instead
+    // of the buffering ImperativeAggregate. This is the answer to
+    // "exact percentiles are a memory cliff at 100 TB": they aren't,
+    // if you pay one range-exchange sort — the cliff is specific to
+    // the percentile() aggregate's implementation.
+    GQuery("q84_equidepth_sorted",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val probs = (1 to 15).map(_ / 16.0)
+        val cuts = exactCutsSorted(li, "l_extendedprice", probs)
+        li.withColumn("bucket",
+            aggregate(array(cuts.map(lit).toSeq: _*), lit(0),
               (acc, c) => acc +
                 when(col("l_extendedprice") > c, 1).otherwise(0)))
           .groupBy(col("bucket"))

@@ -185,6 +185,14 @@ object ScaleSmoke {
       timed(s"equidepth_approx x$n")(
         graft.analytics.StatsQueries
           .equidepthApprox(replicateRows(lineitem, n)).count())
+      // EXACT percentiles the scale-correct way: one range-exchange
+      // sort + a bounded ranked-row fetch (no per-group value buffer)
+      timed(s"equidepth_sorted x$n") {
+        val li = replicateRows(lineitem, n)
+        val probs = (1 to 15).map(_ / 16.0)
+        graft.analytics.StatsQueries
+          .exactCutsSorted(li, "l_extendedprice", probs).length.toLong
+      }
     }
     spark.stop()
   }
