@@ -396,9 +396,12 @@ object FunctionQueries {
         val norm2 = aggregate(
           transform(v, x => x.cast("double") * x.cast("double")),
           lit(0.0), (acc, x) => acc + x)
+        // rendered via floor micro-units, not round(_, 6) — Spark
+        // rounds the decimal rendering, DuckDB the binary double (the
+        // cross-engine hash-flip class Similarity/Dedup migrated off)
         emb.select(col("vec_id"),
-            round(dot, 6).as("dot_rev"),
-            round(norm2, 6).as("norm2"),
+            (floor(dot * 1e6).cast("double") / 1e6).as("dot_rev"),
+            (floor(norm2 * 1e6).cast("double") / 1e6).as("norm2"),
             exists(v, x => x.cast("double") > 0.2).as("has_big"),
             forall(v, x => abs(x.cast("double")) <= 1.0).as("unit_bounded"))
           .orderBy(col("vec_id"))
@@ -406,13 +409,13 @@ object FunctionQueries {
       // list_reduce needs the init prepended; sequential fold order
       // matches Spark's aggregate (left fold), so doubles agree
       Some("""SELECT vec_id,
-        round(list_reduce(list_prepend(0.0::DOUBLE,
+        CAST(CAST(floor(list_reduce(list_prepend(0.0::DOUBLE,
           list_transform(list_zip(embedding, list_reverse(embedding)),
             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
-          (acc, x) -> acc + x), 6) AS dot_rev,
-        round(list_reduce(list_prepend(0.0::DOUBLE,
+          (acc, x) -> acc + x) * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS dot_rev,
+        CAST(CAST(floor(list_reduce(list_prepend(0.0::DOUBLE,
           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-          (acc, x) -> acc + x), 6) AS norm2,
+          (acc, x) -> acc + x) * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS norm2,
         len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.2)) > 0 AS has_big,
         len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) > 1.0)) = 0 AS unit_bounded
         FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_id""")),

@@ -58,13 +58,16 @@ object Bpe {
     * Built from two shifted slices zipped element-wise: the slices are
     * codegen'd and evaluated once; the zip_with lambda sees element
     * VALUES (the element_at-per-index form re-evaluated its array
-    * operand per element — see TextAnalysis.bigramSurprisal). size<2 →
-    * zero-length slices → empty result, as before.
+    * operand per element — see TextAnalysis.bigramSurprisal). The
+    * slice length is clamped to >= 0: for size == 0 (empty/whitespace
+    * text) n - 1 would be -1 and Spark's slice THROWS
+    * (INVALID_PARAMETER_VALUE.LENGTH) rather than returning empty.
     */
   private def pairs(arr: Column): Column = {
     val n = size(arr)
+    val m = greatest(n - 1, lit(0))
     filter(
-      zip_with(slice(arr, lit(1), n - 1), slice(arr, lit(2), n - 1), (a, b) =>
+      zip_with(slice(arr, lit(1), m), slice(arr, lit(2), m), (a, b) =>
         when(a =!= Sep && b =!= Sep, concat(a, lit(" "), b))),
       p => p.isNotNull)
   }

@@ -153,7 +153,11 @@ object Dedup {
       .withColumn("jaccard",
         col("common").cast("double") / (col("ni") + col("nj") - col("common")))
       .filter(col("jaccard") >= threshold)
-      .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+      // rendered jaccard = floor micro-units / 1e6, not round(_, 6):
+      // Spark rounds the decimal rendering, DuckDB the binary double —
+      // floor() on the bit-identical count ratio is engine-exact
+      .select(col("i"), col("j"),
+        (floor(col("jaccard") * 1e6).cast("double") / 1e6).as("jaccard"))
   }
 
   /** Incremental-ingest dedup: Jaccard near-dup pairs between a NEW
@@ -186,7 +190,11 @@ object Dedup {
       .withColumn("jaccard",
         col("common").cast("double") / (col("ni") + col("nj") - col("common")))
       .filter(col("jaccard") >= threshold)
-      .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+      // rendered jaccard = floor micro-units / 1e6, not round(_, 6):
+      // Spark rounds the decimal rendering, DuckDB the binary double —
+      // floor() on the bit-identical count ratio is engine-exact
+      .select(col("i"), col("j"),
+        (floor(col("jaccard") * 1e6).cast("double") / 1e6).as("jaccard"))
   }
 
   /** Per-permutation shingle hash for the md5-twin variants: the first 8
@@ -262,7 +270,11 @@ object Dedup {
       .withColumn("jaccard",
         col("common").cast("double") / (col("ni") + col("nj") - col("common")))
       .filter(col("jaccard") >= threshold)
-      .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+      // rendered jaccard = floor micro-units / 1e6, not round(_, 6):
+      // Spark rounds the decimal rendering, DuckDB the binary double —
+      // floor() on the bit-identical count ratio is engine-exact
+      .select(col("i"), col("j"),
+        (floor(col("jaccard") * 1e6).cast("double") / 1e6).as("jaccard"))
   }
 
   /** md5-twin of [[minhashLsh]]: same plan, same bands/verify, but the
@@ -293,10 +305,13 @@ object Dedup {
     val a = graft.util.Tables.spread(
       df.select(col(idCol).as("i"), col(vecCol).as("__va")))
     val b = df.select(col(idCol).as("j"), col(vecCol).as("__vb"))
+    // threshold and rendering in floor-quantized micro-units (see
+    // Similarity.bruteForceTopK for the round() engine-portability bug)
+    val thrU = math.round(threshold * 1e6)
     a.join(broadcast(b), col("i") < col("j"))
-      .withColumn("cos", round(cosineSimilarity(col("__va"), col("__vb")), 4))
-      .filter(col("cos") >= threshold)
-      .select("i", "j", "cos")
+      .withColumn("cos_u", floor(cosineSimilarity(col("__va"), col("__vb")) * 1e6))
+      .filter(col("cos_u") >= thrU)
+      .select(col("i"), col("j"), (col("cos_u").cast("double") / 1e6).as("cos"))
   }
 
   /** Embedding-cosine near-dup with random-hyperplane LSH blocking:
@@ -327,12 +342,14 @@ object Dedup {
     // distinct() on (i, j, vec_a, vec_b) would shuffle both full vectors
     // for every candidate pair — measured 2× slower. After the threshold
     // filter the surviving (i, j, cos) rows are narrow and few.
+    val thrU = math.round(threshold * 1e6)
     buckets.as("a").join(buckets.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("i"), col("b.doc").as("j"),
-        round(cosineSimilarity(col("a.__v"), col("b.__v")), 4).as("cos"))
-      .filter(col("cos") >= threshold)
+        floor(cosineSimilarity(col("a.__v"), col("b.__v")) * 1e6).as("cos_u"))
+      .filter(col("cos_u") >= thrU)
       .distinct()
+      .select(col("i"), col("j"), (col("cos_u").cast("double") / 1e6).as("cos"))
   }
 
   /** 64-bit SimHash from token hashes: bit b of the fingerprint is the

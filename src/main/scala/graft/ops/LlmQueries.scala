@@ -107,7 +107,7 @@ object LlmQueries {
         jac AS (
           SELECT i, j, common::DOUBLE / (ca.n + cb.n - common) AS jc
           FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j)
-        SELECT i, j, round(jc, 6) AS jaccard FROM jac
+        SELECT i, j, CAST(CAST(floor(jc * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS jaccard FROM jac
         WHERE jc >= 0.8 ORDER BY i, j""")),
 
     // LSH candidates verified by exact Jaccard — approximate recall, so
@@ -156,7 +156,7 @@ object LlmQueries {
         jac AS (
           SELECT i, j, common::DOUBLE / (ca.n + cb.n - common) AS jc
           FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j)
-        SELECT i, j, round(jc, 6) AS jaccard FROM jac
+        SELECT i, j, CAST(CAST(floor(jc * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS jaccard FROM jac
         WHERE jc >= 0.8 ORDER BY i, j""")),
 
     // md5-twin of dedup_simhash: 32-bit fingerprints from md5-hashed
@@ -208,7 +208,7 @@ object LlmQueries {
         jac AS (
           SELECT i, j, common::DOUBLE / (ca.n + cb.n - common) AS jc
           FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j)
-        SELECT i, j, round(jc, 6) AS jaccard FROM jac
+        SELECT i, j, CAST(CAST(floor(jc * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS jaccard FROM jac
         WHERE jc >= 0.8 ORDER BY i, j""")),
 
     // Pairwise near-dup verdicts → per-document cluster assignment +
@@ -248,10 +248,11 @@ object LlmQueries {
       (s, d) => Dedup.embeddingPairs(Tables(s, d, "embeddings"),
           "vec_id", "embedding", threshold = 0.4)
         .orderBy(col("i"), col("j")),
-      Some(s"""SELECT a.vec_id AS i, b.vec_id AS j,
-          round(${sqlCosAb}, 4) AS cos
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE round(${sqlCosAb}, 4) >= 0.4 ORDER BY i, j""")),
+      Some(s"""SELECT i, j, CAST(cos_u AS DOUBLE) / 1e6 AS cos FROM (
+          SELECT a.vec_id AS i, b.vec_id AS j,
+            CAST(floor(${sqlCosAb} * 1e6) AS BIGINT) AS cos_u
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        WHERE cos_u >= 400000 ORDER BY i, j""")),
 
     // LSH-blocked variant at a realistic near-dup threshold (0.9): the
     // 8×8-bit bands admit ~2.5% of random pairs as candidates, so the
@@ -332,11 +333,12 @@ object LlmQueries {
             emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 10)
           .orderBy(col("qid"), col("rn"))
       },
-      Some(s"""SELECT qid, nid, score, rn FROM (
+      Some(s"""SELECT qid, nid, CAST(score_u AS DOUBLE) / 1e6 AS score, rn FROM (
           SELECT q.vec_id AS qid, v.vec_id AS nid,
-            round($sqlCos, 4) AS score,
+            CAST(floor($sqlCos * 1e6) AS BIGINT) AS score_u,
             CAST(row_number() OVER (PARTITION BY q.vec_id
-              ORDER BY round($sqlCos, 4) DESC NULLS LAST, v.vec_id) AS INT) AS rn
+              ORDER BY CAST(floor($sqlCos * 1e6) AS BIGINT) DESC NULLS LAST,
+                       v.vec_id) AS INT) AS rn
           FROM embeddings q, embeddings v
           WHERE q.vec_id % 100 = 0 AND v.vec_id <> q.vec_id)
         WHERE rn <= 10 ORDER BY qid, rn""")),
@@ -355,9 +357,9 @@ object LlmQueries {
           .orderBy(col("qid"), col("rn"))
       },
       Some {
-        val score = """round(
+        val score = """CAST(floor(
             CAST(list_sum(list_transform(list_zip(q.q, v.q), p -> p[1]*p[2])) AS DOUBLE)
-            / (sqrt(CAST(q.nn AS DOUBLE)) * sqrt(CAST(v.nn AS DOUBLE))), 4)"""
+            / (sqrt(CAST(q.nn AS DOUBLE)) * sqrt(CAST(v.nn AS DOUBLE))) * 1e6) AS BIGINT)"""
         s"""WITH qv AS (
           SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nn
           FROM (
@@ -368,8 +370,8 @@ object LlmQueries {
             FROM (SELECT vec_id, embedding,
                     list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
                   FROM embeddings)))
-        SELECT qid, nid, score, rn FROM (
-          SELECT q.vec_id AS qid, v.vec_id AS nid, $score AS score,
+        SELECT qid, nid, CAST(score_u AS DOUBLE) / 1e6 AS score, rn FROM (
+          SELECT q.vec_id AS qid, v.vec_id AS nid, $score AS score_u,
             CAST(row_number() OVER (PARTITION BY q.vec_id
               ORDER BY $score DESC NULLS LAST, v.vec_id) AS INT) AS rn
           FROM qv q, qv v
@@ -510,14 +512,16 @@ object LlmQueries {
             k = 5, lo = 0.15, hi = 0.40)
           .orderBy(col("qid"), col("rn"))
       },
-      Some(s"""SELECT qid, nid, score, rn FROM (
+      Some(s"""SELECT qid, nid, CAST(score_u AS DOUBLE) / 1e6 AS score, rn FROM (
           SELECT q.vec_id AS qid, v.vec_id AS nid,
-            round($sqlCos, 4) AS score,
+            CAST(floor($sqlCos * 1e6) AS BIGINT) AS score_u,
             CAST(row_number() OVER (PARTITION BY q.vec_id
-              ORDER BY round($sqlCos, 4) DESC NULLS LAST, v.vec_id) AS INT) AS rn
+              ORDER BY CAST(floor($sqlCos * 1e6) AS BIGINT) DESC NULLS LAST,
+                       v.vec_id) AS INT) AS rn
           FROM embeddings q, embeddings v
           WHERE q.vec_id % 100 = 0 AND v.vec_id <> q.vec_id
-            AND round($sqlCos, 4) >= 0.15 AND round($sqlCos, 4) < 0.40)
+            AND CAST(floor($sqlCos * 1e6) AS BIGINT) >= 150000
+            AND CAST(floor($sqlCos * 1e6) AS BIGINT) < 400000)
         WHERE rn <= 5 ORDER BY qid, rn""")),
 
     // Content-stable 10% sample of the corpus by id hash.

@@ -61,15 +61,20 @@ object Quantize {
                vecCol: String, k: Int): DataFrame = {
     val c = graft.util.Tables.spread(int8(corpus, idCol, vecCol, "nid", "nq"))
     val q = int8(queries, idCol, vecCol, "qid", "qq")
+    // micro-unit ranking key, not round(_, 4) — the dot/norms are exact
+    // integers, so the one double division + floor is engine-exact
+    // (Spark's round acts on the decimal rendering, DuckDB's on the
+    // binary double; see Similarity.bruteForceTopK)
     val scored = c.join(broadcast(q), col("nid") =!= col("qid"))
-      .withColumn("score", round(
+      .withColumn("score_u", floor(
         dot(col("qq"), col("nq")).cast("double")
-          / (sqrt(col("qq_nn").cast("double")) * sqrt(col("nq_nn").cast("double"))),
-        4))
+          / (sqrt(col("qq_nn").cast("double")) * sqrt(col("nq_nn").cast("double")))
+          * 1e6))
     val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("nid"))
+      .orderBy(col("score_u").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select("qid", "nid", "score", "rn")
+      .select(col("qid"), col("nid"),
+        (col("score_u").cast("double") / 1e6).as("score"), col("rn"))
   }
 }

@@ -19,7 +19,17 @@ import graft.functions.CosineSimilarity.cosineSimilarity
 object Similarity {
 
   /** Exact top-k neighbors for each query vector (brute force).
-    * Output: qid, nid, score (rounded for engine-portable comparison), rn.
+    * Output: qid, nid, score, rn.
+    *
+    * The ranking key is the cosine floor-quantized to micro-units
+    * (BIGINT), NOT `round(cos, 4)`: Spark's round acts on the
+    * shortest-decimal RENDERING (BigDecimal HALF_UP) while DuckDB
+    * rounds the binary double, so a cosine just under a .00005
+    * boundary can emit different keys per engine and flip a top-k
+    * rank — the latent hash-flip class KMeansStep documents. floor()
+    * on the (bit-identical, sequential-fold) double is engine-exact;
+    * the double `score` column is derived from the BIGINT and thus
+    * identical too.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
@@ -28,13 +38,15 @@ object Similarity {
     val c = graft.util.Tables.spread(
       corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")))
     val scored = c.join(broadcast(q), col("nid") =!= col("qid"))
-      .withColumn("score", round(cosineSimilarity(col("qvec"), col("nvec")), 4))
+      .withColumn("score_u",
+        floor(cosineSimilarity(col("qvec"), col("nvec")) * 1e6))
     val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("nid"))
+      .orderBy(col("score_u").desc, col("nid"))
     scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select("qid", "nid", "score", "rn")
+      .select(col("qid"), col("nid"),
+        (col("score_u").cast("double") / 1e6).as("score"), col("rn"))
   }
 
   /** Hard-negative mining: per query, the top-`k` corpus vectors whose
@@ -50,15 +62,23 @@ object Similarity {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val c = graft.util.Tables.spread(
       corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")))
+    // band edges and ranking both live in micro-units (see
+    // bruteForceTopK for why round() was an engine-portability bug);
+    // the [lo, hi) compare is BIGINT vs BIGINT — no double boundary
+    // can flip between engines
+    val loU = math.round(lo * 1e6)
+    val hiU = math.round(hi * 1e6)
     val scored = c.join(broadcast(q), col("nid") =!= col("qid"))
-      .withColumn("score", round(cosineSimilarity(col("qvec"), col("nvec")), 4))
-      .filter(col("score") >= lo && col("score") < hi)
+      .withColumn("score_u",
+        floor(cosineSimilarity(col("qvec"), col("nvec")) * 1e6))
+      .filter(col("score_u") >= loU && col("score_u") < hiU)
     val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("nid"))
+      .orderBy(col("score_u").desc, col("nid"))
     scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select("qid", "nid", "score", "rn")
+      .select(col("qid"), col("nid"),
+        (col("score_u").cast("double") / 1e6).as("score"), col("rn"))
   }
 
   /** Per-band LSH bucket structs `(band, h)` from one packed
@@ -146,16 +166,20 @@ object Similarity {
       .select("qid", "qvec", "list")
   }
 
-  /** Score probed postings and keep the top k per query. */
+  /** Score probed postings and keep the top k per query (micro-unit
+    * ranking key — same contract as [[bruteForceTopK]]).
+    */
   private def scoreProbed(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("nid"))
+      .orderBy(col("score_u").desc, col("nid"))
     assigned.join(broadcast(probes), "list")
       .filter(col("nid") =!= col("qid"))
-      .withColumn("score", round(cosineSimilarity(col("qvec"), col("nvec")), 4))
+      .withColumn("score_u",
+        floor(cosineSimilarity(col("qvec"), col("nvec")) * 1e6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select("qid", "nid", "score", "rn")
+      .select(col("qid"), col("nid"),
+        (col("score_u").cast("double") / 1e6).as("score"), col("rn"))
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -223,12 +247,13 @@ object Similarity {
     val joined = cb.as("c").join(broadcast(qb.as("q")),
         col("c.bk") === col("q.bk") && col("c.nid") =!= col("q.qid"))
       .select(col("q.qid").as("qid"), col("c.nid").as("nid"),
-        round(cosineSimilarity(col("q.qvec"), col("c.nvec")), 4).as("score"))
+        floor(cosineSimilarity(col("q.qvec"), col("c.nvec")) * 1e6).as("score_u"))
       .distinct()
     val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("nid"))
+      .orderBy(col("score_u").desc, col("nid"))
     joined.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select("qid", "nid", "score", "rn")
+      .select(col("qid"), col("nid"),
+        (col("score_u").cast("double") / 1e6).as("score"), col("rn"))
   }
 }

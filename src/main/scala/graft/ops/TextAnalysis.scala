@@ -177,13 +177,17 @@ object TextAnalysis {
     // and outside whole-stage codegen there is no common-subexpression
     // elimination, so the tokenize re-ran per element_at — measured
     // 2.3–3.5 s for the explode ALONE at sf0.1 vs ~0.2 s zipped.
-    // n = 1 → zero-length slices → empty zip → explode drops the doc,
-    // exactly as the old size<2 guard did.
+    // The slice length is clamped to >= 0: n = 1 → zero-length slices →
+    // empty zip → explode drops the doc (as the old size<2 guard did),
+    // but n = 0 (text tokenizing to nothing) would make n - 1 NEGATIVE
+    // and Spark's slice throws INVALID_PARAMETER_VALUE.LENGTH at
+    // runtime instead of yielding an empty array.
     val n = size(tk)
+    val m = greatest(n - 1, lit(0))
     val bigrams = df
       .select(col(idCol).as("doc"),
-        explode(arrays_zip(slice(tk, lit(1), n - 1).as("t1"),
-          slice(tk, lit(2), n - 1).as("t2"))).as("b"))
+        explode(arrays_zip(slice(tk, lit(1), m).as("t1"),
+          slice(tk, lit(2), m).as("t2"))).as("b"))
       .select(col("doc"), col("b.t1").as("t1"), col("b.t2").as("t2"))
     // Two-scan shape (same rationale as unigramSurprisal): the bigram
     // model is partial-agg'd straight off the explode (shuffle ∝

@@ -43,7 +43,8 @@ object ProfileDedup {
       .withColumn("jaccard",
         col("common").cast("double") / (col("ni") + col("nj") - col("common")))
       .filter(col("jaccard") >= 0.8)
-      .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("i"), col("j"),
+        (floor(col("jaccard") * 1e6).cast("double") / 1e6).as("jaccard"))
 
     for (r <- 1 to 2) {
       val iw = invWindow

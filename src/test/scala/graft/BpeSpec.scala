@@ -46,6 +46,24 @@ class BpeSpec extends AnyFunSuite {
     assert(run == Seq("aa", "a"))
   }
 
+  test("bpe survives empty and whitespace-only documents") {
+    // Regression: pairs() sliced with length size-1 unguarded; an empty
+    // token array made that -1 and ANSI slice() throws
+    // INVALID_PARAMETER_VALUE.LENGTH, killing train/encode for the
+    // whole corpus. The length is now clamped with greatest(_, 0).
+    val docs = Seq("", "   ", "ok go").toDF("text")
+    val merges = Bpe.train(docs, "text", 2)
+    assert(merges.nonEmpty)                 // learned from the one real doc
+    val mm = merges.map(m => (m._2, m._3))
+    val enc = docs
+      .select(Bpe.encode(col("text"), mm).as("tk"),
+        Bpe.tokenCount(Bpe.encode(col("text"), mm)).as("n"))
+      .collect()
+    assert(enc.length == 3)
+    // the degenerate docs encode to zero tokens, not an error
+    assert(enc.map(_.getInt(1)).count(_ == 0) == 2)
+  }
+
   test("bpe invariants: lossless, monotone, word-bounded") {
     val docs = graft.util.Tables(spark, GraftSpark.sfDir, "documents")
     val merges = Bpe.train(docs, "text", 6)

@@ -320,6 +320,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(cont == Map(15L -> 1L))
   }
 
+  test("surprisal scorers survive empty and one-token documents") {
+    // Regression: bigramSurprisal sliced with unclamped length n-1; an
+    // empty token array made that -1 and ANSI slice() throws at
+    // runtime. Degenerate docs must DROP (no transitions), not crash.
+    val docs = Seq(
+      (1L, ""), (2L, "   "), (3L, "single"),
+      (4L, "two words here two words")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(docs, "doc_id", "text")
+      .select("doc").as[Long].collect().toSet
+    assert(got == Set(4L), s"only the multi-token doc scores: $got")
+  }
+
   test("rebalanceUniform: every group thinned toward the min, deterministic") {
     import graft.ops.Sampling
     val df = (0 until 900).map(i =>
