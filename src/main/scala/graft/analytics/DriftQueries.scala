@@ -42,11 +42,17 @@ object DriftQueries {
       .agg((if (exactCuts) percentile(col("value"), array(probs.map(lit): _*))
             else approx_percentile(col("value"), array(probs.map(lit): _*),
               lit(10000))).as("cuts"))
+    // LEFT join: an event_type that first appears AFTER the cutoff has
+    // no reference cuts — arguably the strongest drift signal there is,
+    // and an inner join silently dropped it from the report (ADVICE
+    // round 5). Such types land in sentinel bin -1 and are flagged
+    // `new_type` below; smoothing keeps their single-bin PSI finite.
     val binned = ev
-      .join(broadcast(cuts), col("event_type") === col("et"))
+      .join(broadcast(cuts), col("event_type") === col("et"), "left")
       .withColumn("bin",
-        aggregate(col("cuts"), lit(0),
-          (acc, c) => acc + when(col("value") > c, 1).otherwise(0)))
+        when(col("cuts").isNull, lit(-1)).otherwise(
+          aggregate(col("cuts"), lit(0),
+            (acc, c) => acc + when(col("value") > c, 1).otherwise(0))))
       .withColumn("w",
         when(col("ts") < lit(cutoff).cast("timestamp"), lit("ref"))
           .otherwise(lit("cur")))
@@ -64,7 +70,9 @@ object DriftQueries {
         floor((col("p") - col("q")) * log(col("p") / col("q")) * 1e9).cast("long"))
       .groupBy(col("event_type"))
       .agg(max(col("t_ref")).as("n_ref"), max(col("t_cur")).as("n_cur"),
-        (sum(col("term_n")).cast("double") / 1e9).as("psi"))
+        (sum(col("term_n")).cast("double") / 1e9).as("psi"),
+        // all rows of an unseen-in-reference type carry the sentinel
+        (max(col("bin")) === -1).as("new_type"))
       .orderBy(col("event_type"))
   }
 
@@ -124,12 +132,14 @@ object DriftQueries {
           GROUP BY event_type),
         binned AS (
           SELECT event_type,
-            CAST(len(list_filter(cuts, c -> "value" > c)) AS INT) AS bin,
+            CASE WHEN cuts IS NULL THEN -1
+              ELSE CAST(len(list_filter(cuts, c -> "value" > c)) AS INT)
+            END AS bin,
             CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
               THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
             CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
               THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
-          FROM events JOIN ref ON event_type = et
+          FROM events LEFT JOIN ref ON event_type = et
           GROUP BY event_type, bin),
         tot AS (
           SELECT event_type AS e2, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
@@ -141,7 +151,8 @@ object DriftQueries {
               - (CAST(n_ref AS DOUBLE) + 0.5) / (t_ref + 5.0))
             * ln(((CAST(n_cur AS DOUBLE) + 0.5) / (t_cur + 5.0))
                  / ((CAST(n_ref AS DOUBLE) + 0.5) / (t_ref + 5.0)))
-            * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS psi
+            * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS psi,
+          max(bin) = -1 AS new_type
         FROM binned JOIN tot ON event_type = e2
         GROUP BY event_type ORDER BY event_type""")),
 

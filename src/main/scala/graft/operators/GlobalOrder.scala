@@ -24,32 +24,42 @@ import org.apache.spark.sql.functions._
 object GlobalOrder {
 
   /** Add `rankCol` = 1-based global rank by `keys` (which must form a
-    * total order). Costs one range exchange + one bounded
-    * driver-side count collect.
+    * total order). Costs one range exchange plus `zipWithIndex`'s
+    * bounded per-partition count job — and NOTHING is ever persisted.
+    *
+    * Why RDD zipWithIndex and not a pure-plan rendering: the two
+    * declarative alternatives both lose.
+    *   - round 5's shape (persist the range-partitioned frame, collect
+    *     per-partition counts, window over `spark_partition_id()`)
+    *     pinned a CacheManager entry for the JVM lifetime (the round-5
+    *     leak finding) AND paid a second full-data hash exchange on
+    *     the pid, because Catalyst cannot know `__pid` equals the
+    *     physical partitioning.
+    *   - building counts and ranks as two branches over one
+    *     `repartitionByRange` subtree relies on ReuseExchange to make
+    *     the sampled boundaries consistent; measured on this Spark, the
+    *     exchange is NOT reused (two range shuffle stages with
+    *     independently sampled boundaries) — silently wrong offsets on
+    *     adversarial data, plus the same extra pid exchange.
+    * zipWithIndex is the genuine per-partition-imperative case: the
+    * shuffle's range boundaries are sampled once (one RDD object; its
+    * count job and map job reuse the same shuffle files), indices are
+    * partition-order positions of the sorted data, and the only extra
+    * cost is the Row conversion at the boundary — no second exchange,
+    * no cache entry, no driver-side data. The count job inside
+    * zipWithIndex collects one long per partition — config-bounded.
     */
   def globalRank(df: DataFrame, rankCol: String, keys: Column*): DataFrame = {
-    val nPart = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
-    // the persist is LOAD-BEARING, not a cache optimization: the range
-    // partitioner samples its boundaries, so re-computing the lineage
-    // for the second consumer could draw different boundaries and
-    // assign different pids than the counts job saw
-    val parts = df.repartitionByRange(nPart, keys: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bounded: one row per partition, ∝ config not data
-    val counts = parts.groupBy("__pid").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until nPart).scanLeft(0L) { (acc, p) =>
-      acc + counts.getOrElse(p, 0L)
+    val spark = df.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.repartitionByRange(nPart, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        rankCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
     }
-    val offsetExpr = map((0 until nPart).flatMap { p =>
-      Seq(lit(p), lit(offsets(p)))
-    }: _*)
-    val w = Window.partitionBy(col("__pid")).orderBy(keys: _*)
-    parts
-      .withColumn(rankCol,
-        row_number().over(w).cast("long") + element_at(offsetExpr, col("__pid")))
-      .drop("__pid")
+    spark.createDataFrame(ranked, schema)
   }
 }

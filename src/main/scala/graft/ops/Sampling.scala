@@ -114,8 +114,20 @@ object Sampling {
   def negativeSamples(df: DataFrame, idCol: String, k: Int,
                       salt: String): DataFrame = {
     // bounded metadata action (the id-domain size), same class as
-    // GlobalOrder's partition counts
-    val n = df.count()
+    // GlobalOrder's partition counts. The dense-domain contract is
+    // ENFORCED, not assumed: with id gaps the `neg_id` equi-join below
+    // would silently drop candidates (anchors quietly get fewer than k
+    // negatives — corrupt training pairs, no error), and the +1
+    // self-collision bump could land on a hole. Sparse ids must be
+    // ranked into a dense surrogate first (GlobalOrder.globalRank).
+    val stats = df.agg(count(lit(1)), min(col(idCol).cast("long")),
+      max(col(idCol).cast("long"))).head()
+    val n = stats.getLong(0)
+    require(n == 0 ||
+      (stats.getLong(1) == 0L && stats.getLong(2) == n - 1),
+      s"negativeSamples requires a dense id domain [0, n): got n=$n, " +
+        s"min=${stats.getLong(1)}, max=${stats.getLong(2)} — rank ids " +
+        "into a dense surrogate (GlobalOrder.globalRank) first")
     val cand = df.select(col(idCol).as("anchor"))
       .select(col("anchor"), explode(array((0 until k).map(lit): _*)).as("j"))
       .withColumn("h",

@@ -28,10 +28,14 @@ object DriftMonitor {
                          windowLen: String, watermarkDelay: String): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
-      .join(broadcast(cuts), col("event_type") === col("et"))
+      // LEFT join: an event_type the reference has never seen must not
+      // vanish before counting (the q92 ADVICE blind spot) — it lands
+      // in sentinel bin -1 and psiOf reports it as new_type
+      .join(broadcast(cuts), col("event_type") === col("et"), "left")
       .withColumn("bin",
-        aggregate(col("cuts"), lit(0),
-          (acc, c) => acc + when(col("value") > c, 1).otherwise(0)))
+        when(col("cuts").isNull, lit(-1)).otherwise(
+          aggregate(col("cuts"), lit(0),
+            (acc, c) => acc + when(col("value") > c, 1).otherwise(0))))
       .groupBy(window(col("ts"), windowLen), col("event_type"), col("bin"))
       .agg(count(lit(1)).as("n"))
 
@@ -47,8 +51,14 @@ object DriftMonitor {
     // fresh names or the left join trips conflicting-reference resolution
     val wins = binCounts
       .select(col("window").as("w0"), col("event_type").as("t0")).distinct()
-    val grid = wins.join(ref, col("t0") === col("event_type"))
-      .select(col("w0"), col("t0"), col("bin").as("b0"), col("ref_frac"))
+    // LEFT join onto ref: a type absent from the reference (binned into
+    // sentinel -1 upstream) keeps one grid row with bin -1 and a 1e-6
+    // prior, so it reports with a large PSI and new_type = true instead
+    // of silently vanishing from the alert stream
+    val grid = wins.join(ref, col("t0") === col("event_type"), "left")
+      .select(col("w0"), col("t0"),
+        coalesce(col("bin"), lit(-1)).as("b0"),
+        coalesce(col("ref_frac"), lit(0.0)).as("ref_frac"))
     val bc = binCounts.select(col("window").as("w1"),
       col("event_type").as("t1"), col("bin").as("b1"), col("n").as("n1"))
     val filled = grid.join(bc,
@@ -67,6 +77,7 @@ object DriftMonitor {
       .withColumn("q", greatest(col("ref_frac"), lit(1e-6)))
       .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
       .groupBy(col("window"), col("event_type"))
-      .agg(max(col("total")).as("n_events"), sum(col("term")).as("psi"))
+      .agg(max(col("total")).as("n_events"), sum(col("term")).as("psi"),
+        (max(col("bin")) === -1).as("new_type"))
   }
 }

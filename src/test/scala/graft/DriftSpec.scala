@@ -30,6 +30,28 @@ class DriftSpec extends AnyFunSuite {
     assert(p1 > 0.25, s"shifted PSI $p1 not flagged")
   }
 
+  test("an event_type born after the cutoff is reported, flagged new_type") {
+    // Round-5 ADVICE: the inner join to reference cuts silently dropped
+    // any type with no pre-cutoff rows — the strongest drift signal
+    // there is. It must now surface with new_type = true.
+    val ev = ((1 to 1000).map { i =>
+      val side = if (i % 2 == 0) "2024-01-10 00:00:00" else "2024-01-20 00:00:00"
+      (java.sql.Timestamp.valueOf(side), "old", (i % 100).toDouble)
+    } ++ (1 to 100).map { i =>
+      (java.sql.Timestamp.valueOf("2024-01-20 00:00:00"), "born_cur",
+        (i % 10).toDouble)
+    }).toDF("ts", "event_type", "value")
+    val got = DriftQueries.psi(ev, "2024-01-16").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+          r.getAs[Double]("psi"), r.getAs[Boolean]("new_type")))).toMap
+    assert(got.keySet == Set("old", "born_cur"), s"types: ${got.keySet}")
+    val (nr, nc, psiNew, isNew) = got("born_cur")
+    assert(isNew && nr == 0L && nc == 100L)
+    assert(!psiNew.isNaN && !psiNew.isInfinite, s"new-type PSI $psiNew")
+    assert(!got("old")._4, "existing type wrongly flagged new")
+  }
+
   test("KL is non-negative and zero for a source that IS the corpus") {
     val docs = Tables(spark, sfDir, "documents").limit(200)
       .withColumn("source", lit("only"))

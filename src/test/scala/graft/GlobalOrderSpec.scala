@@ -34,6 +34,26 @@ class GlobalOrderSpec extends AnyFunSuite {
     assert(ranks.toSet.size == n.toInt)
   }
 
+  test("globalRank leaks no cache entries across repeated calls") {
+    // Round-5 finding: globalRank persisted the range-partitioned frame
+    // to pin sampled boundaries and never unpersisted, leaking one
+    // CacheManager entry per exactCutsSorted/writeShuffled call for the
+    // JVM lifetime. The zipWithIndex rewrite samples boundaries once
+    // per RDD object (count job and map job share the shuffle files),
+    // so nothing is persisted at all — the persistent-RDD registry must
+    // stay flat across repeated calls, and repeated calls must agree.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val vals = Tables(spark, sfDir, "lineitem")
+    val c1 = graft.analytics.StatsQueries.exactCutsSorted(
+      vals, "l_extendedprice", Seq(0.25, 0.5, 0.75))
+    val c2 = graft.analytics.StatsQueries.exactCutsSorted(
+      vals, "l_extendedprice", Seq(0.25, 0.5, 0.75))
+    assert(c1.sameElements(c2))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after == before,
+      s"persisted-RDD count drifted: $before -> $after")
+  }
+
   test("shuffled layout interleaves sources: every block near-proportional") {
     // rank documents by the same seeded-hash key writeShuffled sorts on,
     // cut the order into 10 blocks, and require each block's source mix

@@ -452,6 +452,14 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("anchor"), r.getAs[Int]("j"),
         r.getAs[Long]("neg_id")))
     assert(neg.toSet != neg3.toSet)
+    // sparse id domains must FAIL LOUDLY: with gaps, the neg_id join
+    // silently under-delivers negatives (ADVICE round 5) — the dense
+    // contract is enforced up front
+    val sparse = docs.filter(col("doc_id") % 2 === 0)
+    val err = intercept[IllegalArgumentException] {
+      Sampling.negativeSamples(sparse, "doc_id", k = 4, salt = "ep1")
+    }
+    assert(err.getMessage.contains("dense id domain"))
   }
 
   test("hard negatives: scores inside the band, subset of the corpus scan") {
