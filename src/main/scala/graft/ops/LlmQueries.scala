@@ -943,6 +943,51 @@ object LlmQueries {
       Some("""SELECT doc_id, 4 AS width, 4 AS height
         FROM documents ORDER BY doc_id""")),
 
+    // REAL PNG decode (JDK javax.imageio): the same synthetic pattern
+    // as the PPM/JPEG pairs through real deflate compression — and
+    // because PNG is LOSSLESS, the full stats row (dims AND channel
+    // means) carries the pixel-exact hash oracle, unlike the JPEG twin
+    // whose pixel stats are tolerance-spec'd.
+    GQuery("multimodal_png_decode",
+      (s, d) => Multimodal.decodePng(
+          Multimodal.asPngTable(Tables.spread(Tables(s, d, "documents"))))
+        .orderBy(col("doc_id")),
+      Some("""WITH g AS (
+          SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+        px AS (
+          SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+          FROM g,
+            LATERAL (SELECT unnest(range(w)) AS x) xs,
+            LATERAL (SELECT unnest(range(h)) AS y) ys)
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          avg((7*doc_id + 3*x + 5*y) % 256) AS mean_r,
+          avg((11*doc_id + x + 2*y) % 256) AS mean_g,
+          avg((13*doc_id + 3*x + y) % 256) AS mean_b
+        FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
+    // decode → nearest-neighbor 4×4 resample → PNG re-encode → decode:
+    // lossless both trips, so the oracle mirrors the integer sampling
+    // formula pixel for pixel (the full-fidelity version of
+    // multimodal_jpeg_resize's dims-only check).
+    GQuery("multimodal_png_resize",
+      (s, d) => Multimodal.decodePng(
+          Multimodal.resizePng(
+            Multimodal.asPngTable(Tables.spread(Tables(s, d, "documents"))),
+            w2 = 4, h2 = 4))
+        .orderBy(col("doc_id")),
+      Some("""WITH g AS (
+          SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+        px AS (
+          SELECT doc_id, (xs.x2 * w) // 4 AS sx, (ys.y2 * h) // 4 AS sy
+          FROM g,
+            LATERAL (SELECT unnest(range(4)) AS x2) xs,
+            LATERAL (SELECT unnest(range(4)) AS y2) ys)
+        SELECT doc_id, 4 AS width, 4 AS height,
+          avg((7*doc_id + 3*sx + 5*sy) % 256) AS mean_r,
+          avg((11*doc_id + sx + 2*sy) % 256) AS mean_g,
+          avg((13*doc_id + 3*sx + sy) % 256) AS mean_b
+        FROM px GROUP BY doc_id ORDER BY doc_id""")),
+
     // REAL video-container decode (animated GIF via javax.imageio):
     // frame count, dimensions and whole-clip mean luma. GIF is
     // palette-based and LOSSLESS, so unlike JPEG the pixel statistics

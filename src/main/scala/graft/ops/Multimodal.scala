@@ -13,13 +13,17 @@ import org.apache.spark.sql.functions._
   *  - REAL codecs for formats decodable with the JDK alone: PPM images
   *    ([[PpmImage]] — pixel decode, nearest-neighbor resize), baseline
   *    JPEG ([[JpegImage]] — the JDK's javax.imageio encoder/decoder;
-  *    lossy, so dims are hash-oracled and pixel stats tolerance-spec'd)
-  *    and PCM16 WAV audio ([[WavAudio]] — sample decode, decimating
-  *    resample); PPM/WAV are oracle-checked pixel/sample-exact;
-  *  - clearly-marked deterministic STUBS where a codec needs native
-  *    libraries this environment does not ship (MP3, video
-  *    containers) — swapping a stub for a real codec changes no
-  *    plumbing, as the PPM/WAV/JPEG trio demonstrates.
+  *    lossy, so dims are hash-oracled and pixel stats tolerance-spec'd),
+  *    PNG ([[PngImage]] — same javax.imageio path but LOSSLESS, so the
+  *    full decode/resize family is pixel-exact hash-oracled), animated
+  *    GIF video ([[GifVideo]] — real container, pixel-exact frames),
+  *    G.711 μ-law ([[MuLawAudio]]) and PCM16 WAV audio ([[WavAudio]] —
+  *    sample decode, decimating resample); PPM/PNG/GIF/WAV are
+  *    oracle-checked pixel/sample-exact;
+  *  - ONE clearly-marked deterministic STUB where a codec needs native
+  *    libraries this environment does not ship (MP3 — no pure-JVM
+  *    decoder is obtainable offline) — swapping the stub for a real
+  *    codec changes no plumbing, as the five real codecs demonstrate.
   */
 object Multimodal {
 
@@ -205,6 +209,62 @@ object Multimodal {
       it.map { r =>
         MediaRow(r.doc_id, r.mime,
           JpegImage.encode(PpmImage.resize(JpegImage.decode(r.payload), w2, h2)))
+      }
+    }.toDF()
+  }
+
+  // ----- REAL PNG path (JDK javax.imageio — LOSSLESS) ------------------
+
+  /** Deterministic PNG table: the SAME synthetic pattern as the PPM and
+    * JPEG paths, through the JDK's PNG writer — real deflate-compressed
+    * interchange bytes, but lossless, so every pixel survives exactly.
+    */
+  def asPngTable(documents: DataFrame): DataFrame = {
+    implicit val outEnc = Encoders.product[MediaRow]
+    implicit val idEnc = Encoders.scalaLong
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        MediaRow(id, "image/png", PngImage.encode(PpmImage.synthesize(id)))
+      }
+    }.toDF()
+  }
+
+  /** REAL PNG decode kernel: identical plumbing to [[decodeImages]] /
+    * [[decodeJpeg]]; only the codec differs — and because PNG is
+    * lossless, the emitted channel means are EXACTLY the closed-form
+    * synthetic values, so the full stats row is hash-oracled.
+    */
+  def decodePng(images: DataFrame): DataFrame = {
+    implicit val inEnc = Encoders.product[MediaRow]
+    implicit val outEnc = Encoders.product[ImageStats]
+    images.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        val img = PngImage.decode(r.payload)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < img.pixels.length) {
+          sr += img.pixels(i) & 0xff
+          sg += img.pixels(i + 1) & 0xff
+          sb += img.pixels(i + 2) & 0xff
+          i += 3
+        }
+        val n = (img.width * img.height).toDouble
+        ImageStats(r.doc_id, img.width, img.height, sr / n, sg / n, sb / n)
+      }
+    }.toDF()
+  }
+
+  /** REAL PNG resize kernel: decode → nearest-neighbor resample (the
+    * same pixel-space [[PpmImage.resize]] as every other image path) →
+    * re-encode as PNG. Lossless both trips ⇒ the resized pixel stats
+    * replay closed-form in the oracle, unlike the JPEG twin.
+    */
+  def resizePng(images: DataFrame, w2: Int, h2: Int): DataFrame = {
+    implicit val rowEnc = Encoders.product[MediaRow]
+    images.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        MediaRow(r.doc_id, r.mime,
+          PngImage.encode(PpmImage.resize(PngImage.decode(r.payload), w2, h2)))
       }
     }.toDF()
   }
