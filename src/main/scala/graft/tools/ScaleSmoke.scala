@@ -179,6 +179,14 @@ object ScaleSmoke {
       timed(s"er_entities x$n")(
         graft.ops.EntityResolution.entities(replicateCustomers(customer, n),
           "c_custkey", "c_name", "c_nationkey").count())
+      // depth-2 neighborhood with the hot-variant cap (the production
+      // configuration — templated names make a few 2-delete variants
+      // collide across much of a block; the cap keeps the candidate
+      // join ∝ cold-key collisions)
+      timed(s"er_pairs2 x$n")(
+        graft.ops.EntityResolution.matchPairs(replicateCustomers(customer, n),
+          "c_custkey", "c_name", "c_nationkey", maxDist = 2,
+          maxDf = 64).count())
       // approx-percentile production twin over n× values: GK sketch
       // merge + map-only bucket assign — the exact twin's per-group
       // value buffering is the memory cliff this path exists to avoid

@@ -68,6 +68,63 @@ class EntityResolutionSpec extends AnyFunSuite {
     }
   }
 
+  test("depth-2 neighborhood finds exactly the distance-≤2 pairs") {
+    val recs = Seq(
+      (1L, "acme corp", 7),
+      (2L, "acme c0rp", 7),        // 1–2 dist 1
+      (3L, "acme cor", 7),         // 1–3 dist 1; 2–3 dist 2
+      (4L, "acme co", 7),          // 3–4 dist 1; 1–4 dist 2; 2–4 dist 3
+      (5L, "acme corporation", 7), // ≥ 3 from everything
+      (6L, "acme corp", 9))        // other block
+      .toDF("id", "name", "blk")
+    val got = EntityResolution.matchPairs(recs, "id", "name", "blk",
+        maxDist = 2)
+      .select("i", "j", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 2),
+      (3L, 4L, 1), (1L, 4L, 2)))
+  }
+
+  test("randomized: depth-2 blocking ≡ quadratic reference") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val recs = (0 until 50).map { i =>
+        val len = 4 + rnd.nextInt(4)
+        val s = (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+        (i.toLong, s, rnd.nextInt(2))
+      }
+      val df = recs.toDF("id", "name", "blk")
+      val got = EntityResolution.matchPairs(df, "id", "name", "blk",
+          maxDist = 2)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      val truth = (for {
+        a <- recs; b <- recs
+        if a._3 == b._3 && a._1 < b._1 && levDist(a._2, b._2) <= 2
+      } yield (a._1, b._1)).toSet
+      assert(got == truth,
+        s"trial $trial: ${(got diff truth).take(3)} extra, " +
+          s"${(truth diff got).take(3)} missing")
+    }
+  }
+
+  test("df-cap drops only hot-variant candidates; capped result is a subset") {
+    // 30 records sharing the template "aaaN" collide on 2-delete
+    // variants like "aa"; a planted distinct pair survives the cap
+    // because its shared variants are cold
+    val recs = ((0 until 30).map(i => (i.toLong, s"aa${('a' + i % 26).toChar}x", 1)) ++
+      Seq((100L, "zqwerty", 1), (101L, "zqwertu", 1))) // dist 1, cold keys
+      .toDF("id", "name", "blk")
+    val uncapped = EntityResolution.matchPairs(recs, "id", "name", "blk",
+        maxDist = 2)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val capped = EntityResolution.matchPairs(recs, "id", "name", "blk",
+        maxDist = 2, maxDf = 8)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(uncapped), "cap must never ADD pairs")
+    assert(capped.contains((100L, 101L)), "cold pair lost to the cap")
+    // the hot template block really was pruned — the cap did something
+    assert(capped.size < uncapped.size)
+  }
+
   private def levDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
