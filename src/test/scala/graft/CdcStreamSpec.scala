@@ -506,6 +506,72 @@ class CdcStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("drift alerting end-to-end: FileTopic → windowed PSI → exactly one alert window") {
+    // Composes the O23 monitoring pattern with the q92 drift algebra
+    // over the real transport twin: events produced into the topic log,
+    // consumed as a stream, binned against static reference deciles,
+    // watermark-windowed counts materialized to a queryable sink, PSI
+    // thresholded into alert rows. One window is planted with a +50
+    // value shift — exactly that window must alarm — and one with a
+    // type the reference never saw — it must surface flagged new_type,
+    // not vanish (the round-5 ADVICE blind spot, proven here e2e).
+    import graft.streaming.{DriftMonitor, FileTopic}
+    val root = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    val topicDir = s"$root/events"
+
+    def ev(ts: String, et: String, v: Double) =
+      (java.sql.Timestamp.valueOf(ts), et, v)
+    // window A (10:00): the reference distribution; window B (10:05):
+    // shifted +50; window B also carries a brand-new event type
+    val events = ((0 until 300).map(i =>
+        ev("2024-01-01 10:00:01", "e", (i % 100).toDouble)) ++
+      (0 until 300).map(i =>
+        ev("2024-01-01 10:05:01", "e", (i % 100) + 50.0)) ++
+      (0 until 40).map(i =>
+        ev("2024-01-01 10:05:02", "born_today", (i % 10).toDouble)))
+      .toDF("ts", "event_type", "value")
+    FileTopic.produce(
+      CdcPipeline.toKafkaRecords(events, "event_type"),
+      topicDir, "events", nPartitions = 2)
+
+    val cuts = Seq(("e", (1 to 9).map(_ * 10.0).toArray)).toDF("et", "cuts")
+    val parsed = FileTopic.source(spark, topicDir)
+      .select(from_json(col("value").cast("string"),
+        org.apache.spark.sql.types.StructType
+          .fromDDL("ts TIMESTAMP, event_type STRING, value DOUBLE")).as("r"))
+      .select("r.*")
+    val q = DriftMonitor.binnedWindowCounts(parsed, cuts,
+        windowLen = "5 minutes", watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("drift_e2e")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val ref = (0 to 9).map(b => ("e", b, 0.1)).toDF("event_type", "bin", "ref_frac")
+    val report = DriftMonitor.psiOf(spark.table("drift_e2e"), ref)
+      .select(col("window.start").cast("string").as("w"),
+        col("event_type"), col("n_events"), col("psi"), col("new_type"))
+      .collect()
+    // of the KNOWN type's two windows, exactly the shifted one alarms
+    val alerts = report.filter(r =>
+      r.getAs[String]("event_type") == "e" && r.getAs[Double]("psi") > 0.25)
+    assert(alerts.length == 1, s"want 1 alert, got ${alerts.toSeq}")
+    assert(alerts(0).getAs[String]("w") == "2024-01-01 10:05:00")
+    assert(alerts(0).getAs[Long]("n_events") == 300L)
+    val quiet = report.filter(r => r.getAs[String]("event_type") == "e" &&
+      r.getAs[String]("w") == "2024-01-01 10:00:00")
+    assert(quiet.length == 1 && quiet(0).getAs[Double]("psi") < 0.05)
+    // the unseen type surfaced — flagged, finite, in its own window
+    val born = report.filter(_.getAs[String]("event_type") == "born_today")
+    assert(born.length == 1, s"new type rows: ${born.toSeq}")
+    assert(born(0).getAs[Boolean]("new_type"))
+    assert(born(0).getAs[String]("w") == "2024-01-01 10:05:00")
+    assert(born(0).getAs[Long]("n_events") == 40L)
+    assert(!born(0).getAs[Double]("psi").isNaN &&
+      !born(0).getAs[Double]("psi").isInfinite)
+    assert(!report.filter(r => r.getAs[String]("event_type") == "e")
+      .exists(_.getAs[Boolean]("new_type")))
+  }
+
   test("FileTopic offsets: log is truth on sidecar loss, caller ordering wins, gaps tolerated") {
     import graft.streaming.FileTopic
     val root = java.nio.file.Files.createTempDirectory("graft_topic2").toString

@@ -537,6 +537,68 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!st3.rewritten) // recovered table is a single file already
   }
 
+  test("compaction swap under concurrent readers: every read is old or new, never a mix") {
+    // Chaos companion to the crash-window spec: while a writer loops
+    // fragment→compact (two staged-dir swaps per iteration), concurrent
+    // readers hammer the table. The swap discipline (staged is a
+    // SIBLING of main, main→retired→delete renames) guarantees the main
+    // dir only ever lists one complete generation, so a reader snapshot
+    // is bit-exact or fails cleanly on the transient no-main window
+    // (which object-store readers retry) — what must NEVER happen is a
+    // silently torn result: partial row count or mixed-generation sum.
+    import graft.sources.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft_chaos").toString + "/t"
+    val n = 20000L
+    val expectSum = n * (n - 1) / 2
+    val df = spark.range(n).toDF("id")
+    df.repartition(16).write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val main = new org.apache.hadoop.fs.Path(dir)
+    val staged = Compaction.stagedPath(main)
+
+    @volatile var churning = true
+    @volatile var writerErr: Throwable = null
+    val writer = new Thread(() => {
+      try {
+        for (_ <- 1 to 5) {
+          // re-fragment through the SAME swap discipline (a raw
+          // overwrite of main would itself be the torn-read bug)
+          spark.read.parquet(dir).repartition(16)
+            .write.parquet(staged.toString)
+          Compaction.swapIn(fs, main)
+          Compaction.compactParquet(spark, dir, targetBytes = 1L << 26)
+        }
+      } catch { case t: Throwable => writerErr = t }
+      finally churning = false
+    })
+    var ok = 0
+    var transient = 0
+    writer.start()
+    try {
+      while (churning) {
+        try {
+          val r = spark.read.parquet(dir).agg(count(lit(1)), sum(col("id")))
+            .head()
+          assert(r.getLong(0) == n && r.getLong(1) == expectSum,
+            s"TORN READ: count=${r.getLong(0)} sum=${r.getLong(1)}")
+          ok += 1
+        } catch {
+          case e: Throwable
+            if { val m = String.valueOf(e.getMessage) +
+                   String.valueOf(e.getCause)
+                 m.contains("FileNotFound") || m.contains("does not exist") ||
+                   m.contains("REFRESH") || m.contains("PATH_NOT_FOUND") } =>
+            transient += 1 // the documented retry window, never a mix
+        }
+      }
+    } finally writer.join()
+    assert(writerErr == null, s"writer failed: $writerErr")
+    assert(ok >= 5, s"only $ok clean reads during churn ($transient transient)")
+    // final state intact
+    assert(spark.read.parquet(dir).count() == n)
+  }
+
   test("Scd2.history: updates chain intervals, deletes close without opening") {
     // key a: insert@10, update@20, delete@30, re-insert@40 (still open)
     // key b: single insert@15, never touched — open from the start
