@@ -534,6 +534,34 @@ object LlmQueries {
         WHERE ${duckHex32("'keep:' || doc_id")} % 10000 < 1000
         ORDER BY doc_id""")),
 
+    // Mixture sampling to target language proportions (en 50% / zh 20%
+    // / de 15% / fr 10% / es 5%): the largest total N whose per-group
+    // needs fit availability, exact hash-rank takes per group. The
+    // oracle replays the BIGINT sizing chain (caps → min → takes) and
+    // the rank selection verbatim.
+    GQuery("sample_mixture",
+      (s, d) => Sampling.mixtureSample(Tables(s, d, "documents"),
+          "doc_id", "lang", "mix",
+          Seq("en" -> 5000, "zh" -> 2000, "de" -> 1500,
+            "fr" -> 1000, "es" -> 500))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("lang"), col("doc_id")),
+      Some(s"""WITH wt(lang, w) AS (VALUES
+          ('en', 5000), ('zh', 2000), ('de', 1500), ('fr', 1000), ('es', 500)),
+        caps AS (
+          SELECT lang, w, n, n * 10000 // w AS cap
+          FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+          JOIN wt USING (lang)),
+        nmax AS (SELECT min(cap) AS nm FROM caps),
+        tgt AS (SELECT lang, nm * w // 10000 AS take FROM caps, nmax),
+        r AS (
+          SELECT doc_id, documents.lang AS lang, take,
+            row_number() OVER (PARTITION BY documents.lang
+              ORDER BY ${duckHex32("'mix:' || doc_id")} % 10000, doc_id) AS rk
+          FROM documents JOIN tgt ON documents.lang = tgt.lang)
+        SELECT doc_id, lang FROM r WHERE rk <= take
+        ORDER BY lang, doc_id""")),
+
     // Exact 5% per event_type, chosen by hash rank within the stratum —
     // per-group fraction is exact (ceil), assignment still deterministic.
     GQuery("sample_stratified",

@@ -100,6 +100,49 @@ object Sampling {
       .drop("__bps")
   }
 
+  /** Mixture sampling toward TARGET proportions — the "data mixing"
+    * step of a pretraining corpus build (web 60% / code 20% / books
+    * 20%): find the LARGEST total N whose per-group needs fit the
+    * available counts, then take exactly floor(N·w_g/10000) rows per
+    * group, chosen by hash rank (deterministic, partition-invariant,
+    * stable under reruns). Groups without a weight are dropped.
+    *
+    * All sizing is BIGINT arithmetic in-plan (no float division, no
+    * driver-side counts): N = min_g floor(avail_g·10000/w_g) via a
+    * group-count aggregate joined to the literal weight table, with the
+    * 1-row min broadcast back. The per-group rank window parallelizes
+    * across groups; a hot group is one sort partition (the
+    * [[stratifiedSample]] trade — strata are the caller's enum).
+    * Exactness of per-group takes makes the whole op oracle-replayable.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
+                    salt: String, weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum == 10000 &&
+      weights.forall(_._2 > 0),
+      s"weights must be positive basis points summing to 10000: $weights")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wtab = weights.toDF(groupCol, "__w")
+    // the global-min window runs over ≤ |groups| rows (the caller's
+    // bounded enum) — a single-partition frame of metadata, not data;
+    // it also avoids the crossJoin-of-derived-frame self-join that
+    // trips conflicting-reference resolution
+    val targets = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .join(broadcast(wtab), groupCol)
+      .withColumn("__cap", expr("__n * 10000 DIV __w"))
+      .withColumn("__nm",
+        min(col("__cap")).over(Window.partitionBy()))
+      .withColumn("__take", expr("__nm * __w DIV 10000"))
+      .select(col(groupCol), col("__take"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(idCol), salt), col(idCol))
+    df.join(broadcast(targets), groupCol)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__take"))
+      .drop("__rk", "__take")
+  }
+
   /** Deterministic uniform negative sampling for contrastive training:
     * `k` pseudo-random negatives per anchor over a DENSE id domain
     * [0, n) — negative j of anchor a is `md5(salt:a:j) mod n`, with a

@@ -332,6 +332,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == Set(4L), s"only the multi-token doc scores: $got")
   }
 
+  test("mixtureSample hits exact per-group targets, deterministic, weight-gated") {
+    import graft.ops.Sampling
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "lang")
+    val weights = Seq("en" -> 5000, "zh" -> 2000, "de" -> 1500,
+      "fr" -> 1000, "es" -> 500)
+    val got = Sampling.mixtureSample(docs, "doc_id", "lang", "mix", weights)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // closed-form: N = min_g floor(avail*10000/w); take_g = floor(N*w/10000)
+    val avail = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val n = weights.map { case (g, w) => avail(g) * 10000L / w }.min
+    weights.foreach { case (g, w) =>
+      assert(got(g) == n * w / 10000L, s"group $g: ${got(g)}")
+      assert(got(g) <= avail(g))
+    }
+    // the realized mix tracks the target proportions (within the floor
+    // quantum of the smallest group)
+    val total = got.values.sum.toDouble
+    weights.foreach { case (g, w) =>
+      assert(math.abs(got(g) / total - w / 10000.0) < 0.01,
+        s"group $g mix ${got(g) / total} vs target ${w / 10000.0}")
+    }
+    // partition-invariant: same kept set under a different layout
+    val a = Sampling.mixtureSample(docs, "doc_id", "lang", "mix", weights)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.mixtureSample(docs.repartition(13), "doc_id", "lang",
+        "mix", weights)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // groups without a weight are dropped entirely
+    val partial = Sampling.mixtureSample(docs, "doc_id", "lang", "mix",
+      Seq("en" -> 9000, "de" -> 1000))
+    assert(partial.select("lang").distinct().as[String].collect().toSet ==
+      Set("en", "de"))
+  }
+
   test("rebalanceUniform: every group thinned toward the min, deterministic") {
     import graft.ops.Sampling
     val df = (0 until 900).map(i =>
