@@ -126,4 +126,35 @@ object Cluster {
     connectedComponents(pairs)
       .select(col("node").as("doc_id"), col("cluster"),
         (col("node") === col("cluster")).cast("int").as("keep"))
+
+  /** Canonical-member selection: per near-dup cluster, the member with
+    * the best quality score — the curation step that follows
+    * clustering (min-id `keep` treats all duplicates as equal; real
+    * pipelines keep the cleanest copy and drop the rest). `quality` is
+    * any (id, score) frame, e.g. TextAnalysis.quality's quality_score.
+    *
+    * The ranking key is the floor-quantized micro-unit BIGINT of the
+    * score (the repo-wide cross-engine contract — round()/raw-double
+    * ranks flip between engines at rendering boundaries), with the id
+    * as tiebreak. The per-cluster window parallelizes across clusters;
+    * a cluster is a near-dup family, inherently small next to the
+    * corpus.
+    */
+  def keepBest(clusters: DataFrame, quality: DataFrame,
+               idCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = clusters
+      .join(quality.select(col(idCol).as("__qid"),
+          floor(col(scoreCol) * 1e6).as("__qu")),
+        col("doc_id") === col("__qid"))
+    val w = Window.partitionBy(col("cluster"))
+    scored
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col("__qu").desc, col("doc_id"))))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col("doc_id").as("best_id"),
+        (col("__qu").cast("double") / 1e6).as("best_quality"),
+        col("__n").as("n_members"))
+  }
 }

@@ -197,6 +197,61 @@ object Dedup {
         (floor(col("jaccard") * 1e6).cast("double") / 1e6).as("jaccard"))
   }
 
+  /** Persist the inverted shingle index — the corpus side of
+    * [[jaccardAgainstCorpus]] made into what production actually runs:
+    * the corpus is shingled ONCE by an offline job (df-cap applied at
+    * build time), and every ingest batch joins against the finished
+    * postings instead of re-deriving them. Layout mirrors
+    * [[Similarity.ivfWriteIndex]]: directory-partitioned by a hash
+    * bucket of the shingle (one exchange → one file per bucket), so a
+    * SMALL probe's bucket filter prunes at the file level, and
+    * per-bucket compaction/maintenance composes with the CDC sink's
+    * discipline. Postings keep the shingle STRING (parquet
+    * dictionary-encodes the repetition away) because `common` counts
+    * must be exact — an 8-byte hashed key would let a collision
+    * inflate a pair's intersection.
+    */
+  def writeShingleIndex(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, indexPath: String, nBuckets: Int = 64,
+                        maxDf: Int = Int.MaxValue): Unit = {
+    invertedIndex(df, idCol, textCol, n, maxDf)
+      .withColumn("bucket", pmod(xxhash64(col("s")), lit(nBuckets)).cast("int"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(indexPath)
+  }
+
+  /** Jaccard near-dup pairs of a NEW batch against a PERSISTED corpus
+    * index ([[writeShingleIndex]]): the batch is shingled live (its own
+    * size/df accounting), the corpus side is read pre-shingled, and the
+    * probed bucket ids are pushed as a static partition filter — ≤
+    * nBuckets ints driver-side, the IVF-probe pattern. Per-side df-caps
+    * are the production semantics (the index was capped at build time;
+    * the batch caps itself) — mirrored exactly by the oracle of
+    * `dedup_incremental_indexed`.
+    */
+  def jaccardAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, batch: DataFrame,
+                          idCol: String, textCol: String, n: Int,
+                          threshold: Double, nBuckets: Int = 64,
+                          maxDf: Int = Int.MaxValue): DataFrame = {
+    val bsh = invertedIndex(batch, idCol, textCol, n, maxDf)
+      .withColumn("bucket", pmod(xxhash64(col("s")), lit(nBuckets)).cast("int"))
+    val touched = bsh.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(indexPath)
+      .filter(col("bucket").isin(touched: _*))
+      .select(col("doc").as("jdoc"), col("s").as("js"), col("n_sh").as("nj"))
+    bsh.join(corpus, col("s") === col("js"))
+      .groupBy(col("doc").as("i"), col("jdoc").as("j"),
+        col("n_sh").as("ni"), col("nj"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("ni") + col("nj") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"),
+        (floor(col("jaccard") * 1e6).cast("double") / 1e6).as("jaccard"))
+  }
+
   /** Per-permutation shingle hash for the md5-twin variants: the first 8
     * hex chars of md5("i s") as a 32-bit value. Twice the cost of
     * xxhash64 and half the bits — the production path stays xxhash64; the

@@ -55,6 +55,27 @@ object LlmQueries {
     }))
   }
 
+  /** One persisted shingle index per dataset dir per JVM (the corpus
+    * side of incremental dedup, built by an "offline job" once) — same
+    * memoize-and-cleanup story as the IVF index: the registered query
+    * times the PROBE path, which is what runs per ingest.
+    */
+  private val shingleIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def shingleIndexFor(datasetDir: String,
+                              corpus: org.apache.spark.sql.DataFrame): String = {
+    ivfCleanupHook
+    shingleIndexCache.computeIfAbsent(datasetDir, _ => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_shingle_idx").toString + "/index"
+      Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx,
+        maxDf = shingleMaxDf)
+      ivfIndexCache.put(s"shingle:$datasetDir", idx) // reuse the cleanup walk
+      idx
+    })
+  }
+
   private def ivfIndexFor(datasetDir: String,
                           emb: org.apache.spark.sql.DataFrame): String = {
     ivfCleanupHook
@@ -211,6 +232,46 @@ object LlmQueries {
         SELECT i, j, CAST(CAST(floor(jc * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS jaccard FROM jac
         WHERE jc >= 0.8 ORDER BY i, j""")),
 
+    // The PERSISTED-index form of incremental dedup: corpus postings
+    // pre-shingled and df-capped at index-build time (offline job,
+    // memoized per JVM), batch shingled live, probe = equi-join against
+    // the index with bucket ids pushed as a partition filter. Per-SIDE
+    // df-caps are the real production semantics (an index cannot know
+    // future batches) — the oracle replays both sides' shingling and
+    // caps independently, unlike dedup_incremental's whole-table cap.
+    GQuery("dedup_incremental_indexed",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val idx = shingleIndexFor(d, docs.filter(col("doc_id") % 10 =!= 0))
+        Dedup.jaccardAgainstIndex(s, idx,
+            docs.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text", n = 3, threshold = 0.8, maxDf = shingleMaxDf)
+          .orderBy(col("i"), col("j"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM documents),
+        sh0 AS (
+          SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i)),
+        bat0 AS (SELECT * FROM sh0 WHERE doc_id % 10 = 0),
+        cor0 AS (SELECT * FROM sh0 WHERE doc_id % 10 <> 0),
+        bhot AS (SELECT s FROM bat0 GROUP BY s HAVING count(*) > $shingleMaxDf),
+        chot AS (SELECT s FROM cor0 GROUP BY s HAVING count(*) > $shingleMaxDf),
+        bat AS (SELECT bat0.* FROM bat0 ANTI JOIN bhot USING (s)),
+        cor AS (SELECT cor0.* FROM cor0 ANTI JOIN chot USING (s)),
+        bcnt AS (SELECT doc_id, count(*) AS n FROM bat GROUP BY 1),
+        ccnt AS (SELECT doc_id, count(*) AS n FROM cor GROUP BY 1),
+        pairs AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+          FROM bat a JOIN cor b ON a.s = b.s
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT i, j, common::DOUBLE / (ca.n + cb.n - common) AS jc
+          FROM pairs JOIN bcnt ca ON ca.doc_id = i JOIN ccnt cb ON cb.doc_id = j)
+        SELECT i, j, CAST(CAST(floor(jc * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS jaccard
+        FROM jac WHERE jc >= 0.8 ORDER BY i, j""")),
+
     // Pairwise near-dup verdicts → per-document cluster assignment +
     // canonical-member choice (connected components via hash-min label
     // propagation — ops/Cluster.scala). The oracle closes the same pair
@@ -239,6 +300,61 @@ object LlmQueries {
         SELECT node AS doc_id, least(node, min(r)) AS cluster,
                CAST(least(node, min(r)) = node AS INT) AS keep
         FROM reach GROUP BY node ORDER BY doc_id""")),
+
+    // Canonical selection: clustering only GROUPS duplicates; curation
+    // keeps the cleanest member of each group and drops the rest. Per
+    // cluster, argmax of the Gopher-style quality score on a
+    // floor-quantized micro-unit key (id tiebreak) — the oracle replays
+    // clustering (recursive CTE), the quality formula, and the argmax.
+    GQuery("dedup_keep_best",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        Cluster.keepBest(
+            Cluster.dedupClusters(
+              Dedup.jaccardPairs(docs, "doc_id", "text",
+                n = 3, threshold = 0.8, maxDf = shingleMaxDf)
+                .select("i", "j")),
+            TextAnalysis.quality(docs, "text"),
+            "doc_id", "quality_score")
+          .orderBy(col("cluster"))
+      },
+      Some(s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        pairs AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT i, j, common::DOUBLE / (ca.n + cb.n - common) AS jc
+          FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j),
+        e0 AS (SELECT i, j FROM jac WHERE jc >= 0.8),
+        e AS (SELECT i AS a, j AS b FROM e0 UNION SELECT j, i FROM e0),
+        reach(node, r) AS (
+          SELECT a, b FROM e
+          UNION
+          SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a),
+        cl AS (SELECT node AS doc_id, least(node, min(r)) AS cluster
+          FROM reach GROUP BY node),
+        qr AS (SELECT doc_id, length(text) AS chars,
+          len(list_filter(string_split(text, ' '), x -> x <> '')) AS toks,
+          length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
+          length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+          FROM documents),
+        q AS (SELECT doc_id,
+          (1.0 - CASE WHEN chars > 0 THEN punct::DOUBLE / chars ELSE 0.0 END)
+            * (1.0 - CASE WHEN chars > 0 THEN digits::DOUBLE / chars ELSE 0.0 END)
+            * least(1.0, toks::DOUBLE / 20.0) AS qs
+          FROM qr),
+        scored AS (SELECT cl.cluster, cl.doc_id,
+            CAST(floor(q.qs * 1e6) AS BIGINT) AS qu
+          FROM cl JOIN q USING (doc_id)),
+        r AS (SELECT cluster, doc_id, qu,
+            row_number() OVER (PARTITION BY cluster
+              ORDER BY qu DESC NULLS LAST, doc_id) AS rn,
+            count(*) OVER (PARTITION BY cluster) AS n_members
+          FROM scored)
+        SELECT cluster, doc_id AS best_id, CAST(qu AS DOUBLE) / 1e6 AS best_quality,
+          CAST(n_members AS BIGINT) AS n_members
+        FROM r WHERE rn = 1 ORDER BY cluster""")),
 
     // Embedding-cosine near-dup, exact all-pairs (oracle-checked). The
     // 0.4 threshold is tuned to this synthetic corpus (near-orthogonal

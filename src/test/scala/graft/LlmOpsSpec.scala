@@ -117,6 +117,44 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == mem, s"indexed path diverged: ${(got diff mem).take(5)} vs ${(mem diff got).take(5)}")
   }
 
+  test("persisted shingle index: probe equals ground truth, buckets prune") {
+    import graft.ops.Dedup
+    // planted: batch doc 0 is a near-dup of corpus doc 1 (one token
+    // changed over 20), far from doc 3; doc 5 is a corpus-only dup pair
+    // partner that must NOT appear (index excludes the batch)
+    def text(seed: Int) = (0 until 20).map(i => s"w${seed}_$i").mkString(" ")
+    // change a MIDDLE token: it sits in three 3-gram windows, so the
+    // edit kills exactly 3 of the 18 shingles
+    val nearDup = text(1).replace("w1_10 ", "CHANGED ")
+    val corpus = Seq((1L, text(1)), (3L, text(3)), (5L, text(5)))
+      .toDF("doc_id", "text")
+    val batch = Seq((0L, nearDup), (10L, text(10))).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_shidx").toString + "/index"
+    Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx,
+      nBuckets = 16)
+    val dirs = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(idx))
+        .iterator.asScala.map(_.getFileName.toString).toSet
+    }
+    assert(dirs.exists(_.startsWith("bucket=")), s"layout: $dirs")
+    val probed = Dedup.jaccardAgainstIndex(spark, idx, batch,
+      "doc_id", "text", n = 3, threshold = 0.5, nBuckets = 16)
+    // partition-level pruning is plumbed exactly like the IVF probe
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      ".*PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"no bucket partition filter in plan:\n$plan")
+    val got = probed.select("i", "j", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    // ground truth: 3-gram sets of 20 tokens = 18 shingles; one changed
+    // token kills 3 of them → |∩| = 15, union = 21, J = 15/21 ≈ 0.714
+    assert(got.toSeq.map(t => (t._1, t._2)) == Seq((0L, 1L)),
+      s"pairs: ${got.toSeq}")
+    assert(math.abs(got(0)._3 - 15.0 / 21.0) < 1e-6)
+  }
+
   test("IVF sampled-fit quantizer (maxFit < corpus) keeps recall") {
     // the 100 TB contract: the KMeans fit sees a bounded sample, never
     // the corpus — recall must survive training on 1/5th of the vectors
@@ -330,6 +368,22 @@ class LlmOpsSpec extends AnyFunSuite {
     val got = TextAnalysis.bigramSurprisal(docs, "doc_id", "text")
       .select("doc").as[Long].collect().toSet
     assert(got == Set(4L), s"only the multi-token doc scores: $got")
+  }
+
+  test("keepBest: per-cluster quality argmax with id tiebreak") {
+    import graft.ops.Cluster
+    val clusters = Seq((1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0),
+      (7L, 7L, 1), (9L, 7L, 0)).toDF("doc_id", "cluster", "keep")
+    val quality = Seq((1L, 0.30), (2L, 0.90), (3L, 0.90),
+      (7L, 0.50), (9L, 0.10)).toDF("doc_id", "quality_score")
+    val got = Cluster.keepBest(clusters, quality, "doc_id", "quality_score")
+      .collect().map(r => r.getAs[Long]("cluster") ->
+        ((r.getAs[Long]("best_id"), r.getAs[Double]("best_quality"),
+          r.getAs[Long]("n_members")))).toMap
+    // cluster 1: 2 and 3 tie at 0.90 — lower id wins; NOT the min-id
+    // member 1 (quality 0.30), which plain `keep` would have chosen
+    assert(got(1L) == ((2L, 0.9, 3L)))
+    assert(got(7L) == ((7L, 0.5, 2L)))
   }
 
   test("mixtureSample hits exact per-group targets, deterministic, weight-gated") {
