@@ -211,30 +211,50 @@ object Dedup {
     * must be exact — an 8-byte hashed key would let a collision
     * inflate a pair's intersection.
     */
+  private def hotSidecar(indexPath: String) = s"$indexPath/_graft_hot"
+
   def writeShingleIndex(df: DataFrame, idCol: String, textCol: String,
                         n: Int, indexPath: String, nBuckets: Int = 64,
                         maxDf: Int = Int.MaxValue): Unit = {
-    invertedIndex(df, idCol, textCol, n, maxDf)
+    // The hot list is PERSISTED alongside the postings (underscore
+    // sidecar, invisible to reads of the index root) because it is the
+    // single source of truth for "too common": a probe batch is a small
+    // sample, so its batch-local dfs say nothing about corpus
+    // frequency. Measured failure mode of per-side capping: at sf0.1 a
+    // template shingle with corpus df > maxDf stays in a 10%-sized
+    // batch (batch df ≤ maxDf), inflating every ni with shingles the
+    // index can never match — every jaccard tanks and the probe finds
+    // ZERO pairs. Both sides must filter by the SAME (index-side) list.
+    val all = shingles(df, idCol, textCol, n, Int.MaxValue)
+    val hot = all.groupBy("s").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select("s")
+    import org.apache.spark.sql.expressions.Window
+    all.join(hot, Seq("s"), "left_anti")
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
       .withColumn("bucket", pmod(xxhash64(col("s")), lit(nBuckets)).cast("int"))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(indexPath)
+    hot.coalesce(1).write.mode("overwrite").parquet(hotSidecar(indexPath))
   }
 
   /** Jaccard near-dup pairs of a NEW batch against a PERSISTED corpus
-    * index ([[writeShingleIndex]]): the batch is shingled live (its own
-    * size/df accounting), the corpus side is read pre-shingled, and the
-    * probed bucket ids are pushed as a static partition filter — ≤
-    * nBuckets ints driver-side, the IVF-probe pattern. Per-side df-caps
-    * are the production semantics (the index was capped at build time;
-    * the batch caps itself) — mirrored exactly by the oracle of
+    * index ([[writeShingleIndex]]): the batch is shingled live and
+    * filtered by the INDEX's persisted hot list (see writeShingleIndex
+    * for why batch-local df-capping is wrong), the corpus side is read
+    * pre-shingled, and the probed bucket ids are pushed as a static
+    * partition filter — ≤ nBuckets ints driver-side, the IVF-probe
+    * pattern. Mirrored exactly by the oracle of
     * `dedup_incremental_indexed`.
     */
   def jaccardAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                           indexPath: String, batch: DataFrame,
                           idCol: String, textCol: String, n: Int,
-                          threshold: Double, nBuckets: Int = 64,
-                          maxDf: Int = Int.MaxValue): DataFrame = {
-    val bsh = invertedIndex(batch, idCol, textCol, n, maxDf)
+                          threshold: Double, nBuckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hot = spark.read.parquet(hotSidecar(indexPath))
+    val bsh = shingles(batch, idCol, textCol, n, Int.MaxValue)
+      .join(hot, Seq("s"), "left_anti") // tiny hot list — AQE broadcasts
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
       .withColumn("bucket", pmod(xxhash64(col("s")), lit(nBuckets)).cast("int"))
     val touched = bsh.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq

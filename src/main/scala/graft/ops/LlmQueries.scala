@@ -234,18 +234,19 @@ object LlmQueries {
 
     // The PERSISTED-index form of incremental dedup: corpus postings
     // pre-shingled and df-capped at index-build time (offline job,
-    // memoized per JVM), batch shingled live, probe = equi-join against
-    // the index with bucket ids pushed as a partition filter. Per-SIDE
-    // df-caps are the real production semantics (an index cannot know
-    // future batches) — the oracle replays both sides' shingling and
-    // caps independently, unlike dedup_incremental's whole-table cap.
+    // memoized per JVM), batch shingled live and filtered by the
+    // INDEX's persisted hot list (the index is the source of truth for
+    // "too common" — a 10%-sized batch's local dfs are meaningless),
+    // probe = equi-join against the index with bucket ids pushed as a
+    // partition filter. The oracle replays the corpus-side cap applied
+    // to BOTH sides.
     GQuery("dedup_incremental_indexed",
       (s, d) => {
         val docs = Tables(s, d, "documents")
         val idx = shingleIndexFor(d, docs.filter(col("doc_id") % 10 =!= 0))
         Dedup.jaccardAgainstIndex(s, idx,
             docs.filter(col("doc_id") % 10 === 0),
-            "doc_id", "text", n = 3, threshold = 0.8, maxDf = shingleMaxDf)
+            "doc_id", "text", n = 3, threshold = 0.8)
           .orderBy(col("i"), col("j"))
       },
       Some(s"""WITH toks AS (
@@ -256,9 +257,8 @@ object LlmQueries {
           FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i)),
         bat0 AS (SELECT * FROM sh0 WHERE doc_id % 10 = 0),
         cor0 AS (SELECT * FROM sh0 WHERE doc_id % 10 <> 0),
-        bhot AS (SELECT s FROM bat0 GROUP BY s HAVING count(*) > $shingleMaxDf),
         chot AS (SELECT s FROM cor0 GROUP BY s HAVING count(*) > $shingleMaxDf),
-        bat AS (SELECT bat0.* FROM bat0 ANTI JOIN bhot USING (s)),
+        bat AS (SELECT bat0.* FROM bat0 ANTI JOIN chot USING (s)),
         cor AS (SELECT cor0.* FROM cor0 ANTI JOIN chot USING (s)),
         bcnt AS (SELECT doc_id, count(*) AS n FROM bat GROUP BY 1),
         ccnt AS (SELECT doc_id, count(*) AS n FROM cor GROUP BY 1),

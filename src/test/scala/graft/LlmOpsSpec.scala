@@ -117,28 +117,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == mem, s"indexed path diverged: ${(got diff mem).take(5)} vs ${(mem diff got).take(5)}")
   }
 
-  test("persisted shingle index: probe equals ground truth, buckets prune") {
+  test("persisted shingle index: probe equals ground truth, hot list governs both sides, buckets prune") {
     import graft.ops.Dedup
-    // planted: batch doc 0 is a near-dup of corpus doc 1 (one token
-    // changed over 20), far from doc 3; doc 5 is a corpus-only dup pair
-    // partner that must NOT appear (index excludes the batch)
-    def text(seed: Int) = (0 until 20).map(i => s"w${seed}_$i").mkString(" ")
-    // change a MIDDLE token: it sits in three 3-gram windows, so the
-    // edit kills exactly 3 of the 18 shingles
-    val nearDup = text(1).replace("w1_10 ", "CHANGED ")
-    val corpus = Seq((1L, text(1)), (3L, text(3)), (5L, text(5)))
+    // planted: batch doc 0 is a near-dup of corpus doc 1's BODY (one
+    // middle token changed over 20 — it sits in three 3-gram windows,
+    // killing exactly 3 of the 18 body shingles); corpus docs and batch
+    // doc 10 share a 5-token boilerplate prefix whose pure shingles
+    // have corpus df 3 > maxDf 2 → the persisted hot list must drop
+    // them from BOTH sides, so doc 10 (boilerplate-only overlap) yields
+    // NO pair instead of a spurious one
+    val boiler = "standard copyright header boilerplate line"
+    def body(seed: Int) = (0 until 20).map(i => s"w${seed}_$i").mkString(" ")
+    val nearDup = body(1).replace("w1_10 ", "CHANGED ")
+    val corpus = Seq((1L, s"$boiler ${body(1)}"), (3L, s"$boiler ${body(3)}"),
+      (5L, s"$boiler ${body(5)}")).toDF("doc_id", "text")
+    val batch = Seq((0L, nearDup), (10L, s"$boiler ${body(10)}"))
       .toDF("doc_id", "text")
-    val batch = Seq((0L, nearDup), (10L, text(10))).toDF("doc_id", "text")
     val idx = java.nio.file.Files
       .createTempDirectory("graft_shidx").toString + "/index"
     Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx,
-      nBuckets = 16)
+      nBuckets = 16, maxDf = 2)
     val dirs = {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.list(java.nio.file.Paths.get(idx))
         .iterator.asScala.map(_.getFileName.toString).toSet
     }
     assert(dirs.exists(_.startsWith("bucket=")), s"layout: $dirs")
+    assert(dirs.contains("_graft_hot"), s"hot sidecar missing: $dirs")
     val probed = Dedup.jaccardAgainstIndex(spark, idx, batch,
       "doc_id", "text", n = 3, threshold = 0.5, nBuckets = 16)
     // partition-level pruning is plumbed exactly like the IVF probe
@@ -148,11 +153,13 @@ class LlmOpsSpec extends AnyFunSuite {
       s"no bucket partition filter in plan:\n$plan")
     val got = probed.select("i", "j", "jaccard")
       .as[(Long, Long, Double)].collect()
-    // ground truth: 3-gram sets of 20 tokens = 18 shingles; one changed
-    // token kills 3 of them → |∩| = 15, union = 21, J = 15/21 ≈ 0.714
+    // ground truth with the hot filter: doc 1 keeps 18 body + 2 bridge
+    // shingles (nj = 20; the 3 pure-boilerplate shingles are hot),
+    // doc 0 has ni = 18, |∩| = 15 → J = 15/(18+20−15) = 15/23 ≈ 0.652.
+    // Doc 10 must be absent — its only corpus overlap was boilerplate.
     assert(got.toSeq.map(t => (t._1, t._2)) == Seq((0L, 1L)),
       s"pairs: ${got.toSeq}")
-    assert(math.abs(got(0)._3 - 15.0 / 21.0) < 1e-6)
+    assert(math.abs(got(0)._3 - math.floor(15.0 / 23.0 * 1e6) / 1e6) < 1e-9)
   }
 
   test("IVF sampled-fit quantizer (maxFit < corpus) keeps recall") {
