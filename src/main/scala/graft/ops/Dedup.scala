@@ -237,6 +237,32 @@ object Dedup {
     hot.coalesce(1).write.mode("overwrite").parquet(hotSidecar(indexPath))
   }
 
+  /** Append an ingested batch's postings to a persisted index — the
+    * write half of the per-ingest loop (probe first, then append, so
+    * the NEXT batch sees this one). Batch shingles are filtered by the
+    * index's CURRENT hot list and n_sh is computed post-filter, keeping
+    * appended rows consistent with probe semantics. The hot list itself
+    * is only refreshed by a periodic full [[writeShingleIndex]] rebuild
+    * (the compaction-style maintenance job): exact incremental df
+    * upkeep would need per-shingle counters, and a between-rebuilds
+    * drift can only UNDER-cap (a newly-hot shingle lingers until the
+    * rebuild), which costs probe work, never correctness of the
+    * reported pairs.
+    */
+  def appendToShingleIndex(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, batch: DataFrame,
+                           idCol: String, textCol: String, n: Int,
+                           nBuckets: Int = 64): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val hot = spark.read.parquet(hotSidecar(indexPath))
+    shingles(batch, idCol, textCol, n, Int.MaxValue)
+      .join(hot, Seq("s"), "left_anti")
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
+      .withColumn("bucket", pmod(xxhash64(col("s")), lit(nBuckets)).cast("int"))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(indexPath)
+  }
+
   /** Jaccard near-dup pairs of a NEW batch against a PERSISTED corpus
     * index ([[writeShingleIndex]]): the batch is shingled live and
     * filtered by the INDEX's persisted hot list (see writeShingleIndex

@@ -162,6 +162,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(got(0)._3 - math.floor(15.0 / 23.0 * 1e6) / 1e6) < 1e-9)
   }
 
+  test("ingest loop: probe then append — later batches see earlier ones") {
+    import graft.ops.Dedup
+    def body(seed: Int) = (0 until 20).map(i => s"v${seed}_$i").mkString(" ")
+    val corpusA = Seq((1L, body(1)), (2L, body(2))).toDF("doc_id", "text")
+    val batchB = Seq((10L, body(10))).toDF("doc_id", "text")
+    // batch C doc 20 is a near-dup of BATCH B's doc 10, not of corpus A
+    val batchC = Seq((20L, body(10).replace("v10_10 ", "EDIT ")))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_shidx2").toString + "/index"
+    Dedup.writeShingleIndex(corpusA, "doc_id", "text", n = 3, idx,
+      nBuckets = 8)
+    def probe(b: org.apache.spark.sql.DataFrame) =
+      Dedup.jaccardAgainstIndex(spark, idx, b, "doc_id", "text", n = 3,
+          threshold = 0.5, nBuckets = 8)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+    // ingest B: no dup against A, then append
+    assert(probe(batchB).isEmpty)
+    Dedup.appendToShingleIndex(spark, idx, batchB, "doc_id", "text",
+      n = 3, nBuckets = 8)
+    // ingest C: its near-dup partner arrived in the PREVIOUS batch —
+    // the probe must find it because the append made B part of the index
+    assert(probe(batchC) == Set((20L, 10L)))
+  }
+
   test("IVF sampled-fit quantizer (maxFit < corpus) keeps recall") {
     // the 100 TB contract: the KMeans fit sees a bounded sample, never
     // the corpus — recall must survive training on 1/5th of the vectors
