@@ -442,6 +442,54 @@ object LlmQueries {
             / (count(*) * 1e6) AS mean_cos
         FROM cosr GROUP BY source ORDER BY source""")),
 
+    // Embedding hygiene, L2 normalization: component / ||v|| — the
+    // precondition FAISS-style cosine≡dot search assumes. Map-only;
+    // exploded scalar rows so the oracle hashes raw bit-exact doubles
+    // (sequential fold, one sqrt, one division — both engines agree).
+    // The %25 subset keeps the dump row count civilized.
+    GQuery("embed_normalize_l2",
+      (s, d) => Embeddings.normalizeL2(
+          Tables(s, d, "embeddings").filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding")
+        .orderBy(col("vec_id"), col("dim")),
+      Some("""SELECT vec_id, CAST(g.i - 1 AS INT) AS dim,
+          CASE WHEN nrm = 0.0 THEN 0.0
+               ELSE CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) / nrm
+          END AS x_n
+        FROM (
+          SELECT vec_id, embedding,
+            sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (acc, x) -> acc + x)) AS nrm
+          FROM embeddings WHERE vec_id % 25 = 0),
+          LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+        ORDER BY vec_id, dim""")),
+
+    // Embedding hygiene, mean-centering (anisotropy removal): exact
+    // fixed-point per-dimension means (micro-unit BIGINT sums, the
+    // k-means update contract) broadcast onto a map-only subtract.
+    GQuery("embed_center",
+      (s, d) => Embeddings.center(
+          Tables(s, d, "embeddings").filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding")
+        .orderBy(col("vec_id"), col("dim")),
+      Some("""WITH sub AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+        comp AS (
+          SELECT CAST(g.i - 1 AS INT) AS dim,
+            CAST(SUM(CAST(floor(CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) * 1e6)
+              AS BIGINT)) AS DOUBLE) / (count(*) * 1e6) AS mean
+          FROM sub,
+            LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+          GROUP BY 1)
+        SELECT vec_id, CAST(g.i - 1 AS INT) AS dim,
+          CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) - comp.mean AS x_c
+        FROM sub,
+          LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+        JOIN comp ON comp.dim = CAST(g.i - 1 AS INT)
+        ORDER BY vec_id, dim""")),
+
     GQuery("sim_topk_bruteforce",
       (s, d) => {
         val emb = Tables(s, d, "embeddings")

@@ -162,6 +162,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(got(0)._3 - math.floor(15.0 / 23.0 * 1e6) / 1e6) < 1e-9)
   }
 
+  test("embedding hygiene: normalized vectors are unit-length, centering zeroes the means") {
+    import graft.ops.Embeddings
+    val emb = Tables(spark, sfDir, "embeddings").limit(200)
+    val n = Embeddings.normalizeL2(emb, "vec_id", "embedding")
+    // ||v_n|| = 1 per vector (up to fp), and direction is preserved
+    val norms = n.groupBy("vec_id")
+      .agg(sum(col("x_n") * col("x_n")).as("n2"))
+      .select("n2").as[Double].collect()
+    assert(norms.nonEmpty)
+    norms.foreach(v => assert(math.abs(v - 1.0) < 1e-9, s"norm² $v"))
+    // centering: per-dim mean of the output is ~0 (quantized means are
+    // exact to the micro-unit, so the residual is < 1e-6 + fp noise)
+    val c = Embeddings.center(emb, "vec_id", "embedding")
+    val res = c.groupBy("dim").agg(avg(col("x_c")).as("m"))
+      .select("m").as[Double].collect()
+    res.foreach(v => assert(math.abs(v) < 2e-6, s"residual mean $v"))
+  }
+
   test("ingest loop: probe then append — later batches see earlier ones") {
     import graft.ops.Dedup
     def body(seed: Int) = (0 until 20).map(i => s"v${seed}_$i").mkString(" ")
