@@ -178,6 +178,14 @@ class LlmOpsSpec extends AnyFunSuite {
     val res = c.groupBy("dim").agg(avg(col("x_c")).as("m"))
       .select("m").as[Double].collect()
     res.foreach(v => assert(math.abs(v) < 2e-6, s"residual mean $v"))
+    // zero vectors normalize to zero, not NaN
+    val z = Seq((1L, Array.fill(4)(0.0f)), (2L, Array(3.0f, 4.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val zn = Embeddings.normalizeL2(z, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert((0 until 4).forall(d => zn((1L, d)) == 0.0))
+    assert(math.abs(zn((2L, 0)) - 0.6) < 1e-12 &&
+      math.abs(zn((2L, 1)) - 0.8) < 1e-12)
   }
 
   test("ingest loop: probe then append — later batches see earlier ones") {
@@ -469,6 +477,36 @@ class LlmOpsSpec extends AnyFunSuite {
       Seq("en" -> 9000, "de" -> 1000))
     assert(partial.select("lang").distinct().as[String].collect().toSet ==
       Set("en", "de"))
+  }
+
+  test("mixtureSample randomized: takes are the closed-form optimum on arbitrary mixes") {
+    import graft.ops.Sampling
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 4) {
+      val nGroups = 3 + rnd.nextInt(3)
+      val groups = (0 until nGroups).map(g => s"g$g")
+      val avail = groups.map(_ -> (10 + rnd.nextInt(200))).toMap
+      // random positive bps summing to exactly 10000
+      val raw = groups.map(_ => 1 + rnd.nextInt(100))
+      val scaled = raw.map(w => math.max(1, w * 9000 / raw.sum))
+      val weights = groups.zip(
+        scaled.init :+ (10000 - scaled.init.sum)).toSeq
+      assert(weights.map(_._2).sum == 10000 && weights.forall(_._2 > 0))
+      val rows = for {
+        (g, n) <- avail.toSeq; i <- 0 until n
+      } yield (s"$g:$i", g)
+      val df = rows.toDF("id", "grp").repartition(1 + rnd.nextInt(8))
+      val got = Sampling.mixtureSample(df, "id", "grp", s"t$trial", weights)
+        .groupBy("grp").count().as[(String, Long)].collect().toMap
+      val nMax = weights.map { case (g, w) => avail(g).toLong * 10000L / w }.min
+      weights.foreach { case (g, w) =>
+        val want = nMax * w / 10000L
+        assert(got.getOrElse(g, 0L) == want,
+          s"trial $trial group $g: ${got.getOrElse(g, 0L)} vs $want " +
+            s"(avail ${avail(g)}, w $w, N $nMax)")
+        assert(want <= avail(g))
+      }
+    }
   }
 
   test("rebalanceUniform: every group thinned toward the min, deterministic") {
