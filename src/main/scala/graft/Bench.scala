@@ -24,8 +24,16 @@ object Bench {
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
     val qs = if (args.isEmpty) all
              else all.filter { case (n, _) => args.exists(n.contains) }
+    // sweep operator-owned persists after EVERY materialization (warm and
+    // timed): CacheManager pins Dataset persists for the JVM lifetime, and
+    // un-swept corpus-sized dedup entries both degraded unrelated queries
+    // (the r5/r6 q84-trio regressions) and silently served as cross-pass
+    // caches via CacheManager plan-matching — the timed passes were
+    // re-reading the warm pass's shingle index instead of paying their
+    // own build, the same warm-cache artifact class as r4's bm25 number.
     qs.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      graft.util.Caches.sweep()
     }
     // two timed passes, keep the per-query minimum: single-pass numbers
     // swing ±20% from GC/compilation hiccups at these sub-second scales.
@@ -35,7 +43,9 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.util.Caches.sweep() // driver-side bookkeeping, outside the timing
+      name -> (if (ok) dt else -1.0)
     }.toMap
     val (r1, r2) = (timed(), timed())
     val results = qs.map { case (name, _) =>

@@ -51,6 +51,10 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] $name failed: ${e.getMessage}")
       false
+    } finally {
+      // release operator-owned persists (graft.util.Caches contract) so
+      // the 190-query dump doesn't accumulate pinned corpus-sized entries
+      graft.util.Caches.sweep()
     }
 
   /** JSON string escape: backslash, quote, and ALL control chars (<0x20)

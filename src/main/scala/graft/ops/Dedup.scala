@@ -86,10 +86,12 @@ object Dedup {
         // planted-hot-shingle curve). sh0 is persisted so the df pass
         // and the anti-join probe share one materialization instead of
         // re-deriving the shingling lineage (the exchange can't be
-        // reused across the partial-agg boundary); Spark's
-        // ContextCleaner unpersists it when the plan is dropped.
-        val sh0p = sh0.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // reused across the partial-agg boundary). Caches.own registers
+        // the entry for a post-materialization sweep: CacheManager holds
+        // Dataset persists for the session lifetime (ContextCleaner
+        // never fires on them — see graft.util.Caches), and the leaked
+        // corpus-sized entries were round 6's driver-bench regression.
+        val sh0p = graft.util.Caches.own(sh0)
         val hot = sh0p.groupBy("s").agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxDf).select("s")
         // `hot` holds only shingles with df > maxDf — tiny on any real
@@ -121,9 +123,9 @@ object Dedup {
                    maxDf: Int = Int.MaxValue): DataFrame = {
     // the corpus scan and the benchmark side filter the SAME shingle
     // table — persist it so the shingling runs once (filters prune the
-    // cached columnar batches, not the lineage)
-    val sh = shingles(df, idCol, textCol, n, maxDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cached columnar batches, not the lineage); swept post-run by the
+    // harness (graft.util.Caches ownership contract)
+    val sh = graft.util.Caches.own(shingles(df, idCol, textCol, n, maxDf))
     val bench = sh.filter(benchPred(col("doc")))
       .select(col("s"), col("doc").as("bdoc"))
     sh.join(bench, Seq("s"))
@@ -178,9 +180,9 @@ object Dedup {
                            newPred: Column => Column,
                            maxDf: Int = Int.MaxValue): DataFrame = {
     // batch and corpus sides filter the same annotated index — persist
-    // (same single-materialization story as minhashLsh)
-    val sh = invertedIndex(df, idCol, textCol, n, maxDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (same single-materialization story as minhashLsh); swept post-run
+    // by the harness (graft.util.Caches ownership contract)
+    val sh = graft.util.Caches.own(invertedIndex(df, idCol, textCol, n, maxDf))
     val batch = sh.filter(newPred(col("doc")))
     val corpus = sh.filter(!newPred(col("doc")))
     batch.as("a").join(corpus.as("b"), col("a.s") === col("b.s"))
@@ -337,11 +339,12 @@ object Dedup {
                  bandKey: Seq[Column] => Column = cs => hash(cs: _*)): DataFrame = {
     // the annotated index feeds the signature agg AND both verify-side
     // posting scans; persist it so the n_sh window + df-cap anti-join
-    // run once, not three times (Spark's ContextCleaner reclaims the
-    // entry when the plan is dropped — same ownership story as sh0
-    // inside shingles())
-    val sh = invertedIndex(df, idCol, textCol, n, maxDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // run once, not three times. Registered with Caches.own — the old
+    // comment's ContextCleaner claim was WRONG (CacheManager pins
+    // Dataset persists until unpersist/session-stop; the cleaner only
+    // reclaims GC'd raw RDDs), so these entries leaked per call until
+    // the harness sweep was introduced.
+    val sh = graft.util.Caches.own(invertedIndex(df, idCol, textCol, n, maxDf))
     val aggs = (0 until k).map(i => min(sigHash(i, col("s"))).as(s"sig_$i"))
     // carry n_sh through the signature agg (functionally dependent on doc)
     val sigs = sh.groupBy("doc", "n_sh").agg(aggs.head, aggs.tail: _*)
@@ -435,9 +438,10 @@ object Dedup {
       .select(col(idCol).as("doc"), col(vecCol).as("__v"))
       .select(col("doc"), col("__v"),
         explode(Similarity.bandBuckets(col("__v"), dim, bits, bands, seed)).as("bk"))
-      // both self-join sides read the same postings; the persist runs
-      // the hyperplane signatures (bands × dim flops per vector) once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(b => graft.util.Caches.own(b))
+      // both self-join sides read the same postings; the owned persist
+      // runs the hyperplane signatures (bands × dim flops per vector)
+      // once, and the harness sweeps the entry after materialization
     // score BEFORE dedup: the native cosine kernel is ~dim flops per
     // candidate (re-scored once per shared band, ≤ `bands`×), while a
     // distinct() on (i, j, vec_a, vec_b) would shuffle both full vectors
@@ -488,9 +492,9 @@ object Dedup {
     // one narrow row per doc; persisting it runs the fingerprint
     // computation (explode + 64-way contribution agg) once instead of
     // once per self-join side — AQE often plans one side broadcast,
-    // which breaks ReuseExchange on the otherwise-identical subtrees
-    val sh = simhash(df, idCol, textCol, bits, tokenHash)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // which breaks ReuseExchange on the otherwise-identical subtrees.
+    // Owned: swept post-run by the harness (graft.util.Caches).
+    val sh = graft.util.Caches.own(simhash(df, idCol, textCol, bits, tokenHash))
     val bandCols = (0 until chunks).map { c =>
       struct(lit(c).as("band"),
         shiftright(col("simhash"), c * width)

@@ -65,6 +65,9 @@ object ScaleSmoke {
         val t0 = System.nanoTime()
         val rows = f
         println(f"SCALE $tag rows=$rows%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+        // release operator-owned persists between points so a curve
+        // measures the plan, not accumulating pinned cache pressure
+        graft.util.Caches.sweep()
       }
 
     // Adversarial df-skew: one 3-token phrase appended to every other

@@ -18,6 +18,7 @@ object TimeQ {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
       println(f"$name rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      graft.util.Caches.sweep() // same post-materialization sweep as Bench
     }
     spark.stop()
   }

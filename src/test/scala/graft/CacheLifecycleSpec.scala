@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+import graft.util.{Caches, Tables}
+
+/** The dedup-family persist lifecycle (round-7 driver finding): every
+  * internal `.persist` is registered with [[graft.util.Caches]] and the
+  * harness sweeps after each materialization. Without the sweep,
+  * CacheManager pins the corpus-sized entries for the JVM lifetime —
+  * ContextCleaner never reclaims Dataset persists (the InMemoryRelation
+  * holds a strong RDD reference) — which was the measured r5/r6
+  * q84-trio bench regression.
+  */
+class CacheLifecycleSpec extends AnyFunSuite {
+  import GraftSpark.{spark, sfDir}
+
+  private def docs = Tables(spark, sfDir, "documents")
+  private def emb = Tables(spark, sfDir, "embeddings")
+
+  test("dedup-family runs persist during materialization and sweep releases everything") {
+    Caches.sweep() // clean slate in case an earlier suite left entries
+    val base = spark.sparkContext.getPersistentRDDs.size
+
+    // every owned-persist call site in Dedup, materialized like a query
+    def runAll(): Unit = {
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5,
+        maxDf = 50).count() // df-capped → shingles() owns sh0
+      Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 16, bands = 4,
+        threshold = 0.5).count()
+      Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3).count()
+      Dedup.ngramOverlap(docs, "doc_id", "text", n = 5,
+        benchPred = _ % 10 === 0).count()
+      Dedup.jaccardAgainstCorpus(docs, "doc_id", "text", n = 3,
+        threshold = 0.5, newPred = _ % 10 === 0).count()
+      Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", dim = 64,
+        threshold = 0.9).count()
+    }
+
+    runAll()
+    // the persists really happened (they are load-bearing single
+    // materializations, not decoration) ...
+    assert(Caches.pending >= 6,
+      s"expected >=6 owned entries pending, got ${Caches.pending}")
+    assert(spark.sparkContext.getPersistentRDDs.size > base,
+      "owned persists never registered an RDD — the reuse they exist for is gone")
+    // ... and one sweep releases every one of them, synchronously as far
+    // as bookkeeping is concerned
+    Caches.sweep()
+    assert(Caches.pending == 0)
+    assert(spark.sparkContext.getPersistentRDDs.size == base,
+      s"persistent-RDD registry did not return to baseline ($base)")
+
+    // stability across repeated query invocations — the exact harness
+    // loop shape (Bench warm + timed passes): no monotone growth
+    runAll(); Caches.sweep()
+    assert(spark.sparkContext.getPersistentRDDs.size == base,
+      "second run leaked entries past the sweep")
+  }
+
+  test("sweep mid-lineage only costs recomputation, never correctness") {
+    // sweeping between building a plan and materializing it must yield
+    // the same rows (the entry is an optimization, not state)
+    val before = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, maxDf = 50)
+      .collect().map(_.toSeq).toSet
+    val plan = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, maxDf = 50)
+    Caches.sweep() // unpersists the plan's internal index before any action
+    val after = plan.collect().map(_.toSeq).toSet
+    Caches.sweep()
+    assert(after == before)
+  }
+}
