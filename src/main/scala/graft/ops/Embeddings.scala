@@ -37,6 +37,43 @@ object Embeddings {
           .otherwise(col("__x").cast("double") / col("__nrm")).as("x_n"))
   }
 
+  /** Johnson–Lindenstrauss random projection to `kOut` dimensions with
+    * a dense ±1 sign matrix (Achlioptas 2001: ±1 entries satisfy the JL
+    * distance-preservation bound with the same constants as Gaussians,
+    * and cost one integer hash per cell instead of a normal draw). The
+    * sign of cell (j, d) is a pure function of (salt, j, d) via md5 —
+    * no materialized matrix, no seed state, and DuckDB can regenerate
+    * the identical matrix, so the projection is hash-oracle-checked
+    * (the LSH hyperplanes in [[Similarity.bandBuckets]] are xxhash64 ⇒
+    * rows-only; this is the portable twin of that construction).
+    *
+    * Determinism: each output component is Σ_d sign(j,d)·floor(x_d·1e6)
+    * — an exact BIGINT sum (order-free), divided once by 1e6·√kOut at
+    * the end (two IEEE ops, bit-identical cross-engine; √ is correctly
+    * rounded by IEEE-754, unlike pow). Scale shape: ONE partial-agg'd
+    * groupBy on (id, j) of integer terms — the explode fans each vector
+    * to dim·kOut narrow rows map-side, combines before the exchange,
+    * and nothing is ever broadcast or collected; cost is the
+    * unavoidable n·dim·kOut multiply-adds of a dense projection.
+    */
+  def randomProject(emb: DataFrame, idCol: String, vecCol: String,
+                    kOut: Int, salt: String): DataFrame = {
+    val sign = when(
+      conv(substring(md5(concat_ws(":", lit(salt),
+          col("j"), col("dim"))), 1, 8), 16, 10).cast("long") % 2 === 0,
+      lit(1L)).otherwise(lit(-1L))
+    emb
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .crossJoin(broadcast(
+        emb.sparkSession.range(kOut).toDF("j")))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(sign * floor(col("__x").cast("double") * 1e6).cast("long"))
+        .as("__su"))
+      .select(col(idCol), col("j"),
+        (col("__su").cast("double") / (lit(1e6) * sqrt(lit(kOut.toDouble))))
+          .as("x_p"))
+  }
+
   /** Mean-center: component − per-dimension corpus mean. The mean is
     * exact fixed-point (micro-unit BIGINT sums, one double division —
     * the k-means update contract), computed in one partial-agg'd pass

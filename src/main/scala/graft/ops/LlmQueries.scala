@@ -490,6 +490,33 @@ object LlmQueries {
         JOIN comp ON comp.dim = CAST(g.i - 1 AS INT)
         ORDER BY vec_id, dim""")),
 
+    // Johnson–Lindenstrauss ±1 random projection 64 → 16 dims
+    // (Embeddings.randomProject): the sign matrix is regenerated
+    // cell-by-cell from md5(salt:j:dim) in BOTH engines — no seed
+    // state — and each output component is an exact BIGINT sum of
+    // sign·floor(x·1e6) terms, so the dense projection is fully
+    // hash-oracle-checked. Distance preservation is property-tested
+    // in LlmOpsSpec.
+    GQuery("embed_random_projection",
+      (s, d) => Embeddings.randomProject(
+          Tables(s, d, "embeddings").filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", kOut = 16, salt = "jl")
+        .orderBy(col("vec_id"), col("j")),
+      Some(s"""WITH sub AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0)
+        SELECT vec_id, j, CAST(su AS DOUBLE) / (1e6 * sqrt(16.0)) AS x_p
+        FROM (
+          SELECT vec_id, j,
+            SUM((CASE WHEN ${duckHex32("'jl:' || j || ':' || (g.i - 1)")} % 2 = 0
+                 THEN 1 ELSE -1 END)
+              * CAST(floor(CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) * 1e6)
+                  AS BIGINT)) AS su
+          FROM sub,
+            LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g,
+            (SELECT unnest(range(16)) AS j)
+          GROUP BY vec_id, j)
+        ORDER BY vec_id, j""")),
+
     GQuery("sim_topk_bruteforce",
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
@@ -722,6 +749,30 @@ object LlmQueries {
           SELECT doc_id, documents.lang AS lang, take,
             row_number() OVER (PARTITION BY documents.lang
               ORDER BY ${duckHex32("'mix:' || doc_id")} % 10000, doc_id) AS rk
+          FROM documents JOIN tgt ON documents.lang = tgt.lang)
+        SELECT doc_id, lang FROM r WHERE rk <= take
+        ORDER BY lang, doc_id""")),
+
+    // Temperature rebalance at α = 1/2 (Sampling.temperatureSample):
+    // targets ∝ √n_g — √ is IEEE-correctly-rounded (pow is not), so the
+    // derived integer basis points and the whole BIGINT sizing chain
+    // replay exactly; selection is the same hash rank as sample_mixture.
+    GQuery("sample_temperature",
+      (s, d) => Sampling.temperatureSample(Tables(s, d, "documents"),
+          "doc_id", "lang", "temp")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("lang"), col("doc_id")),
+      Some(s"""WITH w AS (
+          SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS wu
+          FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang)),
+        tot AS (SELECT SUM(wu) AS tw FROM w),
+        bp AS (SELECT lang, n, greatest(wu * 10000 // tw, 1) AS bp FROM w, tot),
+        nmax AS (SELECT min(n * 10000 // bp) AS nm FROM bp),
+        tgt AS (SELECT lang, nm * bp // 10000 AS take FROM bp, nmax),
+        r AS (
+          SELECT doc_id, documents.lang AS lang, take,
+            row_number() OVER (PARTITION BY documents.lang
+              ORDER BY ${duckHex32("'temp:' || doc_id")} % 10000, doc_id) AS rk
           FROM documents JOIN tgt ON documents.lang = tgt.lang)
         SELECT doc_id, lang FROM r WHERE rk <= take
         ORDER BY lang, doc_id""")),

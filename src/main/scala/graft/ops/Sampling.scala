@@ -143,6 +143,49 @@ object Sampling {
       .drop("__rk", "__take")
   }
 
+  /** Temperature-weighted mixture sampling at α = 1/2: target
+    * proportions ∝ √n_g instead of caller-given weights — the standard
+    * "temperature" rebalance multilingual/multi-source corpus builds
+    * apply so high-resource groups stop drowning low-resource ones
+    * while the ordering by size is preserved ([[mixtureSample]] is the
+    * explicit-weights cousin; [[rebalanceUniform]] is the α → 0 limit).
+    *
+    * α = 1/2 specifically because √ is the one exponent IEEE-754
+    * guarantees correctly rounded — `sqrt(n)` is bit-identical in every
+    * engine, whereas `pow(n, 0.7)` is libm-dependent and can flip a
+    * floor-quantized weight across engines. Each group's weight is
+    * floor(√n_g·1e6) (one sqrt + one multiply per GROUP — metadata),
+    * reduced to integer basis points of the BIGINT weight total, and
+    * from there the sizing chain (caps → min → takes) and the hash-rank
+    * selection are exactly [[mixtureSample]]'s — fully oracle-exact.
+    * Floored basis points are clamped to ≥1 so no group divides by
+    * zero or is silently dropped; Σ takes can undershoot the optimum by
+    * ≤ |groups| rows (the bp resolution), which is the same contract as
+    * caller-given bps. Scale shape: one partial-agg'd count, two
+    * windows over ≤|groups| metadata rows, one broadcast join, one
+    * per-group rank window.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+                        salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    val targets = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__wu",
+        floor(sqrt(col("__n").cast("double")) * 1e6).cast("long"))
+      .withColumn("__tw", sum(col("__wu")).over(wAll))
+      .withColumn("__bp", greatest(expr("__wu * 10000 DIV __tw"), lit(1L)))
+      .withColumn("__cap", expr("__n * 10000 DIV __bp"))
+      .withColumn("__nm", min(col("__cap")).over(wAll))
+      .withColumn("__take", expr("__nm * __bp DIV 10000"))
+      .select(col(groupCol), col("__take"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(idCol), salt), col(idCol))
+    df.join(broadcast(targets), groupCol)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__take"))
+      .drop("__rk", "__take")
+  }
+
   /** Deterministic uniform negative sampling for contrastive training:
     * `k` pseudo-random negatives per anchor over a DENSE id domain
     * [0, n) — negative j of anchor a is `md5(salt:a:j) mod n`, with a

@@ -188,6 +188,40 @@ class LlmOpsSpec extends AnyFunSuite {
       math.abs(zn((2L, 1)) - 0.8) < 1e-12)
   }
 
+  test("JL random projection preserves pairwise distances within the ±1-matrix bound") {
+    import graft.ops.Embeddings
+    val emb = Tables(spark, sfDir, "embeddings").limit(60)
+    val orig = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .as[(Long, Int, Float)].collect()
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.sortBy(_._2).map(_._3.toDouble) }
+    val proj = Embeddings.randomProject(emb, "vec_id", "embedding",
+        kOut = 16, salt = "jl")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.sortBy(_._2).map(_._3) }
+    assert(proj.values.forall(_.length == 16))
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted
+    val ratios = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      o = d2(orig(ids(i)), orig(ids(j))) if o > 1e-9
+    } yield d2(proj(ids(i)), proj(ids(j))) / o
+    assert(ratios.nonEmpty)
+    // E[ratio] = 1 exactly; Var = 2/k per pair for ±1 matrices. With
+    // k = 16 individual ratios scatter ~±0.35, so the MEDIAN over
+    // ~1700 pairs sits well inside [0.6, 1.6] unless the sign matrix
+    // is broken (all-equal signs → ratios collapse toward 0 or blow up)
+    val sortedR = ratios.sorted
+    val median = sortedR(sortedR.length / 2)
+    assert(median > 0.6 && median < 1.6, s"median distortion $median")
+    // and no catastrophic outliers (quantization adds ≤1e-6 per term)
+    assert(sortedR.head > 0.02 && sortedR.last < 8.0,
+      s"extremes ${sortedR.head} .. ${sortedR.last}")
+  }
+
   test("ingest loop: probe then append — later batches see earlier ones") {
     import graft.ops.Dedup
     def body(seed: Int) = (0 until 20).map(i => s"v${seed}_$i").mkString(" ")
@@ -507,6 +541,49 @@ class LlmOpsSpec extends AnyFunSuite {
         assert(want <= avail(g))
       }
     }
+  }
+
+  test("temperatureSample: takes track sqrt proportions, feasible, partition-invariant") {
+    import graft.ops.Sampling
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "lang")
+    val avail = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val got = Sampling.temperatureSample(docs, "doc_id", "lang", "temp")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // closed-form replay of the BIGINT sizing chain
+    val wu = avail.map { case (g, n) =>
+      g -> math.floor(math.sqrt(n.toDouble) * 1e6).toLong }
+    val tw = wu.values.sum
+    val bp = wu.map { case (g, u) => g -> math.max(u * 10000L / tw, 1L) }
+    val nm = avail.map { case (g, n) => n * 10000L / bp(g) }.min
+    avail.keys.foreach { g =>
+      assert(got.getOrElse(g, 0L) == nm * bp(g) / 10000L, s"group $g: $got")
+      assert(got.getOrElse(g, 0L) <= avail(g))
+    }
+    // the rebalance property: every group's sampled share moves from
+    // its corpus share TOWARD (here: onto, up to bp quantization) its
+    // sqrt share — rare groups up-weighted, the head down-weighted
+    val total = got.values.sum.toDouble
+    val corpusTotal = avail.values.sum.toDouble
+    avail.keys.foreach { g =>
+      val sqrtShare = wu(g).toDouble / tw
+      assert(math.abs(got(g) / total - sqrtShare) < 0.01,
+        s"group $g share ${got(g) / total} vs sqrt share $sqrtShare")
+    }
+    val head = avail.maxBy(_._2)._1
+    val tail = avail.minBy(_._2)._1
+    if (avail(head) > avail(tail)) {
+      assert(got(head) / total < avail(head) / corpusTotal,
+        "head group should lose share under temperature")
+      assert(got(tail) / total > avail(tail) / corpusTotal,
+        "tail group should gain share under temperature")
+    }
+    // partition-invariant kept set
+    val a = Sampling.temperatureSample(docs, "doc_id", "lang", "temp")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.temperatureSample(docs.repartition(13), "doc_id",
+        "lang", "temp")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
   }
 
   test("rebalanceUniform: every group thinned toward the min, deterministic") {
