@@ -231,38 +231,63 @@ object Dedup {
     val hot = all.groupBy("s").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf).select("s")
     import org.apache.spark.sql.expressions.Window
+    // `ingest` is the FIRST partition level: the offline build owns
+    // `ingest=base`, and every ingested batch owns `ingest=<its tag>` —
+    // which is what lets [[appendToShingleIndex]] be a dynamic-partition
+    // OVERWRITE (idempotent under streaming-batch replay) instead of a
+    // blind append that would duplicate postings and silently inflate
+    // every later probe's `common` counts. Bucket pruning is unaffected:
+    // a `bucket` filter prunes at the second directory level.
     all.join(hot, Seq("s"), "left_anti")
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
       .withColumn("bucket", pmod(xxhash64(col("s")), lit(nBuckets)).cast("int"))
+      .withColumn("ingest", lit("base"))
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(indexPath)
+      .write.mode("overwrite").partitionBy("ingest", "bucket").parquet(indexPath)
     hot.coalesce(1).write.mode("overwrite").parquet(hotSidecar(indexPath))
   }
 
-  /** Append an ingested batch's postings to a persisted index — the
-    * write half of the per-ingest loop (probe first, then append, so
-    * the NEXT batch sees this one). Batch shingles are filtered by the
-    * index's CURRENT hot list and n_sh is computed post-filter, keeping
-    * appended rows consistent with probe semantics. The hot list itself
-    * is only refreshed by a periodic full [[writeShingleIndex]] rebuild
-    * (the compaction-style maintenance job): exact incremental df
-    * upkeep would need per-shingle counters, and a between-rebuilds
-    * drift can only UNDER-cap (a newly-hot shingle lingers until the
-    * rebuild), which costs probe work, never correctness of the
-    * reported pairs.
+  /** Write an ingested batch's postings into a persisted index under
+    * `ingest=<ingestTag>` — the write half of the per-ingest loop
+    * (probe first, then append, so the NEXT batch sees this one).
+    * Batch shingles are filtered by the index's CURRENT hot list and
+    * n_sh is computed post-filter, keeping appended rows consistent
+    * with probe semantics. The hot list itself is only refreshed by a
+    * periodic full [[writeShingleIndex]] rebuild (the compaction-style
+    * maintenance job): exact incremental df upkeep would need
+    * per-shingle counters, and a between-rebuilds drift can only
+    * UNDER-cap (a newly-hot shingle lingers until the rebuild), which
+    * costs probe work, never correctness of the reported pairs.
+    *
+    * Replay safety: the write is a DYNAMIC partition overwrite scoped
+    * to this tag's partitions, so re-running the same (batch, tag) —
+    * a streaming micro-batch replayed after a crash between the index
+    * write and the checkpoint commit, the transport's at-least-once
+    * window — replaces its own postings instead of duplicating them.
+    * Duplicate postings would not fail loudly: they inflate `common`
+    * counts and report jaccards ABOVE the true value, the worst kind
+    * of silent wrong. The tag must be stable across retries (a
+    * streaming batchId, an ingest date) — uniqueness across DISTINCT
+    * batches is the caller's contract, same as any log-structured sink.
     */
   def appendToShingleIndex(spark: org.apache.spark.sql.SparkSession,
                            indexPath: String, batch: DataFrame,
                            idCol: String, textCol: String, n: Int,
+                           ingestTag: String,
                            nBuckets: Int = 64): Unit = {
     import org.apache.spark.sql.expressions.Window
+    require(ingestTag.nonEmpty && ingestTag != "base",
+      s"ingest tag must be a non-'base' batch identifier: '$ingestTag'")
     val hot = spark.read.parquet(hotSidecar(indexPath))
     shingles(batch, idCol, textCol, n, Int.MaxValue)
       .join(hot, Seq("s"), "left_anti")
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
       .withColumn("bucket", pmod(xxhash64(col("s")), lit(nBuckets)).cast("int"))
+      .withColumn("ingest", lit(ingestTag))
       .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(indexPath)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest", "bucket").parquet(indexPath)
   }
 
   /** Jaccard near-dup pairs of a NEW batch against a PERSISTED corpus

@@ -614,6 +614,50 @@ object LlmQueries {
       },
       None),
 
+    // Product quantization ANN (ops/Pq.scala): 32× code compression +
+    // ADC top-k. Fully ORACLE-CHECKED, unlike the Spark-ML-backed IVF
+    // pair: the codebook is the seedless every-50th-vector sample
+    // (KMeansStep's init), assignment is argmin over floor-micro-unit
+    // distances (ties → lowest codeword), ADC scores are exact BIGINT
+    // sums — DuckDB replays codebook, codes, LUT and ranking verbatim.
+    GQuery("sim_ann_pq",
+      (s, d) => Pq.adcTopK(Tables(s, d, "embeddings"),
+          "vec_id", "embedding", m = 8, subDim = 8, centroidEvery = 50,
+          probePred = _ % 100 === 0, k = 10)
+        .orderBy(col("qid"), col("rn")),
+      Some {
+        val subD2 = """list_sum(list_transform(list_zip(s.sv, c.cv), p ->
+            (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+            * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"""
+        s"""WITH sub AS (
+            SELECT vec_id, j, list_slice(embedding, j*8 + 1, j*8 + 8) AS sv
+            FROM embeddings, (SELECT unnest(range(8)) AS j)),
+          cents AS (
+            SELECT vec_id AS c, j, sv AS cv FROM sub WHERE vec_id % 50 = 0),
+          d2 AS (
+            SELECT s.vec_id, s.j, c.c,
+              CAST(floor($subD2 * 1e6) AS BIGINT) AS du
+            FROM sub s JOIN cents c ON s.j = c.j),
+          codes AS (
+            SELECT vec_id AS nid, j, c AS code FROM (
+              SELECT vec_id, j, c,
+                row_number() OVER (PARTITION BY vec_id, j
+                  ORDER BY du ASC NULLS LAST, c) AS rn
+              FROM d2) WHERE rn = 1),
+          lut AS (
+            SELECT vec_id AS qid, j, c, du FROM d2 WHERE vec_id % 100 = 0),
+          sc AS (
+            SELECT qid, nid, SUM(du) AS ad2_u
+            FROM codes JOIN lut ON codes.j = lut.j AND codes.code = lut.c
+            WHERE nid <> qid GROUP BY qid, nid)
+          SELECT qid, nid, CAST(ad2_u AS DOUBLE) / 1e6 AS ad2, rn FROM (
+            SELECT qid, nid, ad2_u,
+              CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY ad2_u ASC NULLS LAST, nid) AS INT) AS rn
+            FROM sc)
+          WHERE rn <= 10 ORDER BY qid, rn"""
+      }),
+
     // Concat-and-chunk sequence packing (GPT-style pretraining layout):
     // per-shard prefix sums assign every document a start offset and
     // ctx-window; shards (md5-derived, portable) are the parallelism

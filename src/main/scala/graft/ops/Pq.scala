@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for vector search at corpus scale
+  * (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+  * Search", PAMI 2011 — the storage layout behind FAISS's IVF-PQ).
+  *
+  * The 100 TB story: [[Quantize]]'s scalar int8 gets 4× compression;
+  * PQ splits each vector into `m` subvectors and stores only the id of
+  * the nearest per-subspace codeword — dim 64 floats (256 B) become
+  * m = 8 single-byte codes (32× — plus one shared ks×m codebook). An
+  * ADC scan (asymmetric distance computation: full-precision query
+  * against the codebook, one lookup-table probe per stored code) then
+  * touches 8 bytes per candidate instead of 256, which is the
+  * difference between a memory-resident index and a disk-bound one at
+  * 10^11 vectors.
+  *
+  * Unlike Spark-ML-backed IVF (rows-only: its quantizer fit is not
+  * replayable in SQL), every stage here is under the hash oracle: the
+  * codebook is the seedless [[KMeansStep]] sample (subvectors of every
+  * `centroidEvery`-th vector — deterministic, SQL-replayable), the
+  * assignment is argmin over floor-micro-unit distances with ties to
+  * the lowest codeword id, and ADC scores are exact BIGINT sums of
+  * per-subspace micro-unit distances. Recall vs the exact scan is
+  * spec-tested on planted clusters ([[LlmOpsSpec]]); refining the
+  * codebook with Lloyd iterations ([[KMeansStep.update]] per subspace)
+  * improves recall but is deliberately not fused in — sampled
+  * codebooks keep the oracle one CTE chain.
+  *
+  * Scale shape: the codebook and the probe LUT are broadcast metadata
+  * (ks·m and ks·m·|probes| rows); encode is one broadcast join + one
+  * partial-agg'd min per (vector, subspace); the ADC scan is one
+  * broadcast join + one partial-agg'd sum per (probe, vector). No
+  * all-pairs stage, no full-vector shuffle after encode.
+  */
+object Pq {
+
+  private def sqDist(a: Column, b: Column): Column =
+    graft.functions.SquaredDistance.squaredDistance(a, b)
+
+  /** Explode each vector into its `m` subvectors of `subDim` dims:
+    * one narrow (`__id`, j, sv) row per subspace — map-only.
+    */
+  private def subvectors(df: DataFrame, idCol: String, vecCol: String,
+                         m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"),
+            slice(col(vecCol), j * subDim + 1, subDim).as("sv"))): _*))
+          .as("b"))
+      .select(col("__id"), col("b.j").as("j"), col("b.sv").as("sv"))
+
+  /** Per-(vector, subspace) micro-unit distances to every codeword:
+    * (`__id`, j, c, du). The codebook is subvectors of every
+    * `centroidEvery`-th vector (the seedless sample) broadcast to a
+    * map-only join keyed on the subspace.
+    */
+  private def distances(emb: DataFrame, idCol: String, vecCol: String,
+                        m: Int, subDim: Int, centroidEvery: Int): DataFrame = {
+    val subs = subvectors(emb, idCol, vecCol, m, subDim)
+    val cents = subvectors(
+        emb.filter(col(idCol) % centroidEvery === 0), idCol, vecCol, m, subDim)
+      .select(col("__id").as("c"), col("j"), col("sv").as("cv"))
+    subs.join(broadcast(cents), "j")
+      .withColumn("du", floor(sqDist(col("sv"), col("cv")) * 1e6).cast("long"))
+  }
+
+  /** PQ codes: (id, j, code) — the nearest codeword per subspace,
+    * ties to the lowest codeword id (min on a (du, c) struct compares
+    * lexicographically, and the min is partial-agg'd map-side — no
+    * window, no skew).
+    */
+  def encode(emb: DataFrame, idCol: String, vecCol: String,
+             m: Int, subDim: Int, centroidEvery: Int): DataFrame =
+    distances(emb, idCol, vecCol, m, subDim, centroidEvery)
+      .groupBy(col("__id"), col("j"))
+      .agg(min(struct(col("du"), col("c"))).as("mn"))
+      .select(col("__id").as(idCol), col("j"), col("mn.c").as("code"))
+
+  /** ADC top-k: for each probe (full precision), score every OTHER
+    * encoded vector by Σ_j lut(j, code_j) where lut is the probe's
+    * per-(subspace, codeword) distance table, and keep the k nearest
+    * by (score, id). Scores are exact BIGINT micro-unit sums —
+    * rendered as `ad2` (approximate squared L2; approximate w.r.t. the
+    * raw vectors, exactly reproducible w.r.t. the codes).
+    */
+  def adcTopK(emb: DataFrame, idCol: String, vecCol: String,
+              m: Int, subDim: Int, centroidEvery: Int,
+              probePred: Column => Column, k: Int): DataFrame = {
+    val d2 = distances(emb, idCol, vecCol, m, subDim, centroidEvery)
+    val codes = d2
+      .groupBy(col("__id"), col("j"))
+      .agg(min(struct(col("du"), col("c"))).as("mn"))
+      .select(col("__id").as("nid"), col("j"), col("mn.c").as("code"))
+    // the LUT branch re-derives the (map-only) distance frame with the
+    // probe filter pushed into the scan — ks·m rows per probe
+    val lut = d2.filter(probePred(col("__id")))
+      .select(col("__id").as("qid"), col("j").as("lj"), col("c"), col("du"))
+    val scores = codes
+      .join(broadcast(lut), col("j") === col("lj") && col("code") === col("c"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("du")).as("ad2_u"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("ad2_u"), col("nid"))
+    scores
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"),
+        (col("ad2_u").cast("double") / 1e6).as("ad2"), col("rn"))
+  }
+}

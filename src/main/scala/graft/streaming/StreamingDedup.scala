@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.ops.Dedup
+
+/** Streaming incremental near-dup detection: the probe-then-append
+  * ingest loop of [[Dedup.jaccardAgainstIndex]] /
+  * [[Dedup.appendToShingleIndex]] lifted onto Structured Streaming, so
+  * a continuously-ingesting corpus (the FileTopic/Kafka transport, a
+  * cloud drop directory) is deduplicated against everything that
+  * arrived before it — batch×corpus per trigger, never corpus×corpus.
+  *
+  * Per micro-batch, inside one `foreachBatch`:
+  *  1. probe: near-dup pairs of the batch against the persisted index
+  *     (bucket-partition-pruned, hot list applied index-side) are
+  *     written to `pairsDir/batch=<id>`;
+  *  2. append: the batch's postings land in the index under
+  *     `ingest=b<id>` so the NEXT batch sees this one.
+  *
+  * Both writes are dynamic partition overwrites keyed by the streaming
+  * batchId, which Structured Streaming holds fixed across retries of a
+  * failed batch — so a crash anywhere in the probe→append→commit
+  * window replays to the SAME partitions and the loop is idempotent
+  * end-to-end (the transport is at-least-once; a blind append would
+  * silently inflate later probes' intersection counts). This is the
+  * same batchId-keyed idempotence contract as
+  * [[CdcPipeline.idempotentParquetUpsert]], applied to an index.
+  *
+  * Scale: each trigger pays batch shingling (map-only) + one
+  * broadcast hot-list anti-join + one equi-join against the pruned
+  * index scan — per-trigger cost ∝ batch, not corpus; the index grows
+  * by one `ingest` partition per batch and is re-compacted by the
+  * periodic [[Dedup.writeShingleIndex]] rebuild (which also refreshes
+  * the hot list), exactly the segment-merge maintenance a log-
+  * structured store runs.
+  */
+object StreamingDedup {
+
+  /** Build the `foreachBatch` writer; the caller picks trigger/
+    * checkpoint options and calls `.start()`. `docs` must be a
+    * streaming DataFrame with `idCol` and `textCol` columns; the index
+    * at `indexPath` must already exist ([[Dedup.writeShingleIndex]] —
+    * the offline base build, possibly empty of postings but carrying
+    * the hot-list sidecar).
+    */
+  def attach(docs: DataFrame, idCol: String, textCol: String,
+             indexPath: String, pairsDir: String,
+             n: Int = 3, threshold: Double = 0.5,
+             nBuckets: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      Dedup.jaccardAgainstIndex(spark, indexPath, batch,
+          idCol, textCol, n, threshold, nBuckets)
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(pairsDir)
+      Dedup.appendToShingleIndex(spark, indexPath, batch,
+        idCol, textCol, n, ingestTag = s"b$batchId", nBuckets = nBuckets)
+    }
+}

@@ -863,6 +863,53 @@ class CdcStreamSpec extends AnyFunSuite {
       assert(g2 == 2L)
     } finally q.stop()
   }
+
+  test("streaming incremental dedup: probe-then-append loop, cross-batch, replay-idempotent") {
+    // StreamingDedup lifts the batch ingest loop (LlmOpsSpec "ingest
+    // loop" case) onto foreachBatch: every micro-batch is deduped
+    // against the full history — offline base index AND all earlier
+    // batches — with both writes keyed by batchId (dynamic partition
+    // overwrite), so a replayed batch is idempotent. MemoryStream
+    // stands in for the transport; swapping in FileTopic.source is the
+    // one-readStream change the drift-alert case already exercises.
+    import graft.ops.Dedup
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    def body(seed: Int) = (0 until 20).map(i => s"v${seed}_$i").mkString(" ")
+    val corpus = Seq((1L, body(1)), (2L, body(2))).toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sdedup").toString
+    val idx = root + "/index"
+    val pairs = root + "/pairs"
+    Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx,
+      nBuckets = 8)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.attach(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idx, pairs, n = 3, threshold = 0.5, nBuckets = 8)
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    try {
+      // batch 0: a novel doc — no pairs, but it must enter the index
+      input.addData((10L, body(10)))
+      q.processAllAvailable()
+      // batch 1: one near-dup of the BATCH-0 doc, one of a CORPUS doc
+      input.addData(
+        (20L, body(10).replace("v10_10 ", "EDIT ")),
+        (30L, body(1).replace("v1_5 ", "EDIT ")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(pairs)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(got == Set((20L, 10L), (30L, 1L)), s"pairs: $got")
+    // the index now holds base + one ingest partition per batch, each
+    // doc's postings exactly once
+    val perDoc = spark.read.parquet(idx).groupBy("doc")
+      .agg(countDistinct(col("ingest")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(perDoc.keySet == Set(1L, 2L, 10L, 20L, 30L))
+    assert(perDoc.values.forall(_ == 1L), s"doc spread over ingests: $perDoc")
+  }
 }
 
 object CdcStreamSpecSchemas {

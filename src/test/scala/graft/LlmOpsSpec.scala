@@ -241,9 +241,19 @@ class LlmOpsSpec extends AnyFunSuite {
     // ingest B: no dup against A, then append
     assert(probe(batchB).isEmpty)
     Dedup.appendToShingleIndex(spark, idx, batchB, "doc_id", "text",
-      n = 3, nBuckets = 8)
+      n = 3, ingestTag = "b1", nBuckets = 8)
     // ingest C: its near-dup partner arrived in the PREVIOUS batch —
     // the probe must find it because the append made B part of the index
+    assert(probe(batchC) == Set((20L, 10L)))
+    // replay safety: re-running the SAME (batch, tag) — the streaming
+    // at-least-once window — must overwrite its own partitions, not
+    // duplicate postings (duplicates would silently inflate `common`
+    // and report jaccards above the true value)
+    val before = spark.read.parquet(idx).count()
+    Dedup.appendToShingleIndex(spark, idx, batchB, "doc_id", "text",
+      n = 3, ingestTag = "b1", nBuckets = 8)
+    assert(spark.read.parquet(idx).count() == before,
+      "replayed append duplicated postings")
     assert(probe(batchC) == Set((20L, 10L)))
   }
 
@@ -683,6 +693,49 @@ class LlmOpsSpec extends AnyFunSuite {
       .select("qid", "nid").as[(Long, Long)].collect().toSet
     val recall = (exact intersect quant).size.toDouble / exact.size
     assert(recall > 0.8, s"recall=$recall")
+  }
+
+  test("PQ ADC: planted clusters recalled exactly, codes bounded, deterministic") {
+    import graft.ops.Pq
+    // 12 well-separated anchors (scale ~10), 10 members each with tiny
+    // jitter (≤0.09) — dim 16 split m=4 × subDim=4. centroidEvery=10
+    // samples member 0 of every cluster as a codeword, so each
+    // cluster's members share a code block and ADC must return the 9
+    // siblings of each probe before anything cross-cluster.
+    val dim = 16
+    // hash-spread anchors (sin(a·k + d) is a trap: a pair of anchors
+    // whose phase difference lands near a multiple of 2π coincides in
+    // EVERY dimension — measured with k = 37, anchors 1 and 10)
+    def vec(a: Int, mb: Int): Array[Float] =
+      Array.tabulate(dim)(d =>
+        (((a * dim + d) * 2654435761L % 997).toFloat / 49.85f) + mb * 0.01f)
+    val rows = for (a <- 0 until 12; mb <- 0 until 10)
+      yield ((a * 10 + mb).toLong, vec(a, mb))
+    val emb = rows.toDF("vec_id", "embedding").repartition(7)
+    val codes = Pq.encode(emb, "vec_id", "embedding",
+      m = 4, subDim = 4, centroidEvery = 10)
+    // every vector gets exactly m codes, all from the sampled id set
+    val cc = codes.groupBy("vec_id").count().as[(Long, Long)].collect()
+    assert(cc.length == 120 && cc.forall(_._2 == 4L))
+    val cw = codes.select("code").distinct().as[Long].collect()
+    assert(cw.forall(_ % 10 == 0))
+    // probe member 9 of each cluster: its 9 siblings share its code
+    // block, so they rank ahead of every cross-cluster vector
+    val top = Pq.adcTopK(emb, "vec_id", "embedding",
+        m = 4, subDim = 4, centroidEvery = 10,
+        probePred = _ % 10 === 9, k = 9)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(top.map(_._1).distinct.length == 12)
+    top.foreach { case (qid, nid, _, _) =>
+      assert(nid / 10 == qid / 10, s"probe $qid recalled cross-cluster $nid")
+    }
+    // partition-invariant
+    val again = Pq.adcTopK(emb.repartition(3), "vec_id", "embedding",
+        m = 4, subDim = 4, centroidEvery = 10,
+        probePred = _ % 10 === 9, k = 9)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(top.sortBy(t => (t._1, t._4)).toSeq ==
+      again.sortBy(t => (t._1, t._4)).toSeq)
   }
 
   test("negative sampling: k per anchor, never self, partition-invariant") {
