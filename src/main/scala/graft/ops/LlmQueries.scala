@@ -614,6 +614,21 @@ object LlmQueries {
       },
       None),
 
+    // IVF-PQ (ops/Pq.scala): the FAISS production composition — IVF
+    // list pruning (nprobe/nlist of the corpus touched) × PQ codes
+    // (32× less bytes per touched row). Rows-only like its IVF parent
+    // (Spark-ML KMeans fit is not SQL-replayable); recall is
+    // spec-tested, and sim_ann_pq below is the oracle-checked flat twin.
+    GQuery("sim_ann_ivfpq",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        Pq.ivfPqTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4,
+          m = 8, subDim = 8, centroidEvery = 50, maxFit = 500L)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
     // Product quantization ANN (ops/Pq.scala): 32× code compression +
     // ADC top-k. Fully ORACLE-CHECKED, unlike the Spark-ML-backed IVF
     // pair: the codebook is the seedless every-50th-vector sample

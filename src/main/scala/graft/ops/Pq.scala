@@ -53,20 +53,32 @@ object Pq {
           .as("b"))
       .select(col("__id"), col("b.j").as("j"), col("b.sv").as("sv"))
 
-  /** Per-(vector, subspace) micro-unit distances to every codeword:
-    * (`__id`, j, c, du). The codebook is subvectors of every
-    * `centroidEvery`-th vector (the seedless sample) broadcast to a
-    * map-only join keyed on the subspace.
+  /** The per-subspace codebook (c, j, cv): subvectors of every
+    * `centroidEvery`-th vector of `emb` — the seedless sample
+    * [[KMeansStep]] uses for init, chosen here so the codebook is
+    * SQL-replayable (a Lloyd-refined codebook improves recall but
+    * would push the oracle through unrolled iterations).
     */
-  private def distances(emb: DataFrame, idCol: String, vecCol: String,
-                        m: Int, subDim: Int, centroidEvery: Int): DataFrame = {
-    val subs = subvectors(emb, idCol, vecCol, m, subDim)
-    val cents = subvectors(
-        emb.filter(col(idCol) % centroidEvery === 0), idCol, vecCol, m, subDim)
+  def codebook(emb: DataFrame, idCol: String, vecCol: String,
+               m: Int, subDim: Int, centroidEvery: Int): DataFrame =
+    subvectors(emb.filter(col(idCol) % centroidEvery === 0),
+        idCol, vecCol, m, subDim)
       .select(col("__id").as("c"), col("j"), col("sv").as("cv"))
-    subs.join(broadcast(cents), "j")
+
+  /** Per-(vector, subspace) micro-unit distances to every codeword:
+    * (`__id`, j, c, du). The codebook is broadcast to a map-only join
+    * keyed on the subspace.
+    */
+  private def distancesTo(df: DataFrame, idCol: String, vecCol: String,
+                          cb: DataFrame, m: Int, subDim: Int): DataFrame =
+    subvectors(df, idCol, vecCol, m, subDim)
+      .join(broadcast(cb), "j")
       .withColumn("du", floor(sqDist(col("sv"), col("cv")) * 1e6).cast("long"))
-  }
+
+  private def distances(emb: DataFrame, idCol: String, vecCol: String,
+                        m: Int, subDim: Int, centroidEvery: Int): DataFrame =
+    distancesTo(emb, idCol, vecCol,
+      codebook(emb, idCol, vecCol, m, subDim, centroidEvery), m, subDim)
 
   /** PQ codes: (id, j, code) — the nearest codeword per subspace,
     * ties to the lowest codeword id (min on a (du, c) struct compares
@@ -102,6 +114,61 @@ object Pq {
     val scores = codes
       .join(broadcast(lut), col("j") === col("lj") && col("code") === col("c"))
       .filter(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("du")).as("ad2_u"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("ad2_u"), col("nid"))
+    scores
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"),
+        (col("ad2_u").cast("double") / 1e6).as("ad2"), col("rn"))
+  }
+
+  /** IVF-PQ: the canonical FAISS production layout — an IVF coarse
+    * quantizer prunes the corpus to the `nprobe` nearest inverted
+    * lists per query, and only THOSE candidates are ADC-scored from
+    * their 8-byte PQ codes. The two compressions multiply: a probe
+    * touches nprobe/nlist of the corpus, at 32× less bytes per touched
+    * row — at 10^11 vectors that is the difference between an
+    * interactive probe and a full-corpus scan either axis alone can't
+    * close. Rows-only (the Spark-ML KMeans coarse quantizer's fit is
+    * not SQL-replayable — the reason [[adcTopK]] exists as the
+    * oracle-checked flat twin); planted-cluster recall is spec-tested.
+    *
+    * Scale shape: fit is bounded by `maxFit` (never corpus-sized);
+    * membership and codes are map-only derivations; the candidate set
+    * is one broadcast join on `list` (∝ probed postings), the ADC join
+    * is per-candidate metadata, and the sum is partial-agg'd. Nothing
+    * driver-side beyond the bounded KMeans fit.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, subDim: Int = 8, centroidEvery: Int = 50,
+                seed: Long = 42L, maxFit: Long = 100000L): DataFrame = {
+    val (assigned, cents) =
+      Similarity.ivfFit(corpus, idCol, vecCol, nlist, seed, maxFit)
+    val cb = codebook(corpus, idCol, vecCol, m, subDim, centroidEvery)
+    val codes = distancesTo(corpus, idCol, vecCol, cb, m, subDim)
+      .groupBy(col("__id"), col("j"))
+      .agg(min(struct(col("du"), col("c"))).as("mn"))
+      .select(col("__id").as("nid"), col("j"), col("mn.c").as("code"))
+    val probes = Similarity.probeLists(queries, cents, idCol, vecCol, nprobe)
+    // candidates = members of probed lists (the IVF pruning step);
+    // self-pairs dropped before any scoring work
+    val cand = assigned.select(col("nid"), col("list"))
+      .join(broadcast(probes.select(col("qid"), col("list"))), "list")
+      .filter(col("nid") =!= col("qid"))
+      .select("qid", "nid")
+    // the probe's LUT: distances from ITS subvectors to the shared
+    // codebook — ks·m rows per probe, broadcast
+    val lut = distancesTo(queries, idCol, vecCol, cb, m, subDim)
+      .select(col("__id").as("lqid"), col("j").as("lj"),
+        col("c"), col("du"))
+    val scores = cand
+      .join(codes, "nid")
+      .join(broadcast(lut),
+        col("qid") === col("lqid") && col("j") === col("lj") &&
+          col("code") === col("c"))
       .groupBy(col("qid"), col("nid"))
       .agg(sum(col("du")).as("ad2_u"))
     val w = Window.partitionBy(col("qid")).orderBy(col("ad2_u"), col("nid"))

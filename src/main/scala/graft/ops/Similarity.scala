@@ -120,8 +120,8 @@ object Similarity {
     * persisted IVF paths: returns (assigned `(nid, nvec, list)`, centroid
     * table `(list, cvec)` — nlist rows, broadcast-sized).
     */
-  private def ivfFit(corpus: DataFrame, idCol: String, vecCol: String,
-                     nlist: Int, seed: Long, maxFit: Long): (DataFrame, DataFrame) = {
+  private[ops] def ivfFit(corpus: DataFrame, idCol: String, vecCol: String,
+                          nlist: Int, seed: Long, maxFit: Long): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -154,8 +154,8 @@ object Similarity {
   }
 
   /** Rank the `nprobe` closest inverted lists per query. */
-  private def probeLists(queries: DataFrame, cents: DataFrame, idCol: String,
-                         vecCol: String, nprobe: Int): DataFrame = {
+  private[ops] def probeLists(queries: DataFrame, cents: DataFrame, idCol: String,
+                              vecCol: String, nprobe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("cd").desc, col("list"))

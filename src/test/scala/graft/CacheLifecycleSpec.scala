@@ -21,6 +21,13 @@ class CacheLifecycleSpec extends AnyFunSuite {
 
   test("dedup-family runs persist during materialization and sweep releases everything") {
     Caches.sweep() // clean slate in case an earlier suite left entries
+    // Baseline caveat: the suites share one SparkContext, and OTHER
+    // suites' dropped raw-RDD persists (localCheckpoints) can be
+    // collected by ContextCleaner at any moment — that is precisely the
+    // class the cleaner DOES reclaim, unlike Dataset persists. So the
+    // assertions below are monotonicity bounds against a shrink-only
+    // baseline, not equality against a snapshot (the first rendering
+    // used equality and flaked when the cleaner fired mid-test).
     val base = spark.sparkContext.getPersistentRDDs.size
 
     // every owned-persist call site in Dedup, materialized like a query
@@ -32,7 +39,11 @@ class CacheLifecycleSpec extends AnyFunSuite {
       Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3).count()
       Dedup.ngramOverlap(docs, "doc_id", "text", n = 5,
         benchPred = _ % 10 === 0).count()
-      Dedup.jaccardAgainstCorpus(docs, "doc_id", "text", n = 3,
+      // n = 4 (not 3): with identical params this op's owned
+      // invertedIndex plan is byte-identical to minhashLsh's above, and
+      // CacheManager plan-matching folds the two persists into ONE
+      // entry — the registry would count 5, not 6
+      Dedup.jaccardAgainstCorpus(docs, "doc_id", "text", n = 4,
         threshold = 0.5, newPred = _ % 10 === 0).count()
       Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", dim = 64,
         threshold = 0.9).count()
@@ -43,19 +54,21 @@ class CacheLifecycleSpec extends AnyFunSuite {
     // materializations, not decoration) ...
     assert(Caches.pending >= 6,
       s"expected >=6 owned entries pending, got ${Caches.pending}")
-    assert(spark.sparkContext.getPersistentRDDs.size > base,
-      "owned persists never registered an RDD — the reuse they exist for is gone")
+    val during = spark.sparkContext.getPersistentRDDs.size
+    assert(during >= Caches.pending,
+      s"owned persists never registered RDDs ($during in registry)")
     // ... and one sweep releases every one of them, synchronously as far
-    // as bookkeeping is concerned
+    // as bookkeeping is concerned (the registry can only have SHRUNK
+    // further if the cleaner collected unrelated dropped RDDs)
     Caches.sweep()
     assert(Caches.pending == 0)
-    assert(spark.sparkContext.getPersistentRDDs.size == base,
-      s"persistent-RDD registry did not return to baseline ($base)")
+    assert(spark.sparkContext.getPersistentRDDs.size <= base,
+      s"sweep left entries above the $base baseline")
 
     // stability across repeated query invocations — the exact harness
     // loop shape (Bench warm + timed passes): no monotone growth
     runAll(); Caches.sweep()
-    assert(spark.sparkContext.getPersistentRDDs.size == base,
+    assert(spark.sparkContext.getPersistentRDDs.size <= base,
       "second run leaked entries past the sweep")
   }
 

@@ -137,12 +137,17 @@ class LlmOpsSpec extends AnyFunSuite {
       .createTempDirectory("graft_shidx").toString + "/index"
     Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx,
       nBuckets = 16, maxDf = 2)
-    val dirs = {
+    def ls(p: String): Set[String] = {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(java.nio.file.Paths.get(idx))
+      java.nio.file.Files.list(java.nio.file.Paths.get(p))
         .iterator.asScala.map(_.getFileName.toString).toSet
     }
-    assert(dirs.exists(_.startsWith("bucket=")), s"layout: $dirs")
+    // layout: ingest=<tag> is the first level (replay-idempotent batch
+    // overwrites), bucket= the second (probe pruning)
+    val dirs = ls(idx)
+    assert(dirs.contains("ingest=base"), s"layout: $dirs")
+    assert(ls(s"$idx/ingest=base").exists(_.startsWith("bucket=")),
+      s"layout under ingest=base: ${ls(s"$idx/ingest=base")}")
     assert(dirs.contains("_graft_hot"), s"hot sidecar missing: $dirs")
     val probed = Dedup.jaccardAgainstIndex(spark, idx, batch,
       "doc_id", "text", n = 3, threshold = 0.5, nBuckets = 16)
@@ -736,6 +741,21 @@ class LlmOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Int)].collect()
     assert(top.sortBy(t => (t._1, t._4)).toSeq ==
       again.sortBy(t => (t._1, t._4)).toSeq)
+
+    // IVF-PQ on the same planted set: list pruning must not lose the
+    // probe's siblings (tight clusters land whole in one Voronoi cell,
+    // and with nprobe = 3 of 6 lists the probe's own cell is searched)
+    val probes = emb.filter(col("vec_id") % 10 === 9)
+    val ivfpq = Pq.ivfPqTopK(emb, probes, "vec_id", "embedding",
+        k = 9, nlist = 6, nprobe = 3, m = 4, subDim = 4,
+        centroidEvery = 10, maxFit = 120L)
+      .as[(Long, Long, Double, Int)].collect()
+    val byProbe = ivfpq.groupBy(_._1)
+    assert(byProbe.size == 12)
+    byProbe.foreach { case (qid, rs) =>
+      val sib = rs.count(r => r._2 / 10 == qid / 10)
+      assert(sib >= 7, s"probe $qid: only $sib/9 siblings recalled")
+    }
   }
 
   test("negative sampling: k per anchor, never self, partition-invariant") {
