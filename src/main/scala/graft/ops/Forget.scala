@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deletion propagation into persisted derived artifacts — the
+  * right-to-be-forgotten path a production training-data pipeline must
+  * have: when source documents are deleted (a CDC `d` op, a takedown,
+  * a GDPR request), their traces in long-lived index structures
+  * ([[Dedup.writeShingleIndex]] postings, [[Similarity.ivfWriteIndex]]
+  * inverted lists) must go too, WITHOUT rebuilding the index.
+  *
+  * Shape: locate the partitions that contain the ids (one scan with
+  * the id predicate pushed to parquet — row-group stats prune most
+  * files; the result is a BOUNDED (partition-values, count) list, not
+  * a data collect), then rewrite ONLY those partitions with the ids
+  * filtered out via dynamic partition overwrite — the same
+  * touched-partition rewrite discipline as the CDC sink
+  * ([[graft.streaming.CdcPipeline.idempotentParquetUpsert]]). A
+  * partition whose every row is forgotten produces no output under
+  * dynamic overwrite, so those directories are deleted explicitly —
+  * otherwise the stale postings would silently survive.
+  *
+  * Crash contract: the overwrite commits per partition; a crash
+  * between the rewrite and the empty-directory deletes leaves the ids
+  * present in (at most) the emptied partitions — re-running the same
+  * forget is idempotent and completes the job (the locate pass finds
+  * exactly the leftovers). Derived OUTPUTS (pair tables, dedup
+  * reports) are downstream of the index and are the caller's to
+  * re-derive or filter; this op owns the index itself.
+  */
+object Forget {
+
+  /** Remove every row with `idCol` ∈ `ids` from the partitioned
+    * parquet table at `path`, rewriting only the touched partitions.
+    * Returns the number of rows removed. `partCols` must be the
+    * table's partition columns in order (e.g. `Seq("ingest",
+    * "bucket")` for the shingle index, `Seq("list")` for the IVF
+    * index).
+    */
+  def rewriteWithout(spark: SparkSession, path: String,
+                     partCols: Seq[String], idCol: String,
+                     ids: Seq[Long]): Long = {
+    require(ids.nonEmpty, "nothing to forget")
+    val t = spark.read.parquet(path)
+    // one pass: which partitions hold the ids, and how many rows go
+    val touched = t.filter(col(idCol).isin(ids: _*))
+      .groupBy(partCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .collect()
+    if (touched.isEmpty) return 0L
+    val removed = touched.map(_.getAs[Long]("__n")).sum
+    def partCond(r: org.apache.spark.sql.Row) =
+      partCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
+        .reduce(_ && _)
+    val cond = touched.map(partCond).reduce(_ || _)
+    val remaining = t.filter(cond && !col(idCol).isin(ids: _*))
+    // partitions that still have rows after the filter — computed
+    // BEFORE the overwrite (bounded collect); the complement must be
+    // deleted by hand below
+    val keep = remaining.select(partCols.map(col): _*).distinct()
+      .collect().map(_.toSeq).toSet
+    remaining
+      .repartition(partCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*)
+      .parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(r => keep.contains(r.toSeq.dropRight(1))).foreach { r =>
+      val dir = partCols.zipWithIndex
+        .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")
+      fs.delete(new org.apache.hadoop.fs.Path(path, dir), true)
+    }
+    removed
+  }
+
+  /** Forget documents in a persisted shingle index
+    * ([[Dedup.writeShingleIndex]] layout: `ingest=<tag>/bucket=<n>`).
+    * Other documents' postings and `n_sh` values are untouched — a
+    * forgotten doc only ever contributed its own rows.
+    */
+  def fromShingleIndex(spark: SparkSession, indexPath: String,
+                       docIds: Seq[Long]): Long =
+    rewriteWithout(spark, indexPath, Seq("ingest", "bucket"), "doc", docIds)
+
+  /** Forget vectors in a persisted IVF index
+    * ([[Similarity.ivfWriteIndex]] layout: `list=<n>`). The coarse
+    * quantizer's centroids are statistics over the historical corpus
+    * and carry no per-vector data — they stay valid (and are refreshed
+    * by the periodic rebuild, same policy as the shingle hot list).
+    */
+  def fromIvfIndex(spark: SparkSession, indexPath: String,
+                   vecIds: Seq[Long]): Long =
+    rewriteWithout(spark, indexPath, Seq("list"), "nid", vecIds)
+}

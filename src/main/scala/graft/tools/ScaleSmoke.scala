@@ -204,6 +204,26 @@ object ScaleSmoke {
         graft.analytics.StatsQueries
           .exactCutsSorted(li, "l_extendedprice", probs).length.toLong
       }
+      // PQ with codebook size held constant (centroidEvery ∝ n, like
+      // kmeans_assign): encode is a broadcast join + partial-agg'd min
+      // per (vector, subspace) — must be linear in the corpus; ADC adds
+      // one broadcast LUT join + partial-agg'd sum per (probe, vector)
+      timed(s"pq_adc x$n")(
+        graft.ops.Pq.adcTopK(e, "vec_id", "embedding", m = 8, subDim = 8,
+          centroidEvery = 50 * n, probePred = _ % (100L * n) === 0,
+          k = 10).count())
+      // IVF-PQ: same codebook scaling, fixed nlist/nprobe — the scored
+      // candidate set is nprobe/nlist of the corpus, so the curve should
+      // track pq_adc at ~nprobe/nlist the slope once fit cost amortizes
+      timed(s"ivfpq x$n")(
+        graft.ops.Pq.ivfPqTopK(e, e.filter(col("vec_id") % (100L * n) === 0),
+          "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4,
+          m = 8, subDim = 8, centroidEvery = 50 * n, maxFit = 500L).count())
+      // JL projection: map-only fan-out + one partial-agg'd integer
+      // groupBy on (id, j) — strictly linear or the plan is wrong
+      timed(s"jl_project x$n")(
+        graft.ops.Embeddings.randomProject(e, "vec_id", "embedding",
+          kOut = 16, salt = "jl").count())
     }
     spark.stop()
   }

@@ -262,6 +262,59 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(probe(batchC) == Set((20L, 10L)))
   }
 
+  test("forget: deletion propagates into shingle and IVF indexes, idempotent") {
+    import graft.ops.{Dedup, Forget, Similarity}
+    def body(seed: Int) = (0 until 20).map(i => s"f${seed}_$i").mkString(" ")
+    val corpus = Seq((1L, body(1)), (3L, body(3)), (5L, body(5)))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_forget").toString + "/index"
+    Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx, nBuckets = 8)
+    Dedup.appendToShingleIndex(spark,
+      idx, Seq((10L, body(10))).toDF("doc_id", "text"),
+      "doc_id", "text", n = 3, ingestTag = "b1", nBuckets = 8)
+    def probe(seed: Int) = Dedup.jaccardAgainstIndex(spark, idx,
+        Seq((99L, body(seed).replace(s"f${seed}_10 ", "EDIT ")))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, threshold = 0.5, nBuckets = 8)
+      .select("j").as[Long].collect().toSet
+    assert(probe(3) == Set(3L) && probe(10) == Set(10L))
+    val othersBefore = spark.read.parquet(idx)
+      .filter(!col("doc").isin(3L, 10L)).count()
+    // forget one base doc and one ingested doc in one call
+    val removed = Forget.fromShingleIndex(spark, idx, Seq(3L, 10L))
+    assert(removed > 0)
+    val left = spark.read.parquet(idx)
+    assert(left.filter(col("doc").isin(3L, 10L)).count() == 0,
+      "forgotten docs still have postings")
+    assert(left.count() == othersBefore,
+      "other docs' postings were disturbed")
+    // probes of the forgotten docs' near-dups come back empty; an
+    // unrelated doc is still findable
+    assert(probe(3).isEmpty && probe(10).isEmpty)
+    assert(probe(1) == Set(1L))
+    // idempotent: nothing left to remove
+    assert(Forget.fromShingleIndex(spark, idx, Seq(3L, 10L)) == 0L)
+
+    // IVF index: forgotten vectors disappear from probe results
+    val emb = Tables(spark, sfDir, "embeddings")
+    val ivf = java.nio.file.Files
+      .createTempDirectory("graft_forget_ivf").toString + "/index"
+    Similarity.ivfWriteIndex(emb, "vec_id", "embedding", ivf,
+      nlist = 4, maxFit = 100L)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val top = Similarity.ivfProbeIndex(spark, ivf, q, "vec_id", "embedding",
+        k = 5, nprobe = 2)
+      .select("nid").as[Long].collect().toSet
+    val victims = top.take(2).toSeq
+    assert(Forget.fromIvfIndex(spark, ivf, victims) > 0)
+    val after = Similarity.ivfProbeIndex(spark, ivf, q, "vec_id", "embedding",
+        k = 5, nprobe = 2)
+      .select("nid").as[Long].collect().toSet
+    assert(victims.forall(v => !after.contains(v)),
+      s"forgotten vectors $victims still returned: $after")
+  }
+
   test("IVF sampled-fit quantizer (maxFit < corpus) keeps recall") {
     // the 100 TB contract: the KMeans fit sees a bounded sample, never
     // the corpus — recall must survive training on 1/5th of the vectors
