@@ -24,6 +24,7 @@ object SparkEntry {
       analytics.TemporalQueries.queries ++
       cdc.CdcQueries.queries ++
       ops.LlmQueries.queries ++
+      ops.SemDedup.queries ++
       ops.SpanDedup.queries ++
       ops.EntityResolution.queries ++
       ops.Search.queries ++

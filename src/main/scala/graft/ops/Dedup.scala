@@ -23,6 +23,46 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Incremental EXACT dedup with a Bloom prefilter — the runtime-filter
+    * rendering of "which batch docs are new against the corpus". Output
+    * is EXACT (identical to a plain anti-join, and oracle-checked as
+    * one): the corpus's content-hash set is sketched into a Bloom filter
+    * (one partial-agg'd pass, sketch size ∝ bits not rows), broadcast
+    * into a map-only probe over the batch, and split one-sided —
+    * `might_contain = false` is DEFINITIVE (no false negatives), so
+    * those rows are new without ever joining; only the `maybe` slice
+    * (true dups + fpp·|batch| false positives) pays the exact confirm
+    * anti-join against the corpus.
+    *
+    * Why this matters at 100 TB: a typical ingest batch is MOSTLY new,
+    * so the expensive join's probe side shrinks from |batch| to
+    * |dups| + fpp·|batch| — with fpp = 1% that is a ~99% cut in join
+    * input for a clean batch, and the corpus-side join can further
+    * bucket-prune when the corpus hash table is stored bucketed (the
+    * shingle-index discipline). Bloom sizing is the honest bound: bits
+    * ≈ −n·ln(fpp)/ln²2 ≈ 1.2 GB for 10⁹ corpus docs at 1% — fine
+    * broadcast; at 10¹¹ docs you shard the sketch by hash-bucket and
+    * probe per shard (contract unchanged). The sketch build is
+    * `stat.bloomFilter` (treeAggregate: executors build partial
+    * filters, driver holds ONE merged sketch — never row data).
+    *
+    * Returns the batch-new texts as (content_hash, keep_id, dup_cnt) —
+    * [[exact]]'s shape restricted to texts absent from the corpus,
+    * dedup'd WITHIN the batch (keep = min id).
+    */
+  def exactNewViaBloom(corpus: DataFrame, batch: DataFrame, idCol: String,
+                       textCol: String, fpp: Double = 0.01,
+                       expectedItems: Long = -1L): DataFrame = {
+    val key = xxhash64(col(textCol))
+    val n = if (expectedItems > 0) expectedItems else corpus.count()
+    val bloom = corpus.stat.bloomFilter(key, math.max(n, 1L), fpp)
+    val might = graft.functions.BloomMightContain.mightContain(key, bloom)
+    val definiteNew = batch.filter(!might)
+    val rescued = batch.filter(might).join(
+      corpus.select(col(textCol)), Seq(textCol), "left_anti")
+    exact(definiteNew.unionByName(rescued), idCol, textCol)
+  }
+
   /** Inverted index `(doc, n_sh, s)` — one posting per distinct shingle
     * per document, with the document's shingle-set size carried on every
     * posting. Carrying `n_sh` costs one int per row but removes the
@@ -160,6 +200,39 @@ object Dedup {
       // floor() on the bit-identical count ratio is engine-exact
       .select(col("i"), col("j"),
         (floor(col("jaccard") * 1e6).cast("double") / 1e6).as("jaccard"))
+  }
+
+  /** Asymmetric near-dup by n-gram CONTAINMENT: |A∩B| / min(|A|, |B|)
+    * instead of Jaccard's |A∩B| / |A∪B|. Jaccard structurally misses
+    * the short-inside-long case — a tweet quoted verbatim inside an
+    * article scores |tweet| / |article| ≈ 0, yet it is exactly the
+    * training-set redundancy (and eval leakage) a curation pass must
+    * see (Lee et al. 2022 §4 discuss containment for this reason; the
+    * NearDup literature calls it overlap or Szymkiewicz–Simpson
+    * coefficient). Same inverted-index plan as [[jaccardPairs]] — only
+    * the denominator changes, so cost and skew story are identical:
+    * candidates = pairs sharing an uncapped shingle, one partial-agg'd
+    * groupBy, no n² anywhere.
+    *
+    * Caveat the caller must know: `maxDf` trims postings from BOTH
+    * sets' intersections, so containment of a doc made ENTIRELY of
+    * corpus-hot shingles reads low — the same declared trade as every
+    * shingle op here.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = invertedIndex(df, idCol, textCol, n, maxDf)
+    sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("i"), col("b.doc").as("j"),
+        col("a.n_sh").as("ni"), col("b.n_sh").as("nj"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment",
+        col("common").cast("double") / least(col("ni"), col("nj")))
+      .filter(col("containment") >= threshold)
+      .select(col("i"), col("j"),
+        (floor(col("containment") * 1e6).cast("double") / 1e6).as("containment"))
   }
 
   /** Incremental-ingest dedup: Jaccard near-dup pairs between a NEW

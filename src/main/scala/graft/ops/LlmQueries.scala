@@ -232,6 +232,46 @@ object LlmQueries {
         SELECT i, j, CAST(CAST(floor(jc * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS jaccard FROM jac
         WHERE jc >= 0.8 ORDER BY i, j""")),
 
+    // Containment near-dup: |A∩B| / min(|A|,|B|) — catches the
+    // short-doc-quoted-inside-long-doc redundancy Jaccard structurally
+    // misses (score ⊇ jaccard at equal threshold; 0.9 keeps it a
+    // distinct, tighter family on this corpus).
+    GQuery("dedup_containment",
+      (s, d) => Dedup.containmentPairs(Tables(s, d, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.9, maxDf = shingleMaxDf)
+        .orderBy(col("i"), col("j")),
+      Some(s"""$shingleCte,
+        pairs AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        cm AS (
+          SELECT i, j, common::DOUBLE / least(ca.n, cb.n) AS c
+          FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j)
+        SELECT i, j, CAST(CAST(floor(c * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS containment
+        FROM cm WHERE c >= 0.9 ORDER BY i, j""")),
+
+    // Bloom-prefiltered incremental EXACT dedup: the runtime-filter
+    // rendering — definitely-new batch docs short-circuit past the
+    // confirm join (no false negatives), only the maybe slice joins.
+    // Output is exact, so the oracle is the plain anti-join semantics
+    // with no bloom internals to replay.
+    GQuery("dedup_incremental_bloom",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        Dedup.exactNewViaBloom(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text")
+          .orderBy(col("content_hash"))
+      },
+      Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+          COUNT(*) AS dup_cnt
+        FROM documents b WHERE doc_id % 10 = 0
+          AND NOT EXISTS (SELECT 1 FROM documents c
+                          WHERE c.doc_id % 10 <> 0 AND c.text = b.text)
+        GROUP BY text ORDER BY content_hash""")),
+
     // The PERSISTED-index form of incremental dedup: corpus postings
     // pre-shingled and df-capped at index-build time (offline job,
     // memoized per JVM), batch shingled live and filtered by the
@@ -835,6 +875,33 @@ object LlmQueries {
           FROM documents JOIN tgt ON documents.lang = tgt.lang)
         SELECT doc_id, lang FROM r WHERE rk <= take
         ORDER BY lang, doc_id""")),
+
+    // Epoch-repetition mixing (the "data recipe"): de 3.0 epochs,
+    // es 2.25, zh 1.25, fr 1.0, en 0.5 — integer epochs explode
+    // map-side, the fractional epoch is a salted-hash-stable subset.
+    GQuery("sample_repeat_epochs",
+      (s, d) => Sampling.repeatEpochs(Tables(s, d, "documents"),
+          "doc_id", "lang", "repeat",
+          Seq("de" -> 30000, "es" -> 22500, "zh" -> 12500,
+            "fr" -> 10000, "en" -> 5000))
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch")),
+      Some(s"""WITH w(lang, ebp) AS (VALUES
+          ('de', 30000), ('es', 22500), ('zh', 12500),
+          ('fr', 10000), ('en', 5000)),
+        j AS (SELECT doc_id, documents.lang AS lang, ebp
+          FROM documents JOIN w ON documents.lang = w.lang),
+        fullr AS (
+          SELECT doc_id, lang, CAST(unnest(range(ebp // 10000)) AS INT) AS epoch
+          FROM j),
+        fracr AS (
+          SELECT doc_id, lang, CAST(ebp // 10000 AS INT) AS epoch
+          FROM j
+          WHERE ebp % 10000 > 0
+            AND ${duckHex32("'repeat:' || doc_id")} % 10000 < ebp % 10000)
+        SELECT doc_id, lang, epoch
+        FROM (SELECT * FROM fullr UNION ALL SELECT * FROM fracr)
+        ORDER BY doc_id, epoch""")),
 
     // Exact 5% per event_type, chosen by hash rank within the stratum —
     // per-group fraction is exact (ceil), assignment still deterministic.

@@ -186,6 +186,45 @@ object Sampling {
       .drop("__rk", "__take")
   }
 
+  /** Epoch-repetition mixing — the "data recipe" op: each source group
+    * is repeated a FRACTIONAL number of epochs (basis points of an
+    * epoch, 10000 = 1.0; e.g. 25000 = every doc twice, plus a stable
+    * 50% subset a third time). This is how real pretraining mixes are
+    * specified (high-quality sources up-sampled to n > 1 epochs, bulk
+    * web capped at 1), and the fractional part must be a STABLE subset
+    * — the same documents every run — or two pipeline stages disagree
+    * about what epoch 2 of wiki contains. Integer epochs are a
+    * map-side sequence explode; the fractional epoch selects by the
+    * same salted id-hash as [[hashSample]] (partition-invariant, no
+    * rand(), replayable in SQL). Output = input rows × their epoch
+    * index (`epoch` column, 0-based), ~Σ n_g·bp_g/10000 rows.
+    *
+    * Scale shape: one broadcast join against the |groups|-row recipe
+    * table + a map-side explode — no shuffle at all; the output feeds
+    * [[graft.operators.GlobalOrder]]'s epoch-shuffle layout, which is
+    * where the (single) range exchange happens.
+    */
+  def repeatEpochs(df: DataFrame, idCol: String, groupCol: String,
+                   salt: String, epochsBp: Seq[(String, Int)]): DataFrame = {
+    require(epochsBp.nonEmpty && epochsBp.forall(_._2 > 0),
+      s"epoch factors must be positive basis points: $epochsBp")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wtab = epochsBp.toDF(groupCol, "__ebp")
+    df.join(broadcast(wtab), groupCol)
+      .withColumn("__k", expr("__ebp DIV 10000").cast("int"))
+      .withColumn("__f", (col("__ebp") % 10000).cast("int"))
+      // guard: sequence(0, k-1) with k = 0 would generate DESCENDING
+      // [0, -1] (Spark's sequence walks backwards when stop < start),
+      // not an empty array — the when() keeps sub-epoch groups correct
+      .withColumn("epoch", explode(concat(
+        when(col("__k") >= 1, sequence(lit(0), col("__k") - 1))
+          .otherwise(array().cast("array<int>")),
+        when(col("__f") > 0 && hashBucket(col(idCol), salt) < col("__f"),
+          array(col("__k"))).otherwise(array().cast("array<int>")))))
+      .drop("__ebp", "__k", "__f")
+  }
+
   /** Deterministic uniform negative sampling for contrastive training:
     * `k` pseudo-random negatives per anchor over a DENSE id domain
     * [0, n) — negative j of anchor a is `md5(salt:a:j) mod n`, with a

@@ -854,4 +854,71 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("qid") != r.getAs[Long]("nid"))
     }
   }
+
+  /** The engine's portable id hash, recomputed independently (first 8
+    * md5 hex chars as a 32-bit int, mod 10000) — the spec-side referee
+    * for every hash-gated sampling assertion.
+    */
+  private def refBucket(salt: String, id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$salt:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % 10000
+  }
+
+  test("repeatEpochs: integer epochs exact, fractional epoch is the salted hash subset") {
+    import graft.ops.Sampling
+    val df = (0L until 90L).map(i => (i, Seq("a", "b", "c")((i % 3).toInt)))
+      .toDF("id", "src")
+    val recipe = Seq("a" -> 25000, "b" -> 10000, "c" -> 5000)
+    val got = Sampling.repeatEpochs(df, "id", "src", "ep", recipe)
+      .select("id", "src", "epoch").as[(Long, String, Int)]
+      .collect().toSet
+    val expected = (0L until 90L).flatMap { i =>
+      val src = Seq("a", "b", "c")((i % 3).toInt)
+      val bp = recipe.toMap.apply(src)
+      val full = (0 until bp / 10000).map(e => (i, src, e))
+      val frac = if (bp % 10000 > 0 && refBucket("ep", i) < bp % 10000)
+        Seq((i, src, bp / 10000)) else Nil
+      full ++ frac
+    }.toSet
+    assert(got == expected)
+    // sanity on the shape: every 'b' doc exactly once at epoch 0, every
+    // 'a' doc at least twice, SOME BUT NOT ALL 'a'/'c' docs drew the
+    // fractional epoch (10000 ids ⇒ astronomically unlikely otherwise)
+    assert(got.count(_._2 == "b") == 30)
+    assert(expected.exists(t => t._2 == "a" && t._3 == 2))
+    assert(expected.exists(t => t._2 == "c"))
+    assert(got.groupBy(_._2).apply("a").size < 90)
+    // partition invariance: the draw is content-addressed
+    val re = Sampling.repeatEpochs(df.repartition(7), "id", "src", "ep", recipe)
+      .select("id", "src", "epoch").as[(Long, String, Int)].collect().toSet
+    assert(re == got)
+  }
+
+  test("containment: catches short-inside-long that jaccard misses; bounds hold") {
+    val uniq = (1 to 40).map(k => s"w$k")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // 5 tokens, contained below
+      (2L, (uniq.take(20) :+ "alpha beta gamma delta epsilon").mkString(" ")
+        + " " + uniq.drop(20).mkString(" ")),
+      (3L, "zeta eta theta iota kappa lambda"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.9).select("i", "j").as[(Long, Long)].collect().toSet
+    assert(cont == Set((1L, 2L)),
+      s"the quoted doc must be the one containment pair: $cont")
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.8).select("i", "j").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)),
+      "jaccard at 0.8 must miss the asymmetric pair (that is the point)")
+    // containment ≥ jaccard pointwise ⇒ at equal thresholds the jaccard
+    // family is a subset of the containment family (real corpus)
+    val corpus = Tables(spark, sfDir, "documents")
+    val cj = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.8, 5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val cc = Dedup.containmentPairs(corpus, "doc_id", "text", 3, 0.8, 5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(cj.subsetOf(cc))
+  }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, KMeansStep, SemDedup}
+import graft.util.Tables
+
+class SemDedupSpec extends AnyFunSuite {
+  import GraftSpark.{spark, sfDir}
+  import spark.implicits._
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      d += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def q6(x: Double): Long = math.floor(x * 1e6).toLong
+
+  test("semanticPairs = brute-force within-cell pairs on the real corpus") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    val cells = KMeansStep.assign(emb, "vec_id", "embedding", 50)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    val expected = (for {
+      (i, vi) <- vecs.toSeq; (j, vj) <- vecs.toSeq
+      if i < j && cells(i) == cells(j) && q6(cos(vi, vj)) >= 400000L
+    } yield (i, j) -> q6(cos(vi, vj))).toMap
+    val got = SemDedup.semanticPairs(emb, "vec_id", "embedding", 50, 0.4)
+      .select(col("i"), col("j"), floor(col("cos") * 1e6).cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (i, j, c) => (i, j) -> c }.toMap
+    assert(got == expected,
+      s"got ${got.size} pairs, expected ${expected.size}")
+    assert(expected.nonEmpty, "vacuous corpus test: no within-cell pairs")
+  }
+
+  test("blocked pairs are a subset of the exact all-pairs; misses straddle cells") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val thr = 0.3 // looser than the registered query so misses exist
+    val global = Dedup.embeddingPairs(emb, "vec_id", "embedding", thr)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val blocked = SemDedup.semanticPairs(emb, "vec_id", "embedding", 50, thr)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val cells = KMeansStep.assign(emb, "vec_id", "embedding", 50)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(blocked.subsetOf(global))
+    val missed = global -- blocked
+    assert(missed.forall { case (i, j) => cells(i) != cells(j) },
+      "a same-cell pair above threshold was dropped — blocking must only lose cross-cell pairs")
+  }
+
+  test("planted semantic dups: found, clustered, min-id kept") {
+    // dim 4, centroids at ids 0 and 4 (every = 4): e0- and e1-aligned.
+    // ids 1, 2 are semantic dups of id 0 (paraphrase = same direction,
+    // small perturbation); ids 5-7 are far from everything.
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      0L -> v(1, 0, 0, 0),
+      1L -> v(0.98, 0.02, 0, 0),
+      2L -> v(0.95, 0, 0.05, 0),
+      3L -> v(0.6, 0.6, 0.5, 0.1), // between cells, no dup
+      4L -> v(0, 1, 0, 0),
+      5L -> v(0.1, 0.9, 0.3, 0),
+      6L -> v(0, 0, 1, 0),
+      7L -> v(0, 0, 0, 1))
+    val emb = rows.toDF("vec_id", "embedding")
+    val pairs = SemDedup.semanticPairs(emb, "vec_id", "embedding", 4, 0.9)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L))
+      && pairs.contains((1L, 2L)), s"planted dup group not found: $pairs")
+    assert(!pairs.exists { case (i, j) => Set(i, j).exists(Set(6L, 7L)) },
+      s"orthogonal vectors must not pair: $pairs")
+    val keep = SemDedup.semanticDedup(emb, "vec_id", "embedding", 4, 0.9)
+      .select("vec_id", "cluster", "keep").as[(Long, Long, Int)]
+      .collect().toSet
+    val grp = keep.filter(_._2 == 0L)
+    assert(grp.map(_._1) == Set(0L, 1L, 2L),
+      s"semantic group should be {0,1,2}: $keep")
+    assert(grp.count(_._3 == 1) == 1 && grp.exists(t => t._1 == 0L && t._3 == 1),
+      s"exactly the min id is kept: $grp")
+  }
+}
