@@ -92,6 +92,49 @@ object Layout {
     * i of b → 2i+1), proving the native expression's packing exactly on
     * every event row.
     */
+  /** Curriculum epoch layout: global position = (quality band, salted
+    * hash) — band-major so training consumes the highest-quality band
+    * first, hash-shuffled WITHIN each band so consecutive samples stay
+    * decorrelated (the [[writeShuffled]] anti-correlation argument,
+    * applied per band). `buckets` equal-mass bands are cut by GLOBAL
+    * quality rank, not score quantile sketches, so band boundaries are
+    * exact and the layout is hash-oracle-replayable.
+    *
+    * Scale shape: two [[graft.operators.GlobalOrder.globalRank]] passes
+    * (each one range exchange + zipWithIndex's bounded count job — no
+    * single-partition window anywhere, no driver-side data) plus a
+    * 1-row count broadcast for the band arithmetic; the band id is
+    * exact BIGINT math `((rank-1)·B) div n`, identical in both engines.
+    * The second pass re-evaluates the first's lineage during range
+    * sampling — deterministic (RangePartitioner's sampler is seeded per
+    * partition), and cheaper than pinning a corpus-sized cache entry.
+    *
+    * Input: (`idCol`, `scoreCol`) — any per-doc score frame (e.g.
+    * [[graft.ops.TextAnalysis.quality]]). Output: (idCol, decile, pos)
+    * with decile 0 = best band and pos a 1-based total order.
+    */
+  def curriculumOrder(scored: DataFrame, idCol: String, scoreCol: String,
+                      buckets: Int, salt: String): DataFrame = {
+    import graft.operators.GlobalOrder
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    // rank on NEGATED floor-micro-unit quality (globalRank sorts
+    // ascending): decile 0 = highest quality, ties by id — the
+    // cross-engine ranking contract (never raw doubles, never round())
+    val qu = scored.select(col(idCol),
+      (-floor(col(scoreCol) * 1e6)).cast("long").as("__nqu"))
+    val ranked = GlobalOrder.globalRank(qu, "__qr", col("__nqu"), col(idCol))
+    val n = scored.select(count(lit(1)).as("__n"))
+    val banded = ranked.crossJoin(broadcast(n))
+      .withColumn("decile",
+        expr(s"(( __qr - 1) * $buckets) DIV __n").cast("int"))
+      .withColumn("__h",
+        md5(concat_ws(":", lit(salt), col(idCol).cast("string"))))
+      .select(col(idCol), col("decile"), col("__h"))
+    GlobalOrder.globalRank(banded, "pos",
+        col("decile"), col("__h"), col(idCol))
+      .select(col(idCol), col("decile"), col("pos"))
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("layout_zorder_value",
       (s, d) => Tables(s, d, "events")
@@ -109,6 +152,40 @@ object Layout {
         FROM (SELECT event_id, CAST(user_id AS INT) AS a,
                      CAST(floor("value") AS INT) AS b FROM events)
         ORDER BY event_id""")),
+
+    // Curriculum layout: quality-decile-major, hash-shuffled within
+    // each decile — the two-level epoch ordering curriculum training
+    // reads (clean data first, each difficulty band internally
+    // decorrelated). Two GlobalOrder passes (range exchange +
+    // zipWithIndex each), never a single-partition window.
+    GQuery("layout_curriculum",
+      (s, d) => curriculumOrder(
+          graft.ops.TextAnalysis.quality(Tables(s, d, "documents"), "text")
+            .select(col("doc_id"), col("quality_score")),
+          "doc_id", "quality_score", buckets = 10, salt = "curr")
+        .orderBy(col("pos")),
+      Some("""WITH qr AS (SELECT doc_id, length(text) AS chars,
+          len(list_filter(string_split(text, ' '), x -> x <> '')) AS toks,
+          length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
+          length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+          FROM documents),
+        q AS (SELECT doc_id,
+          (1.0 - CASE WHEN chars > 0 THEN punct::DOUBLE / chars ELSE 0.0 END)
+            * (1.0 - CASE WHEN chars > 0 THEN digits::DOUBLE / chars ELSE 0.0 END)
+            * least(1.0, toks::DOUBLE / 20.0) AS qs
+          FROM qr),
+        u AS (SELECT doc_id, CAST(floor(qs * 1e6) AS BIGINT) AS qu FROM q),
+        n AS (SELECT count(*) AS nn FROM u),
+        dec AS (SELECT doc_id,
+            CAST(((row_number() OVER (ORDER BY qu DESC NULLS LAST, doc_id) - 1)
+                  * 10) // nn AS INT) AS decile
+          FROM u, n),
+        h AS (SELECT doc_id, decile,
+            md5('curr:' || CAST(doc_id AS VARCHAR)) AS hh FROM dec)
+        SELECT doc_id, decile,
+          CAST(row_number() OVER (ORDER BY decile ASC NULLS LAST,
+            hh ASC NULLS LAST, doc_id) AS BIGINT) AS pos
+        FROM h ORDER BY pos""")),
 
     // The shuffle-layout ordering contract under the hash oracle, via
     // the md5-portable key (xxhash64 is Spark-only; writeShuffled uses

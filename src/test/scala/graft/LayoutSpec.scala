@@ -113,4 +113,41 @@ class LayoutSpec extends AnyFunSuite {
     Files.walk(java.nio.file.Paths.get(dir)).iterator.asScala.toSeq
       .reverse.foreach(Files.deleteIfExists(_))
   }
+
+  test("curriculum layout: balanced bands, band-major total order, hash-shuffled within") {
+    import spark.implicits._
+    val scored = graft.ops.TextAnalysis
+      .quality(Tables(spark, sfDir, "documents"), "text")
+      .select(col("doc_id"), col("quality_score"))
+    val out = Layout.curriculumOrder(scored, "doc_id", "quality_score",
+        buckets = 10, salt = "curr")
+      .as[(Long, Int, Long)].collect().sortBy(_._3)
+    val n = out.length
+    assert(n == scored.count())
+    // pos is a 1-based permutation, band-major (deciles ascend with pos)
+    assert(out.map(_._3).toSeq == (1L to n).toSeq)
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted.toSeq)
+    // equal-mass bands: sizes differ by at most 1
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).values
+    assert(sizes.max - sizes.min <= 1, s"unbalanced bands: $sizes")
+    // band k's worst quality is no worse than band k+1's best (rank
+    // cut on the micro-unit key; ties may straddle, so non-strict)
+    val qu = scored.select(col("doc_id"),
+        floor(col("quality_score") * 1e6).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val byBand = out.groupBy(_._2).view
+      .mapValues(_.map(r => qu(r._1))).toMap
+    for (k <- 0 until 9)
+      assert(byBand(k).min >= byBand(k + 1).max,
+        s"band $k not uniformly better than band ${k + 1}")
+    // within a band, position order IS the salted md5 order
+    def h(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"curr:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    out.groupBy(_._2).values.foreach { band =>
+      val hs = band.sortBy(_._3).map(r => h(r._1)).toSeq
+      assert(hs == hs.sorted, "within-band order must be the salted hash order")
+    }
+  }
 }
