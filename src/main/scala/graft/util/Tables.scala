@@ -21,18 +21,25 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across testdata generations, so branch on the
+    * scanned type instead of assuming either. NANOS: Spark's vectorized
+    * reader rejects it outright (PARQUET_TYPE_ILLEGAL), so read raw
     * nanos (legacy long mode) and truncate to microseconds — the same
-    * floor DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP, so the
-    * oracle sees identical values. TimestampNTZ keeps both engines in
-    * naive wall-clock land (no tz shifts on either side).
+    * floor DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP.
+    * MICROS: plain scan, normalised to TimestampNTZ. Either way both
+    * engines stay in naive wall-clock land (no tz shifts on either side).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case TimestampNTZType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
 
   /** Spread a narrow source across all cores before per-row-heavy work
