@@ -29,6 +29,7 @@ object SparkEntry {
       ops.EntityResolution.queries ++
       ops.Search.queries ++
       ops.KMeansStep.queries ++
+      ops.Lr.queries ++
       ops.Bpe.queries ++
       ops.Chunking.queries ++
       sources.FileFormats.queries ++

@@ -40,6 +40,17 @@ import graft.util.{GQuery, Tables}
   * one-way feature quantization (same parquet float → double cast both
   * engines) and the final rendering columns.
   *
+  * int64 overflow bound (Spark non-ANSI wraps silently where DuckDB
+  * raises, so the bound must be proven, not hoped): each gradient term
+  * ⌊r·x_q/1e6⌋ has |term| ≤ |x_q| because |r| ≤ 1e6, so
+  * |G_j| ≤ n · max|x_q| = n · 1e6 · max|x|. With features bounded
+  * |x| ≤ 8 (these embeddings are unit-scale; components ≪ 1) the sum
+  * stays inside int64 (9.22e18) for n up to ~1.1e12 rows — three
+  * orders past the 1e9-document corpora this targets. Margins are
+  * smaller: |m_i| ≤ dim · max|w| · max|x_q|, and |w| stays ≤ 1e6·η·T
+  * micro for T iterations. Past 1e12 rows, shard the corpus and
+  * average per-shard gradients.
+  *
   * Scale shape (the point): one pass over the corpus PER ITERATION —
   * margins are map-only (the weight vector is a literal array, no join,
   * no shuffle), the gradient is one partial-agg'd groupBy on the
@@ -91,10 +102,18 @@ object Lr {
     * a dim-key partial agg); the two up-front jobs (n, dim) and the
     * per-iteration dim-row collect are model-sized, never data-sized.
     */
-  private[ops] def fit(x: DataFrame, iters: Int): Array[Long] = {
+  private[graft] def fit(x: DataFrame, iters: Int): Array[Long] = {
     val n = x.count()
     require(n > 0, "cannot fit on an empty dataset")
-    val dim = x.select(size(col("xq")).as("d")).agg(max(col("d"))).first.getInt(0)
+    // Uniform-length contract: scoreCols zips against a dim-length
+    // literal, and zip_with null-pads a shorter vector (margin goes
+    // NULL) while the oracle's posexplode+join just sums fewer terms —
+    // a silent cross-engine divergence. Refuse ragged input outright.
+    val dims = x.select(size(col("xq")).as("d"))
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi")).first
+    val (lo, dim) = (dims.getInt(0), dims.getInt(1))
+    require(lo == dim,
+      s"ragged embedding lengths: min=$lo max=$dim — fit requires uniform dim")
     val w = Array.fill(dim)(0L)
     for (_ <- 1 to iters) {
       val grads = scoreCols(x, w)
@@ -150,6 +169,19 @@ object Lr {
     * (margin 0 ⇒ p = 5e5 exactly).
     */
   private def fitCtes(iters: Int): String = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val head = Seq(
+      s"""x AS (
+        SELECT vec_id, CAST(label >= 5 AS INT) AS y, CAST(g.i - 1 AS INT) AS j,
+          CAST(floor(CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) * 1e6)
+            AS BIGINT) AS xq
+        FROM embeddings,
+          LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g)""",
+      "nn AS (SELECT count(*) AS n FROM embeddings)",
+      s"""g1 AS (
+        SELECT j, SUM(${fd("(500000 - 1000000*y) * xq", "1000000")}) AS gj
+        FROM x GROUP BY j)""",
+      s"""w1 AS (SELECT j, 0 - (${fd("gj", "2*nn.n")}) AS w FROM g1, nn)""")
     val later = (2 to iters).map { k =>
       s"""m$k AS (
             SELECT x.vec_id, x.y, SUM(w.w * x.xq) AS m
@@ -164,20 +196,12 @@ object Lr {
           w$k AS (
             SELECT w.j, w.w - (${fd("g.gj", "2*nn.n")}) AS w
             FROM w${k - 1} w JOIN g$k g USING (j), nn)"""
-    }.mkString(",\n")
-    s"""x AS (
-        SELECT vec_id, CAST(label >= 5 AS INT) AS y, CAST(g.i - 1 AS INT) AS j,
-          CAST(floor(CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) * 1e6)
-            AS BIGINT) AS xq
-        FROM embeddings,
-          LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
-      nn AS (SELECT count(*) AS n FROM embeddings),
-      g1 AS (
-        SELECT j, SUM(${fd("(500000 - 1000000*y) * xq", "1000000")}) AS gj
-        FROM x GROUP BY j),
-      w1 AS (SELECT j, 0 - (${fd("gj", "2*nn.n")}) AS w FROM g1, nn),
-      $later"""
+    }
+    (head ++ later).mkString(",\n      ")
   }
+
+  /** Test hook: expose the CTE generator so specs can pin its shape. */
+  private[graft] def fitCtesForTest(iters: Int): String = fitCtes(iters)
 
   val Iters = 3
 
@@ -186,7 +210,7 @@ object Lr {
       (s, d) => train(s, Tables(s, d, "embeddings"), "vec_id", "embedding",
         "label", labelGe = 5, iters = Iters).orderBy(col("j")),
       Some(s"""WITH ${fitCtes(Iters)}
-        SELECT j, w AS w_u, CAST(w AS DOUBLE) / 1e6 AS weight
+        SELECT j, CAST(w AS BIGINT) AS w_u, CAST(w AS DOUBLE) / 1e6 AS weight
         FROM w$Iters ORDER BY j""")),
 
     GQuery("embed_lr_score",
@@ -197,8 +221,9 @@ object Lr {
         mf AS (
           SELECT x.vec_id, x.y, SUM(w.w * x.xq) AS m
           FROM x JOIN w$Iters w USING (j) GROUP BY x.vec_id, x.y)
-        SELECT vec_id, y, m AS margin_u,
-          LEAST(GREATEST(500000 + ${fd("m", "4000000")}, 0), 1000000) AS p_u,
+        SELECT vec_id, y, CAST(m AS BIGINT) AS margin_u,
+          CAST(LEAST(GREATEST(500000 + ${fd("m", "4000000")}, 0), 1000000)
+            AS BIGINT) AS p_u,
           CAST(LEAST(GREATEST(500000 + ${fd("m", "4000000")}, 0), 1000000)
             >= 500000 AS INT) AS pred,
           CAST(LEAST(GREATEST(500000 + ${fd("m", "4000000")}, 0), 1000000)
