@@ -91,6 +91,13 @@ object Compaction {
     * staged→main, retired deleted). Callers must have finished writing
     * the staged dir (with _SUCCESS) first; [[recover]] completes the
     * swap if a crash lands between the renames.
+    *
+    * NOTE single-writer, no-concurrent-reader discipline: the renames
+    * move the underlying part-files, so a reader that already planned
+    * its scan against `main` loses its files mid-flight (observed as
+    * FAILED_READ_FILE/FileNotFound). Deployments with concurrent
+    * readers must use the GENERATIONAL layout below, whose part-file
+    * paths are immutable until a full compaction cycle has passed.
     */
   private[graft] def swapIn(fs: org.apache.hadoop.fs.FileSystem, main: Path): Unit = {
     val staged = stagedPath(main); val retired = retiredPath(main)
@@ -99,5 +106,175 @@ object Compaction {
     if (!fs.rename(staged, main))
       sys.error(s"compaction: rename $staged -> $main failed")
     fs.delete(retired, true)
+  }
+
+  // ------------------------------------------------------- generational
+
+  /** Generational table layout — the concurrent-reader-safe variant.
+    *
+    * {{{
+    * table/
+    *   _graft_gen        <- manifest: name of the current generation dir
+    *   g000000041/       <- previous generation (kept one cycle: grace)
+    *   g000000042/       <- current generation (immutable once published)
+    * }}}
+    *
+    * Readers resolve the manifest then scan `table/<gen>`; writers
+    * write a NEW generation dir, atomically replace the manifest
+    * (FileContext rename with OVERWRITE — atomic on HDFS and posix;
+    * on object stores the manifest PUT is itself atomic), and prune
+    * only generations at least two behind. Because part-files under a
+    * published generation are never renamed or deleted until a full
+    * compaction cycle later, an in-flight reader that planned its scan
+    * any time after the previous publish always finds every file it
+    * listed — no transient-retry window at all, unlike [[swapIn]].
+    * This is the manifest indirection Iceberg/Delta use, reduced to a
+    * single-pointer manifest (one table version, no snapshot history).
+    */
+  private val ManifestPrefix = "_graft_gen."
+
+  private def genName(n: Long): String = f"g$n%09d"
+
+  private def genNumber(name: String): Option[Long] =
+    if (name.length == 10 && name.head == 'g' && name.tail.forall(_.isDigit))
+      Some(name.tail.toLong)
+    else None
+
+  /** Current generation dir name, if `main` is generational.
+    *
+    * The manifest is NOT a single overwritten pointer file: on a
+    * checksummed FileSystem an overwrite-rename moves the data file and
+    * its .crc sidecar as two separate renames, and a reader between
+    * them sees new bytes with the old checksum (ChecksumException —
+    * observed under churn). Instead each publish CREATES an immutable
+    * `_graft_gen.g<N>` marker (rename-no-overwrite of a fully-written
+    * temp: the name transitions absent → complete, never stale) and
+    * readers take the highest N from a directory listing. Old markers
+    * are pruned on the same two-generation grace as the data dirs.
+    */
+  private[graft] def currentGen(fs: org.apache.hadoop.fs.FileSystem,
+                                main: Path): Option[String] = {
+    if (!fs.exists(main)) return None
+    val gens = fs.listStatus(main).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(ManifestPrefix))
+      .flatMap(n => genNumber(n.stripPrefix(ManifestPrefix)))
+    if (gens.isEmpty) None else Some(genName(gens.max))
+  }
+
+  /** The path readers should scan: `main/<gen>` for a generational
+    * table, `main` itself for a flat one.
+    */
+  def resolve(fs: org.apache.hadoop.fs.FileSystem, main: Path): Path =
+    currentGen(fs, main).map(new Path(main, _)).getOrElse(main)
+
+  /** Read the table at `path`, generational or flat. */
+  def readTable(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    val main = new Path(path)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(resolve(fs, main).toString)
+  }
+
+  /** Atomically publish `gen` as the current generation: create its
+    * immutable marker file, then prune markers two or more generations
+    * behind (matching the data-dir grace).
+    */
+  private def publish(fs: org.apache.hadoop.fs.FileSystem,
+                      conf: org.apache.hadoop.conf.Configuration,
+                      main: Path, gen: String): Unit = {
+    val n = genNumber(gen).getOrElse(sys.error(s"bad generation name $gen"))
+    val tmp = new Path(main, s".${ManifestPrefix}$gen.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(gen.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new Path(main, ManifestPrefix + gen)))
+      sys.error(s"compaction: publishing manifest for $gen failed")
+    fs.listStatus(main).toSeq.map(_.getPath).foreach { p =>
+      val name = p.getName
+      if (name.startsWith(ManifestPrefix))
+        genNumber(name.stripPrefix(ManifestPrefix)) match {
+          case Some(m) if m <= n - 2 => fs.delete(p, false)
+          case _ => ()
+        }
+    }
+  }
+
+  /** Convert a flat parquet dir into a generational one (run once,
+    * before concurrent readers start — the one-time file moves have the
+    * same reader hazard as [[swapIn]]).
+    */
+  def toGenerational(spark: SparkSession, path: String): Unit = {
+    val main = new Path(path)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (currentGen(fs, main).isDefined) return
+    val g1 = new Path(main, genName(1L))
+    fs.mkdirs(g1)
+    fs.listStatus(main).toSeq.filter(_.isFile).foreach { s =>
+      if (!fs.rename(s.getPath, new Path(g1, s.getPath.getName)))
+        sys.error(s"toGenerational: rename ${s.getPath} failed")
+    }
+    publish(fs, spark.sparkContext.hadoopConfiguration, main, genName(1L))
+  }
+
+  /** Compact a generational table. One job: scan current gen →
+    * round-robin repartition → write gen N+1 → atomic manifest swap →
+    * prune generations ≤ N−1 plus any orphaned unpublished dirs (a
+    * crashed writer's half-written gen: manifest never moved, so it is
+    * invisible to readers and safe to drop). The just-retired gen N
+    * survives until the NEXT compaction — the reader grace period is a
+    * full compaction cycle.
+    */
+  def compactGen(spark: SparkSession, path: String,
+                 targetBytes: Long = 128L * 1024 * 1024): Stats = {
+    val main = new Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = main.getFileSystem(conf)
+    if (currentGen(fs, main).isEmpty) toGenerational(spark, path)
+    val cur = currentGen(fs, main).get
+    val curN = genNumber(cur).getOrElse(sys.error(s"bad generation name $cur"))
+    val curDir = new Path(main, cur)
+    // drop unpublished orphans (crashed writes) and gens ≤ curN − 2;
+    // keep curN − 1: an in-flight reader may still be scanning it
+    fs.listStatus(main).toSeq.filter(_.isDirectory).foreach { s =>
+      genNumber(s.getPath.getName) match {
+        case Some(n) if n > curN || n <= curN - 2 => fs.delete(s.getPath, true)
+        case _ => ()
+      }
+    }
+    val files = dataFiles(fs, curDir)
+    val bytes = files.map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    if (files.size <= nOut)
+      return Stats(files.size, files.size, bytes, rewritten = false)
+    val next = genName(curN + 1)
+    spark.read.parquet(curDir.toString)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(new Path(main, next).toString)
+    publish(fs, conf, main, next)
+    Stats(files.size, dataFiles(fs, new Path(main, next)).size, bytes,
+      rewritten = true)
+  }
+
+  /** Write `df` as the next generation of a generational table (the
+    * ingest-side counterpart of [[compactGen]] — any full-table rewrite
+    * goes through the same publish/prune cycle).
+    */
+  def writeGen(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val main = new Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = main.getFileSystem(conf)
+    val curN = currentGen(fs, main).flatMap(genNumber).getOrElse(0L)
+    val next = genName(curN + 1)
+    df.write.mode("overwrite").parquet(new Path(main, next).toString)
+    publish(fs, conf, main, next)
+    // same grace discipline as compactGen: keep the just-retired gen
+    // and the one before it (a reader that resolved two publishes ago
+    // may still be scanning), prune everything older
+    fs.listStatus(main).toSeq.filter(_.isDirectory).foreach { s =>
+      genNumber(s.getPath.getName) match {
+        case Some(n) if n <= curN - 2 => fs.delete(s.getPath, true)
+        case _ => ()
+      }
+    }
   }
 }

@@ -186,6 +186,25 @@ object FileFormats {
         Compaction.compactParquet(s, path)
         s.read.parquet(path).orderBy(col("o_orderkey"))
       },
+      Some("SELECT * FROM orders ORDER BY o_orderkey")),
+
+    // Generational (manifest-pointer) compaction — the concurrent-
+    // reader-safe variant: publish immutable generation dirs, swap a
+    // listing-resolved marker, prune two generations late. The chaos
+    // spec proves the zero-transient-read contract; this proves the
+    // data survives fragment → convert → compact → re-fragment →
+    // compact bit-for-bit.
+    GQuery("fmt_compaction_gen",
+      (s, d) => {
+        val orders = Tables(s, d, "orders")
+        val path = tmp("graft_compact_gen")
+        orders.repartition(48).write.mode("overwrite").parquet(path)
+        Compaction.toGenerational(s, path)
+        Compaction.compactGen(s, path)
+        Compaction.writeGen(Compaction.readTable(s, path).repartition(48), path)
+        Compaction.compactGen(s, path)
+        Compaction.readTable(s, path).orderBy(col("o_orderkey"))
+      },
       Some("SELECT * FROM orders ORDER BY o_orderkey"))
   )
 
