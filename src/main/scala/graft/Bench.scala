@@ -31,8 +31,15 @@ object Bench {
     // caches via CacheManager plan-matching — the timed passes were
     // re-reading the warm pass's shingle index instead of paying their
     // own build, the same warm-cache artifact class as r4's bm25 number.
-    qs.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // failures must stay out of the stdout JSON line but NOT vanish:
+    // r6's 31 identical events-reader errors took a driver-artifact
+    // diff to diagnose when one stderr grep would have done it
+    def logErr(name: String, e: Throwable): Unit =
+      System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}: " +
+        String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+    qs.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable => logErr(name, e) }
       graft.util.Caches.sweep()
     }
     // two timed passes, keep the per-query minimum: single-pass numbers
@@ -42,7 +49,7 @@ object Bench {
     def timed(): Map[String, Double] = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
+               catch { case e: Throwable => logErr(name, e); false }
       val dt = (System.nanoTime() - t0) / 1e9
       graft.util.Caches.sweep() // driver-side bookkeeping, outside the timing
       name -> (if (ok) dt else -1.0)

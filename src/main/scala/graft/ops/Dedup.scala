@@ -149,11 +149,21 @@ object Dedup {
     * check an LLM corpus runs before training (exact n-gram collision,
     * the method used for published train-set contamination audits).
     *
-    * Scale: the benchmark index is tiny relative to the corpus, so the
-    * shingle equi-join broadcasts it (AQE decides); the per-doc distinct
-    * count is a partial-agg'd shuffle on doc. Boilerplate n-grams that
-    * would blow up the join are exactly what `maxDf` caps — same skew
-    * story as [[jaccardPairs]].
+    * Scale: ONE pass — no self-join, no persist. Each distinct (doc, s)
+    * posting carries an is_bench flag; a window over `s` counts the
+    * benchmark docs holding that shingle (distinct by construction,
+    * since shingles() already dedups (doc, s)), and a posting survives
+    * iff some OTHER bench doc holds it (`nb − is_bench > 0`). The final
+    * per-doc count then needs no distinct agg. Three shuffles total
+    * (shingle distinct, window on s, groupBy doc) vs the previous
+    * persist + self-join shape's four-plus-recompute — the r6 bench
+    * regression was exactly that persist re-deriving the shingle
+    * lineage once per harness pass after the Caches sweep landed.
+    * Skew: every posting of a hot shingle lands in one window
+    * partition, which is what `maxDf` caps — a decontamination run
+    * should always cap df (a boilerplate n-gram shared by half the
+    * corpus is not evidence of contamination), same story as
+    * [[jaccardPairs]].
     *
     * @param benchPred predicate over the `doc` id column selecting the
     *                  benchmark subset
@@ -161,17 +171,13 @@ object Dedup {
   def ngramOverlap(df: DataFrame, idCol: String, textCol: String,
                    n: Int, benchPred: Column => Column,
                    maxDf: Int = Int.MaxValue): DataFrame = {
-    // the corpus scan and the benchmark side filter the SAME shingle
-    // table — persist it so the shingling runs once (filters prune the
-    // cached columnar batches, not the lineage); swept post-run by the
-    // harness (graft.util.Caches ownership contract)
-    val sh = graft.util.Caches.own(shingles(df, idCol, textCol, n, maxDf))
-    val bench = sh.filter(benchPred(col("doc")))
-      .select(col("s"), col("doc").as("bdoc"))
-    sh.join(bench, Seq("s"))
-      .filter(col("doc") =!= col("bdoc"))
+    import org.apache.spark.sql.expressions.Window
+    shingles(df, idCol, textCol, n, maxDf)
+      .withColumn("is_bench", benchPred(col("doc")).cast("int"))
+      .withColumn("nb", sum(col("is_bench")).over(Window.partitionBy("s")))
+      .filter(col("nb") - col("is_bench") > 0)
       .groupBy("doc")
-      .agg(countDistinct(col("s")).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"))
   }
 
   /** All pairs (i < j) with n-gram Jaccard ≥ threshold, via an inverted

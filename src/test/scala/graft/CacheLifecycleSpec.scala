@@ -37,8 +37,11 @@ class CacheLifecycleSpec extends AnyFunSuite {
       Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 16, bands = 4,
         threshold = 0.5).count()
       Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3).count()
+      // maxDf engages the df-cap inside shingles(), the op's only
+      // remaining owned persist (the un-capped path is persist-free
+      // since the round-7 single-pass window rewrite)
       Dedup.ngramOverlap(docs, "doc_id", "text", n = 5,
-        benchPred = _ % 10 === 0).count()
+        benchPred = _ % 10 === 0, maxDf = 50).count()
       // n = 4 (not 3): with identical params this op's owned
       // invertedIndex plan is byte-identical to minhashLsh's above, and
       // CacheManager plan-matching folds the two persists into ONE
