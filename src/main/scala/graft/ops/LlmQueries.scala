@@ -76,6 +76,51 @@ object LlmQueries {
     })
   }
 
+  /** One full StreamingDedup run per dataset dir per JVM: offline base
+    * index (doc_id%10≠0), then two deterministic MemoryStream
+    * micro-batches (%20==0, %20==10) through the foreachBatch
+    * probe-then-append loop. Memoized like the shingle/IVF indexes —
+    * the stream is a fixture; per-trigger economics are benched by
+    * `dedup_incremental_indexed` and raced/replayed in CdcStreamSpec.
+    * Returns the pairs output directory.
+    */
+  private val streamingDedupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def streamingDedupPairsFor(s: org.apache.spark.sql.SparkSession,
+                                     datasetDir: String): String = {
+    ivfCleanupHook
+    streamingDedupCache.computeIfAbsent(datasetDir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sdedup_q").toString
+      val idx = root + "/index"
+      val pairs = root + "/pairs"
+      val docs = Tables(s, datasetDir, "documents")
+      Dedup.writeShingleIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", n = 3, idx, maxDf = shingleMaxDf)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingDedup.attach(
+          input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+          idx, pairs, n = 3, threshold = 0.8)
+        .option("checkpointLocation", root + "/ckpt")
+        .start()
+      try {
+        def slice(m: Int) = docs.filter(col("doc_id") % 20 === m)
+          .select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        input.addData(slice(0): _*)
+        q.processAllAvailable()
+        input.addData(slice(10): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      ivfIndexCache.put(s"sdedup:$datasetDir", pairs) // reuse cleanup walk
+      pairs
+    })
+  }
+
   private def ivfIndexFor(datasetDir: String,
                           emb: org.apache.spark.sql.DataFrame): String = {
     ivfCleanupHook
@@ -1510,6 +1555,101 @@ object LlmQueries {
         CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE)
           / CAST(ceil(octet_length(encode(text)) / 8.0) AS INT)) AS BIGINT) AS n_frames,
         CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // Deletion propagation (right-to-be-forgotten) into a persisted
+    // shingle index: build a dedicated index over the doc_id%10==0
+    // slice, forget the %20==0 half via touched-partition rewrite
+    // (ops/Forget — id predicate pushed to parquet, only partitions
+    // holding the ids rewritten), read the surviving postings back.
+    // The oracle is rebuild-without-ids: identical postings BUT with
+    // the hot list and every survivor's n_sh computed over the
+    // ORIGINAL corpus (forget does not recompute build-time stats;
+    // a survivor's n_sh counts only its own postings, so deletion of
+    // other docs cannot change it — which is exactly why the
+    // touched-partition rewrite is sound).
+    GQuery("forget_shingle_index",
+      (s, d) => {
+        val corpus = Tables(s, d, "documents")
+          .filter(col("doc_id") % 10 === 0)
+        val idx = new java.io.File(
+          new java.io.File(System.getProperty("java.io.tmpdir"),
+            "graft_forget_idx"), "index").getAbsolutePath
+        Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx,
+          maxDf = shingleMaxDf)
+        val ids = corpus.filter(col("doc_id") % 20 === 0)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        val removed = Forget.fromShingleIndex(s, idx, ids)
+        require(removed > 0L, "forget removed nothing — bad fixture")
+        s.read.parquet(idx).select(col("doc"), col("s"), col("n_sh"))
+          .orderBy(col("doc"), col("s"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM documents WHERE doc_id % 10 = 0),
+        sh0 AS (
+          SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i)),
+        hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > $shingleMaxDf),
+        cf AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (s)),
+        nsh AS (SELECT doc_id, count(*) AS n FROM cf GROUP BY 1)
+        SELECT cf.doc_id AS doc, cf.s AS s, CAST(nsh.n AS INT) AS n_sh
+        FROM cf JOIN nsh USING (doc_id)
+        WHERE cf.doc_id % 20 <> 0
+        ORDER BY doc, s""")),
+
+    // Streaming incremental dedup, end to end through Structured
+    // Streaming (streaming/StreamingDedup foreachBatch loop): offline
+    // base index over doc_id%10<>0, then two deterministic
+    // micro-batches (%20==0, then %20==10) probe-then-append — batch 1
+    // sees base ∪ batch 0. The run is memoized per dataset dir (the
+    // stream is a fixture; per-trigger cost is benched by
+    // dedup_incremental_indexed and spec-proven in CdcStreamSpec) and
+    // the oracle replays both probes with the index-side hot list.
+    GQuery("streaming_dedup_pairs",
+      (s, d) => {
+        val pairs = streamingDedupPairsFor(s, d)
+        s.read.parquet(pairs)
+          .select(col("batch").cast("int").as("batch"), col("i"), col("j"),
+            col("jaccard"))
+          .orderBy(col("batch"), col("i"), col("j"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM documents),
+        sh0 AS (
+          SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i)),
+        cor0 AS (SELECT * FROM sh0 WHERE doc_id % 10 <> 0),
+        hot AS (SELECT s FROM cor0 GROUP BY s HAVING count(*) > $shingleMaxDf),
+        cor AS (SELECT cor0.* FROM cor0 ANTI JOIN hot USING (s)),
+        a AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (s) WHERE doc_id % 20 = 0),
+        b AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (s) WHERE doc_id % 20 = 10),
+        corn AS (SELECT doc_id, count(*) AS n FROM cor GROUP BY 1),
+        an AS (SELECT doc_id, count(*) AS n FROM a GROUP BY 1),
+        bn AS (SELECT doc_id, count(*) AS n FROM b GROUP BY 1),
+        p0 AS (
+          SELECT a.doc_id AS i, cor.doc_id AS j, count(*) AS common
+          FROM a JOIN cor ON a.s = cor.s GROUP BY 1, 2),
+        j0 AS (
+          SELECT i, j, common::DOUBLE / (an.n + corn.n - common) AS jc
+          FROM p0 JOIN an ON an.doc_id = i JOIN corn ON corn.doc_id = j),
+        hist AS (
+          SELECT * FROM cor UNION ALL SELECT * FROM a),
+        hn AS (SELECT doc_id, count(*) AS n FROM hist GROUP BY 1),
+        p1 AS (
+          SELECT b.doc_id AS i, hist.doc_id AS j, count(*) AS common
+          FROM b JOIN hist ON b.s = hist.s GROUP BY 1, 2),
+        j1 AS (
+          SELECT i, j, common::DOUBLE / (bn.n + hn.n - common) AS jc
+          FROM p1 JOIN bn ON bn.doc_id = i JOIN hn ON hn.doc_id = j)
+        SELECT CAST(0 AS INT) AS batch, i, j,
+          CAST(CAST(floor(jc * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS jaccard
+        FROM j0 WHERE jc >= 0.8
+        UNION ALL
+        SELECT CAST(1 AS INT), i, j,
+          CAST(CAST(floor(jc * 1e6) AS BIGINT) AS DOUBLE) / 1e6
+        FROM j1 WHERE jc >= 0.8
+        ORDER BY batch, i, j"""))
   )
 }

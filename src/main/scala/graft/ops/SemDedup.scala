@@ -66,6 +66,76 @@ object SemDedup {
         (col("cos_u").cast("double") / 1e6).as("cos"))
   }
 
+  /** Hot-cell-capped within-cell pairs — the "recursively re-cluster
+    * oversized cells" mitigation made code (one level, which is all the
+    * paper's k ≈ √n regime ever needs; a cell that is still hot after
+    * one split is a mode-collapse signal worth surfacing, not hiding).
+    *
+    * Cells whose size exceeds `maxCell` are re-blocked before the
+    * quadratic compare: sub-centroids are the cell's members with
+    * vec_id ≡ 0 (mod `subEvery`) — the same seedless SQL-replayable
+    * init as the top level — and each hot member goes to its nearest
+    * sub-centroid (floor-micro d2, ties → smaller sub-centroid id, the
+    * repo-wide ranking contract). Compares then run within
+    * (cell, subcell), so a hot cell's |cell|² collapses to
+    * Σ|subcell|² — the skew cap. Cold cells get subcell = −1 and are
+    * compared whole, so output on a corpus with no hot cells is
+    * IDENTICAL to [[semanticPairs]] (plus the subcell column). A hot
+    * cell that happens to contain no sub-centroid id degenerates to
+    * one whole-cell bucket (subcell = −1) rather than dropping pairs.
+    *
+    * Approximation, stated: pairs STRADDLING a sub-cell boundary are
+    * missed, exactly as top-level cell-boundary pairs are — recall
+    * trades against the quadratic hot-cell cost, the same trade the
+    * paper makes at level 0. Every stage (sizes, sub-init, sub-assign,
+    * blocked compare) replays in ANSI SQL, so this path stays
+    * hash-oracle-checked — unlike an opaque re-KMeans, which would be
+    * rows-only.
+    *
+    * Scale: sizes is one k-row agg (broadcast back); sub-assignment is
+    * a join on cell — AQE's skew-join split handles the hot cell's
+    * posting imbalance, and the per-member work is |subcentroids(cell)|
+    * ≈ |cell|/subEvery distance folds, linear not quadratic.
+    */
+  def semanticPairsCapped(emb: DataFrame, idCol: String, vecCol: String,
+                          centroidEvery: Int, threshold: Double,
+                          maxCell: Long, subEvery: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = KMeansStep.assign(emb, idCol, vecCol, centroidEvery)
+      .select(col("vec_id"), col("cluster").as("cell"))
+    val tagged = emb.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .join(cells, "vec_id")
+      .transform(t => graft.util.Caches.own(t))
+    val sizes = tagged.groupBy("cell").agg(count(lit(1)).as("__n"))
+    val withN = tagged.join(broadcast(sizes), Seq("cell"))
+    val cold = withN.filter(col("__n") <= maxCell)
+      .select(col("vec_id"), col("__v"), col("cell"), lit(-1L).as("subcell"))
+    val hot = withN.filter(col("__n") > maxCell)
+    val subC = hot.filter(col("vec_id") % subEvery === 0)
+      .select(col("cell"), col("vec_id").as("scid"), col("__v").as("__sv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sd2_u"), col("scid"))
+    val hotAssigned = hot.join(subC, Seq("cell"), "left")
+      .withColumn("sd2_u",
+        floor(graft.functions.SquaredDistance
+          .squaredDistance(col("__v"), col("__sv")) * 1e6).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("__v"), col("cell"),
+        coalesce(col("scid"), lit(-1L)).as("subcell"))
+    val blocked = cold.union(hotAssigned)
+    val thrU = math.round(threshold * 1e6)
+    blocked.as("a").join(blocked.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.subcell") === col("b.subcell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_u",
+        floor(cosineSimilarity(col("a.__v"), col("b.__v")) * 1e6))
+      .filter(col("cos_u") >= thrU)
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        col("a.cell").as("cell"), col("a.subcell").as("subcell"),
+        (col("cos_u").cast("double") / 1e6).as("cos"))
+  }
+
   /** SemDeDup keep list: connected components over the within-cell
     * near-dup pairs, one canonical (min-id) member per semantic group.
     * Only vectors that HAVE a semantic duplicate appear; everything
@@ -120,7 +190,53 @@ object SemDedup {
   private val ThrU = math.round(Thr * 1e6)
   private val Every = 50
 
+  // hot at both gate scales: Every=50 ⇒ avg cell ≈ 50 (sf0.01: 10
+  // cells of ~50; sf0.001: one cell of 50), so maxCell=45 exercises
+  // the capped path everywhere the driver runs it
+  private val MaxCell = 45L
+  private val SubEvery = 20
+
   val queries: Seq[GQuery] = Seq(
+    GQuery("dedup_semantic_capped",
+      (s, d) => semanticPairsCapped(Tables(s, d, "embeddings"),
+          "vec_id", "embedding", centroidEvery = Every, threshold = Thr,
+          maxCell = MaxCell, subEvery = SubEvery)
+        .orderBy(col("i"), col("j")),
+      Some(s"""WITH ${pairCtes(Every, ThrU)},
+        sizes AS (SELECT cluster, count(*) AS n FROM a GROUP BY 1),
+        m AS (SELECT a.vec_id, a.cluster, sizes.n
+              FROM a JOIN sizes USING (cluster)),
+        subc AS (SELECT cluster, vec_id AS scid FROM m
+                 WHERE n > $MaxCell AND vec_id % $SubEvery = 0),
+        hotassign AS (
+          SELECT vec_id, cluster, COALESCE(scid, -1) AS subcell FROM (
+            SELECT m.vec_id, m.cluster, sc.scid,
+              row_number() OVER (PARTITION BY m.vec_id
+                ORDER BY CAST(floor(${sqlD2("x", "y")} * 1e6) AS BIGINT)
+                         ASC NULLS LAST, sc.scid) AS rn
+            FROM m LEFT JOIN subc sc ON sc.cluster = m.cluster
+            LEFT JOIN embeddings x ON x.vec_id = m.vec_id
+            LEFT JOIN embeddings y ON y.vec_id = sc.scid
+            WHERE m.n > $MaxCell) t
+          WHERE rn = 1),
+        blk AS (
+          SELECT vec_id, cluster, CAST(-1 AS BIGINT) AS subcell
+          FROM m WHERE n <= $MaxCell
+          UNION ALL
+          SELECT vec_id, cluster, CAST(subcell AS BIGINT) FROM hotassign),
+        pc AS (
+          SELECT bx.vec_id AS i, by.vec_id AS j, bx.cluster AS cell,
+            bx.subcell,
+            CAST(floor(${sqlCos("x", "y")} * 1e6) AS BIGINT) AS cos_u
+          FROM blk bx JOIN blk by
+            ON bx.cluster = by.cluster AND bx.subcell = by.subcell
+               AND bx.vec_id < by.vec_id
+          JOIN embeddings x ON x.vec_id = bx.vec_id
+          JOIN embeddings y ON y.vec_id = by.vec_id
+          WHERE CAST(floor(${sqlCos("x", "y")} * 1e6) AS BIGINT) >= $ThrU)
+        SELECT i, j, cell, subcell, CAST(cos_u AS DOUBLE) / 1e6 AS cos
+        FROM pc ORDER BY i, j""")),
+
     GQuery("dedup_semantic_pairs",
       (s, d) => semanticPairs(Tables(s, d, "embeddings"),
           "vec_id", "embedding", centroidEvery = Every, threshold = Thr)

@@ -131,6 +131,49 @@ object ScaleSmoke {
         graft.ops.Dedup.simhashPairs(d, "doc_id", "text", 3).count())
       timed(s"embed_lsh x$n")(
         graft.ops.Dedup.embeddingPairsLsh(e, "vec_id", "embedding", 64, 0.9).count())
+      // SemDeDup hot-cell: plant a 20%-of-corpus near-dup pile on
+      // centroid 0 (tiny per-vector one-component jitter keeps the
+      // points distinct, mutually near-cos-1, and sub-clusterable —
+      // exact duplicates are upstream exact-dedup's job and CANNOT be
+      // split by re-clustering). Uncapped within-cell compare is
+      // quadratic in the pile; the capped variant re-blocks the hot
+      // cell into ≤maxCell sub-cells and must track the unplanted
+      // curve. Pile ids avoid ≡0 (mod 50) so none become centroids.
+      def plantHotCell(df: DataFrame): DataFrame = {
+        val c0 = df.filter(col("vec_id") === 0)
+          .select(col("embedding").as("__c0"))
+        val pile = df.filter(pmod(col("vec_id"), lit(5)) === 3)
+          .withColumn("vec_id", col("vec_id") + 900000001L)
+          .filter(pmod(col("vec_id"), lit(50)) =!= 0)
+          .crossJoin(broadcast(c0))
+          // pile = 11 MODES around c0 (one component bumped +0.08 per
+          // mode) plus per-member hash jitter (‖δ‖ ≈ 0.005). Mutual
+          // cos ≈ 0.99 across modes — one semantic-dup family — but
+          // the blob is multi-modal, so nearest-sub-centroid
+          // assignment tiles it into ~modes sub-cells. (A unimodal
+          // blob centered on c0 CANNOT be split by one Voronoi pass:
+          // c0 is in the sub-centroid set and its cell swallows the
+          // pile — measured; that regime needs more top-level
+          // centroids, the operator's other documented knob.)
+          .withColumn("embedding",
+            transform(col("__c0"), (x, i) =>
+              (x
+                + when(i === (pmod(col("vec_id"), lit(11)) * 5).cast("int"),
+                    lit(0.08)).otherwise(lit(0.0))
+                + (pmod(hash(col("vec_id"), i), lit(1000)) - 500)
+                  .cast("double") * lit(2e-5)).cast("float")))
+          .drop("__c0")
+        df.unionByName(pile)
+      }
+      timed(s"semdedup x$n")(
+        graft.ops.SemDedup.semanticPairs(e, "vec_id", "embedding",
+          50, 0.4).count())
+      timed(s"semdedup_hot x$n")(
+        graft.ops.SemDedup.semanticPairs(plantHotCell(e), "vec_id",
+          "embedding", 50, 0.4).count())
+      timed(s"semdedup_hot_capped x$n")(
+        graft.ops.SemDedup.semanticPairsCapped(plantHotCell(e), "vec_id",
+          "embedding", 50, 0.4, maxCell = 100, subEvery = 13).count())
       timed(s"exact_dedup x$n")(
         graft.ops.Dedup.exact(d, "doc_id", "text").count())
       // BM25: query terms re-tagged per replica so hit-list work scales
