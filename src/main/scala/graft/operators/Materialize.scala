@@ -130,16 +130,58 @@ object Materialize {
     *                naturally idempotent the way first-write-wins upserts
     *                are, so this check is what makes the maintained
     *                aggregate effectively-once end to end.
+    * @param generational store state in the generational layout
+    *                (Compaction.writeGen/readTable) instead of the flat
+    *                staged/retired swap. The flat swap renames part-files
+    *                out from under an in-flight reader; a maintained
+    *                aggregate is a QUERYABLE view, so deployments where
+    *                consumers scan it while the stream merges must use
+    *                this mode (the marker sidecar rides inside the new
+    *                generation, so effectively-once is unchanged).
+    *                Readers resolve via Compaction.readTable.
     */
   def maintainAggregate(spark: org.apache.spark.sql.SparkSession,
                         path: String, batch: DataFrame, groupKeys: Seq[String],
                         before: Column, after: Column,
                         opCol: String = "op", scale: Int = 2,
-                        batchId: Option[Long] = None): Unit = {
+                        batchId: Option[Long] = None,
+                        generational: Boolean = false): Unit = {
     import graft.sources.Compaction
     import org.apache.hadoop.fs.Path
     val main = new Path(path)
     val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (generational) {
+      // a pre-existing flat table is converted once (single-writer
+      // init window, same caveat as toGenerational's scaladoc)
+      if (fs.exists(main) && Compaction.currentGen(fs, main).isEmpty)
+        Compaction.toGenerational(spark, path)
+      val exists = Compaction.currentGen(fs, main).isDefined
+      val curDir = Compaction.resolve(fs, main)
+      val marker = new Path(curDir, "_graft_last_batch")
+      batchId.foreach { id =>
+        if (exists && fs.exists(marker)) {
+          val in = fs.open(marker)
+          val last = try new String(in.readAllBytes()).trim.toLong finally in.close()
+          if (last >= id) return // already applied — skip the redelivery
+        }
+      }
+      val delta = deltaAggregate(batch, groupKeys, before, after, opCol,
+        scale, prune = false, sumAsDouble = false)
+      val dec = org.apache.spark.sql.types.DecimalType(38, scale)
+      val merged =
+        if (!exists) delta.filter(col("live_cnt") > 0)
+        else spark.read.parquet(curDir.toString).unionByName(delta)
+          .groupBy(groupKeys.map(col): _*)
+          .agg(sum(col("live_cnt")).as("live_cnt"),
+            sum(col("live_sum")).cast(dec).as("live_sum"))
+          .filter(col("live_cnt") > 0)
+      Compaction.writeGen(merged, path, gen =>
+        batchId.foreach { id =>
+          val out = fs.create(new Path(gen, "_graft_last_batch"), true)
+          try out.write(id.toString.getBytes) finally out.close()
+        })
+      return
+    }
     // A genuinely fresh table (nothing at main, no completed staged copy,
     // no retired original) is the first batch, not a recovery case — the
     // streaming checkpoint will replay it if the initial write crashed; a

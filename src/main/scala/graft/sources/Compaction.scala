@@ -256,9 +256,13 @@ object Compaction {
 
   /** Write `df` as the next generation of a generational table (the
     * ingest-side counterpart of [[compactGen]] — any full-table rewrite
-    * goes through the same publish/prune cycle).
+    * goes through the same publish/prune cycle). `beforePublish` runs
+    * against the fully-written but not-yet-visible generation dir —
+    * sidecars written there (e.g. Materialize's redelivery marker)
+    * become visible ATOMICALLY with the data they describe.
     */
-  def writeGen(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+  def writeGen(df: org.apache.spark.sql.DataFrame, path: String,
+               beforePublish: Path => Unit = _ => ()): Unit = {
     val spark = df.sparkSession
     val main = new Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -266,6 +270,7 @@ object Compaction {
     val curN = currentGen(fs, main).flatMap(genNumber).getOrElse(0L)
     val next = genName(curN + 1)
     df.write.mode("overwrite").parquet(new Path(main, next).toString)
+    beforePublish(new Path(main, next))
     publish(fs, conf, main, next)
     // same grace discipline as compactGen: keep the just-retired gen
     // and the one before it (a reader that resolved two publishes ago

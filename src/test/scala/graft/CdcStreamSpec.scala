@@ -864,6 +864,49 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("generational IVM: same semantics, marker atomic with its generation, gens pruned") {
+    // The flat swap's reader hazard (part-files renamed away mid-scan)
+    // makes generational = true the mode for a maintained aggregate
+    // that consumers query while the stream merges. Same
+    // effectively-once contract: the batch-id marker is written into
+    // the generation BEFORE publish, so state and bookkeeping appear
+    // atomically; redelivery is a no-op. The zero-transient concurrent-
+    // reader guarantee of the publish path itself is proven in
+    // OperatorsSpec's generational chaos spec.
+    import graft.operators.Materialize
+    import graft.sources.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivm_gen")
+      .toString + "/agg"
+    def merge(rows: Seq[(String, String, Option[Double], Option[Double])],
+              id: Long) =
+      Materialize.maintainAggregate(spark,
+        dir, rows.toDF("grp", "op", "before", "after"),
+        Seq("grp"), col("before"), col("after"), batchId = Some(id),
+        generational = true)
+    def state() = Compaction.readTable(spark, dir)
+      .select(col("grp"), col("live_cnt"), col("live_sum").cast("double"))
+      .as[(String, Long, Double)].collect()
+      .map { case (g, c, v) => g -> ((c, v)) }.toMap
+
+    merge(Seq(("g1", "c", None, Some(10.0)), ("g2", "c", None, Some(5.0))), 0L)
+    merge(Seq(("g1", "u", Some(10.0), Some(25.0)), ("g2", "d", Some(5.0), None)), 1L)
+    merge(Seq(("g2", "c", None, Some(7.0))), 2L)
+    val got = state()
+    assert(got == Map("g1" -> ((1L, 25.0)), "g2" -> ((1L, 7.0))), s"got $got")
+    // redelivered batch id → no-op
+    merge(Seq(("g2", "c", None, Some(7.0))), 2L)
+    assert(state() == got, "redelivered batch was double-applied")
+    // new id applies
+    merge(Seq(("g2", "c", None, Some(7.0))), 3L)
+    assert(state()("g2") == ((2L, 14.0)))
+    // generation dirs stay within the two-generation grace
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory).map(_.getPath.getName)
+    assert(gens.length <= 3, s"prune failed: ${gens.mkString(",")}")
+  }
+
   test("streaming incremental dedup: probe-then-append loop, cross-batch, replay-idempotent") {
     // StreamingDedup lifts the batch ingest loop (LlmOpsSpec "ingest
     // loop" case) onto foreachBatch: every micro-batch is deduped
