@@ -44,9 +44,18 @@ object KMeansStep {
     * init. Returns (vec_id, cluster, d2).
     */
   def assign(emb: DataFrame, idCol: String, vecCol: String,
-             centroidEvery: Int): DataFrame = {
-    val cents = emb.filter(col(idCol) % centroidEvery === 0)
-      .select(col(idCol).as("cluster"), col(vecCol).as("cvec"))
+             centroidEvery: Int): DataFrame =
+    assignTo(emb, idCol, vecCol,
+      emb.filter(col(idCol) % centroidEvery === 0)
+        .select(col(idCol).as("cluster"), col(vecCol).as("cvec")))
+
+  /** Assignment against an EXPLICIT centroid table `(cluster, cvec)` —
+    * the kernel [[assign]] wraps, exposed for consumers whose centroids
+    * come from elsewhere (a persisted index sidecar, a prior round's
+    * update): broadcast centroids, map-only argmin pass.
+    */
+  def assignTo(vecs: DataFrame, idCol: String, vecCol: String,
+               cents: DataFrame): DataFrame = {
     // rank on floor-quantized micro-units (ties → cluster id), the
     // same cross-engine contract bm25TopK/winsorize use. NOT round():
     // Spark rounds the shortest-decimal RENDERING (BigDecimal HALF_UP)
@@ -55,7 +64,7 @@ object KMeansStep {
     // engines. floor() acts on the binary value identically in both —
     // and the underlying doubles are bit-identical sequential folds.
     val w = Window.partitionBy(col("__vid")).orderBy(col("d2_u"), col("cluster"))
-    emb.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+    vecs.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
       .crossJoin(broadcast(cents))
       .withColumn("d2_u", floor(sqDist(col("__v"), col("cvec")) * 1e6).cast("long"))
       .withColumn("rn", row_number().over(w))

@@ -1575,8 +1575,12 @@ object LlmQueries {
         val idx = new java.io.File(
           new java.io.File(System.getProperty("java.io.tmpdir"),
             "graft_forget_idx"), "index").getAbsolutePath
+        // nBuckets 16 (not the 64 a full corpus uses): the fixture
+        // indexes ~10% of documents, and bucket count is a pure layout
+        // knob — 64 near-empty partition dirs cost file overhead per
+        // bench pass without changing any posting
         Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx,
-          maxDf = shingleMaxDf)
+          nBuckets = 16, maxDf = shingleMaxDf)
         val ids = corpus.filter(col("doc_id") % 20 === 0)
           .select("doc_id").collect().map(_.getLong(0)).toSeq
         val removed = Forget.fromShingleIndex(s, idx, ids)

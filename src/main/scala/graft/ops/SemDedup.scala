@@ -148,6 +148,64 @@ object SemDedup {
           .select(col("i"), col("j")))
       .withColumnRenamed("doc_id", "vec_id")
 
+  /** Persist the cell-partitioned embedding index — the corpus side of
+    * INCREMENTAL semantic dedup, the embedding analogue of
+    * [[Dedup.writeShingleIndex]]: vectors are assigned once by an
+    * offline job and land directory-partitioned by cell
+    * (`indexPath/cell=<id>/…`), so a probe batch's touched-cell filter
+    * prunes at the file level (the IVF-probe pattern). The centroid
+    * table rides in a `_graft_centroids` sidecar — the index owns the
+    * quantizer, so every later batch assigns against the SAME cells
+    * regardless of its own id distribution (the same index-side-truth
+    * argument as the shingle index's hot list).
+    */
+  private def centroidsSidecar(indexPath: String) = s"$indexPath/_graft_centroids"
+
+  def writeCellIndex(emb: DataFrame, idCol: String, vecCol: String,
+                     centroidEvery: Int, indexPath: String): Unit = {
+    val cents = emb.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cluster"), col(vecCol).as("cvec"))
+    val cells = KMeansStep.assignTo(emb, idCol, vecCol, cents)
+      .select(col("vec_id"), col("cluster").as("cell"))
+    emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .join(cells, "vec_id")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+    cents.coalesce(1).write.mode("overwrite")
+      .parquet(centroidsSidecar(indexPath))
+  }
+
+  /** Semantic near-dups of a NEW batch against a PERSISTED corpus cell
+    * index: batch vectors assign map-only against the index's centroid
+    * sidecar (broadcast, ≤ k rows), the touched cell ids are collected
+    * driver-side (bounded ≤ k ints, not a data collect) and pushed as
+    * a partition filter, and the compare is batch×cell-members only —
+    * batch×corpus work ∝ touched cells, never corpus×corpus. Returns
+    * (i batch id, j corpus id, cell, cos).
+    */
+  def semanticAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, batch: DataFrame,
+                           idCol: String, vecCol: String,
+                           threshold: Double): DataFrame = {
+    val cents = spark.read.parquet(centroidsSidecar(indexPath))
+    val assigned = KMeansStep.assignTo(batch, idCol, vecCol, cents)
+      .select(col("vec_id"), col("cluster").as("cell"))
+    val probe = batch.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .join(assigned, "vec_id")
+    val touched = probe.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val hist = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(touched: _*))
+      .select(col("vec_id").as("j"), col("embedding").as("__hv"), col("cell"))
+    val thrU = math.round(threshold * 1e6)
+    probe.join(hist, "cell")
+      .withColumn("cos_u",
+        floor(cosineSimilarity(col("__v"), col("__hv")) * 1e6))
+      .filter(col("cos_u") >= thrU)
+      .select(col("vec_id").as("i"), col("j"), col("cell"),
+        (col("cos_u").cast("double") / 1e6).as("cos"))
+  }
+
   // ---- oracle SQL ----------------------------------------------------
 
   private def sqlD2(v: String, c: String) =
@@ -196,7 +254,85 @@ object SemDedup {
   private val MaxCell = 45L
   private val SubEvery = 20
 
+  /** One persisted cell index per dataset dir per JVM (offline-build
+    * memoization, same story as LlmQueries' shingle/IVF indexes — the
+    * registered query times the PROBE, which is what runs per ingest).
+    * Corpus = vec_id % 10 ≠ 0; centroidEvery = 49 because multiples of
+    * 50 are all ≡ 0 (mod 10) and thus OUTSIDE this corpus slice — a
+    * %50 init would select zero centroids.
+    */
+  private val IncEvery = 49
+  private val cellIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private lazy val cellCleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      cellIndexCache.values.forEach { idx =>
+        val root = java.nio.file.Paths.get(idx).getParent
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator.asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: java.io.IOException => () } // best-effort
+      }
+    }))
+  }
+
+  private def cellIndexFor(s: org.apache.spark.sql.SparkSession,
+                           d: String): String = {
+    cellCleanupHook
+    cellIndexCache.computeIfAbsent(d, _ => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_cell_idx").toString + "/index"
+      writeCellIndex(Tables(s, d, "embeddings")
+          .filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", centroidEvery = IncEvery, idx)
+      idx
+    })
+  }
+
   val queries: Seq[GQuery] = Seq(
+    // Incremental semantic dedup: a new batch (vec_id%10==0) probed
+    // against the PERSISTED cell index of everything already ingested —
+    // batch assigns map-only against the index's centroid sidecar,
+    // touched cells pushed as a partition filter, compare is
+    // batch×cell-members. The embedding twin of
+    // dedup_incremental_indexed; oracle replays corpus assignment,
+    // batch assignment, and the within-cell cosine threshold.
+    GQuery("dedup_semantic_incremental",
+      (s, d) => semanticAgainstIndex(s, cellIndexFor(s, d),
+          Tables(s, d, "embeddings").filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", threshold = Thr)
+        .orderBy(col("i"), col("j")),
+      Some(s"""WITH cor AS (
+          SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
+        bat AS (SELECT * FROM embeddings WHERE vec_id % 10 = 0),
+        cents AS (SELECT vec_id AS cell, embedding FROM cor
+                  WHERE vec_id % $IncEvery = 0),
+        ca AS (
+          SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY CAST(floor(${sqlD2("v", "c")} * 1e6) AS BIGINT)
+                         ASC NULLS LAST, c.cell) AS rn
+            FROM cor v, cents c) t WHERE rn = 1),
+        ba AS (
+          SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY CAST(floor(${sqlD2("v", "c")} * 1e6) AS BIGINT)
+                         ASC NULLS LAST, c.cell) AS rn
+            FROM bat v, cents c) t WHERE rn = 1),
+        p AS (
+          SELECT ba.vec_id AS i, ca.vec_id AS j, ba.cell,
+            CAST(floor(${sqlCos("x", "y")} * 1e6) AS BIGINT) AS cos_u
+          FROM ba JOIN ca ON ba.cell = ca.cell
+          JOIN embeddings x ON x.vec_id = ba.vec_id
+          JOIN embeddings y ON y.vec_id = ca.vec_id
+          WHERE CAST(floor(${sqlCos("x", "y")} * 1e6) AS BIGINT) >= $ThrU)
+        SELECT i, j, cell, CAST(cos_u AS DOUBLE) / 1e6 AS cos
+        FROM p ORDER BY i, j""")),
+
     GQuery("dedup_semantic_capped",
       (s, d) => semanticPairsCapped(Tables(s, d, "embeddings"),
           "vec_id", "embedding", centroidEvery = Every, threshold = Thr,
