@@ -1557,6 +1557,81 @@ object LlmQueries {
         CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes
         FROM documents ORDER BY doc_id""")),
 
+    // End-to-end corpus curation — the flagship COMPOSITION: the
+    // Gopher-style repetition gate, exact-dedup canonicalization, and
+    // benchmark decontamination are each registered operators already;
+    // this chains them the way a production curation run would and the
+    // oracle replays the whole chain in one WITH stack. Corpus =
+    // doc_id%7≠0; the %7==0 slice is the EXTERNAL benchmark — it gates
+    // stage 3 but never reaches the output. Thresholds are
+    // floor-micro-unit comparisons (the cross-engine contract; the
+    // ratios themselves are bit-identical sequential folds both
+    // engines, proven by text_repetition's hash-green row).
+    GQuery("pipeline_curate",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+        val rep = TextAnalysis.repetition(corpus, "doc_id", "text")
+        val kept = corpus.join(rep, "doc_id")
+          .filter(floor(col("dup_trigram_ratio") * 1e6) <= 20000L &&
+            floor(col("top_token_ratio") * 1e6) <= 120000L)
+        val canon = kept.groupBy(md5(col("text")).as("__h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val deduped = kept.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+        val dirty = Dedup.ngramOverlap(docs, "doc_id", "text", n = 5,
+            benchPred = _ % 7 === 0)
+          .select(col("doc").as("doc_id"))
+        deduped.join(dirty, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"),
+            size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH cor AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+        toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM cor),
+        tri AS (
+          SELECT doc_id, CASE WHEN len(tk) >= 3
+            THEN list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+            ELSE [] END AS tg
+          FROM toks),
+        trir AS (
+          SELECT doc_id, CASE WHEN len(tg) > 0
+            THEN 1.0 - len(list_distinct(tg))::DOUBLE / len(tg)
+            ELSE 0.0 END AS dup_trigram_ratio
+          FROM tri),
+        cnt AS (
+          SELECT doc_id, t, count(*) AS k
+          FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY 1, 2),
+        top AS (
+          SELECT doc_id, max(k)::DOUBLE / sum(k) AS top_token_ratio
+          FROM cnt GROUP BY doc_id),
+        kept AS (
+          SELECT c.doc_id, c.text, c.lang
+          FROM cor c JOIN trir USING (doc_id) LEFT JOIN top USING (doc_id)
+          WHERE CAST(floor(trir.dup_trigram_ratio * 1e6) AS BIGINT) <= 20000
+            AND CAST(floor(COALESCE(top.top_token_ratio, 0.0) * 1e6) AS BIGINT)
+                <= 120000),
+        canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+        dd AS (SELECT kept.* FROM kept SEMI JOIN canon USING (doc_id)),
+        atoks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM documents),
+        sh5 AS (
+          SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS s
+          FROM atoks,
+            LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS i)),
+        bench AS (SELECT DISTINCT s FROM sh5 WHERE doc_id % 7 = 0),
+        dirty AS (
+          SELECT DISTINCT doc_id FROM sh5 SEMI JOIN bench USING (s)
+          WHERE doc_id % 7 <> 0)
+        SELECT dd.doc_id, dd.lang,
+          CAST(len(list_filter(string_split(dd.text, ' '), x -> x <> ''))
+            AS INT) AS n_tokens
+        FROM dd ANTI JOIN dirty USING (doc_id)
+        ORDER BY doc_id""")),
+
     // Deletion propagation (right-to-be-forgotten) into a persisted
     // shingle index: build a dedicated index over the doc_id%10==0
     // slice, forget the %20==0 half via touched-partition rewrite
