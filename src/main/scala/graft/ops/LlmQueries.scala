@@ -758,6 +758,63 @@ object LlmQueries {
           WHERE rn <= 10 ORDER BY qid, rn"""
       }),
 
+    // PQ + exact refine (the production FAISS recall fix): ADC top-40
+    // candidates per probe, exact squared-L2 re-rank of those raw
+    // vectors only, keep top 10. The refine stage touches
+    // |probes|·refine·k rows — the only post-encode full-vector reads
+    // are per-candidate. Same oracle chain as sim_ann_pq plus two CTEs.
+    GQuery("sim_ann_pq_refine",
+      (s, d) => Pq.adcTopKRefined(Tables(s, d, "embeddings"),
+          "vec_id", "embedding", m = 8, subDim = 8, centroidEvery = 50,
+          probePred = _ % 100 === 0, k = 10, refine = 4)
+        .orderBy(col("qid"), col("rn")),
+      Some {
+        val subD2 = """list_sum(list_transform(list_zip(s.sv, c.cv), p ->
+            (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+            * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"""
+        val fullD2 = """list_sum(list_transform(list_zip(q.embedding, x.embedding), p ->
+            (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+            * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"""
+        s"""WITH sub AS (
+            SELECT vec_id, j, list_slice(embedding, j*8 + 1, j*8 + 8) AS sv
+            FROM embeddings, (SELECT unnest(range(8)) AS j)),
+          cents AS (
+            SELECT vec_id AS c, j, sv AS cv FROM sub WHERE vec_id % 50 = 0),
+          d2 AS (
+            SELECT s.vec_id, s.j, c.c,
+              CAST(floor($subD2 * 1e6) AS BIGINT) AS du
+            FROM sub s JOIN cents c ON s.j = c.j),
+          codes AS (
+            SELECT vec_id AS nid, j, c AS code FROM (
+              SELECT vec_id, j, c,
+                row_number() OVER (PARTITION BY vec_id, j
+                  ORDER BY du ASC NULLS LAST, c) AS rn
+              FROM d2) WHERE rn = 1),
+          lut AS (
+            SELECT vec_id AS qid, j, c, du FROM d2 WHERE vec_id % 100 = 0),
+          sc AS (
+            SELECT qid, nid, SUM(du) AS ad2_u
+            FROM codes JOIN lut ON codes.j = lut.j AND codes.code = lut.c
+            WHERE nid <> qid GROUP BY qid, nid),
+          cand AS (
+            SELECT qid, nid FROM (
+              SELECT qid, nid,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY ad2_u ASC NULLS LAST, nid) AS arn
+              FROM sc) WHERE arn <= 40),
+          ex AS (
+            SELECT cand.qid, cand.nid,
+              CAST(floor($fullD2 * 1e6) AS BIGINT) AS d2_u
+            FROM cand JOIN embeddings q ON q.vec_id = cand.qid
+                      JOIN embeddings x ON x.vec_id = cand.nid)
+          SELECT qid, nid, CAST(d2_u AS DOUBLE) / 1e6 AS d2, rn FROM (
+            SELECT qid, nid, d2_u,
+              CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY d2_u ASC NULLS LAST, nid) AS INT) AS rn
+            FROM ex)
+          WHERE rn <= 10 ORDER BY qid, rn"""
+      }),
+
     // Concat-and-chunk sequence packing (GPT-style pretraining layout):
     // per-shard prefix sums assign every document a start offset and
     // ctx-window; shards (md5-derived, portable) are the parallelism
@@ -780,6 +837,28 @@ object LlmQueries {
         SELECT doc_id, shard, n_tokens, start_off,
           CAST(floor(start_off / 512.0) AS BIGINT) AS bin
         FROM c ORDER BY doc_id""")),
+
+    // Length-bucketed batching accounting (the no-concat batch layout
+    // finetuning/inference uses): width-16 buckets, per-bucket padding
+    // waste at the bucket-ceiling pad, waste ratio in floor-micro
+    // units. Map + one partial-agg'd groupBy on ~max_len/width keys.
+    GQuery("pack_length_buckets",
+      (s, d) => Packing.lengthBuckets(Tables(s, d, "documents"), "doc_id",
+          size(TextAnalysis.tokens(col("text"))), width = 16)
+        .orderBy(col("bucket")),
+      Some("""WITH t AS (
+          SELECT greatest(CAST(len(list_filter(string_split(text, ' '),
+            x -> x <> '')) AS BIGINT), 1) AS n
+          FROM documents),
+        b AS (
+          SELECT CAST(floor((n - 1) / 16.0) AS BIGINT) AS bucket,
+            count(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS sum_tokens
+          FROM t GROUP BY 1)
+        SELECT bucket, n_docs, sum_tokens,
+          CAST((bucket + 1) * 16 * n_docs AS BIGINT) AS padded_tokens,
+          CAST(floor((CAST((bucket + 1) * 16 * n_docs AS BIGINT) - sum_tokens)
+            * 1e6 / ((bucket + 1) * 16 * n_docs)) AS BIGINT) AS waste_u
+        FROM b ORDER BY bucket""")),
 
     // Packing-efficiency readout: documents started and tokens begun
     // per ctx-window.

@@ -49,4 +49,32 @@ object Packing {
     packed.groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens_started"))
+
+  /** Length-bucketed batching accounting — the OTHER standard batch
+    * layout (finetuning/inference, where sequences must not be
+    * concatenated): sequences are grouped into width-`width` length
+    * buckets and each batch pads to its bucket ceiling, so the padding
+    * waste is (ceiling − length) per document. Emits per bucket:
+    * doc count, real tokens, padded tokens, and the waste as exact
+    * floor-micro basis (waste_u = ⌊waste·1e6/padded⌋ — the number a
+    * curation run watches to pick `width`; width→1 drives it to 0 at
+    * the cost of many tiny batches, width→∞ is one bucket padding
+    * everything to the global max). Map + one partial-agg'd groupBy on
+    * ~max_len/width keys — nothing here grows with corpus size except
+    * the linear scan.
+    */
+  def lengthBuckets(df: DataFrame, idCol: String, tokensCol: Column,
+                    width: Int): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    val n = greatest(tokensCol.cast("long"), lit(1L)) // empty docs pad as 1
+    df.select(n.as("n_tokens"))
+      .withColumn("bucket", floor((col("n_tokens") - 1) / lit(width.toDouble)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("padded_tokens", (col("bucket") + 1) * width * col("n_docs"))
+      .withColumn("waste_u",
+        floor((col("padded_tokens") - col("sum_tokens")) * 1e6
+          / col("padded_tokens")).cast("long"))
+  }
 }

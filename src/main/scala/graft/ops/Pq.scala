@@ -124,6 +124,39 @@ object Pq {
         (col("ad2_u").cast("double") / 1e6).as("ad2"), col("rn"))
   }
 
+  /** ADC-with-exact-refine: PQ's quantization error is concentrated
+    * at the top-k BOUNDARY (two candidates whose true distances differ
+    * by less than the cell diameter can swap ranks), so production
+    * FAISS re-ranks a slightly larger ADC candidate set with exact
+    * distances. Here: ADC top `refine·k` per probe, then exact
+    * floor-micro squared-L2 against the RAW vectors of those
+    * candidates only, keep top k by (d2, id).
+    *
+    * Scale shape: the refine join touches |probes|·refine·k candidate
+    * rows — metadata-sized, never the corpus; the raw-vector fetch is
+    * an equi-join on id (the only stage that reads full vectors after
+    * encode, and only for candidates). Fully oracle-checked like
+    * [[adcTopK]] — the refine stage is one more CTE on the same chain.
+    */
+  def adcTopKRefined(emb: DataFrame, idCol: String, vecCol: String,
+                     m: Int, subDim: Int, centroidEvery: Int,
+                     probePred: Column => Column, k: Int,
+                     refine: Int = 4): DataFrame = {
+    val cand = adcTopK(emb, idCol, vecCol, m, subDim, centroidEvery,
+      probePred, k * refine).select(col("qid"), col("nid"))
+    val vecs = emb.select(col(idCol).as("__rid"), col(vecCol).as("__rv"))
+    val probes = emb.filter(probePred(col(idCol)))
+      .select(col(idCol).as("__pid"), col(vecCol).as("__pv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2_u"), col("nid"))
+    cand.join(vecs, col("nid") === col("__rid"))
+      .join(broadcast(probes), col("qid") === col("__pid"))
+      .withColumn("d2_u", floor(sqDist(col("__rv"), col("__pv")) * 1e6).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"),
+        (col("d2_u").cast("double") / 1e6).as("d2"), col("rn"))
+  }
+
   /** IVF-PQ: the canonical FAISS production layout — an IVF coarse
     * quantizer prunes the corpus to the `nprobe` nearest inverted
     * lists per query, and only THOSE candidates are ADC-scored from
