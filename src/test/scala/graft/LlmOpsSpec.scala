@@ -72,6 +72,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall > 0.6, s"recall=$recall") // 32 bits / 8×4-bit bands on 500 vecs
   }
 
+  test("PQ exact refine: recall@k vs exact L2 is >= plain ADC and high") {
+    import graft.ops.Pq
+    import graft.functions.SquaredDistance.squaredDistance
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, sfDir, "embeddings")
+    val pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _ % 10 === 0
+    val q = emb.filter(pred(col("vec_id")))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = emb
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .crossJoin(q).filter(col("nid") =!= col("qid"))
+      .withColumn("d2u",
+        floor(squaredDistance(col("nv"), col("qv")) * 1e6).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2u"), col("nid"))))
+      .filter(col("rn") <= 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val adc = Pq.adcTopK(emb, "vec_id", "embedding", m = 8, subDim = 8,
+        centroidEvery = 10, probePred = pred, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val refined = Pq.adcTopKRefined(emb, "vec_id", "embedding", m = 8,
+        subDim = 8, centroidEvery = 10, probePred = pred, k = 5, refine = 8)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val rAdc = (exact intersect adc).size.toDouble / exact.size
+    val rRef = (exact intersect refined).size.toDouble / exact.size
+    // the refine pass re-ranks an 8× candidate pool with exact
+    // distances — it can only fix ADC boundary swaps, never introduce
+    // them, so refined recall dominates
+    assert(rRef >= rAdc, s"refined $rRef < adc $rAdc")
+    assert(rRef >= 0.6, s"refined recall too low: $rRef (adc $rAdc)")
+  }
+
   test("IVF ANN achieves reasonable recall@10 vs brute force on sf0.001") {
     val emb = Tables(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") % 50 === 0)
