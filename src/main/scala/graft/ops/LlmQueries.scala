@@ -1636,6 +1636,75 @@ object LlmQueries {
         CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes
         FROM documents ORDER BY doc_id""")),
 
+    // Leakage-safe train/test split: near-dup CLUSTERS move as units
+    // (group id = cluster representative, singletons group as
+    // themselves), so no near-dup pair straddles the boundary — the
+    // dedup-aware split that prevents paraphrase contamination of the
+    // test set by construction. Oracle replays clustering (recursive
+    // CTE) + the md5 group bucket.
+    GQuery("sample_split_leakage_safe",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        Sampling.leakageSafeSplit(docs, "doc_id",
+            Cluster.dedupClusters(
+              Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+                threshold = 0.8, maxDf = shingleMaxDf).select("i", "j")),
+            salt = "split", trainBps = 8000)
+          .select(col("doc_id"), col("group_id"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        pairs AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT i, j, common::DOUBLE / (ca.n + cb.n - common) AS jc
+          FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j),
+        e0 AS (SELECT i, j FROM jac WHERE jc >= 0.8),
+        e AS (SELECT i AS a, j AS b FROM e0 UNION SELECT j, i FROM e0),
+        reach(node, r) AS (
+          SELECT a, b FROM e
+          UNION
+          SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a),
+        cl AS (
+          SELECT node AS doc_id, least(node, min(r)) AS cluster
+          FROM reach GROUP BY node)
+        SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS group_id,
+          CASE WHEN (${duckHex32(
+            "'split:' || CAST(COALESCE(cl.cluster, d.doc_id) AS VARCHAR)")}
+            % 10000) < 8000 THEN 'train' ELSE 'test' END AS split
+        FROM documents d LEFT JOIN cl USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // Token-budget mixture take: per language, keep docs in md5-rank
+    // order while the running token sum stays within a 3000-token
+    // budget — recipes budget TOKENS, not doc counts (doc-count takes
+    // over-weight sources with long documents). One shuffle on the
+    // group key + a running-sum window; kept set is a pure function of
+    // ids and budgets.
+    GQuery("sample_token_budget",
+      (s, d) => Sampling.tokenBudgetSample(Tables(s, d, "documents"),
+          "doc_id", "lang", size(TextAnalysis.tokens(col("text"))),
+          salt = "tb", budget = 3000L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (
+          SELECT doc_id, lang,
+            CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens,
+            (${duckHex32("'tb:' || doc_id")} % 10000) AS rk
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang, n_tokens,
+            CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY rk, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum_tokens
+          FROM t)
+        SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+        WHERE cum_tokens <= 3000 ORDER BY doc_id""")),
+
     // End-to-end corpus curation — the flagship COMPOSITION: the
     // Gopher-style repetition gate, exact-dedup canonicalization, and
     // benchmark decontamination are each registered operators already;

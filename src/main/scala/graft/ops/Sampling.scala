@@ -47,6 +47,65 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Leakage-safe train/test split: near-duplicate CLUSTERS move as
+    * units, so no near-dup pair ever straddles the boundary — the
+    * dedup-aware split an eval pipeline needs (a plain per-doc hash
+    * split leaks test content into train through paraphrases, the
+    * exact contamination class decontamination hunts afterwards; this
+    * prevents it by construction). `clusters` is
+    * [[graft.ops.Cluster.dedupClusters]]'s output (only docs that HAVE
+    * a near-dup appear); singletons group as themselves. The split key
+    * is the GROUP id, so membership is a pure function of the cluster
+    * structure — adding an unrelated doc never flips an existing
+    * group's side.
+    *
+    * Scale: one left join docs×clusters (clusters ≪ corpus, AQE
+    * broadcasts) + the map-only hash bucket. The heavy part is pair
+    * generation + CC, which the caller already ran for dedup.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                       salt: String, trainBps: Int): DataFrame = {
+    require(trainBps >= 0 && trainBps <= 10000, s"bps out of range: $trainBps")
+    val cl = clusters.select(col("doc_id").as("__cid"),
+      col("cluster").as("__grp"))
+    df.join(cl, col(idCol) === col("__cid"), "left")
+      .withColumn("group_id", coalesce(col("__grp"), col(idCol)))
+      .withColumn("split",
+        when(hashBucket(col("group_id"), salt) < trainBps, "train")
+          .otherwise("test"))
+      .drop("__cid", "__grp")
+  }
+
+  /** Token-budget-constrained take: per group, keep documents in
+    * deterministic hash-rank order while the RUNNING TOKEN SUM stays
+    * within the group's budget — mixture sampling by tokens, not doc
+    * counts (what an LLM data recipe actually budgets; doc-count takes
+    * over-weight sources with long documents). The kept set is a pure
+    * function of ids and budgets: stable under reruns, repartitions
+    * and appends-after-the-fact (an appended doc ranks somewhere in
+    * the order and only displaces docs ranked after it).
+    *
+    * Scale: one shuffle on the group key + a running-sum window within
+    * each group — groups are SOURCES (bounded cardinality), and a
+    * group's window parallelizes across its hash-rank range the same
+    * way sample_stratified's does. For a group too large for one
+    * task's sort, pre-shard by hash rank range (the pack_sequences
+    * shard trick) and give each shard budget/shards.
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, groupCol: String,
+                        tokensCol: Column, salt: String,
+                        budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__rk"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", tokensCol.cast("long"))
+      .withColumn("__rk", hashBucket(col(idCol), salt))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__rk")
+  }
+
   /** Keep a deterministic `bps`/10000 fraction of rows (content-stable
     * sampling: the kept set is a pure function of ids, so reruns,
     * repartitions and incremental appends agree on it).
