@@ -205,6 +205,14 @@ object Lr {
 
   val Iters = 3
 
+  /** Calibration shares the scorer's fit — on this near-orthogonal
+    * corpus longer training does not spread the hard-sigmoid deciles
+    * (measured at 8 iters: same two occupied bins), so the readout
+    * reports the 2-bin reliability split with its monotone positive
+    * rate rather than paying extra passes for nothing.
+    */
+  val CalIters = Iters
+
   val queries: Seq[GQuery] = Seq(
     GQuery("embed_lr_train",
       (s, d) => train(s, Tables(s, d, "embeddings"), "vec_id", "embedding",
@@ -228,6 +236,35 @@ object Lr {
             >= 500000 AS INT) AS pred,
           CAST(LEAST(GREATEST(500000 + ${fd("m", "4000000")}, 0), 1000000)
             AS DOUBLE) / 1e6 AS score
-        FROM mf ORDER BY vec_id"""))
+        FROM mf ORDER BY vec_id""")),
+
+    // Calibration readout (reliability-diagram bins): decile-bucket the
+    // hard-sigmoid probability and report per-bin count, positives, and
+    // the exact micro-unit mean score — how a scorer's threshold gets
+    // picked in practice. Bin edges are integer micro-unit floors
+    // (p_u = 1e6 lands in bin 9, not a phantom bin 10); one partial-agg
+    // groupBy on ≤10 keys.
+    GQuery("embed_lr_calibration",
+      (s, d) => trainAndScore(Tables(s, d, "embeddings"), "vec_id",
+          "embedding", "label", labelGe = 5, iters = CalIters)
+        .withColumn("bin",
+          least(floor(col("p_u") / 100000L), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("y")).cast("long").as("n_pos"),
+          sum(col("p_u")).as("sum_p_u"))
+        .orderBy(col("bin")),
+      Some(s"""WITH ${fitCtes(CalIters)},
+        mf AS (
+          SELECT x.vec_id, x.y, SUM(w.w * x.xq) AS m
+          FROM x JOIN w$CalIters w USING (j) GROUP BY x.vec_id, x.y),
+        sc AS (
+          SELECT y, CAST(LEAST(GREATEST(500000 + ${fd("m", "4000000")},
+            0), 1000000) AS BIGINT) AS p_u
+          FROM mf)
+        SELECT LEAST(CAST(floor(p_u / 100000.0) AS BIGINT), 9) AS bin,
+          count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+          CAST(sum(p_u) AS BIGINT) AS sum_p_u
+        FROM sc GROUP BY 1 ORDER BY bin"""))
   )
 }

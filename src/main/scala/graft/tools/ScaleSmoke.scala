@@ -174,6 +174,27 @@ object ScaleSmoke {
       timed(s"semdedup_hot_capped x$n")(
         graft.ops.SemDedup.semanticPairsCapped(plantHotCell(e), "vec_id",
           "embedding", 50, 0.4, maxCell = 100, subEvery = 13).count())
+      // PQ + exact refine: candidate pool |probes|·refine·k is fixed
+      // per probe, so the curve must track the ADC scan (linear in
+      // corpus), not the refine join
+      timed(s"pq_refine x$n")(
+        graft.ops.Pq.adcTopKRefined(e, "vec_id", "embedding", m = 8,
+          subDim = 8, centroidEvery = 50 * n, probePred = _ % 100 === 0,
+          k = 10, refine = 4).count())
+      // token-budget take: one group-key shuffle + running-sum window;
+      // budget scaled with n so the kept set grows linearly too
+      timed(s"token_budget x$n")(
+        graft.ops.Sampling.tokenBudgetSample(d, "doc_id", "lang",
+          size(graft.ops.TextAnalysis.tokens(col("text"))),
+          salt = "tb", budget = 3000L * n).count())
+      // leakage-safe split: pair gen + CC (the dedup family's curve)
+      // plus a broadcast left join and a map-only bucket
+      timed(s"leakage_split x$n")(
+        graft.ops.Sampling.leakageSafeSplit(d, "doc_id",
+          graft.ops.Cluster.dedupClusters(
+            graft.ops.Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.8,
+              maxDf = 5).select("i", "j")),
+          salt = "split", trainBps = 8000).count())
       timed(s"exact_dedup x$n")(
         graft.ops.Dedup.exact(d, "doc_id", "text").count())
       // BM25: query terms re-tagged per replica so hit-list work scales
