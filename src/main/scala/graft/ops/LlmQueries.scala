@@ -665,6 +665,55 @@ object LlmQueries {
       },
       None),
 
+    // md5-twin hyperplane LSH (Similarity.lshTopKMd5): the
+    // hash-oracle-checked variant — md5-parity hyperplane signs,
+    // exact BIGINT sign projections, bit-word band buckets, exact
+    // floor-micro cosine re-rank. DuckDB replays the whole pipeline,
+    // turning the last rows-only ANN family into a checked one (the
+    // production path stays the seeded sim_ann_lsh above).
+    GQuery("sim_ann_lsh_md5",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        Similarity.lshTopKMd5(emb,
+            emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+            k = 10, bits = 4, bands = 8)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""WITH hp AS (
+          SELECT b.b, t.t, d.dim,
+            CASE WHEN (${duckHex32("'lshm:' || b.b || ':' || t.t || ':' || d.dim")})
+              % 2 = 0 THEN 1 ELSE -1 END AS s
+          FROM range(8) b(b), range(4) t(t), range(64) d(dim)),
+        m AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+            CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS xq
+          FROM embeddings),
+        proj AS (
+          SELECT m.vec_id, hp.b, hp.t, CAST(SUM(hp.s * m.xq) AS BIGINT) AS p
+          FROM m JOIN hp USING (dim) GROUP BY 1, 2, 3),
+        buck AS (
+          SELECT vec_id, b,
+            CAST(SUM(CASE WHEN p >= 0 THEN (1::BIGINT << CAST(t AS INT))
+              ELSE 0 END) AS BIGINT) AS bucket
+          FROM proj GROUP BY 1, 2),
+        qb AS (SELECT * FROM buck WHERE vec_id % 100 = 0),
+        cand AS (
+          SELECT DISTINCT qb.vec_id AS qid, buck.vec_id AS nid
+          FROM qb JOIN buck ON qb.b = buck.b AND qb.bucket = buck.bucket
+            AND buck.vec_id <> qb.vec_id),
+        sc AS (
+          SELECT qid, nid,
+            CAST(floor((${sqlCos.replace("q.embedding", "x.embedding")
+              .replace("v.embedding", "y.embedding")}) * 1e6) AS BIGINT) AS cos_u
+          FROM cand JOIN embeddings x ON x.vec_id = cand.qid
+                    JOIN embeddings y ON y.vec_id = cand.nid)
+        SELECT qid, nid, CAST(cos_u AS DOUBLE) / 1e6 AS score, rn FROM (
+          SELECT qid, nid, cos_u,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY cos_u DESC NULLS LAST, nid) AS INT) AS rn
+          FROM sc)
+        WHERE rn <= 10 ORDER BY qid, rn""")),
+
     // IVF-Flat ANN (k-means coarse quantizer, nprobe lists searched).
     // Approximate → rows-only; recall vs brute force in LlmOpsSpec.
     // maxFit=500 keeps the quantizer fit on a bounded seeded sample at

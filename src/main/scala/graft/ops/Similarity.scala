@@ -256,4 +256,67 @@ object Similarity {
       .select(col("qid"), col("nid"),
         (col("score_u").cast("double") / 1e6).as("score"), col("rn"))
   }
+
+  /** md5-twin hyperplane LSH ANN — the hash-oracle-checked variant of
+    * [[lshTopK]], completing the md5-twin doctrine for the last ANN
+    * family that had only a rows-only form. Hyperplane signs are a
+    * pure function of (salt, band, bit, dim) via md5 parity (the
+    * [[Embeddings.randomProject]] derivation), projections are exact
+    * BIGINT sums over micro-unit components (a sign flip at the ≥ 0
+    * boundary is impossible cross-engine: both sides compare the SAME
+    * integer), band buckets are the `bits`-bit sign words, and
+    * candidates sharing any band are re-ranked by exact floor-micro
+    * cosine. DuckDB replays hyperplanes, projections, buckets and the
+    * ranking verbatim.
+    *
+    * Scale shape: signatures are one posexplode + a broadcast
+    * (bands·bits)-row hyperplane id frame + one partial-agg'd groupBy
+    * (integer sums combine map-side); the candidate join is an
+    * equi-join on (band, bucket); re-rank touches candidates only.
+    * The production path stays [[lshTopK]] (xxhash-seeded, one codegen
+    * pass per vector); this twin costs ~bands·bits md5 calls per
+    * component and exists for the oracle, same trade as
+    * dedup_minhash_md5.
+    */
+  def lshTopKMd5(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, bits: Int = 4, bands: Int = 8,
+                 salt: String = "lshm"): DataFrame = {
+    val spark = corpus.sparkSession
+    val hp = spark.range(bands).toDF("b")
+      .crossJoin(spark.range(bits).toDF("t"))
+    def buckets(df: DataFrame, id: String): DataFrame = {
+      val sign = when(
+        conv(substring(md5(concat_ws(":", lit(salt), col("b"), col("t"),
+          col("dim"))), 1, 8), 16, 10).cast("long") % 2 === 0,
+        lit(1L)).otherwise(lit(-1L))
+      df.select(col(id),
+          posexplode(col(vecCol)).as(Seq("dim", "__x")))
+        .crossJoin(broadcast(hp))
+        .groupBy(col(id), col("b"), col("t"))
+        .agg(sum(sign * floor(col("__x").cast("double") * 1e6).cast("long"))
+          .as("__p"))
+        .groupBy(col(id), col("b"))
+        .agg(sum(when(col("__p") >= 0,
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(t AS INT))"))
+          .otherwise(lit(0L))).as("bucket"))
+    }
+    val qb = buckets(queries.select(col(idCol).as("qid"), col(vecCol)), "qid")
+    val cb = buckets(corpus.select(col(idCol).as("nid"), col(vecCol)), "nid")
+    val cand = cb.join(broadcast(qb),
+        cb("b") === qb("b") && cb("bucket") === qb("bucket") &&
+          col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid")).distinct()
+    val qv = queries.select(col(idCol).as("__qi"), col(vecCol).as("__qv"))
+    val nv = corpus.select(col(idCol).as("__ni"), col(vecCol).as("__nv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_u").desc, col("nid"))
+    cand.join(nv, col("nid") === col("__ni"))
+      .join(broadcast(qv), col("qid") === col("__qi"))
+      .withColumn("score_u",
+        floor(cosineSimilarity(col("__qv"), col("__nv")) * 1e6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"),
+        (col("score_u").cast("double") / 1e6).as("score"), col("rn"))
+  }
 }
