@@ -280,26 +280,30 @@ object Similarity {
     */
   def lshTopKMd5(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int, bits: Int = 4, bands: Int = 8,
-                 salt: String = "lshm"): DataFrame = {
+                 dim: Int = 64, salt: String = "lshm"): DataFrame = {
     val spark = corpus.sparkSession
-    val hp = spark.range(bands).toDF("b")
+    // the sign table is (bands·bits·dim) rows of pure metadata —
+    // evaluate the md5 parity ONCE here and broadcast, instead of
+    // re-hashing inside the n·dim·(bands·bits) projection rows (the
+    // first cut did exactly that and md5 dominated its bench time)
+    val signs = spark.range(bands).toDF("b")
       .crossJoin(spark.range(bits).toDF("t"))
-    def buckets(df: DataFrame, id: String): DataFrame = {
-      val sign = when(
+      .crossJoin(spark.range(dim).toDF("dim"))
+      .withColumn("s", when(
         conv(substring(md5(concat_ws(":", lit(salt), col("b"), col("t"),
           col("dim"))), 1, 8), 16, 10).cast("long") % 2 === 0,
-        lit(1L)).otherwise(lit(-1L))
+        lit(1L)).otherwise(lit(-1L)))
+    def buckets(df: DataFrame, id: String): DataFrame =
       df.select(col(id),
           posexplode(col(vecCol)).as(Seq("dim", "__x")))
-        .crossJoin(broadcast(hp))
+        .join(broadcast(signs), "dim")
         .groupBy(col(id), col("b"), col("t"))
-        .agg(sum(sign * floor(col("__x").cast("double") * 1e6).cast("long"))
+        .agg(sum(col("s") * floor(col("__x").cast("double") * 1e6).cast("long"))
           .as("__p"))
         .groupBy(col(id), col("b"))
         .agg(sum(when(col("__p") >= 0,
             expr("shiftleft(CAST(1 AS BIGINT), CAST(t AS INT))"))
           .otherwise(lit(0L))).as("bucket"))
-    }
     val qb = buckets(queries.select(col(idCol).as("qid"), col(vecCol)), "qid")
     val cb = buckets(corpus.select(col(idCol).as("nid"), col(vecCol)), "nid")
     val cand = cb.join(broadcast(qb),
