@@ -108,6 +108,10 @@ object LlmQueries {
         .option("checkpointLocation", root + "/ckpt")
         .start()
       try {
+        // this collect is the MemoryStream TRANSPORT harness, not the
+        // operator: a real deployment's batches arrive via
+        // readStream (FileTopic/Kafka) and never touch the driver;
+        // the probe-then-append loop itself is fully distributed
         def slice(m: Int) = docs.filter(col("doc_id") % 20 === m)
           .select("doc_id", "text").collect()
           .map(r => (r.getLong(0), r.getString(1))).toSeq
