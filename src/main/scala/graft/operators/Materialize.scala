@@ -151,6 +151,20 @@ object Materialize {
     val main = new Path(path)
     val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (generational) {
+      // mirror the flat path's recovery discipline FIRST: a flat table
+      // crashed mid-swap (main renamed to retired, staged not yet
+      // promoted — main absent) that is then switched to
+      // generational=true would otherwise look like a fresh table and
+      // silently drop the prior aggregate state. recover() completes
+      // or rolls back the interrupted swap; only a genuinely fresh
+      // table (no main, no completed staged, no retired) skips it.
+      val stagedP0 = Compaction.stagedPath(main)
+      val stagedComplete0 =
+        fs.exists(stagedP0) && fs.exists(new Path(stagedP0, "_SUCCESS"))
+      if (fs.exists(main) || stagedComplete0 ||
+          fs.exists(Compaction.retiredPath(main)))
+        Compaction.recover(fs, main)
+      else if (fs.exists(stagedP0)) fs.delete(stagedP0, true)
       // a pre-existing flat table is converted once (single-writer
       // init window, same caveat as toGenerational's scaladoc)
       if (fs.exists(main) && Compaction.currentGen(fs, main).isEmpty)

@@ -215,13 +215,45 @@ object Compaction {
     publish(fs, spark.sparkContext.hadoopConfiguration, main, genName(1L))
   }
 
+  /** Copy the non-data underscore sidecars of generation `from` into
+    * generation `to` (skipping names the write already produced there,
+    * i.e. `_SUCCESS`). A generation is more than its parquet rows:
+    * Materialize.maintainAggregate rides its `_graft_last_batch`
+    * redelivery marker INSIDE each generation so "state" and "last
+    * applied batch" commit atomically — a rewrite that dropped the
+    * marker would let a redelivered batch re-apply and double-count.
+    * Every generation-from-generation rewrite must call this before
+    * [[publish]].
+    */
+  private def carrySidecars(fs: org.apache.hadoop.fs.FileSystem,
+                            conf: org.apache.hadoop.conf.Configuration,
+                            from: Path, to: Path): Unit =
+    fs.listStatus(from).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_")
+        && !fs.exists(new Path(to, s.getPath.getName)))
+      .foreach { s =>
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, s.getPath, fs, new Path(to, s.getPath.getName),
+          false /* deleteSource */, conf)
+      }
+
   /** Compact a generational table. One job: scan current gen →
-    * round-robin repartition → write gen N+1 → atomic manifest swap →
-    * prune generations ≤ N−1 plus any orphaned unpublished dirs (a
-    * crashed writer's half-written gen: manifest never moved, so it is
-    * invisible to readers and safe to drop). The just-retired gen N
-    * survives until the NEXT compaction — the reader grace period is a
-    * full compaction cycle.
+    * round-robin repartition → write gen N+1 (carrying forward the
+    * current gen's underscore sidecars — see [[carrySidecars]]) →
+    * atomic manifest swap → prune generations ≤ N−1 plus any orphaned
+    * unpublished dirs (a crashed writer's half-written gen: manifest
+    * never moved, so it is invisible to readers and safe to drop). The
+    * just-retired gen N survives until the NEXT compaction — the
+    * reader grace period is a full compaction cycle.
+    *
+    * SINGLE WRITER: like [[writeGen]], this assumes one writer per
+    * table at a time (the contract swapIn documents for the flat
+    * layout). The orphan prune deletes any generation dir numbered
+    * above the current one — under a concurrent writer that would be a
+    * fully-written, not-yet-published generation, destroyed with no
+    * error until its publish. Serialize compaction with ingest (e.g.
+    * run it inside the same foreachBatch loop, or under an external
+    * lock); concurrent READERS are exactly who this layout protects.
     */
   def compactGen(spark: SparkSession, path: String,
                  targetBytes: Long = 128L * 1024 * 1024): Stats = {
@@ -249,6 +281,7 @@ object Compaction {
     spark.read.parquet(curDir.toString)
       .repartition(nOut)
       .write.mode("overwrite").parquet(new Path(main, next).toString)
+    carrySidecars(fs, conf, curDir, new Path(main, next))
     publish(fs, conf, main, next)
     Stats(files.size, dataFiles(fs, new Path(main, next)).size, bytes,
       rewritten = true)
@@ -259,7 +292,19 @@ object Compaction {
     * goes through the same publish/prune cycle). `beforePublish` runs
     * against the fully-written but not-yet-visible generation dir —
     * sidecars written there (e.g. Materialize's redelivery marker)
-    * become visible ATOMICALLY with the data they describe.
+    * become visible ATOMICALLY with the data they describe. Sidecars
+    * are NOT carried forward from the previous generation here: the new
+    * df plus whatever `beforePublish` writes IS the new table state,
+    * and a stale marker surviving a state replacement would be wrong
+    * (contrast [[compactGen]], whose rewrite preserves state and so
+    * must preserve the sidecars describing it).
+    *
+    * SINGLE WRITER: two concurrent writeGen calls can both resolve
+    * curN and race to write the same generation dir (mode=overwrite:
+    * one writer's files silently clobber the other's mid-write).
+    * Publishes are themselves atomic markers, but the layout assumes
+    * one writer per table at a time — serialize ingest and compaction;
+    * concurrent readers are safe by construction.
     */
   def writeGen(df: org.apache.spark.sql.DataFrame, path: String,
                beforePublish: Path => Unit = _ => ()): Unit = {

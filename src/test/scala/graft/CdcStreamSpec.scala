@@ -907,6 +907,96 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(gens.length <= 3, s"prune failed: ${gens.mkString(",")}")
   }
 
+  test("generational IVM: compaction preserves the redelivery marker (effectively-once survives compactGen)") {
+    // compactGen rebuilds gen N+1 from parquet data; before the
+    // sidecar carry it silently dropped the _graft_last_batch marker
+    // riding inside gen N, so a redelivered batch AFTER a compaction
+    // re-applied and double-counted — the exact break of the
+    // documented effectively-once contract this spec pins.
+    import graft.operators.Materialize
+    import graft.sources.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivm_compact")
+      .toString + "/agg"
+    def merge(rows: Seq[(String, String, Option[Double], Option[Double])],
+              id: Long) =
+      Materialize.maintainAggregate(spark,
+        dir, rows.toDF("grp", "op", "before", "after"),
+        Seq("grp"), col("before"), col("after"), batchId = Some(id),
+        generational = true)
+    def state() = Compaction.readTable(spark, dir)
+      .select(col("grp"), col("live_cnt"), col("live_sum").cast("double"))
+      .as[(String, Long, Double)].collect()
+      .map { case (g, c, v) => g -> ((c, v)) }.toMap
+    // several groups across un-coalesced shuffle partitions → the
+    // merged agg writes >1 part file, so the default-target compaction
+    // genuinely rewrites (AQE's partition coalescing would fold this
+    // tiny fixture to one file and make the spec vacuous)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      merge((1 to 8).map(i => (s"g$i", "c", None, Some(i * 10.0))), 0L)
+      merge(Seq(("g1", "c", None, Some(1.0))), 1L)
+    } finally spark.conf.set(coalesceKey, prevCoalesce)
+    val before = state()
+    assert(before("g1") == ((2L, 11.0)), s"setup wrong: $before")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = Compaction.compactGen(spark, dir, targetBytes = 1L << 26)
+    assert(st.rewritten, s"fixture did not force a rewrite: $st")
+    // the marker must ride into the compacted generation
+    val cur = Compaction.resolve(fs, new org.apache.hadoop.fs.Path(dir))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(cur, "_graft_last_batch")),
+      "compaction dropped the redelivery marker sidecar")
+    assert(state() == before, "compaction changed the aggregate")
+    // redelivered batch id after compaction → still a no-op
+    merge(Seq(("g1", "c", None, Some(1.0))), 1L)
+    assert(state() == before, "redelivered batch double-applied after compactGen")
+    // a genuinely new batch still applies
+    merge(Seq(("g1", "c", None, Some(1.0))), 2L)
+    assert(state()("g1") == ((3L, 12.0)))
+  }
+
+  test("IVM: flat table crashed mid-swap then switched to generational=true recovers, not resets") {
+    // The flat swap's crash window leaves main renamed to retired with
+    // the staged copy not yet promoted. A deployment that then flips
+    // generational=true must RECOVER that state like the flat path
+    // does — before the fix the generational branch saw "no table" and
+    // silently restarted the aggregate from zero.
+    import graft.operators.Materialize
+    import graft.sources.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivm_switch")
+      .toString + "/agg"
+    val main = new org.apache.hadoop.fs.Path(dir)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def merge(rows: Seq[(String, String, Option[Double], Option[Double])],
+              id: Long, gen: Boolean) =
+      Materialize.maintainAggregate(spark,
+        dir, rows.toDF("grp", "op", "before", "after"),
+        Seq("grp"), col("before"), col("after"), batchId = Some(id),
+        generational = gen)
+    merge(Seq(("g1", "c", None, Some(10.0)), ("g2", "c", None, Some(5.0))),
+      0L, gen = false)
+    merge(Seq(("g1", "c", None, Some(2.0))), 1L, gen = false)
+    // simulate the mid-swap crash: main → retired done, staged promotion
+    // never happened
+    assert(fs.rename(main, Compaction.retiredPath(main)))
+    // switch to generational: prior state must survive the recovery
+    merge(Seq(("g2", "c", None, Some(3.0))), 2L, gen = true)
+    val got = Compaction.readTable(spark, dir)
+      .select(col("grp"), col("live_cnt"), col("live_sum").cast("double"))
+      .as[(String, Long, Double)].collect()
+      .map { case (g, c, v) => g -> ((c, v)) }.toMap
+    assert(got == Map("g1" -> ((2L, 12.0)), "g2" -> ((2L, 8.0))),
+      s"crashed flat state dropped on generational switch: $got")
+    // the marker moved into g1 with the data: replaying batch 1 is a
+    // no-op even though it predates the conversion
+    merge(Seq(("g1", "c", None, Some(99.0))), 1L, gen = true)
+    val after = Compaction.readTable(spark, dir)
+      .filter(col("grp") === "g1").select(col("live_cnt")).as[Long].head()
+    assert(after == 2L, "pre-conversion batch id replayed after switch")
+  }
+
   test("streaming incremental dedup: probe-then-append loop, cross-batch, replay-idempotent") {
     // StreamingDedup lifts the batch ingest loop (LlmOpsSpec "ingest
     // loop" case) onto foreachBatch: every micro-batch is deduped
