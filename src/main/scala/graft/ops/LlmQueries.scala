@@ -780,6 +780,60 @@ object LlmQueries {
       },
       None),
 
+    // Deterministic-quantizer IVF (Similarity.ivfTopKDet): the
+    // hash-oracle-checked twin of the Spark-ML-fitted pair above —
+    // centroids are the seedless every-50th-vector init, assignment
+    // and probe ranking are floor-micro squared-L2 (ties → smaller
+    // list), scores floor-micro cosine. DuckDB replays the whole
+    // quantize→probe→re-rank pipeline, so the IVF family (previously
+    // the last ANN group with NO checked variant) now has its anchor;
+    // production keeps the fitted quantizer for recall.
+    GQuery("sim_ann_ivf_det",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        Similarity.ivfTopKDet(emb,
+            emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+            k = 10, centroidEvery = 50, nprobe = 4)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some {
+        val d2vc = """list_sum(list_transform(list_zip(v.embedding, c.embedding), p ->
+            (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+            * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"""
+        val d2qc = d2vc.replace("v.embedding", "q.embedding")
+        s"""WITH cents AS (
+            SELECT vec_id AS list, embedding FROM embeddings WHERE vec_id % 50 = 0),
+          a AS (
+            SELECT vec_id AS nid, list FROM (
+              SELECT v.vec_id, c.list,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY CAST(floor($d2vc * 1e6) AS BIGINT) ASC NULLS LAST,
+                           c.list) AS rn
+              FROM embeddings v, cents c) t WHERE rn = 1),
+          p AS (
+            SELECT qid, list FROM (
+              SELECT q.vec_id AS qid, c.list,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY CAST(floor($d2qc * 1e6) AS BIGINT) ASC NULLS LAST,
+                           c.list) AS rn
+              FROM embeddings q, cents c WHERE q.vec_id % 100 = 0) t
+            WHERE rn <= 4),
+          sc AS (
+            SELECT p.qid, a.nid,
+              CAST(floor((${sqlCos.replace("q.embedding", "x.embedding")
+                .replace("v.embedding", "y.embedding")}) * 1e6) AS BIGINT) AS score_u
+            FROM p JOIN a USING (list)
+              JOIN embeddings x ON x.vec_id = p.qid
+              JOIN embeddings y ON y.vec_id = a.nid
+            WHERE a.nid <> p.qid)
+          SELECT qid, nid, CAST(score_u AS DOUBLE) / 1e6 AS score, rn FROM (
+            SELECT qid, nid, score_u,
+              CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY score_u DESC NULLS LAST, nid) AS INT) AS rn
+            FROM sc)
+          WHERE rn <= 10 ORDER BY qid, rn"""
+      }),
+
     // IVF-PQ (ops/Pq.scala): the FAISS production composition — IVF
     // list pruning (nprobe/nlist of the corpus touched) × PQ codes
     // (32× less bytes per touched row). Rows-only like its IVF parent

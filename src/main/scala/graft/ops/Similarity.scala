@@ -189,6 +189,58 @@ object Similarity {
     scoreProbed(assigned, probeLists(queries, cents, idCol, vecCol, nprobe), k)
   }
 
+  /** Deterministic-quantizer IVF — the hash-oracle-checked twin of
+    * [[ivfTopK]], closing the one ANN family that had no checked
+    * variant at all. Same IVF shape (coarse quantizer → inverted
+    * lists → probe nprobe lists → exact re-rank), but the quantizer is
+    * the seedless every-`centroidEvery`-th-vector init (KMeansStep /
+    * Pq's SQL-replayable doctrine) instead of an opaque Spark-ML
+    * KMeans fit, so DuckDB replays centroids, assignment, probes and
+    * ranking verbatim. Assignment and probe ranking both use
+    * floor-micro-unit squared L2 (ties → smaller list id — the
+    * repo-wide cross-engine contract); final scores are floor-micro
+    * cosine like every top-k in this file. Each corpus vector lives in
+    * exactly one list and probed lists are distinct, so (qid, nid)
+    * candidates are unique by construction — no dedup stage.
+    *
+    * Scale shape: centroids are n/centroidEvery rows (broadcast);
+    * assignment is the broadcast cross product folded by a map-side
+    * combinable `min_by` partial agg — the exchange carries ONE row
+    * per corpus vector, not the n·k distance rows a window would
+    * shuffle; probing broadcasts the query side; scoring touches
+    * probed postings only. The production path keeps the fitted
+    * quantizer ([[ivfTopK]] — trained cells beat arbitrary ones on
+    * recall); this twin is the correctness anchor, same trade as
+    * dedup_minhash_md5.
+    */
+  def ivfTopKDet(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, centroidEvery: Int = 50,
+                 nprobe: Int = 4): DataFrame = {
+    import graft.functions.SquaredDistance.squaredDistance
+    val cents = corpus.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("list"), col(vecCol).as("cvec"))
+    val assigned = corpus
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2_u",
+        floor(squaredDistance(col("nvec"), col("cvec")) * 1e6).cast("long"))
+      .groupBy(col("nid"))
+      .agg(min_by(struct(col("list"), col("nvec")),
+        struct(col("d2_u"), col("list"))).as("__a"))
+      .select(col("nid"), col("__a.nvec").as("nvec"), col("__a.list").as("list"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("d2_u"), col("list"))
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2_u",
+        floor(squaredDistance(col("qvec"), col("cvec")) * 1e6).cast("long"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select("qid", "qvec", "list")
+    scoreProbed(assigned, probes, k)
+  }
+
   private def centroidsPath(indexPath: String) = s"$indexPath/_graft_centroids"
 
   /** Persist the IVF index: inverted lists directory-partitioned by list
