@@ -180,6 +180,50 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-BENCHMARK-document contamination audit — the reporting twin
+    * of [[ngramOverlap]] (which flags CORPUS docs to drop): for each
+    * benchmark doc, how much of it leaks into the training corpus.
+    * Output (bench, n_grams, n_hit, hit_ratio, n_dirty_docs): distinct
+    * n-grams, how many of them appear in ≥1 corpus doc, their ratio,
+    * and how many distinct corpus docs share at least one n-gram. This
+    * is the eval-integrity view a decontamination run reports on —
+    * "which benchmark entries are compromised and how badly" — not
+    * derivable from the drop-list alone.
+    *
+    * Scale: one shingle pass; corpus-side df per shingle is a
+    * partial-agg'd groupBy (shuffle ∝ distinct shingles); the
+    * bench-side stats are a broadcast-or-shuffle join bench-postings ⋈
+    * df; the dirty-doc count joins bench × corpus postings on the
+    * shingle — ∝ shared-shingle collisions, the same inverted-index
+    * economics as [[jaccardPairs]], and df-cappable the same way.
+    * hit_ratio derives from the two integer counts by one IEEE
+    * division (engine-exact).
+    */
+  def contaminationReport(df: DataFrame, idCol: String, textCol: String,
+                          n: Int, benchPred: Column => Column,
+                          maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n, maxDf)
+    val bench = sh.filter(benchPred(col("doc")))
+      .select(col("doc").as("bench"), col("s"))
+    val corpus = sh.filter(!benchPred(col("doc")))
+      .select(col("doc").as("__c"), col("s"))
+    val dfS = corpus.groupBy("s").agg(count(lit(1)).as("__nc"))
+    val grams = bench.join(dfS, Seq("s"), "left")
+      .groupBy(col("bench"))
+      .agg(count(lit(1)).cast("int").as("n_grams"),
+        sum(when(col("__nc").isNotNull, 1).otherwise(0)).cast("int")
+          .as("n_hit"))
+    val dirty = bench.join(corpus, "s")
+      .select(col("bench"), col("__c")).distinct()
+      .groupBy(col("bench")).agg(count(lit(1)).cast("int").as("n_dirty_docs"))
+    grams.join(dirty, Seq("bench"), "left")
+      .na.fill(0, Seq("n_dirty_docs"))
+      .select(col("bench"), col("n_grams"), col("n_hit"),
+        (floor(col("n_hit").cast("double") / col("n_grams") * 1e6)
+          .cast("double") / 1e6).as("hit_ratio"),
+        col("n_dirty_docs"))
+  }
+
   /** All pairs (i < j) with n-gram Jaccard ≥ threshold, via an inverted
     * index on shingles: join only documents that share a shingle, count
     * shared shingles once per pair, then |A∩B| / (|A|+|B|-|A∩B|).

@@ -175,6 +175,68 @@ object LlmQueries {
       |sh AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (s)),
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)""".stripMargin
 
+  /** Shared replay of the DSIR weight pipeline (target = doc_id%7==0,
+    * 256 buckets, salt "dsir"): hashed unigram+bigram features,
+    * dense-spine Laplace-smoothed bucket log-probs floored to
+    * micro-nats per corpus, per-doc exact integer sum of the ratios.
+    * `rawPred` picks the model's raw-side slice; `scorePred` the docs
+    * actually scored (they differ in the incremental variant, where
+    * the batch is scored against a model fitted WITHOUT it).
+    */
+  private def dsirCte(rawPred: String, scorePred: String) =
+    s"""WITH tkl AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |uni AS (SELECT doc_id, unnest(t) AS g FROM tkl),
+      |bi AS (
+      |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+      |  FROM tkl, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i)),
+      |feats AS (
+      |  SELECT doc_id, (${duckHex32("'dsir:' || g")}) % 256 AS bk
+      |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+      |tf AS (SELECT bk, count(*) AS c FROM feats WHERE doc_id % 7 = 0 GROUP BY 1),
+      |rf AS (SELECT bk, count(*) AS c FROM feats WHERE $rawPred GROUP BY 1),
+      |tt AS (SELECT count(*) AS n FROM feats WHERE doc_id % 7 = 0),
+      |rt AS (SELECT count(*) AS n FROM feats WHERE $rawPred),
+      |lr AS (
+      |  SELECT sp.bk,
+      |    CAST(floor(ln((COALESCE(tf.c, 0) + 1)::DOUBLE / (tt.n + 256)) * 1e6) AS BIGINT)
+      |    - CAST(floor(ln((COALESCE(rf.c, 0) + 1)::DOUBLE / (rt.n + 256)) * 1e6) AS BIGINT)
+      |      AS lr_u
+      |  FROM range(256) sp(bk) LEFT JOIN tf USING (bk) LEFT JOIN rf USING (bk), tt, rt),
+      |w AS (
+      |  SELECT f.doc_id, CAST(count(*) AS INT) AS n_feats,
+      |    CAST(sum(lr.lr_u) AS BIGINT) AS logw_u
+      |  FROM feats f JOIN lr USING (bk)
+      |  WHERE $scorePred GROUP BY 1)""".stripMargin
+
+  private val dsirWeightsCte =
+    dsirCte("doc_id % 7 <> 0", "f.doc_id % 7 <> 0")
+
+  /** One persisted DSIR model per dataset dir per JVM (the offline fit
+    * over target=%7==0 / already-ingested raw=%7≠0∧%10≠0) — same
+    * memoize-and-cleanup story as the shingle/cell indexes: the
+    * registered query times the per-batch SCORING path, which is what
+    * runs per ingest at 100 TB.
+    */
+  private val dsirModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def dsirModelFor(s: org.apache.spark.sql.SparkSession,
+                           datasetDir: String): String = {
+    ivfCleanupHook
+    dsirModelCache.computeIfAbsent(datasetDir, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_dsir_model").toString + "/model"
+      val docs = Tables(s, datasetDir, "documents")
+      Dsir.writeModel(
+        docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", p)
+      ivfIndexCache.put(s"dsir:$datasetDir", p) // reuse cleanup walk
+      p
+    })
+  }
+
   private val sqlCos =
     """list_sum(list_transform(list_zip(q.embedding, v.embedding),
       |   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
@@ -1837,6 +1899,114 @@ object LlmQueries {
           FROM t)
         SELECT doc_id, lang, n_tokens, cum_tokens FROM c
         WHERE cum_tokens <= 3000 ORDER BY doc_id""")),
+
+    // Contamination audit report (Dedup.contaminationReport): the
+    // per-benchmark-entry view of decontamination — text_decontaminate
+    // flags corpus docs to DROP; this reports which benchmark entries
+    // are compromised and how badly (distinct 5-grams, how many leak
+    // into the corpus, the ratio, distinct leaking corpus docs).
+    // Benchmark = doc_id%7==0, the pipeline_curate convention.
+    GQuery("text_contamination_report",
+      (s, d) => Dedup.contaminationReport(Tables(s, d, "documents"),
+          "doc_id", "text", n = 5, benchPred = _ % 7 === 0)
+        .withColumnRenamed("bench", "bench_id")
+        .orderBy(col("bench_id")),
+      Some(s"""WITH atoks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM documents),
+        sh5 AS (
+          SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS s
+          FROM atoks,
+            LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS i)),
+        b AS (SELECT doc_id AS bench_id, s FROM sh5 WHERE doc_id % 7 = 0),
+        c AS (SELECT doc_id AS cid, s FROM sh5 WHERE doc_id % 7 <> 0),
+        cdf AS (SELECT s, count(*) AS nc FROM c GROUP BY 1),
+        g AS (
+          SELECT bench_id, CAST(count(*) AS INT) AS n_grams,
+            CAST(sum(CASE WHEN cdf.s IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+              AS n_hit
+          FROM b LEFT JOIN cdf USING (s) GROUP BY 1),
+        dd AS (
+          SELECT bench_id, CAST(count(*) AS INT) AS n_dirty_docs
+          FROM (SELECT DISTINCT bench_id, cid FROM b JOIN c USING (s))
+          GROUP BY 1)
+        SELECT g.bench_id, n_grams, n_hit,
+          CAST(floor(CAST(n_hit AS DOUBLE) / n_grams * 1e6) AS DOUBLE) / 1e6
+            AS hit_ratio,
+          COALESCE(dd.n_dirty_docs, 0) AS n_dirty_docs
+        FROM g LEFT JOIN dd USING (bench_id)
+        ORDER BY bench_id""")),
+
+    // DSIR importance weighting (ops/Dsir.scala, Xie et al. 2023):
+    // hashed unigram+bigram bucket models for target (doc_id%7==0,
+    // the benchmark-ish seed) and raw (the rest); per-doc log-weight
+    // = exact micro-nat integer sum of per-bucket floor'd log-ratios.
+    // Oracle replays hashing, both Laplace-smoothed models, and the
+    // sum bit-for-bit (ln() parity per the surprisal precedent).
+    GQuery("sample_importance_weights",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        Dsir.importanceWeights(docs.filter(col("doc_id") % 7 =!= 0),
+            docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+          .withColumnRenamed("doc", "doc_id")
+          .select(col("doc_id"), col("n_feats"), col("logw"), col("mean_lr"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$dsirWeightsCte
+        SELECT doc_id, n_feats, CAST(logw_u AS DOUBLE) / 1e6 AS logw,
+          CAST(floor(CAST(logw_u AS DOUBLE) / n_feats) AS BIGINT) AS mean_lr
+        FROM w ORDER BY doc_id""")),
+
+    // Incremental DSIR: a new ingest batch (%7≠0 ∧ %10==0) scored
+    // against the PERSISTED model fitted without it — featurize the
+    // batch, broadcast-join the 256-row log-ratio table, one partial
+    // agg. Nothing rescans the fitted corpora; the model build is the
+    // memoized offline job (dsirModelFor). The scoring-side economics
+    // twin of dedup_incremental_indexed / dedup_semantic_incremental.
+    GQuery("sample_importance_incremental",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        Dsir.scoreAgainstModel(s, dsirModelFor(s, d),
+            docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 10 === 0),
+            "doc_id", "text")
+          .withColumnRenamed("doc", "doc_id")
+          .select(col("doc_id"), col("n_feats"), col("logw"), col("mean_lr"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""${dsirCte("doc_id % 7 <> 0 AND doc_id % 10 <> 0",
+          "f.doc_id % 7 <> 0 AND f.doc_id % 10 = 0")}
+        SELECT doc_id, n_feats, CAST(logw_u AS DOUBLE) / 1e6 AS logw,
+          CAST(floor(CAST(logw_u AS DOUBLE) / n_feats) AS BIGINT) AS mean_lr
+        FROM w ORDER BY doc_id""")),
+
+    // The resampling half: Gumbel-top-100 over the same weights —
+    // sampling ∝ w without replacement (Gumbel-top-k identity), the
+    // paper's selection step with a seedless md5-derived draw. The
+    // take plans as TakeOrderedAndProject (per-partition heads, no
+    // global sort); oracle replays weight, draw, key and rank.
+    GQuery("sample_importance_take",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        Dsir.importanceTake(
+            Dsir.importanceWeights(docs.filter(col("doc_id") % 7 =!= 0),
+              docs.filter(col("doc_id") % 7 === 0), "doc_id", "text"),
+            n = 100)
+          .withColumnRenamed("doc", "doc_id")
+          .orderBy(col("rk"))
+      },
+      Some(s"""$dsirWeightsCte,
+        keyed AS (
+          SELECT doc_id, n_feats, CAST(logw_u AS DOUBLE) / 1e6 AS logw,
+            CAST(floor((CAST(logw_u AS DOUBLE) / 1e6
+              + -ln(-ln(((${duckHex32("'dsirg:' || CAST(doc_id AS VARCHAR)")}
+                  % 1000000) + 0.5) / 1e6))) * 1e6) AS BIGINT) AS key_u
+          FROM w)
+        SELECT doc_id, n_feats, logw,
+          CAST(key_u AS DOUBLE) / 1e6 AS gumbel_key, rk FROM (
+          SELECT *, CAST(row_number() OVER (
+            ORDER BY key_u DESC NULLS LAST, doc_id) AS INT) AS rk
+          FROM keyed)
+        WHERE rk <= 100 ORDER BY rk""")),
 
     // End-to-end corpus curation — the flagship COMPOSITION: the
     // Gopher-style repetition gate, exact-dedup canonicalization, and

@@ -119,6 +119,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall > 0.4, s"recall=$recall")
   }
 
+  test("DSIR importance weights: target-like raw docs outscore off-distribution ones; take is ∝-weight biased") {
+    import graft.ops.Dsir
+    // target speaks vocabulary A; raw is half A-like, half B-like —
+    // the A-like half must carry strictly higher importance weight
+    def doc(v: String, seed: Int) =
+      (0 until 30).map(i => s"${v}w${(i * 7 + seed) % 12}").mkString(" ")
+    val target = (0 until 10).map(i => (1000L + i, doc("a", i)))
+      .toDF("doc_id", "text")
+    val raw = ((0 until 20).map(i => (i.toLong, doc("a", i))) ++
+      (20 until 40).map(i => (i.toLong, doc("b", i))))
+      .toDF("doc_id", "text")
+    val w = Dsir.importanceWeights(raw, target, "doc_id", "text")
+      .select(col("doc"), col("mean_lr")).as[(Long, Long)].collect().toMap
+    assert(w.size == 40, s"lost docs: ${w.size}")
+    val aMin = (0 until 20).map(i => w(i.toLong)).min
+    val bMax = (20 until 40).map(i => w(i.toLong)).max
+    assert(aMin > bMax,
+      s"A-like floor $aMin not above B-like ceiling $bMax")
+    // Gumbel take at n=20: selection must be heavily biased toward the
+    // A-like half (∝-weight sampling, not uniform), yet reproducible
+    val take = Dsir.importanceTake(
+        Dsir.importanceWeights(raw, target, "doc_id", "text"), n = 20)
+      .select(col("doc")).as[Long].collect().toSet
+    val aTaken = take.count(_ < 20)
+    assert(aTaken >= 15, s"take not weight-biased: $aTaken/20 A-like")
+    val again = Dsir.importanceTake(
+        Dsir.importanceWeights(raw, target, "doc_id", "text"), n = 20)
+      .select(col("doc")).as[Long].collect().toSet
+    assert(again == take, "take not deterministic")
+  }
+
   test("deterministic-quantizer IVF: sane recall, unique candidates, one list per vector") {
     // sim_ann_ivf_det's full value-correctness lives in its DuckDB
     // oracle; this spec pins the ANN-structural properties the oracle
