@@ -93,4 +93,19 @@ object Forget {
   def fromIvfIndex(spark: SparkSession, indexPath: String,
                    vecIds: Seq[Long]): Long =
     rewriteWithout(spark, indexPath, Seq("list"), "nid", vecIds)
+
+  /** Forget vectors in a persisted semantic cell index
+    * ([[SemDedup.writeCellIndex]] layout: `cell=<id>/`, columns
+    * `vec_id`, `embedding`). The `_graft_centroids` sidecar stays: the
+    * quantizer's centroids are corpus statistics, not per-vector data
+    * (same argument as [[fromIvfIndex]]) — even when a forgotten id
+    * WAS a centroid, the centroid row stores only the historical mean
+    * position every other member was assigned against; survivors' cell
+    * assignments are build-time facts and do not change. The periodic
+    * index rebuild refreshes the quantizer, same policy as the shingle
+    * hot list.
+    */
+  def fromCellIndex(spark: SparkSession, indexPath: String,
+                    vecIds: Seq[Long]): Long =
+    rewriteWithout(spark, indexPath, Seq("cell"), "vec_id", vecIds)
 }

@@ -238,6 +238,65 @@ object Lr {
             AS DOUBLE) / 1e6 AS score
         FROM mf ORDER BY vec_id""")),
 
+    // Discrimination readout: AUC via the tie-corrected rank-sum
+    // (Mann–Whitney U) — the metric a quality-filter threshold is
+    // tuned against; calibration bins without AUC can't tell a sharp
+    // scorer from a constant one. Shape: one ≤|distinct p_u|-key
+    // partial-agg groupBy (scores are integer micro-units, so at most
+    // 1e6+1 groups REGARDLESS of corpus size), then a window over the
+    // score GROUPS (bounded, never the data) for the cumulative
+    // negative count, then one scalar agg. Exact integers end to end:
+    // 2·AUC·n1·n0 = Σ_s n1(s)·(2·cum0(s) + n0(s)) handles ties as the
+    // ½-credit average rank without ever leaving BIGINT; the one
+    // double division is IEEE-exact on both engines.
+    GQuery("embed_lr_auc",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = trainAndScore(Tables(s, d, "embeddings"), "vec_id",
+          "embedding", "label", labelGe = 5, iters = Iters)
+        val grp = scored.groupBy(col("p_u"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("n1"))
+          .withColumn("n0", col("n") - col("n1"))
+        val w = Window.orderBy(col("p_u"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cum = grp.withColumn("cum0",
+          coalesce(sum(col("n0")).over(w), lit(0L)))
+        cum.agg(
+            sum(col("n1")).as("n_pos"),
+            sum(col("n0")).as("n_neg"),
+            sum(col("n1") * (lit(2L) * col("cum0") + col("n0")))
+              .as("auc_num2"))
+          .select(col("n_pos"), col("n_neg"), col("auc_num2"),
+            (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den2"),
+            (floor(col("auc_num2").cast("double")
+                / (lit(2L) * col("n_pos") * col("n_neg")).cast("double")
+                * 1e6) / lit(1e6)).as("auc"))
+      },
+      Some(s"""WITH ${fitCtes(Iters)},
+        mf AS (
+          SELECT x.vec_id, x.y, SUM(w.w * x.xq) AS m
+          FROM x JOIN w$Iters w USING (j) GROUP BY x.vec_id, x.y),
+        sc AS (
+          SELECT y, CAST(LEAST(GREATEST(500000 + ${fd("m", "4000000")},
+            0), 1000000) AS BIGINT) AS p_u
+          FROM mf),
+        g AS (
+          SELECT p_u, count(*) AS n, CAST(sum(y) AS BIGINT) AS n1
+          FROM sc GROUP BY 1),
+        c AS (
+          SELECT p_u, n1, n - n1 AS n0,
+            CAST(COALESCE(SUM(n - n1) OVER (ORDER BY p_u
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum0
+          FROM g)
+        SELECT CAST(sum(n1) AS BIGINT) AS n_pos,
+          CAST(sum(n0) AS BIGINT) AS n_neg,
+          CAST(sum(n1 * (2 * cum0 + n0)) AS BIGINT) AS auc_num2,
+          CAST(2 * sum(n1) * sum(n0) AS BIGINT) AS auc_den2,
+          floor(CAST(sum(n1 * (2 * cum0 + n0)) AS DOUBLE)
+            / CAST(2 * sum(n1) * sum(n0) AS DOUBLE) * 1e6) / 1e6 AS auc
+        FROM c""")),
+
     // Calibration readout (reliability-diagram bins): decile-bucket the
     // hard-sigmoid probability and report per-bin count, positives, and
     // the exact micro-unit mean score — how a scorer's threshold gets

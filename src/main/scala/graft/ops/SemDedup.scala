@@ -292,6 +292,65 @@ object SemDedup {
   }
 
   val queries: Seq[GQuery] = Seq(
+    // Deletion propagation (right-to-be-forgotten) into the persisted
+    // semantic cell index — the embedding twin of forget_shingle_index:
+    // build a dedicated cell index over the vec_id%10<>0 slice, forget
+    // the %7==0 members via touched-partition rewrite
+    // (Forget.fromCellIndex — id predicate pushed to parquet, only the
+    // cells holding the ids rewritten), read back (vec_id, cell) plus a
+    // micro-unit L2 norm proving the vector payload survived the
+    // rewrite byte-exact. Oracle = rebuild-without-ids with the
+    // centroids and every survivor's cell computed over the ORIGINAL
+    // corpus: forget does not re-run the quantizer, and a survivor's
+    // build-time assignment cannot change when other rows vanish —
+    // which is exactly why the touched-partition rewrite is sound.
+    GQuery("forget_cell_index",
+      (s, d) => {
+        // the build→forget cycle is memoized per dataset dir (a forget
+        // is a one-shot mutation — the same ids cannot be forgotten
+        // twice); steady-state bench passes time the surviving-postings
+        // read, the operator itself is timed once and spec-proven in
+        // SemDedupSpec's cell-index forget test
+        cellCleanupHook
+        val idx = cellIndexCache.computeIfAbsent(s"forget:$d", _ => {
+          val p = java.nio.file.Files
+            .createTempDirectory("graft_forget_cell").toString + "/index"
+          val corpus = Tables(s, d, "embeddings")
+            .filter(col("vec_id") % 10 =!= 0)
+          writeCellIndex(corpus, "vec_id", "embedding",
+            centroidEvery = IncEvery, indexPath = p)
+          val ids = corpus.filter(col("vec_id") % 7 === 0)
+            .select("vec_id").collect().map(_.getLong(0)).toSeq
+          val removed = Forget.fromCellIndex(s, p, ids)
+          require(removed > 0L, "forget removed nothing — bad fixture")
+          p
+        })
+        s.read.parquet(idx)
+          .select(col("vec_id"), col("cell").cast("long").as("cell"),
+            floor(sqrt(aggregate(col("embedding"), lit(0.0d),
+              (acc, x) => acc + x.cast("double") * x.cast("double"))) * 1e6)
+              .cast("long").as("norm_u"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH cor AS (
+          SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
+        cents AS (SELECT vec_id AS cell, embedding FROM cor
+                  WHERE vec_id % $IncEvery = 0),
+        ca AS (
+          SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY CAST(floor(${sqlD2("v", "c")} * 1e6) AS BIGINT)
+                         ASC NULLS LAST, c.cell) AS rn
+            FROM cor v, cents c) t WHERE rn = 1)
+        SELECT ca.vec_id, ca.cell,
+          CAST(floor(sqrt(list_sum(list_transform(e.embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1e6) AS BIGINT)
+            AS norm_u
+        FROM ca JOIN embeddings e ON e.vec_id = ca.vec_id
+        WHERE ca.vec_id % 7 <> 0
+        ORDER BY ca.vec_id""")),
+
     // Incremental semantic dedup: a new batch (vec_id%10==0) probed
     // against the PERSISTED cell index of everything already ingested —
     // batch assigns map-only against the index's centroid sidecar,

@@ -132,6 +132,22 @@ object Compaction {
     * single-pointer manifest (one table version, no snapshot history).
     */
   private val ManifestPrefix = "_graft_gen."
+  private val ClaimPrefix = "_graft_claim."
+
+  /** Default lease on an unpublished-but-claimed generation dir before
+    * other writers may prune it as a crashed orphan (see [[claimNext]]).
+    */
+  val DefaultOrphanGraceMs: Long = 15L * 60 * 1000
+
+  /** Thrown when a writer's publish loses the race: a HIGHER generation
+    * was published while this writer was producing its own, so its
+    * input state is stale. The fence deletes the loser's data dir and
+    * claim; the winning generation is untouched. Catch-and-retry (re-read
+    * the current generation, recompute, write again) is the correct
+    * caller response for state-merging writers like
+    * `Materialize.maintainAggregate`.
+    */
+  final class FencedWriteException(msg: String) extends RuntimeException(msg)
 
   private def genName(n: Long): String = f"g$n%09d"
 
@@ -139,6 +155,108 @@ object Compaction {
     if (name.length == 10 && name.head == 'g' && name.tail.forall(_.isDigit))
       Some(name.tail.toLong)
     else None
+
+  private def listNums(fs: org.apache.hadoop.fs.FileSystem, main: Path,
+                       prefix: String): Seq[Long] =
+    if (!fs.exists(main)) Seq.empty
+    else fs.listStatus(main).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => genNumber(n.stripPrefix(prefix)))
+
+  /** Reserve the next generation number with an atomic writer claim —
+    * the fencing half of the concurrent-writer story. The claim is an
+    * exclusive-create of `_graft_claim.g<M>` (namenode-atomic on HDFS;
+    * checked create on the local fs) for the first M above every
+    * published marker AND every outstanding claim, so two concurrent
+    * writers can never target the same generation dir — the silent
+    * mid-write clobber mode writeGen used to document is structurally
+    * gone. A claim is a LEASE, not a lock: the claimant may still lose
+    * the publish race ([[FencedWriteException]]), and a claim whose
+    * writer crashed is pruned with its half-written dir once it is
+    * older than `orphanGraceMs` ([[pruneDataDirs]]).
+    */
+  private[graft] def claimNext(fs: org.apache.hadoop.fs.FileSystem,
+                               main: Path, writerId: String): Long = {
+    fs.mkdirs(main)
+    var attempts = 0
+    while (attempts < 64) {
+      val m = math.max(
+        listNums(fs, main, ManifestPrefix).maxOption.getOrElse(0L),
+        listNums(fs, main, ClaimPrefix).maxOption.getOrElse(0L)) + 1
+      val p = new Path(main, ClaimPrefix + genName(m))
+      try {
+        val out = fs.create(p, false)
+        try out.write(writerId.getBytes("UTF-8")) finally out.close()
+        return m
+      } catch {
+        case _: java.io.IOException => attempts += 1 // lost the race; rescan
+      }
+    }
+    sys.error(s"claimNext: no claimable generation after 64 attempts at $main")
+  }
+
+  /** Prune data dirs under the generational grace rules. Published
+    * generations: keep the two most recently PUBLISHED (rank-based, not
+    * number-based — claims can leave gaps in the numbering, and a
+    * number-based `curN − 2` would prune the just-retired generation
+    * across a gap). Unpublished dirs ABOVE the current generation are a
+    * live writer's work in progress if their claim is younger than
+    * `orphanGraceMs`, a crashed writer's orphan otherwise (claim absent
+    * or expired) — only the latter are deleted, closing the
+    * concurrent-writeGen destruction window compactGen's old
+    * uncondition prune had. Unpublished fenced leftovers BELOW current
+    * age out when they fall under the grace floor.
+    *
+    * `readerGraceMs` adds a WALL-TIME retention floor on top of the
+    * cycle-counted grace: a dir below the grace floor is only deleted
+    * once the second-newest marker (the moment the dir left the kept
+    * window, conservatively) is at least that old. The cycle grace
+    * alone guarantees an in-flight reader a full publish cycle — which
+    * is plenty under one paced writer but is NO wall-time guarantee
+    * under concurrent writers, whose publishes can land microseconds
+    * apart. Set it to comfortably exceed the longest reader scan
+    * (the Delta/Iceberg snapshot-retention knob, reduced to one
+    * number); retention under constant churn is bounded by churn rate ×
+    * readerGraceMs extra dirs. Default 0 keeps the pure cycle behavior
+    * for single-writer deployments.
+    */
+  private[graft] def pruneDataDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                   main: Path, orphanGraceMs: Long,
+                                   readerGraceMs: Long = 0L): Unit = {
+    val pubs = listNums(fs, main, ManifestPrefix).sorted.reverse
+    if (pubs.isEmpty) return
+    val curN = pubs.head
+    val graceFloor = pubs.take(2).last
+    val retiredLongAgo = readerGraceMs <= 0L || {
+      try System.currentTimeMillis() - fs.getFileStatus(
+        new Path(main, ManifestPrefix + genName(graceFloor)))
+        .getModificationTime >= readerGraceMs
+      catch { case _: java.io.FileNotFoundException => true }
+    }
+    fs.listStatus(main).toSeq.filter(_.isDirectory).foreach { s =>
+      genNumber(s.getPath.getName).foreach { nn =>
+        if (nn < graceFloor) { if (retiredLongAgo) fs.delete(s.getPath, true) }
+        else if (nn > curN) {
+          val claim = new Path(main, ClaimPrefix + genName(nn))
+          val live =
+            try fs.exists(claim) && (System.currentTimeMillis() -
+              fs.getFileStatus(claim).getModificationTime) < orphanGraceMs
+            catch { case _: java.io.FileNotFoundException => false }
+          // delete the dir but KEEP the expired claim as a tombstone:
+          // deleting it would let claimNext REUSE the number, and a
+          // resurrected writer (paused past its lease, write job still
+          // in flight) could then clobber the republished dir at the
+          // file level before its publish is fenced. The tombstone
+          // keeps numbering monotonic; publish prunes it once a
+          // published generation supersedes it (after which claimNext
+          // starts above that publish and can never hand the number
+          // out again).
+          if (!live) fs.delete(s.getPath, true)
+        }
+      }
+    }
+  }
 
   /** Current generation dir name, if `main` is generational.
     *
@@ -153,14 +271,8 @@ object Compaction {
     * are pruned on the same two-generation grace as the data dirs.
     */
   private[graft] def currentGen(fs: org.apache.hadoop.fs.FileSystem,
-                                main: Path): Option[String] = {
-    if (!fs.exists(main)) return None
-    val gens = fs.listStatus(main).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith(ManifestPrefix))
-      .flatMap(n => genNumber(n.stripPrefix(ManifestPrefix)))
-    if (gens.isEmpty) None else Some(genName(gens.max))
-  }
+                                main: Path): Option[String] =
+    listNums(fs, main, ManifestPrefix).maxOption.map(genName)
 
   /** The path readers should scan: `main/<gen>` for a generational
     * table, `main` itself for a flat one.
@@ -175,24 +287,53 @@ object Compaction {
     spark.read.parquet(resolve(fs, main).toString)
   }
 
-  /** Atomically publish `gen` as the current generation: create its
-    * immutable marker file, then prune markers two or more generations
-    * behind (matching the data-dir grace).
+  /** Atomically publish `gen` as the current generation: FENCE (reject
+    * a non-monotonic publish — see below), create the generation's
+    * immutable marker file, then prune markers and claims superseded by
+    * the rank-based two-generation grace.
+    *
+    * Fencing: if any marker ≥ `gen` already exists, another writer
+    * published while this one was producing `gen`, so `gen` was derived
+    * from stale state. The loser's data dir and claim are deleted and
+    * [[FencedWriteException]] is thrown; readers (who take the MAX
+    * marker) never saw the stale generation. The check-then-create has
+    * a benign race: a winner publishing between this writer's check and
+    * marker-create leaves a lower-numbered marker behind, which is
+    * invisible to readers (max wins) and pruned on the next publish.
     */
-  private def publish(fs: org.apache.hadoop.fs.FileSystem,
-                      conf: org.apache.hadoop.conf.Configuration,
-                      main: Path, gen: String): Unit = {
+  private[graft] def publish(fs: org.apache.hadoop.fs.FileSystem,
+                             conf: org.apache.hadoop.conf.Configuration,
+                             main: Path, gen: String): Unit = {
     val n = genNumber(gen).getOrElse(sys.error(s"bad generation name $gen"))
+    val curMax = listNums(fs, main, ManifestPrefix).maxOption.getOrElse(0L)
+    if (curMax >= n) {
+      fs.delete(new Path(main, gen), true)
+      fs.delete(new Path(main, ClaimPrefix + gen), false)
+      throw new FencedWriteException(
+        s"publish of $gen fenced: generation ${genName(curMax)} was " +
+          s"published concurrently at $main — stale writer loses, " +
+          "re-read current state and retry")
+    }
     val tmp = new Path(main, s".${ManifestPrefix}$gen.tmp")
     val out = fs.create(tmp, true)
     try out.write(gen.getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, new Path(main, ManifestPrefix + gen)))
       sys.error(s"compaction: publishing manifest for $gen failed")
+    // rank-based marker grace (keep the two most recent published);
+    // claims ≤ n are dead — fulfilled by this publish, or fenced (a
+    // live writer's claim is always above the current maximum marker)
+    val graceFloor = listNums(fs, main, ManifestPrefix)
+      .sorted.reverse.take(2).last
     fs.listStatus(main).toSeq.map(_.getPath).foreach { p =>
       val name = p.getName
       if (name.startsWith(ManifestPrefix))
         genNumber(name.stripPrefix(ManifestPrefix)) match {
-          case Some(m) if m <= n - 2 => fs.delete(p, false)
+          case Some(m) if m < graceFloor => fs.delete(p, false)
+          case _ => ()
+        }
+      else if (name.startsWith(ClaimPrefix))
+        genNumber(name.stripPrefix(ClaimPrefix)) match {
+          case Some(m) if m <= n => fs.delete(p, false)
           case _ => ()
         }
     }
@@ -246,43 +387,41 @@ object Compaction {
     * just-retired gen N survives until the NEXT compaction — the
     * reader grace period is a full compaction cycle.
     *
-    * SINGLE WRITER: like [[writeGen]], this assumes one writer per
-    * table at a time (the contract swapIn documents for the flat
-    * layout). The orphan prune deletes any generation dir numbered
-    * above the current one — under a concurrent writer that would be a
-    * fully-written, not-yet-published generation, destroyed with no
-    * error until its publish. Serialize compaction with ingest (e.g.
-    * run it inside the same foreachBatch loop, or under an external
-    * lock); concurrent READERS are exactly who this layout protects.
+    * CONCURRENT WRITERS, FENCED: the output generation is reserved via
+    * [[claimNext]] (two writers can never target the same dir), the
+    * publish rejects non-monotonic generations
+    * ([[FencedWriteException]] — if ingest published while this
+    * compaction ran, the compacted rewrite is stale and loses), and
+    * orphan pruning spares unpublished dirs whose claim is younger than
+    * `orphanGraceMs` (a live writer's work in progress; crashed claims
+    * age out). Losing a compaction race costs only the wasted rewrite —
+    * retry whenever; serializing compaction with ingest (same
+    * foreachBatch loop) remains the efficient deployment, it is just no
+    * longer a SAFETY requirement.
     */
   def compactGen(spark: SparkSession, path: String,
-                 targetBytes: Long = 128L * 1024 * 1024): Stats = {
+                 targetBytes: Long = 128L * 1024 * 1024,
+                 orphanGraceMs: Long = DefaultOrphanGraceMs,
+                 readerGraceMs: Long = 0L): Stats = {
     val main = new Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = main.getFileSystem(conf)
     if (currentGen(fs, main).isEmpty) toGenerational(spark, path)
     val cur = currentGen(fs, main).get
-    val curN = genNumber(cur).getOrElse(sys.error(s"bad generation name $cur"))
     val curDir = new Path(main, cur)
-    // drop unpublished orphans (crashed writes) and gens ≤ curN − 2;
-    // keep curN − 1: an in-flight reader may still be scanning it
-    fs.listStatus(main).toSeq.filter(_.isDirectory).foreach { s =>
-      genNumber(s.getPath.getName) match {
-        case Some(n) if n > curN || n <= curN - 2 => fs.delete(s.getPath, true)
-        case _ => ()
-      }
-    }
+    pruneDataDirs(fs, main, orphanGraceMs, readerGraceMs)
     val files = dataFiles(fs, curDir)
     val bytes = files.map(_.getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     if (files.size <= nOut)
       return Stats(files.size, files.size, bytes, rewritten = false)
-    val next = genName(curN + 1)
+    val next = genName(claimNext(fs, main, s"compactGen@${spark.sparkContext.applicationId}"))
     spark.read.parquet(curDir.toString)
       .repartition(nOut)
       .write.mode("overwrite").parquet(new Path(main, next).toString)
     carrySidecars(fs, conf, curDir, new Path(main, next))
     publish(fs, conf, main, next)
+    pruneDataDirs(fs, main, orphanGraceMs, readerGraceMs)
     Stats(files.size, dataFiles(fs, new Path(main, next)).size, bytes,
       rewritten = true)
   }
@@ -299,32 +438,31 @@ object Compaction {
     * (contrast [[compactGen]], whose rewrite preserves state and so
     * must preserve the sidecars describing it).
     *
-    * SINGLE WRITER: two concurrent writeGen calls can both resolve
-    * curN and race to write the same generation dir (mode=overwrite:
-    * one writer's files silently clobber the other's mid-write).
-    * Publishes are themselves atomic markers, but the layout assumes
-    * one writer per table at a time — serialize ingest and compaction;
-    * concurrent readers are safe by construction.
+    * CONCURRENT WRITERS, FENCED: the target generation is reserved via
+    * [[claimNext]] — two concurrent writeGen calls get DISTINCT dirs,
+    * so the old silent mid-write clobber is structurally impossible —
+    * and the publish rejects non-monotonic generations: if another
+    * writer published first, this writer's df was derived from stale
+    * state and [[FencedWriteException]] fires after its artifacts are
+    * cleaned up. State-merging callers (Materialize.maintainAggregate)
+    * should catch it, re-read the current generation, recompute, and
+    * retry; last-publisher-wins callers may ignore the loser entirely.
     */
   def writeGen(df: org.apache.spark.sql.DataFrame, path: String,
-               beforePublish: Path => Unit = _ => ()): Unit = {
+               beforePublish: Path => Unit = _ => (),
+               orphanGraceMs: Long = DefaultOrphanGraceMs,
+               readerGraceMs: Long = 0L): Unit = {
     val spark = df.sparkSession
     val main = new Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = main.getFileSystem(conf)
-    val curN = currentGen(fs, main).flatMap(genNumber).getOrElse(0L)
-    val next = genName(curN + 1)
+    val next = genName(claimNext(fs, main, s"writeGen@${spark.sparkContext.applicationId}"))
     df.write.mode("overwrite").parquet(new Path(main, next).toString)
     beforePublish(new Path(main, next))
     publish(fs, conf, main, next)
-    // same grace discipline as compactGen: keep the just-retired gen
-    // and the one before it (a reader that resolved two publishes ago
-    // may still be scanning), prune everything older
-    fs.listStatus(main).toSeq.filter(_.isDirectory).foreach { s =>
-      genNumber(s.getPath.getName) match {
-        case Some(n) if n <= curN - 2 => fs.delete(s.getPath, true)
-        case _ => ()
-      }
-    }
+    // rank-based two-generation reader grace (a reader that resolved
+    // two publishes ago may still be scanning), crashed-claim expiry,
+    // optional wall-time retention for concurrent-writer deployments
+    pruneDataDirs(fs, main, orphanGraceMs, readerGraceMs)
   }
 }

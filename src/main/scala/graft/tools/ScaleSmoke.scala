@@ -197,6 +197,49 @@ object ScaleSmoke {
           salt = "split", trainBps = 8000).count())
       timed(s"exact_dedup x$n")(
         graft.ops.Dedup.exact(d, "doc_id", "text").count())
+      // md5-twin hyperplane LSH ANN: fixed probe count (pred ∝ 1/n),
+      // so the curve must track the signature pass (linear in corpus)
+      // plus the bucket-pruned candidate join — never all-pairs
+      timed(s"lsh_md5 x$n")(
+        graft.ops.Similarity.lshTopKMd5(e,
+          e.filter(col("vec_id") % (100L * n) === 0),
+          "vec_id", "embedding", k = 10).count())
+      // 3-stage curation composition (repetition gate → exact-dedup
+      // canon → benchmark decontamination): replica token-tagging keeps
+      // 5-grams distinct across replicas, so the benchmark hit
+      // structure grows linearly and the curve measures the chained
+      // plans (cost ≈ sum of stages, each linear)
+      timed(s"pipeline_curate x$n") {
+        val corpus = d.filter(col("doc_id") % 7 =!= 0)
+        val rep = graft.ops.TextAnalysis.repetition(corpus, "doc_id", "text")
+        val kept = corpus.join(rep, "doc_id")
+          .filter(floor(col("dup_trigram_ratio") * 1e6) <= 20000L &&
+            floor(col("top_token_ratio") * 1e6) <= 120000L)
+        val canon = kept.groupBy(md5(col("text")).as("__h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val deduped = kept.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+        val dirty = graft.ops.Dedup.ngramOverlap(d, "doc_id", "text", n = 5,
+            benchPred = _ % 7 === 0)
+          .select(col("doc").as("doc_id"))
+        deduped.join(dirty, Seq("doc_id"), "left_anti").count()
+      }
+      // incremental semantic dedup: index build is the offline linear
+      // pass; the PROBE (fixed-size batch against the n× index) is the
+      // per-ingest cost and must stay near-flat — touched cells are
+      // bounded by the batch, the partition filter prunes the rest of
+      // the corpus at the file level
+      val cellIdx = java.nio.file.Files
+        .createTempDirectory(s"graft_scale_cell_x$n").toString + "/index"
+      timed(s"sem_index_build x$n") {
+        graft.ops.SemDedup.writeCellIndex(
+          e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+          centroidEvery = 49 * n, indexPath = cellIdx)
+        spark.read.parquet(cellIdx).count()
+      }
+      timed(s"sem_incremental x$n")(
+        graft.ops.SemDedup.semanticAgainstIndex(spark, cellIdx,
+          emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          threshold = 0.4).count())
       // BM25: query terms re-tagged per replica so hit-list work scales
       // with the corpus too (untagged terms would only ever hit replica
       // 0 and the curve would measure just the index build)

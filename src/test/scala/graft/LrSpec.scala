@@ -34,6 +34,23 @@ class LrSpec extends AnyFunSuite {
     assert(wrong < allPosWrong, s"wrong=$wrong allPos=$allPosWrong n=$n")
   }
 
+  test("AUC beats chance and the rank-sum identity is internally consistent") {
+    val r = Lr.queries.find(_.name == "embed_lr_auc").get
+      .fn(spark, sfDir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (nPos, nNeg) = (row.getAs[Long]("n_pos"), row.getAs[Long]("n_neg"))
+    val (num2, den2) = (row.getAs[Long]("auc_num2"), row.getAs[Long]("auc_den2"))
+    val auc = row.getAs[Double]("auc")
+    assert(nPos > 0L && nNeg > 0L)
+    assert(den2 === 2L * nPos * nNeg)
+    // num2/den2 is the tie-averaged AUC: must be a valid probability
+    assert(num2 >= 0L && num2 <= den2, s"num2=$num2 den2=$den2")
+    // the trained scorer must discriminate better than chance
+    assert(auc > 0.5, s"auc=$auc")
+    assert(math.abs(auc - num2.toDouble / den2) <= 1e-6)
+  }
+
   test("fit refuses ragged embedding lengths") {
     val ragged = Seq(
       (1L, 1, Array(1000L, 2000L)),

@@ -591,6 +591,104 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gens.length <= 3, s"prune failed: ${gens.mkString(",")}")
   }
 
+  test("two-writer fencing: a stale writer cannot clobber a newer generation") {
+    import graft.sources.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft_fence").toString + "/t"
+    val main = new org.apache.hadoop.fs.Path(dir)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    spark.range(100).toDF("id").write.parquet(dir)
+    Compaction.toGenerational(spark, dir)
+
+    // writer A claims the next generation and writes its data…
+    val aN = Compaction.claimNext(fs, main, "slow-writer-A")
+    val aDir = new org.apache.hadoop.fs.Path(main, f"g$aN%09d")
+    spark.range(5).toDF("id").write.parquet(aDir.toString)
+    // …then stalls. Writer B starts after A: its claim MUST skip A's
+    // number (distinct dirs — no mid-write clobber), and B publishes.
+    Compaction.writeGen(spark.range(200).toDF("id"), dir)
+    val curAfterB = Compaction.readTable(spark, dir)
+    assert(curAfterB.count() == 200, "B's publish did not become current")
+    // A's unpublished dir survived B's publish+prune (live claim lease)
+    assert(fs.exists(aDir), "a live writer's claimed dir was pruned")
+
+    // A finally wakes up and tries to publish → fenced, loudly
+    val e = intercept[Compaction.FencedWriteException] {
+      Compaction.publish(fs, conf, main, f"g$aN%09d")
+    }
+    assert(e.getMessage.contains("fenced"))
+    // the fence cleaned up the loser and left the winner untouched
+    assert(!fs.exists(aDir), "fenced writer's data dir not cleaned up")
+    assert(Compaction.readTable(spark, dir).count() == 200)
+
+    // a crashed claim (no publish ever) ages out: with grace 0 the
+    // orphan prune reclaims dir AND claim
+    val cN = Compaction.claimNext(fs, main, "crashed-writer-C")
+    val cDir = new org.apache.hadoop.fs.Path(main, f"g$cN%09d")
+    spark.range(7).toDF("id").write.parquet(cDir.toString)
+    Compaction.compactGen(spark, dir, targetBytes = 1L << 26, orphanGraceMs = 0L)
+    assert(!fs.exists(cDir), "expired orphan claim's dir not reclaimed")
+    assert(Compaction.readTable(spark, dir).count() == 200)
+  }
+
+  test("two-writer soak: concurrent writeGen loops — fenced losers retry, readers never torn") {
+    import graft.sources.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft_fence_soak").toString + "/t"
+    spark.range(10).toDF("id").withColumn("w", lit(-1)).write.parquet(dir)
+    Compaction.toGenerational(spark, dir)
+    // two writers race full writeGen cycles; every fence is caught and
+    // retried (the documented caller contract). Any OTHER throwable —
+    // including the pre-fencing silent-clobber symptom, a torn read of
+    // a half-written dir — fails the test.
+    @volatile var bad: Throwable = null
+    def writer(id: Int) = new Thread(() => {
+      try {
+        var done = 0
+        while (done < 7) {
+          try {
+            // concurrent writers MUST set the wall-time retention
+            // (readerGraceMs): the cycle-counted grace alone is no
+            // wall-time guarantee when two publishes can land
+            // microseconds apart — exactly the torn read this spec
+            // caught against an unpaced two-writer loop before the
+            // retention knob existed
+            Compaction.writeGen(
+              spark.range(10).toDF("id").withColumn("w", lit(id)), dir,
+              readerGraceMs = 60000L)
+            done += 1
+          } catch { case _: Compaction.FencedWriteException => () } // retry
+        }
+      } catch { case t: Throwable => bad = t }
+    })
+    val (w1, w2) = (writer(1), writer(2))
+    @volatile var churn = true
+    var reads = 0
+    // warm the read path before churn starts: a cold first read (plan +
+    // codegen, seconds) would outrun the two-publish-cycle grace no
+    // matter how the writers are paced — that is JVM warmup, not a
+    // layout property
+    Compaction.readTable(spark, dir).count()
+    val reader = new Thread(() => {
+      try {
+        while (churn) {
+          val r = Compaction.readTable(spark, dir)
+            .agg(count(lit(1)), countDistinct(col("w"))).head()
+          assert(r.getLong(0) == 10 && r.getLong(1) == 1,
+            s"TORN READ: n=${r.getLong(0)} writers=${r.getLong(1)}")
+          reads += 1
+        }
+      } catch { case t: Throwable => bad = t }
+    })
+    w1.start(); w2.start(); reader.start()
+    w1.join(); w2.join(); churn = false; reader.join()
+    assert(bad == null, s"non-fence failure under two-writer churn: $bad")
+    assert(reads >= 2, s"only $reads clean reads during churn")
+    // final state: exactly one writer's last publish, intact
+    val fin = Compaction.readTable(spark, dir)
+      .agg(count(lit(1)), countDistinct(col("w"))).head()
+    assert(fin.getLong(0) == 10 && fin.getLong(1) == 1)
+  }
+
   test("generational compaction: crashed unpublished generation is invisible and cleaned up") {
     import graft.sources.Compaction
     val dir = java.nio.file.Files.createTempDirectory("graft_gencrash").toString + "/t"

@@ -87,4 +87,37 @@ class SemDedupSpec extends AnyFunSuite {
     assert(grp.count(_._3 == 1) == 1 && grp.exists(t => t._1 == 0L && t._3 == 1),
       s"exactly the min id is kept: $grp")
   }
+
+  test("cell-index forget: targets vanish, survivors byte-identical, probe blind to them, idempotent") {
+    import graft.ops.Forget
+    val emb = Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 10 =!= 0)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_forget_cell_spec").toString + "/index"
+    SemDedup.writeCellIndex(emb, "vec_id", "embedding",
+      centroidEvery = 49, idx)
+    val before = spark.read.parquet(idx)
+      .select(col("vec_id"), col("cell").cast("long"), col("embedding"))
+      .as[(Long, Long, Array[Float])].collect()
+      .map(t => t._1 -> ((t._2, t._3.toSeq))).toMap
+    val victims = before.keys.filter(_ % 7 == 0).toSeq
+    assert(victims.nonEmpty)
+    assert(Forget.fromCellIndex(spark, idx, victims) == victims.size.toLong)
+    val after = spark.read.parquet(idx)
+      .select(col("vec_id"), col("cell").cast("long"), col("embedding"))
+      .as[(Long, Long, Array[Float])].collect()
+      .map(t => t._1 -> ((t._2, t._3.toSeq))).toMap
+    assert(victims.forall(v => !after.contains(v)), "forgotten ids survive")
+    assert(after == before -- victims,
+      "survivors' cell or vector payload disturbed by the rewrite")
+    // a probe batch no longer surfaces forgotten neighbors
+    val probe = SemDedup.semanticAgainstIndex(spark, idx,
+        Tables(spark, sfDir, "embeddings").filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", threshold = 0.0)
+      .select("j").as[Long].collect().toSet
+    assert(victims.forall(v => !probe.contains(v)),
+      "probe still returns forgotten vectors")
+    // idempotent: nothing left to remove
+    assert(Forget.fromCellIndex(spark, idx, victims) == 0L)
+  }
 }
