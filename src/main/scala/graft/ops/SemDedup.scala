@@ -136,6 +136,103 @@ object SemDedup {
         (col("cos_u").cast("double") / 1e6).as("cos"))
   }
 
+  /** Pile-aware within-cell pairs — [[semanticPairsCapped]] plus the
+    * auto-detected mitigation for the one regime the sub-split cannot
+    * fix (PLANS.md round-7 negative result): a PILE of near-identical
+    * vectors centered on its own centroid. Sub-centroids drawn from the
+    * pile are microscopically close to every member, so the floor-micro
+    * d2 ranking ties (quantizes to 0) and the tie-break sends the whole
+    * pile to ONE sub-block — Σ|subcell|² stays |cell|², and no deeper
+    * Voronoi pass can ever split it (the paper's k-knob has the same
+    * blind spot: a mode-collapsed cluster IS one Voronoi cell).
+    *
+    * Detection is structural, not statistical: any block STILL larger
+    * than `maxCell` after the one-level sub-split is declared a pile.
+    * Mitigation switches the block from all-pairs to STAR edges — every
+    * member compared against the block's min-id anchor only — so the
+    * block's cost and output collapse from |block|² to |block|.
+    * For the regime that triggers it (mutually near-identical members)
+    * the star edges generate the SAME connected components as the full
+    * pair set, hence the same dedup keep-list; the stated approximation
+    * is that a genuinely heterogeneous unsplittable block would lose
+    * member↔member edges whose anchor-side cosine is below threshold —
+    * recall traded against the quadratic blow-up, the same trade the
+    * cell blocking itself makes at level 0.
+    *
+    * Output adds a `mode` column ('full' | 'star'); on a corpus with no
+    * surviving hot blocks the result is IDENTICAL to
+    * [[semanticPairsCapped]] (plus the mode tag). Every stage (block
+    * sizes, anchor argmin, both pair shapes) replays in ANSI SQL, so
+    * the auto path stays hash-oracle-checked.
+    *
+    * Scale: one extra (cell, subcell) partial-agg for block sizes and
+    * anchors; star blocks join members to ONE anchor row per block
+    * (broadcast — pile blocks are by definition rare), map-side cosine,
+    * no quadratic stage anywhere regardless of pile size.
+    */
+  def semanticPairsAuto(emb: DataFrame, idCol: String, vecCol: String,
+                        centroidEvery: Int, threshold: Double,
+                        maxCell: Long, subEvery: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = KMeansStep.assign(emb, idCol, vecCol, centroidEvery)
+      .select(col("vec_id"), col("cluster").as("cell"))
+    val tagged = emb.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .join(cells, "vec_id")
+      .transform(t => graft.util.Caches.own(t))
+    val sizes = tagged.groupBy("cell").agg(count(lit(1)).as("__n"))
+    val withN = tagged.join(broadcast(sizes), Seq("cell"))
+    val cold = withN.filter(col("__n") <= maxCell)
+      .select(col("vec_id"), col("__v"), col("cell"), lit(-1L).as("subcell"))
+    val hot = withN.filter(col("__n") > maxCell)
+    val subC = hot.filter(col("vec_id") % subEvery === 0)
+      .select(col("cell"), col("vec_id").as("scid"), col("__v").as("__sv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sd2_u"), col("scid"))
+    val hotAssigned = hot.join(subC, Seq("cell"), "left")
+      .withColumn("sd2_u",
+        floor(graft.functions.SquaredDistance
+          .squaredDistance(col("__v"), col("__sv")) * 1e6).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("__v"), col("cell"),
+        coalesce(col("scid"), lit(-1L)).as("subcell"))
+    // blocked is read three times (block-size agg + both pair-join
+    // sides); the owned persist materializes the assignment once
+    val blocked = cold.union(hotAssigned)
+      .transform(t => graft.util.Caches.own(t))
+    val bn = blocked.groupBy("cell", "subcell")
+      .agg(count(lit(1)).as("__bn"), min(col("vec_id")).as("__anchor"))
+    val thrU = math.round(threshold * 1e6)
+    val full = blocked.join(bn.filter(col("__bn") <= maxCell),
+      Seq("cell", "subcell"))
+    val fullPairs = full.as("a").join(full.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.subcell") === col("b.subcell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_u",
+        floor(cosineSimilarity(col("a.__v"), col("b.__v")) * 1e6))
+      .filter(col("cos_u") >= thrU)
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        col("a.cell").as("cell"), col("a.subcell").as("subcell"),
+        (col("cos_u").cast("double") / 1e6).as("cos"),
+        lit("full").as("mode"))
+    val piles = bn.filter(col("__bn") > maxCell)
+    val anchors = blocked.join(piles, Seq("cell", "subcell"))
+      .filter(col("vec_id") === col("__anchor"))
+      .select(col("cell"), col("subcell"),
+        col("vec_id").as("__aid"), col("__v").as("__av"))
+    val starPairs = blocked.join(piles, Seq("cell", "subcell"))
+      .filter(col("vec_id") =!= col("__anchor"))
+      .join(broadcast(anchors), Seq("cell", "subcell"))
+      .withColumn("cos_u",
+        floor(cosineSimilarity(col("__av"), col("__v")) * 1e6))
+      .filter(col("cos_u") >= thrU)
+      .select(col("__aid").as("i"), col("vec_id").as("j"),
+        col("cell"), col("subcell"),
+        (col("cos_u").cast("double") / 1e6).as("cos"),
+        lit("star").as("mode"))
+    fullPairs.union(starPairs)
+  }
+
   /** SemDeDup keep list: connected components over the within-cell
     * near-dup pairs, one canonical (min-id) member per semantic group.
     * Only vectors that HAVE a semantic duplicate appear; everything
@@ -253,6 +350,13 @@ object SemDedup {
   // the capped path everywhere the driver runs it
   private val MaxCell = 45L
   private val SubEvery = 20
+
+  // the auto query's sub-split is deliberately starved (no vec_id in
+  // the corpus is ≡ 0 mod 100000 except the id-0 centroid), so every
+  // hot cell survives the split as one oversized block and the pile →
+  // star path is exercised at BOTH gate scales, while cold cells keep
+  // the all-pairs 'full' mode
+  private val AutoSubEvery = 100000
 
   /** One persisted cell index per dataset dir per JVM (offline-build
     * memoization, same story as LlmQueries' shingle/IVF indexes — the
@@ -431,6 +535,72 @@ object SemDedup {
           WHERE CAST(floor(${sqlCos("x", "y")} * 1e6) AS BIGINT) >= $ThrU)
         SELECT i, j, cell, subcell, CAST(cos_u AS DOUBLE) / 1e6 AS cos
         FROM pc ORDER BY i, j""")),
+
+    // Pile-aware blocking: hot cells whose one-level sub-split cannot
+    // reduce them below maxCell (here: sub-split starved by
+    // AutoSubEvery, modelling the near-identical pile whose floor-micro
+    // d2 ties collapse every member into one sub-block) switch from
+    // all-pairs to star edges against the block's min-id anchor —
+    // linear, not quadratic, in pile size. Oracle replays assignment,
+    // block sizes, anchor argmin, and both pair shapes.
+    GQuery("dedup_semantic_auto",
+      (s, d) => semanticPairsAuto(Tables(s, d, "embeddings"),
+          "vec_id", "embedding", centroidEvery = Every, threshold = Thr,
+          maxCell = MaxCell, subEvery = AutoSubEvery)
+        .orderBy(col("i"), col("j"), col("mode")),
+      Some(s"""WITH ${pairCtes(Every, ThrU)},
+        sizes AS (SELECT cluster, count(*) AS n FROM a GROUP BY 1),
+        m AS (SELECT a.vec_id, a.cluster, sizes.n
+              FROM a JOIN sizes USING (cluster)),
+        subc AS (SELECT cluster, vec_id AS scid FROM m
+                 WHERE n > $MaxCell AND vec_id % $AutoSubEvery = 0),
+        hotassign AS (
+          SELECT vec_id, cluster, COALESCE(scid, -1) AS subcell FROM (
+            SELECT m.vec_id, m.cluster, sc.scid,
+              row_number() OVER (PARTITION BY m.vec_id
+                ORDER BY CAST(floor(${sqlD2("x", "y")} * 1e6) AS BIGINT)
+                         ASC NULLS LAST, sc.scid) AS rn
+            FROM m LEFT JOIN subc sc ON sc.cluster = m.cluster
+            LEFT JOIN embeddings x ON x.vec_id = m.vec_id
+            LEFT JOIN embeddings y ON y.vec_id = sc.scid
+            WHERE m.n > $MaxCell) t
+          WHERE rn = 1),
+        blk AS (
+          SELECT vec_id, cluster, CAST(-1 AS BIGINT) AS subcell
+          FROM m WHERE n <= $MaxCell
+          UNION ALL
+          SELECT vec_id, cluster, CAST(subcell AS BIGINT) FROM hotassign),
+        bn AS (SELECT cluster, subcell, count(*) AS bn,
+                      min(vec_id) AS anchor
+               FROM blk GROUP BY 1, 2),
+        fullp AS (
+          SELECT bx.vec_id AS i, by.vec_id AS j, bx.cluster AS cell,
+            bx.subcell,
+            CAST(floor(${sqlCos("x", "y")} * 1e6) AS BIGINT) AS cos_u
+          FROM blk bx JOIN blk by
+            ON bx.cluster = by.cluster AND bx.subcell = by.subcell
+               AND bx.vec_id < by.vec_id
+          JOIN bn ON bn.cluster = bx.cluster AND bn.subcell = bx.subcell
+          JOIN embeddings x ON x.vec_id = bx.vec_id
+          JOIN embeddings y ON y.vec_id = by.vec_id
+          WHERE bn.bn <= $MaxCell
+            AND CAST(floor(${sqlCos("x", "y")} * 1e6) AS BIGINT) >= $ThrU),
+        starp AS (
+          SELECT bn.anchor AS i, b.vec_id AS j, b.cluster AS cell,
+            b.subcell,
+            CAST(floor(${sqlCos("x", "y")} * 1e6) AS BIGINT) AS cos_u
+          FROM blk b
+          JOIN bn ON bn.cluster = b.cluster AND bn.subcell = b.subcell
+          JOIN embeddings x ON x.vec_id = bn.anchor
+          JOIN embeddings y ON y.vec_id = b.vec_id
+          WHERE bn.bn > $MaxCell AND b.vec_id <> bn.anchor
+            AND CAST(floor(${sqlCos("x", "y")} * 1e6) AS BIGINT) >= $ThrU)
+        SELECT i, j, cell, subcell, CAST(cos_u AS DOUBLE) / 1e6 AS cos,
+               'full' AS mode FROM fullp
+        UNION ALL
+        SELECT i, j, cell, subcell, CAST(cos_u AS DOUBLE) / 1e6 AS cos,
+               'star' AS mode FROM starp
+        ORDER BY i, j, mode""")),
 
     GQuery("dedup_semantic_pairs",
       (s, d) => semanticPairs(Tables(s, d, "embeddings"),

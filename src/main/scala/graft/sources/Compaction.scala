@@ -287,6 +287,43 @@ object Compaction {
     spark.read.parquet(resolve(fs, main).toString)
   }
 
+  /** Published generations whose data dirs are still present — the
+    * time-travel window. Retention is what [[pruneDataDirs]] leaves
+    * behind: the two most recently PUBLISHED generations (rank grace),
+    * widened by `readerGraceMs` wall-time where configured — the same
+    * snapshot-retention story Delta/Iceberg expose, reduced to one
+    * list. An unpublished claim dir is a write in flight, not a
+    * version, and never appears here.
+    */
+  def generations(spark: SparkSession, path: String): Seq[Long] = {
+    val main = new Path(path)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listNums(fs, main, ManifestPrefix).sorted
+      .filter(n => fs.exists(new Path(main, genName(n))))
+  }
+
+  /** Time travel: read the table as of published generation `gen`.
+    * Generation numbers come from [[generations]]; reading a number
+    * that was never published (an in-flight or fenced writer's dir
+    * could transiently exist) or whose data dir is already pruned
+    * fails loudly — a silent fallback to current would be a wrong
+    * answer, not a degraded one.
+    */
+  def readTableAt(spark: SparkSession, path: String,
+                  gen: Long): org.apache.spark.sql.DataFrame = {
+    val main = new Path(path)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a pruned generation loses marker AND dir on the same grace, so
+    // "never published" and "aged out" are indistinguishable here —
+    // one message covers both
+    require(fs.exists(new Path(main, ManifestPrefix + genName(gen))) &&
+        fs.exists(new Path(main, genName(gen))),
+      s"generation $gen at $path is not readable — never published, " +
+        "in flight, or outside the retention window (readable: " +
+        s"${generations(spark, path).mkString(",")})")
+    spark.read.parquet(new Path(main, genName(gen)).toString)
+  }
+
   /** Atomically publish `gen` as the current generation: FENCE (reject
     * a non-monotonic publish — see below), create the generation's
     * immutable marker file, then prune markers and claims superseded by

@@ -174,6 +174,34 @@ object ScaleSmoke {
       timed(s"semdedup_hot_capped x$n")(
         graft.ops.SemDedup.semanticPairsCapped(plantHotCell(e), "vec_id",
           "embedding", 50, 0.4, maxCell = 100, subEvery = 13).count())
+      // UNIMODAL pile (hash jitter only, no mode structure): in dim 64
+      // the member jitters are mutually near-orthogonal, so
+      // |δx − δs|² ≈ |δx|² + |δs|² and every member's nearest
+      // sub-centroid is the ONE with the smallest own-jitter — a
+      // single sub-block swallows the pile and the capped sub-split
+      // stays quadratic (the round-7 negative result, measured). The
+      // auto variant detects the still-hot block structurally and
+      // switches it to anchor star edges: linear in pile size.
+      def plantPile(df: DataFrame): DataFrame = {
+        val c0 = df.filter(col("vec_id") === 0)
+          .select(col("embedding").as("__c0"))
+        val pile = df.filter(pmod(col("vec_id"), lit(5)) === 3)
+          .withColumn("vec_id", col("vec_id") + 900000001L)
+          .filter(pmod(col("vec_id"), lit(50)) =!= 0)
+          .crossJoin(broadcast(c0))
+          .withColumn("embedding",
+            transform(col("__c0"), (x, i) =>
+              (x + (pmod(hash(col("vec_id"), i), lit(1000)) - 500)
+                .cast("double") * lit(2e-5)).cast("float")))
+          .drop("__c0")
+        df.unionByName(pile)
+      }
+      timed(s"semdedup_pile_capped x$n")(
+        graft.ops.SemDedup.semanticPairsCapped(plantPile(e), "vec_id",
+          "embedding", 50, 0.4, maxCell = 100, subEvery = 13).count())
+      timed(s"semdedup_pile_auto x$n")(
+        graft.ops.SemDedup.semanticPairsAuto(plantPile(e), "vec_id",
+          "embedding", 50, 0.4, maxCell = 100, subEvery = 13).count())
       // PQ + exact refine: candidate pool |probes|·refine·k is fixed
       // per probe, so the curve must track the ADC scan (linear in
       // corpus), not the refine join

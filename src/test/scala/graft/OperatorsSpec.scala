@@ -709,6 +709,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Compaction.readTable(spark, dir).count() == 1000)
   }
 
+  test("time travel: retained generations readable bit-exact, pruned and unpublished fail loudly") {
+    import graft.sources.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt").toString + "/t"
+    Compaction.writeGen(spark.range(100).toDF("id"), dir)
+    Compaction.writeGen(spark.range(150).toDF("id"), dir)
+    Compaction.writeGen(spark.range(200).toDF("id"), dir)
+    // rank-based prune keeps the two most recent publishes
+    assert(Compaction.generations(spark, dir) == Seq(2L, 3L))
+    assert(Compaction.readTableAt(spark, dir, 2)
+      .as[Long].collect().sorted.toSeq == (0L until 150L))
+    assert(Compaction.readTableAt(spark, dir, 3).count() == 200)
+    // current-state reader still resolves the max generation
+    assert(Compaction.readTable(spark, dir).count() == 200)
+    val pruned = intercept[IllegalArgumentException](
+      Compaction.readTableAt(spark, dir, 1))
+    assert(pruned.getMessage.contains("not readable"))
+    val never = intercept[IllegalArgumentException](
+      Compaction.readTableAt(spark, dir, 99))
+    assert(never.getMessage.contains("not readable"))
+    // an in-flight (unpublished) writer dir is not a version
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.range(5).toDF("id").coalesce(1)
+      .write.parquet(new org.apache.hadoop.fs.Path(dir, "g000000007").toString)
+    assert(!Compaction.generations(spark, dir).contains(7L))
+    assert(intercept[IllegalArgumentException](
+      Compaction.readTableAt(spark, dir, 7))
+      .getMessage.contains("not readable"))
+  }
+
   test("Scd2.history: updates chain intervals, deletes close without opening") {
     // key a: insert@10, update@20, delete@30, re-insert@40 (still open)
     // key b: single insert@15, never touched — open from the start

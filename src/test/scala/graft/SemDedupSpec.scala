@@ -88,6 +88,55 @@ class SemDedupSpec extends AnyFunSuite {
       s"exactly the min id is kept: $grp")
   }
 
+  test("auto pairs with no hot cells = semanticPairs, all mode 'full'") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val plain = SemDedup.semanticPairs(emb, "vec_id", "embedding", 50, 0.4)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val auto = SemDedup.semanticPairsAuto(emb, "vec_id", "embedding",
+        50, 0.4, maxCell = 1000000000L, subEvery = 20)
+      .select("i", "j", "mode").as[(Long, Long, String)].collect()
+    assert(auto.map(t => (t._1, t._2)).toSet == plain)
+    assert(auto.nonEmpty && auto.forall(_._3 == "full"),
+      "no block exceeds a huge maxCell, so every pair must be mode=full")
+  }
+
+  test("planted unimodal pile: star mode caps pairs linearly, same components as exact") {
+    // A pile of 10 near-identical vectors (per-member perturbation
+    // ~1e-5, so every pairwise floor-micro d2 quantizes to 0): the
+    // one-level sub-split ties every member into ONE block — the
+    // round-7 negative result — and capped stays quadratic there.
+    // Ids 0,4,8 are top-level centroids drawn FROM the pile; the
+    // whole pile ties to cell 0. Ids 12/13 are a cold two-member cell.
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val pile = (0L to 9L).map(k => k -> v(1.0, k * 1e-5, 0, 0))
+    val cold = Seq(12L -> v(0, 0, 1, 0), 13L -> v(0, 0, 0.98, 0.02))
+    val emb = (pile ++ cold).toDF("vec_id", "embedding")
+    val auto = SemDedup.semanticPairsAuto(emb, "vec_id", "embedding",
+        centroidEvery = 4, threshold = 0.9, maxCell = 5L, subEvery = 2)
+      .select("i", "j", "mode").as[(Long, Long, String)].collect()
+    val star = auto.filter(_._3 == "star")
+    assert(star.length == 9 && star.forall(_._1 == 0L),
+      s"pile must emit 9 anchor edges from min-id 0, got ${star.toSeq}")
+    assert(auto.filter(_._3 == "full").map(t => (t._1, t._2)).toSet
+        == Set((12L, 13L)),
+      s"cold cell keeps exact all-pairs: ${auto.toSeq}")
+    // capped (same params) cannot split the pile: quadratic 45 pairs
+    val capped = SemDedup.semanticPairsCapped(emb, "vec_id", "embedding",
+        4, 0.9, maxCell = 5L, subEvery = 2)
+      .select("i", "j").as[(Long, Long)].collect()
+    assert(capped.count(t => t._1 <= 9L && t._2 <= 9L) == 45,
+      s"sub-split should tie the pile into one quadratic block, got ${capped.length}")
+    // the star edges close to the SAME components as exact all-pairs
+    import graft.ops.Cluster
+    def labels(pairs: org.apache.spark.sql.DataFrame) =
+      Cluster.connectedComponents(pairs.select("i", "j"))
+        .as[(Long, Long)].collect().toMap
+    val exact = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.9)
+    assert(labels(SemDedup.semanticPairsAuto(emb, "vec_id", "embedding",
+        4, 0.9, 5L, 2)) == labels(exact),
+      "pile star edges must yield the same dedup components as exact pairs")
+  }
+
   test("cell-index forget: targets vanish, survivors byte-identical, probe blind to them, idempotent") {
     import graft.ops.Forget
     val emb = Tables(spark, sfDir, "embeddings")
