@@ -95,7 +95,7 @@ object Forget {
     rewriteWithout(spark, indexPath, Seq("list"), "nid", vecIds)
 
   /** Forget vectors in a persisted semantic cell index
-    * ([[SemDedup.writeCellIndex]] layout: `cell=<id>/`, columns
+    * ([[SemDedup.writeCellIndex]] layout: `ingest=<tag>/cell=<id>/`, columns
     * `vec_id`, `embedding`). The `_graft_centroids` sidecar stays: the
     * quantizer's centroids are corpus statistics, not per-vector data
     * (same argument as [[fromIvfIndex]]) — even when a forgotten id
@@ -107,5 +107,5 @@ object Forget {
     */
   def fromCellIndex(spark: SparkSession, indexPath: String,
                     vecIds: Seq[Long]): Long =
-    rewriteWithout(spark, indexPath, Seq("cell"), "vec_id", vecIds)
+    rewriteWithout(spark, indexPath, Seq("ingest", "cell"), "vec_id", vecIds)
 }

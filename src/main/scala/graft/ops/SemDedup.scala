@@ -266,10 +266,41 @@ object SemDedup {
       .select(col("vec_id"), col("cluster").as("cell"))
     emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
       .join(cells, "vec_id")
+      .withColumn("ingest", lit("base"))
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+      .write.mode("overwrite").partitionBy("ingest", "cell").parquet(indexPath)
     cents.coalesce(1).write.mode("overwrite")
       .parquet(centroidsSidecar(indexPath))
+  }
+
+  /** Append a new batch to a persisted cell index under its own
+    * `ingest=<tag>` partition level — the embedding twin of
+    * [[Dedup.appendToShingleIndex]]: the batch assigns map-only against
+    * the index's centroid sidecar (the index OWNS the quantizer, so
+    * every batch lands in the same cell space as the base build), and
+    * the batchId-keyed dynamic partition overwrite makes at-least-once
+    * replay idempotent — a retried batch rewrites ITS partitions
+    * instead of duplicating rows. The periodic [[writeCellIndex]]
+    * rebuild re-absorbs the ingest segments and refreshes the
+    * quantizer, the same segment-merge maintenance as the shingle
+    * index.
+    */
+  def appendToCellIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, batch: DataFrame,
+                        idCol: String, vecCol: String,
+                        ingestTag: String): Unit = {
+    require(ingestTag.nonEmpty && ingestTag != "base",
+      s"ingest tag must be a non-'base' batch identifier: '$ingestTag'")
+    val cents = spark.read.parquet(centroidsSidecar(indexPath))
+    val cells = KMeansStep.assignTo(batch, idCol, vecCol, cents)
+      .select(col("vec_id"), col("cluster").as("cell"))
+    batch.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .join(cells, "vec_id")
+      .withColumn("ingest", lit(ingestTag))
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest", "cell").parquet(indexPath)
   }
 
   /** Semantic near-dups of a NEW batch against a PERSISTED corpus cell
@@ -380,6 +411,60 @@ object SemDedup {
         } catch { case _: java.io.IOException => () } // best-effort
       }
     }))
+  }
+
+  /** The assign-to-`cents` CTE body, reused by the incremental and
+    * streaming oracles (argmin on micro-unit d2, tie → cell id).
+    */
+  private def sqlAssign(src: String) =
+    s"""SELECT vec_id, cell FROM (
+          SELECT v.vec_id, c.cell,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY CAST(floor(${sqlD2("v", "c")} * 1e6) AS BIGINT)
+                       ASC NULLS LAST, c.cell) AS rn
+          FROM $src v, cents c) t WHERE rn = 1"""
+
+  /** Streaming probe-then-append fixture: base cell index over the
+    * vec_id%10≠0 corpus, then two MemoryStream micro-batches (%20==0,
+    * %20==10) through [[graft.streaming.StreamingDedup.attachSemantic]]
+    * — batch 1 must see base ∪ batch 0. Memoized per dataset dir (the
+    * stream is a fixture; per-trigger cost is benched by
+    * dedup_semantic_incremental and the loop is spec-proven).
+    */
+  private def streamingSemanticFor(s: org.apache.spark.sql.SparkSession,
+                                   d: String): String = {
+    cellCleanupHook
+    cellIndexCache.computeIfAbsent(s"stream:$d", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sem_stream").toString
+      val idx = root + "/index"
+      val pairs = root + "/pairs"
+      val emb = Tables(s, d, "embeddings")
+      writeCellIndex(emb.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", centroidEvery = IncEvery, idx)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input = MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.StreamingDedup.attachSemantic(
+          input.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          idx, pairs, threshold = Thr)
+        .option("checkpointLocation", root + "/ckpt")
+        .start()
+      try {
+        // MemoryStream TRANSPORT harness collect — same note as
+        // streaming_dedup_pairs: real deployments feed readStream and
+        // the loop itself never touches the driver
+        def slice(m: Int) = emb.filter(col("vec_id") % 20 === m)
+          .select("vec_id", "embedding").as[(Long, Array[Float])]
+          .collect().toSeq
+        input.addData(slice(0): _*)
+        q.processAllAvailable()
+        input.addData(slice(10): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      pairs
+    })
   }
 
   private def cellIndexFor(s: org.apache.spark.sql.SparkSession,
@@ -495,6 +580,51 @@ object SemDedup {
           WHERE CAST(floor(${sqlCos("x", "y")} * 1e6) AS BIGINT) >= $ThrU)
         SELECT i, j, cell, CAST(cos_u AS DOUBLE) / 1e6 AS cos
         FROM p ORDER BY i, j""")),
+
+    // Streaming probe-then-append over embeddings: two MemoryStream
+    // micro-batches through attachSemantic — batch 0 probes the base
+    // index, batch 1 probes base ∪ batch 0 (the appended ingest
+    // segment). Oracle replays the index-owned quantizer on all three
+    // populations and both probes; the batchId-keyed partition layout
+    // is what makes at-least-once replay idempotent (spec-proven).
+    GQuery("streaming_semantic_pairs",
+      (s, d) => {
+        val pairs = streamingSemanticFor(s, d)
+        s.read.parquet(pairs)
+          .select(col("batch").cast("int").as("batch"), col("i"), col("j"),
+            col("cell"), col("cos"))
+          .orderBy(col("batch"), col("i"), col("j"))
+      },
+      Some(s"""WITH cor AS (
+          SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
+        b0 AS (SELECT * FROM embeddings WHERE vec_id % 20 = 0),
+        b1 AS (SELECT * FROM embeddings WHERE vec_id % 20 = 10),
+        cents AS (SELECT vec_id AS cell, embedding FROM cor
+                  WHERE vec_id % $IncEvery = 0),
+        ca AS (${sqlAssign("cor")}),
+        a0 AS (${sqlAssign("b0")}),
+        a1 AS (${sqlAssign("b1")}),
+        h1 AS (SELECT * FROM ca UNION ALL SELECT * FROM a0),
+        p0 AS (
+          SELECT a0.vec_id AS i, ca.vec_id AS j, a0.cell,
+            CAST(floor(${sqlCos("x", "y")} * 1e6) AS BIGINT) AS cos_u
+          FROM a0 JOIN ca ON a0.cell = ca.cell
+          JOIN embeddings x ON x.vec_id = a0.vec_id
+          JOIN embeddings y ON y.vec_id = ca.vec_id
+          WHERE CAST(floor(${sqlCos("x", "y")} * 1e6) AS BIGINT) >= $ThrU),
+        p1 AS (
+          SELECT a1.vec_id AS i, h1.vec_id AS j, a1.cell,
+            CAST(floor(${sqlCos("x", "y")} * 1e6) AS BIGINT) AS cos_u
+          FROM a1 JOIN h1 ON a1.cell = h1.cell
+          JOIN embeddings x ON x.vec_id = a1.vec_id
+          JOIN embeddings y ON y.vec_id = h1.vec_id
+          WHERE CAST(floor(${sqlCos("x", "y")} * 1e6) AS BIGINT) >= $ThrU)
+        SELECT CAST(0 AS INT) AS batch, i, j, cell,
+          CAST(cos_u AS DOUBLE) / 1e6 AS cos FROM p0
+        UNION ALL
+        SELECT CAST(1 AS INT), i, j, cell, CAST(cos_u AS DOUBLE) / 1e6
+        FROM p1
+        ORDER BY batch, i, j""")),
 
     GQuery("dedup_semantic_capped",
       (s, d) => semanticPairsCapped(Tables(s, d, "embeddings"),

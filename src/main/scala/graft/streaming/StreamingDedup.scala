@@ -61,4 +61,32 @@ object StreamingDedup {
       Dedup.appendToShingleIndex(spark, indexPath, batch,
         idCol, textCol, n, ingestTag = s"b$batchId", nBuckets = nBuckets)
     }
+
+  /** The same probe-then-append streaming loop over EMBEDDINGS: each
+    * micro-batch's semantic near-dups against the persisted cell index
+    * ([[graft.ops.SemDedup.writeCellIndex]]) land in
+    * `pairsDir/batch=<id>`, then the batch joins the index under
+    * `ingest=b<id>` so the next trigger sees it. Identical idempotence
+    * contract to [[attach]]: both writes are batchId-keyed dynamic
+    * partition overwrites, so an at-least-once replay is a no-op. The
+    * index owns the quantizer (centroid sidecar), so every batch
+    * assigns into the same cell space regardless of arrival order;
+    * per-trigger cost is batch assignment (map-only, broadcast
+    * centroids) + one equi-join against the touched-cell-pruned index
+    * scan — ∝ batch, never corpus×corpus.
+    */
+  def attachSemantic(vecs: DataFrame, idCol: String, vecCol: String,
+                     indexPath: String, pairsDir: String,
+                     threshold: Double): DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      graft.ops.SemDedup.semanticAgainstIndex(spark, indexPath, batch,
+          idCol, vecCol, threshold)
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(pairsDir)
+      graft.ops.SemDedup.appendToCellIndex(spark, indexPath, batch,
+        idCol, vecCol, ingestTag = s"b$batchId")
+    }
 }

@@ -1043,6 +1043,50 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(perDoc.keySet == Set(1L, 2L, 10L, 20L, 30L))
     assert(perDoc.values.forall(_ == 1L), s"doc spread over ingests: $perDoc")
   }
+
+  test("streaming semantic dedup: probe-then-append over the cell index, cross-batch") {
+    // attachSemantic = the same foreachBatch loop over EMBEDDINGS: the
+    // index owns the quantizer, every batch assigns into the base cell
+    // space, and batch 1 must surface a near-dup of a BATCH-0 vector
+    // (proof the append happened) alongside one of a corpus vector.
+    import graft.ops.SemDedup
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val corpus = Seq(1L -> v(1, 0, 0, 0), 2L -> v(0, 1, 0, 0))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_semstream").toString
+    val idx = root + "/index"
+    val pairs = root + "/pairs"
+    SemDedup.writeCellIndex(corpus, "vec_id", "embedding",
+      centroidEvery = 1, indexPath = idx)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingDedup.attachSemantic(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        idx, pairs, threshold = 0.9)
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    try {
+      // batch 0: novel direction — no pairs, but it must enter the index
+      input.addData((10L, v(0, 0, 1, 0)))
+      q.processAllAvailable()
+      // batch 1: a near-dup of the batch-0 vector and one of corpus id 1
+      input.addData(
+        (20L, v(0, 0, 0.99, 0.01)),
+        (30L, v(0.99, 0.01, 0, 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(pairs)
+      .select("batch", "i", "j").as[(Int, Long, Long)].collect().toSet
+    assert(got == Set((1, 20L, 10L), (1, 30L, 1L)), s"pairs: $got")
+    // base + one ingest partition per batch, each vector exactly once
+    val perVec = spark.read.parquet(idx).groupBy("vec_id")
+      .agg(countDistinct(col("ingest")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(perVec.keySet == Set(1L, 2L, 10L, 20L, 30L))
+    assert(perVec.values.forall(_ == 1L), s"vector spread over ingests: $perVec")
+  }
 }
 
 object CdcStreamSpecSchemas {
