@@ -85,14 +85,14 @@ object Forget {
     rewriteWithout(spark, indexPath, Seq("ingest", "bucket"), "doc", docIds)
 
   /** Forget vectors in a persisted IVF index
-    * ([[Similarity.ivfWriteIndex]] layout: `list=<n>`). The coarse
+    * ([[Similarity.ivfWriteIndex]] layout: `ingest=<tag>/list=<n>`). The coarse
     * quantizer's centroids are statistics over the historical corpus
     * and carry no per-vector data — they stay valid (and are refreshed
     * by the periodic rebuild, same policy as the shingle hot list).
     */
   def fromIvfIndex(spark: SparkSession, indexPath: String,
                    vecIds: Seq[Long]): Long =
-    rewriteWithout(spark, indexPath, Seq("list"), "nid", vecIds)
+    rewriteWithout(spark, indexPath, Seq("ingest", "list"), "nid", vecIds)
 
   /** Forget vectors in a persisted semantic cell index
     * ([[SemDedup.writeCellIndex]] layout: `ingest=<tag>/cell=<id>/`, columns

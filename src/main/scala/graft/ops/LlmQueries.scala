@@ -896,6 +896,78 @@ object LlmQueries {
           WHERE rn <= 10 ORDER BY qid, rn"""
       }),
 
+    // Persisted det-quantizer IVF index + APPEND, probed end to end:
+    // base index over the vec_id%10≠0 corpus (centroidEvery=49 — the
+    // %50 init would select zero ids in this slice), one appended
+    // ingest segment (%20==0, FAISS `add` for the directory layout),
+    // then %20==10 queries probe base ∪ appended with the partition
+    // filter pruning list dirs across BOTH segments. The quantizer,
+    // both assignments, d2-ranked probes and the cosine re-rank all
+    // replay in DuckDB — the persisted+appended ANN path's
+    // hash-oracle anchor (its seeded twin sim_ann_ivf_indexed stays
+    // rows-only). Fixture memoized per dataset dir; the registered
+    // query times the probe, which is the per-search production cost.
+    GQuery("sim_ann_ivf_det_append",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        ivfCleanupHook
+        val idx = ivfIndexCache.computeIfAbsent(s"ivfdetapp:$d", _ => {
+          val p = java.nio.file.Files
+            .createTempDirectory("graft_ivf_det_app").toString + "/index"
+          Similarity.ivfWriteIndexDet(emb.filter(col("vec_id") % 10 =!= 0),
+            "vec_id", "embedding", centroidEvery = 49, indexPath = p)
+          Similarity.ivfAppendToIndex(s, p,
+            emb.filter(col("vec_id") % 20 === 0),
+            "vec_id", "embedding", ingestTag = "b0")
+          p
+        })
+        Similarity.ivfProbeIndexDet(s, idx,
+            emb.filter(col("vec_id") % 20 === 10), "vec_id", "embedding",
+            k = 10, nprobe = 4)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some {
+        val d2vc = """list_sum(list_transform(list_zip(v.embedding, c.embedding), p ->
+            (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+            * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"""
+        val d2qc = d2vc.replace("v.embedding", "q.embedding")
+        s"""WITH cents AS (
+            SELECT vec_id AS list, embedding FROM embeddings
+            WHERE vec_id % 10 <> 0 AND vec_id % 49 = 0),
+          pop AS (
+            SELECT * FROM embeddings
+            WHERE vec_id % 10 <> 0 OR vec_id % 20 = 0),
+          a AS (
+            SELECT vec_id AS nid, list FROM (
+              SELECT v.vec_id, c.list,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY CAST(floor($d2vc * 1e6) AS BIGINT) ASC NULLS LAST,
+                           c.list) AS rn
+              FROM pop v, cents c) t WHERE rn = 1),
+          p AS (
+            SELECT qid, list FROM (
+              SELECT q.vec_id AS qid, c.list,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY CAST(floor($d2qc * 1e6) AS BIGINT) ASC NULLS LAST,
+                           c.list) AS rn
+              FROM embeddings q, cents c WHERE q.vec_id % 20 = 10) t
+            WHERE rn <= 4),
+          sc AS (
+            SELECT p.qid, a.nid,
+              CAST(floor((${sqlCos.replace("q.embedding", "x.embedding")
+                .replace("v.embedding", "y.embedding")}) * 1e6) AS BIGINT) AS score_u
+            FROM p JOIN a USING (list)
+              JOIN embeddings x ON x.vec_id = p.qid
+              JOIN embeddings y ON y.vec_id = a.nid
+            WHERE a.nid <> p.qid)
+          SELECT qid, nid, CAST(score_u AS DOUBLE) / 1e6 AS score, rn FROM (
+            SELECT qid, nid, score_u,
+              CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY score_u DESC NULLS LAST, nid) AS INT) AS rn
+            FROM sc)
+          WHERE rn <= 10 ORDER BY qid, rn"""
+      }),
+
     // IVF-PQ (ops/Pq.scala): the FAISS production composition — IVF
     // list pruning (nprobe/nlist of the corpus touched) × PQ codes
     // (32× less bytes per touched row). Rows-only like its IVF parent

@@ -255,9 +255,78 @@ object Similarity {
                     indexPath: String, nlist: Int = 16, seed: Long = 42L,
                     maxFit: Long = 100000L): Unit = {
     val (assigned, cents) = ivfFit(corpus, idCol, vecCol, nlist, seed, maxFit)
-    assigned.repartition(col("list"))
-      .write.mode("overwrite").partitionBy("list").parquet(indexPath)
+    assigned.withColumn("ingest", lit("base"))
+      .repartition(col("list"))
+      .write.mode("overwrite").partitionBy("ingest", "list").parquet(indexPath)
     cents.coalesce(1).write.mode("overwrite").parquet(centroidsPath(indexPath))
+  }
+
+  /** Persist a DETERMINISTIC-quantizer IVF index — [[ivfTopKDet]]'s
+    * layout made durable: centroids are the seedless
+    * every-`centroidEvery`-th corpus vectors, assignment is the
+    * min_by floor-micro-d2 partial agg, and the inverted lists land
+    * directory-partitioned under an `ingest=base` level (same probe
+    * pruning, same sidecar contract as [[ivfWriteIndex]]). This is the
+    * index form whose probes — including probes AFTER appends — replay
+    * verbatim in ANSI SQL, so the persisted+appended path stays
+    * hash-oracle-checked end to end.
+    */
+  def ivfWriteIndexDet(corpus: DataFrame, idCol: String, vecCol: String,
+                       centroidEvery: Int, indexPath: String): Unit = {
+    import graft.functions.SquaredDistance.squaredDistance
+    val cents = corpus.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("list"), col(vecCol).as("cvec"))
+    corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2_u",
+        floor(squaredDistance(col("nvec"), col("cvec")) * 1e6).cast("long"))
+      .groupBy(col("nid"))
+      .agg(min_by(struct(col("list"), col("nvec")),
+        struct(col("d2_u"), col("list"))).as("__a"))
+      .select(col("nid"), col("__a.nvec").as("nvec"), col("__a.list").as("list"))
+      .withColumn("ingest", lit("base"))
+      .repartition(col("list"))
+      .write.mode("overwrite").partitionBy("ingest", "list").parquet(indexPath)
+    cents.select(col("list"), col("cvec"))
+      .coalesce(1).write.mode("overwrite").parquet(centroidsPath(indexPath))
+  }
+
+  /** Append a batch of vectors to a persisted IVF index under its own
+    * `ingest=<tag>` partition — the ANN-index analogue of
+    * [[graft.ops.SemDedup.appendToCellIndex]] (FAISS `add` for the
+    * directory layout). The batch assigns against the index-owned
+    * centroid sidecar with the deterministic min_by floor-micro-d2
+    * fold; the batchId-keyed dynamic partition overwrite makes
+    * at-least-once replay idempotent. Works on both index forms (the
+    * sidecar schema is shared); for the seeded [[ivfWriteIndex]] form
+    * the appended vectors' list assignment uses the deterministic
+    * ranking rather than the ML model's (identical except on exact
+    * micro-unit distance ties), and the periodic rebuild re-absorbs
+    * the segments and refreshes the quantizer — the same segment-merge
+    * maintenance policy as the shingle and cell indexes.
+    */
+  def ivfAppendToIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, batch: DataFrame,
+                       idCol: String, vecCol: String,
+                       ingestTag: String): Unit = {
+    import graft.functions.SquaredDistance.squaredDistance
+    require(ingestTag.nonEmpty && ingestTag != "base",
+      s"ingest tag must be a non-'base' batch identifier: '$ingestTag'")
+    val cents = spark.read.parquet(centroidsPath(indexPath))
+    batch.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2_u",
+        floor(squaredDistance(col("nvec"),
+          col("cvec").cast("array<float>")) * 1e6).cast("long"))
+      .groupBy(col("nid"))
+      .agg(min_by(struct(col("list"), col("nvec")),
+        struct(col("d2_u"), col("list"))).as("__a"))
+      .select(col("nid"), col("__a.nvec").as("nvec"), col("__a.list").as("list"))
+      .withColumn("ingest", lit(ingestTag))
+      .repartition(col("list"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest", "list").parquet(indexPath)
   }
 
   /** ANN top-k over a persisted IVF index. The probed list ids are
@@ -274,6 +343,37 @@ object Similarity {
     val probes = probeLists(queries, cents, idCol, vecCol, nprobe)
     val probed = probes.select("list").distinct()
       .collect().map(_.getInt(0)).toSeq
+    val assigned = spark.read.parquet(indexPath)
+      .filter(col("list").isin(probed: _*))
+    scoreProbed(assigned, probes, k)
+  }
+
+  /** Probe a persisted DETERMINISTIC index ([[ivfWriteIndexDet]],
+    * possibly extended by [[ivfAppendToIndex]] segments): probe
+    * ranking is floor-micro squared-L2 ascending (ties → smaller list
+    * id), matching [[ivfTopKDet]] — NOT the seeded path's cosine
+    * ranking — so the whole persisted probe replays in ANSI SQL. Same
+    * bounded driver-side list collect + static partition filter as
+    * [[ivfProbeIndex]]; the filter prunes list dirs across ALL ingest
+    * segments (the partition tree is `ingest=<tag>/list=<id>`).
+    */
+  def ivfProbeIndexDet(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       nprobe: Int = 4): DataFrame = {
+    import graft.functions.SquaredDistance.squaredDistance
+    val cents = spark.read.parquet(centroidsPath(indexPath))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("d2_u"), col("list"))
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2_u",
+        floor(squaredDistance(col("qvec"), col("cvec")) * 1e6).cast("long"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select("qid", "qvec", "list")
+    val probed = probes.select("list").distinct()
+      .collect().map(_.getLong(0)).toSeq
     val assigned = spark.read.parquet(indexPath)
       .filter(col("list").isin(probed: _*))
     scoreProbed(assigned, probes, k)

@@ -178,12 +178,17 @@ class LlmOpsSpec extends AnyFunSuite {
     val idx = java.nio.file.Files
       .createTempDirectory("graft_ivf").toString + "/index"
     Similarity.ivfWriteIndex(emb, "vec_id", "embedding", idx, nlist = 8)
-    // layout: one list=<i>/ dir per inverted list + centroid sidecar
+    // layout: ingest=base/list=<i>/ dirs + centroid sidecar (the
+    // ingest level is what makes batchId-keyed appends idempotent)
     import scala.jdk.CollectionConverters._
-    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(idx))
+    val top = java.nio.file.Files.list(java.nio.file.Paths.get(idx))
+      .iterator.asScala.map(_.getFileName.toString).toSet
+    assert(top.contains("ingest=base") && top.contains("_graft_centroids"),
+      s"layout: $top")
+    val dirs = java.nio.file.Files
+      .list(java.nio.file.Paths.get(idx, "ingest=base"))
       .iterator.asScala.map(_.getFileName.toString).toSet
     assert(dirs.count(_.startsWith("list=")) == 8, s"layout: $dirs")
-    assert(dirs.contains("_graft_centroids"))
     val probed = Similarity.ivfProbeIndex(spark, idx, q,
       "vec_id", "embedding", k = 10, nprobe = 4)
     // the probe plan must prune at the partition level: the static isin
@@ -201,6 +206,36 @@ class LlmOpsSpec extends AnyFunSuite {
     val got = probed.select("qid", "nid", "score", "rn")
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(got == mem, s"indexed path diverged: ${(got diff mem).take(5)} vs ${(mem diff got).take(5)}")
+  }
+
+  test("det IVF index append: relabeled twins find their originals, replay idempotent") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 20 === 0)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_app").toString + "/index"
+    Similarity.ivfWriteIndexDet(corpus, "vec_id", "embedding",
+      centroidEvery = 49, indexPath = idx)
+    Similarity.ivfAppendToIndex(spark, idx, batch, "vec_id", "embedding", "b0")
+    val nCorpus = corpus.count(); val nBatch = batch.count()
+    assert(spark.read.parquet(idx).count() == nCorpus + nBatch)
+    // probing with BYTE-IDENTICAL relabeled copies of the appended
+    // vectors: each query's nearest centroid is its twin's assigned
+    // list, so the twin is always in a probed list and must come back
+    // rank-1 with cosine exactly 1
+    val twins = batch.withColumn("vec_id", col("vec_id") + 5000000L)
+    val top1 = Similarity.ivfProbeIndexDet(spark, idx, twins,
+        "vec_id", "embedding", k = 1, nprobe = 4)
+      .select("qid", "nid", "score").as[(Long, Long, Double)].collect()
+    assert(top1.length == nBatch)
+    // identical vectors: floor-micro cosine is 1.0 up to one ulp of
+    // float accumulation (floor can land on 0.999999)
+    assert(top1.forall { case (q, n, s) => n == q - 5000000L && s >= 0.999999 },
+      s"twin not rank-1: ${top1.filter(t => t._2 != t._1 - 5000000L || t._3 < 0.999999).take(5).toSeq}")
+    // at-least-once replay of the same ingest tag rewrites, not duplicates
+    Similarity.ivfAppendToIndex(spark, idx, batch, "vec_id", "embedding", "b0")
+    assert(spark.read.parquet(idx).count() == nCorpus + nBatch,
+      "replayed append duplicated rows")
   }
 
   test("persisted shingle index: probe equals ground truth, hot list governs both sides, buckets prune") {
