@@ -251,6 +251,26 @@ object ScaleSmoke {
           .select(col("doc").as("doc_id"))
         deduped.join(dirty, Seq("doc_id"), "left_anti").count()
       }
+      // DSIR importance resampling: both model passes shuffle 256
+      // bucket rows REGARDLESS of corpus size (the feature-hashing
+      // point), scoring is explode + broadcast join + one partial
+      // agg, the take is TakeOrdered — the whole family must track
+      // the map-side feature explode, i.e. stay ~linear
+      timed(s"dsir_weights x$n")(
+        graft.ops.Dsir.importanceWeights(
+          d.filter(col("doc_id") % 7 =!= 0),
+          d.filter(col("doc_id") % 7 === 0), "doc_id", "text").count())
+      timed(s"dsir_take x$n")(
+        graft.ops.Dsir.importanceTake(
+          graft.ops.Dsir.importanceWeights(
+            d.filter(col("doc_id") % 7 =!= 0),
+            d.filter(col("doc_id") % 7 === 0), "doc_id", "text"),
+          n = 100).count())
+      // per-benchmark contamination audit: one shingle pass + df
+      // partial agg + inverted-index join — jaccardPairs economics
+      timed(s"contamination x$n")(
+        graft.ops.Dedup.contaminationReport(d, "doc_id", "text", n = 5,
+          benchPred = _ % 7 === 0).count())
       // incremental semantic dedup: index build is the offline linear
       // pass; the PROBE (fixed-size batch against the n× index) is the
       // per-ingest cost and must stay near-flat — touched cells are
