@@ -53,7 +53,63 @@ object ProfileQueries {
     one.select(explode(rows).as("p")).select("p.*").orderBy("column")
   }
 
+  /** Heavy-key skew diagnostics for one key column: the numbers a
+    * partitioning decision (salt? broadcast? AQE skew join?) actually
+    * needs — total rows, distinct keys, the hottest key's count and
+    * identity, and the imbalance factor max_cnt/(n_rows/n_keys) in
+    * floor-micro units (1e6 = perfectly uniform; the salted-join
+    * threshold in this repo's q44 regime is ~10e6). Everything is one
+    * partial-agg'd groupBy on the key plus two one-row aggregates —
+    * the grouped counts subtree feeds both, ReuseExchange shares the
+    * shuffle; nothing is ever sorted or collected. The hottest-key
+    * argmax is the two-level max + filter form (max_by's tie behavior
+    * is engine-specific; max(k) FILTER c = max_cnt is not).
+    */
+  def keySkew(df: DataFrame, keyCol: String, label: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("c"))
+    val m = counts.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+      max(col("c")).as("max_cnt"))
+    val top = counts.join(broadcast(m.select(col("max_cnt").as("__mc"))),
+        col("c") === col("__mc"))
+      .agg(max(col("k")).as("top_key"))
+    m.crossJoin(broadcast(top))
+      .select(lit(label).as("key_label"), col("n_rows"), col("n_keys"),
+        col("max_cnt"), col("top_key"),
+        floor(col("max_cnt").cast("double") * col("n_keys") / col("n_rows") * 1e6)
+          .cast("long").as("imbalance_u"))
+  }
+
+  private def skewSql(table: String, c: String) =
+    s"""SELECT '$table.$c' AS key_label, m.n_rows, m.n_keys, m.max_cnt,
+        (SELECT max(k) FROM (SELECT CAST($c AS VARCHAR) k, count(*) c
+            FROM $table GROUP BY 1) cc WHERE cc.c = m.max_cnt) AS top_key,
+        CAST(floor(CAST(m.max_cnt AS DOUBLE) * m.n_keys / m.n_rows * 1e6)
+          AS BIGINT) AS imbalance_u
+      FROM (SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+            max(c) AS max_cnt
+        FROM (SELECT CAST($c AS VARCHAR) k, count(*) c
+              FROM $table GROUP BY 1) c1) m"""
+
   val queries: Seq[GQuery] = Seq(
+
+    // The pre-shuffle audit a 100 TB join plan starts from: per key
+    // column, how hot is the hottest key relative to uniform. The q44
+    // salted join and the AQE skew-join spec are the mitigations this
+    // report decides between.
+    GQuery("profile_skew",
+      (s, d) => Seq(
+          keySkew(Tables(s, d, "lineitem"), "l_suppkey", "lineitem.l_suppkey"),
+          keySkew(Tables(s, d, "lineitem"), "l_partkey", "lineitem.l_partkey"),
+          keySkew(Tables(s, d, "events"), "event_type", "events.event_type"),
+          keySkew(Tables(s, d, "orders"), "o_orderpriority",
+            "orders.o_orderpriority"))
+        .reduce(_.unionByName(_)).orderBy(col("key_label")),
+      Some(s"""${skewSql("lineitem", "l_suppkey")}
+        UNION ALL ${skewSql("lineitem", "l_partkey")}
+        UNION ALL ${skewSql("events", "event_type")}
+        UNION ALL ${skewSql("orders", "o_orderpriority")}
+        ORDER BY key_label""")),
 
     GQuery("profile_orders",
       (s, d) => profile(Tables(s, d, "orders"),

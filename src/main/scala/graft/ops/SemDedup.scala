@@ -303,6 +303,39 @@ object SemDedup {
       .partitionBy("ingest", "cell").parquet(indexPath)
   }
 
+  /** The periodic segment-merge the append path's scaladoc promises,
+    * made real: rebuild the index from its own current contents (base
+    * ∪ every appended `ingest` segment) with a FRESHLY selected
+    * quantizer, behind the staged/retired atomic swap
+    * ([[graft.sources.Compaction.swapIn]]). Appended batches assigned
+    * against yesterday's centroids re-assign against today's; the
+    * segment tree collapses back to `ingest=base`. Result is
+    * bit-identical to [[writeCellIndex]] run fresh over the union —
+    * the rebuild IS that build, fed by the index itself.
+    *
+    * Crash contract: the staged sibling is written completely (data,
+    * then centroid sidecar) before the swap; a crash mid-rebuild
+    * leaves the OLD index fully intact and a re-run overwrites the
+    * leftover staged dir. Same single-writer discipline as the
+    * builds; concurrent probes during the swap have the flat-swap
+    * reader hazard (use a quiet window, or the generational layout
+    * for the table itself — indexes are derived artifacts and cheap
+    * to re-probe).
+    */
+  def rebuildCellIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, centroidEvery: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.Compaction
+    val main = new Path(indexPath)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = Compaction.stagedPath(main)
+    if (fs.exists(staged)) fs.delete(staged, true)
+    val all = spark.read.parquet(indexPath)
+      .select(col("vec_id"), col("embedding"))
+    writeCellIndex(all, "vec_id", "embedding", centroidEvery, staged.toString)
+    Compaction.swapIn(fs, main)
+  }
+
   /** Semantic near-dups of a NEW batch against a PERSISTED corpus cell
     * index: batch vectors assign map-only against the index's centroid
     * sidecar (broadcast, ≤ k rows), the touched cell ids are collected

@@ -291,6 +291,27 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(centroidsPath(indexPath))
   }
 
+  /** Segment-merge rebuild for the det-quantizer IVF index — identical
+    * contract to [[graft.ops.SemDedup.rebuildCellIndex]]: re-absorb
+    * every `ingest` segment into a fresh `ingest=base` build with a
+    * freshly selected quantizer, behind the staged/retired atomic
+    * swap. Crash mid-rebuild leaves the old index intact; re-run to
+    * resume.
+    */
+  def rebuildIvfIndexDet(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, centroidEvery: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.Compaction
+    val main = new Path(indexPath)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = Compaction.stagedPath(main)
+    if (fs.exists(staged)) fs.delete(staged, true)
+    val all = spark.read.parquet(indexPath)
+      .select(col("nid"), col("nvec"))
+    ivfWriteIndexDet(all, "nid", "nvec", centroidEvery, staged.toString)
+    Compaction.swapIn(fs, main)
+  }
+
   /** Append a batch of vectors to a persisted IVF index under its own
     * `ingest=<tag>` partition — the ANN-index analogue of
     * [[graft.ops.SemDedup.appendToCellIndex]] (FAISS `add` for the

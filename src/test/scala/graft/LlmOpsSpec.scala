@@ -236,6 +236,20 @@ class LlmOpsSpec extends AnyFunSuite {
     Similarity.ivfAppendToIndex(spark, idx, batch, "vec_id", "embedding", "b0")
     assert(spark.read.parquet(idx).count() == nCorpus + nBatch,
       "replayed append duplicated rows")
+    // segment-merge rebuild: ingest tree collapses to base, content ≡
+    // a fresh det build over the union (same quantizer rule)
+    Similarity.rebuildIvfIndexDet(spark, idx, centroidEvery = 49)
+    def snap(p: String) = spark.read.parquet(p)
+      .select(col("ingest"), col("nid"), col("list").cast("long"), col("nvec"))
+      .as[(String, Long, Long, Array[Float])].collect()
+      .map(t => t._2 -> ((t._1, t._3, t._4.toSeq))).toMap
+    val rebuilt = snap(idx)
+    assert(rebuilt.values.forall(_._1 == "base"))
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_ivf_fresh").toString + "/index"
+    Similarity.ivfWriteIndexDet(corpus.unionByName(batch),
+      "vec_id", "embedding", centroidEvery = 49, indexPath = fresh)
+    assert(rebuilt == snap(fresh), "rebuild diverged from fresh union build")
   }
 
   test("persisted shingle index: probe equals ground truth, hot list governs both sides, buckets prune") {

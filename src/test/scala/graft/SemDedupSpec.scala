@@ -137,6 +137,35 @@ class SemDedupSpec extends AnyFunSuite {
       "pile star edges must yield the same dedup components as exact pairs")
   }
 
+  test("cell-index rebuild re-absorbs ingest segments ≡ fresh build over the union") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 20 === 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cell_rebuild").toString
+    val idx = root + "/index"
+    SemDedup.writeCellIndex(corpus, "vec_id", "embedding", 49, idx)
+    SemDedup.appendToCellIndex(spark, idx, batch, "vec_id", "embedding", "b0")
+    SemDedup.rebuildCellIndex(spark, idx, centroidEvery = 49)
+    def snap(p: String) = spark.read.parquet(p)
+      .select(col("ingest"), col("vec_id"), col("cell").cast("long"),
+        col("embedding"))
+      .as[(String, Long, Long, Array[Float])].collect()
+      .map(t => t._2 -> ((t._1, t._3, t._4.toSeq))).toMap
+    val rebuilt = snap(idx)
+    assert(rebuilt.values.forall(_._1 == "base"),
+      "ingest segments must collapse to base")
+    val fresh = root + "/fresh"
+    SemDedup.writeCellIndex(corpus.unionByName(batch),
+      "vec_id", "embedding", 49, fresh)
+    assert(rebuilt == snap(fresh),
+      "rebuild must equal a fresh build over the union (same quantizer rule)")
+    // probes against the rebuilt index still work (sidecar swapped too)
+    assert(SemDedup.semanticAgainstIndex(spark, idx,
+      emb.filter(col("vec_id") % 20 === 10), "vec_id", "embedding",
+      threshold = 0.0).count() > 0)
+  }
+
   test("cell-index forget: targets vanish, survivors byte-identical, probe blind to them, idempotent") {
     import graft.ops.Forget
     val emb = Tables(spark, sfDir, "embeddings")
