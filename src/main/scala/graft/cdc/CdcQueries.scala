@@ -476,8 +476,75 @@ object CdcQueries {
       FROM orders GROUP BY 2
       ORDER BY gen_rank, grp"""))
 
+  /** Two-publish fixture for the generation-diff change feed: gen 1 is
+    * the deterministically DRIFTED twin (q85_table_reconcile's drift
+    * shapes — %97 keys missing, %101 prices bumped, %103 re-inserted
+    * under key+10M), gen 2 the true orders table. Memoized per dataset
+    * dir; the registered query times the diff join.
+    */
+  private val genFeedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def genFeedFixture(s: org.apache.spark.sql.SparkSession,
+                             d: String): String =
+    genFeedCache.computeIfAbsent(d, _ => {
+      import graft.sources.Compaction
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_gen_feed").toString + "/table"
+      val orders = Tables(s, d, "orders")
+      val key = col("o_orderkey")
+      val drifted = orders.filter(key % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(key % 101 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(orders.filter(key % 103 === 0)
+          .withColumn("o_orderkey", key + 10000000L))
+      Compaction.writeGen(drifted, path)
+      Compaction.writeGen(orders, path)
+      path
+    })
+
+  /** Change feed BETWEEN generations — time travel turned into a CDC
+    * source ([[graft.sources.Compaction.generationDiff]]): the
+    * Debezium-shaped log (op c/u/d, before/after) a consumer replays
+    * to move from the older retained snapshot to the newer one,
+    * derived by one full outer join on the key. Deletes are the
+    * drifted twin's phantom re-inserts, inserts its missing keys,
+    * updates its price bumps — all three ops exercised and the oracle
+    * replays drift, join and classification.
+    */
+  private val generationFeed = GQuery("cdc_generation_feed",
+    (s, d) => {
+      import graft.sources.Compaction
+      val path = genFeedFixture(s, d)
+      val gens = Compaction.generations(s, path).sorted
+      require(gens.length == 2, s"expected 2 retained generations: $gens")
+      Compaction.generationDiff(s, path, gens(0), gens(1), Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("op"),
+          floor(col("before.o_totalprice") * 100).cast("long").as("before_cents"),
+          floor(col("after.o_totalprice") * 100).cast("long").as("after_cents"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH a AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+               ELSE o_totalprice END AS p
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_totalprice
+        FROM orders WHERE o_orderkey % 103 = 0),
+      j AS (
+        SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+          CASE WHEN a.o_orderkey IS NULL THEN 'c'
+               WHEN b.o_orderkey IS NULL THEN 'd'
+               WHEN a.p <> b.o_totalprice THEN 'u' END AS op,
+          CAST(floor(a.p * 100) AS BIGINT) AS before_cents,
+          CAST(floor(b.o_totalprice * 100) AS BIGINT) AS after_cents
+        FROM a FULL OUTER JOIN orders b ON a.o_orderkey = b.o_orderkey)
+      SELECT * FROM j WHERE op IS NOT NULL ORDER BY o_orderkey"""))
+
   val queries: Seq[GQuery] = Seq(
     envelopeApply, decimalRoundtrip, applyOps, changeDiffQ, genTransactions,
     changeDiffWide, incrementalUpsert, scd2History, incrementalAgg, scd2Asof,
-    aggTimeTravel)
+    aggTimeTravel, generationFeed)
 }

@@ -324,6 +324,36 @@ object Compaction {
     spark.read.parquet(new Path(main, genName(gen)).toString)
   }
 
+  /** The change feed BETWEEN two published generations — the inverse
+    * of envelope apply: one full outer join on the key columns emits
+    * Debezium-shaped rows (`op` ∈ c/u/d, `before`/`after` structs of
+    * every non-key column) that a downstream consumer replays to move
+    * from `genA`'s state to `genB`'s. Rows equal on every column are
+    * omitted (a change feed carries changes, not state). This is what
+    * turns the retention window into a CDC source: any reader that can
+    * see two snapshots can emit the log between them, without the
+    * writer having captured one.
+    *
+    * Scale: one key-partitioned shuffle of both generations; struct
+    * compare is codegen'd columnar equality, no per-column jobs.
+    */
+  def generationDiff(spark: SparkSession, path: String,
+                     genA: Long, genB: Long,
+                     keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = readTableAt(spark, path, genA)
+    val b = readTableAt(spark, path, genB)
+    val valCols = a.columns.filterNot(keyCols.contains).toSeq
+    def pack(df: org.apache.spark.sql.DataFrame, tag: String) =
+      df.select((keyCols.map(col) :+ struct(valCols.map(col): _*).as(tag)): _*)
+    pack(a, "before").join(pack(b, "after"), keyCols, "full_outer")
+      .withColumn("op",
+        when(col("before").isNull, "c")
+          .when(col("after").isNull, "d")
+          .when(col("before") =!= col("after"), "u"))
+      .filter(col("op").isNotNull)
+  }
+
   /** Atomically publish `gen` as the current generation: FENCE (reject
     * a non-monotonic publish — see below), create the generation's
     * immutable marker file, then prune markers and claims superseded by
