@@ -469,6 +469,17 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("keySkew: grouped-counts subtree shared (Reused* in the final plan)") {
+    val df = graft.analytics.ProfileQueries.keySkew(
+      graft.util.Tables(spark, GraftSpark.sfDir, "lineitem"),
+      "l_suppkey", "lineitem.l_suppkey")
+    val rows = df.collect()
+    assert(rows.length == 1 && rows(0).getAs[Long]("n_rows") > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Reused"),
+      s"grouped-counts exchange not reused — both one-row aggregates recompute the groupBy:\n$plan")
+  }
+
   test("runtime bloom filter injected on the probe side of a selective shuffle join") {
     // Catalyst's InjectRuntimeFilter: a selective filter on the build
     // side becomes a bloom-filter semi-filter on the probe side's scan,
