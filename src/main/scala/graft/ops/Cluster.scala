@@ -118,6 +118,46 @@ object Cluster {
     out
   }
 
+  /** INCREMENTAL components: fold a batch of NEW edges into an
+    * existing (`node`, `cluster`) labeling without re-walking the
+    * historical edge set — the label-merge step a continuously-
+    * ingesting dedup pipeline needs after each probe
+    * ([[graft.streaming.StreamingDedup]] finds the new pairs; this
+    * updates the cluster table they feed).
+    *
+    * Correctness: a fixpoint labeling IS a star edge set (node → its
+    * component minimum), and star edges are CC-equivalent to the
+    * original graph — so components of (stars ∪ newEdges) equal
+    * components of (oldEdges ∪ newEdges), with the SAME labels,
+    * because the merged component's minimum is the min over the merged
+    * stars and min-propagation re-derives it. The result is therefore
+    * byte-identical to a one-shot recompute (hash-oracle-checked by
+    * `dedup_clusters_incremental`).
+    *
+    * Cost: ∝ new edges + the members of the components they TOUCH.
+    * Untouched components never enter the contraction loop — their
+    * rows pass through via one anti-join — so steady-state ingest pays
+    * for the merge frontier, not the corpus. New nodes (appearing only
+    * in `newEdges`) are labeled by the loop like any other.
+    */
+  def incrementalComponents(oldLabels: DataFrame,
+                            newEdges: DataFrame): DataFrame = {
+    val e = newEdges.select(col("i"), col("j"))
+    val endpoints = e.select(col("i").as("node"))
+      .union(e.select(col("j").as("node"))).distinct()
+    val touched = oldLabels.join(endpoints, "node")
+      .select("cluster").distinct()
+    val affected = oldLabels.join(touched, "cluster")
+    val stars = affected.filter(col("node") =!= col("cluster"))
+      .select(col("node").as("i"), col("cluster").as("j"))
+    val merged = connectedComponents(stars.unionByName(e))
+    // USING-join moves the join column first — restate the contract
+    // column order explicitly
+    oldLabels.join(touched, Seq("cluster"), "left_anti")
+      .select(col("node"), col("cluster"))
+      .unionByName(merged)
+  }
+
   /** Cluster assignment + canonical-document choice over near-dup pairs:
     * (`doc_id`, `cluster`, `keep`) where keep=1 marks the cluster's
     * canonical (min-id) member — the row a dedup pipeline retains.

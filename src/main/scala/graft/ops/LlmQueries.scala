@@ -480,6 +480,49 @@ object LlmQueries {
                CAST(least(node, min(r)) = node AS INT) AS keep
         FROM reach GROUP BY node ORDER BY doc_id""")),
 
+    // INCREMENTAL clustering: the historical corpus (doc_id%10≠0) is
+    // labeled once, then the batch's pairs (any pair touching a
+    // %10==0 doc) merge into that labeling via
+    // Cluster.incrementalComponents — untouched components pass
+    // through an anti-join, only the merge frontier enters the
+    // contraction loop. The output must be BYTE-IDENTICAL to the
+    // one-shot clustering of all pairs, so the oracle is exactly
+    // dedup_clusters' recursive CTE — the strongest possible check
+    // that the incremental path loses nothing.
+    GQuery("dedup_clusters_incremental",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val all = Dedup.jaccardPairs(docs, "doc_id", "text",
+            n = 3, threshold = 0.8, maxDf = shingleMaxDf)
+          .select("i", "j")
+          .transform(t => graft.util.Caches.own(t))
+        val isBatch = (c: org.apache.spark.sql.Column) => c % 10 === 0
+        val oldPairs = all.filter(!isBatch(col("i")) && !isBatch(col("j")))
+        val newPairs = all.filter(isBatch(col("i")) || isBatch(col("j")))
+        val oldLabels = Cluster.connectedComponents(oldPairs)
+        Cluster.incrementalComponents(oldLabels, newPairs)
+          .select(col("node").as("doc_id"), col("cluster"),
+            (col("node") === col("cluster")).cast("int").as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        pairs AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT i, j, common::DOUBLE / (ca.n + cb.n - common) AS jc
+          FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j),
+        e0 AS (SELECT i, j FROM jac WHERE jc >= 0.8),
+        e AS (SELECT i AS a, j AS b FROM e0 UNION SELECT j, i FROM e0),
+        reach(node, r) AS (
+          SELECT a, b FROM e
+          UNION
+          SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a)
+        SELECT node AS doc_id, least(node, min(r)) AS cluster,
+               CAST(least(node, min(r)) = node AS INT) AS keep
+        FROM reach GROUP BY node ORDER BY doc_id""")),
+
     // Canonical selection: clustering only GROUPS duplicates; curation
     // keeps the cleanest member of each group and drops the rest. Per
     // cluster, argmax of the Gopher-style quality score on a

@@ -76,4 +76,29 @@ class CcPropertySpec extends AnyFunSuite {
     check((1L to 60L).map(i => (1000L, 1000L + i)), "star-big-hub")
     check((1L to 60L).map(i => (0L, 100L + i)), "star-small-hub")
   }
+
+  test("incrementalComponents ≡ full recompute on random edge splits") {
+    val rnd = new Random(77)
+    for (trial <- 0 until 5) {
+      val n = 60 + rnd.nextInt(120)
+      val edges = (0 until n * 2).map { _ =>
+        val a = rnd.nextInt(n).toLong
+        var b = rnd.nextInt(n).toLong
+        if (a == b) b = (b + 1) % n
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      // split: ~70% historical, rest arrives as the new batch (plus a
+      // bridge chain through brand-new node ids to force merges across
+      // components AND nodes the old labeling never saw)
+      val (oldE, newE0) = edges.partition(_ => rnd.nextInt(10) < 7)
+      val newE = newE0 ++ Seq((edges.head._1, 9000L), (9000L, 9001L),
+        (9001L, edges.last._2))
+      val oldLabels = Cluster.connectedComponents(oldE.toDF("i", "j"))
+      val inc = Cluster.incrementalComponents(oldLabels, newE.toDF("i", "j"))
+        .as[(Long, Long)].collect().toMap
+      val full = Cluster.connectedComponents((oldE ++ newE).toDF("i", "j"))
+        .as[(Long, Long)].collect().toMap
+      assert(inc == full, s"trial $trial: incremental diverged from one-shot")
+    }
+  }
 }
