@@ -113,7 +113,127 @@ object DriftQueries {
       .orderBy(col("src"))
   }
 
+  /** PSI between two embedding populations over QUANTIZER CELLS — the
+    * drift monitor for vector spaces, where per-component PSI is
+    * meaningless (embeddings drift in direction, not coordinates):
+    * the REFERENCE population owns the quantizer (its every-Nth
+    * vectors, the index-side-truth doctrine), both populations assign
+    * map-only against those broadcast centroids, and PSI runs over
+    * the two cell histograms with (+0.5, +k/2) Laplace smoothing.
+    * Detects mode collapse, new semantic clusters, and upstream
+    * encoder changes between ingest snapshots. All math is the
+    * floor-nano integer-sum PSI contract above; assignment is the
+    * floor-micro argmin, so the whole monitor is hash-replayable.
+    *
+    * Scale: centroids broadcast; each population is one map-only
+    * assign + one k-row partial-agg histogram; PSI is arithmetic on
+    * 2k rows.
+    */
+  def cellDriftPsi(ref: DataFrame, cur: DataFrame, idCol: String,
+                   vecCol: String, centroidEvery: Int): DataFrame = {
+    import graft.ops.KMeansStep
+    val cents = ref.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cluster"), col(vecCol).as("cvec"))
+    def hist(df: DataFrame, n: String) =
+      KMeansStep.assignTo(df, idCol, vecCol, cents)
+        .groupBy(col("cluster")).agg(count(lit(1)).as(n))
+    val joined = hist(ref, "n_ref")
+      .join(hist(cur, "n_cur"), Seq("cluster"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val tot = joined.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_cur")).as("t_cur"), count(lit(1)).as("k"))
+    val pr = (col("n_ref").cast("double") + 0.5) / (col("t_ref") + lit(0.5) * col("k"))
+    val pc = (col("n_cur").cast("double") + 0.5) / (col("t_cur") + lit(0.5) * col("k"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("t_ref"), col("t_cur"),
+        floor((pc - pr) * log(pc / pr) * 1e9).cast("long").as("term_u"))
+      .groupBy(col("t_ref").as("n_ref"), col("t_cur").as("n_cur"))
+      .agg((sum(col("term_u")).cast("double") / 1e9).as("psi"))
+  }
+
+  private val cellPsiOracle: String = {
+    val d2 = """list_sum(list_transform(list_zip(v.embedding, c.embedding), p ->
+        (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"""
+    def assign(pop: String) =
+      s"""SELECT vec_id, cluster FROM (
+          SELECT v.vec_id, c.cluster,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY CAST(floor($d2 * 1e6) AS BIGINT) ASC NULLS LAST,
+                       c.cluster) AS rn
+          FROM $pop v, cents c) t WHERE rn = 1"""
+    def psiSelect(tag: String, h: String) =
+      s"""SELECT '$tag' AS population,
+          CAST(max(t_ref) AS BIGINT) AS n_ref,
+          CAST(max(t_cur) AS BIGINT) AS n_cur,
+          CAST(SUM(CAST(floor(
+            ((CAST(n_cur AS DOUBLE) + 0.5) / (t_cur + 0.5 * kk)
+              - (CAST(n_ref AS DOUBLE) + 0.5) / (t_ref + 0.5 * kk))
+            * ln(((CAST(n_cur AS DOUBLE) + 0.5) / (t_cur + 0.5 * kk))
+                 / ((CAST(n_ref AS DOUBLE) + 0.5) / (t_ref + 0.5 * kk)))
+            * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS psi
+        FROM (
+          SELECT cents.cluster, coalesce(hr.n, 0) AS n_ref,
+                 coalesce($h.n, 0) AS n_cur,
+                 (SELECT SUM(n) FROM hr) AS t_ref,
+                 (SELECT coalesce(SUM(n), 0) FROM $h) AS t_cur,
+                 (SELECT count(*) FROM cents) AS kk
+          FROM cents LEFT JOIN hr ON hr.cluster = cents.cluster
+          LEFT JOIN $h ON $h.cluster = cents.cluster)"""
+    s"""WITH cents AS (
+        SELECT vec_id AS cluster, embedding FROM embeddings
+        WHERE vec_id % 2 = 0 AND vec_id % 50 = 0),
+      ref AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+      cur AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 <> 0),
+      c0 AS (SELECT embedding AS c0e FROM embeddings WHERE vec_id = 0),
+      shf AS (SELECT vec_id,
+          list_transform(list_zip(embedding, c0e), p ->
+            CAST(0.2 * CAST(p[1] AS DOUBLE) + 0.8 * CAST(p[2] AS DOUBLE)
+              AS FLOAT)) AS embedding
+        FROM embeddings CROSS JOIN c0 WHERE vec_id % 2 <> 0),
+      ar AS (${assign("ref")}),
+      ac AS (${assign("cur")}),
+      ash AS (${assign("shf")}),
+      hr AS (SELECT cluster, count(*) AS n FROM ar GROUP BY 1),
+      hc AS (SELECT cluster, count(*) AS n FROM ac GROUP BY 1),
+      hs AS (SELECT cluster, count(*) AS n FROM ash GROUP BY 1)
+      ${psiSelect("current", "hc")}
+      UNION ALL
+      ${psiSelect("shifted", "hs")}
+      ORDER BY population"""
+  }
+
   val queries: Seq[GQuery] = Seq(
+
+    // Embedding-space drift: PSI over quantizer cells, reference owns
+    // the quantizer. 'current' is the disjoint same-distribution half
+    // (PSI ≈ 0); 'shifted' negates the first component (a direction
+    // change coordinates-wise monitors miss) — its PSI must come out
+    // higher, asserted in DriftSpec; the oracle replays assignment,
+    // histograms and the floor-nano PSI sum for both populations.
+    GQuery("embed_drift_cells",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val ref = emb.filter(col("vec_id") % 2 === 0)
+        val cur = emb.filter(col("vec_id") % 2 =!= 0)
+        val c0 = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("__c0"))
+        val shifted = cur.crossJoin(broadcast(c0))
+          .withColumn("embedding",
+            zip_with(col("embedding"), col("__c0"), (x, y) =>
+              (lit(0.2) * x.cast("double") + lit(0.8) * y.cast("double"))
+                .cast("float")))
+          .drop("__c0")
+        cellDriftPsi(ref, cur, "vec_id", "embedding", 50)
+          .select(lit("current").as("population"), col("n_ref"),
+            col("n_cur"), col("psi"))
+          .unionByName(
+            cellDriftPsi(ref, shifted, "vec_id", "embedding", 50)
+              .select(lit("shifted").as("population"), col("n_ref"),
+                col("n_cur"), col("psi")))
+          .orderBy(col("population"))
+      },
+      Some(cellPsiOracle)),
 
     // Bounded-memory production twin: reference cuts from the GK
     // sketch instead of exact percentile (engine-specific → rows-only;

@@ -30,6 +30,26 @@ class DriftSpec extends AnyFunSuite {
     assert(p1 > 0.25, s"shifted PSI $p1 not flagged")
   }
 
+  test("cell PSI: same-distribution halves near zero, direction-shifted population higher") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val ref = emb.filter(col("vec_id") % 2 === 0)
+    val cur = emb.filter(col("vec_id") % 2 =!= 0)
+    val c0 = emb.filter(col("vec_id") === 0).select(col("embedding").as("__c0"))
+    val shifted = cur.crossJoin(broadcast(c0))
+      .withColumn("embedding",
+        zip_with(col("embedding"), col("__c0"), (x, y) =>
+          (lit(0.2) * x.cast("double") + lit(0.8) * y.cast("double"))
+            .cast("float")))
+      .drop("__c0")
+    def p(pop: org.apache.spark.sql.DataFrame) =
+      DriftQueries.cellDriftPsi(ref, pop, "vec_id", "embedding", 50)
+        .collect()(0).getAs[Double]("psi")
+    val same = p(cur); val moved = p(shifted)
+    assert(moved > math.max(0.25, 2 * same),
+      s"mode collapse must spike cell PSI: same=$same collapsed=$moved")
+    assert(same < 0.5, s"same-distribution PSI unexpectedly large: $same")
+  }
+
   test("an event_type born after the cutoff is reported, flagged new_type") {
     // Round-5 ADVICE: the inner join to reference cuts silently dropped
     // any type with no pre-cutoff rows — the strongest drift signal
