@@ -125,6 +125,54 @@ object LlmQueries {
     })
   }
 
+  /** Streaming-curation fixture: offline shingle index + DSIR model
+    * over the %10≠0 corpus, then two MemoryStream batches (%20==0,
+    * %20==10) through [[graft.streaming.StreamingDedup.attachCurate]].
+    * Memoized per dataset dir — the registered query times the curated
+    * OUTPUT read; each stage's per-batch cost is benched by its own
+    * query (text_repetition, dedup_incremental_indexed,
+    * sample_importance_incremental).
+    */
+  private def streamingCurateFor(s: org.apache.spark.sql.SparkSession,
+                                 datasetDir: String): String = {
+    ivfCleanupHook
+    streamingDedupCache.computeIfAbsent(s"curate:$datasetDir", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_scurate").toString
+      val idx = root + "/index"
+      val model = root + "/model"
+      val out = root + "/out"
+      val docs = Tables(s, datasetDir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx,
+        maxDf = shingleMaxDf)
+      Dsir.writeModel(corpus.filter(col("doc_id") % 7 =!= 0),
+        corpus.filter(col("doc_id") % 7 === 0), "doc_id", "text", model)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingDedup.attachCurate(
+          input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+          idx, model, out, n = 3, threshold = 0.8)
+        .option("checkpointLocation", root + "/ckpt")
+        .start()
+      try {
+        // MemoryStream TRANSPORT harness collect — see
+        // streamingDedupPairsFor's note
+        def slice(m: Int) = docs.filter(col("doc_id") % 20 === m)
+          .select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        input.addData(slice(0): _*)
+        q.processAllAvailable()
+        input.addData(slice(10): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      ivfIndexCache.put(s"scurate:$datasetDir", out) // reuse cleanup walk
+      out
+    })
+  }
+
   /** The near-dup cluster table `sample_split_leakage_safe` joins
     * against, built once per dataset dir per JVM and persisted. In
     * production the cluster assignment is the caller's EXISTING dedup
@@ -2260,6 +2308,122 @@ object LlmQueries {
     // stream is a fixture; per-trigger cost is benched by
     // dedup_incremental_indexed and spec-proven in CdcStreamSpec) and
     // the oracle replays both probes with the index-side hot list.
+    // STREAMING CURATION — the flagship streaming composition: per
+    // micro-batch, repetition gate → probe-dedup against everything
+    // already ingested (offline corpus index + earlier batches'
+    // appended survivors) → DSIR importance scoring against the
+    // persisted model, all inside one foreachBatch
+    // (StreamingDedup.attachCurate). Batch 1's output must reflect
+    // batch 0's survivors both as dedup HISTORY and as absent from its
+    // own rows. The oracle replays gates, the hot-list-governed
+    // two-probe dedup, and the bucket-model scoring in one WITH stack.
+    GQuery("streaming_curate",
+      (s, d) => {
+        val out = streamingCurateFor(s, d)
+        s.read.parquet(out)
+          .select(col("batch").cast("int").as("batch"),
+            col("doc").as("doc_id"), col("n_feats"), col("logw"))
+          .orderBy(col("batch"), col("doc_id"))
+      },
+      Some(s"""WITH toksA AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM documents),
+        tri AS (
+          SELECT doc_id, CASE WHEN len(tk) >= 3
+            THEN list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+            ELSE [] END AS tg
+          FROM toksA WHERE doc_id % 20 = 0 OR doc_id % 20 = 10),
+        trir AS (
+          SELECT doc_id, CASE WHEN len(tg) > 0
+            THEN 1.0 - len(list_distinct(tg))::DOUBLE / len(tg)
+            ELSE 0.0 END AS dtr
+          FROM tri),
+        cnt AS (
+          SELECT doc_id, t, count(*) AS k
+          FROM (SELECT doc_id, unnest(tk) AS t FROM toksA
+                WHERE doc_id % 20 = 0 OR doc_id % 20 = 10)
+          GROUP BY 1, 2),
+        topr AS (SELECT doc_id, max(k)::DOUBLE / sum(k) AS ttr
+                 FROM cnt GROUP BY 1),
+        keptb AS (
+          SELECT trir.doc_id FROM trir LEFT JOIN topr USING (doc_id)
+          WHERE CAST(floor(trir.dtr * 1e6) AS BIGINT) <= 20000
+            AND CAST(floor(COALESCE(topr.ttr, 0.0) * 1e6) AS BIGINT) <= 120000),
+        sh0 AS (
+          SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+          FROM toksA, LATERAL (SELECT unnest(generate_series(1,
+            greatest(len(tk) - 2, 0))) AS i)),
+        cor0 AS (SELECT * FROM sh0 WHERE doc_id % 10 <> 0),
+        hot AS (SELECT s FROM cor0 GROUP BY s HAVING count(*) > $shingleMaxDf),
+        cor AS (SELECT cor0.* FROM cor0 ANTI JOIN hot USING (s)),
+        b0 AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (s)
+               SEMI JOIN keptb USING (doc_id) WHERE doc_id % 20 = 0),
+        corn AS (SELECT doc_id, count(*) AS n FROM cor GROUP BY 1),
+        b0n AS (SELECT doc_id, count(*) AS n FROM b0 GROUP BY 1),
+        j0 AS (
+          SELECT i FROM (
+            SELECT a.doc_id AS i, c.doc_id AS j, count(*) AS common
+            FROM b0 a JOIN cor c ON a.s = c.s GROUP BY 1, 2) p
+          JOIN b0n ON b0n.doc_id = p.i JOIN corn ON corn.doc_id = p.j
+          WHERE common::DOUBLE / (b0n.n + corn.n - common) >= 0.8),
+        surv0 AS (
+          SELECT doc_id FROM keptb ANTI JOIN
+            (SELECT DISTINCT i AS doc_id FROM j0) USING (doc_id)
+          WHERE doc_id % 20 = 0),
+        hist AS (
+          SELECT * FROM cor
+          UNION ALL
+          SELECT b0.* FROM b0 SEMI JOIN surv0 USING (doc_id)),
+        hn AS (SELECT doc_id, count(*) AS n FROM hist GROUP BY 1),
+        b1 AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (s)
+               SEMI JOIN keptb USING (doc_id) WHERE doc_id % 20 = 10),
+        b1n AS (SELECT doc_id, count(*) AS n FROM b1 GROUP BY 1),
+        j1 AS (
+          SELECT i FROM (
+            SELECT a.doc_id AS i, h.doc_id AS j, count(*) AS common
+            FROM b1 a JOIN hist h ON a.s = h.s GROUP BY 1, 2) p
+          JOIN b1n ON b1n.doc_id = p.i JOIN hn ON hn.doc_id = p.j
+          WHERE common::DOUBLE / (b1n.n + hn.n - common) >= 0.8),
+        surv1 AS (
+          SELECT doc_id FROM keptb ANTI JOIN
+            (SELECT DISTINCT i AS doc_id FROM j1) USING (doc_id)
+          WHERE doc_id % 20 = 10),
+        uni AS (SELECT doc_id, unnest(tk) AS g FROM toksA),
+        bi AS (
+          SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS g
+          FROM toksA, LATERAL (SELECT unnest(generate_series(1,
+            greatest(len(tk) - 1, 0))) AS i)),
+        feats AS (
+          SELECT doc_id, (${duckHex32("'dsir:' || g")}) % 256 AS bk
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        tf AS (SELECT bk, count(*) AS c FROM feats
+               WHERE doc_id % 10 <> 0 AND doc_id % 7 = 0 GROUP BY 1),
+        rf AS (SELECT bk, count(*) AS c FROM feats
+               WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 0 GROUP BY 1),
+        tt AS (SELECT count(*) AS n FROM feats
+               WHERE doc_id % 10 <> 0 AND doc_id % 7 = 0),
+        rt AS (SELECT count(*) AS n FROM feats
+               WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 0),
+        lr AS (
+          SELECT sp.bk,
+            CAST(floor(ln((COALESCE(tf.c, 0) + 1)::DOUBLE / (tt.n + 256)) * 1e6) AS BIGINT)
+            - CAST(floor(ln((COALESCE(rf.c, 0) + 1)::DOUBLE / (rt.n + 256)) * 1e6) AS BIGINT)
+              AS lr_u
+          FROM range(256) sp(bk) LEFT JOIN tf USING (bk)
+          LEFT JOIN rf USING (bk), tt, rt),
+        w AS (
+          SELECT f.doc_id, CAST(count(*) AS INT) AS n_feats,
+            CAST(sum(lr.lr_u) AS BIGINT) AS logw_u
+          FROM feats f JOIN lr USING (bk) GROUP BY 1)
+        SELECT 0 AS batch, w.doc_id, n_feats,
+          CAST(logw_u AS DOUBLE) / 1e6 AS logw
+        FROM w SEMI JOIN surv0 USING (doc_id)
+        UNION ALL
+        SELECT 1, w.doc_id, n_feats, CAST(logw_u AS DOUBLE) / 1e6
+        FROM w SEMI JOIN surv1 USING (doc_id)
+        ORDER BY batch, doc_id""")),
+
     GQuery("streaming_dedup_pairs",
       (s, d) => {
         val pairs = streamingDedupPairsFor(s, d)

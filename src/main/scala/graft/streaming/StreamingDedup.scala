@@ -89,4 +89,52 @@ object StreamingDedup {
       graft.ops.SemDedup.appendToCellIndex(spark, indexPath, batch,
         idCol, vecCol, ingestTag = s"b$batchId")
     }
+
+  /** The full per-batch CURATION loop — the streaming composition of
+    * three already-proven stages, chained the way a production ingest
+    * runs them inside ONE foreachBatch:
+    *
+    *  1. GATE: Gopher-style repetition filters
+    *     ([[graft.ops.TextAnalysis.repetition]], the pipeline_curate
+    *     thresholds) drop low-quality documents map-side;
+    *  2. DEDUP: survivors probe the persisted shingle index
+    *     ([[graft.ops.Dedup.jaccardAgainstIndex]]) and near-dups of
+    *     ANYTHING already ingested — offline corpus or an earlier
+    *     batch — are dropped;
+    *  3. SCORE: unique survivors are scored against the persisted
+    *     DSIR model ([[graft.ops.Dsir.scoreAgainstModel]]) and land
+    *     in `outDir/batch=<id>` with their importance weights;
+    *  4. the survivors' postings join the index under `ingest=b<id>`
+    *     so the next batch dedups against them.
+    *
+    * Same batchId-keyed idempotence contract as [[attach]]. Per
+    * trigger nothing scans the historical corpus: the gate is
+    * map-only, the probe is bucket-pruned batch×history, the scoring
+    * join carries the 256-row model.
+    */
+  def attachCurate(docs: DataFrame, idCol: String, textCol: String,
+                   indexPath: String, modelPath: String, outDir: String,
+                   n: Int = 3, threshold: Double = 0.8,
+                   nBuckets: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      import org.apache.spark.sql.functions._
+      val rep = graft.ops.TextAnalysis.repetition(batch, idCol, textCol)
+      val kept = batch.join(rep, idCol)
+        .filter(floor(col("dup_trigram_ratio") * 1e6) <= 20000L &&
+          floor(col("top_token_ratio") * 1e6) <= 120000L)
+        .select(idCol, textCol)
+      val dups = graft.ops.Dedup.jaccardAgainstIndex(spark, indexPath,
+          kept, idCol, textCol, n, threshold, nBuckets)
+        .select(col("i").as(idCol)).distinct()
+      val survivors = kept.join(dups, Seq(idCol), "left_anti")
+      graft.ops.Dsir.scoreAgainstModel(spark, modelPath, survivors,
+          idCol, textCol)
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(outDir)
+      graft.ops.Dedup.appendToShingleIndex(spark, indexPath, survivors,
+        idCol, textCol, n, ingestTag = s"b$batchId", nBuckets = nBuckets)
+    }
 }

@@ -1087,6 +1087,51 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(perVec.keySet == Set(1L, 2L, 10L, 20L, 30L))
     assert(perVec.values.forall(_ == 1L), s"vector spread over ingests: $perVec")
   }
+
+  test("streaming curation: gate drops junk, dedup drops history near-dups, survivors scored and appended") {
+    import graft.ops.{Dedup, Dsir}
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    def body(seed: Int) = (0 until 20).map(i => s"w${seed}_$i").mkString(" ")
+    val corpus = Seq((1L, body(1)), (2L, body(2))).toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_scurate_spec").toString
+    val idx = root + "/index"; val model = root + "/model"
+    val out = root + "/out"
+    Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx,
+      nBuckets = 8)
+    Dsir.writeModel(corpus, corpus.filter(col("doc_id") === 1),
+      "doc_id", "text", model)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.attachCurate(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idx, model, out, n = 3, threshold = 0.5, nBuckets = 8)
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    try {
+      // 10: repetitive junk (gate); 20: near-dup of corpus doc 1
+      // (index probe); 30: novel (must survive, score, and be appended)
+      input.addData(
+        (10L, ("spam " * 30).trim),
+        (20L, body(1).replace("w1_5 ", "EDIT ")),
+        (30L, body(30)))
+      q.processAllAvailable()
+      // 40: near-dup of BATCH-0 survivor 30 (proves the append);
+      // 50: novel
+      input.addData(
+        (40L, body(30).replace("w30_7 ", "EDIT ")),
+        (50L, body(50)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select("batch", "doc")
+      .as[(Int, Long)].collect().toSet
+    assert(got == Set((0, 30L), (1, 50L)), s"curated rows: $got")
+    val scored = spark.read.parquet(out).select("doc", "logw")
+      .as[(Long, Double)].collect().toMap
+    assert(scored.values.forall(v => !v.isNaN && !v.isInfinite),
+      s"non-finite importance weights: $scored")
+  }
 }
 
 object CdcStreamSpecSchemas {

@@ -166,6 +166,30 @@ class SemDedupSpec extends AnyFunSuite {
       threshold = 0.0).count() > 0)
   }
 
+  test("cell-index rebuild: crash leftover (stale staged dir) is overwritten, old index intact until swap") {
+    import graft.sources.Compaction
+    val emb = Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 10 =!= 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cell_crash").toString
+    val idx = root + "/index"
+    SemDedup.writeCellIndex(emb, "vec_id", "embedding", 49, idx)
+    val before = spark.read.parquet(idx).count()
+    // simulate a prior rebuild that died mid-write: a garbage staged
+    // sibling (even with a _SUCCESS marker) must not poison the next run
+    val staged = Compaction
+      .stagedPath(new org.apache.hadoop.fs.Path(idx)).toString
+    spark.range(3).toDF("junk").coalesce(1).write.parquet(staged)
+    // the old index is still what readers see
+    assert(spark.read.parquet(idx).count() == before)
+    SemDedup.rebuildCellIndex(spark, idx, centroidEvery = 49)
+    val after = spark.read.parquet(idx)
+    assert(after.count() == before, "rebuild lost rows")
+    assert(!after.columns.contains("junk"), "stale staged content leaked in")
+    assert(new java.io.File(staged).listFiles == null
+        || !new java.io.File(staged).exists(), "staged leftover survives swap")
+  }
+
   test("cell-index forget: targets vanish, survivors byte-identical, probe blind to them, idempotent") {
     import graft.ops.Forget
     val emb = Tables(spark, sfDir, "embeddings")
