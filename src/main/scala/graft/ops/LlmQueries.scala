@@ -33,6 +33,17 @@ object LlmQueries {
       s"CAST(strpos('0123456789abcdef', md5($e)[1+k]) - 1 AS BIGINT) " +
       "* (1::BIGINT << CAST(4*(7-k) AS INT)))) AS BIGINT)"
 
+  /** Sampling.hashOrder60's DuckDB rendering: md5 hex chars 1-8 and
+    * 9-16 as two 32-bit words fused hi·2²⁸ + (lo mod 2²⁸).
+    */
+  private def duckHex60(e: String): String = {
+    def word(off: Int) =
+      "CAST(list_sum(list_transform(range(8), k -> " +
+        s"CAST(strpos('0123456789abcdef', md5($e)[$off+k]) - 1 AS BIGINT) " +
+        "* (1::BIGINT << CAST(4*(7-k) AS INT)))) AS BIGINT)"
+    s"(${word(1)} * 268435456 + ${word(9)} % 268435456)"
+  }
+
   /** One persisted IVF index per dataset dir per JVM. In production the
     * index is a long-lived table built by an offline job; here the
     * memoization is what keeps `sim_ann_ivf_indexed` measuring the probe
@@ -2062,6 +2073,57 @@ object LlmQueries {
           FROM t)
         SELECT doc_id, lang, n_tokens, cum_tokens FROM c
         WHERE cum_tokens <= 3000 ORDER BY doc_id""")),
+
+    // Deterministic global shuffle + sharding (training export's last
+    // step): shard/pos are pure functions of (salt, id); reading shards
+    // 0..7 in pos order replays one uniform permutation, any shard
+    // subset is a uniform subsample. One exchange on shard + a
+    // within-shard sort — never ORDER BY rand()'s global sort.
+    GQuery("sample_shuffle_shards",
+      (s, d) => Sampling.shuffleShards(Tables(s, d, "documents"),
+          "doc_id", salt = "shuf", numShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos")),
+      Some(s"""WITH h AS (
+          SELECT doc_id, ${duckHex60("'shuf:' || doc_id")} AS h
+          FROM documents)
+        SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+          CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+            - 1 AS BIGINT) AS pos
+        FROM h ORDER BY shard, pos""")),
+
+    // Per-source quality gate: keep the top 30% of each source by the
+    // text_quality score (micro-unit exact cut, ties → smaller id) —
+    // the per-domain classifier-score filter a global threshold can't
+    // express. Count + rank stack on one exchange keyed by source.
+    GQuery("sample_quality_gate",
+      (s, d) => {
+        val q = TextAnalysis.quality(Tables(s, d, "documents"), "text")
+          .withColumn("score_u",
+            floor(col("quality_score") * 1e6).cast("long"))
+        Sampling.qualityGate(q, "doc_id", "source", col("score_u"),
+            keepBps = 3000)
+          .select(col("doc_id"), col("source"), col("score_u"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH q AS (SELECT doc_id, source, length(text) AS chars,
+          len(list_filter(string_split(text, ' '), x -> x <> '')) AS toks,
+          length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
+          length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+          FROM documents),
+        sc AS (SELECT doc_id, source,
+          CAST(floor(
+            (1.0 - CASE WHEN chars > 0 THEN punct::DOUBLE / chars ELSE 0.0 END)
+            * (1.0 - CASE WHEN chars > 0 THEN digits::DOUBLE / chars ELSE 0.0 END)
+            * least(1.0, toks::DOUBLE / 20.0) * 1e6) AS BIGINT) AS score_u
+          FROM q),
+        g AS (SELECT doc_id, source, score_u,
+          count(*) OVER (PARTITION BY source) AS n,
+          row_number() OVER (PARTITION BY source
+            ORDER BY score_u DESC, doc_id) AS rn
+          FROM sc)
+        SELECT doc_id, source, score_u FROM g
+        WHERE rn <= (n * 3000 + 9999) // 10000 ORDER BY doc_id""")),
 
     // Contamination audit report (Dedup.contaminationReport): the
     // per-benchmark-entry view of decontamination — text_decontaminate

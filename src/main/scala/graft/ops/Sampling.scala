@@ -324,4 +324,80 @@ object Sampling {
     cand.join(df.select(col(idCol).as("__nid")), col("neg_id") === col("__nid"))
       .select(col("anchor"), col("j"), col("neg_id"))
   }
+
+  /** 60-bit order hash: the two leading 32-bit md5 words fused as
+    * `hi·2²⁸ + (lo mod 2²⁸)` — strictly positive, < 2⁶⁰. The 32-bit
+    * [[hashBucket]] word alone is NOT an ordering key at scale: at 10¹¹
+    * documents each 32-bit value repeats ~23×, so an order built on it
+    * degenerates to id-order runs inside every collision group — a
+    * structured, non-uniform shuffle exactly where the corpus is
+    * biggest. 60 bits pushes the expected collision count at 10¹¹ rows
+    * to ~4×10⁶ isolated pairs (id tie-break noise, not runs).
+    */
+  private[ops] def hashOrder60(idCol: Column, salt: String): Column = {
+    val hx = md5(concat_ws(":", lit(salt), idCol.cast("string")))
+    val hi = conv(substring(hx, 1, 8), 16, 10).cast("long")
+    val lo = pmod(conv(substring(hx, 9, 8), 16, 10).cast("long"),
+      lit(268435456L))
+    hi * lit(268435456L) + lo
+  }
+
+  /** Deterministic global shuffle + shard assignment — the training
+    * export's last step: reading shard 0..S−1 each in `pos` order
+    * replays ONE uniform pseudo-random permutation of the corpus, and
+    * any subset of shards is itself a uniform subsample (what a
+    * smaller ablation run reads). Shard and position are pure
+    * functions of (salt, id): reruns, repartitions and retries agree
+    * byte-for-byte, and a new epoch is a new salt — none of which
+    * holds for `ORDER BY rand()`.
+    *
+    * Scale shape: shard assignment is map-only; `pos` is a row_number
+    * window partitioned by shard — ONE exchange on the shard key and a
+    * within-shard sort, never a global sort (the classic
+    * single-reducer trap of `ORDER BY rand()` at 100 TB). The
+    * production writer pairs this with
+    * `.repartition($"shard").sortWithinPartitions("__h").write
+    * .partitionBy("shard")` so the exchange doubles as file layout.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, salt: String,
+                    numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", hashOrder60(col(idCol), salt))
+      .withColumn("shard",
+        pmod(col("__h"), lit(numShards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__h")
+  }
+
+  /** Per-group quality gate: keep the top ceil(n_g·keepBps/10⁴) rows
+    * of each group by `scoreCol` (descending; ties → smaller id) — the
+    * "top X% per domain by classifier score" filter corpus curation
+    * applies after scoring, which a global threshold cannot express
+    * (it would empty low-scoring domains entirely instead of keeping
+    * their best X%). Callers pass an integer micro-unit score
+    * (floor(score·1e6)) so the cut is engine-exact; the take count is
+    * integer `DIV` arithmetic — no double rounding anywhere.
+    *
+    * Scale shape: the per-group count and the rank stack on ONE
+    * exchange keyed by the group (two window functions, same
+    * partitioning); a skewed group is one sort partition, the same
+    * accepted contract as [[stratifiedSample]]. Map-side nothing is
+    * recomputed per row but the comparison.
+    */
+  def qualityGate(df: DataFrame, idCol: String, groupCol: String,
+                  scoreCol: Column, keepBps: Int): DataFrame = {
+    require(keepBps >= 0 && keepBps <= 10000,
+      s"keepBps must be basis points in [0, 10000]: $keepBps")
+    import org.apache.spark.sql.expressions.Window
+    val wset = Window.partitionBy(col(groupCol))
+    val w = wset.orderBy(col("__s").desc, col(idCol))
+    df.withColumn("__s", scoreCol)
+      .withColumn("__n", count(lit(1)).over(wset))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= expr(s"(__n * $keepBps + 9999) DIV 10000"))
+      .drop("__s", "__n", "__rn")
+  }
 }

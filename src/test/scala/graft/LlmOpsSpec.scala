@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.CosineSimilarity
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.util.Tables
 
 class LlmOpsSpec extends AnyFunSuite {
@@ -1055,5 +1055,62 @@ class LlmOpsSpec extends AnyFunSuite {
     val cc = Dedup.containmentPairs(corpus, "doc_id", "text", 3, 0.8, 5)
       .select("i", "j").as[(Long, Long)].collect().toSet
     assert(cj.subsetOf(cc))
+  }
+
+  test("shuffleShards: exact permutation, dense per-shard positions, partition-invariant") {
+    val docs = Tables(spark, sfDir, "documents")
+    val n = docs.count()
+    val rows = Sampling.shuffleShards(docs, "doc_id", "shuf", 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(rows.length == n, "every document appears")
+    assert(rows.map(_._1).distinct.length == rows.length, "exactly once")
+    // positions are dense 0..|shard|-1 within every shard
+    val byShard = rows.groupBy(_._2)
+    byShard.foreach { case (sh, g) =>
+      assert(g.map(_._3).sorted.toSeq == (0L until g.length).toSeq,
+        s"shard $sh positions must be dense from 0")
+    }
+    // all 8 shards populated, no shard hoards (loose uniformity bound)
+    assert(byShard.size == 8 && byShard.values.map(_.size).min > n / 16)
+    // pure function of (salt, id): physical layout cannot move a row
+    val re = Sampling.shuffleShards(docs.repartition(13), "doc_id",
+        "shuf", 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(re == rows.toSet, "partition-invariant")
+    // a new salt is an independent permutation
+    val other = Sampling.shuffleShards(docs, "doc_id", "epoch2", 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(other != rows.toSet)
+  }
+
+  test("qualityGate: per-group ceil take, kept scores dominate dropped") {
+    val scored = TextAnalysis.quality(
+        Tables(spark, sfDir, "documents"), "text")
+      .withColumn("score_u", floor(col("quality_score") * 1e6).cast("long"))
+    val kept = Sampling.qualityGate(scored, "doc_id", "source",
+        col("score_u"), keepBps = 3000)
+      .select("doc_id", "source", "score_u")
+      .as[(Long, String, Long)].collect()
+    val all = scored.select("doc_id", "source", "score_u")
+      .as[(Long, String, Long)].collect()
+    val keptIds = kept.map(_._1).toSet
+    all.groupBy(_._2).foreach { case (src, g) =>
+      val k = kept.filter(_._2 == src)
+      assert(k.length == (g.length * 3000 + 9999) / 10000,
+        s"$src: exact ceil take")
+      val dropped = g.filterNot(r => keptIds(r._1))
+      if (dropped.nonEmpty && k.nonEmpty) {
+        // ties split by smaller id, so dominance is non-strict
+        assert(k.map(_._3).min >= dropped.map(_._3).max,
+          s"$src: kept floor must dominate dropped ceiling")
+      }
+    }
+    // keepBps = 10000 keeps everything; 0 keeps nothing
+    assert(Sampling.qualityGate(scored, "doc_id", "source",
+      col("score_u"), 10000).count() == all.length)
+    assert(Sampling.qualityGate(scored, "doc_id", "source",
+      col("score_u"), 0).count() == 0)
   }
 }
