@@ -111,6 +111,42 @@ object ProfileQueries {
         UNION ALL ${skewSql("orders", "o_orderpriority")}
         ORDER BY key_label""")),
 
+    // Modality-alignment audit: a multimodal pipeline joins documents
+    // to their embeddings by id — this reports how many ids are
+    // aligned, text-only (embedding job behind/failed) or
+    // embedding-only (orphans surviving a text delete, an RTBF smell).
+    // Planted misalignment (doc_id%11 / vec_id%13 drops) exercises all
+    // three classes. One full outer join on the id — each side
+    // shuffles once — plus a partial-agg'd class count.
+    GQuery("profile_align_audit",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .filter(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id").as("id")).withColumn("has_doc", lit(1))
+        val emb = Tables(s, d, "embeddings")
+          .filter(col("vec_id") % 13 =!= 0)
+          .select(col("vec_id").as("id")).withColumn("has_vec", lit(1))
+        docs.join(emb, Seq("id"), "full_outer")
+          .withColumn("align_class",
+            when(col("has_doc").isNotNull && col("has_vec").isNotNull,
+              "aligned")
+              .when(col("has_doc").isNotNull, "missing_embedding")
+              .otherwise("orphan_embedding"))
+          .groupBy("align_class").agg(count(lit(1)).as("n"))
+          .orderBy("align_class")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id AS id FROM documents WHERE doc_id % 11 <> 0),
+        e AS (SELECT vec_id AS id FROM embeddings WHERE vec_id % 13 <> 0),
+        j AS (
+          SELECT d.id IS NOT NULL AS hd, e.id IS NOT NULL AS he
+          FROM d FULL OUTER JOIN e ON d.id = e.id)
+        SELECT CASE WHEN hd AND he THEN 'aligned'
+                    WHEN hd THEN 'missing_embedding'
+                    ELSE 'orphan_embedding' END AS align_class,
+          count(*) AS n
+        FROM j GROUP BY 1 ORDER BY align_class""")),
+
     GQuery("profile_orders",
       (s, d) => profile(Tables(s, d, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",

@@ -169,6 +169,42 @@ object Search {
       .groupBy("t")
       .agg(sum(col("dft")).as("dft"), sum(col("tf_total")).as("tf_total"))
 
+  /** Per-document top-k keywords by tf-idf — the document→vocabulary
+    * direction ([[bm25TopK]] is query→document retrieval): the tags a
+    * curation pipeline uses to label and slice a corpus by topic.
+    * idf = ln((N+1)/(df_t+1)) floor-quantized to micro-nats (the
+    * surprisal ln-parity precedent: both engines divide the same exact
+    * integers as doubles, then libm-ln the identical IEEE value), so
+    * score_u = tf·idf_u stays an exact BIGINT and the per-doc ranking
+    * (desc, then term) is engine-exact.
+    *
+    * Scale shape: per-(doc, term) tf and per-term df are partial-agg'd
+    * groupBys straight off the explode (map-side combine keeps hot
+    * terms from skewing a partition); the tf⋈df join broadcasts while
+    * the vocabulary fits and AQE shuffles beyond that; the 1-row doc
+    * count broadcasts; top-k is one window per doc over its DISTINCT
+    * terms — bounded by document length, never vocabulary.
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("t").agg(count(lit(1)).as("dft"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_u").desc, col("t"))
+    tf.join(dft, "t").crossJoin(broadcast(nDocs))
+      .withColumn("idf_u",
+        floor(log((col("n_docs") + 1).cast("double") /
+          (col("dft") + 1).cast("double")) * 1e6).cast("long"))
+      .withColumn("score_u", col("tf") * col("idf_u"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("t").as("term"), col("tf"),
+        col("score_u"), col("rn"))
+  }
+
   /** The registered query set — corpus-vocabulary terms so every query
     * has real hit lists (the documents table is synthetic prose over a
     * fixed word list, TESTDATA.md).
@@ -257,5 +293,31 @@ object Search {
                    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
             FROM documents)
           GROUP BY doc_id, t)
-        GROUP BY t ORDER BY t""")))
+        GROUP BY t ORDER BY t""")),
+
+    // Per-doc top-5 keywords by tf-idf (micro-nat idf, exact BIGINT
+    // score). ln parity per the surprisal precedent; ranking ties break
+    // on the term so both engines agree.
+    GQuery("text_tfidf_topk",
+      (s, d) => tfidfTopK(Tables(s, d, "documents"), "doc_id", "text", 5)
+        .orderBy(col("doc_id"), col("rn")),
+      Some("""WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+          FROM documents),
+        tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t),
+        dft AS (SELECT t, count(*) AS dft FROM tf GROUP BY t),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        sc AS (
+          SELECT doc_id, t AS term, tf,
+            tf * CAST(floor(ln((n_docs + 1)::DOUBLE / (dft + 1)::DOUBLE)
+              * 1e6) AS BIGINT) AS score_u
+          FROM tf JOIN dft USING (t), n),
+        r AS (
+          SELECT doc_id, term, tf, score_u,
+            CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score_u DESC NULLS LAST, term) AS INT) AS rn
+          FROM sc)
+        SELECT doc_id, term, tf, score_u, rn FROM r
+        WHERE rn <= 5 ORDER BY doc_id, rn""")))
 }

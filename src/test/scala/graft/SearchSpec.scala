@@ -162,4 +162,30 @@ class SearchSpec extends AnyFunSuite {
       if (text.length <= size) assert(rs.length == 1)
     }
   }
+
+  test("tfidf: ubiquitous terms score zero, distinctive terms rank first") {
+    val docs = Seq(
+      (1L, "the rocket the engine the"), // 'the' in every doc, df=3
+      (2L, "the garden flower"),
+      (3L, "the garden gnome"))
+      .toDF("doc_id", "text")
+    val got = Search.tfidfTopK(docs, "doc_id", "text", 5)
+      .select("doc_id", "term", "tf", "score_u", "rn")
+      .as[(Long, String, Long, Long, Int)].collect()
+    // 'the' has df = N → idf_u = floor(ln((3+1)/(3+1))·1e6) = 0
+    got.filter(_._2 == "the").foreach { r => assert(r._4 == 0L, r) }
+    // each doc's rank-1 term is one of its df=1 exclusives (idf max),
+    // with doc 1 preferring 'engine' over 'rocket' on the term tiebreak
+    val rank1 = got.filter(_._5 == 1).map(r => r._1 -> r._2).toMap
+    assert(rank1(1L) == "engine" && rank1(2L) == "flower" &&
+      rank1(3L) == "gnome", rank1.toString)
+    // k bound: never more than 5 rows per doc, ranks dense from 1
+    got.groupBy(_._1).values.foreach { g =>
+      assert(g.length <= 5 &&
+        g.map(_._5).sorted.toSeq == (1 to g.length))
+    }
+    // shared 'garden' (df=2) outranks shared-everywhere 'the' in doc 2/3
+    val d2 = got.filter(r => r._1 == 2L).sortBy(_._5).map(_._2)
+    assert(d2.indexOf("garden") < d2.indexOf("the"))
+  }
 }
