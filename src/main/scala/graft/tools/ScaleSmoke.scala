@@ -379,6 +379,38 @@ object ScaleSmoke {
       timed(s"jl_project x$n")(
         graft.ops.Embeddings.randomProject(e, "vec_id", "embedding",
           kOut = 16, salt = "jl").count())
+      // export + gate + keyword ops: all single-exchange window/agg
+      // plans — curves must stay ~linear in corpus size
+      timed(s"shuffle_shards x$n")(
+        graft.ops.Sampling.shuffleShards(d, "doc_id", "shuf", 64).count())
+      timed(s"quality_gate x$n") {
+        val q = graft.ops.TextAnalysis.quality(d, "text")
+          .withColumn("score_u",
+            floor(col("quality_score") * 1e6).cast("long"))
+        graft.ops.Sampling.qualityGate(q, "doc_id", "source",
+          col("score_u"), 3000).count()
+      }
+      timed(s"tfidf x$n")(
+        graft.ops.Search.tfidfTopK(d, "doc_id", "text", 5).count())
+      // incremental CC: fold a FIXED new-edge batch (replica-0 pairs
+      // touching doc_id%13==0) into the labeling of everything else —
+      // cost must track the touched frontier, not the n× corpus
+      // (near-flat, like sem_incremental). Pair gen + base labeling
+      // are prep, outside the clock.
+      locally {
+        val pairs = graft.ops.Dedup
+          .jaccardPairs(d, "doc_id", "text", 3, 0.8, maxDf = 5)
+          .select("i", "j")
+        val newE = pairs.filter(
+            (col("i") % 13 === 0 || col("j") % 13 === 0) &&
+              col("i") < 10000000L)
+          .localCheckpoint(eager = true)
+        val labels = graft.ops.Cluster
+          .connectedComponents(pairs.exceptAll(newE))
+          .localCheckpoint(eager = true)
+        timed(s"inc_cc x$n")(
+          graft.ops.Cluster.incrementalComponents(labels, newE).count())
+      }
     }
     spark.stop()
   }
