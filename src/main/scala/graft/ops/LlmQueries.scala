@@ -2199,6 +2199,71 @@ object LlmQueries {
         SELECT doc_id, source, score_u FROM g
         WHERE rn <= (n * 3000 + 9999) // 10000 ORDER BY doc_id""")),
 
+    // End-to-end training export — the composition a pretraining run
+    // actually consumes: quality gate (top 70% per source) → exact-
+    // dedup canon (min-id per md5(text)) → deterministic 95/5
+    // train/valid split → per-split shuffle into 4 shards with dense
+    // positions. Every stage is an already-proven op; the value is the
+    // one-call recipe and the one-WITH-stack oracle over the whole
+    // chain. Cost ≈ sum of stages: one source-keyed exchange (gate),
+    // one md5 groupBy + semi join (canon), map-only split, one
+    // (split, shard) exchange (shards) — nothing quadratic, nothing
+    // corpus-sized on the driver.
+    GQuery("pipeline_train_export",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val scored = TextAnalysis.quality(docs, "text")
+          .withColumn("score_u",
+            floor(col("quality_score") * 1e6).cast("long"))
+        val gated = Sampling.qualityGate(scored, "doc_id", "source",
+          col("score_u"), keepBps = 7000)
+        val canon = gated.groupBy(md5(col("text")).as("__h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val dd = gated.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+        val split = Sampling.hashSplit(dd, "doc_id", "xsp",
+          Seq("train" -> 9500, "valid" -> 500))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("split"), col("shard"))
+          .orderBy(col("__h"), col("doc_id"))
+        split
+          .withColumn("__h", Sampling.hashOrder60(col("doc_id"), "xsh"))
+          .withColumn("shard", pmod(col("__h"), lit(4L)).cast("int"))
+          .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+          .select(col("doc_id"), col("split"), col("shard"), col("pos"))
+          .orderBy(col("split"), col("shard"), col("pos"))
+      },
+      Some(s"""WITH q AS (SELECT doc_id, source, text,
+          length(text) AS chars,
+          len(list_filter(string_split(text, ' '), x -> x <> '')) AS toks,
+          length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
+          length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+          FROM documents),
+        sc AS (SELECT doc_id, source, text,
+          CAST(floor(
+            (1.0 - CASE WHEN chars > 0 THEN punct::DOUBLE / chars ELSE 0.0 END)
+            * (1.0 - CASE WHEN chars > 0 THEN digits::DOUBLE / chars ELSE 0.0 END)
+            * least(1.0, toks::DOUBLE / 20.0) * 1e6) AS BIGINT) AS score_u
+          FROM q),
+        g AS (SELECT doc_id, source, text, score_u,
+          count(*) OVER (PARTITION BY source) AS n,
+          row_number() OVER (PARTITION BY source
+            ORDER BY score_u DESC, doc_id) AS rn
+          FROM sc),
+        gated AS (SELECT doc_id, text FROM g
+          WHERE rn <= (n * 7000 + 9999) // 10000),
+        canon AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+        dd AS (SELECT gated.doc_id FROM gated SEMI JOIN canon USING (doc_id)),
+        sp AS (SELECT doc_id,
+          CASE WHEN ${duckHex32("'xsp:' || doc_id")} % 10000 < 9500
+            THEN 'train' ELSE 'valid' END AS split
+          FROM dd),
+        h AS (SELECT doc_id, split,
+          ${duckHex60("'xsh:' || doc_id")} AS h FROM sp)
+        SELECT doc_id, split, CAST(h % 4 AS INT) AS shard,
+          CAST(row_number() OVER (PARTITION BY split, h % 4
+            ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        FROM h ORDER BY split, shard, pos""")),
+
     // Contamination audit report (Dedup.contaminationReport): the
     // per-benchmark-entry view of decontamination — text_decontaminate
     // flags corpus docs to DROP; this reports which benchmark entries
