@@ -372,6 +372,24 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Materialize [[shuffleShards]] as the on-disk training layout:
+    * `path/shard=<k>/` directories, ONE file per shard, rows inside
+    * each file in `pos` order — so a trainer streams shard k top to
+    * bottom and the concatenation of shards 0..S−1 IS the permutation,
+    * no shuffle buffer needed reader-side. The `repartition(shard)` +
+    * `sortWithinPartitions` pair makes the one exchange double as the
+    * file layout (each write task owns exactly one shard directory and
+    * writes one sorted file — the small-files discipline of the
+    * bucketed CDC sink). Overwrite mode: the export is a pure function
+    * of (salt, ids), so a rerun replaces byte-identical content.
+    */
+  def writeShards(df: DataFrame, idCol: String, salt: String,
+                  numShards: Int, path: String): Unit =
+    shuffleShards(df, idCol, salt, numShards)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Per-group quality gate: keep the top ceil(n_g·keepBps/10⁴) rows
     * of each group by `scoreCol` (descending; ties → smaller id) — the
     * "top X% per domain by classifier score" filter corpus curation

@@ -150,4 +150,28 @@ class LayoutSpec extends AnyFunSuite {
       assert(hs == hs.sorted, "within-band order must be the salted hash order")
     }
   }
+
+  test("writeShards: one sorted file per shard dir, readback replays the permutation") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_shards").toString + "/export"
+    graft.ops.Sampling.writeShards(docs, "doc_id", "shuf", 4, dir)
+    val expect = graft.ops.Sampling.shuffleShards(docs, "doc_id", "shuf", 4)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    (0 until 4).foreach { k =>
+      val d = new java.io.File(s"$dir/shard=$k")
+      val files = d.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $k must be exactly one file")
+      // a single small file reads as one partition in file order: the
+      // trainer's top-to-bottom stream must BE the pos order
+      val rows = spark.read.parquet(files.head.toString)
+        .select("doc_id", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.map(_._2).toSeq == (0L until rows.length).toSeq,
+        s"shard $k in-file order is pos order, dense from 0")
+      val exp = expect.filter(_._2 == k).sortBy(_._3).map(_._1).toSeq
+      assert(rows.map(_._1).toSeq == exp,
+        s"shard $k content replays the shuffleShards permutation")
+    }
+  }
 }
