@@ -241,7 +241,7 @@ object LlmQueries {
         .write.mode("overwrite").parquet(s"$root/labels")
       all.filter(isBatch(col("i")) || isBatch(col("j")))
         .write.mode("overwrite").parquet(s"$root/new_pairs")
-      ivfIndexCache.put(s"inccc:$datasetDir", s"$root/x") // cleanup walk
+      ivfIndexCache.put(s"inccc:$datasetDir", s"$root/labels") // cleanup walk
       root
     })
   }
@@ -2222,13 +2222,8 @@ object LlmQueries {
         val dd = gated.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
         val split = Sampling.hashSplit(dd, "doc_id", "xsp",
           Seq("train" -> 9500, "valid" -> 500))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("split"), col("shard"))
-          .orderBy(col("__h"), col("doc_id"))
-        split
-          .withColumn("__h", Sampling.hashOrder60(col("doc_id"), "xsh"))
-          .withColumn("shard", pmod(col("__h"), lit(4L)).cast("int"))
-          .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+        Sampling.shuffleShards(split, "doc_id", "xsh", numShards = 4,
+            extraPartitionCols = Seq(col("split")))
           .select(col("doc_id"), col("split"), col("shard"), col("pos"))
           .orderBy(col("split"), col("shard"), col("pos"))
       },

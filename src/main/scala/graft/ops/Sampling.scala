@@ -359,16 +359,27 @@ object Sampling {
     * `.repartition($"shard").sortWithinPartitions("__h").write
     * .partitionBy("shard")` so the exchange doubles as file layout.
     */
+  private def shardOf(h: Column, numShards: Int): Column =
+    pmod(h, lit(numShards.toLong)).cast("int")
+
+  private def posOver(w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    (row_number().over(w) - 1).cast("long")
+
+  /** `extraPartitionCols` prepends partition keys to the position
+    * window — e.g. a `split` column, so each (split, shard) cell gets
+    * its own dense positions (the pipeline_train_export shape). Shard
+    * assignment itself never depends on the extras.
+    */
   def shuffleShards(df: DataFrame, idCol: String, salt: String,
-                    numShards: Int): DataFrame = {
+                    numShards: Int,
+                    extraPartitionCols: Seq[Column] = Nil): DataFrame = {
     require(numShards > 0, s"numShards must be positive: $numShards")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("shard"))
+    val w = Window.partitionBy(extraPartitionCols :+ col("shard"): _*)
       .orderBy(col("__h"), col(idCol))
     df.withColumn("__h", hashOrder60(col(idCol), salt))
-      .withColumn("shard",
-        pmod(col("__h"), lit(numShards.toLong)).cast("int"))
-      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .withColumn("shard", shardOf(col("__h"), numShards))
+      .withColumn("pos", posOver(w))
       .drop("__h")
   }
 
@@ -376,19 +387,30 @@ object Sampling {
     * `path/shard=<k>/` directories, ONE file per shard, rows inside
     * each file in `pos` order — so a trainer streams shard k top to
     * bottom and the concatenation of shards 0..S−1 IS the permutation,
-    * no shuffle buffer needed reader-side. The `repartition(shard)` +
-    * `sortWithinPartitions` pair makes the one exchange double as the
-    * file layout (each write task owns exactly one shard directory and
-    * writes one sorted file — the small-files discipline of the
-    * bucketed CDC sink). Overwrite mode: the export is a pure function
-    * of (salt, ids), so a rerun replaces byte-identical content.
+    * no shuffle buffer needed reader-side. The repartition runs BEFORE
+    * the position window: HashPartitioning(shard, S) satisfies the
+    * window's ClusteredDistribution, so the plan carries exactly ONE
+    * exchange — the same one that becomes the file layout. (Shard
+    * values can hash-collide across the S partitions, so a write task
+    * may own several shard dirs or none; `partitionBy` still emits one
+    * sorted file per directory.) Overwrite mode: the export is a pure
+    * function of (salt, ids), so a rerun replaces byte-identical
+    * content.
     */
   def writeShards(df: DataFrame, idCol: String, salt: String,
-                  numShards: Int, path: String): Unit =
-    shuffleShards(df, idCol, salt, numShards)
+                  numShards: Int, path: String): Unit = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", hashOrder60(col(idCol), salt))
+      .withColumn("shard", shardOf(col("__h"), numShards))
       .repartition(numShards, col("shard"))
+      .withColumn("pos", posOver(w))
       .sortWithinPartitions(col("shard"), col("pos"))
+      .drop("__h")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
 
   /** Per-group quality gate: keep the top ceil(n_g·keepBps/10⁴) rows
     * of each group by `scoreCol` (descending; ties → smaller id) — the

@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.ScaleSmoke [sfDir] [replicas...]
   */
 object ScaleSmoke {
+  /** Per-replica id offset shared by every replicator AND the
+    * replica-membership filters below (e.g. inc_cc's "replica 0 only"
+    * new-edge batch) — one constant so a step change cannot silently
+    * decouple them.
+    */
+  private val ReplicaStep = 10000000L
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 2, 4)
@@ -33,7 +40,7 @@ object ScaleSmoke {
     // and make the pair count quadratic by construction, exactly the
     // artifact the doc perturbation below avoids.
     def replicateEmb(df: DataFrame, n: Int): DataFrame = {
-      val step = 10000000L
+      val step = ReplicaStep
       df.crossJoin(spark.range(n).toDF("__r"))
         .withColumn("vec_id", col("vec_id") + col("__r") * step)
         .withColumn("embedding",
@@ -49,7 +56,7 @@ object ScaleSmoke {
     // mutually dissimilar: true pairs stay within one replica, so
     // output grows linearly and wall time measures the plan.
     def replicateDocs(df: DataFrame, n: Int): DataFrame = {
-      val step = 10000000L
+      val step = ReplicaStep
       df.crossJoin(spark.range(n).toDF("__r"))
         .withColumn("doc_id", col("doc_id") + col("__r") * step)
         .withColumn("text",
@@ -87,7 +94,7 @@ object ScaleSmoke {
     // cohort membership grow linearly in users — wall time measures the
     // chained per-user aggregates, not a synthetic clique.
     def replicateEvents(df: DataFrame, n: Int): DataFrame = {
-      val step = 10000000L
+      val step = ReplicaStep
       df.crossJoin(spark.range(n).toDF("__r"))
         .withColumn("user_id", col("user_id") + col("__r") * step)
         .drop("__r")
@@ -104,7 +111,7 @@ object ScaleSmoke {
     // changed characters puts twins at distance 2 > the ER threshold,
     // so match structure grows linearly in replicas.
     def replicateCustomers(df: DataFrame, n: Int): DataFrame = {
-      val step = 10000000L
+      val step = ReplicaStep
       df.crossJoin(spark.range(n).toDF("__r"))
         .withColumn("c_custkey", col("c_custkey") + col("__r") * step)
         .withColumn("c_name",
@@ -403,7 +410,7 @@ object ScaleSmoke {
           .select("i", "j")
         val newE = pairs.filter(
             (col("i") % 13 === 0 || col("j") % 13 === 0) &&
-              col("i") < 10000000L)
+              col("i") < ReplicaStep)
           .localCheckpoint(eager = true)
         val labels = graft.ops.Cluster
           .connectedComponents(pairs.exceptAll(newE))
