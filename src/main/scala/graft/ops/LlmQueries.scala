@@ -1822,6 +1822,64 @@ object LlmQueries {
           avg((13*doc_id + 3*x + y) % 256) AS mean_b
         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+    // Perceptual image dedup (dHash + pigeonhole band join — the
+    // LAION-scale image-dedup shape): planted exact copies (id%10==7)
+    // and one-pixel edits (id%10==8) must pair with their originals at
+    // hamming 0 / ≤2. FULLY hash-oracle-checked — the synthetic pixels
+    // are closed-form, so DuckDB regenerates grid grays, the 56-bit
+    // gradient hash, the 4×14-bit bands, the candidate join and the
+    // popcount verify; the decode→hash kernel itself is additionally
+    // pinned by PhashSpec. Never all-pairs: candidates come from the
+    // (band, value) equi-join only.
+    GQuery("multimodal_phash_pairs",
+      (s, d) => Multimodal.phashPairs(
+          Multimodal.asPhashImageTable(
+            Tables.spread(Tables(s, d, "documents"))), maxDist = 3)
+        .orderBy(col("i"), col("j")),
+      Some("""WITH ids AS (
+          SELECT doc_id AS id,
+            CASE WHEN doc_id % 10 = 7 THEN doc_id - 7
+                 WHEN doc_id % 10 = 8 THEN doc_id - 8
+                 ELSE doc_id END AS eid,
+            doc_id % 10 = 8 AS tweak
+          FROM documents),
+        dims AS (SELECT id, eid, tweak,
+            8 + eid % 9 AS w, 8 + eid % 7 AS h FROM ids),
+        grid AS (
+          SELECT id, eid, tweak, w, h, gx.x AS x, gy.y AS y,
+            (gx.x * w) // 8 AS sx, (gy.y * h) // 8 AS sy
+          FROM dims,
+            LATERAL (SELECT unnest(range(8)) AS x) gx,
+            LATERAL (SELECT unnest(range(8)) AS y) gy),
+        gray AS (
+          SELECT id, x, y,
+            CASE WHEN tweak AND sx = (2 * w) // 8 AND sy = (3 * h) // 8
+              THEN 765
+              ELSE (7*eid + 3*sx + 5*sy) % 256 + (11*eid + sx + 2*sy) % 256
+                   + (13*eid + 3*sx + sy) % 256
+            END AS g
+          FROM grid),
+        bits AS (
+          SELECT a.id,
+            CAST(sum(CASE WHEN a.g < b.g
+              THEN 1::BIGINT << CAST(a.y * 7 + a.x AS INT)
+              ELSE 0 END) AS BIGINT) AS h
+          FROM gray a JOIN gray b ON a.id = b.id AND a.y = b.y
+            AND b.x = a.x + 1
+          WHERE a.x < 7
+          GROUP BY a.id),
+        bands AS (
+          SELECT id, h, t.b AS b,
+            (h >> CAST(14 * t.b AS INT)) & 16383 AS v
+          FROM bits, LATERAL (SELECT unnest(range(4)) AS b) t),
+        cand AS (
+          SELECT DISTINCT a.id AS i, a.h AS hi, b.id AS j, b.h AS hj
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.v = b.v AND a.id < b.id)
+        SELECT i, j, CAST(bit_count(xor(hi, hj)) AS INT) AS dist
+        FROM cand WHERE bit_count(xor(hi, hj)) <= 3
+        ORDER BY i, j""")),
+
     // REAL nearest-neighbor resize: decode → resample to 4×4 → re-encode
     // → decode again. The oracle mirrors the integer sampling formula
     // sx = x2·w/4, sy = y2·h/4 pixel for pixel.

@@ -122,6 +122,134 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Image table with PLANTED perceptual duplicates for [[phashPairs]]:
+    * id%10==7 carries an exact pixel copy of id−7's image; id%10==8
+    * carries id−8's image with the source pixel that grid cell (2, 3)
+    * samples blasted to white — a localized edit that flips at most the
+    * two gradients adjacent to that cell (a crop/watermark stand-in).
+    * Everything stays closed-form in doc_id, so the DuckDB oracle
+    * regenerates pixels, hashes, bands and pairs exactly.
+    */
+  def asPhashImageTable(documents: DataFrame): DataFrame = {
+    implicit val outEnc = Encoders.product[MediaRow]
+    implicit val idEnc = Encoders.scalaLong
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val eid = if (id % 10 == 7) id - 7
+                  else if (id % 10 == 8) id - 8 else id
+        val img = PpmImage.synthesize(eid)
+        if (id % 10 == 8) {
+          val px = (2 * img.width) / 8
+          val py = (3 * img.height) / 8
+          val i = (py * img.width + px) * 3
+          img.pixels(i) = 255.toByte
+          img.pixels(i + 1) = 255.toByte
+          img.pixels(i + 2) = 255.toByte
+        }
+        MediaRow(id, "image/x-portable-pixmap", PpmImage.encode(img))
+      }
+    }.toDF()
+  }
+
+  /** 56-bit difference hash (dHash) of one image: nearest-neighbor
+    * downsample to an 8×8 grid (the [[PpmImage.resize]] sampling
+    * formula: sx = x·w/8, sy = y·h/8, integer division), per-cell gray =
+    * r+g+b (a monotone scale — gradient COMPARISONS are what the hash
+    * keeps, so the /3 is dead weight), bit (y·7+x) = gray(x,y) <
+    * gray(x+1,y) for x in 0..6 — 56 bits keeps the BIGINT positive on
+    * both engines (bit 63 would not). Brightness shifts that don't wrap
+    * mod 256 leave every gradient — hence the hash — untouched; that
+    * robustness-to-global-edits is why perceptual dedup uses gradients
+    * rather than pixel hashes.
+    */
+  def dhash56(img: PpmImage.Image): Long = {
+    val g = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      val sy = y * img.height / 8
+      var x = 0
+      while (x < 8) {
+        val sx = x * img.width / 8
+        val i = (sy * img.width + sx) * 3
+        g(y * 8 + x) = (img.pixels(i) & 0xff) + (img.pixels(i + 1) & 0xff) +
+          (img.pixels(i + 2) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    var h = 0L
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 7) {
+        if (g(y * 8 + x) < g(y * 8 + x + 1))
+          h |= 1L << (y * 7 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Perceptual near-duplicate image pairs: dHash per image (map-only
+    * decode + hash), then hamming ≤ `maxDist` pairs via the pigeonhole
+    * band join — the hash's 56 bits split into `maxDist + 1` bands, two
+    * hashes within the distance MUST agree on at least one whole band,
+    * so candidates come from an equi-join on (band, value) and the
+    * popcount verify touches candidates only. NEVER all-pairs: the
+    * image-side twin of simhashPairs, which is exactly how LAION-scale
+    * image dedup buckets. Output (i, j, dist), i < j.
+    *
+    * `maxBucket` is the hot-bucket skew guard (the shingle df-cap story
+    * on band values): a (band, value) bucket holding more than
+    * `maxBucket` images is dropped from candidate generation BEFORE the
+    * self-join — low-entropy corpora (near-uniform gradients, blank
+    * frames) can park large fractions of the corpus in one bucket and
+    * re-create the quadratic join the banding exists to avoid. Capping
+    * trades recall bounded-ly: a pair is lost only if EVERY band it
+    * agrees on is hot. The oracle-checked query leaves it unset (the
+    * synthetic corpus is exactly such a low-entropy case and the exact
+    * pair set is the point there).
+    */
+  def phashPairs(images: DataFrame, maxDist: Int = 3,
+                 maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxDist >= 0 && maxDist < 56, s"maxDist in [0, 56): $maxDist")
+    implicit val inEnc = Encoders.product[MediaRow]
+    implicit val hashEnc = Encoders.product[(Long, Long)]
+    val spark = images.sparkSession
+    val nBands = maxDist + 1
+    val bandBits = 56 / nBands
+    val mask = (1L << bandBits) - 1
+    val hashes = images.as[MediaRow]
+      .mapPartitions(it => it.map(r =>
+        (r.doc_id, dhash56(PpmImage.decode(r.payload)))))
+      .toDF("id", "h")
+    val bands = hashes.select(col("id"), col("h"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("h"), b * bandBits).bitwiseAND(lit(mask))
+            .as("v"))): _*)).as("bk"))
+      .select(col("id"), col("h"), col("bk.b").as("b"), col("bk.v").as("v"))
+    val pruned =
+      if (maxBucket == Int.MaxValue) bands
+      else {
+        // partial-agg'd bucket sizes — the hot set is tiny metadata and
+        // the anti-join drops hot buckets before any fan-out
+        val hot = bands.groupBy("b", "v")
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucket)
+          .select("b", "v")
+        bands.join(hot, Seq("b", "v"), "left_anti")
+      }
+    pruned.as("a").join(pruned.as("b"),
+        col("a.b") === col("b.b") && col("a.v") === col("b.v") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** REAL decode kernel: parse the P6 header and pixel buffer, emit
     * dimensions + per-channel means — actual pixel-space work, batched
     * per partition like [[extractFeatures]].

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Multimodal, PpmImage}
+import graft.util.Tables
+
+/** Perceptual image dedup: the dHash kernel's invariances and the
+  * banded pair join's planted-duplicate recovery.
+  */
+class PhashSpec extends AnyFunSuite {
+  import GraftSpark.{spark, sfDir}
+  import spark.implicits._
+
+  test("dhash56: codec round-trip stable, brightness-invariant, localized edit flips ≤2 bits") {
+    val img = PpmImage.synthesize(42L)
+    assert(Multimodal.dhash56(img) ==
+      Multimodal.dhash56(PpmImage.decode(PpmImage.encode(img))),
+      "encode/decode round-trip must not move the hash")
+    // uniform brightness shift with no mod-256 wrap: every gradient
+    // comparison — hence the hash — is unchanged (the robustness that
+    // makes gradient hashes perceptual rather than exact)
+    val w = 9; val h = 9
+    val px = Array.tabulate(w * h * 3)(i => ((i * 37) % 200).toByte)
+    val base = PpmImage.Image(w, h, px)
+    val shifted = PpmImage.Image(w, h,
+      px.map(b => ((b & 0xff) + 8).toByte))
+    assert(Multimodal.dhash56(base) == Multimodal.dhash56(shifted))
+    // blasting ONE sampled pixel can flip at most the two gradients
+    // adjacent to its grid cell
+    val edited = px.clone()
+    val sx = 2 * w / 8; val sy = 3 * h / 8
+    val i0 = (sy * w + sx) * 3
+    edited(i0) = 255.toByte; edited(i0 + 1) = 255.toByte
+    edited(i0 + 2) = 255.toByte
+    val d = java.lang.Long.bitCount(
+      Multimodal.dhash56(base) ^ Multimodal.dhash56(PpmImage.Image(w, h, edited)))
+    assert(d <= 2, s"one-pixel edit moved $d bits")
+  }
+
+  test("phashPairs: planted exact and near duplicates recovered within the distance bound") {
+    val docs = Tables(spark, sfDir, "documents")
+    val pairs = Multimodal.phashPairs(
+        Multimodal.asPhashImageTable(docs), maxDist = 3)
+      .select("i", "j", "dist").as[(Long, Long, Int)].collect()
+    val ids = docs.select("doc_id").as[Long].collect().toSet
+    val bases = ids.filter(_ % 10 == 0)
+    bases.filter(b => ids(b + 7)).foreach { b =>
+      assert(pairs.exists(p => p._1 == b && p._2 == b + 7 && p._3 == 0),
+        s"exact copy pair ($b, ${b + 7}) at distance 0")
+    }
+    bases.filter(b => ids(b + 8)).foreach { b =>
+      assert(pairs.exists(p => p._1 == b && p._2 == b + 8 && p._3 <= 2),
+        s"one-pixel-edit pair ($b, ${b + 8}) within distance 2")
+    }
+    assert(pairs.forall(p => p._3 <= 3 && p._1 < p._2),
+      "every pair verified within maxDist, canonical order")
+  }
+
+  test("phashPairs hot-bucket cap: capped output is a strict subset on the low-entropy corpus") {
+    val imgs = Multimodal.asPhashImageTable(Tables(spark, sfDir, "documents"))
+    val full = Multimodal.phashPairs(imgs, maxDist = 3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val capped = Multimodal.phashPairs(imgs, maxDist = 3, maxBucket = 20)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(full), "capping can only REMOVE pairs")
+    // this synthetic corpus is exactly the low-entropy regime the cap
+    // exists for: near-uniform gradients park whole cohorts in one
+    // bucket, so the cap must actually bite here
+    assert(capped.size < full.size)
+  }
+}
