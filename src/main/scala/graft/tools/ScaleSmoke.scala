@@ -386,6 +386,16 @@ object ScaleSmoke {
       timed(s"jl_project x$n")(
         graft.ops.Embeddings.randomProject(e, "vec_id", "embedding",
           kOut = 16, salt = "jl").count())
+      // perceptual image dedup on the low-entropy synthetic corpus:
+      // every replica's images share the same gradient structure, so
+      // UNCAPPED pairs are quadratic by construction (cross-replica
+      // hash collisions are real near-dups under the metric) — the
+      // curve certified is the hot-bucket-capped one, whose fan-out is
+      // bounded per (band, value) bucket.
+      timed(s"phash_capped x$n")(
+        graft.ops.Multimodal.phashPairs(
+          graft.ops.Multimodal.asPhashImageTable(d), maxDist = 3,
+          maxBucket = 32).count())
       // export + gate + keyword ops: all single-exchange window/agg
       // plans — curves must stay ~linear in corpus size
       timed(s"shuffle_shards x$n")(
