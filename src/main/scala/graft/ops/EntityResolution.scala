@@ -116,6 +116,56 @@ object EntityResolution {
       .select("i", "j", "dist")
   }
 
+  /** Two-table record LINKAGE — [[matchPairs]] across heterogeneous
+    * sources (master table vs a dirty feed): same deletion-variant
+    * blocking, same recall-completeness theorem (lev(a, b) ≤ d ⇒ the
+    * depth-d deletion neighborhoods intersect — substitutions share
+    * the both-sides deletion, insert/deletes are one side's deletion),
+    * but the candidate join is A×B with no i<j canonicalization (the
+    * id namespaces are disjoint by contract). The hot-variant cap
+    * applies PER SIDE: a variant hot in either table creates
+    * df_A·df_B fan-out, so each side prunes its own hot keys before
+    * the join. Output (i, j, dist) with i from A and j from B.
+    */
+  def linkPairs(a: DataFrame, idA: String, nameA: String, blockA: String,
+                b: DataFrame, idB: String, nameB: String, blockB: String,
+                maxDist: Int = 1, maxDf: Int = Int.MaxValue): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, s"maxDist 1 or 2, got $maxDist")
+    def side(df: DataFrame, id: String, nm: String,
+             blk: String): (DataFrame, DataFrame) = {
+      val recs = df.select(col(id).as("id"), col(nm).as("nm"),
+        col(blk).as("blk"))
+      val neigh =
+        if (maxDist == 1) deletionVariants(col("nm"))
+        else deletionVariants2(col("nm"))
+      val variants = recs
+        .select(col("id"), col("blk"), explode(neigh).as("v0"))
+        .select(col("id"), col("blk"), xxhash64(col("v0")).as("v"))
+      val pruned =
+        if (maxDf == Int.MaxValue) variants
+        else {
+          val hot = variants.groupBy("blk", "v")
+            .agg(count(lit(1)).as("__df"))
+            .filter(col("__df") > maxDf)
+            .select("blk", "v")
+          variants.join(hot, Seq("blk", "v"), "left_anti")
+        }
+      (recs, pruned)
+    }
+    val (ra, va) = side(a, idA, nameA, blockA)
+    val (rb, vb) = side(b, idB, nameB, blockB)
+    val cand = va.as("a").join(vb.as("b"),
+        col("a.blk") === col("b.blk") && col("a.v") === col("b.v"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+    cand
+      .join(ra.select(col("id").as("i"), col("nm").as("ni")), "i")
+      .join(rb.select(col("id").as("j"), col("nm").as("nj")), "j")
+      .withColumn("dist", levenshtein(col("ni"), col("nj")))
+      .filter(col("dist") <= maxDist)
+      .select("i", "j", "dist")
+  }
+
   /** Entity assignment: connected components over the match pairs —
     * every record tagged with its entity's minimum member id.
     */
@@ -199,6 +249,48 @@ object EntityResolution {
         SELECT i, j, CAST(levenshtein(ni, nj) AS INT) AS dist
         FROM cands WHERE levenshtein(ni, nj) <= 2
         ORDER BY i, j""")),
+
+    // Two-table linkage against a synthetic dirty feed: every clean
+    // customer name minus ONE deterministically-chosen character
+    // (md5-picked position — the oracle replays the derivation), ids
+    // offset into a disjoint namespace. Each record must link its own
+    // dirty twin at distance 1; template-name near-misses are real
+    // matches under the metric and appear in both engines identically.
+    GQuery("er_link_tables",
+      (s, d) => {
+        val cust = Tables(s, d, "customer").filter(col("c_nationkey") < 3)
+        val p = (pmod(conv(substring(md5(
+            concat(lit("crm:"), col("c_custkey").cast("string"))),
+            1, 8), 16, 10).cast("long"),
+          length(col("c_name")).cast("long")) + 1).cast("int")
+        val crm = cust.select(
+          (col("c_custkey") + 1000000L).as("crm_id"),
+          concat(col("c_name").substr(lit(1), p - 1),
+            col("c_name").substr(p + 1, length(col("c_name"))))
+            .as("crm_name"),
+          col("c_nationkey").as("crm_nation"))
+        linkPairs(cust, "c_custkey", "c_name", "c_nationkey",
+            crm, "crm_id", "crm_name", "crm_nation", maxDist = 1)
+          .orderBy(col("i"), col("j"))
+      },
+      Some {
+        val hex32 = "CAST(list_sum(list_transform(range(8), k -> " +
+          "CAST(strpos('0123456789abcdef', md5('crm:' || id)[1+k]) - 1 " +
+          "AS BIGINT) * (1::BIGINT << CAST(4*(7-k) AS INT)))) AS BIGINT)"
+        s"""WITH recs AS (
+            SELECT c_custkey AS id, c_name AS nm, c_nationkey AS blk
+            FROM customer WHERE c_nationkey < 3),
+          pos AS (SELECT id, nm, blk,
+            $hex32 % len(nm) + 1 AS p FROM recs),
+          crm AS (SELECT id + 1000000 AS id, blk,
+            nm[1:CAST(p - 1 AS INT)] || nm[CAST(p + 1 AS INT):] AS nm
+            FROM pos)
+          SELECT a.id AS i, b.id AS j,
+            CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+          FROM recs a JOIN crm b ON a.blk = b.blk
+          WHERE levenshtein(a.nm, b.nm) <= 1
+          ORDER BY i, j"""
+      }),
 
     GQuery("er_entities",
       (s, d) => entities(Tables(s, d, "customer"),

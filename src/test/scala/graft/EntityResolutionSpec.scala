@@ -125,6 +125,35 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(capped.size < uncapped.size)
   }
 
+  test("linkPairs: two-table linkage ≡ quadratic reference, dirty twins at dist 1") {
+    val master = Seq(
+      (1L, "acme corp", 7), (2L, "zenith labs", 7),
+      (3L, "acme corp", 8), (4L, "nadir inc", 8))
+      .toDF("id", "name", "blk")
+    val feed = Seq(
+      (101L, "acme cor", 7),    // deletion of master 1 → dist 1
+      (102L, "zenith labz", 7), // substitution → dist 1
+      (103L, "completely different", 7),
+      (104L, "acme corp", 8),   // exact copy of master 3 → dist 0
+      (105L, "acme cor", 8))    // also links master 3 at dist 1
+      .toDF("id", "name", "blk")
+    val got = EntityResolution.linkPairs(master, "id", "name", "blk",
+        feed, "id", "name", "blk", maxDist = 1)
+      .select("i", "j", "dist").as[(Long, Long, Int)].collect().toSet
+    // quadratic reference within blocks
+    val m = master.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val f = feed.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val ref = (for {
+      a <- m; b <- f
+      if a._3 == b._3 && levDist(a._2, b._2) <= 1
+    } yield (a._1, b._1, levDist(a._2, b._2))).toSet
+    assert(got == ref, s"blocked linkage must equal the quadratic compare: $got vs $ref")
+    assert(got.contains((1L, 101L, 1)) && got.contains((3L, 104L, 0)) &&
+      got.contains((3L, 105L, 1)) && !got.exists(_._2 == 103L))
+    // blocks are respected: master 1 never links feed 105 (other block)
+    assert(!got.contains((1L, 105L, 1)))
+  }
+
   private def levDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
