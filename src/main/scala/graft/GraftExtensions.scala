@@ -78,6 +78,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("change_diff", 2, args)
         ChangeDiffJsonExpr(args(0), args(1))
+      }),
+    ("zorder",
+      info("zorder",
+        "zorder(a, b) - 64-bit Z-order (Morton) interleave of two " +
+          "non-negative INT dimensions, for multi-dimension file layout"),
+      (args: Seq[Expression]) => {
+        arity("zorder", 2, args)
+        graft.functions.ZOrderValue(args(0), args(1))
       }))
 
   /** Register the same functions on an already-built session (tests and

@@ -352,6 +352,26 @@ object ScaleSmoke {
         graft.ops.EntityResolution.matchPairs(replicateCustomers(customer, n),
           "c_custkey", "c_name", "c_nationkey", maxDist = 2,
           maxDf = 64).count())
+      // two-table linkage over n× customers vs an equally replicated
+      // dirty feed (one md5-picked char deleted per name): candidates
+      // are the cross-table (block, variant) equi-join — linear like
+      // er_pairs, never |A|·|B|
+      timed(s"er_link x$n") {
+        val m = replicateCustomers(customer, n)
+        val p = (pmod(conv(substring(md5(
+            concat(lit("crm:"), col("c_custkey").cast("string"))),
+            1, 8), 16, 10).cast("long"),
+          length(col("c_name")).cast("long")) + 1).cast("int")
+        val feed = m.select(
+          (col("c_custkey") + 900000000L).as("f_id"),
+          concat(col("c_name").substr(lit(1), p - 1),
+            col("c_name").substr(p + 1, length(col("c_name"))))
+            .as("f_name"),
+          col("c_nationkey").as("f_nation"))
+        graft.ops.EntityResolution.linkPairs(
+          m, "c_custkey", "c_name", "c_nationkey",
+          feed, "f_id", "f_name", "f_nation", maxDist = 1).count()
+      }
       // approx-percentile production twin over n× values: GK sketch
       // merge + map-only bucket assign — the exact twin's per-group
       // value buffering is the memory cliff this path exists to avoid

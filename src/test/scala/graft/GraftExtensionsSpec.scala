@@ -61,4 +61,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().head.getString(0)
     assert(got == """{"amount":{"old":"10.00","new":"12.50"}}""")
   }
+
+  test("zorder is callable from SQL and matches the kernel") {
+    val got = spark.sql("SELECT zorder(3, 3) a, zorder(1, 0) b, zorder(0, 1) c")
+      .collect().head
+    assert(got.getLong(0) == 15L && got.getLong(1) == 1L &&
+      got.getLong(2) == 2L)
+  }
 }
