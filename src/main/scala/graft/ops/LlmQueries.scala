@@ -246,6 +246,70 @@ object LlmQueries {
     })
   }
 
+  /** Shared DuckDB replay of asPhashImageTable + dhash56 + the 4×14-bit
+    * banding: `bands(id, h, b, v)` regenerated entirely from the
+    * closed-form synthetic pixels (eid remap + the one-pixel tweak).
+    */
+  private val phashBandsCte =
+    """WITH ids AS (
+      SELECT doc_id AS id,
+        CASE WHEN doc_id % 10 = 7 THEN doc_id - 7
+             WHEN doc_id % 10 = 8 THEN doc_id - 8
+             ELSE doc_id END AS eid,
+        doc_id % 10 = 8 AS tweak
+      FROM documents),
+    dims AS (SELECT id, eid, tweak,
+        8 + eid % 9 AS w, 8 + eid % 7 AS h FROM ids),
+    grid AS (
+      SELECT id, eid, tweak, w, h, gx.x AS x, gy.y AS y,
+        (gx.x * w) // 8 AS sx, (gy.y * h) // 8 AS sy
+      FROM dims,
+        LATERAL (SELECT unnest(range(8)) AS x) gx,
+        LATERAL (SELECT unnest(range(8)) AS y) gy),
+    gray AS (
+      SELECT id, x, y,
+        CASE WHEN tweak AND sx = (2 * w) // 8 AND sy = (3 * h) // 8
+          THEN 765
+          ELSE (7*eid + 3*sx + 5*sy) % 256 + (11*eid + sx + 2*sy) % 256
+               + (13*eid + 3*sx + sy) % 256
+        END AS g
+      FROM grid),
+    bits AS (
+      SELECT a.id,
+        CAST(sum(CASE WHEN a.g < b.g
+          THEN 1::BIGINT << CAST(a.y * 7 + a.x AS INT)
+          ELSE 0 END) AS BIGINT) AS h
+      FROM gray a JOIN gray b ON a.id = b.id AND a.y = b.y
+        AND b.x = a.x + 1
+      WHERE a.x < 7
+      GROUP BY a.id),
+    bands AS (
+      SELECT id, h, t.b AS b,
+        (h >> CAST(14 * t.b AS INT)) & 16383 AS v
+      FROM bits, LATERAL (SELECT unnest(range(4)) AS b) t)"""
+
+  /** One persisted phash index per dataset dir per JVM — the offline
+    * image-index build, same memoize-and-cleanup story as the
+    * shingle/cell/IVF indexes: the registered query times the PROBE.
+    */
+  private val phashIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def phashIndexFor(s: org.apache.spark.sql.SparkSession,
+                            datasetDir: String): String = {
+    ivfCleanupHook
+    phashIndexCache.computeIfAbsent(datasetDir, _ => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_phash_idx").toString + "/index"
+      Multimodal.writePhashIndex(
+        Multimodal.asPhashImageTable(Tables(s, datasetDir, "documents"))
+          .filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 8),
+        idx)
+      ivfIndexCache.put(s"phash:$datasetDir", idx) // cleanup walk
+      idx
+    })
+  }
+
   private def ivfIndexFor(datasetDir: String,
                           emb: org.apache.spark.sql.DataFrame): String = {
     ivfCleanupHook
@@ -1836,46 +1900,36 @@ object LlmQueries {
           Multimodal.asPhashImageTable(
             Tables.spread(Tables(s, d, "documents"))), maxDist = 3)
         .orderBy(col("i"), col("j")),
-      Some("""WITH ids AS (
-          SELECT doc_id AS id,
-            CASE WHEN doc_id % 10 = 7 THEN doc_id - 7
-                 WHEN doc_id % 10 = 8 THEN doc_id - 8
-                 ELSE doc_id END AS eid,
-            doc_id % 10 = 8 AS tweak
-          FROM documents),
-        dims AS (SELECT id, eid, tweak,
-            8 + eid % 9 AS w, 8 + eid % 7 AS h FROM ids),
-        grid AS (
-          SELECT id, eid, tweak, w, h, gx.x AS x, gy.y AS y,
-            (gx.x * w) // 8 AS sx, (gy.y * h) // 8 AS sy
-          FROM dims,
-            LATERAL (SELECT unnest(range(8)) AS x) gx,
-            LATERAL (SELECT unnest(range(8)) AS y) gy),
-        gray AS (
-          SELECT id, x, y,
-            CASE WHEN tweak AND sx = (2 * w) // 8 AND sy = (3 * h) // 8
-              THEN 765
-              ELSE (7*eid + 3*sx + 5*sy) % 256 + (11*eid + sx + 2*sy) % 256
-                   + (13*eid + 3*sx + sy) % 256
-            END AS g
-          FROM grid),
-        bits AS (
-          SELECT a.id,
-            CAST(sum(CASE WHEN a.g < b.g
-              THEN 1::BIGINT << CAST(a.y * 7 + a.x AS INT)
-              ELSE 0 END) AS BIGINT) AS h
-          FROM gray a JOIN gray b ON a.id = b.id AND a.y = b.y
-            AND b.x = a.x + 1
-          WHERE a.x < 7
-          GROUP BY a.id),
-        bands AS (
-          SELECT id, h, t.b AS b,
-            (h >> CAST(14 * t.b AS INT)) & 16383 AS v
-          FROM bits, LATERAL (SELECT unnest(range(4)) AS b) t),
+      Some(s"""$phashBandsCte,
         cand AS (
           SELECT DISTINCT a.id AS i, a.h AS hi, b.id AS j, b.h AS hj
           FROM bands a JOIN bands b
             ON a.b = b.b AND a.v = b.v AND a.id < b.id)
+        SELECT i, j, CAST(bit_count(xor(hi, hj)) AS INT) AS dist
+        FROM cand WHERE bit_count(xor(hi, hj)) <= 3
+        ORDER BY i, j""")),
+
+    // The image index lifecycle's probe half: corpus dHash bands
+    // PERSISTED bucket-partitioned (memoized offline build, the
+    // shingle-index economics for images), the planted-dup batch
+    // hashed live and probed — touched buckets pushed as a partition
+    // filter, candidates across all ingest segments, popcount verify.
+    // Oracle replays both sides' hashes and the band join; bucketing
+    // never changes results (every batch (band, value) is included).
+    GQuery("multimodal_phash_incremental",
+      (s, d) => {
+        val imgs = Multimodal.asPhashImageTable(Tables(s, d, "documents"))
+        Multimodal.phashAgainstIndex(s, phashIndexFor(s, d),
+            imgs.filter(col("doc_id") % 10 === 7 ||
+              col("doc_id") % 10 === 8), maxDist = 3)
+          .orderBy(col("i"), col("j"))
+      },
+      Some(s"""$phashBandsCte,
+        corp AS (SELECT * FROM bands WHERE id % 10 <> 7 AND id % 10 <> 8),
+        bat AS (SELECT * FROM bands WHERE id % 10 = 7 OR id % 10 = 8),
+        cand AS (
+          SELECT DISTINCT c.id AS i, c.h AS hi, q.id AS j, q.h AS hj
+          FROM corp c JOIN bat q ON c.b = q.b AND c.v = q.v)
         SELECT i, j, CAST(bit_count(xor(hi, hj)) AS INT) AS dist
         FROM cand WHERE bit_count(xor(hi, hj)) <= 3
         ORDER BY i, j""")),

@@ -211,25 +211,36 @@ object Multimodal {
     * synthetic corpus is exactly such a low-entropy case and the exact
     * pair set is the point there).
     */
-  def phashPairs(images: DataFrame, maxDist: Int = 3,
-                 maxBucket: Int = Int.MaxValue): DataFrame = {
-    require(maxDist >= 0 && maxDist < 56, s"maxDist in [0, 56): $maxDist")
+  /** (id, h) dHash frame of an image table — map-only decode + hash. */
+  def phashHashes(images: DataFrame): DataFrame = {
     implicit val inEnc = Encoders.product[MediaRow]
     implicit val hashEnc = Encoders.product[(Long, Long)]
-    val spark = images.sparkSession
-    val nBands = maxDist + 1
-    val bandBits = 56 / nBands
-    val mask = (1L << bandBits) - 1
-    val hashes = images.as[MediaRow]
+    images.as[MediaRow]
       .mapPartitions(it => it.map(r =>
         (r.doc_id, dhash56(PpmImage.decode(r.payload)))))
       .toDF("id", "h")
-    val bands = hashes.select(col("id"), col("h"),
+  }
+
+  /** Explode (id, h) into per-band rows (id, h, b, v): the 56 bits
+    * split into maxDist+1 bands — two hashes within the distance MUST
+    * share a whole band (pigeonhole).
+    */
+  private[ops] def phashBandsOf(hashes: DataFrame, maxDist: Int): DataFrame = {
+    val nBands = maxDist + 1
+    val bandBits = 56 / nBands
+    val mask = (1L << bandBits) - 1
+    hashes.select(col("id"), col("h"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("b"),
           shiftright(col("h"), b * bandBits).bitwiseAND(lit(mask))
             .as("v"))): _*)).as("bk"))
       .select(col("id"), col("h"), col("bk.b").as("b"), col("bk.v").as("v"))
+  }
+
+  def phashPairs(images: DataFrame, maxDist: Int = 3,
+                 maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxDist >= 0 && maxDist < 56, s"maxDist in [0, 56): $maxDist")
+    val bands = phashBandsOf(phashHashes(images), maxDist)
     val pruned =
       if (maxBucket == Int.MaxValue) bands
       else {
@@ -246,6 +257,78 @@ object Multimodal {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
         bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  // ----- persisted perceptual-hash index (the image-side lifecycle:
+  //       the shingle/cell/IVF index doctrine applied to dHash bands) --
+
+  private def phashBucket(nBuckets: Int): org.apache.spark.sql.Column =
+    pmod(col("b") * 16384 + col("v"), lit(nBuckets.toLong)).cast("int")
+
+  /** Persist the corpus's dHash band rows, directory-partitioned
+    * `ingest=<tag>/bucket=<k>` — the shingle-index layout for images:
+    * `ingest=base` is the offline build, appended batches own their
+    * tag (dynamic overwrite ⇒ at-least-once replay is idempotent), and
+    * probes push their touched buckets as a partition filter so
+    * unprobed directories are never listed or read. The banding
+    * (maxDist) is part of the index contract: probe with the same
+    * value, as `n` is for the shingle index.
+    */
+  def writePhashIndex(images: DataFrame, indexPath: String,
+                      maxDist: Int = 3, nBuckets: Int = 64): Unit =
+    phashBandsOf(phashHashes(images), maxDist)
+      .withColumn("bucket", phashBucket(nBuckets))
+      .withColumn("ingest", lit("base"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("ingest", "bucket")
+      .parquet(indexPath)
+
+  /** Write an ingested batch's band rows under `ingest=<ingestTag>` —
+    * the probe-then-append loop's write half, same replay contract as
+    * [[graft.ops.Dedup.appendToShingleIndex]]: a replayed (batch, tag)
+    * overwrites its own partitions instead of duplicating band rows
+    * (duplicates would surface the same candidate twice — distinct()
+    * hides that in pair output, but index bloat is real).
+    */
+  def appendToPhashIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, batch: DataFrame,
+                         ingestTag: String, maxDist: Int = 3,
+                         nBuckets: Int = 64): Unit = {
+    require(ingestTag.nonEmpty && ingestTag != "base",
+      s"ingest tag must be a non-'base' batch identifier: '$ingestTag'")
+    phashBandsOf(phashHashes(batch), maxDist)
+      .withColumn("bucket", phashBucket(nBuckets))
+      .withColumn("ingest", lit(ingestTag))
+      .repartition(col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest", "bucket").parquet(indexPath)
+  }
+
+  /** Perceptual near-dups of a NEW image batch against a PERSISTED
+    * index: batch hashed live, its touched buckets collected
+    * driver-side (≤ nBuckets ints — bounded metadata, the IVF-probe
+    * pattern) and pushed as a static partition filter, candidates from
+    * the (band, value) equi-join across ALL ingest segments, popcount
+    * verify on candidates only. Output (i = index id, j = batch id,
+    * dist).
+    */
+  def phashAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, batch: DataFrame,
+                        maxDist: Int = 3, nBuckets: Int = 64): DataFrame = {
+    val bb = phashBandsOf(phashHashes(batch), maxDist)
+      .withColumn("bucket", phashBucket(nBuckets))
+    val touched = bb.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(indexPath)
+      .filter(col("bucket").isin(touched: _*))
+      .select(col("id").as("jid"), col("h").as("jh"),
+        col("b").as("jb"), col("v").as("jv"))
+    bb.join(corpus, col("b") === col("jb") && col("v") === col("jv"))
+      .select(col("jid").as("i"), col("id").as("j"),
+        bit_count(col("jh").bitwiseXOR(col("h"))).as("dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
   }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{Multimodal, PpmImage}
@@ -55,6 +56,59 @@ class PhashSpec extends AnyFunSuite {
     }
     assert(pairs.forall(p => p._3 <= 3 && p._1 < p._2),
       "every pair verified within maxDist, canonical order")
+  }
+
+  test("persisted phash index: layout, bucket pruning, planted dups probed, replayed append is idempotent") {
+    val docs = Tables(spark, sfDir, "documents")
+    val imgs = Multimodal.asPhashImageTable(docs)
+    val isPlanted = col("doc_id") % 10 === 7 || col("doc_id") % 10 === 8
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_phidx").toString + "/index"
+    Multimodal.writePhashIndex(imgs.filter(!isPlanted), idx, nBuckets = 64)
+    def ls(p: String): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(p))
+        .iterator.asScala.map(_.getFileName.toString).toSet
+    }
+    assert(ls(idx).contains("ingest=base"), s"layout: ${ls(idx)}")
+    assert(ls(s"$idx/ingest=base").exists(_.startsWith("bucket=")))
+    val probed = Multimodal.phashAgainstIndex(spark, idx,
+      imgs.filter(isPlanted), maxDist = 3)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      ".*PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"no bucket partition filter in plan:\n$plan")
+    val got = probed.select("i", "j", "dist")
+      .as[(Long, Long, Int)].collect()
+    val ids = docs.select("doc_id").as[Long].collect().toSet
+    ids.filter(b => b % 10 == 0 && ids(b + 7)).foreach { b =>
+      assert(got.exists(p => p._1 == b && p._2 == b + 7 && p._3 == 0),
+        s"probe must find exact copy ($b, ${b + 7})")
+    }
+    ids.filter(b => b % 10 == 0 && ids(b + 8)).foreach { b =>
+      assert(got.exists(p => p._1 == b && p._2 == b + 8 && p._3 <= 2),
+        s"probe must find one-pixel edit ($b, ${b + 8})")
+    }
+    // append then REPLAY the same (batch, tag): dynamic overwrite must
+    // leave the index byte-identical, and the next probe must see the
+    // appended segment
+    val batch = imgs.filter(col("doc_id") % 10 === 7)
+    Multimodal.appendToPhashIndex(spark, idx, batch, "b0")
+    val once = spark.read.parquet(idx)
+      .select("id", "h", "b", "v", "ingest", "bucket")
+      .collect().map(_.toString).sorted
+    Multimodal.appendToPhashIndex(spark, idx, batch, "b0")
+    val twice = spark.read.parquet(idx)
+      .select("id", "h", "b", "v", "ingest", "bucket")
+      .collect().map(_.toString).sorted
+    assert(once.toSeq == twice.toSeq, "replayed append must be a no-op")
+    val after = Multimodal.phashAgainstIndex(spark, idx,
+        imgs.filter(col("doc_id") % 10 === 8), maxDist = 3)
+      .select("i", "j", "dist").as[(Long, Long, Int)].collect()
+    ids.filter(b => b % 10 == 0 && ids(b + 7) && ids(b + 8)).foreach { b =>
+      assert(after.exists(p => p._1 == b + 7 && p._2 == b + 8 && p._3 <= 2),
+        s"probe after append must match the appended segment (${b + 7}, ${b + 8})")
+    }
   }
 
   test("phashPairs hot-bucket cap: capped output is a strict subset on the low-entropy corpus") {
