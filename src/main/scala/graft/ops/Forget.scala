@@ -108,4 +108,16 @@ object Forget {
   def fromCellIndex(spark: SparkSession, indexPath: String,
                     vecIds: Seq[Long]): Long =
     rewriteWithout(spark, indexPath, Seq("ingest", "cell"), "vec_id", vecIds)
+
+  /** Forget images in a persisted perceptual-hash index
+    * ([[Multimodal.writePhashIndex]] layout: `ingest=<tag>/bucket=<n>`,
+    * columns `id`, `h`, `b`, `v`). A forgotten image only ever
+    * contributed its own band rows — survivors' hashes are per-image
+    * facts, so the touched-partition rewrite is sound, completing the
+    * deletion-propagation symmetry across all four index families
+    * (shingle, IVF, semantic cell, phash).
+    */
+  def fromPhashIndex(spark: SparkSession, indexPath: String,
+                     imageIds: Seq[Long]): Long =
+    rewriteWithout(spark, indexPath, Seq("ingest", "bucket"), "id", imageIds)
 }

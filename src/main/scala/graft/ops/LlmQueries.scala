@@ -2608,6 +2608,36 @@ object LlmQueries {
         WHERE cf.doc_id % 20 <> 0
         ORDER BY doc, s""")),
 
+    // RTBF for the perceptual-hash index — the fourth and last index
+    // family (shingle/IVF/cell/phash all now have deletion
+    // propagation). Build→forget memoized per dataset dir (one-shot
+    // mutation, same contract as forget_shingle_index); the oracle is
+    // rebuild-without-ids over the closed-form pixel replay: survivors'
+    // hashes are per-image facts, so a forget cannot move them.
+    GQuery("forget_phash_index",
+      (s, d) => {
+        ivfCleanupHook
+        val idx = ivfIndexCache.computeIfAbsent(s"forgetph:$d", _ => {
+          val corpus = Multimodal.asPhashImageTable(
+              Tables(s, d, "documents"))
+            .filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 8)
+          val p = java.nio.file.Files
+            .createTempDirectory("graft_forget_phidx").toString + "/index"
+          Multimodal.writePhashIndex(corpus, p, nBuckets = 16)
+          val ids = corpus.filter(col("doc_id") % 20 === 0)
+            .select("doc_id").collect().map(_.getLong(0)).toSeq
+          val removed = Forget.fromPhashIndex(s, p, ids)
+          require(removed > 0L, "forget removed nothing — bad fixture")
+          p
+        })
+        s.read.parquet(idx).select(col("id"), col("h"), col("b"), col("v"))
+          .orderBy(col("id"), col("b"))
+      },
+      Some(s"""$phashBandsCte
+        SELECT id, h, b, v FROM bands
+        WHERE id % 10 <> 7 AND id % 10 <> 8 AND id % 20 <> 0
+        ORDER BY id, b""")),
+
     // Streaming incremental dedup, end to end through Structured
     // Streaming (streaming/StreamingDedup foreachBatch loop): offline
     // base index over doc_id%10<>0, then two deterministic

@@ -111,6 +111,37 @@ class PhashSpec extends AnyFunSuite {
     }
   }
 
+  test("phash index forget: ids gone, survivors byte-identical, idempotent, probe-blind") {
+    import graft.ops.Forget
+    val docs = Tables(spark, sfDir, "documents")
+    val imgs = Multimodal.asPhashImageTable(docs)
+    val isPlanted = col("doc_id") % 10 === 7 || col("doc_id") % 10 === 8
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_phfgt").toString + "/index"
+    Multimodal.writePhashIndex(imgs.filter(!isPlanted), idx, nBuckets = 16)
+    val before = spark.read.parquet(idx)
+      .select("id", "h", "b", "v").collect().map(_.toString).toSet
+    val gone = docs.filter(col("doc_id") % 20 === 0)
+      .select("doc_id").as[Long].collect().toSeq
+    val removed = Forget.fromPhashIndex(spark, idx, gone)
+    assert(removed == gone.length * 4L, "every band row of every id")
+    val after = spark.read.parquet(idx)
+      .select("id", "h", "b", "v").collect().map(_.toString).toSet
+    assert(!after.exists(r => gone.exists(g => r.startsWith(s"[$g,"))),
+      "forgotten ids gone")
+    assert(after == before.filterNot(r =>
+      gone.exists(g => r.startsWith(s"[$g,"))),
+      "survivors byte-identical — forget touches nothing else")
+    assert(Forget.fromPhashIndex(spark, idx, gone) == 0L, "idempotent")
+    // probe blindness: a forgotten image's exact twin (its planted %10==7
+    // copy) must no longer match the forgotten original
+    val probe = Multimodal.phashAgainstIndex(spark, idx,
+        imgs.filter(col("doc_id") % 10 === 7), maxDist = 3)
+      .select("i").as[Long].collect().toSet
+    assert(gone.forall(g => !probe.contains(g)),
+      "no probe may surface a forgotten id")
+  }
+
   test("phashPairs hot-bucket cap: capped output is a strict subset on the low-entropy corpus") {
     val imgs = Multimodal.asPhashImageTable(Tables(spark, sfDir, "documents"))
     val full = Multimodal.phashPairs(imgs, maxDist = 3)
