@@ -307,6 +307,33 @@ object Multimodal {
       .partitionBy("ingest", "bucket").parquet(indexPath)
   }
 
+  /** Segment-merge rebuild for the phash index — identical contract to
+    * [[graft.ops.SemDedup.rebuildCellIndex]]: re-absorb every `ingest`
+    * segment into a fresh `ingest=base` build behind the staged/retired
+    * atomic swap (crash mid-rebuild leaves the old index serving;
+    * re-run to resume). Band rows are pure functions of the stored
+    * hashes, so the rebuild never re-decodes an image; distinct()
+    * collapses the same image appended under different tags.
+    */
+  def rebuildPhashIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, nBuckets: Int = 64): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.Compaction
+    val main = new Path(indexPath)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = Compaction.stagedPath(main)
+    if (fs.exists(staged)) fs.delete(staged, true)
+    spark.read.parquet(indexPath)
+      .select(col("id"), col("h"), col("b"), col("v"))
+      .distinct()
+      .withColumn("bucket", phashBucket(nBuckets))
+      .withColumn("ingest", lit("base"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("ingest", "bucket")
+      .parquet(staged.toString)
+    Compaction.swapIn(fs, main)
+  }
+
   /** Perceptual near-dups of a NEW image batch against a PERSISTED
     * index: batch hashed live, its touched buckets collected
     * driver-side (≤ nBuckets ints — bounded metadata, the IVF-probe

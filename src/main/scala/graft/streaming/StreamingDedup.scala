@@ -90,6 +90,32 @@ object StreamingDedup {
         idCol, vecCol, ingestTag = s"b$batchId")
     }
 
+  /** The probe-then-append loop for IMAGES: each micro-batch's
+    * perceptual near-dups against the persisted phash index
+    * ([[graft.ops.Multimodal.writePhashIndex]]) land in
+    * `pairsDir/batch=<id>`, then the batch's dHash band rows join the
+    * index under `ingest=b<id>` so the next trigger dedups against
+    * them. Identical batchId-keyed idempotence contract to [[attach]].
+    * Per-trigger cost: batch decode+hash (map-only) + one equi-join
+    * against the bucket-pruned index scan — ∝ batch, never
+    * corpus×corpus. Completes the streaming symmetry: text, embedding
+    * and image modalities all run the same ingest loop.
+    */
+  def attachPhash(images: DataFrame, indexPath: String, pairsDir: String,
+                  maxDist: Int = 3,
+                  nBuckets: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
+    images.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      graft.ops.Multimodal.phashAgainstIndex(spark, indexPath, batch,
+          maxDist, nBuckets)
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(pairsDir)
+      graft.ops.Multimodal.appendToPhashIndex(spark, indexPath, batch,
+        ingestTag = s"b$batchId", maxDist = maxDist, nBuckets = nBuckets)
+    }
+
   /** The full per-batch CURATION loop — the streaming composition of
     * three already-proven stages, chained the way a production ingest
     * runs them inside ONE foreachBatch:

@@ -1088,6 +1088,53 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(perVec.values.forall(_ == 1L), s"vector spread over ingests: $perVec")
   }
 
+  test("streaming image dedup: probe-then-append over the phash index, cross-batch") {
+    // attachPhash = the same ingest loop for IMAGES: batch 1 must
+    // surface an exact copy of a BATCH-0 image (proof the append
+    // happened) alongside one of a corpus image. High-entropy random
+    // pixels keep unrelated hashes far apart (pairwise hamming ≫ 3).
+    import graft.ops.{Multimodal, PpmImage}
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    def img(seed: Int): PpmImage.Image = {
+      val r = new scala.util.Random(seed)
+      PpmImage.Image(16, 16, Array.fill(16 * 16 * 3)(r.nextInt(256).toByte))
+    }
+    def row(id: Long, i: PpmImage.Image) =
+      (id, "image/x-portable-pixmap", PpmImage.encode(i))
+    val corpus = Seq(row(1L, img(1)), row(2L, img(2)))
+      .toDF("doc_id", "mime", "payload")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_phstream").toString
+    val idx = root + "/index"
+    val pairs = root + "/pairs"
+    Multimodal.writePhashIndex(corpus, idx, nBuckets = 16)
+    val input = MemoryStream[(Long, String, Array[Byte])]
+    val q = StreamingDedup.attachPhash(
+        input.toDF().toDF("doc_id", "mime", "payload"), idx, pairs,
+        maxDist = 3, nBuckets = 16)
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    try {
+      // batch 0: a novel image — no pairs, but it must enter the index
+      input.addData(row(10L, img(3)))
+      q.processAllAvailable()
+      // batch 1: an exact copy of the batch-0 image and one of corpus 1
+      input.addData(row(20L, img(3)), row(30L, img(1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(pairs)
+      .select("batch", "i", "j", "dist")
+      .as[(Int, Long, Long, Int)].collect().toSet
+    assert(got == Set((1, 10L, 20L, 0), (1, 1L, 30L, 0)), s"pairs: $got")
+    // base + one ingest partition per batch, each image exactly once
+    val perImg = spark.read.parquet(idx).groupBy("id")
+      .agg(countDistinct(col("ingest")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(perImg.keySet == Set(1L, 2L, 10L, 20L, 30L))
+    assert(perImg.values.forall(_ == 1L), s"image spread over ingests: $perImg")
+  }
+
   test("streaming curation: gate drops junk, dedup drops history near-dups, survivors scored and appended") {
     import graft.ops.{Dedup, Dsir}
     import graft.streaming.StreamingDedup

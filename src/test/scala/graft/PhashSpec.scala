@@ -109,6 +109,22 @@ class PhashSpec extends AnyFunSuite {
       assert(after.exists(p => p._1 == b + 7 && p._2 == b + 8 && p._3 <= 2),
         s"probe after append must match the appended segment (${b + 7}, ${b + 8})")
     }
+    // segment-merge rebuild: ingest tree collapses to base, content is
+    // the distinct union, probes unchanged
+    val preRows = spark.read.parquet(idx)
+      .select("id", "h", "b", "v").distinct()
+      .collect().map(_.toString).toSet
+    Multimodal.rebuildPhashIndex(spark, idx, nBuckets = 16)
+    assert(ls(idx).filter(_.startsWith("ingest=")) == Set("ingest=base"),
+      s"segments must collapse: ${ls(idx)}")
+    val postRows = spark.read.parquet(idx)
+      .select("id", "h", "b", "v").collect().map(_.toString).toSet
+    assert(postRows == preRows, "rebuild preserves the distinct band rows")
+    val reprobe = Multimodal.phashAgainstIndex(spark, idx,
+        imgs.filter(col("doc_id") % 10 === 8), maxDist = 3,
+        nBuckets = 16)
+      .select("i", "j", "dist").as[(Long, Long, Int)].collect()
+    assert(reprobe.toSet == after.toSet, "probe identical after rebuild")
   }
 
   test("phash index forget: ids gone, survivors byte-identical, idempotent, probe-blind") {
