@@ -425,7 +425,8 @@ object Dedup {
   def jaccardAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                           indexPath: String, batch: DataFrame,
                           idCol: String, textCol: String, n: Int,
-                          threshold: Double, nBuckets: Int = 64): DataFrame = {
+                          threshold: Double, nBuckets: Int = 64,
+                          excludeIngest: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hot = spark.read.parquet(hotSidecar(indexPath))
     val bsh = shingles(batch, idCol, textCol, n, Int.MaxValue)
@@ -434,8 +435,13 @@ object Dedup {
       .withColumn("bucket", pmod(xxhash64(col("s")), lit(nBuckets)).cast("int"))
     val touched = bsh.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val corpus = spark.read.parquet(indexPath)
+    // excludeIngest: the streaming loop skips its OWN batch tag so a
+    // replayed trigger (crash after append, before checkpoint commit)
+    // does not match the batch against its previously-appended self
+    val corpus0 = spark.read.parquet(indexPath)
       .filter(col("bucket").isin(touched: _*))
+    val corpus = excludeIngest.fold(corpus0)(t =>
+        corpus0.filter(col("ingest") =!= lit(t)))
       .select(col("doc").as("jdoc"), col("s").as("js"), col("n_sh").as("nj"))
     bsh.join(corpus, col("s") === col("js"))
       .groupBy(col("doc").as("i"), col("jdoc").as("j"),

@@ -191,26 +191,6 @@ object Multimodal {
     h
   }
 
-  /** Perceptual near-duplicate image pairs: dHash per image (map-only
-    * decode + hash), then hamming ≤ `maxDist` pairs via the pigeonhole
-    * band join — the hash's 56 bits split into `maxDist + 1` bands, two
-    * hashes within the distance MUST agree on at least one whole band,
-    * so candidates come from an equi-join on (band, value) and the
-    * popcount verify touches candidates only. NEVER all-pairs: the
-    * image-side twin of simhashPairs, which is exactly how LAION-scale
-    * image dedup buckets. Output (i, j, dist), i < j.
-    *
-    * `maxBucket` is the hot-bucket skew guard (the shingle df-cap story
-    * on band values): a (band, value) bucket holding more than
-    * `maxBucket` images is dropped from candidate generation BEFORE the
-    * self-join — low-entropy corpora (near-uniform gradients, blank
-    * frames) can park large fractions of the corpus in one bucket and
-    * re-create the quadratic join the banding exists to avoid. Capping
-    * trades recall bounded-ly: a pair is lost only if EVERY band it
-    * agrees on is hot. The oracle-checked query leaves it unset (the
-    * synthetic corpus is exactly such a low-entropy case and the exact
-    * pair set is the point there).
-    */
   /** (id, h) dHash frame of an image table — map-only decode + hash. */
   def phashHashes(images: DataFrame): DataFrame = {
     implicit val inEnc = Encoders.product[MediaRow]
@@ -237,10 +217,34 @@ object Multimodal {
       .select(col("id"), col("h"), col("bk.b").as("b"), col("bk.v").as("v"))
   }
 
+  /** Perceptual near-duplicate image pairs: dHash per image (map-only
+    * decode + hash), then hamming ≤ `maxDist` pairs via the pigeonhole
+    * band join — the hash's 56 bits split into `maxDist + 1` bands, two
+    * hashes within the distance MUST agree on at least one whole band,
+    * so candidates come from an equi-join on (band, value) and the
+    * popcount verify touches candidates only. NEVER all-pairs: the
+    * image-side twin of simhashPairs, which is exactly how LAION-scale
+    * image dedup buckets. Output (i, j, dist), i < j.
+    *
+    * `maxBucket` is the hot-bucket skew guard (the shingle df-cap story
+    * on band values): a (band, value) bucket holding more than
+    * `maxBucket` images is dropped from candidate generation BEFORE the
+    * self-join — low-entropy corpora (near-uniform gradients, blank
+    * frames) can park large fractions of the corpus in one bucket and
+    * re-create the quadratic join the banding exists to avoid. Capping
+    * trades recall bounded-ly: a pair is lost only if EVERY band it
+    * agrees on is hot. The oracle-checked query leaves it unset (the
+    * synthetic corpus is exactly such a low-entropy case and the exact
+    * pair set is the point there).
+    */
   def phashPairs(images: DataFrame, maxDist: Int = 3,
                  maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxDist >= 0 && maxDist < 56, s"maxDist in [0, 56): $maxDist")
-    val bands = phashBandsOf(phashHashes(images), maxDist)
+    // the decode+hash kernel feeds both self-join sides (and the hot
+    // aggregate when capped) — own the persist so each payload is
+    // decoded once per run, not 2-3× (the simhashPairs discipline)
+    val bands = graft.util.Caches.own(
+      phashBandsOf(phashHashes(images), maxDist))
     val pruned =
       if (maxBucket == Int.MaxValue) bands
       else {
@@ -264,8 +268,41 @@ object Multimodal {
   // ----- persisted perceptual-hash index (the image-side lifecycle:
   //       the shingle/cell/IVF index doctrine applied to dHash bands) --
 
+  // xxhash64 mixes both fields: the arithmetic (b·2¹⁴ + v) mod 2^k
+  // form degenerated to v mod 2^k for the power-of-two bucket counts
+  // actually used, letting correlated low hash bits skew partitions
   private def phashBucket(nBuckets: Int): org.apache.spark.sql.Column =
-    pmod(col("b") * 16384 + col("v"), lit(nBuckets.toLong)).cast("int")
+    pmod(xxhash64(col("b"), col("v")), lit(nBuckets.toLong)).cast("int")
+
+  private def phashParamsSidecar(indexPath: String) =
+    s"$indexPath/_graft_phash_params"
+
+  private def writePhashParams(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String, maxDist: Int,
+                               nBuckets: Int): Unit = {
+    import spark.implicits._
+    Seq((maxDist, nBuckets)).toDF("max_dist", "n_buckets")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(phashParamsSidecar(indexPath))
+  }
+
+  /** The banding and bucketing constants are INDEX CONTRACT: a probe
+    * or append run with different values silently prunes the wrong
+    * partitions or joins incompatible band spaces. The sidecar makes
+    * the build-time values authoritative — every later operation
+    * validates against it and fails loudly on a mismatch.
+    */
+  private def requirePhashParams(spark: org.apache.spark.sql.SparkSession,
+                                 indexPath: String, maxDist: Int,
+                                 nBuckets: Int): Unit = {
+    val r = spark.read.parquet(phashParamsSidecar(indexPath)).head()
+    val (md, nb) = (r.getInt(0), r.getInt(1))
+    require(md == maxDist && nb == nBuckets,
+      s"phash index at $indexPath was built with maxDist=$md, " +
+        s"nBuckets=$nb — caller passed maxDist=$maxDist, " +
+        s"nBuckets=$nBuckets; mismatched banding/bucketing would " +
+        "silently lose candidates")
+  }
 
   /** Persist the corpus's dHash band rows, directory-partitioned
     * `ingest=<tag>/bucket=<k>` — the shingle-index layout for images:
@@ -277,13 +314,15 @@ object Multimodal {
     * value, as `n` is for the shingle index.
     */
   def writePhashIndex(images: DataFrame, indexPath: String,
-                      maxDist: Int = 3, nBuckets: Int = 64): Unit =
+                      maxDist: Int = 3, nBuckets: Int = 64): Unit = {
     phashBandsOf(phashHashes(images), maxDist)
       .withColumn("bucket", phashBucket(nBuckets))
       .withColumn("ingest", lit("base"))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("ingest", "bucket")
       .parquet(indexPath)
+    writePhashParams(images.sparkSession, indexPath, maxDist, nBuckets)
+  }
 
   /** Write an ingested batch's band rows under `ingest=<ingestTag>` —
     * the probe-then-append loop's write half, same replay contract as
@@ -298,6 +337,7 @@ object Multimodal {
                          nBuckets: Int = 64): Unit = {
     require(ingestTag.nonEmpty && ingestTag != "base",
       s"ingest tag must be a non-'base' batch identifier: '$ingestTag'")
+    requirePhashParams(spark, indexPath, maxDist, nBuckets)
     phashBandsOf(phashHashes(batch), maxDist)
       .withColumn("bucket", phashBucket(nBuckets))
       .withColumn("ingest", lit(ingestTag))
@@ -323,6 +363,11 @@ object Multimodal {
     val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staged = Compaction.stagedPath(main)
     if (fs.exists(staged)) fs.delete(staged, true)
+    // banding (maxDist) is immutable across rebuilds — band rows are
+    // reused as stored; nBuckets may change (pure layout), so the
+    // refreshed sidecar rides INSIDE the staged dir through the swap
+    val maxDist = spark.read
+      .parquet(phashParamsSidecar(indexPath)).head().getInt(0)
     spark.read.parquet(indexPath)
       .select(col("id"), col("h"), col("b"), col("v"))
       .distinct()
@@ -331,6 +376,7 @@ object Multimodal {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("ingest", "bucket")
       .parquet(staged.toString)
+    writePhashParams(spark, staged.toString, maxDist, nBuckets)
     Compaction.swapIn(fs, main)
   }
 
@@ -344,13 +390,23 @@ object Multimodal {
     */
   def phashAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                         indexPath: String, batch: DataFrame,
-                        maxDist: Int = 3, nBuckets: Int = 64): DataFrame = {
-    val bb = phashBandsOf(phashHashes(batch), maxDist)
-      .withColumn("bucket", phashBucket(nBuckets))
+                        maxDist: Int = 3, nBuckets: Int = 64,
+                        excludeIngest: Option[String] = None): DataFrame = {
+    requirePhashParams(spark, indexPath, maxDist, nBuckets)
+    // the batch kernel feeds the touched-bucket collect AND the join —
+    // own the persist so each payload is decoded once
+    val bb = graft.util.Caches.own(
+      phashBandsOf(phashHashes(batch), maxDist)
+        .withColumn("bucket", phashBucket(nBuckets)))
     val touched = bb.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val corpus = spark.read.parquet(indexPath)
+    // excludeIngest: the streaming loop skips its OWN batch tag so a
+    // replayed trigger (crash after append, before checkpoint commit)
+    // does not match the batch against its previously-appended self
+    val corpus0 = spark.read.parquet(indexPath)
       .filter(col("bucket").isin(touched: _*))
+    val corpus = excludeIngest.fold(corpus0)(t =>
+        corpus0.filter(col("ingest") =!= lit(t)))
       .select(col("id").as("jid"), col("h").as("jh"),
         col("b").as("jb"), col("v").as("jv"))
     bb.join(corpus, col("b") === col("jb") && col("v") === col("jv"))

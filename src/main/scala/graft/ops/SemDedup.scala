@@ -344,10 +344,17 @@ object SemDedup {
     * batch×corpus work ∝ touched cells, never corpus×corpus. Returns
     * (i batch id, j corpus id, cell, cos).
     */
+  /** `excludeIngest`: skip one ingest segment on the index side — the
+    * streaming loop passes its OWN batch tag so a replayed trigger
+    * (crash after the append, before the checkpoint commit) does not
+    * match the batch against its previously-appended self and rewrite
+    * its pairs partition with self/intra-batch matches.
+    */
   def semanticAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                            indexPath: String, batch: DataFrame,
                            idCol: String, vecCol: String,
-                           threshold: Double): DataFrame = {
+                           threshold: Double,
+                           excludeIngest: Option[String] = None): DataFrame = {
     val cents = spark.read.parquet(centroidsSidecar(indexPath))
     val assigned = KMeansStep.assignTo(batch, idCol, vecCol, cents)
       .select(col("vec_id"), col("cluster").as("cell"))
@@ -355,8 +362,10 @@ object SemDedup {
       .join(assigned, "vec_id")
     val touched = probe.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val hist = spark.read.parquet(indexPath)
+    val hist0 = spark.read.parquet(indexPath)
       .filter(col("cell").isin(touched: _*))
+    val hist = excludeIngest.fold(hist0)(t =>
+        hist0.filter(col("ingest") =!= lit(t)))
       .select(col("vec_id").as("j"), col("embedding").as("__hv"), col("cell"))
     val thrU = math.round(threshold * 1e6)
     probe.join(hist, "cell")

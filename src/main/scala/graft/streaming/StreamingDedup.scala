@@ -25,7 +25,12 @@ import graft.ops.Dedup
   * failed batch — so a crash anywhere in the probe→append→commit
   * window replays to the SAME partitions and the loop is idempotent
   * end-to-end (the transport is at-least-once; a blind append would
-  * silently inflate later probes' intersection counts). This is the
+  * silently inflate later probes' intersection counts). The replayed
+  * probe additionally EXCLUDES its own batch's ingest segment — a
+  * crash after the append but before the checkpoint commit would
+  * otherwise make the replay match the batch against its
+  * previously-appended self and rewrite the pairs partition with
+  * self/intra-batch matches. This is the
   * same batchId-keyed idempotence contract as
   * [[CdcPipeline.idempotentParquetUpsert]], applied to an index.
   *
@@ -53,7 +58,8 @@ object StreamingDedup {
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       Dedup.jaccardAgainstIndex(spark, indexPath, batch,
-          idCol, textCol, n, threshold, nBuckets)
+          idCol, textCol, n, threshold, nBuckets,
+          excludeIngest = Some(s"b$batchId"))
         .withColumn("batch", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -81,7 +87,7 @@ object StreamingDedup {
     vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       graft.ops.SemDedup.semanticAgainstIndex(spark, indexPath, batch,
-          idCol, vecCol, threshold)
+          idCol, vecCol, threshold, excludeIngest = Some(s"b$batchId"))
         .withColumn("batch", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -107,7 +113,7 @@ object StreamingDedup {
     images.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       graft.ops.Multimodal.phashAgainstIndex(spark, indexPath, batch,
-          maxDist, nBuckets)
+          maxDist, nBuckets, excludeIngest = Some(s"b$batchId"))
         .withColumn("batch", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -151,7 +157,8 @@ object StreamingDedup {
           floor(col("top_token_ratio") * 1e6) <= 120000L)
         .select(idCol, textCol)
       val dups = graft.ops.Dedup.jaccardAgainstIndex(spark, indexPath,
-          kept, idCol, textCol, n, threshold, nBuckets)
+          kept, idCol, textCol, n, threshold, nBuckets,
+          excludeIngest = Some(s"b$batchId"))
         .select(col("i").as(idCol)).distinct()
       val survivors = kept.join(dups, Seq(idCol), "left_anti")
       graft.ops.Dsir.scoreAgainstModel(spark, modelPath, survivors,

@@ -102,6 +102,15 @@ class PhashSpec extends AnyFunSuite {
       .select("id", "h", "b", "v", "ingest", "bucket")
       .collect().map(_.toString).sorted
     assert(once.toSeq == twice.toSeq, "replayed append must be a no-op")
+    // the replayed TRIGGER's probe: excluding the batch's own ingest
+    // segment must reproduce the pre-append result exactly — no
+    // self-pairs, no intra-batch matches (the crash-after-append,
+    // before-checkpoint-commit window the streaming loops close)
+    val replay = Multimodal.phashAgainstIndex(spark, idx, batch,
+        maxDist = 3, excludeIngest = Some("b0"))
+      .select("i", "j", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(replay == got.filter(p => p._2 % 10 == 7).toSet,
+      "excluded-segment probe must equal the pre-append probe")
     val after = Multimodal.phashAgainstIndex(spark, idx,
         imgs.filter(col("doc_id") % 10 === 8), maxDist = 3)
       .select("i", "j", "dist").as[(Long, Long, Int)].collect()
@@ -152,7 +161,8 @@ class PhashSpec extends AnyFunSuite {
     // probe blindness: a forgotten image's exact twin (its planted %10==7
     // copy) must no longer match the forgotten original
     val probe = Multimodal.phashAgainstIndex(spark, idx,
-        imgs.filter(col("doc_id") % 10 === 7), maxDist = 3)
+        imgs.filter(col("doc_id") % 10 === 7), maxDist = 3,
+        nBuckets = 16)
       .select("i").as[Long].collect().toSet
     assert(gone.forall(g => !probe.contains(g)),
       "no probe may surface a forgotten id")
