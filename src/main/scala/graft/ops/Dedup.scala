@@ -399,18 +399,60 @@ object Dedup {
                            ingestTag: String,
                            nBuckets: Int = 64): Unit = {
     import org.apache.spark.sql.expressions.Window
-    require(ingestTag.nonEmpty && ingestTag != "base",
-      s"ingest tag must be a non-'base' batch identifier: '$ingestTag'")
-    val hot = spark.read.parquet(hotSidecar(indexPath))
-    shingles(batch, idCol, textCol, n, Int.MaxValue)
-      .join(hot, Seq("s"), "left_anti")
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
-      .withColumn("bucket", pmod(xxhash64(col("s")), lit(nBuckets)).cast("int"))
-      .withColumn("ingest", lit(ingestTag))
-      .repartition(col("bucket"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest", "bucket").parquet(indexPath)
+    graft.sources.IndexLifecycle.appendSegment(spark, indexPath, ingestTag) {
+      (dir, tmp) =>
+        // hot list read from the dir being appended to — a racing
+        // rebuild's re-seal re-reads the REFRESHED list, so re-sealed
+        // rows stay consistent with the index that will serve them
+        val hot = spark.read.parquet(hotSidecar(dir))
+        shingles(batch, idCol, textCol, n, Int.MaxValue)
+          .join(hot, Seq("s"), "left_anti")
+          .withColumn("n_sh",
+            count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
+          .withColumn("bucket",
+            pmod(xxhash64(col("s")), lit(nBuckets)).cast("int"))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    }
+  }
+
+  /** Fenced segment-merge rebuild of a persisted shingle index — the
+    * periodic maintenance job the append path's scaladoc promises:
+    * collapse every `ingest` segment back into `ingest=base`, refresh
+    * the hot list from the UNION's document frequencies, and recount
+    * `n_sh` post-cap, all behind [[graft.sources.IndexLifecycle]]'s
+    * CAS-versioned publish (concurrent appends fence the rebuild, a
+    * fenced append re-seals — no lost segments, no duplicated
+    * postings). `distinct()` collapses the same document appended
+    * under different tags. Shingles dropped by a PREVIOUS build's cap
+    * are gone from the postings and stay gone — the rebuild's cap can
+    * only tighten further, the same under-cap-only drift direction as
+    * the between-rebuilds window.
+    */
+  def rebuildShingleIndex(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, nBuckets: Int = 64,
+                          maxDf: Int = Int.MaxValue,
+                          orphanGraceMs: Long =
+                            graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
+                          readerGraceMs: Long = 0L): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    graft.sources.IndexLifecycle.rebuild(spark, indexPath,
+        orphanGraceMs, readerGraceMs) {
+      (src, _, dst) =>
+        val posts = src.select(col("doc"), col("s")).distinct()
+        val hot = posts.groupBy("s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf).select("s")
+        posts.join(hot, Seq("s"), "left_anti")
+          .withColumn("n_sh",
+            count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
+          .withColumn("bucket",
+            pmod(xxhash64(col("s")), lit(nBuckets)).cast("int"))
+          .withColumn("ingest", lit("base"))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("ingest", "bucket")
+          .parquet(dst)
+        hot.coalesce(1).write.mode("overwrite").parquet(hotSidecar(dst))
+    }
   }
 
   /** Jaccard near-dup pairs of a NEW batch against a PERSISTED corpus
@@ -428,7 +470,8 @@ object Dedup {
                           threshold: Double, nBuckets: Int = 64,
                           excludeIngest: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hot = spark.read.parquet(hotSidecar(indexPath))
+    val dir = graft.sources.IndexLifecycle.resolveDir(spark, indexPath)
+    val hot = spark.read.parquet(hotSidecar(dir))
     val bsh = shingles(batch, idCol, textCol, n, Int.MaxValue)
       .join(hot, Seq("s"), "left_anti") // tiny hot list — AQE broadcasts
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
@@ -438,7 +481,7 @@ object Dedup {
     // excludeIngest: the streaming loop skips its OWN batch tag so a
     // replayed trigger (crash after append, before checkpoint commit)
     // does not match the batch against its previously-appended self
-    val corpus0 = spark.read.parquet(indexPath)
+    val corpus0 = spark.read.parquet(dir)
       .filter(col("bucket").isin(touched: _*))
     val corpus = excludeIngest.fold(corpus0)(t =>
         corpus0.filter(col("ingest") =!= lit(t)))

@@ -79,10 +79,21 @@ object Forget {
     * ([[Dedup.writeShingleIndex]] layout: `ingest=<tag>/bucket=<n>`).
     * Other documents' postings and `n_sh` values are untouched — a
     * forgotten doc only ever contributed its own rows.
+    *
+    * All four family forgetters run through
+    * [[graft.sources.IndexLifecycle.mutate]]: on a generational index
+    * the rewrite targets the current version dir and commits a version
+    * bump, so a rebuild racing the forget is fenced (it would
+    * otherwise republish the pre-forget rows it had already read) and
+    * a forget losing the race re-runs against the winner's output —
+    * [[rewriteWithout]] is idempotent, so the re-run removes exactly
+    * the revived leftovers. Flat indexes keep the plain in-place
+    * rewrite.
     */
   def fromShingleIndex(spark: SparkSession, indexPath: String,
                        docIds: Seq[Long]): Long =
-    rewriteWithout(spark, indexPath, Seq("ingest", "bucket"), "doc", docIds)
+    graft.sources.IndexLifecycle.mutate(spark, indexPath)(dir =>
+      rewriteWithout(spark, dir, Seq("ingest", "bucket"), "doc", docIds))
 
   /** Forget vectors in a persisted IVF index
     * ([[Similarity.ivfWriteIndex]] layout: `ingest=<tag>/list=<n>`). The coarse
@@ -92,7 +103,8 @@ object Forget {
     */
   def fromIvfIndex(spark: SparkSession, indexPath: String,
                    vecIds: Seq[Long]): Long =
-    rewriteWithout(spark, indexPath, Seq("ingest", "list"), "nid", vecIds)
+    graft.sources.IndexLifecycle.mutate(spark, indexPath)(dir =>
+      rewriteWithout(spark, dir, Seq("ingest", "list"), "nid", vecIds))
 
   /** Forget vectors in a persisted semantic cell index
     * ([[SemDedup.writeCellIndex]] layout: `ingest=<tag>/cell=<id>/`, columns
@@ -107,7 +119,8 @@ object Forget {
     */
   def fromCellIndex(spark: SparkSession, indexPath: String,
                     vecIds: Seq[Long]): Long =
-    rewriteWithout(spark, indexPath, Seq("ingest", "cell"), "vec_id", vecIds)
+    graft.sources.IndexLifecycle.mutate(spark, indexPath)(dir =>
+      rewriteWithout(spark, dir, Seq("ingest", "cell"), "vec_id", vecIds))
 
   /** Forget images in a persisted perceptual-hash index
     * ([[Multimodal.writePhashIndex]] layout: `ingest=<tag>/bucket=<n>`,
@@ -119,5 +132,6 @@ object Forget {
     */
   def fromPhashIndex(spark: SparkSession, indexPath: String,
                      imageIds: Seq[Long]): Long =
-    rewriteWithout(spark, indexPath, Seq("ingest", "bucket"), "id", imageIds)
+    graft.sources.IndexLifecycle.mutate(spark, indexPath)(dir =>
+      rewriteWithout(spark, dir, Seq("ingest", "bucket"), "id", imageIds))
 }

@@ -334,51 +334,50 @@ object Multimodal {
   def appendToPhashIndex(spark: org.apache.spark.sql.SparkSession,
                          indexPath: String, batch: DataFrame,
                          ingestTag: String, maxDist: Int = 3,
-                         nBuckets: Int = 64): Unit = {
-    require(ingestTag.nonEmpty && ingestTag != "base",
-      s"ingest tag must be a non-'base' batch identifier: '$ingestTag'")
-    requirePhashParams(spark, indexPath, maxDist, nBuckets)
-    phashBandsOf(phashHashes(batch), maxDist)
-      .withColumn("bucket", phashBucket(nBuckets))
-      .withColumn("ingest", lit(ingestTag))
-      .repartition(col("bucket"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest", "bucket").parquet(indexPath)
-  }
+                         nBuckets: Int = 64): Unit =
+    graft.sources.IndexLifecycle.appendSegment(spark, indexPath, ingestTag) {
+      (dir, tmp) =>
+        // banding contract validated against the dir being appended to
+        // (a racing rebuild may have changed nBuckets — the re-seal
+        // must fail loudly rather than bucket into the wrong layout)
+        requirePhashParams(spark, dir, maxDist, nBuckets)
+        phashBandsOf(phashHashes(batch), maxDist)
+          .withColumn("bucket", phashBucket(nBuckets))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    }
 
   /** Segment-merge rebuild for the phash index — identical contract to
     * [[graft.ops.SemDedup.rebuildCellIndex]]: re-absorb every `ingest`
-    * segment into a fresh `ingest=base` build behind the staged/retired
-    * atomic swap (crash mid-rebuild leaves the old index serving;
-    * re-run to resume). Band rows are pure functions of the stored
+    * segment into a fresh `ingest=base` build behind
+    * [[graft.sources.IndexLifecycle]]'s CAS-versioned publish (crash
+    * mid-rebuild leaves the old version serving; concurrent appends
+    * fence the commit). Band rows are pure functions of the stored
     * hashes, so the rebuild never re-decodes an image; distinct()
-    * collapses the same image appended under different tags.
+    * collapses the same image appended under different tags. Banding
+    * (maxDist) is immutable across rebuilds; nBuckets may change
+    * (pure layout), so the refreshed sidecar rides inside the new
+    * version dir through the publish.
     */
   def rebuildPhashIndex(spark: org.apache.spark.sql.SparkSession,
-                        indexPath: String, nBuckets: Int = 64): Unit = {
-    import org.apache.hadoop.fs.Path
-    import graft.sources.Compaction
-    val main = new Path(indexPath)
-    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staged = Compaction.stagedPath(main)
-    if (fs.exists(staged)) fs.delete(staged, true)
-    // banding (maxDist) is immutable across rebuilds — band rows are
-    // reused as stored; nBuckets may change (pure layout), so the
-    // refreshed sidecar rides INSIDE the staged dir through the swap
-    val maxDist = spark.read
-      .parquet(phashParamsSidecar(indexPath)).head().getInt(0)
-    spark.read.parquet(indexPath)
-      .select(col("id"), col("h"), col("b"), col("v"))
-      .distinct()
-      .withColumn("bucket", phashBucket(nBuckets))
-      .withColumn("ingest", lit("base"))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("ingest", "bucket")
-      .parquet(staged.toString)
-    writePhashParams(spark, staged.toString, maxDist, nBuckets)
-    Compaction.swapIn(fs, main)
-  }
+                        indexPath: String, nBuckets: Int = 64,
+                        orphanGraceMs: Long =
+                          graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
+                        readerGraceMs: Long = 0L): Unit =
+    graft.sources.IndexLifecycle.rebuild(spark, indexPath,
+        orphanGraceMs, readerGraceMs) {
+      (src, srcDir, dst) =>
+        val maxDist = spark.read
+          .parquet(phashParamsSidecar(srcDir)).head().getInt(0)
+        src.select(col("id"), col("h"), col("b"), col("v"))
+          .distinct()
+          .withColumn("bucket", phashBucket(nBuckets))
+          .withColumn("ingest", lit("base"))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("ingest", "bucket")
+          .parquet(dst)
+        writePhashParams(spark, dst, maxDist, nBuckets)
+    }
 
   /** Perceptual near-dups of a NEW image batch against a PERSISTED
     * index: batch hashed live, its touched buckets collected
@@ -392,7 +391,8 @@ object Multimodal {
                         indexPath: String, batch: DataFrame,
                         maxDist: Int = 3, nBuckets: Int = 64,
                         excludeIngest: Option[String] = None): DataFrame = {
-    requirePhashParams(spark, indexPath, maxDist, nBuckets)
+    val dir = graft.sources.IndexLifecycle.resolveDir(spark, indexPath)
+    requirePhashParams(spark, dir, maxDist, nBuckets)
     // the batch kernel feeds the touched-bucket collect AND the join —
     // own the persist so each payload is decoded once
     val bb = graft.util.Caches.own(
@@ -403,7 +403,7 @@ object Multimodal {
     // excludeIngest: the streaming loop skips its OWN batch tag so a
     // replayed trigger (crash after append, before checkpoint commit)
     // does not match the batch against its previously-appended self
-    val corpus0 = spark.read.parquet(indexPath)
+    val corpus0 = spark.read.parquet(dir)
       .filter(col("bucket").isin(touched: _*))
     val corpus = excludeIngest.fold(corpus0)(t =>
         corpus0.filter(col("ingest") =!= lit(t)))

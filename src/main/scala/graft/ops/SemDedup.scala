@@ -288,53 +288,48 @@ object SemDedup {
   def appendToCellIndex(spark: org.apache.spark.sql.SparkSession,
                         indexPath: String, batch: DataFrame,
                         idCol: String, vecCol: String,
-                        ingestTag: String): Unit = {
-    require(ingestTag.nonEmpty && ingestTag != "base",
-      s"ingest tag must be a non-'base' batch identifier: '$ingestTag'")
-    val cents = spark.read.parquet(centroidsSidecar(indexPath))
-    val cells = KMeansStep.assignTo(batch, idCol, vecCol, cents)
-      .select(col("vec_id"), col("cluster").as("cell"))
-    batch.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-      .join(cells, "vec_id")
-      .withColumn("ingest", lit(ingestTag))
-      .repartition(col("cell"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest", "cell").parquet(indexPath)
-  }
+                        ingestTag: String): Unit =
+    graft.sources.IndexLifecycle.appendSegment(spark, indexPath, ingestTag) {
+      (dir, tmp) =>
+        // quantizer read from the dir being appended to: a racing
+        // rebuild's re-seal re-assigns against the REFRESHED centroids,
+        // so the segment lands in the cell space that will serve it
+        val cents = spark.read.parquet(centroidsSidecar(dir))
+        val cells = KMeansStep.assignTo(batch, idCol, vecCol, cents)
+          .select(col("vec_id"), col("cluster").as("cell"))
+        batch.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+          .join(cells, "vec_id")
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    }
 
   /** The periodic segment-merge the append path's scaladoc promises,
     * made real: rebuild the index from its own current contents (base
     * ∪ every appended `ingest` segment) with a FRESHLY selected
-    * quantizer, behind the staged/retired atomic swap
-    * ([[graft.sources.Compaction.swapIn]]). Appended batches assigned
-    * against yesterday's centroids re-assign against today's; the
-    * segment tree collapses back to `ingest=base`. Result is
-    * bit-identical to [[writeCellIndex]] run fresh over the union —
-    * the rebuild IS that build, fed by the index itself.
+    * quantizer. Appended batches assigned against yesterday's
+    * centroids re-assign against today's; the segment tree collapses
+    * back to `ingest=base`. Result is bit-identical to
+    * [[writeCellIndex]] run fresh over the union — the rebuild IS that
+    * build, fed by the index itself.
     *
-    * Crash contract: the staged sibling is written completely (data,
-    * then centroid sidecar) before the swap; a crash mid-rebuild
-    * leaves the OLD index fully intact and a re-run overwrites the
-    * leftover staged dir. Same single-writer discipline as the
-    * builds; concurrent probes during the swap have the flat-swap
-    * reader hazard (use a quiet window, or the generational layout
-    * for the table itself — indexes are derived artifacts and cheap
-    * to re-probe).
+    * Runs behind [[graft.sources.IndexLifecycle]]'s CAS-versioned
+    * publish: a crash mid-rebuild leaves the old version serving (the
+    * half-written claimed dir is invisible and ages out), and
+    * concurrent appends FENCE the rebuild's commit instead of being
+    * silently dropped or duplicated — the two-writer discipline the
+    * old staged/retired swap could only document.
     */
   def rebuildCellIndex(spark: org.apache.spark.sql.SparkSession,
-                       indexPath: String, centroidEvery: Int): Unit = {
-    import org.apache.hadoop.fs.Path
-    import graft.sources.Compaction
-    val main = new Path(indexPath)
-    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staged = Compaction.stagedPath(main)
-    if (fs.exists(staged)) fs.delete(staged, true)
-    val all = spark.read.parquet(indexPath)
-      .select(col("vec_id"), col("embedding"))
-    writeCellIndex(all, "vec_id", "embedding", centroidEvery, staged.toString)
-    Compaction.swapIn(fs, main)
-  }
+                       indexPath: String, centroidEvery: Int,
+                       orphanGraceMs: Long =
+                         graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
+                       readerGraceMs: Long = 0L): Unit =
+    graft.sources.IndexLifecycle.rebuild(spark, indexPath,
+        orphanGraceMs, readerGraceMs) {
+      (src, _, dst) =>
+        writeCellIndex(src.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", centroidEvery, dst)
+    }
 
   /** Semantic near-dups of a NEW batch against a PERSISTED corpus cell
     * index: batch vectors assign map-only against the index's centroid
@@ -355,14 +350,15 @@ object SemDedup {
                            idCol: String, vecCol: String,
                            threshold: Double,
                            excludeIngest: Option[String] = None): DataFrame = {
-    val cents = spark.read.parquet(centroidsSidecar(indexPath))
+    val dir = graft.sources.IndexLifecycle.resolveDir(spark, indexPath)
+    val cents = spark.read.parquet(centroidsSidecar(dir))
     val assigned = KMeansStep.assignTo(batch, idCol, vecCol, cents)
       .select(col("vec_id"), col("cluster").as("cell"))
     val probe = batch.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
       .join(assigned, "vec_id")
     val touched = probe.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val hist0 = spark.read.parquet(indexPath)
+    val hist0 = spark.read.parquet(dir)
       .filter(col("cell").isin(touched: _*))
     val hist = excludeIngest.fold(hist0)(t =>
         hist0.filter(col("ingest") =!= lit(t)))

@@ -294,23 +294,22 @@ object Similarity {
   /** Segment-merge rebuild for the det-quantizer IVF index — identical
     * contract to [[graft.ops.SemDedup.rebuildCellIndex]]: re-absorb
     * every `ingest` segment into a fresh `ingest=base` build with a
-    * freshly selected quantizer, behind the staged/retired atomic
-    * swap. Crash mid-rebuild leaves the old index intact; re-run to
-    * resume.
+    * freshly selected quantizer, behind
+    * [[graft.sources.IndexLifecycle]]'s CAS-versioned publish (crash
+    * mid-rebuild leaves the old version serving; concurrent appends
+    * fence the commit instead of being lost or duplicated).
     */
   def rebuildIvfIndexDet(spark: org.apache.spark.sql.SparkSession,
-                         indexPath: String, centroidEvery: Int): Unit = {
-    import org.apache.hadoop.fs.Path
-    import graft.sources.Compaction
-    val main = new Path(indexPath)
-    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staged = Compaction.stagedPath(main)
-    if (fs.exists(staged)) fs.delete(staged, true)
-    val all = spark.read.parquet(indexPath)
-      .select(col("nid"), col("nvec"))
-    ivfWriteIndexDet(all, "nid", "nvec", centroidEvery, staged.toString)
-    Compaction.swapIn(fs, main)
-  }
+                         indexPath: String, centroidEvery: Int,
+                         orphanGraceMs: Long =
+                           graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
+                         readerGraceMs: Long = 0L): Unit =
+    graft.sources.IndexLifecycle.rebuild(spark, indexPath,
+        orphanGraceMs, readerGraceMs) {
+      (src, _, dst) =>
+        ivfWriteIndexDet(src.select(col("nid"), col("nvec")),
+          "nid", "nvec", centroidEvery, dst)
+    }
 
   /** Append a batch of vectors to a persisted IVF index under its own
     * `ingest=<tag>` partition — the ANN-index analogue of
@@ -331,23 +330,24 @@ object Similarity {
                        idCol: String, vecCol: String,
                        ingestTag: String): Unit = {
     import graft.functions.SquaredDistance.squaredDistance
-    require(ingestTag.nonEmpty && ingestTag != "base",
-      s"ingest tag must be a non-'base' batch identifier: '$ingestTag'")
-    val cents = spark.read.parquet(centroidsPath(indexPath))
-    batch.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
-      .crossJoin(broadcast(cents))
-      .withColumn("d2_u",
-        floor(squaredDistance(col("nvec"),
-          col("cvec").cast("array<float>")) * 1e6).cast("long"))
-      .groupBy(col("nid"))
-      .agg(min_by(struct(col("list"), col("nvec")),
-        struct(col("d2_u"), col("list"))).as("__a"))
-      .select(col("nid"), col("__a.nvec").as("nvec"), col("__a.list").as("list"))
-      .withColumn("ingest", lit(ingestTag))
-      .repartition(col("list"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest", "list").parquet(indexPath)
+    graft.sources.IndexLifecycle.appendSegment(spark, indexPath, ingestTag) {
+      (dir, tmp) =>
+        // quantizer read from the dir being appended to — a racing
+        // rebuild's re-seal assigns against the refreshed centroids
+        val cents = spark.read.parquet(centroidsPath(dir))
+        batch.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+          .crossJoin(broadcast(cents))
+          .withColumn("d2_u",
+            floor(squaredDistance(col("nvec"),
+              col("cvec").cast("array<float>")) * 1e6).cast("long"))
+          .groupBy(col("nid"))
+          .agg(min_by(struct(col("list"), col("nvec")),
+            struct(col("d2_u"), col("list"))).as("__a"))
+          .select(col("nid"), col("__a.nvec").as("nvec"),
+            col("__a.list").as("list"))
+          .repartition(col("list"))
+          .write.mode("overwrite").partitionBy("list").parquet(tmp)
+    }
   }
 
   /** ANN top-k over a persisted IVF index. The probed list ids are
@@ -360,11 +360,12 @@ object Similarity {
   def ivfProbeIndex(spark: org.apache.spark.sql.SparkSession,
                     indexPath: String, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
-    val cents = spark.read.parquet(centroidsPath(indexPath))
+    val dir = graft.sources.IndexLifecycle.resolveDir(spark, indexPath)
+    val cents = spark.read.parquet(centroidsPath(dir))
     val probes = probeLists(queries, cents, idCol, vecCol, nprobe)
     val probed = probes.select("list").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val assigned = spark.read.parquet(indexPath)
+    val assigned = spark.read.parquet(dir)
       .filter(col("list").isin(probed: _*))
     scoreProbed(assigned, probes, k)
   }
@@ -383,7 +384,8 @@ object Similarity {
                        idCol: String, vecCol: String, k: Int,
                        nprobe: Int = 4): DataFrame = {
     import graft.functions.SquaredDistance.squaredDistance
-    val cents = spark.read.parquet(centroidsPath(indexPath))
+    val dir = graft.sources.IndexLifecycle.resolveDir(spark, indexPath)
+    val cents = spark.read.parquet(centroidsPath(dir))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("d2_u"), col("list"))
     val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
@@ -395,7 +397,7 @@ object Similarity {
       .select("qid", "qvec", "list")
     val probed = probes.select("list").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val assigned = spark.read.parquet(indexPath)
+    val assigned = spark.read.parquet(dir)
       .filter(col("list").isin(probed: _*))
     scoreProbed(assigned, probes, k)
   }

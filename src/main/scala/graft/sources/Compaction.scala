@@ -132,7 +132,7 @@ object Compaction {
     * single-pointer manifest (one table version, no snapshot history).
     */
   private val ManifestPrefix = "_graft_gen."
-  private val ClaimPrefix = "_graft_claim."
+  private[sources] val ClaimPrefix = "_graft_claim."
 
   /** Default lease on an unpublished-but-claimed generation dir before
     * other writers may prune it as a crashed orphan (see [[claimNext]]).
@@ -149,15 +149,15 @@ object Compaction {
     */
   final class FencedWriteException(msg: String) extends RuntimeException(msg)
 
-  private def genName(n: Long): String = f"g$n%09d"
+  private[sources] def genName(n: Long): String = f"g$n%09d"
 
-  private def genNumber(name: String): Option[Long] =
+  private[sources] def genNumber(name: String): Option[Long] =
     if (name.length == 10 && name.head == 'g' && name.tail.forall(_.isDigit))
       Some(name.tail.toLong)
     else None
 
-  private def listNums(fs: org.apache.hadoop.fs.FileSystem, main: Path,
-                       prefix: String): Seq[Long] =
+  private[sources] def listNums(fs: org.apache.hadoop.fs.FileSystem, main: Path,
+                                prefix: String): Seq[Long] =
     if (!fs.exists(main)) Seq.empty
     else fs.listStatus(main).toSeq
       .map(_.getPath.getName)

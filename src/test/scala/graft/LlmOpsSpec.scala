@@ -237,13 +237,15 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() == nCorpus + nBatch,
       "replayed append duplicated rows")
     // segment-merge rebuild: ingest tree collapses to base, content ≡
-    // a fresh det build over the union (same quantizer rule)
+    // a fresh det build over the union (same quantizer rule); the
+    // rebuild converts to the CAS-versioned layout, so the raw
+    // snapshot reads the resolved version dir
     Similarity.rebuildIvfIndexDet(spark, idx, centroidEvery = 49)
     def snap(p: String) = spark.read.parquet(p)
       .select(col("ingest"), col("nid"), col("list").cast("long"), col("nvec"))
       .as[(String, Long, Long, Array[Float])].collect()
       .map(t => t._2 -> ((t._1, t._3, t._4.toSeq))).toMap
-    val rebuilt = snap(idx)
+    val rebuilt = snap(graft.sources.IndexLifecycle.resolveDir(spark, idx))
     assert(rebuilt.values.forall(_._1 == "base"))
     val fresh = java.nio.file.Files
       .createTempDirectory("graft_ivf_fresh").toString + "/index"

@@ -119,14 +119,18 @@ class PhashSpec extends AnyFunSuite {
         s"probe after append must match the appended segment (${b + 7}, ${b + 8})")
     }
     // segment-merge rebuild: ingest tree collapses to base, content is
-    // the distinct union, probes unchanged
+    // the distinct union, probes unchanged. The rebuild converts the
+    // index to the CAS-versioned generational layout, so post-rebuild
+    // raw reads must target the resolved version dir.
     val preRows = spark.read.parquet(idx)
       .select("id", "h", "b", "v").distinct()
       .collect().map(_.toString).toSet
     Multimodal.rebuildPhashIndex(spark, idx, nBuckets = 16)
-    assert(ls(idx).filter(_.startsWith("ingest=")) == Set("ingest=base"),
-      s"segments must collapse: ${ls(idx)}")
-    val postRows = spark.read.parquet(idx)
+    val cur = graft.sources.IndexLifecycle.resolveDir(spark, idx)
+    assert(cur != idx, "rebuild must leave a generational index")
+    assert(ls(cur).filter(_.startsWith("ingest=")) == Set("ingest=base"),
+      s"segments must collapse: ${ls(cur)}")
+    val postRows = spark.read.parquet(cur)
       .select("id", "h", "b", "v").collect().map(_.toString).toSet
     assert(postRows == preRows, "rebuild preserves the distinct band rows")
     val reprobe = Multimodal.phashAgainstIndex(spark, idx,

@@ -152,7 +152,9 @@ class SemDedupSpec extends AnyFunSuite {
         col("embedding"))
       .as[(String, Long, Long, Array[Float])].collect()
       .map(t => t._2 -> ((t._1, t._3, t._4.toSeq))).toMap
-    val rebuilt = snap(idx)
+    // the rebuild converts to the CAS-versioned layout — raw snapshot
+    // reads must target the resolved version dir
+    val rebuilt = snap(graft.sources.IndexLifecycle.resolveDir(spark, idx))
     assert(rebuilt.values.forall(_._1 == "base"),
       "ingest segments must collapse to base")
     val fresh = root + "/fresh"
@@ -166,28 +168,35 @@ class SemDedupSpec extends AnyFunSuite {
       threshold = 0.0).count() > 0)
   }
 
-  test("cell-index rebuild: crash leftover (stale staged dir) is overwritten, old index intact until swap") {
-    import graft.sources.Compaction
+  test("cell-index rebuild: crashed unpublished version is invisible to probes and pruned") {
+    import graft.sources.IndexLifecycle
     val emb = Tables(spark, sfDir, "embeddings")
       .filter(col("vec_id") % 10 =!= 0)
     val root = java.nio.file.Files
       .createTempDirectory("graft_cell_crash").toString
     val idx = root + "/index"
     SemDedup.writeCellIndex(emb, "vec_id", "embedding", 49, idx)
-    val before = spark.read.parquet(idx).count()
-    // simulate a prior rebuild that died mid-write: a garbage staged
-    // sibling (even with a _SUCCESS marker) must not poison the next run
-    val staged = Compaction
-      .stagedPath(new org.apache.hadoop.fs.Path(idx)).toString
-    spark.range(3).toDF("junk").coalesce(1).write.parquet(staged)
-    // the old index is still what readers see
-    assert(spark.read.parquet(idx).count() == before)
     SemDedup.rebuildCellIndex(spark, idx, centroidEvery = 49)
-    val after = spark.read.parquet(idx)
-    assert(after.count() == before, "rebuild lost rows")
-    assert(!after.columns.contains("junk"), "stale staged content leaked in")
-    assert(new java.io.File(staged).listFiles == null
-        || !new java.io.File(staged).exists(), "staged leftover survives swap")
+    val before = spark.read.parquet(IndexLifecycle.resolveDir(spark, idx)).count()
+    // simulate a rebuild that died mid-write: an unpublished claimed
+    // version dir full of garbage (no marker ever committed). Readers
+    // resolve the published version and never see it.
+    val orphan = new java.io.File(idx, "g000000099")
+    spark.range(3).toDF("junk").coalesce(1).write.parquet(orphan.toString)
+    val served = spark.read.parquet(IndexLifecycle.resolveDir(spark, idx))
+    assert(served.count() == before)
+    assert(!served.columns.contains("junk"), "orphan content leaked into reads")
+    // the next rebuild proceeds normally and prunes the expired orphan
+    // (orphanGraceMs=0: no claim protects it, so it ages out at once)
+    IndexLifecycle.rebuild(spark, idx, orphanGraceMs = 0L) {
+      (src, _, dst) =>
+        SemDedup.writeCellIndex(
+          src.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", 49, dst)
+    }
+    assert(!orphan.exists(), "expired orphan version dir not reclaimed")
+    assert(spark.read.parquet(IndexLifecycle.resolveDir(spark, idx))
+      .count() == before, "rebuild lost rows")
   }
 
   test("cell-index forget: targets vanish, survivors byte-identical, probe blind to them, idempotent") {
