@@ -42,8 +42,12 @@ object Bench {
       catch { case e: Throwable => logErr(name, e) }
       graft.util.Caches.sweep()
     }
-    // two timed passes, keep the per-query minimum: single-pass numbers
-    // swing ±20% from GC/compilation hiccups at these sub-second scales.
+    // THREE timed passes, keep the per-query MEDIAN: single-pass numbers
+    // swing ±20% from GC/compilation hiccups at these sub-second scales,
+    // and the previous min-of-2 hid systematic regressions behind one
+    // lucky pass while staying just as jittery on the unlucky side —
+    // the median of three absorbs one outlier in EITHER direction, so
+    // round-over-round artifact diffs are signal, not noise.
     // A query that throws records -1 (not its instant wall time) and lands
     // in "errors" — a regression must not masquerade as a speedup.
     def timed(): Map[String, Double] = qs.map { case (name, fn) =>
@@ -54,19 +58,44 @@ object Bench {
       graft.util.Caches.sweep() // driver-side bookkeeping, outside the timing
       name -> (if (ok) dt else -1.0)
     }.toMap
-    val (r1, r2) = (timed(), timed())
+    val passes = Seq(timed(), timed(), timed())
     val results = qs.map { case (name, _) =>
-      val (a, b) = (r1(name), r2(name))
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b)) }
+      val ts = passes.map(_(name))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1)) }
     val errors = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val ejson = errors.mkString("[", ",", "]")
+    // ISOLATED re-measure for the documented suite-pressure canaries
+    // (q84's equi-depth percentile sort breathes ±60% with whatever the
+    // suite left on the heap — its isolated number is the stable one to
+    // trend; override the set with SPARK_GRAFT_ISOLATED=a,b,c). Runs
+    // after the suite so it inherits a fully-warmed JVM, preceded by an
+    // explicit GC so it does NOT inherit the suite's garbage.
+    val isolatedNames = sys.env.get("SPARK_GRAFT_ISOLATED")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Seq("q84_equidepth_histogram"))
+      .filter(SparkEntry.queries.contains)
+    val iso = isolatedNames.map { name =>
+      System.gc()
+      val fn = SparkEntry.queries(name)
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable => logErr(name, e); false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.util.Caches.sweep()
+        if (ok) dt else -1.0
+      }
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1))
+    }
+    val ijson = iso.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     // headline total goes LAST in the line: the driver's artifact keeps the
     // tail of stdout, and r1–r4 artifacts lost the leading total field when
     // the long line was head-truncated.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$ejson,"queries":$qjson,"value":$total}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$ejson,"isolated":$ijson,"queries":$qjson,"value":$total}""")
     spark.stop()
   }
 }

@@ -134,4 +134,29 @@ object Forget {
                      imageIds: Seq[Long]): Long =
     graft.sources.IndexLifecycle.mutate(spark, indexPath)(dir =>
       rewriteWithout(spark, dir, Seq("ingest", "bucket"), "id", imageIds))
+
+  /** Forget master records in a persisted ER deletion-variant index
+    * ([[EntityResolution.writeVariantIndex]] layout:
+    * `ingest=<tag>/bucket=<n>`, columns `id`, `nm`, `blk`, `v`). A
+    * record only ever contributed its own variant rows; the hot-variant
+    * sidecar is a corpus statistic and is refreshed by the periodic
+    * rebuild (the shingle hot-list policy) — between rebuilds it can
+    * only over-prune probe keys, never produce a wrong pair.
+    */
+  def fromVariantIndex(spark: SparkSession, indexPath: String,
+                       recordIds: Seq[Long]): Long =
+    graft.sources.IndexLifecycle.mutate(spark, indexPath)(dir =>
+      rewriteWithout(spark, dir, Seq("ingest", "bucket"), "id", recordIds))
+
+  /** Forget documents in a persisted span-fingerprint index
+    * ([[SpanDedup.writeSpanIndex]] layout: `ingest=<tag>/bucket=<n>`,
+    * columns `doc`, `h`, `cnt`). Per-(doc, span) counts are the unit
+    * of storage precisely so deletion propagates: removing a doc's
+    * rows subtracts its contribution from every span total the probes
+    * aggregate — a per-span running total could never forget.
+    */
+  def fromSpanIndex(spark: SparkSession, indexPath: String,
+                    docIds: Seq[Long]): Long =
+    graft.sources.IndexLifecycle.mutate(spark, indexPath)(dir =>
+      rewriteWithout(spark, dir, Seq("ingest", "bucket"), "doc", docIds))
 }

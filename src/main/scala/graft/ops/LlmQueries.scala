@@ -1223,6 +1223,84 @@ object LlmQueries {
       },
       None),
 
+    // IVF-PQ with the DETERMINISTIC coarse quantizer
+    // (Pq.ivfPqTopKDet): the composition anchor the seeded production
+    // form above lacks — sim_ann_ivf_det proved the coarse stage and
+    // sim_ann_pq the ADC stage, but their END-TO-END composition
+    // (coarse assign → probe prune → ADC over only the probed lists)
+    // had recall specs only. Here DuckDB replays the whole chain:
+    // every-50th coarse centroids, floor-micro-d2 min assignment
+    // (ties → smaller list), (d2, list)-ranked nprobe=4 probes,
+    // every-50th PQ codebook, argmin codes, exact BIGINT ADC sums,
+    // (ad2, nid) ranking.
+    GQuery("sim_ann_ivfpq_det",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        Pq.ivfPqTopKDet(emb, emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", k = 10, coarseEvery = 50, nprobe = 4,
+          m = 8, subDim = 8, centroidEvery = 50)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some {
+        val d2vc = """list_sum(list_transform(list_zip(v.embedding, c.embedding), p ->
+            (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+            * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"""
+        val d2qc = d2vc.replace("v.embedding", "q.embedding")
+        val subD2 = """list_sum(list_transform(list_zip(s.sv, c.cv), p ->
+            (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+            * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"""
+        s"""WITH cents AS (
+            SELECT vec_id AS list, embedding FROM embeddings WHERE vec_id % 50 = 0),
+          a AS (
+            SELECT vec_id AS nid, list FROM (
+              SELECT v.vec_id, c.list,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY CAST(floor($d2vc * 1e6) AS BIGINT) ASC NULLS LAST,
+                           c.list) AS rn
+              FROM embeddings v, cents c) t WHERE rn = 1),
+          p AS (
+            SELECT qid, list FROM (
+              SELECT q.vec_id AS qid, c.list,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY CAST(floor($d2qc * 1e6) AS BIGINT) ASC NULLS LAST,
+                           c.list) AS rn
+              FROM embeddings q, cents c WHERE q.vec_id % 100 = 0) t
+            WHERE rn <= 4),
+          sub AS (
+            SELECT vec_id, j, list_slice(embedding, j*8 + 1, j*8 + 8) AS sv
+            FROM embeddings, (SELECT unnest(range(8)) AS j)),
+          cbk AS (
+            SELECT vec_id AS c, j, sv AS cv FROM sub WHERE vec_id % 50 = 0),
+          d2 AS (
+            SELECT s.vec_id, s.j, c.c,
+              CAST(floor($subD2 * 1e6) AS BIGINT) AS du
+            FROM sub s JOIN cbk c ON s.j = c.j),
+          codes AS (
+            SELECT vec_id AS nid, j, c AS code FROM (
+              SELECT vec_id, j, c,
+                row_number() OVER (PARTITION BY vec_id, j
+                  ORDER BY du ASC NULLS LAST, c) AS rn
+              FROM d2) WHERE rn = 1),
+          lut AS (
+            SELECT vec_id AS qid, j, c, du FROM d2 WHERE vec_id % 100 = 0),
+          cand AS (
+            SELECT p.qid, a.nid FROM p JOIN a USING (list)
+            WHERE a.nid <> p.qid),
+          sc AS (
+            SELECT cand.qid, cand.nid, CAST(SUM(du) AS BIGINT) AS ad2_u
+            FROM cand
+              JOIN codes ON codes.nid = cand.nid
+              JOIN lut ON lut.qid = cand.qid AND lut.j = codes.j
+                AND lut.c = codes.code
+            GROUP BY 1, 2)
+          SELECT qid, nid, CAST(ad2_u AS DOUBLE) / 1e6 AS ad2, rn FROM (
+            SELECT qid, nid, ad2_u,
+              CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY ad2_u ASC NULLS LAST, nid) AS INT) AS rn
+            FROM sc)
+          WHERE rn <= 10 ORDER BY qid, rn"""
+      }),
+
     // Product quantization ANN (ops/Pq.scala): 32× code compression +
     // ADC top-k. Fully ORACLE-CHECKED, unlike the Spark-ML-backed IVF
     // pair: the codebook is the seedless every-50th-vector sample
@@ -2370,6 +2448,109 @@ object LlmQueries {
           CAST(row_number() OVER (PARTITION BY split, h % 4
             ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
         FROM h ORDER BY split, shard, pos""")),
+
+    // The MULTIMODAL train export — pipeline_train_export extended to
+    // a text+image corpus, composed from already-proven stages the way
+    // the pieces are meant to stack:
+    //   1. ALIGNMENT GATE (profile_align_audit's semantics as a
+    //      filter): only docs whose embedding row exists survive —
+    //      planted misalignment (vec_id%13 drops) makes it bite;
+    //   2. per-source QUALITY GATE (top 70%);
+    //   3. TEXT exact-dedup canon (min id per md5(text));
+    //   4. IMAGE perceptual canon: connected components over the
+    //      phash near-dup pairs (multimodal_phash_pairs' banding) with
+    //      the maxBucket=16 hot-bucket cap — the synthetic gradient
+    //      images are a LOW-ENTROPY corpus (whole eid ranges share a
+    //      dHash), so the uncapped banded join is ~6M pairs at sf0.1
+    //      and the CC collapses 90% of the corpus into one component;
+    //      the cap excludes those degenerate buckets (the documented
+    //      production mitigation for exactly this regime) and keeps
+    //      the genuinely distinctive duplicate groups, including the
+    //      planted b/b+7/b+8 families. Canon rule is FIRST-OCCURRENCE-
+    //      WINS: any doc whose image near-duplicates a lower id's is
+    //      cut (one distinct over the pair list — no iterative
+    //      connected-components rounds, which measured 9 s of pure
+    //      shuffle-iteration overhead here; the CC-exact variant
+    //      remains dedup_clusters' composition) — a doc is dropped
+    //      even when its text is unique, which is exactly what the
+    //      text-only export misses. The oracle replays the cap: hot
+    //      (b, v) counted over the UNPRUNED bands, anti-joined before
+    //      candidate generation, bit-for-bit the phashPairs semantics;
+    //   5. deterministic 95/5 split → per-split shuffle into 4 shards.
+    // One WITH-stack oracle replays the whole chain (the phash CTEs
+    // need WITH RECURSIVE for the component closure). Cost = the text
+    // pipeline + one banded self-join + the star-contraction CC on the
+    // tiny pair graph — nothing quadratic, nothing corpus-sized
+    // driver-side.
+    GQuery("pipeline_train_export_mm",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val emb = Tables(s, d, "embeddings")
+          .filter(col("vec_id") % 13 =!= 0)
+          .select(col("vec_id").as("doc_id"))
+        val aligned = docs.join(emb, Seq("doc_id"), "left_semi")
+        val scored = TextAnalysis.quality(aligned, "text")
+          .withColumn("score_u",
+            floor(col("quality_score") * 1e6).cast("long"))
+        val gated = Sampling.qualityGate(scored, "doc_id", "source",
+          col("score_u"), keepBps = 7000)
+        val canon = gated.groupBy(md5(col("text")).as("__h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val dd = gated.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+        val pairs = Multimodal.phashPairs(
+          Multimodal.asPhashImageTable(docs), maxDist = 3, maxBucket = 16)
+        val imgDrop = pairs.select(col("j").as("doc_id")).distinct()
+        val ddmm = dd.join(imgDrop, Seq("doc_id"), "left_anti")
+        val split = Sampling.hashSplit(ddmm, "doc_id", "msp",
+          Seq("train" -> 9500, "valid" -> 500))
+        Sampling.shuffleShards(split, "doc_id", "msh", numShards = 4,
+            extraPartitionCols = Seq(col("split")))
+          .select(col("doc_id"), col("split"), col("shard"), col("pos"))
+          .orderBy(col("split"), col("shard"), col("pos"))
+      },
+      Some(s"""$phashBandsCte,
+        phot AS (SELECT b, v FROM bands GROUP BY b, v HAVING count(*) > 16),
+        ppruned AS (SELECT bands.* FROM bands ANTI JOIN phot USING (b, v)),
+        pcand AS (
+          SELECT i, j FROM (
+            SELECT DISTINCT a.id AS i, a.h AS hi, b.id AS j, b.h AS hj
+            FROM ppruned a JOIN ppruned b
+              ON a.b = b.b AND a.v = b.v AND a.id < b.id)
+          WHERE bit_count(xor(hi, hj)) <= 3),
+        imgdrop AS (SELECT DISTINCT j AS doc_id FROM pcand),
+        q AS (SELECT doc_id, source, text,
+          length(text) AS chars,
+          len(list_filter(string_split(text, ' '), x -> x <> '')) AS toks,
+          length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
+          length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+          FROM documents
+          WHERE doc_id IN (SELECT vec_id FROM embeddings WHERE vec_id % 13 <> 0)),
+        sc AS (SELECT doc_id, source, text,
+          CAST(floor(
+            (1.0 - CASE WHEN chars > 0 THEN punct::DOUBLE / chars ELSE 0.0 END)
+            * (1.0 - CASE WHEN chars > 0 THEN digits::DOUBLE / chars ELSE 0.0 END)
+            * least(1.0, toks::DOUBLE / 20.0) * 1e6) AS BIGINT) AS score_u
+          FROM q),
+        g AS (SELECT doc_id, source, text, score_u,
+          count(*) OVER (PARTITION BY source) AS n,
+          row_number() OVER (PARTITION BY source
+            ORDER BY score_u DESC, doc_id) AS rn
+          FROM sc),
+        gated AS (SELECT doc_id, text FROM g
+          WHERE rn <= (n * 7000 + 9999) // 10000),
+        canon AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+        dd AS (SELECT gated.doc_id FROM gated SEMI JOIN canon USING (doc_id)),
+        ddmm AS (SELECT doc_id FROM dd ANTI JOIN imgdrop USING (doc_id)),
+        sp AS (SELECT doc_id,
+          CASE WHEN ${duckHex32("'msp:' || doc_id")} % 10000 < 9500
+            THEN 'train' ELSE 'valid' END AS split
+          FROM ddmm),
+        hh AS (SELECT doc_id, split,
+          ${duckHex60("'msh:' || doc_id")} AS h FROM sp)
+        SELECT doc_id, split, CAST(h % 4 AS INT) AS shard,
+          CAST(row_number() OVER (PARTITION BY split, h % 4
+            ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        FROM hh ORDER BY split, shard, pos""")),
 
     // Contamination audit report (Dedup.contaminationReport): the
     // per-benchmark-entry view of decontamination — text_decontaminate

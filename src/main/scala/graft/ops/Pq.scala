@@ -174,6 +174,70 @@ object Pq {
     * is per-candidate metadata, and the sum is partial-agg'd. Nothing
     * driver-side beyond the bounded KMeans fit.
     */
+  /** IVF-PQ with the DETERMINISTIC coarse quantizer — the composition
+    * anchor for the production config: [[Similarity.ivfTopKDet]]'s
+    * coarse stage (seedless every-`coarseEvery`-th centroids, min_by
+    * floor-micro-d2 assignment with ties to the smaller list,
+    * (d2, list)-ranked probes) feeding [[adcTopK]]'s PQ stage
+    * (seedless codebook, argmin codes, exact BIGINT ADC sums). Every
+    * stage replays verbatim in ANSI SQL, so the END-TO-END IVF-PQ
+    * pipeline — coarse assign → probe prune → ADC — is hash-oracle-
+    * checked, not just its two halves separately; the seeded
+    * [[ivfPqTopK]] stays the production form (fitted quantizer,
+    * better-balanced lists), recall-spec'd against this anchor's exact
+    * flat twin.
+    *
+    * Scale shape identical to [[ivfPqTopK]]: centroids and codebook
+    * are broadcast metadata, assignment and encode are partial-agg'd
+    * map-side folds, candidates ∝ probed postings, never corpus².
+    */
+  def ivfPqTopKDet(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, coarseEvery: Int = 50,
+                   nprobe: Int = 4, m: Int = 8, subDim: Int = 8,
+                   centroidEvery: Int = 50): DataFrame = {
+    val cents = corpus.filter(col(idCol) % coarseEvery === 0)
+      .select(col(idCol).as("list"), col(vecCol).as("cvec"))
+    val assigned = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2_u", floor(sqDist(col("nvec"), col("cvec")) * 1e6).cast("long"))
+      .groupBy(col("nid"))
+      .agg(min_by(col("list"), struct(col("d2_u"), col("list"))).as("list"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("d2_u"), col("list"))
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2_u", floor(sqDist(col("qvec"), col("cvec")) * 1e6).cast("long"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select("qid", "list")
+    val cb = codebook(corpus, idCol, vecCol, m, subDim, centroidEvery)
+    val codes = distancesTo(corpus, idCol, vecCol, cb, m, subDim)
+      .groupBy(col("__id"), col("j"))
+      .agg(min(struct(col("du"), col("c"))).as("mn"))
+      .select(col("__id").as("nid"), col("j"), col("mn.c").as("code"))
+    // a vector sits in exactly one list and probe rows are distinct
+    // (qid, list), so candidate pairs are unique without a distinct
+    val cand = assigned
+      .join(broadcast(probes), "list")
+      .filter(col("nid") =!= col("qid"))
+      .select("qid", "nid")
+    val lut = distancesTo(queries, idCol, vecCol, cb, m, subDim)
+      .select(col("__id").as("lqid"), col("j").as("lj"),
+        col("c"), col("du"))
+    val scores = cand
+      .join(codes, "nid")
+      .join(broadcast(lut),
+        col("qid") === col("lqid") && col("j") === col("lj") &&
+          col("code") === col("c"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("du")).as("ad2_u"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("ad2_u"), col("nid"))
+    scores
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"),
+        (col("ad2_u").cast("double") / 1e6).as("ad2"), col("rn"))
+  }
+
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
                 m: Int = 8, subDim: Int = 8, centroidEvery: Int = 50,

@@ -370,10 +370,24 @@ object Sampling {
     * its own dense positions (the pipeline_train_export shape). Shard
     * assignment itself never depends on the extras.
     */
+  /** Output/scratch column names are claimed via `withColumn`, which
+    * REPLACES an existing column of the same name — a caller schema
+    * already containing one would be silently corrupted, so the claim
+    * is checked loudly instead.
+    */
+  private def requireColumnsFree(df: DataFrame, ctx: String,
+                                 names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"$ctx writes column(s) ${clash.mkString(", ")} — rename them in " +
+        "the input (they would be silently overwritten)")
+  }
+
   def shuffleShards(df: DataFrame, idCol: String, salt: String,
                     numShards: Int,
                     extraPartitionCols: Seq[Column] = Nil): DataFrame = {
     require(numShards > 0, s"numShards must be positive: $numShards")
+    requireColumnsFree(df, "shuffleShards", "shard", "pos", "__h")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(extraPartitionCols :+ col("shard"): _*)
       .orderBy(col("__h"), col(idCol))
@@ -400,6 +414,17 @@ object Sampling {
   def writeShards(df: DataFrame, idCol: String, salt: String,
                   numShards: Int, path: String): Unit = {
     require(numShards > 0, s"numShards must be positive: $numShards")
+    requireColumnsFree(df, "writeShards", "shard", "pos", "__h")
+    // the one-sorted-file-per-shard contract (a trainer streams a
+    // shard top to bottom AS the permutation) silently breaks if the
+    // session splits files by record count: a shard dir with several
+    // files has no defined cross-file order
+    val maxRec = df.sparkSession.conf
+      .get("spark.sql.files.maxRecordsPerFile", "0")
+    require(maxRec == "0",
+      s"writeShards needs one sorted file per shard dir, but " +
+        s"spark.sql.files.maxRecordsPerFile=$maxRec would split them " +
+        "with no defined cross-file order — unset it for this write")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__h"), col(idCol))
@@ -431,6 +456,7 @@ object Sampling {
                   scoreCol: Column, keepBps: Int): DataFrame = {
     require(keepBps >= 0 && keepBps <= 10000,
       s"keepBps must be basis points in [0, 10000]: $keepBps")
+    requireColumnsFree(df, "qualityGate", "__s", "__n", "__rn")
     import org.apache.spark.sql.expressions.Window
     val wset = Window.partitionBy(col(groupCol))
     val w = wset.orderBy(col("__s").desc, col(idCol))

@@ -99,16 +99,137 @@ object SpanDedup {
           .otherwise(lit(0.0)).as("dup_ratio"))
   }
 
+  // ------------------------------------------------- persisted index
+
+  /** The span-fingerprint index — the one text op that still rescanned
+    * the whole corpus per run, made incremental on the
+    * [[graft.sources.IndexLifecycle]] contract (the sixth family).
+    * Storage unit is the per-(doc, span) occurrence count `(doc, h,
+    * cnt)`, partitioned `ingest=<tag>/bucket=<pmod(hash, nBuckets)>`:
+    *  - counts are ASSOCIATIVE, so a probe's corpus-wide span total is
+    *    one partial-agg'd sum across segments — appending a batch is
+    *    appending its partial counts, never a read-modify-write;
+    *  - the doc key keeps deletion propagation exact
+    *    ([[Forget.fromSpanIndex]]): dropping a doc's rows subtracts
+    *    its contribution from every total, which a per-span running
+    *    count could never do;
+    *  - a batch's touched buckets prune the probe scan at the
+    *    partition level (the IVF-probe pattern; the bucket hash is
+    *    layout-only and never rendered, so xxhash64 is fine even
+    *    though `h` itself stays md5 for oracle replay).
+    */
+  private def bucketOf(h: Column, nBuckets: Int): Column =
+    pmod(xxhash64(h), lit(nBuckets)).cast("int")
+
+  def writeSpanIndex(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, indexPath: String, nBuckets: Int = 16): Unit =
+    fingerprints(docs, idCol, textCol, k)
+      .groupBy(col("doc"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", bucketOf(col("h"), nBuckets))
+      .withColumn("ingest", lit("base"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("ingest", "bucket")
+      .parquet(indexPath)
+
+  /** Append a batch's per-(doc, span) counts under `ingest=<tag>` —
+    * batchId-keyed, replay-idempotent via the sealed-segment contract.
+    * Doc ids must be new to the index (the same each-doc-in-exactly-
+    * one-segment contract every family's append carries).
+    */
+  def appendToSpanIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, batch: DataFrame,
+                        idCol: String, textCol: String, k: Int,
+                        ingestTag: String, nBuckets: Int = 16): Unit =
+    graft.sources.IndexLifecycle.appendSegment(spark, indexPath, ingestTag) {
+      (_, tmp) =>
+        fingerprints(batch, idCol, textCol, k)
+          .groupBy(col("doc"), col("h"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("bucket", bucketOf(col("h"), nBuckets))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    }
+
+  /** Fenced segment-merge rebuild: per-(doc, span) rows are already
+    * the atomic storage unit, so the rebuild just collapses the
+    * segment tree to `ingest=base` (distinct() guards a doc replayed
+    * under two tags, the phash discipline).
+    */
+  def rebuildSpanIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, nBuckets: Int = 16): Unit =
+    graft.sources.IndexLifecycle.rebuild(spark, indexPath) {
+      (src, _, dst) =>
+        src.select(col("doc"), col("h"), col("cnt")).distinct()
+          .withColumn("bucket", bucketOf(col("h"), nBuckets))
+          .withColumn("ingest", lit("base"))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("ingest", "bucket")
+          .parquet(dst)
+    }
+
+  /** [[spanCoverage]] for a NEW batch against the PERSISTED corpus
+    * index: span totals = the batch's own counts + the bucket-pruned
+    * index counts, duplication threshold applied to the COMBINED
+    * total (a span seen once historically and once in the batch is a
+    * duplicate, exactly as the one-shot pass over corpus ∪ batch
+    * would report), then the per-doc interval-merge window over the
+    * batch's positions only. Per-trigger cost ∝ batch + touched index
+    * partitions — the corpus text is never rescanned.
+    */
+  def coverageAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, batch: DataFrame,
+                           idCol: String, textCol: String, k: Int,
+                           minOcc: Int = 2, nBuckets: Int = 16,
+                           excludeIngest: Option[String] = None): DataFrame = {
+    val dir = graft.sources.IndexLifecycle.resolveDir(spark, indexPath)
+    // the batch fingerprint frame feeds the touched-bucket collect, the
+    // batch-side counts AND the coverage window — one persist, caller-swept
+    val fp = graft.util.Caches.own(
+      fingerprints(batch, idCol, textCol, k)
+        .withColumn("bucket", bucketOf(col("h"), nBuckets)))
+    val touched = fp.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val idx0 = spark.read.parquet(dir)
+      .filter(col("bucket").isin(touched: _*))
+    val idx = excludeIngest.fold(idx0)(t =>
+      idx0.filter(col("ingest") =!= lit(t)))
+    val batchCnt = fp.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val dup = idx.select(col("h"), col("cnt"))
+      .unionByName(batchCnt)
+      .groupBy("h").agg(sum(col("cnt")).as("n_occ"))
+      .filter(col("n_occ") >= minOcc)
+      .select("h")
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val perDoc = fp.join(dup, "h")
+      .withColumn("cov",
+        least(lit(k), coalesce(lead(col("pos"), 1).over(w) - col("pos"), lit(k))))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_dup_positions"),
+        sum(col("cov")).as("covered_tokens"))
+    batch
+      .select(col(idCol).as("doc"),
+        size(TextAnalysis.tokens(col(textCol))).as("n_tokens"))
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc"), col("n_tokens"),
+        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("n_tokens") > 0,
+          coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+            col("n_tokens"))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+  }
+
   private val K = 8
 
   /** DuckDB k-gram stream shared by both oracles: token list → one row
     * per start position (1-based list slicing; emitted pos is 0-based
     * to match posexplode).
     */
-  private def oracleGramCte(k: Int): String =
+  private def oracleGramCte(k: Int, where: String = ""): String =
     s"""tok AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
-        FROM documents),
+        FROM documents $where),
       fp AS (
         SELECT doc_id, CAST(p.i - 1 AS INT) AS pos,
           md5(array_to_string(l[p.i:p.i + ${k - 1}], ' ')) AS h
@@ -159,5 +280,54 @@ object SpanDedup {
             THEN CAST(coalesce(covered_tokens, 0) AS DOUBLE) / len(l)
             ELSE 0.0 END AS dup_ratio
         FROM tok LEFT JOIN cov USING (doc_id)
+        ORDER BY doc""")),
+
+    // Incremental span coverage against the PERSISTED fingerprint
+    // index: base counts over doc_id%10≠0, one appended segment
+    // (%20==0, batchId-keyed, replay-idempotent), then the %20==10
+    // batch reports its Lee-et-al. coverage against the COMBINED span
+    // totals (historical + its own) without rescanning any corpus
+    // text. The oracle replays the one-shot pass over the union
+    // population with coverage restricted to the batch — identical by
+    // construction (counts are associative), which is the point: the
+    // index changes the cost model, not one covered token. Fixture
+    // memoized per dataset dir; the query times the probe.
+    GQuery("dedup_span_incremental",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val idx = graft.util.TempFixtures.dir(s"spanidx:$d") { p =>
+          writeSpanIndex(docs.filter(col("doc_id") % 10 =!= 0),
+            "doc_id", "text", K, p)
+          appendToSpanIndex(s, p, docs.filter(col("doc_id") % 20 === 0),
+            "doc_id", "text", K, ingestTag = "b0")
+        }
+        coverageAgainstIndex(s, idx,
+            docs.filter(col("doc_id") % 20 === 10), "doc_id", "text", K)
+          .orderBy(col("doc"))
+      },
+      Some(s"""WITH ${oracleGramCte(K,
+          "WHERE doc_id % 10 <> 0 OR doc_id % 20 = 0 OR doc_id % 20 = 10")},
+        dup AS (
+          SELECT h FROM fp GROUP BY h HAVING count(*) >= 2),
+        cov AS (
+          SELECT doc_id,
+            count(*) AS n_dup_positions,
+            CAST(sum(c) AS BIGINT) AS covered_tokens
+          FROM (
+            SELECT doc_id, least($K,
+              coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+                $K)) AS c
+            FROM fp JOIN dup USING (h)
+            WHERE doc_id % 20 = 10)
+          GROUP BY doc_id)
+        SELECT doc_id AS doc,
+          CAST(len(l) AS INT) AS n_tokens,
+          coalesce(n_dup_positions, 0) AS n_dup_positions,
+          coalesce(covered_tokens, 0) AS covered_tokens,
+          CASE WHEN len(l) > 0
+            THEN CAST(coalesce(covered_tokens, 0) AS DOUBLE) / len(l)
+            ELSE 0.0 END AS dup_ratio
+        FROM tok LEFT JOIN cov USING (doc_id)
+        WHERE doc_id % 20 = 10
         ORDER BY doc""")))
 }

@@ -122,6 +122,39 @@ object StreamingDedup {
         ingestTag = s"b$batchId", maxDist = maxDist, nBuckets = nBuckets)
     }
 
+  /** Streaming ENTITY RESOLUTION on master-table ingest — the
+    * probe-then-append loop for record linkage: each micro-batch of
+    * NEW master records (a CDC feed on the customer table, a partner
+    * onboarding drop) is first LINKED against every master already
+    * indexed ("which existing entity does this record match?" — the
+    * pairs land in `pairsDir/batch=<id>`), then its deletion variants
+    * join the index under `ingest=b<id>` so the next batch resolves
+    * against it. Identical batchId-keyed idempotence contract to
+    * [[attach]] (the probe excludes its own replayed segment; the
+    * append is a sealed-segment rewrite). Per-trigger cost: batch
+    * variant derivation (map-only explode) + one equi-join against
+    * the bucket-pruned index scan — ∝ batch, never master × batch.
+    * Completes the streaming symmetry across all the index families:
+    * text, embedding, image, and now structured-record identity.
+    */
+  def attachLink(masters: DataFrame, idCol: String, nameCol: String,
+                 blockCol: String, indexPath: String, pairsDir: String,
+                 maxDist: Int = 1,
+                 nBuckets: Int = 16): DataStreamWriter[org.apache.spark.sql.Row] =
+    masters.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      graft.ops.EntityResolution.linkAgainstIndex(spark, indexPath, batch,
+          idCol, nameCol, blockCol, maxDist, nBuckets,
+          excludeIngest = Some(s"b$batchId"))
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(pairsDir)
+      graft.ops.EntityResolution.appendToVariantIndex(spark, indexPath,
+        batch, idCol, nameCol, blockCol, ingestTag = s"b$batchId",
+        maxDist = maxDist, nBuckets = nBuckets)
+    }
+
   /** The full per-batch CURATION loop — the streaming composition of
     * three already-proven stages, chained the way a production ingest
     * runs them inside ONE foreachBatch:

@@ -358,12 +358,17 @@ object ScaleSmoke {
       // er_pairs, never |A|·|B|
       timed(s"er_link x$n") {
         val m = replicateCustomers(customer, n)
+        // feed ids must live in a namespace disjoint from EVERY
+        // replicated master key (linkPairs' contract) — derive the
+        // offset from the replica layout instead of hard-coding one
+        // that (n+1)·ReplicaStep would eventually collide with
+        val feedOffset = (n + 1).toLong * ReplicaStep
         val p = (pmod(conv(substring(md5(
             concat(lit("crm:"), col("c_custkey").cast("string"))),
             1, 8), 16, 10).cast("long"),
           length(col("c_name")).cast("long")) + 1).cast("int")
         val feed = m.select(
-          (col("c_custkey") + 900000000L).as("f_id"),
+          (col("c_custkey") + feedOffset).as("f_id"),
           concat(col("c_name").substr(lit(1), p - 1),
             col("c_name").substr(p + 1, length(col("c_name"))))
             .as("f_name"),

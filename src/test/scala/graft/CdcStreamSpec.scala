@@ -1088,6 +1088,52 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(perVec.values.forall(_ == 1L), s"vector spread over ingests: $perVec")
   }
 
+  test("streaming entity resolution: probe-then-append over the variant index, cross-batch") {
+    // attachLink = the ingest loop for STRUCTURED RECORDS: each batch
+    // of new master records is linked against every master already
+    // indexed, then its deletion variants enter the index — batch 1
+    // must link a BATCH-0 record (proof the append happened) alongside
+    // a base master.
+    import graft.ops.EntityResolution
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    val masters = Seq((1L, "acme corp", 1), (2L, "globex inc", 1),
+      (3L, "initech", 2)).toDF("id", "nm", "blk")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_erstream").toString
+    val idx = root + "/index"
+    val pairs = root + "/pairs"
+    EntityResolution.writeVariantIndex(masters, "id", "nm", "blk", idx)
+    val input = MemoryStream[(Long, String, Int)]
+    val q = StreamingDedup.attachLink(
+        input.toDF().toDF("id", "nm", "blk"), "id", "nm", "blk",
+        idx, pairs)
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    try {
+      // batch 0: one record matching base master 1 at distance 1, one
+      // novel record that must still enter the index
+      input.addData((10L, "acme cor", 1), (11L, "novel name", 2))
+      q.processAllAvailable()
+      // batch 1: one match of the BATCH-0 novel record, one of a base
+      // master — cross-batch resolution through the appended segment
+      input.addData((20L, "novel nam", 2), (21L, "globex in", 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(pairs)
+      .select("batch", "i", "j", "dist")
+      .as[(Int, Long, Long, Int)].collect().toSet
+    assert(got == Set((0, 1L, 10L, 1), (1, 11L, 20L, 1), (1, 2L, 21L, 1)),
+      s"pairs: $got")
+    // base + one ingest segment per batch, each record exactly once
+    val perRec = spark.read.parquet(
+        graft.sources.IndexLifecycle.resolveDir(spark, idx))
+      .groupBy("id").agg(countDistinct(col("ingest")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(perRec.keySet == Set(1L, 2L, 3L, 10L, 11L, 20L, 21L))
+    assert(perRec.values.forall(_ == 1L), s"record spread over ingests: $perRec")
+  }
+
   test("streaming image dedup: probe-then-append over the phash index, cross-batch") {
     // attachPhash = the same ingest loop for IMAGES: batch 1 must
     // surface an exact copy of a BATCH-0 image (proof the append

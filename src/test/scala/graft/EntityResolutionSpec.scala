@@ -154,6 +154,65 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(!got.contains((1L, 105L, 1)))
   }
 
+  test("variant index: probe ≡ linkPairs over master ∪ appended segment; replay idempotent; forget + rebuild") {
+    import graft.ops.Forget
+    import graft.util.Tables
+    val cust = Tables(spark, GraftSpark.sfDir, "customer")
+      .filter(col("c_nationkey") < 3)
+    val baseM = cust.filter(col("c_custkey") % 2 === 0)
+    val segM = cust.filter(col("c_custkey") % 2 === 1)
+    // dirty feed: every master name with one deterministic char deleted
+    val p = (pmod(conv(substring(md5(
+        concat(lit("crm:"), col("c_custkey").cast("string"))),
+        1, 8), 16, 10).cast("long"),
+      length(col("c_name")).cast("long")) + 1).cast("int")
+    val crm = cust.select(
+      (col("c_custkey") + 1000000L).as("crm_id"),
+      concat(col("c_name").substr(lit(1), p - 1),
+        col("c_name").substr(p + 1, length(col("c_name"))))
+        .as("crm_name"),
+      col("c_nationkey").as("crm_nation"))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_eridx_spec").toString + "/index"
+    EntityResolution.writeVariantIndex(baseM,
+      "c_custkey", "c_name", "c_nationkey", idx)
+    EntityResolution.appendToVariantIndex(spark, idx, segM,
+      "c_custkey", "c_name", "c_nationkey", "b0")
+    def probe() = EntityResolution.linkAgainstIndex(spark, idx, crm,
+        "crm_id", "crm_name", "crm_nation", maxDist = 1)
+      .select("i", "j", "dist").as[(Long, Long, Int)].collect().toSet
+    val got = probe()
+    val direct = EntityResolution.linkPairs(
+        cust, "c_custkey", "c_name", "c_nationkey",
+        crm, "crm_id", "crm_name", "crm_nation", maxDist = 1)
+      .select("i", "j", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got == direct,
+      "index probe must equal direct linkage over the full master table")
+    assert(got.nonEmpty)
+    // at-least-once replay: byte-identical index, identical probe
+    def rows() = spark.read.parquet(
+        graft.sources.IndexLifecycle.resolveDir(spark, idx))
+      .select("id", "nm", "blk", "v").collect().map(_.toString).sorted.toSeq
+    val before = rows()
+    EntityResolution.appendToVariantIndex(spark, idx, segM,
+      "c_custkey", "c_name", "c_nationkey", "b0")
+    assert(rows() == before, "replayed append must be a no-op")
+    // RTBF: forgotten masters stop linking; survivors untouched
+    val victims = got.map(_._1).toSeq.sorted.take(5)
+    assert(Forget.fromVariantIndex(spark, idx, victims) > 0L)
+    val afterForget = probe()
+    assert(afterForget == got.filterNot(t => victims.contains(t._1)),
+      "forget must remove exactly the victims' links")
+    // fenced segment-merge rebuild: segments collapse, probe unchanged
+    EntityResolution.rebuildVariantIndex(spark, idx)
+    assert(probe() == afterForget, "rebuild changed probe results")
+    val dir = graft.sources.IndexLifecycle.resolveDir(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.sources.IndexLifecycle.segmentsOf(fs,
+      new org.apache.hadoop.fs.Path(dir)) == Seq("base"))
+  }
+
   private def levDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0

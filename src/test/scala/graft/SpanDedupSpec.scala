@@ -94,6 +94,65 @@ class SpanDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("span index: probe ≡ one-shot coverage over the union; replay idempotent; forget + rebuild") {
+    import graft.ops.Forget
+    import graft.util.Tables
+    val docs = Tables(spark, GraftSpark.sfDir, "documents")
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val seg = docs.filter(col("doc_id") % 20 === 0)
+    val batch = docs.filter(col("doc_id") % 20 === 10)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_spanidx_spec").toString + "/index"
+    SpanDedup.writeSpanIndex(base, "doc_id", "text", 8, idx)
+    SpanDedup.appendToSpanIndex(spark, idx, seg, "doc_id", "text", 8, "b0")
+    def probe() = SpanDedup.coverageAgainstIndex(spark, idx, batch,
+        "doc_id", "text", 8)
+      .collect().map(r => (r.getAs[Long]("doc"), r.getAs[Int]("n_tokens"),
+        r.getAs[Long]("n_dup_positions"), r.getAs[Long]("covered_tokens")))
+      .toSet
+    val got = probe()
+    // oracle-in-miniature: the one-shot pass over the union population,
+    // restricted to batch docs
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    val oneShot = SpanDedup.spanCoverage(
+        base.unionByName(seg).unionByName(batch), "doc_id", "text", 8)
+      .collect().map(r => (r.getAs[Long]("doc"), r.getAs[Int]("n_tokens"),
+        r.getAs[Long]("n_dup_positions"), r.getAs[Long]("covered_tokens")))
+      .filter(t => batchIds(t._1)).toSet
+    assert(got == oneShot, "incremental coverage diverged from one-shot")
+    // at-least-once replay of the same tag: byte-identical index
+    def rows() = spark.read.parquet(
+        graft.sources.IndexLifecycle.resolveDir(spark, idx))
+      .select("doc", "h", "cnt").collect().map(_.toString).sorted.toSeq
+    val before = rows()
+    SpanDedup.appendToSpanIndex(spark, idx, seg, "doc_id", "text", 8, "b0")
+    assert(rows() == before, "replayed append must be a no-op")
+    assert(probe() == oneShot)
+    // RTBF: forget every base doc that duplicates a batch span — the
+    // batch's coverage against the shrunk totals must drop to what the
+    // surviving population implies (recomputed one-shot)
+    val victims = base.select("doc_id").as[Long].collect()
+      .filter(_ % 3 == 0).toSeq
+    assert(Forget.fromSpanIndex(spark, idx, victims) > 0L)
+    val afterForget = probe()
+    val survivors = base.filter(!col("doc_id").isin(victims: _*))
+    val oneShotAfter = SpanDedup.spanCoverage(
+        survivors.unionByName(seg).unionByName(batch), "doc_id", "text", 8)
+      .collect().map(r => (r.getAs[Long]("doc"), r.getAs[Int]("n_tokens"),
+        r.getAs[Long]("n_dup_positions"), r.getAs[Long]("covered_tokens")))
+      .filter(t => batchIds(t._1)).toSet
+    assert(afterForget == oneShotAfter,
+      "forget must subtract the victims' span contributions exactly")
+    // segment-merge rebuild: probes unchanged, segments collapsed
+    SpanDedup.rebuildSpanIndex(spark, idx)
+    assert(probe() == oneShotAfter, "rebuild changed probe results")
+    val dir = graft.sources.IndexLifecycle.resolveDir(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.sources.IndexLifecycle.segmentsOf(fs,
+      new org.apache.hadoop.fs.Path(dir)) == Seq("base"))
+  }
+
   test("docs shorter than k emit no fingerprints but still report") {
     val docs = Seq((1L, "too short"), (2L, "a b c d e f g h"))
       .toDF("doc_id", "text")
