@@ -58,21 +58,15 @@ object Bench {
       graft.util.Caches.sweep() // driver-side bookkeeping, outside the timing
       name -> (if (ok) dt else -1.0)
     }.toMap
-    val passes = Seq(timed(), timed(), timed())
-    val results = qs.map { case (name, _) =>
-      val ts = passes.map(_(name))
-      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1)) }
-    val errors = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
-    val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val ejson = errors.mkString("[", ",", "]")
-    // ISOLATED re-measure for the documented suite-pressure canaries
-    // (q84's equi-depth percentile sort breathes ±60% with whatever the
-    // suite left on the heap — its isolated number is the stable one to
-    // trend; override the set with SPARK_GRAFT_ISOLATED=a,b,c). Runs
-    // after the suite so it inherits a fully-warmed JVM, preceded by an
-    // explicit GC so it does NOT inherit the suite's garbage.
+    // ISOLATED measure for the documented suite-pressure canaries
+    // (q84's exact-percentile value buffering breathes ±60% with
+    // whatever the suite leaves on the heap — its isolated number is
+    // the stable one to trend; override the set with
+    // SPARK_GRAFT_ISOLATED=a,b,c). Runs AFTER the warm pass (JIT +
+    // page cache hot) but BEFORE the timed suite passes — measured:
+    // running it last, even behind a System.gc(), inherits four
+    // passes of tenured garbage and reads HIGHER than the suite
+    // median, the opposite of a clean baseline.
     val isolatedNames = sys.env.get("SPARK_GRAFT_ISOLATED")
       .map(_.split(",").toSeq.filter(_.nonEmpty))
       .getOrElse(Seq("q84_equidepth_histogram"))
@@ -92,6 +86,15 @@ object Bench {
     }
     val ijson = iso.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val passes = Seq(timed(), timed(), timed())
+    val results = qs.map { case (name, _) =>
+      val ts = passes.map(_(name))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1)) }
+    val errors = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
+    val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val ejson = errors.mkString("[", ",", "]")
     // headline total goes LAST in the line: the driver's artifact keeps the
     // tail of stdout, and r1–r4 artifacts lost the leading total field when
     // the long line was head-truncated.

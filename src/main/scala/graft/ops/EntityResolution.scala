@@ -495,6 +495,41 @@ object EntityResolution {
           ORDER BY i, j"""
       }),
 
+    // RTBF for the variant index — the oracle is rebuild-without-ids:
+    // surviving records' variant COUNTS (the stored v is xxhash64 and
+    // not SQL-replayable, but one index row per distinct variant means
+    // the per-record row count equals the deletion-neighborhood size,
+    // which DuckDB recomputes closed-form). Survivors' rows are
+    // untouched by construction — a record only ever contributed its
+    // own variants. Build→forget memoized (one-shot mutation).
+    GQuery("forget_variant_index",
+      (s, d) => {
+        val idx = graft.util.TempFixtures.dir(s"erforget:$d") { p =>
+          val cust = Tables(s, d, "customer")
+            .filter(col("c_nationkey") < 3)
+          writeVariantIndex(cust, "c_custkey", "c_name", "c_nationkey", p)
+          val ids = cust.filter(col("c_custkey") % 20 === 0)
+            .select("c_custkey").collect().map(_.getLong(0)).toSeq
+          val removed = Forget.fromVariantIndex(s, p, ids)
+          require(removed > 0L, "forget removed nothing — bad fixture")
+        }
+        val dir = graft.sources.IndexLifecycle.resolveDir(s, idx)
+        s.read.parquet(dir)
+          .groupBy(col("id"), col("nm"), col("blk"))
+          .agg(count(lit(1)).as("n_variants"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH recs AS (
+          SELECT c_custkey AS id, c_name AS nm, c_nationkey AS blk
+          FROM customer WHERE c_nationkey < 3),
+        d1 AS (SELECT id, nm, blk, list_distinct(list_append(
+            list_transform(range(1, len(nm) + 1),
+              i -> nm[1:CAST(i - 1 AS INT)] || nm[CAST(i + 1 AS INT):]),
+            nm)) AS vs
+          FROM recs)
+        SELECT id, nm, blk, CAST(len(vs) AS BIGINT) AS n_variants
+        FROM d1 WHERE id % 20 <> 0 ORDER BY id""")),
+
     GQuery("er_entities",
       (s, d) => entities(Tables(s, d, "customer"),
           "c_custkey", "c_name", "c_nationkey")

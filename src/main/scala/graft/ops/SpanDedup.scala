@@ -329,5 +329,33 @@ object SpanDedup {
             ELSE 0.0 END AS dup_ratio
         FROM tok LEFT JOIN cov USING (doc_id)
         WHERE doc_id % 20 = 10
-        ORDER BY doc""")))
+        ORDER BY doc""")),
+
+    // RTBF for the span index — rebuild-without-ids, fully replayable
+    // because the stored fingerprint IS md5 and the per-(doc, span)
+    // count is closed-form: after forgetting the %20==0 docs of a
+    // %10==0 sub-corpus, the surviving rows must be byte-identical to
+    // the survivors' own recomputed fingerprint counts (a doc only
+    // ever contributed its own rows — the reason (doc, h, cnt) is the
+    // storage unit). Build→forget memoized (one-shot mutation).
+    GQuery("forget_span_index",
+      (s, d) => {
+        val idx = graft.util.TempFixtures.dir(s"spanforget:$d") { p =>
+          val corpus = Tables(s, d, "documents")
+            .filter(col("doc_id") % 10 === 0)
+          writeSpanIndex(corpus, "doc_id", "text", K, p)
+          val ids = corpus.filter(col("doc_id") % 20 === 0)
+            .select("doc_id").collect().map(_.getLong(0)).toSeq
+          val removed = graft.ops.Forget.fromSpanIndex(s, p, ids)
+          require(removed > 0L, "forget removed nothing — bad fixture")
+        }
+        val dir = graft.sources.IndexLifecycle.resolveDir(s, idx)
+        s.read.parquet(dir)
+          .select(col("doc"), col("h"), col("cnt"))
+          .orderBy(col("doc"), col("h"))
+      },
+      Some(s"""WITH ${oracleGramCte(K, "WHERE doc_id % 10 = 0")}
+        SELECT doc_id AS doc, h, CAST(count(*) AS BIGINT) AS cnt
+        FROM fp WHERE doc_id % 20 <> 0
+        GROUP BY doc_id, h ORDER BY doc, h""")))
 }

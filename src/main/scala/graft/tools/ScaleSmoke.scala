@@ -453,6 +453,56 @@ object ScaleSmoke {
         timed(s"inc_cc x$n")(
           graft.ops.Cluster.incrementalComponents(labels, newE).count())
       }
+      // Persisted ER variant index: build over n× masters, probe a
+      // FIXED dirty-feed batch (one-char-deleted twins of the replica-0
+      // masters). A generic batch's variants hash into every bucket, so
+      // the probe scans the whole (linearly growing) index — the honest
+      // expectation is a shallow linear scan curve with FIXED join
+      // output (the double-digit replica name tags keep cross-replica
+      // twins at distance 2 > the threshold).
+      locally {
+        val m = replicateCustomers(customer, n)
+        val erIdx = java.nio.file.Files
+          .createTempDirectory(s"graft_scale_er_x$n").toString + "/index"
+        timed(s"er_index_build x$n") {
+          graft.ops.EntityResolution.writeVariantIndex(
+            m, "c_custkey", "c_name", "c_nationkey", erIdx)
+          spark.read.parquet(erIdx).count()
+        }
+        val base0 = m.filter(col("c_custkey") < ReplicaStep)
+        val p = (pmod(conv(substring(md5(
+            concat(lit("crm:"), col("c_custkey").cast("string"))),
+            1, 8), 16, 10).cast("long"),
+          length(col("c_name")).cast("long")) + 1).cast("int")
+        val feed = base0.select(
+          (col("c_custkey") + (n + 1).toLong * ReplicaStep).as("f_id"),
+          concat(col("c_name").substr(lit(1), p - 1),
+            col("c_name").substr(p + 1, length(col("c_name"))))
+            .as("f_name"),
+          col("c_nationkey").as("f_nation"))
+        timed(s"er_index_probe x$n")(
+          graft.ops.EntityResolution.linkAgainstIndex(spark, erIdx, feed,
+            "f_id", "f_name", "f_nation", maxDist = 1).count())
+      }
+      // Persisted span-fingerprint index: build over n× docs, probe a
+      // FIXED batch (replica-0 %20==10 docs). Same shape expectation as
+      // er_index_probe: the batch's k-grams bucket everywhere, so the
+      // probe pays a linear bucket scan; the combined-count join output
+      // stays fixed (per-replica token tags keep spans replica-local).
+      locally {
+        val spanIdx = java.nio.file.Files
+          .createTempDirectory(s"graft_scale_span_x$n").toString + "/index"
+        timed(s"span_index_build x$n") {
+          graft.ops.SpanDedup.writeSpanIndex(
+            d.filter(col("doc_id") % 20 =!= 10), "doc_id", "text", 8, spanIdx)
+          spark.read.parquet(spanIdx).count()
+        }
+        timed(s"span_index_probe x$n")(
+          graft.ops.SpanDedup.coverageAgainstIndex(spark, spanIdx,
+            d.filter(col("doc_id") < ReplicaStep &&
+              col("doc_id") % 20 === 10),
+            "doc_id", "text", 8).count())
+      }
     }
     spark.stop()
   }

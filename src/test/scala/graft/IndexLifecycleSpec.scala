@@ -152,6 +152,38 @@ class IndexLifecycleSpec extends AnyFunSuite {
       == Seq("base"))
   }
 
+  test("two concurrent rebuilders: CAS picks one winner per version, loser retries, content converges") {
+    val base = 0L until 30L
+    val idx = newIndex("graft_ixrr", base)
+    append(idx, 300L until 310L, "b1")
+    @volatile var bad: Throwable = null
+    def rebuilder() = new Thread(() => {
+      try {
+        var done = 0
+        while (done < 3) {
+          // rebuild retries internally on a lost CAS; a surviving
+          // FencedWriteException after its internal retries would
+          // bubble up here and fail the test
+          Dedup.rebuildShingleIndex(spark, idx, nBuckets = NB,
+            readerGraceMs = 120000L)
+          done += 1
+        }
+      } catch { case t: Throwable => bad = t }
+    })
+    val (r1, r2) = (rebuilder(), rebuilder())
+    r1.start(); r2.start(); r1.join(); r2.join()
+    assert(bad == null, s"rebuild race failure: $bad")
+    assert(postings(idx) == expected(base ++ (300L until 310L)),
+      "racing rebuilders corrupted the index")
+    assert(dupPostings(idx).isEmpty)
+    // exactly one current version; segments collapsed to base
+    val dir = IndexLifecycle.resolveDir(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(IndexLifecycle.segmentsOf(fs,
+      new org.apache.hadoop.fs.Path(dir)) == Seq("base"))
+  }
+
   test("two-writer index soak: appender loop vs rebuild loop vs prober — nothing lost, nothing duplicated, probes never torn") {
     val base = 0L until 40L
     val idx = newIndex("graft_ixsoak", base)
