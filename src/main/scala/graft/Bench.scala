@@ -67,10 +67,14 @@ object Bench {
     // running it last, even behind a System.gc(), inherits four
     // passes of tenured garbage and reads HIGHER than the suite
     // median, the opposite of a clean baseline.
-    val isolatedNames = sys.env.get("SPARK_GRAFT_ISOLATED")
+    val isolatedRaw = sys.env.get("SPARK_GRAFT_ISOLATED")
       .map(_.split(",").toSeq.filter(_.nonEmpty))
       .getOrElse(Seq("q84_equidepth_histogram"))
-      .filter(SparkEntry.queries.contains)
+    // an unknown name is an operator typo, not a query to skip — the
+    // canary trend silently stopping is exactly what must not happen
+    isolatedRaw.filterNot(SparkEntry.queries.contains).foreach(n =>
+      System.err.println(s"[bench] SPARK_GRAFT_ISOLATED names unknown query '$n' — ignored"))
+    val isolatedNames = isolatedRaw.filter(SparkEntry.queries.contains)
     val iso = isolatedNames.map { name =>
       System.gc()
       val fn = SparkEntry.queries(name)
@@ -90,7 +94,11 @@ object Bench {
     val results = qs.map { case (name, _) =>
       val ts = passes.map(_(name))
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1)) }
-    val errors = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
+    // a failed isolated canary lands in the SAME errors array as a
+    // failed suite query — automation keys on "errors", and a canary
+    // that died must not read as "no regressions"
+    val errors = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" } ++
+      iso.collect { case (k, v) if v < 0 => s"\"isolated:" + k + "\"" }
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

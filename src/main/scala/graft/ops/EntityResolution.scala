@@ -196,6 +196,33 @@ object EntityResolution {
     * batch-local df says nothing about master-side fan-out.
     */
   private def hotVariantsSidecar(dir: String) = s"$dir/_graft_hot_variants"
+  private def erParamsSidecar(dir: String) = s"$dir/_graft_er_params"
+
+  /** maxDist and nBuckets are INDEX CONTRACT (the phash params
+    * doctrine): a probe or append run with a different depth derives
+    * neighborhoods the stored rows cannot meet (silent recall loss),
+    * and a different bucket count prunes the wrong partitions (silent
+    * candidate loss). The build persists both; every later operation
+    * validates and fails loudly on a mismatch.
+    */
+  private def writeErParams(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, maxDist: Int,
+                            nBuckets: Int): Unit = {
+    import spark.implicits._
+    Seq((maxDist, nBuckets)).toDF("max_dist", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(erParamsSidecar(dir))
+  }
+
+  private def requireErParams(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, maxDist: Int,
+                              nBuckets: Int): Unit = {
+    val r = spark.read.parquet(erParamsSidecar(dir)).head()
+    val (md, nb) = (r.getInt(0), r.getInt(1))
+    require(md == maxDist && nb == nBuckets,
+      s"variant index at $dir was built with maxDist=$md, nBuckets=$nb " +
+        s"— caller passed maxDist=$maxDist, nBuckets=$nBuckets; a " +
+        "mismatched depth or bucketing would silently lose matches")
+  }
 
   private def variantRows(df: DataFrame, id: String, nm: String,
                           blk: String, maxDist: Int): DataFrame = {
@@ -225,6 +252,7 @@ object EntityResolution {
       .parquet(indexPath)
     hot.coalesce(1).write.mode("overwrite")
       .parquet(hotVariantsSidecar(indexPath))
+    writeErParams(master.sparkSession, indexPath, maxDist, nBuckets)
   }
 
   /** Append a grown master table's NEW records under `ingest=<tag>` —
@@ -239,6 +267,7 @@ object EntityResolution {
                            maxDist: Int = 1, nBuckets: Int = 16): Unit =
     graft.sources.IndexLifecycle.appendSegment(spark, indexPath, ingestTag) {
       (dir, tmp) =>
+        requireErParams(spark, dir, maxDist, nBuckets)
         val hot = spark.read.parquet(hotVariantsSidecar(dir))
         variantRows(batch, idCol, nameCol, blockCol, maxDist)
           .join(hot, Seq("blk", "v"), "left_anti")
@@ -259,7 +288,12 @@ object EntityResolution {
                           indexPath: String, nBuckets: Int = 16,
                           maxDf: Int = Int.MaxValue): Unit =
     graft.sources.IndexLifecycle.rebuild(spark, indexPath) {
-      (src, _, dst) =>
+      (src, srcDir, dst) =>
+        // maxDist is immutable across rebuilds (the stored rows ARE
+        // the depth-d neighborhoods); nBuckets is pure layout and may
+        // change — the refreshed sidecar rides inside the new version
+        val maxDist = spark.read.parquet(erParamsSidecar(srcDir))
+          .head().getInt(0)
         val rows = src.select(col("id"), col("nm"), col("blk"), col("v"))
           .distinct()
         val hot = rows.groupBy("blk", "v").agg(count(lit(1)).as("__df"))
@@ -272,6 +306,7 @@ object EntityResolution {
           .parquet(dst)
         hot.coalesce(1).write.mode("overwrite")
           .parquet(hotVariantsSidecar(dst))
+        writeErParams(spark, dst, maxDist, nBuckets)
     }
 
   /** Link a dirty-feed batch against the PERSISTED master index —
@@ -295,6 +330,7 @@ object EntityResolution {
                        excludeIngest: Option[String] = None): DataFrame = {
     require(maxDist == 1 || maxDist == 2, s"maxDist 1 or 2, got $maxDist")
     val dir = graft.sources.IndexLifecycle.resolveDir(spark, indexPath)
+    requireErParams(spark, dir, maxDist, nBuckets)
     val hot = spark.read.parquet(hotVariantsSidecar(dir))
     // own the persist: the batch variant frame feeds the touched-bucket
     // collect AND the candidate join (Caches contract, swept by caller)

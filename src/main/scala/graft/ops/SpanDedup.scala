@@ -121,8 +121,33 @@ object SpanDedup {
   private def bucketOf(h: Column, nBuckets: Int): Column =
     pmod(xxhash64(h), lit(nBuckets)).cast("int")
 
+  private def spanParamsSidecar(dir: String) = s"$dir/_graft_span_params"
+
+  /** k and nBuckets are INDEX CONTRACT (the phash params doctrine): a
+    * probe with a different k fingerprints grams the stored counts
+    * cannot meet (every span reads as novel — silent total loss), and
+    * a different bucket count prunes the wrong partitions. The build
+    * persists both; append/probe/rebuild validate and fail loudly.
+    */
+  private def writeSpanParams(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, k: Int, nBuckets: Int): Unit = {
+    import spark.implicits._
+    Seq((k, nBuckets)).toDF("k", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(spanParamsSidecar(dir))
+  }
+
+  private def requireSpanParams(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, k: Int, nBuckets: Int): Unit = {
+    val r = spark.read.parquet(spanParamsSidecar(dir)).head()
+    val (ik, nb) = (r.getInt(0), r.getInt(1))
+    require(ik == k && nb == nBuckets,
+      s"span index at $dir was built with k=$ik, nBuckets=$nb — caller " +
+        s"passed k=$k, nBuckets=$nBuckets; a mismatched gram size or " +
+        "bucketing would silently lose duplicated spans")
+  }
+
   def writeSpanIndex(docs: DataFrame, idCol: String, textCol: String,
-                     k: Int, indexPath: String, nBuckets: Int = 16): Unit =
+                     k: Int, indexPath: String, nBuckets: Int = 16): Unit = {
     fingerprints(docs, idCol, textCol, k)
       .groupBy(col("doc"), col("h"))
       .agg(count(lit(1)).as("cnt"))
@@ -131,6 +156,8 @@ object SpanDedup {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("ingest", "bucket")
       .parquet(indexPath)
+    writeSpanParams(docs.sparkSession, indexPath, k, nBuckets)
+  }
 
   /** Append a batch's per-(doc, span) counts under `ingest=<tag>` —
     * batchId-keyed, replay-idempotent via the sealed-segment contract.
@@ -142,7 +169,8 @@ object SpanDedup {
                         idCol: String, textCol: String, k: Int,
                         ingestTag: String, nBuckets: Int = 16): Unit =
     graft.sources.IndexLifecycle.appendSegment(spark, indexPath, ingestTag) {
-      (_, tmp) =>
+      (dir, tmp) =>
+        requireSpanParams(spark, dir, k, nBuckets)
         fingerprints(batch, idCol, textCol, k)
           .groupBy(col("doc"), col("h"))
           .agg(count(lit(1)).as("cnt"))
@@ -159,13 +187,18 @@ object SpanDedup {
   def rebuildSpanIndex(spark: org.apache.spark.sql.SparkSession,
                        indexPath: String, nBuckets: Int = 16): Unit =
     graft.sources.IndexLifecycle.rebuild(spark, indexPath) {
-      (src, _, dst) =>
+      (src, srcDir, dst) =>
+        // k is immutable across rebuilds (the stored counts ARE
+        // k-gram counts); nBuckets is pure layout and may change
+        val k = spark.read.parquet(spanParamsSidecar(srcDir))
+          .head().getInt(0)
         src.select(col("doc"), col("h"), col("cnt")).distinct()
           .withColumn("bucket", bucketOf(col("h"), nBuckets))
           .withColumn("ingest", lit("base"))
           .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("ingest", "bucket")
           .parquet(dst)
+        writeSpanParams(spark, dst, k, nBuckets)
     }
 
   /** [[spanCoverage]] for a NEW batch against the PERSISTED corpus
@@ -183,6 +216,7 @@ object SpanDedup {
                            minOcc: Int = 2, nBuckets: Int = 16,
                            excludeIngest: Option[String] = None): DataFrame = {
     val dir = graft.sources.IndexLifecycle.resolveDir(spark, indexPath)
+    requireSpanParams(spark, dir, k, nBuckets)
     // the batch fingerprint frame feeds the touched-bucket collect, the
     // batch-side counts AND the coverage window — one persist, caller-swept
     val fp = graft.util.Caches.own(

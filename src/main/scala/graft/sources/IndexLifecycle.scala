@@ -162,23 +162,48 @@ object IndexLifecycle {
 
   /** The commit primitive: atomically create marker `expectV + 1`.
     * Returns false when another publisher committed that version first
-    * — the caller re-reads the manifest and reconciles. The
-    * post-create max check guards the one pathological interleaving
-    * (our number was pruned away and recreated below a newer chain):
-    * a marker that is not the maximum immediately after its create
-    * never became current, so it is withdrawn and the publish retried.
+    * — the caller re-reads the manifest and reconciles.
+    *
+    * The PRE-create max check (not a post-create withdrawal) is what
+    * keeps the chain consecutive: if the manifest already moved past
+    * `expectV`, the publish is stale and fails WITHOUT creating
+    * anything. Once the exclusive create succeeds the marker is in the
+    * chain for good — a later publisher may legitimately chain the
+    * next version onto it before this call even returns, so deleting
+    * it on a post-create "not the max anymore" observation would
+    * punch a hole other mutators' absorbed-list reconstruction (and a
+    * newer payload's dir reference) depend on. The one interleaving
+    * the old withdrawal guarded — this number was pruned away and
+    * recreated below a newer chain — requires the chain to advance
+    * past the whole [[MarkerKeep]] retention window between the
+    * pre-check and the create; every caller re-reads the manifest
+    * within one CAS round, so that window is a handful of
+    * instructions, not eight publishes.
     */
   private def casPublish(fs: FileSystem, main: Path, expectV: Long,
                          dir: String, absorbed: Seq[String]): Boolean =
     publishLock.synchronized {
+      if (markerNums(fs, main).maxOption.getOrElse(0L) != expectV)
+        return false
       val p = new Path(main, Marker + Compaction.genName(expectV + 1))
+      var created = false
       try {
         val out = fs.create(p, false)
+        created = true
         try out.write(payloadOf(dir, absorbed).getBytes("UTF-8"))
         finally out.close()
-      } catch { case _: java.io.IOException => return false }
-      val maxV = markerNums(fs, main).max
-      if (maxV > expectV + 1) { fs.delete(p, false); false } else true
+        true
+      } catch {
+        case _: java.io.IOException =>
+          // created-but-unwritten is OUR half marker (the exclusive
+          // create succeeded) — withdraw it so the chain's readers
+          // don't stall on an empty payload; created=false means the
+          // create itself lost the race and there is nothing to undo
+          if (created) try fs.delete(p, false) catch {
+            case _: java.io.IOException => ()
+          }
+          false
+      }
     }
 
   /** Segment tags (`ingest=` values) present in a data dir. */
@@ -196,12 +221,26 @@ object IndexLifecycle {
     * the whole segment subtree — strictly stronger idempotency than
     * the dynamic-partition overwrite this replaces. Returns false for
     * an empty segment (nothing written, any previous copy removed).
+    *
+    * Atomicity, honestly: a FIRST seal is all-or-nothing (one rename —
+    * what the rebuild's absorbed-list exactness relies on). A REPLAY
+    * of an existing tag cannot be (no atomic non-empty-dir replace on
+    * HDFS): the old copy swings out and the new one in as two renames,
+    * so a listing in that instruction-wide window misses the segment.
+    * The window only exists on the at-least-once crash-recovery path,
+    * the swung-out copy is parked (not deleted) until the new one is
+    * in place — a crash between the renames leaves the replay to
+    * re-run, never a half-segment — and the replaying trigger's OWN
+    * probe already excludes its tag; only an unrelated concurrent
+    * reader in that window sees the corpus briefly without one batch.
     */
   private def sealSegment(fs: FileSystem, dir: Path, tag: String)
                          (writeSeg: (String, String) => Unit): Boolean = {
     val segDir = new Path(dir, SegPrefix + tag)
     val tmp = new Path(dir, TmpPrefix + tag)
+    val old = new Path(dir, TmpPrefix + tag + ".replaced")
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) fs.delete(old, true)
     writeSeg(dir.toString, tmp.toString)
     val hasData = fs.exists(tmp) && fs.listStatus(tmp).exists { s =>
       val n = s.getPath.getName
@@ -212,9 +251,11 @@ object IndexLifecycle {
       if (fs.exists(segDir)) fs.delete(segDir, true)
       return false
     }
-    if (fs.exists(segDir)) fs.delete(segDir, true)
+    if (fs.exists(segDir) && !fs.rename(segDir, old))
+      sys.error(s"sealSegment: rename $segDir -> $old failed")
     if (!fs.rename(tmp, segDir))
       sys.error(s"sealSegment: rename $tmp -> $segDir failed")
+    fs.delete(old, true)
     true
   }
 
@@ -254,17 +295,22 @@ object IndexLifecycle {
             sealedInto = m.dir
           }
           if (casPublish(fs, main, m.v, m.dir, Seq.empty)) {
-            prune(spark, path); return
+            pruneMarkers(spark, path); return
           }
           val nums = markerNums(fs, main)
-          require(nums.min <= m.v + 1,
-            s"appendSegment($tag) at $path fell more than $MarkerKeep " +
-              "publishes behind — the interval markers are pruned, so " +
-              "absorption can no longer be decided; re-run the append")
-          val between = ((m.v + 1) to nums.max)
-            .flatMap(v => readMarker(fs, main, v))
-          if (between.flatMap(_.absorbed).contains(tag)) return
-          m = between.last
+          if (nums.max == m.v) {
+            // CAS failed without the chain moving — a transient
+            // filesystem error, not a lost race; same manifest, retry
+          } else {
+            require(nums.min <= m.v + 1,
+              s"appendSegment($tag) at $path fell more than $MarkerKeep " +
+                "publishes behind — the interval markers are pruned, so " +
+                "absorption can no longer be decided; re-run the append")
+            val between = ((m.v + 1) to nums.max)
+              .flatMap(v => readMarker(fs, main, v))
+            if (between.flatMap(_.absorbed).contains(tag)) return
+            m = between.last
+          }
         }
         sys.error(s"appendSegment($tag): still losing the version race " +
           s"after 16 attempts at $path")
@@ -332,6 +378,17 @@ object IndexLifecycle {
     * new dir until a commit sticks. Returns the max of the attempts'
     * results (for a forget: the full removal count is the first,
     * converged re-runs remove the stragglers a racing rebuild revived).
+    *
+    * Reader contract, honestly: unlike appends (sealed rename) and
+    * rebuilds (fresh dir + CAS), this mutation kind rewrites files
+    * INSIDE the dir readers resolve — a probe racing the rewrite can
+    * fail transiently or observe partial state for the TOUCHED
+    * partitions (untouched partitions stay byte-stable, so the blast
+    * radius is the victims' partitions, not the index). RTBF is a
+    * rare maintenance operation: run it in a quiet window, or where
+    * that is impossible, express it as a filtered [[rebuild]] (forget
+    * ≡ rebuild-without-ids) and pay the full rewrite for full reader
+    * isolation.
     */
   def mutate(spark: SparkSession, path: String)(op: String => Long): Long = {
     val main = new Path(path)
@@ -352,7 +409,7 @@ object IndexLifecycle {
             ranOn = m.dir
           }
           if (casPublish(fs, main, m.v, m.dir, Seq.empty)) {
-            prune(spark, path)
+            pruneMarkers(spark, path)
             return result
           }
           m = manifest(spark, path).get
@@ -390,6 +447,36 @@ object IndexLifecycle {
         "conversion is a one-time quiet-window operation")
   }
 
+  /** Marker-and-leftover housekeeping WITHOUT data-dir deletion — what
+    * the frequent cheap mutations (append, forget) run after their
+    * version bump. Data-dir retention policy belongs to [[prune]],
+    * which only rebuilds invoke: appends never change the data dir,
+    * so letting them delete retired dirs would apply a DEFAULT
+    * readerGraceMs to a deployment that configured a real one on its
+    * rebuilds — the third-newest dir would vanish under an in-flight
+    * reader the rebuild-side grace had deliberately kept alive.
+    */
+  private def pruneMarkers(spark: SparkSession, path: String,
+                           orphanGraceMs: Long = DefaultOrphanGraceMs): Unit = {
+    val main = new Path(path)
+    val fs = fsOf(spark, main)
+    val nums = markerNums(fs, main).sorted.reverse
+    if (nums.isEmpty) return
+    nums.drop(MarkerKeep).foreach { v =>
+      fs.delete(new Path(main, Marker + Compaction.genName(v)), false)
+    }
+    val manifests = nums.take(MarkerKeep).flatMap(v => readMarker(fs, main, v))
+    manifests.map(_.dir).distinct.take(2).foreach { d =>
+      val dp = new Path(main, d)
+      if (fs.exists(dp)) fs.listStatus(dp).toSeq
+        .filter { s =>
+          s.getPath.getName.startsWith(TmpPrefix) &&
+            System.currentTimeMillis() - s.getModificationTime >= orphanGraceMs
+        }
+        .foreach(s => fs.delete(s.getPath, true))
+    }
+  }
+
   /** Retention: keep the newest [[MarkerKeep]] markers (late mutators
     * reconstruct missed history from them), the data dirs of the last
     * TWO DISTINCT published dirs (append bumps re-reference the same
@@ -399,6 +486,7 @@ object IndexLifecycle {
     * build dirs, and claim tombstones. `readerGraceMs` adds the same
     * wall-time floor as [[Compaction.pruneDataDirs]] for deployments
     * where publishes land closer together than the longest scan.
+    * Only rebuilds call this (see [[pruneMarkers]] for why).
     */
   def prune(spark: SparkSession, path: String,
             orphanGraceMs: Long = DefaultOrphanGraceMs,

@@ -119,6 +119,24 @@ object ScaleSmoke {
         .drop("__r")
     }
 
+    // Shared dirty-feed derivation for the ER linkage curves: one
+    // md5-picked character deleted per master name, ids offset into a
+    // namespace disjoint from EVERY replicated master key (derive the
+    // offset from the replica layout — the er_link hard-coded-offset
+    // collision class, fixed once, must not be re-introduced per site).
+    def crmFeed(masters: DataFrame, idOffset: Long): DataFrame = {
+      val p = (pmod(conv(substring(md5(
+          concat(lit("crm:"), col("c_custkey").cast("string"))),
+          1, 8), 16, 10).cast("long"),
+        length(col("c_name")).cast("long")) + 1).cast("int")
+      masters.select(
+        (col("c_custkey") + idOffset).as("f_id"),
+        concat(col("c_name").substr(lit(1), p - 1),
+          col("c_name").substr(p + 1, length(col("c_name"))))
+          .as("f_name"),
+        col("c_nationkey").as("f_nation"))
+    }
+
     val docs = graft.util.Tables(spark, sfDir, "documents")
     val emb = graft.util.Tables(spark, sfDir, "embeddings")
     val events = graft.util.Tables(spark, sfDir, "events")
@@ -358,21 +376,7 @@ object ScaleSmoke {
       // er_pairs, never |A|·|B|
       timed(s"er_link x$n") {
         val m = replicateCustomers(customer, n)
-        // feed ids must live in a namespace disjoint from EVERY
-        // replicated master key (linkPairs' contract) — derive the
-        // offset from the replica layout instead of hard-coding one
-        // that (n+1)·ReplicaStep would eventually collide with
-        val feedOffset = (n + 1).toLong * ReplicaStep
-        val p = (pmod(conv(substring(md5(
-            concat(lit("crm:"), col("c_custkey").cast("string"))),
-            1, 8), 16, 10).cast("long"),
-          length(col("c_name")).cast("long")) + 1).cast("int")
-        val feed = m.select(
-          (col("c_custkey") + feedOffset).as("f_id"),
-          concat(col("c_name").substr(lit(1), p - 1),
-            col("c_name").substr(p + 1, length(col("c_name"))))
-            .as("f_name"),
-          col("c_nationkey").as("f_nation"))
+        val feed = crmFeed(m, (n + 1).toLong * ReplicaStep)
         graft.ops.EntityResolution.linkPairs(
           m, "c_custkey", "c_name", "c_nationkey",
           feed, "f_id", "f_name", "f_nation", maxDist = 1).count()
@@ -469,17 +473,8 @@ object ScaleSmoke {
             m, "c_custkey", "c_name", "c_nationkey", erIdx)
           spark.read.parquet(erIdx).count()
         }
-        val base0 = m.filter(col("c_custkey") < ReplicaStep)
-        val p = (pmod(conv(substring(md5(
-            concat(lit("crm:"), col("c_custkey").cast("string"))),
-            1, 8), 16, 10).cast("long"),
-          length(col("c_name")).cast("long")) + 1).cast("int")
-        val feed = base0.select(
-          (col("c_custkey") + (n + 1).toLong * ReplicaStep).as("f_id"),
-          concat(col("c_name").substr(lit(1), p - 1),
-            col("c_name").substr(p + 1, length(col("c_name"))))
-            .as("f_name"),
-          col("c_nationkey").as("f_nation"))
+        val feed = crmFeed(m.filter(col("c_custkey") < ReplicaStep),
+          (n + 1).toLong * ReplicaStep)
         timed(s"er_index_probe x$n")(
           graft.ops.EntityResolution.linkAgainstIndex(spark, erIdx, feed,
             "f_id", "f_name", "f_nation", maxDist = 1).count())

@@ -33,9 +33,20 @@ object TempFixtures {
     hook
     cache.computeIfAbsent(key, _ => {
       val prefix = "graft_fx_" + key.takeWhile(_ != ':')
-      val p = java.nio.file.Files
-        .createTempDirectory(prefix).toString + "/index"
-      build(p)
+      val root = java.nio.file.Files.createTempDirectory(prefix)
+      val p = root.toString + "/index"
+      try build(p)
+      catch {
+        case t: Throwable =>
+          // a half-built fixture must neither be cached (the next call
+          // retries the build) nor leak its temp dir
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(root).iterator.asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: java.io.IOException => () }
+          throw t
+      }
       p
     })
   }

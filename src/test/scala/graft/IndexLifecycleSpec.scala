@@ -152,6 +152,38 @@ class IndexLifecycleSpec extends AnyFunSuite {
       == Seq("base"))
   }
 
+  test("forget fenced by a concurrent rebuild: re-runs on the winner's output, deletion converges") {
+    import graft.ops.Forget
+    val base = 0L until 30L
+    val idx = newIndex("graft_ixmf", base)
+    val victims = Seq(3L, 7L, 11L)
+    // raced RTBF: a rebuild publishes BETWEEN the forget's in-place
+    // rewrite and its version commit — the rebuild read pre-forget
+    // state, so its output revives the victims' postings; the fenced
+    // mutate must re-run the (idempotent) rewrite against the winning
+    // dir until its commit sticks
+    var first = true
+    val removed = IndexLifecycle.mutate(spark, idx) { dir =>
+      if (first) {
+        first = false
+        // the rebuild reads the PRE-forget state and publishes a new
+        // dir that still carries the victims — the revival this test
+        // exists to prove the mutate loop repairs
+        Dedup.rebuildShingleIndex(spark, idx, nBuckets = NB)
+      }
+      Forget.rewriteWithout(spark, dir,
+        Seq("ingest", "bucket"), "doc", victims)
+    }
+    assert(removed > 0L)
+    val survivors = postings(idx)
+    assert(survivors == expected(base.filterNot(victims.contains)),
+      "raced forget left revived or extra postings")
+    assert(!survivors.exists(p => victims.contains(p._1)))
+    assert(dupPostings(idx).isEmpty)
+    // idempotent: converged state has nothing left to remove
+    assert(Forget.fromShingleIndex(spark, idx, victims) == 0L)
+  }
+
   test("two concurrent rebuilders: CAS picks one winner per version, loser retries, content converges") {
     val base = 0L until 30L
     val idx = newIndex("graft_ixrr", base)
