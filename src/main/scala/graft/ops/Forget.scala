@@ -159,4 +159,20 @@ object Forget {
                     docIds: Seq[Long]): Long =
     graft.sources.IndexLifecycle.mutate(spark, indexPath)(dir =>
       rewriteWithout(spark, dir, Seq("ingest", "bucket"), "doc", docIds))
+
+  /** Forget documents in a persisted BM25 postings index
+    * ([[Search.writeBm25Index]] layout: `ingest=<tag>/bucket=<n>`,
+    * columns `doc_id`, `t`, `tf`, `len`). A doc's posting rows are its
+    * own; the per-segment corpus stats (N, sum_len) are NOT
+    * decremented — they are corpus constants on the hot-list policy,
+    * refreshed by the periodic rebuild. Until then a stale (larger) N
+    * biases every term's idf upward and avgdl stays put — a bounded,
+    * forgotten-fraction-sized scoring drift, never a missing or
+    * resurrected document (dft and the postings themselves are exact
+    * immediately).
+    */
+  def fromBm25Index(spark: SparkSession, indexPath: String,
+                    docIds: Seq[Long]): Long =
+    graft.sources.IndexLifecycle.mutate(spark, indexPath)(dir =>
+      rewriteWithout(spark, dir, Seq("ingest", "bucket"), "doc_id", docIds))
 }

@@ -113,14 +113,15 @@ object Search {
     * so the two sides cannot drift. Expression shapes are verbatim
     * copies of the Spark columns above.
     */
-  def bm25OracleSql(queries: Seq[(Int, String)], k: Int): String = {
+  def bm25OracleSql(queries: Seq[(Int, String)], k: Int,
+                    where: String = ""): String = {
     val qvals = queries
       .flatMap { case (qid, q) => q.split(" ").filter(_.nonEmpty).distinct
         .map(t => s"($qid, '${t.replace("'", "''")}')") } // SQL-escape quotes
       .mkString(", ")
     s"""WITH tok AS (
         SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
-        FROM documents),
+        FROM documents $where),
       tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
       doclen AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY doc_id),
       stats AS (SELECT count(*) AS n, CAST(sum(len) AS DOUBLE) / count(*) AS avglen FROM doclen),
@@ -168,6 +169,195 @@ object Search {
     index.unionByName(batch)
       .groupBy("t")
       .agg(sum(col("dft")).as("dft"), sum(col("tf_total")).as("tf_total"))
+
+  // -------------------------------------------------- persisted index
+
+  /** The persisted BM25 postings index — the retrieval op joins the
+    * [[graft.sources.IndexLifecycle]] contract as the seventh family
+    * (shingle, cell, IVF, phash, variants, spans, postings): the
+    * search-engine economics where the corpus is tokenized ONCE by an
+    * offline build and every query batch touches only its own terms'
+    * postings.
+    *
+    * Layout: `ingest=<tag>/bucket=pmod(xxhash64(term), nBuckets)` with
+    * columns (doc_id, t, tf, len) — the doc length rides denormalized
+    * on each posting row so scoring never joins a second corpus-sized
+    * table. Each segment carries a `_graft_seg_stats` sidecar inside
+    * its directory (docs, sum_len): document sets are disjoint across
+    * segments by the append contract, so the corpus constants N and
+    * avgdl are exact SUMS of per-segment stats — bounded driver-side
+    * reads, never a corpus scan per query. A probe pushes its query
+    * terms' buckets as a partition filter: the scan is ∝ the touched
+    * buckets' postings, the IVF-probe pattern applied to text
+    * retrieval.
+    *
+    * Forget ([[Forget.fromBm25Index]]) removes a doc's posting rows
+    * exactly; the per-segment stats are NOT decremented (corpus
+    * constants, the hot-list/centroid policy) — N and avgdl drift by
+    * the forgotten fraction until the periodic rebuild refreshes them,
+    * shifting every score identically and no ranking materially.
+    */
+  private def bm25ParamsSidecar(dir: String) = s"$dir/_graft_bm25_params"
+  private def segStatsDir(segDir: String) = s"$segDir/_graft_seg_stats"
+
+  private def writeBm25Params(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, nBuckets: Int): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(nBuckets)).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(bm25ParamsSidecar(dir))
+  }
+
+  private def requireBm25Params(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, nBuckets: Int): Unit = {
+    val nb = spark.read.parquet(bm25ParamsSidecar(dir)).head().getInt(0)
+    require(nb == nBuckets,
+      s"bm25 index at $dir was built with nBuckets=$nb — caller passed " +
+        s"$nBuckets; mismatched bucketing would silently miss postings")
+  }
+
+  /** One batch's posting rows (doc_id, t, tf, len, bucket) — len is
+    * the sum of the doc's tfs, matching the oracle's doclen-from-tf
+    * derivation (empty docs emit nothing on either side).
+    */
+  private def postingRows(docs: DataFrame, idCol: String, textCol: String,
+                          nBuckets: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    tf.withColumn("len",
+        sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("bucket", pmod(xxhash64(col("t")), lit(nBuckets)).cast("int"))
+  }
+
+  private def writeSegStats(spark: org.apache.spark.sql.SparkSession,
+                            rows: DataFrame, segDir: String): Unit =
+    rows.select(col("doc_id"), col("len")).distinct()
+      .agg(count(lit(1)).as("docs"),
+        sum(col("len")).as("sum_len"))
+      .coalesce(1).write.mode("overwrite").parquet(segStatsDir(segDir))
+
+  def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                     indexPath: String, nBuckets: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    val rows = graft.util.Caches.own(
+      postingRows(docs, idCol, textCol, nBuckets))
+    rows
+      .withColumn("ingest", lit("base"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("ingest", "bucket")
+      .parquet(indexPath)
+    writeSegStats(spark, rows, s"$indexPath/ingest=base")
+    writeBm25Params(spark, indexPath, nBuckets)
+  }
+
+  /** Append one ingest batch's postings under `ingest=<tag>` —
+    * batchId-keyed, replay-idempotent (sealed-segment contract). Doc
+    * ids must be new to the index: the per-segment stats sum exactly
+    * because document sets are disjoint, the same
+    * each-doc-in-exactly-one-segment contract every family carries.
+    */
+  def appendToBm25Index(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, batch: DataFrame,
+                        idCol: String, textCol: String,
+                        ingestTag: String, nBuckets: Int = 16): Unit =
+    graft.sources.IndexLifecycle.appendSegment(spark, indexPath, ingestTag) {
+      (dir, tmp) =>
+        requireBm25Params(spark, dir, nBuckets)
+        val rows = graft.util.Caches.own(
+          postingRows(batch, idCol, textCol, nBuckets))
+        rows
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        // the stats sidecar rides INSIDE the temp dir through the
+        // atomic segment rename — stats and postings commit together
+        writeSegStats(spark, rows, tmp)
+    }
+
+  /** Fenced segment-merge rebuild: postings collapse to base
+    * (distinct() guards a doc replayed under two tags) and the corpus
+    * stats are recomputed fresh over the union — the forget drift
+    * window closes here, the hot-list refresh policy.
+    */
+  def rebuildBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, nBuckets: Int = 16): Unit =
+    graft.sources.IndexLifecycle.rebuild(spark, indexPath) {
+      (src, _, dst) =>
+        val rows = graft.util.Caches.own(
+          src.select(col("doc_id"), col("t"), col("tf"), col("len"))
+            .distinct()
+            .withColumn("bucket",
+              pmod(xxhash64(col("t")), lit(nBuckets)).cast("int")))
+        rows
+          .withColumn("ingest", lit("base"))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("ingest", "bucket")
+          .parquet(dst)
+        writeSegStats(spark, rows, s"$dst/ingest=base")
+        writeBm25Params(spark, dst, nBuckets)
+    }
+
+  /** BM25 top-k against the PERSISTED index: the query set's term
+    * buckets prune the scan at the partition level, dft comes from the
+    * touched postings (one doc per segment ⇒ a count IS the df), the
+    * corpus constants sum from the per-segment stats sidecars (bounded
+    * driver reads), and the scoring expression is byte-identical to
+    * [[bm25TopK]] — so the result equals the one-shot pass over the
+    * indexed population at per-query cost ∝ hit lists, never corpus.
+    *
+    * `excludeIngest`: a streaming ingest loop's replayed trigger skips
+    * its own segment (rows AND stats), the standard at-least-once
+    * window closure.
+    */
+  def bm25AgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, queries: Seq[(Int, String)],
+                       k: Int, nBuckets: Int = 16,
+                       excludeIngest: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = graft.sources.IndexLifecycle.resolveDir(spark, indexPath)
+    requireBm25Params(spark, dir, nBuckets)
+    val qterms = queries
+      .flatMap { case (qid, q) => q.split(" ").filter(_.nonEmpty).distinct
+        .map(t => (qid, t)) }
+      .toDF("qid", "t")
+      .withColumn("bucket", pmod(xxhash64(col("t")), lit(nBuckets)).cast("int"))
+    val touched = qterms.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = graft.sources.IndexLifecycle
+      .segmentsOf(fs, new Path(dir))
+      .filterNot(excludeIngest.contains)
+    val (n, sumLen) = segs.map { tag =>
+      val r = spark.read.parquet(segStatsDir(s"$dir/ingest=$tag")).head()
+      (r.getLong(0), r.getLong(1))
+    }.foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+    require(n > 0, s"bm25 index at $dir holds no documents")
+    val avglen = sumLen.toDouble / n
+    val posts0 = spark.read.parquet(dir)
+      .filter(col("bucket").isin(touched: _*))
+    val posts = excludeIngest.fold(posts0)(t =>
+      posts0.filter(col("ingest") =!= lit(t)))
+    val hits = posts.join(broadcast(qterms.select("qid", "t")), "t")
+    // one doc lives in exactly one segment ⇒ count per term = df
+    val dft = hits.select(col("t"), col("doc_id")).distinct()
+      .groupBy("t").agg(count(lit(1)).as("dft"))
+    val idf = log(((lit(n) - col("dft")) + lit(0.5)) / (col("dft") + lit(0.5)) + lit(1.0))
+    val tfn = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("len") / lit(avglen))))
+    val scored = hits
+      .join(broadcast(dft), "t")
+      .withColumn("score_u", floor(idf * tfn * lit(1e6)).cast("long"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("score_u")).as("score_u"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_u").desc, col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("doc_id"), col("rn"),
+        col("score_u"), (col("score_u").cast("double") / 1e6).as("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
 
   /** Per-document top-k keywords by tf-idf — the document→vocabulary
     * direction ([[bm25TopK]] is query→document retrieval): the tags a
@@ -219,6 +409,29 @@ object Search {
       (s, d) => bm25TopK(Tables(s, d, "documents"), "doc_id", "text",
         registeredQueries, 10),
       Some(bm25OracleSql(registeredQueries, 10))),
+
+    // BM25 against the PERSISTED postings index (build over doc_id
+    // %10≠0, one appended %20==0 ingest segment, the standard
+    // incremental-fixture split): term buckets pruned at the partition
+    // level, dft from the touched postings, corpus constants summed
+    // from the per-segment stats sidecars. The oracle is the SAME
+    // generated BM25 replay restricted to the indexed population —
+    // identical ranking math by construction; the index changes the
+    // cost model (per-query work ∝ hit lists), not one score. Fixture
+    // memoized per dataset dir; the query times the probe.
+    GQuery("search_bm25_incremental",
+      (s, d) => {
+        val idx = graft.util.TempFixtures.dir(s"bm25idx:$d") { p =>
+          val docs = Tables(s, d, "documents")
+          writeBm25Index(docs.filter(col("doc_id") % 10 =!= 0),
+            "doc_id", "text", p)
+          appendToBm25Index(s, p, docs.filter(col("doc_id") % 20 === 0),
+            "doc_id", "text", ingestTag = "b0")
+        }
+        bm25AgainstIndex(s, idx, registeredQueries, 10)
+      },
+      Some(bm25OracleSql(registeredQueries, 10,
+        "WHERE doc_id % 10 <> 0 OR doc_id % 20 = 0"))),
 
     // Misra-Gries heavy hitters in the exact regime: capacity 64 ≥ the
     // corpus's 31-token vocabulary, so no counter is ever evicted and

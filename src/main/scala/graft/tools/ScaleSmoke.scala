@@ -479,6 +479,23 @@ object ScaleSmoke {
           graft.ops.EntityResolution.linkAgainstIndex(spark, erIdx, feed,
             "f_id", "f_name", "f_nation", maxDist = 1).count())
       }
+      // Persisted BM25 postings index: build over n× docs, probe the
+      // FIXED replica-0-tagged query set. Expectation: linear build,
+      // near-flat probe (hit lists fixed; only the touched buckets'
+      // linear growth shows).
+      locally {
+        val bmIdx = java.nio.file.Files
+          .createTempDirectory(s"graft_scale_bm25_x$n").toString + "/index"
+        timed(s"bm25_index_build x$n") {
+          graft.ops.Search.writeBm25Index(d, "doc_id", "text", bmIdx)
+          spark.read.parquet(bmIdx).count()
+        }
+        val q0 = graft.ops.Search.registeredQueries.map { case (qid, q) =>
+          (qid, q.split(" ").map(t => s"${t}_0").mkString(" "))
+        }
+        timed(s"bm25_index_probe x$n")(
+          graft.ops.Search.bm25AgainstIndex(spark, bmIdx, q0, 10).count())
+      }
       // Persisted span-fingerprint index: build over n× docs, probe a
       // FIXED batch (replica-0 %20==10 docs). Same shape expectation as
       // er_index_probe: the batch's k-grams bucket everywhere, so the

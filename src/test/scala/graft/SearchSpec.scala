@@ -188,4 +188,57 @@ class SearchSpec extends AnyFunSuite {
     val d2 = got.filter(r => r._1 == 2L).sortBy(_._5).map(_._2)
     assert(d2.indexOf("garden") < d2.indexOf("the"))
   }
+
+  test("bm25 index: probe ≡ one-shot over the union; replay idempotent; forget + rebuild") {
+    import graft.ops.Forget
+    val docs = Tables(spark, sfDir, "documents")
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val seg = docs.filter(col("doc_id") % 20 === 0)
+    val qs = Search.registeredQueries
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bm25idx_spec").toString + "/index"
+    Search.writeBm25Index(base, "doc_id", "text", idx)
+    Search.appendToBm25Index(spark, idx, seg, "doc_id", "text", "b0")
+    def probe() = Search.bm25AgainstIndex(spark, idx, qs, 10)
+      .select("qid", "doc_id", "rn", "score_u")
+      .as[(Int, Long, Int, Long)].collect().toSet
+    val got = probe()
+    val oneShot = Search.bm25TopK(base.unionByName(seg),
+        "doc_id", "text", qs, 10)
+      .select("qid", "doc_id", "rn", "score_u")
+      .as[(Int, Long, Int, Long)].collect().toSet
+    assert(got == oneShot, "index probe diverged from the one-shot pass")
+    assert(got.nonEmpty)
+    // at-least-once replay: byte-identical postings, identical probe
+    def rows() = spark.read.parquet(
+        graft.sources.IndexLifecycle.resolveDir(spark, idx))
+      .select("doc_id", "t", "tf", "len").collect().map(_.toString).sorted.toSeq
+    val before = rows()
+    Search.appendToBm25Index(spark, idx, seg, "doc_id", "text", "b0")
+    assert(rows() == before, "replayed append must be a no-op")
+    assert(probe() == oneShot)
+    // RTBF: forgotten docs leave the rankings; dft and postings are
+    // exact immediately (the stale-N idf drift only perturbs absolute
+    // scores, so compare MEMBERSHIP here, exact scores after rebuild)
+    val victims = got.map(_._2).toSeq.distinct.sorted.take(3)
+    assert(Forget.fromBm25Index(spark, idx, victims) > 0L)
+    val afterForget = probe()
+    assert(victims.forall(v => !afterForget.exists(_._2 == v)),
+      "forgotten docs still ranked")
+    // rebuild refreshes the corpus stats: probe must now equal the
+    // one-shot pass over the SURVIVING population exactly
+    Search.rebuildBm25Index(spark, idx)
+    val survivors = base.unionByName(seg)
+      .filter(!col("doc_id").isin(victims: _*))
+    val oneShotAfter = Search.bm25TopK(survivors, "doc_id", "text", qs, 10)
+      .select("qid", "doc_id", "rn", "score_u")
+      .as[(Int, Long, Int, Long)].collect().toSet
+    assert(probe() == oneShotAfter,
+      "rebuilt index diverged from the surviving one-shot pass")
+    val dir = graft.sources.IndexLifecycle.resolveDir(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.sources.IndexLifecycle.segmentsOf(fs,
+      new org.apache.hadoop.fs.Path(dir)) == Seq("base"))
+  }
 }
