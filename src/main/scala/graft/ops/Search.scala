@@ -63,8 +63,7 @@ object Search {
     //     the only index shuffle is ∝ the hit lists, not the corpus.
     // The long-lived-index production path (build once, reuse across
     // query batches) remains termStats/mergeTermStats below.
-    val qtermSet = queries
-      .flatMap(_._2.split(" ").filter(_.nonEmpty)).distinct
+    val qtermSet = qidTerms(queries).map(_._2).distinct
     val docLen = docs
       .select(col(idCol).as("doc_id"), size(toks(col(textCol))).as("len"))
       // mirror the tf-derived domain: docs with ≥ 1 token (the oracle's
@@ -79,10 +78,7 @@ object Search {
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy("t").agg(count(lit(1)).as("dft"))
 
-    val qterms = queries
-      .flatMap { case (qid, q) => q.split(" ").filter(_.nonEmpty).distinct
-        .map(t => (qid, t)) }
-      .toDF("qid", "t")
+    val qterms = qidTerms(queries).toDF("qid", "t")
 
     // one fixed IEEE expression shape — mirrored verbatim in the oracle
     val idf = log(((col("n") - col("dft")) + lit(0.5)) / (col("dft") + lit(0.5)) + lit(1.0))
@@ -115,9 +111,8 @@ object Search {
     */
   def bm25OracleSql(queries: Seq[(Int, String)], k: Int,
                     where: String = ""): String = {
-    val qvals = queries
-      .flatMap { case (qid, q) => q.split(" ").filter(_.nonEmpty).distinct
-        .map(t => s"($qid, '${t.replace("'", "''")}')") } // SQL-escape quotes
+    val qvals = qidTerms(queries)
+      .map { case (qid, t) => s"($qid, '${t.replace("'", "''")}')" } // SQL-escape
       .mkString(", ")
     s"""WITH tok AS (
         SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
@@ -229,11 +224,24 @@ object Search {
       .withColumn("bucket", pmod(xxhash64(col("t")), lit(nBuckets)).cast("int"))
   }
 
+  /** One (qid, term) pair per distinct query term — THE query
+    * expansion, shared by the one-shot scorer, the index probe, and
+    * (as its VALUES list) the generated oracle: the probe/oracle
+    * equivalence depends on all sides splitting queries identically.
+    */
+  private def qidTerms(queries: Seq[(Int, String)]): Seq[(Int, String)] =
+    queries.flatMap { case (qid, q) =>
+      q.split(" ").filter(_.nonEmpty).distinct.map(t => (qid, t))
+    }
+
   private def writeSegStats(spark: org.apache.spark.sql.SparkSession,
                             rows: DataFrame, segDir: String): Unit =
     rows.select(col("doc_id"), col("len")).distinct()
+      // coalesce: an all-empty-docs build still emits one stats row
+      // (docs=0, sum_len would be NULL) — a NULL would NPE every later
+      // probe's stats fold, permanently poisoning the index
       .agg(count(lit(1)).as("docs"),
-        sum(col("len")).as("sum_len"))
+        coalesce(sum(col("len")), lit(0L)).as("sum_len"))
       .coalesce(1).write.mode("overwrite").parquet(segStatsDir(segDir))
 
   def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
@@ -316,9 +324,7 @@ object Search {
     import org.apache.hadoop.fs.Path
     val dir = graft.sources.IndexLifecycle.resolveDir(spark, indexPath)
     requireBm25Params(spark, dir, nBuckets)
-    val qterms = queries
-      .flatMap { case (qid, q) => q.split(" ").filter(_.nonEmpty).distinct
-        .map(t => (qid, t)) }
+    val qterms = qidTerms(queries)
       .toDF("qid", "t")
       .withColumn("bucket", pmod(xxhash64(col("t")), lit(nBuckets)).cast("int"))
     val touched = qterms.select("bucket").distinct()
@@ -327,17 +333,25 @@ object Search {
     val segs = graft.sources.IndexLifecycle
       .segmentsOf(fs, new Path(dir))
       .filterNot(excludeIngest.contains)
-    val (n, sumLen) = segs.map { tag =>
-      val r = spark.read.parquet(segStatsDir(s"$dir/ingest=$tag")).head()
-      (r.getLong(0), r.getLong(1))
-    }.foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+    require(segs.nonEmpty, s"bm25 index at $dir holds no segments")
+    // ONE job over every segment's stats file — a per-segment
+    // sequential head() loop would pay linear driver-side scheduling
+    // on exactly the many-ingest-batches path this index targets
+    val statsRow = spark.read
+      .parquet(segs.map(t => segStatsDir(s"$dir/ingest=$t")): _*)
+      .agg(sum(col("docs")), sum(col("sum_len"))).head()
+    val (n, sumLen) = (statsRow.getLong(0), statsRow.getLong(1))
     require(n > 0, s"bm25 index at $dir holds no documents")
     val avglen = sumLen.toDouble / n
     val posts0 = spark.read.parquet(dir)
       .filter(col("bucket").isin(touched: _*))
     val posts = excludeIngest.fold(posts0)(t =>
       posts0.filter(col("ingest") =!= lit(t)))
-    val hits = posts.join(broadcast(qterms.select("qid", "t")), "t")
+    // the hit frame feeds BOTH the dft aggregate and the scoring join —
+    // own the persist so the bucket scan runs once (the coverage/link
+    // probe discipline); swept by the caller's harness
+    val hits = graft.util.Caches.own(
+      posts.join(broadcast(qterms.select("qid", "t")), "t"))
     // one doc lives in exactly one segment ⇒ count per term = df
     val dft = hits.select(col("t"), col("doc_id")).distinct()
       .groupBy("t").agg(count(lit(1)).as("dft"))

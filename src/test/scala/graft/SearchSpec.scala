@@ -209,6 +209,19 @@ class SearchSpec extends AnyFunSuite {
       .as[(Int, Long, Int, Long)].collect().toSet
     assert(got == oneShot, "index probe diverged from the one-shot pass")
     assert(got.nonEmpty)
+    // the streaming replay-window closure: excluding a segment must
+    // drop it from BOTH the postings AND the stats fold — a probe
+    // excluding b0 must equal the one-shot pass over base ALONE (any
+    // stats/postings asymmetry would shift every score)
+    val exB0 = Search.bm25AgainstIndex(spark, idx, qs, 10,
+        excludeIngest = Some("b0"))
+      .select("qid", "doc_id", "rn", "score_u")
+      .as[(Int, Long, Int, Long)].collect().toSet
+    val baseOnly = Search.bm25TopK(base, "doc_id", "text", qs, 10)
+      .select("qid", "doc_id", "rn", "score_u")
+      .as[(Int, Long, Int, Long)].collect().toSet
+    assert(exB0 == baseOnly,
+      "excluded-segment probe must equal the base-only one-shot pass")
     // at-least-once replay: byte-identical postings, identical probe
     def rows() = spark.read.parquet(
         graft.sources.IndexLifecycle.resolveDir(spark, idx))
