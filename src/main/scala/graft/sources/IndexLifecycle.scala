@@ -99,6 +99,29 @@ object IndexLifecycle {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Invalidate any cached plans reading under `path`. A DataFrame
+    * WRITE triggers Spark's own recacheByPath, but the lifecycle's
+    * mutations commit through RAW FileSystem renames (sealed segments,
+    * version publishes) that Spark never sees — without this, a
+    * persisted frame built over the index (a probe's owned hit cache,
+    * a user's .cache()) keeps serving the pre-mutation file set
+    * forever. Measured: a standing-query probe re-run after a sealed
+    * append returned the old corpus with fresh stats — stale rows,
+    * current constants, silently wrong.
+    *
+    * refreshByPath RE-MATERIALIZES the affected entries, which throws
+    * if a stale plan no longer parses against the mutated layout (a
+    * cached flat-root read after the first rebuild converts the index
+    * to generational hits CONFLICTING_DIRECTORY_STRUCTURES). The
+    * intent here is INVALIDATION, not refresh — so a failed recache
+    * falls back to dropping the whole session cache: a recompute cost
+    * for unrelated entries, never a correctness cost, and only on the
+    * rare layout-changing mutation.
+    */
+  private def refresh(spark: SparkSession, path: String): Unit =
+    try spark.catalog.refreshByPath(path)
+    catch { case scala.util.control.NonFatal(_) => spark.catalog.clearCache() }
+
   private def markerNums(fs: FileSystem, main: Path): Seq[Long] =
     Compaction.listNums(fs, main, Marker)
 
@@ -283,7 +306,8 @@ object IndexLifecycle {
     requireCapableFs(fs, "IndexLifecycle.appendSegment")
     manifest(spark, path) match {
       case None =>
-        sealSegment(fs, main, tag)(writeSeg); ()
+        sealSegment(fs, main, tag)(writeSeg)
+        refresh(spark, path)
       case Some(m0) =>
         var m = m0
         var sealedInto: String = null
@@ -295,7 +319,7 @@ object IndexLifecycle {
             sealedInto = m.dir
           }
           if (casPublish(fs, main, m.v, m.dir, Seq.empty)) {
-            pruneMarkers(spark, path); return
+            pruneMarkers(spark, path); refresh(spark, path); return
           }
           val nums = markerNums(fs, main)
           if (nums.max == m.v) {
@@ -359,6 +383,7 @@ object IndexLifecycle {
       build(src, srcDir.toString, new Path(main, dirName).toString)
       if (casPublish(fs, main, m.v, dirName, segs)) {
         prune(spark, path, orphanGraceMs, readerGraceMs)
+        refresh(spark, path)
         return
       }
       // fenced: drop the stale build, KEEP the claim (number-reuse
@@ -410,6 +435,7 @@ object IndexLifecycle {
           }
           if (casPublish(fs, main, m.v, m.dir, Seq.empty)) {
             pruneMarkers(spark, path)
+            refresh(spark, path)
             return result
           }
           m = manifest(spark, path).get
@@ -445,6 +471,7 @@ object IndexLifecycle {
     if (!casPublish(fs, main, 0L, dirName, Seq.empty))
       sys.error(s"convert: concurrent conversion detected at $path — " +
         "conversion is a one-time quiet-window operation")
+    refresh(spark, path)
   }
 
   /** Marker-and-leftover housekeeping WITHOUT data-dir deletion — what

@@ -66,6 +66,8 @@ object StreamingDedup {
         .partitionBy("batch").parquet(pairsDir)
       Dedup.appendToShingleIndex(spark, indexPath, batch,
         idCol, textCol, n, ingestTag = s"b$batchId", nBuckets = nBuckets)
+      graft.util.Caches.sweep() // operator-owned persists live ONE trigger
+      ()
     }
 
   /** The same probe-then-append streaming loop over EMBEDDINGS: each
@@ -94,6 +96,8 @@ object StreamingDedup {
         .partitionBy("batch").parquet(pairsDir)
       graft.ops.SemDedup.appendToCellIndex(spark, indexPath, batch,
         idCol, vecCol, ingestTag = s"b$batchId")
+      graft.util.Caches.sweep() // operator-owned persists live ONE trigger
+      ()
     }
 
   /** The probe-then-append loop for IMAGES: each micro-batch's
@@ -120,6 +124,8 @@ object StreamingDedup {
         .partitionBy("batch").parquet(pairsDir)
       graft.ops.Multimodal.appendToPhashIndex(spark, indexPath, batch,
         ingestTag = s"b$batchId", maxDist = maxDist, nBuckets = nBuckets)
+      graft.util.Caches.sweep() // operator-owned persists live ONE trigger
+      ()
     }
 
   /** Streaming ENTITY RESOLUTION on master-table ingest — the
@@ -153,6 +159,40 @@ object StreamingDedup {
       graft.ops.EntityResolution.appendToVariantIndex(spark, indexPath,
         batch, idCol, nameCol, blockCol, ingestTag = s"b$batchId",
         maxDist = maxDist, nBuckets = nBuckets)
+      graft.util.Caches.sweep() // operator-owned persists live ONE trigger
+      ()
+    }
+
+  /** Streaming RETRIEVAL REFRESH on corpus ingest — the BM25 postings
+    * index's streaming path: each micro-batch of new documents joins
+    * the index under `ingest=b<id>` (sealed, batchId-idempotent), then
+    * the STANDING query set re-ranks over the grown corpus and the
+    * refreshed top-k snapshot lands in `outDir/batch=<id>` — the
+    * saved-search / alerting shape, where results must reflect every
+    * document ingested so far. Unlike the dedup loops the probe runs
+    * AFTER the append and does NOT exclude the batch's own segment:
+    * the snapshot is supposed to include the new documents, and a
+    * replayed trigger re-appends idempotently then recomputes the
+    * identical snapshot into its own partition. Per-trigger cost:
+    * batch tokenization (map-only) + the standing queries' hit-list
+    * probe — ∝ batch + hits, never corpus.
+    */
+  def attachBm25(docs: DataFrame, idCol: String, textCol: String,
+                 indexPath: String, outDir: String,
+                 standingQueries: Seq[(Int, String)], k: Int = 10,
+                 nBuckets: Int = 16): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      graft.ops.Search.appendToBm25Index(spark, indexPath, batch,
+        idCol, textCol, ingestTag = s"b$batchId", nBuckets = nBuckets)
+      graft.ops.Search.bm25AgainstIndex(spark, indexPath,
+          standingQueries, k, nBuckets)
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(outDir)
+      graft.util.Caches.sweep() // operator-owned persists live ONE trigger
+      ()
     }
 
   /** The full per-batch CURATION loop — the streaming composition of
@@ -202,5 +242,7 @@ object StreamingDedup {
         .partitionBy("batch").parquet(outDir)
       graft.ops.Dedup.appendToShingleIndex(spark, indexPath, survivors,
         idCol, textCol, n, ingestTag = s"b$batchId", nBuckets = nBuckets)
+      graft.util.Caches.sweep() // operator-owned persists live ONE trigger
+      ()
     }
 }

@@ -1088,6 +1088,58 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(perVec.values.forall(_ == 1L), s"vector spread over ingests: $perVec")
   }
 
+  test("streaming retrieval refresh: append-then-rank over the bm25 index, snapshots grow with the corpus") {
+    // attachBm25 = the saved-search loop: every batch joins the index,
+    // then the STANDING queries re-rank over the grown corpus — batch
+    // 1's snapshot must surface a batch-1 document that outranks
+    // everything older (proof the append landed before the rank), and
+    // each snapshot equals the one-shot pass over its corpus prefix.
+    import graft.ops.Search
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq(
+      (1L, "spark engine runs the query"),
+      (2L, "a window over the table")).toDF("doc_id", "text")
+    val standing = Seq(1 -> "spark query")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bm25stream").toString
+    val idx = root + "/index"
+    val out = root + "/snapshots"
+    Search.writeBm25Index(base, "doc_id", "text", idx)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.attachBm25(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idx, out, standing, k = 3)
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    try {
+      input.addData((10L, "nothing relevant here at all"))
+      q.processAllAvailable()
+      // a short doc repeating both query terms — must take rank 1
+      input.addData((20L, "spark query spark query"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val snaps = spark.read.parquet(out)
+      .select("batch", "qid", "doc_id", "rn", "score_u")
+      .as[(Int, Int, Long, Int, Long)].collect()
+    // batch-1 snapshot: doc 20 rank 1
+    assert(snaps.exists(s => s._1 == 1 && s._3 == 20L && s._4 == 1),
+      s"new best doc not rank-1 in the refreshed snapshot: ${snaps.toSeq}")
+    // each snapshot ≡ the one-shot pass over its corpus prefix
+    val s0 = snaps.filter(_._1 == 0).map(t => (t._2, t._3, t._4, t._5)).toSet
+    val s1 = snaps.filter(_._1 == 1).map(t => (t._2, t._3, t._4, t._5)).toSet
+    def oneShot(docs: org.apache.spark.sql.DataFrame) =
+      Search.bm25TopK(docs, "doc_id", "text", standing, 3)
+        .select("qid", "doc_id", "rn", "score_u")
+        .as[(Int, Long, Int, Long)].collect().toSet
+    val b0 = base.unionByName(
+      Seq((10L, "nothing relevant here at all")).toDF("doc_id", "text"))
+    val b1 = b0.unionByName(
+      Seq((20L, "spark query spark query")).toDF("doc_id", "text"))
+    assert(s0 == oneShot(b0), "batch-0 snapshot diverged")
+    assert(s1 == oneShot(b1), "batch-1 snapshot diverged")
+  }
+
   test("streaming entity resolution: probe-then-append over the variant index, cross-batch") {
     // attachLink = the ingest loop for STRUCTURED RECORDS: each batch
     // of new master records is linked against every master already
