@@ -120,7 +120,16 @@ object IndexLifecycle {
     */
   private def refresh(spark: SparkSession, path: String): Unit =
     try spark.catalog.refreshByPath(path)
-    catch { case scala.util.control.NonFatal(_) => spark.catalog.clearCache() }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        // the fallback is session-wide — leave a trace so a recompute
+        // storm after a layout-changing mutation is diagnosable
+        System.err.println(s"[IndexLifecycle] refreshByPath($path) " +
+          s"failed (${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).linesIterator.take(1).mkString +
+          ") — clearing the session cache to guarantee invalidation")
+        spark.catalog.clearCache()
+    }
 
   private def markerNums(fs: FileSystem, main: Path): Seq[Long] =
     Compaction.listNums(fs, main, Marker)
@@ -332,7 +341,13 @@ object IndexLifecycle {
                 "absorption can no longer be decided; re-run the append")
             val between = ((m.v + 1) to nums.max)
               .flatMap(v => readMarker(fs, main, v))
-            if (between.flatMap(_.absorbed).contains(tag)) return
+            if (between.flatMap(_.absorbed).contains(tag)) {
+              // success via absorption: OUR seal mutated the old dir
+              // and the winning rebuild's refresh ran in ITS session —
+              // this session's cached plans still need invalidating
+              refresh(spark, path)
+              return
+            }
             m = between.last
           }
         }
@@ -419,7 +434,14 @@ object IndexLifecycle {
     val main = new Path(path)
     val fs = fsOf(spark, main)
     manifest(spark, path) match {
-      case None => op(path)
+      case None =>
+        val r = op(path)
+        // the op's dynamic overwrite re-caches through Spark's write
+        // path, but rewriteWithout also raw-deletes fully-emptied
+        // partition dirs — a cached plan listing them needs the same
+        // invalidation the generational branch gets
+        refresh(spark, path)
+        r
       case Some(m0) =>
         requireCapableFs(fs, "IndexLifecycle.mutate")
         var m = m0

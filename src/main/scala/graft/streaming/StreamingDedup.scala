@@ -44,6 +44,21 @@ import graft.ops.Dedup
   */
 object StreamingDedup {
 
+  /** Shared trigger scaffolding for every attach* loop: run the body,
+    * then release THIS trigger's operator-owned persists even when the
+    * body throws (a failed trigger must not pin its caches for the
+    * session's remaining lifetime). Thread-scoped
+    * ([[graft.util.Caches.sweepOwn]]) so concurrent streams in one
+    * session never unpersist each other's in-flight frames at a
+    * trigger boundary.
+    */
+  private def perTrigger(body: (DataFrame, Long) => Unit)
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      try body(batch, batchId)
+      finally graft.util.Caches.sweepOwn()
+
+
   /** Build the `foreachBatch` writer; the caller picks trigger/
     * checkpoint options and calls `.start()`. `docs` must be a
     * streaming DataFrame with `idCol` and `textCol` columns; the index
@@ -55,7 +70,7 @@ object StreamingDedup {
              indexPath: String, pairsDir: String,
              n: Int = 3, threshold: Double = 0.5,
              nBuckets: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+    docs.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       Dedup.jaccardAgainstIndex(spark, indexPath, batch,
           idCol, textCol, n, threshold, nBuckets,
@@ -66,9 +81,7 @@ object StreamingDedup {
         .partitionBy("batch").parquet(pairsDir)
       Dedup.appendToShingleIndex(spark, indexPath, batch,
         idCol, textCol, n, ingestTag = s"b$batchId", nBuckets = nBuckets)
-      graft.util.Caches.sweep() // operator-owned persists live ONE trigger
-      ()
-    }
+    })
 
   /** The same probe-then-append streaming loop over EMBEDDINGS: each
     * micro-batch's semantic near-dups against the persisted cell index
@@ -86,7 +99,7 @@ object StreamingDedup {
   def attachSemantic(vecs: DataFrame, idCol: String, vecCol: String,
                      indexPath: String, pairsDir: String,
                      threshold: Double): DataStreamWriter[org.apache.spark.sql.Row] =
-    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+    vecs.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       graft.ops.SemDedup.semanticAgainstIndex(spark, indexPath, batch,
           idCol, vecCol, threshold, excludeIngest = Some(s"b$batchId"))
@@ -96,9 +109,7 @@ object StreamingDedup {
         .partitionBy("batch").parquet(pairsDir)
       graft.ops.SemDedup.appendToCellIndex(spark, indexPath, batch,
         idCol, vecCol, ingestTag = s"b$batchId")
-      graft.util.Caches.sweep() // operator-owned persists live ONE trigger
-      ()
-    }
+    })
 
   /** The probe-then-append loop for IMAGES: each micro-batch's
     * perceptual near-dups against the persisted phash index
@@ -114,7 +125,7 @@ object StreamingDedup {
   def attachPhash(images: DataFrame, indexPath: String, pairsDir: String,
                   maxDist: Int = 3,
                   nBuckets: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
-    images.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+    images.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       graft.ops.Multimodal.phashAgainstIndex(spark, indexPath, batch,
           maxDist, nBuckets, excludeIngest = Some(s"b$batchId"))
@@ -124,9 +135,7 @@ object StreamingDedup {
         .partitionBy("batch").parquet(pairsDir)
       graft.ops.Multimodal.appendToPhashIndex(spark, indexPath, batch,
         ingestTag = s"b$batchId", maxDist = maxDist, nBuckets = nBuckets)
-      graft.util.Caches.sweep() // operator-owned persists live ONE trigger
-      ()
-    }
+    })
 
   /** Streaming ENTITY RESOLUTION on master-table ingest — the
     * probe-then-append loop for record linkage: each micro-batch of
@@ -147,7 +156,7 @@ object StreamingDedup {
                  blockCol: String, indexPath: String, pairsDir: String,
                  maxDist: Int = 1,
                  nBuckets: Int = 16): DataStreamWriter[org.apache.spark.sql.Row] =
-    masters.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+    masters.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       graft.ops.EntityResolution.linkAgainstIndex(spark, indexPath, batch,
           idCol, nameCol, blockCol, maxDist, nBuckets,
@@ -159,9 +168,7 @@ object StreamingDedup {
       graft.ops.EntityResolution.appendToVariantIndex(spark, indexPath,
         batch, idCol, nameCol, blockCol, ingestTag = s"b$batchId",
         maxDist = maxDist, nBuckets = nBuckets)
-      graft.util.Caches.sweep() // operator-owned persists live ONE trigger
-      ()
-    }
+    })
 
   /** Streaming RETRIEVAL REFRESH on corpus ingest — the BM25 postings
     * index's streaming path: each micro-batch of new documents joins
@@ -181,7 +188,7 @@ object StreamingDedup {
                  indexPath: String, outDir: String,
                  standingQueries: Seq[(Int, String)], k: Int = 10,
                  nBuckets: Int = 16): DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+    docs.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       graft.ops.Search.appendToBm25Index(spark, indexPath, batch,
         idCol, textCol, ingestTag = s"b$batchId", nBuckets = nBuckets)
@@ -191,9 +198,7 @@ object StreamingDedup {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch").parquet(outDir)
-      graft.util.Caches.sweep() // operator-owned persists live ONE trigger
-      ()
-    }
+    })
 
   /** The full per-batch CURATION loop — the streaming composition of
     * three already-proven stages, chained the way a production ingest
@@ -221,7 +226,7 @@ object StreamingDedup {
                    indexPath: String, modelPath: String, outDir: String,
                    n: Int = 3, threshold: Double = 0.8,
                    nBuckets: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+    docs.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       import org.apache.spark.sql.functions._
       val rep = graft.ops.TextAnalysis.repetition(batch, idCol, textCol)
@@ -242,7 +247,5 @@ object StreamingDedup {
         .partitionBy("batch").parquet(outDir)
       graft.ops.Dedup.appendToShingleIndex(spark, indexPath, survivors,
         idCol, textCol, n, ingestTag = s"b$batchId", nBuckets = nBuckets)
-      graft.util.Caches.sweep() // operator-owned persists live ONE trigger
-      ()
-    }
+    })
 }

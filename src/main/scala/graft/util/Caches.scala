@@ -45,27 +45,55 @@ import org.apache.spark.storage.StorageLevel
   */
 object Caches {
 
-  private val owned = new ConcurrentLinkedQueue[Dataset[_]]()
+  private val owned = new ConcurrentLinkedQueue[(Long, Dataset[_])]()
 
-  /** Persist `ds` at `level` and register it for the next [[sweep]]. */
+  /** Persist `ds` at `level` and register it for the next sweep. The
+    * entry is tagged with the REGISTERING THREAD so concurrent
+    * streaming queries (each trigger runs on its own stream-execution
+    * thread) can release their own persists without unpersisting a
+    * sibling stream's in-flight frame mid-materialization
+    * ([[sweepOwn]]); single-threaded harnesses keep the drain-all
+    * [[sweep]].
+    */
   def own[T](ds: Dataset[T],
              level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
     ds.persist(level)
-    owned.add(ds)
+    owned.add((Thread.currentThread().getId, ds))
     ds
   }
 
   /** Unpersist every registered dataset; returns how many were released.
     * Idempotent and safe at any time — unpersisting a plan that a later
     * action still needs only costs recomputation, never correctness.
+    * Harness use only (Bench/Verify/TimeQ/ScaleSmoke own the whole
+    * session); concurrent-stream code must use [[sweepOwn]].
     */
   def sweep(): Int = {
     var n = 0
-    var ds = owned.poll()
-    while (ds != null) {
-      ds.unpersist(blocking = false)
+    var e = owned.poll()
+    while (e != null) {
+      e._2.unpersist(blocking = false)
       n += 1
-      ds = owned.poll()
+      e = owned.poll()
+    }
+    n
+  }
+
+  /** Unpersist only the entries THIS thread registered — the
+    * per-trigger release for streaming loops, safe beside concurrent
+    * queries in the same session.
+    */
+  def sweepOwn(): Int = {
+    val me = Thread.currentThread().getId
+    var n = 0
+    val it = owned.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e._1 == me) {
+        it.remove()
+        e._2.unpersist(blocking = false)
+        n += 1
+      }
     }
     n
   }

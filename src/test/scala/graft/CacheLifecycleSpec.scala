@@ -75,6 +75,28 @@ class CacheLifecycleSpec extends AnyFunSuite {
       "second run leaked entries past the sweep")
   }
 
+  test("sweepOwn releases only the calling thread's entries — concurrent streams keep theirs") {
+    Caches.sweep() // clean slate
+    import spark.implicits._
+    val mine = Caches.own(Seq(1, 2, 3).toDF("a"))
+    mine.count()
+    @volatile var otherPending = -1
+    val other = new Thread(() => {
+      val theirs = Caches.own(Seq(4, 5).toDF("b"))
+      theirs.count()
+      // simulate the sibling stream's trigger boundary firing while
+      // OUR frame is still in flight: its scoped sweep must release
+      // only its own entry
+      Caches.sweepOwn()
+      otherPending = Caches.pending
+    })
+    other.start(); other.join()
+    assert(otherPending == 1,
+      s"sibling sweepOwn touched this thread's entry: pending=$otherPending")
+    assert(Caches.sweepOwn() == 1, "own entry not released by own sweep")
+    assert(Caches.pending == 0)
+  }
+
   test("sweep mid-lineage only costs recomputation, never correctness") {
     // sweeping between building a plan and materializing it must yield
     // the same rows (the entry is an optimization, not state)
