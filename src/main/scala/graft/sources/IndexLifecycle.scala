@@ -5,10 +5,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Optimistic-concurrency lifecycle for the persisted index families
   * (shingle postings, semantic cell, IVF inverted lists, phash bands,
-  * ER deletion variants) — the fenced counterpart of the table-side
-  * generational layout ([[Compaction]]), built for the deployment shape
-  * the staged/retired swap could only document away: several jobs
-  * appending to and rebuilding the SAME index concurrently.
+  * ER deletion variants, span fingerprints, BM25 postings) — the fenced
+  * counterpart of the table-side generational layout ([[Compaction]]),
+  * built for the deployment shape the staged/retired swap could only
+  * document away: several jobs appending to and rebuilding the SAME
+  * index concurrently.
   *
   * == Layout ==
   * {{{
@@ -18,13 +19,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   g000000002/               <- data dir: ingest=<tag>/<part>=<v>/ parquet
   *                                + underscore sidecars (_graft_hot, ...)
   * }}}
-  * A marker's payload names the data dir it publishes and, for a
-  * rebuild, the exact segment set the rebuild absorbed. Markers are
-  * CONSECUTIVE: version V+1 can only be committed by atomically
-  * exclusive-creating `_graft_ixgen.g{V+1}` — that create IS the
-  * compare-and-swap every mutation commits through, so two concurrent
-  * publishes against the same observed version have exactly one winner
-  * (the Iceberg commit protocol, reduced to one pointer file).
+  * A marker's payload names the data dir it publishes, the exact
+  * `ingest=` segment set visible AS OF that version (chain-derived —
+  * see below), and, for a rebuild, the segment set the rebuild
+  * absorbed. Markers are CONSECUTIVE: version V+1 can only be
+  * committed by atomically exclusive-creating `_graft_ixgen.g{V+1}` —
+  * that create IS the compare-and-swap every mutation commits through,
+  * so two concurrent publishes against the same observed version have
+  * exactly one winner (the Iceberg commit protocol, reduced to one
+  * pointer file).
   *
   * == Why CAS instead of the table fence ==
   * Tables only ever REPLACE state, so "highest generation wins, losers
@@ -45,14 +48,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * segment or none of it, which is what makes the `absorbed` list (and
   * the replayed-batch overwrite) exact rather than racy.
   *
-  * == Filesystem capability contract ==
-  * The protocol needs (a) atomic exclusive-create (HDFS namenode
-  * guarantees it; the local fs is check-then-create, atomic within one
-  * JVM via [[publishLock]], best-effort across processes) and
-  * (b) atomic directory rename (HDFS/posix). Object stores without
-  * atomic create/rename (S3 and friends) need a conditional-PUT
-  * manifest adapter instead — [[requireCapableFs]] fails loudly on
-  * their schemes rather than corrupting quietly.
+  * == Version-pinned reads ==
+  * Appends mutate the CURRENT data dir (that is what makes them cheap),
+  * so the dir name alone cannot replay "the index as of version V".
+  * The marker payload can: each publish records the segment set
+  * committed as of that version, derived from the CHAIN (an append is
+  * its predecessor's set plus its own tag; a rebuild is its fresh
+  * dir's listing; a forget is its predecessor's set minus segments it
+  * emptied) — never from a racy concurrent listing, so version V's set
+  * contains exactly the segments whose commits are ≤ V.
+  * [[manifestAt]]/[[resolveDirAt]] resolve a retained version for
+  * replayable reads (training-export pinning); [[versions]] lists what
+  * is still readable. Retention note: the window is [[MarkerKeep]]
+  * markers and the last two DISTINCT data dirs, so versions older than
+  * the previous rebuild age out — pin exports promptly. RTBF note:
+  * forgets rewrite files in place, so pinned reads do NOT resurrect
+  * forgotten rows — deliberately: a right-to-be-forgotten erasure must
+  * reach historical reads too.
+  *
+  * == Commit adapter (object stores) ==
+  * The marker create commits through the [[ManifestCommit]] SPI: HDFS
+  * uses the namenode-atomic create, `file:` uses kernel-atomic hard
+  * links — a REAL cross-process CAS on a shared posix mount — and
+  * stores without an atomic filesystem create (s3/gs/abfs) take a
+  * registered conditional-PUT adapter ([[ManifestCommit.register]];
+  * [[MemoryManifestCommit]] is the reference implementation the race
+  * and soak specs run against). The DATA plane still needs atomic
+  * directory rename for sealed-segment visibility; on a store without
+  * it, readers must resolve segment membership from the manifest
+  * ([[manifestAt]]) rather than a directory listing — the sealed dir
+  * may appear file-by-file, but it is not referenced until its publish
+  * commits.
   *
   * == Compatibility ==
   * A FLAT index (built by any `write*Index` at a plain path, no
@@ -71,33 +97,50 @@ object IndexLifecycle {
     * missed; a mutator more than this many publishes behind fails
     * loudly instead of guessing.
     */
-  private val MarkerKeep = 8
+  private[graft] val MarkerKeep = 8
 
   val DefaultOrphanGraceMs: Long = Compaction.DefaultOrphanGraceMs
 
-  /** Serializes marker creates within this JVM: the local filesystem's
-    * exclusive create is check-then-act, so in-process concurrency
-    * (local[*], the soak specs) needs a real lock; on HDFS the
-    * namenode create is atomic across processes anyway.
+  /** In-JVM fast path serializing marker creates: local[*] runs (and
+    * the soak specs) race many threads against one chain, and taking a
+    * lock is cheaper than losing the store-level CAS and re-listing.
+    * Correctness does NOT depend on it — the store-level exclusive
+    * create ([[ManifestCommit]]) is atomic across processes on every
+    * supported backend, hard links included on `file:`.
     */
   private val publishLock = new Object
 
-  final case class Manifest(v: Long, dir: String, absorbed: Seq[String])
+  final case class Manifest(v: Long, dir: String, absorbed: Seq[String],
+                            segments: Seq[String])
 
   private val CapableSchemes =
     Set("file", "local", "hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs", "o3fs")
 
-  private def requireCapableFs(fs: FileSystem, ctx: String): Unit = {
+  /** Capability gate: the manifest chain needs an atomic exclusive
+    * create (native on [[CapableSchemes]]; via a registered
+    * [[ManifestCommit]] adapter elsewhere) and sealed segments need
+    * atomic directory rename. With an adapter on a store WITHOUT
+    * atomic rename, manifest commits are sound but listing-based reads
+    * lose the all-or-nothing segment guarantee — see the class doc's
+    * commit-adapter section for the manifest-pinned read contract.
+    */
+  private def requireCapableFs(fs: FileSystem, main: Path, ctx: String): Unit = {
     val scheme = Option(fs.getUri.getScheme).getOrElse("file").toLowerCase
-    require(CapableSchemes(scheme),
-      s"$ctx needs atomic exclusive-create and atomic directory rename; " +
-        s"filesystem scheme '$scheme' guarantees neither — use an " +
-        "HDFS-semantics store, or adapt the manifest commit to the " +
-        "store's conditional-PUT primitive")
+    require(CapableSchemes(scheme) || ManifestCommit.hasOverride(main),
+      s"$ctx needs an atomic manifest commit and atomic directory " +
+        s"rename; filesystem scheme '$scheme' guarantees neither " +
+        "natively — register a conditional-PUT ManifestCommit adapter " +
+        "for this index root (ManifestCommit.register, the S3 " +
+        "If-None-Match shape; graft.sources.MemoryManifestCommit is " +
+        "the reference implementation), and read via manifest-pinned " +
+        "segment sets where the store lacks atomic rename")
   }
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def commitOf(spark: SparkSession, main: Path): ManifestCommit =
+    ManifestCommit.forIndex(fsOf(spark, main), main)
 
   /** Invalidate any cached plans reading under `path`. A DataFrame
     * WRITE triggers Spark's own recacheByPath, but the lifecycle's
@@ -131,50 +174,57 @@ object IndexLifecycle {
         spark.catalog.clearCache()
     }
 
-  private def markerNums(fs: FileSystem, main: Path): Seq[Long] =
-    Compaction.listNums(fs, main, Marker)
+  private def markerName(v: Long): String = Marker + Compaction.genName(v)
 
-  /** Read marker V's payload. The create→write→close of a publish is
-    * not one atomic step, so a listing can surface a marker whose
-    * payload is still empty for a moment — retry briefly, then fail
-    * loudly (never fall back to an older version: that would be a
-    * silent stale read).
+  private def markerNums(mc: ManifestCommit): Seq[Long] =
+    mc.list(Marker).flatMap(n => Compaction.genNumber(n.stripPrefix(Marker)))
+
+  /** Read marker V's payload. On the HDFS commit branch the
+    * create→write→close of a publish is not one atomic step, so a
+    * listing can surface a marker whose payload is still empty for a
+    * moment — back off EXPONENTIALLY (seconds in total, not
+    * milliseconds: a live cross-process publisher stalled by GC or
+    * scheduling holds the window open far longer than a context
+    * switch), then fail loudly. Never fall back to an older version:
+    * that would be a silent stale read. The local hard-link and
+    * conditional-PUT branches land payload-atomically and never take
+    * a single retry.
     */
-  private def readMarker(fs: FileSystem, main: Path, v: Long): Option[Manifest] = {
-    val p = new Path(main, Marker + Compaction.genName(v))
+  private def readMarker(mc: ManifestCommit, v: Long): Option[Manifest] = {
+    val name = markerName(v)
     var tries = 0
-    while (tries < 100) {
-      val text =
-        try {
-          val in = fs.open(p)
-          try {
-            val buf = new java.io.ByteArrayOutputStream()
-            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-            buf.toString("UTF-8")
-          } finally in.close()
-        } catch { case _: java.io.FileNotFoundException => return None }
-      val lines = text.linesIterator.toSeq
-      val dir = lines.collectFirst {
-        case l if l.startsWith("dir=") => l.stripPrefix("dir=") }
-      dir match {
-        case Some(d) if d.nonEmpty =>
-          val abs = lines.collectFirst {
-            case l if l.startsWith("absorbed=") =>
-              l.stripPrefix("absorbed=").split(",").toSeq.filter(_.nonEmpty)
-          }.getOrElse(Seq.empty)
-          return Some(Manifest(v, d, abs))
-        case _ => tries += 1; Thread.sleep(2) // publisher mid-write
+    while (tries < 14) { // 2+4+...+8192 ms ≈ 16 s total before giving up
+      mc.read(name) match {
+        case None => return None
+        case Some(bytes) =>
+          val lines = new String(bytes, "UTF-8").linesIterator.toSeq
+          val dir = lines.collectFirst {
+            case l if l.startsWith("dir=") => l.stripPrefix("dir=") }
+          dir match {
+            case Some(d) if d.nonEmpty =>
+              def field(key: String): Seq[String] = lines.collectFirst {
+                case l if l.startsWith(key + "=") =>
+                  l.stripPrefix(key + "=").split(",").toSeq.filter(_.nonEmpty)
+              }.getOrElse(Seq.empty)
+              return Some(Manifest(v, d, field("absorbed"), field("segments")))
+            case _ =>
+              tries += 1
+              Thread.sleep(math.min(2L << tries, 8192L)) // publisher mid-write
+          }
       }
     }
-    sys.error(s"index manifest $p stayed unreadable — crashed publisher? " +
-      "delete the empty marker to recover (its version was never visible)")
+    sys.error(s"index manifest ${mc.describe}/$name stayed unreadable for " +
+      "~16s. Either the publisher crashed between create and write (then " +
+      "deleting the empty marker recovers — its version was never " +
+      "visible), or it is alive but badly stalled: verify the publishing " +
+      "job is dead before deleting, or a live publish gets a hole " +
+      "punched into a healthy chain")
   }
 
   /** Current manifest of the index at `path`, None if flat. */
   def manifest(spark: SparkSession, path: String): Option[Manifest] = {
-    val main = new Path(path)
-    val fs = fsOf(spark, main)
-    markerNums(fs, main).maxOption.flatMap(v => readMarker(fs, main, v))
+    val mc = commitOf(spark, new Path(path))
+    markerNums(mc).maxOption.flatMap(v => readMarker(mc, v))
   }
 
   /** The directory every read, probe, sidecar access, in-place rewrite
@@ -189,12 +239,62 @@ object IndexLifecycle {
       case None => path
     }
 
-  private def payloadOf(dir: String, absorbed: Seq[String]): String =
-    s"dir=$dir\nabsorbed=${absorbed.mkString(",")}\n"
+  /** Manifest versions still READABLE at `path` (marker retained and
+    * its data dir present), ascending — the index-side counterpart of
+    * [[Compaction.generations]]. This is the time-travel window for
+    * [[manifestAt]]: at most [[MarkerKeep]] versions, fewer once a
+    * rebuild's pruning drops the pre-previous data dir.
+    */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val main = new Path(path)
+    val fs = fsOf(spark, main)
+    val mc = commitOf(spark, main)
+    markerNums(mc).sorted.flatMap(v => readMarker(mc, v))
+      .filter(m => fs.exists(new Path(main, m.dir)))
+      .map(_.v)
+  }
 
-  /** The commit primitive: atomically create marker `expectV + 1`.
-    * Returns false when another publisher committed that version first
-    * — the caller re-reads the manifest and reconciles.
+  /** Pinned read of the manifest AS OF version `v` — the reproducible
+    * training-export hook: a probe against `manifestAt(v)`'s dir
+    * restricted to its `segments` replays the corpus exactly as the
+    * export that recorded `v` saw it (minus any rows a later forget
+    * erased — see the class doc's RTBF note). Fails loudly when `v`
+    * was pruned out of the retention window or predates the
+    * segment-pinned payload format — a silent fallback to current
+    * would be a wrong answer, not a degraded one.
+    */
+  def manifestAt(spark: SparkSession, path: String, v: Long): Manifest = {
+    val main = new Path(path)
+    val fs = fsOf(spark, main)
+    val mc = commitOf(spark, main)
+    val m = readMarker(mc, v).getOrElse(sys.error(
+      s"index version $v at $path is not readable — never published or " +
+        s"outside the $MarkerKeep-marker retention window (readable: " +
+        s"${versions(spark, path).mkString(",")})"))
+    require(fs.exists(new Path(main, m.dir)),
+      s"index version $v at $path names data dir ${m.dir}, which a later " +
+        "rebuild's retention already pruned (readable: " +
+        s"${versions(spark, path).mkString(",")})")
+    require(m.segments.nonEmpty,
+      s"index version $v at $path predates segment-pinned manifests — " +
+        "no replayable segment set was recorded; re-publish (any append " +
+        "or rebuild) to start the pinnable chain")
+    m
+  }
+
+  /** Data dir of version `v` (see [[manifestAt]] for the contract). */
+  def resolveDirAt(spark: SparkSession, path: String, v: Long): String =
+    new Path(new Path(path), manifestAt(spark, path, v).dir).toString
+
+  private def payloadOf(dir: String, absorbed: Seq[String],
+                        segments: Seq[String]): String =
+    s"dir=$dir\nabsorbed=${absorbed.mkString(",")}\n" +
+      s"segments=${segments.mkString(",")}\n"
+
+  /** The commit primitive: atomically create marker `expectV + 1`
+    * through the index's [[ManifestCommit]]. Returns false when
+    * another publisher committed that version first — the caller
+    * re-reads the manifest and reconciles.
     *
     * The PRE-create max check (not a post-create withdrawal) is what
     * keeps the chain consecutive: if the manifest already moved past
@@ -212,30 +312,14 @@ object IndexLifecycle {
     * within one CAS round, so that window is a handful of
     * instructions, not eight publishes.
     */
-  private def casPublish(fs: FileSystem, main: Path, expectV: Long,
-                         dir: String, absorbed: Seq[String]): Boolean =
+  private def casPublish(mc: ManifestCommit, expectV: Long, dir: String,
+                         absorbed: Seq[String],
+                         segments: Seq[String]): Boolean =
     publishLock.synchronized {
-      if (markerNums(fs, main).maxOption.getOrElse(0L) != expectV)
+      if (markerNums(mc).maxOption.getOrElse(0L) != expectV)
         return false
-      val p = new Path(main, Marker + Compaction.genName(expectV + 1))
-      var created = false
-      try {
-        val out = fs.create(p, false)
-        created = true
-        try out.write(payloadOf(dir, absorbed).getBytes("UTF-8"))
-        finally out.close()
-        true
-      } catch {
-        case _: java.io.IOException =>
-          // created-but-unwritten is OUR half marker (the exclusive
-          // create succeeded) — withdraw it so the chain's readers
-          // don't stall on an empty payload; created=false means the
-          // create itself lost the race and there is nothing to undo
-          if (created) try fs.delete(p, false) catch {
-            case _: java.io.IOException => ()
-          }
-          false
-      }
+      mc.createExclusive(markerName(expectV + 1),
+        payloadOf(dir, absorbed, segments).getBytes("UTF-8"))
     }
 
   /** Segment tags (`ingest=` values) present in a data dir. */
@@ -244,6 +328,19 @@ object IndexLifecycle {
     else fs.listStatus(dir).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName).filter(_.startsWith(SegPrefix))
       .map(_.stripPrefix(SegPrefix)).sorted
+
+  /** The CHAIN-DERIVED segment set a publish against manifest `m`
+    * starts from: the predecessor's recorded set, falling back to a
+    * dir listing only for pre-segment-format markers (one transitional
+    * listing; every publish after it records the set). Chain
+    * derivation — not listing at publish time — is what keeps version
+    * V's set closed under "commits ≤ V": a concurrently SEALED but
+    * not-yet-published segment is visible in a listing but must not
+    * leak into another publisher's pinned set.
+    */
+  private def chainSegments(fs: FileSystem, main: Path, m: Manifest): Seq[String] =
+    if (m.segments.nonEmpty) m.segments
+    else segmentsOf(fs, new Path(main, m.dir))
 
   /** Write-then-rename a segment into `dir/ingest=<tag>`. `writeSeg`
     * gets (data dir, temp output dir): it reads any sidecars from the
@@ -302,6 +399,12 @@ object IndexLifecycle {
     *    re-sealing would duplicate them;
     *  - a REBUILD won that missed us: re-seal into its output dir and
     *    commit again.
+    * A marker that VANISHES between the version listing and its read
+    * (a concurrent publisher's pruning) is never skipped — the dropped
+    * manifest could be exactly the rebuild that absorbed this tag, and
+    * skipping it would re-seal and duplicate; the loop re-lists and
+    * retries, failing loudly once the retention window has truly moved
+    * past this appender.
     * Tag uniqueness across distinct batches is the caller's contract
     * (a streaming batchId); replays of the SAME tag are idempotent.
     */
@@ -312,7 +415,8 @@ object IndexLifecycle {
       s"ingest tag must be a plain non-'base' batch identifier: '$tag'")
     val main = new Path(path)
     val fs = fsOf(spark, main)
-    requireCapableFs(fs, "IndexLifecycle.appendSegment")
+    requireCapableFs(fs, main, "IndexLifecycle.appendSegment")
+    val mc = commitOf(spark, main)
     manifest(spark, path) match {
       case None =>
         sealSegment(fs, main, tag)(writeSeg)
@@ -327,28 +431,38 @@ object IndexLifecycle {
             sealSegment(fs, new Path(main, m.dir), tag)(writeSeg)
             sealedInto = m.dir
           }
-          if (casPublish(fs, main, m.v, m.dir, Seq.empty)) {
+          val segs = (chainSegments(fs, main, m) :+ tag).distinct
+          if (casPublish(mc, m.v, m.dir, Seq.empty, segs)) {
             pruneMarkers(spark, path); refresh(spark, path); return
           }
-          val nums = markerNums(fs, main)
-          if (nums.max == m.v) {
+          val nums = markerNums(mc)
+          if (nums.nonEmpty && nums.max == m.v) {
             // CAS failed without the chain moving — a transient
             // filesystem error, not a lost race; same manifest, retry
           } else {
-            require(nums.min <= m.v + 1,
+            require(nums.nonEmpty && nums.min <= m.v + 1,
               s"appendSegment($tag) at $path fell more than $MarkerKeep " +
                 "publishes behind — the interval markers are pruned, so " +
                 "absorption can no longer be decided; re-run the append")
-            val between = ((m.v + 1) to nums.max)
-              .flatMap(v => readMarker(fs, main, v))
-            if (between.flatMap(_.absorbed).contains(tag)) {
-              // success via absorption: OUR seal mutated the old dir
-              // and the winning rebuild's refresh ran in ITS session —
-              // this session's cached plans still need invalidating
-              refresh(spark, path)
-              return
+            val between = ((m.v + 1) to nums.max).map(v => readMarker(mc, v))
+            if (between.exists(_.isEmpty)) {
+              // a marker in the listed range vanished before we read it
+              // (a concurrent publisher pruned mid-reconstruction) —
+              // NOT skippable: the missing manifest may be the rebuild
+              // that absorbed this tag. Keep m, re-list, retry; if the
+              // window has truly moved on, the guard above fails the
+              // append loudly on the next iteration's FRESH listing.
+            } else {
+              val ms = between.map(_.get)
+              if (ms.flatMap(_.absorbed).contains(tag)) {
+                // success via absorption: OUR seal mutated the old dir
+                // and the winning rebuild's refresh ran in ITS session —
+                // this session's cached plans still need invalidating
+                refresh(spark, path)
+                return
+              }
+              m = ms.last
             }
-            m = between.last
           }
         }
         sys.error(s"appendSegment($tag): still losing the version race " +
@@ -380,8 +494,9 @@ object IndexLifecycle {
              (build: (DataFrame, String, String) => Unit): Unit = {
     val main = new Path(path)
     val fs = fsOf(spark, main)
-    requireCapableFs(fs, "IndexLifecycle.rebuild")
+    requireCapableFs(fs, main, "IndexLifecycle.rebuild")
     if (manifest(spark, path).isEmpty) convert(spark, path)
+    val mc = commitOf(spark, main)
     var attempts = 0
     while (attempts < 8) {
       attempts += 1
@@ -396,7 +511,8 @@ object IndexLifecycle {
         s"ixrebuild@${spark.sparkContext.applicationId}")
       val dirName = Compaction.genName(n)
       build(src, srcDir.toString, new Path(main, dirName).toString)
-      if (casPublish(fs, main, m.v, dirName, segs)) {
+      val newSegs = segmentsOf(fs, new Path(main, dirName))
+      if (casPublish(mc, m.v, dirName, segs, newSegs)) {
         prune(spark, path, orphanGraceMs, readerGraceMs)
         refresh(spark, path)
         return
@@ -425,10 +541,9 @@ object IndexLifecycle {
     * fail transiently or observe partial state for the TOUCHED
     * partitions (untouched partitions stay byte-stable, so the blast
     * radius is the victims' partitions, not the index). RTBF is a
-    * rare maintenance operation: run it in a quiet window, or where
-    * that is impossible, express it as a filtered [[rebuild]] (forget
-    * ≡ rebuild-without-ids) and pay the full rewrite for full reader
-    * isolation.
+    * rare maintenance operation: run it in a quiet window, or use the
+    * fully reader-isolated API form, [[forgetViaRebuild]] (forget ≡
+    * rebuild-without-ids), and pay the full rewrite.
     */
   def mutate(spark: SparkSession, path: String)(op: String => Long): Long = {
     val main = new Path(path)
@@ -443,7 +558,8 @@ object IndexLifecycle {
         refresh(spark, path)
         r
       case Some(m0) =>
-        requireCapableFs(fs, "IndexLifecycle.mutate")
+        requireCapableFs(fs, main, "IndexLifecycle.mutate")
+        val mc = commitOf(spark, main)
         var m = m0
         var ranOn: String = null
         var result = 0L
@@ -455,7 +571,12 @@ object IndexLifecycle {
               op(new Path(main, m.dir).toString))
             ranOn = m.dir
           }
-          if (casPublish(fs, main, m.v, m.dir, Seq.empty)) {
+          // a forget can empty whole segments (rewriteWithout deletes
+          // fully-emptied partition dirs), so the published set is the
+          // predecessor's chain minus what no longer exists on disk
+          val live = segmentsOf(fs, new Path(main, m.dir)).toSet
+          val segs = chainSegments(fs, main, m).filter(live)
+          if (casPublish(mc, m.v, m.dir, Seq.empty, segs)) {
             pruneMarkers(spark, path)
             refresh(spark, path)
             return result
@@ -465,6 +586,37 @@ object IndexLifecycle {
         sys.error(s"mutate: still losing the version race after 16 " +
           s"attempts at $path")
     }
+  }
+
+  /** Reader-isolated RTBF: express the forget as a fenced [[rebuild]]
+    * whose build input is the current contents MINUS the rows `victim`
+    * matches — concurrent probers only ever resolve a fully-built dir
+    * (old or new), never partial state, at the price of rewriting the
+    * index once. The in-place [[mutate]] path stays the cheap
+    * quiet-window option; this is the API form of its documented
+    * workaround. Returns the number of rows removed.
+    *
+    * `build(filtered, srcDir, dstDir)` is the family's normal rebuild
+    * closure — it receives the ALREADY-FILTERED pinned read and must
+    * regenerate derived sidecars/stats from it (which is exactly what
+    * a rebuild does anyway, and why stats drift cannot survive this
+    * path, unlike in-place forgets).
+    */
+  def forgetViaRebuild(spark: SparkSession, path: String,
+                       victim: org.apache.spark.sql.Column,
+                       orphanGraceMs: Long = DefaultOrphanGraceMs,
+                       readerGraceMs: Long = 0L)
+                      (build: (DataFrame, String, String) => Unit): Long = {
+    var removed = 0L
+    rebuild(spark, path, orphanGraceMs, readerGraceMs) { (src, srcDir, dstDir) =>
+      val keep = src.filter(!org.apache.spark.sql.functions.coalesce(
+        victim, org.apache.spark.sql.functions.lit(false)))
+      // counted per attempt; a fenced retry recounts against the new
+      // src, so the surviving attempt's count is the one returned
+      removed = src.count() - keep.count()
+      build(keep, srcDir, dstDir)
+    }
+    removed
   }
 
   /** One-time flat → generational conversion: move the flat index's
@@ -478,7 +630,8 @@ object IndexLifecycle {
     val fs = fsOf(spark, main)
     if (manifest(spark, path).isDefined) return
     require(fs.exists(main), s"convert: no index at $path")
-    requireCapableFs(fs, "IndexLifecycle.convert")
+    requireCapableFs(fs, main, "IndexLifecycle.convert")
+    val mc = commitOf(spark, main)
     val n = Compaction.claimNext(fs, main, "ixconvert")
     val dirName = Compaction.genName(n)
     val dst = new Path(main, dirName)
@@ -490,10 +643,47 @@ object IndexLifecycle {
       if (!keep && !fs.rename(s.getPath, new Path(dst, nm)))
         sys.error(s"convert: rename ${s.getPath} into $dst failed")
     }
-    if (!casPublish(fs, main, 0L, dirName, Seq.empty))
+    if (!casPublish(mc, 0L, dirName, Seq.empty, segmentsOf(fs, dst)))
       sys.error(s"convert: concurrent conversion detected at $path — " +
         "conversion is a one-time quiet-window operation")
     refresh(spark, path)
+  }
+
+  /** Number of ingest segments in the CURRENT version's data dir —
+    * the input to append-accumulation policies ([[maybeRebuild]]).
+    */
+  def segmentCount(spark: SparkSession, path: String): Int = {
+    val main = new Path(path)
+    segmentsOf(fsOf(spark, main),
+      new Path(resolveDir(spark, path))).size
+  }
+
+  /** Append-accumulation policy: rebuild iff the current version holds
+    * MORE than `maxSegments` ingest segments, else no-op. Steady-state
+    * streaming appends accumulate one segment per batch without bound;
+    * probes pay a per-segment listing, stats-sidecar read and parquet
+    * footer set, so probe latency climbs linearly in segment count
+    * (measured curve in PLANS.md round-10) while a rebuild's cost is
+    * one bounded merge job. Calling this after every append (or every
+    * K batches) caps probe cost at the `maxSegments` plateau —
+    * amortized O(rebuild/maxSegments) per batch. Returns true when a
+    * rebuild ran. Safe under concurrency: the threshold check races
+    * benignly (two callers both rebuilding just means one is fenced
+    * and retries against an already-collapsed index whose segment
+    * count is 1 — sub-threshold work, not corruption) — but passing
+    * the SAME readerGraceMs discipline as your rebuilds is still on
+    * the caller.
+    */
+  def maybeRebuild(spark: SparkSession, path: String, maxSegments: Int,
+                   orphanGraceMs: Long = DefaultOrphanGraceMs,
+                   readerGraceMs: Long = 0L)
+                  (build: (DataFrame, String, String) => Unit): Boolean = {
+    require(maxSegments >= 1, s"maxSegments must be >= 1: $maxSegments")
+    if (segmentCount(spark, path) <= maxSegments) false
+    else {
+      rebuild(spark, path, orphanGraceMs, readerGraceMs)(build)
+      true
+    }
   }
 
   /** Marker-and-leftover housekeeping WITHOUT data-dir deletion — what
@@ -509,12 +699,11 @@ object IndexLifecycle {
                            orphanGraceMs: Long = DefaultOrphanGraceMs): Unit = {
     val main = new Path(path)
     val fs = fsOf(spark, main)
-    val nums = markerNums(fs, main).sorted.reverse
+    val mc = commitOf(spark, main)
+    val nums = markerNums(mc).sorted.reverse
     if (nums.isEmpty) return
-    nums.drop(MarkerKeep).foreach { v =>
-      fs.delete(new Path(main, Marker + Compaction.genName(v)), false)
-    }
-    val manifests = nums.take(MarkerKeep).flatMap(v => readMarker(fs, main, v))
+    nums.drop(MarkerKeep).foreach(v => mc.delete(markerName(v)))
+    val manifests = nums.take(MarkerKeep).flatMap(v => readMarker(mc, v))
     manifests.map(_.dir).distinct.take(2).foreach { d =>
       val dp = new Path(main, d)
       if (fs.exists(dp)) fs.listStatus(dp).toSeq
@@ -527,8 +716,9 @@ object IndexLifecycle {
   }
 
   /** Retention: keep the newest [[MarkerKeep]] markers (late mutators
-    * reconstruct missed history from them), the data dirs of the last
-    * TWO DISTINCT published dirs (append bumps re-reference the same
+    * reconstruct missed history from them — and [[manifestAt]] pins
+    * exports inside the same window), the data dirs of the last TWO
+    * DISTINCT published dirs (append bumps re-reference the same
     * dir, so dir retention is counted in dirs, not versions — a
     * rebuild immediately followed by appends must not strand the
     * just-retired dir's in-flight readers), live-claimed in-flight
@@ -542,23 +732,20 @@ object IndexLifecycle {
             readerGraceMs: Long = 0L): Unit = {
     val main = new Path(path)
     val fs = fsOf(spark, main)
-    val nums = markerNums(fs, main).sorted.reverse
+    val mc = commitOf(spark, main)
+    val nums = markerNums(mc).sorted.reverse
     if (nums.isEmpty) return
-    nums.drop(MarkerKeep).foreach { v =>
-      fs.delete(new Path(main, Marker + Compaction.genName(v)), false)
-    }
+    nums.drop(MarkerKeep).foreach(v => mc.delete(markerName(v)))
     val kept = nums.take(MarkerKeep)
-    val manifests = kept.flatMap(v => readMarker(fs, main, v))
+    val manifests = kept.flatMap(v => readMarker(mc, v))
     val keepDirs = manifests.map(_.dir).distinct.take(2)
     val retiredLongAgo = readerGraceMs <= 0L || keepDirs.drop(1).headOption
       .flatMap { second =>
         manifests.filter(_.dir == second).map(_.v).minOption
       }
       .forall { v =>
-        try System.currentTimeMillis() - fs.getFileStatus(
-          new Path(main, Marker + Compaction.genName(v)))
-          .getModificationTime >= readerGraceMs
-        catch { case _: java.io.FileNotFoundException => true }
+        mc.createdAt(markerName(v))
+          .forall(t => System.currentTimeMillis() - t >= readerGraceMs)
       }
     val keepSet = keepDirs.toSet
     fs.listStatus(main).toSeq.filter(_.isDirectory).foreach { s =>

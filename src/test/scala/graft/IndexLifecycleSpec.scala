@@ -1,13 +1,19 @@
 package graft
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Dedup
-import graft.sources.IndexLifecycle
+import graft.sources.{IndexLifecycle, ManifestCommit, MemoryManifestCommit}
 
 /** The CAS-versioned index lifecycle's concurrency contract, proven on
-  * the shingle family (the mechanics are shared by all families):
+  * the shingle family (the mechanics are shared by all families) and
+  * parameterized over BOTH commit backends — the filesystem
+  * exclusive-create ([[graft.sources.FsManifestCommit]]) and the
+  * conditional-PUT shape ([[MemoryManifestCommit]], the S3
+  * `If-None-Match: *` semantics in memory) — so the protocol is proven
+  * to need nothing beyond "atomically create name+payload iff absent":
   *
   *  1. deterministic interleavings of the two races the CAS exists to
   *     close — a rebuild missing a concurrent append (lost segment)
@@ -15,9 +21,12 @@ import graft.sources.IndexLifecycle
   *     postings);
   *  2. a threaded two-writer soak (appender loop vs rebuild loop vs a
   *     concurrent prober), the index mirror of OperatorsSpec's
-  *     writeGen soak.
+  *     writeGen soak;
+  *  3. version-pinned reads (manifestAt) with their retention-window
+  *     error contract, the reader-isolated forgetViaRebuild path under
+  *     a concurrent prober, and the maybeRebuild segment policy.
   */
-class IndexLifecycleSpec extends AnyFunSuite {
+abstract class IndexLifecycleContract(memoryCommit: Boolean) extends AnyFunSuite {
   import GraftSpark.spark
   import spark.implicits._
 
@@ -39,8 +48,9 @@ class IndexLifecycleSpec extends AnyFunSuite {
   private val NB = 4 // buckets: tiny corpus, tiny layout
 
   private def newIndex(prefix: String, base: Seq[Long]): String = {
-    val idx = java.nio.file.Files
-      .createTempDirectory(prefix).toString + "/index"
+    val root = java.nio.file.Files.createTempDirectory(prefix).toString
+    if (memoryCommit) ManifestCommit.register(root, new MemoryManifestCommit)
+    val idx = root + "/index"
     Dedup.writeShingleIndex(docs(base), "doc_id", "text", n = 3, idx,
       nBuckets = NB)
     // convert up front: the one-time flat→generational moves are a
@@ -53,10 +63,39 @@ class IndexLifecycleSpec extends AnyFunSuite {
     Dedup.appendToShingleIndex(spark, idx, docs(ids),
       "doc_id", "text", n = 3, ingestTag = tag, nBuckets = NB)
 
+  /** The family rebuild body the deterministic tests inject raw (so
+    * they can interleave mid-build) — same output as
+    * Dedup.rebuildShingleIndex's closure, uncapped.
+    */
+  private def shingleBuild(src: org.apache.spark.sql.DataFrame,
+                           dst: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    src.select(col("doc"), col("s")).distinct()
+      .withColumn("n_sh",
+        count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
+      .withColumn("bucket", pmod(xxhash64(col("s")), lit(NB)).cast("int"))
+      .withColumn("ingest", lit("base"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("ingest", "bucket").parquet(dst)
+    spark.emptyDataset[String].toDF("s")
+      .coalesce(1).write.mode("overwrite").parquet(dst + "/_graft_hot")
+  }
+
   /** (doc, shingle) set of the index's CURRENT version. */
   private def postings(idx: String): Set[(Long, String)] =
     spark.read.parquet(IndexLifecycle.resolveDir(spark, idx))
       .select(col("doc"), col("s")).as[(Long, String)].collect().toSet
+
+  /** (doc, shingle) set AS OF pinned version `v` — the manifest's
+    * recorded segment set read under the version's data dir.
+    */
+  private def pinnedPostings(idx: String, v: Long): Set[(Long, String)] = {
+    val m = IndexLifecycle.manifestAt(spark, idx, v)
+    val dir = new Path(new Path(idx), m.dir).toString
+    spark.read.option("basePath", dir)
+      .parquet(m.segments.map(t => s"$dir/ingest=$t"): _*)
+      .select(col("doc"), col("s")).as[(Long, String)].collect().toSet
+  }
 
   /** Duplicate (doc, shingle) rows — must ALWAYS be empty: duplicated
     * postings inflate jaccard `common` counts silently.
@@ -75,6 +114,9 @@ class IndexLifecycleSpec extends AnyFunSuite {
       .select(col("doc"), col("s")).as[(Long, String)].collect().toSet
   }
 
+  private def fsOf(idx: String) = new Path(idx)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   test("rebuild fenced by a mid-build append: retries and re-absorbs — no lost segment") {
     val base = 0L until 30L
     val batch = 100L until 115L
@@ -88,16 +130,7 @@ class IndexLifecycleSpec extends AnyFunSuite {
         // max-wins fence cannot see
         append(idx, batch, "b1")
       }
-      import org.apache.spark.sql.expressions.Window
-      src.select(col("doc"), col("s")).distinct()
-        .withColumn("n_sh",
-          count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
-        .withColumn("bucket", pmod(xxhash64(col("s")), lit(NB)).cast("int"))
-        .withColumn("ingest", lit("base"))
-        .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("ingest", "bucket").parquet(dst)
-      spark.emptyDataset[String].toDF("s")
-        .coalesce(1).write.mode("overwrite").parquet(dst + "/_graft_hot")
+      shingleBuild(src, dst)
     }
     assert(buildRuns == 2,
       s"the appended segment must FENCE the first build ($buildRuns runs)")
@@ -145,11 +178,8 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(dupPostings(idx).isEmpty,
       "absorbed replay re-sealed its segment — postings duplicated")
     // and the winning rebuild collapsed everything to base
-    assert(IndexLifecycle.segmentsOf(
-      new org.apache.hadoop.fs.Path(IndexLifecycle.resolveDir(spark, idx))
-        .getFileSystem(spark.sparkContext.hadoopConfiguration),
-      new org.apache.hadoop.fs.Path(IndexLifecycle.resolveDir(spark, idx)))
-      == Seq("base"))
+    assert(IndexLifecycle.segmentsOf(fsOf(idx),
+      new Path(IndexLifecycle.resolveDir(spark, idx))) == Seq("base"))
   }
 
   test("forget fenced by a concurrent rebuild: re-runs on the winner's output, deletion converges") {
@@ -209,11 +239,8 @@ class IndexLifecycleSpec extends AnyFunSuite {
       "racing rebuilders corrupted the index")
     assert(dupPostings(idx).isEmpty)
     // exactly one current version; segments collapsed to base
-    val dir = IndexLifecycle.resolveDir(spark, idx)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(IndexLifecycle.segmentsOf(fs,
-      new org.apache.hadoop.fs.Path(dir)) == Seq("base"))
+    assert(IndexLifecycle.segmentsOf(fsOf(idx),
+      new Path(IndexLifecycle.resolveDir(spark, idx))) == Seq("base"))
   }
 
   test("two-writer index soak: appender loop vs rebuild loop vs prober — nothing lost, nothing duplicated, probes never torn") {
@@ -261,4 +288,184 @@ class IndexLifecycleSpec extends AnyFunSuite {
       "soak lost or invented postings")
     assert(dupPostings(idx).isEmpty, "soak duplicated postings")
   }
+
+  test("version pinning: manifestAt replays each append prefix exactly; appends share a dir but never leak forward") {
+    val base = 0L until 20L
+    val b0 = 400L until 410L
+    val b1 = 500L until 508L
+    val idx = newIndex("graft_ixpin", base)
+    // newIndex: convert publishes v1 (flat content), rebuild publishes
+    // v2 (fresh base dir) — both record segments=[base]
+    append(idx, b0, "p0") // v3: [base, p0]
+    append(idx, b1, "p1") // v4: [base, p0, p1]
+    val vs = IndexLifecycle.versions(spark, idx)
+    assert(vs == Seq(1L, 2L, 3L, 4L), s"readable versions: $vs")
+    assert(IndexLifecycle.manifestAt(spark, idx, 4L)
+      .segments.sorted == Seq("base", "p0", "p1"))
+    assert(IndexLifecycle.manifestAt(spark, idx, 3L)
+      .segments.sorted == Seq("base", "p0"))
+    // the pinned reads: v2 = base only, v3 = base+b0, v4 = everything —
+    // even though v2/v3/v4 all resolve to the SAME mutated data dir
+    assert(IndexLifecycle.resolveDirAt(spark, idx, 3L) ==
+      IndexLifecycle.resolveDir(spark, idx))
+    assert(pinnedPostings(idx, 2L) == expected(base))
+    assert(pinnedPostings(idx, 3L) == expected(base ++ b0))
+    assert(pinnedPostings(idx, 4L) == expected(base ++ b0 ++ b1))
+    // unknown version fails loudly, naming what IS readable
+    val e = intercept[RuntimeException](
+      IndexLifecycle.manifestAt(spark, idx, 99L))
+    assert(e.getMessage.contains("not readable") &&
+      e.getMessage.contains("1,2,3,4"))
+  }
+
+  test("version pinning retention contract: marker-pruned and dir-pruned versions fail loudly, never fall back") {
+    val base = 0L until 15L
+    val idx = newIndex("graft_ixret", base)
+    // v2 after newIndex; 10 appends → v12; markers retained: 5..12
+    (0 until 10).foreach(k => append(idx, (600L + k * 10) until (600L + k * 10 + 3), s"r$k"))
+    val vs = IndexLifecycle.versions(spark, idx)
+    assert(vs.size == IndexLifecycle.MarkerKeep && vs.head == 5L,
+      s"marker retention window: $vs")
+    val e1 = intercept[RuntimeException](
+      IndexLifecycle.manifestAt(spark, idx, 3L))
+    assert(e1.getMessage.contains("retention window"))
+    // two rebuilds: v13 publishes dir #3 (pruning keeps dirs 3 and 2),
+    // v14 publishes dir #4 (keeps 4 and 3) — v12's dir is now GONE
+    // while its marker is still retained: the dir-pruned error path.
+    // orphanGraceMs=0: claim tombstones minutes old would otherwise
+    // read as live writers and defer the dir deletion this test needs
+    Dedup.rebuildShingleIndex(spark, idx, nBuckets = NB)
+    Dedup.rebuildShingleIndex(spark, idx, nBuckets = NB, orphanGraceMs = 0L)
+    val e2 = intercept[RuntimeException](
+      IndexLifecycle.manifestAt(spark, idx, 12L))
+    assert(e2.getMessage.contains("already pruned"))
+    // the two versions the dir retention still serves resolve fine
+    assert(pinnedPostings(idx, 14L) ==
+      expected(base ++ (0 until 10).flatMap(k =>
+        (600L + k * 10) until (600L + k * 10 + 3))))
+  }
+
+  test("forgetViaRebuild: reader-isolated RTBF — concurrent probes observe only full pre/post states; count exact; idempotent") {
+    val base = 0L until 30L
+    val idx = newIndex("graft_ixfvr", base)
+    val victims = Set(3L, 7L, 11L)
+    val pre = expected(base)
+    val post = expected(base.filterNot(victims))
+    @volatile var done = false
+    @volatile var torn: Option[Set[(Long, String)]] = None
+    @volatile var probes = 0
+    val prober = new Thread(() => {
+      while (!done && torn.isEmpty) {
+        val got = postings(idx)
+        probes += 1
+        // the whole contract: a reader racing the RTBF sees the full
+        // old state or the full new state, never a partial rewrite
+        // (the in-place mutate path documents exactly this hazard)
+        if (got != pre && got != post) torn = Some(got)
+      }
+    })
+    prober.start()
+    val removed = try {
+      IndexLifecycle.forgetViaRebuild(spark, idx,
+          col("doc").isin(victims.toSeq: _*),
+          readerGraceMs = 120000L) {
+        (kept, _, dst) => shingleBuild(kept, dst)
+      }
+    } finally { done = true; prober.join() }
+    assert(torn.isEmpty, s"prober observed a torn state: " +
+      s"${torn.map(_.size)} postings (pre=${pre.size}, post=${post.size})")
+    assert(probes >= 1)
+    assert(removed == (pre.size - post.size).toLong,
+      s"removed=$removed, expected ${pre.size - post.size}")
+    assert(postings(idx) == post)
+    // idempotent: nothing left of the victims
+    val again = IndexLifecycle.forgetViaRebuild(spark, idx,
+        col("doc").isin(victims.toSeq: _*)) {
+      (kept, _, dst) => shingleBuild(kept, dst)
+    }
+    assert(again == 0L)
+  }
+
+  test("maybeRebuild: no-op at or under the segment cap, collapses above it") {
+    val base = 0L until 20L
+    val idx = newIndex("graft_ixpol", base)
+    append(idx, 700L until 705L, "m0")
+    append(idx, 710L until 715L, "m1")
+    append(idx, 720L until 725L, "m2") // 4 segments incl. base
+    assert(IndexLifecycle.segmentCount(spark, idx) == 4)
+    assert(!IndexLifecycle.maybeRebuild(spark, idx, maxSegments = 4) {
+      (src, _, dst) => shingleBuild(src, dst)
+    })
+    assert(IndexLifecycle.segmentCount(spark, idx) == 4, "no-op must not rebuild")
+    assert(IndexLifecycle.maybeRebuild(spark, idx, maxSegments = 2) {
+      (src, _, dst) => shingleBuild(src, dst)
+    })
+    assert(IndexLifecycle.segmentCount(spark, idx) == 1,
+      "policy rebuild must collapse to base")
+    assert(postings(idx) ==
+      expected(base ++ (700L until 705L) ++ (710L until 715L) ++ (720L until 725L)))
+    assert(!IndexLifecycle.maybeRebuild(spark, idx, maxSegments = 2) {
+      (src, _, dst) => shingleBuild(src, dst)
+    })
+  }
+
+  if (memoryCommit)
+    test("memory commit really owns the chain: no marker files ever touch the filesystem") {
+      val idx = newIndex("graft_ixmem", 0L until 10L)
+      append(idx, 800L until 805L, "m0")
+      val fs = fsOf(idx)
+      val names = fs.listStatus(new Path(idx)).map(_.getPath.getName)
+      assert(!names.exists(_.startsWith("_graft_ixgen.")),
+        s"marker files leaked to the filesystem: ${names.mkString(",")}")
+      assert(IndexLifecycle.manifest(spark, idx).exists(_.v >= 3L))
+    }
 }
+
+/** Filesystem commit backend (hard-link CAS on `file:`). */
+class IndexLifecycleSpec extends IndexLifecycleContract(memoryCommit = false) {
+
+  test("cross-process CAS: two JVMs racing exclusive marker creates get exactly one winner per version") {
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("graft_casx").toString
+    val ready = dir + "/.go"
+    val n = 300
+    val cp = System.getProperty("java.class.path")
+    assert(cp.contains("classes"), s"test classpath not propagated: $cp")
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val childOut = new StringBuilder
+    val child = Process(Seq(javaBin, "-Xmx256m", "-cp", cp,
+      "graft.tools.CasContend", dir, n.toString, "child", ready))
+      .run(ProcessLogger(l => childOut.synchronized { childOut.append(l).append('\n') }))
+    val fs = new Path(dir).getFileSystem(
+      GraftSpark.spark.sparkContext.hadoopConfiguration)
+    val mc = new graft.sources.FsManifestCommit(fs, new Path(dir))
+    // start both contenders together
+    java.nio.file.Files.write(java.nio.file.Paths.get(ready), Array[Byte]())
+    val mine = (1 to n).filter { v =>
+      mc.createExclusive(f"_graft_ixgen.g$v%09d", "parent".getBytes("UTF-8"))
+    }.toSet
+    assert(child.exitValue() == 0, s"child JVM failed:\n$childOut")
+    val theirs = childOut.toString.linesIterator
+      .find(_.startsWith("WON:")).map(_.stripPrefix("WON:"))
+      .map(_.split(",").toSeq.filter(_.nonEmpty).map(_.toInt).toSet)
+      .getOrElse(fail(s"no WON line from child:\n$childOut"))
+    // THE atomicity property: no version both processes think they won.
+    // (Hadoop's check-then-create local fs fails this under contention;
+    // the kernel-atomic hard link cannot.)
+    assert((mine & theirs).isEmpty,
+      s"both processes committed versions ${(mine & theirs).toSeq.sorted.take(10)}")
+    assert((mine | theirs) == (1 to n).toSet,
+      "every version must have exactly one winner")
+    // and each marker's payload is its winner's, written atomically
+    val sample = (1 to n by 37)
+    sample.foreach { v =>
+      val owner = new String(mc.read(f"_graft_ixgen.g$v%09d").get, "UTF-8")
+      assert(owner == (if (mine(v)) "parent" else "child"),
+        s"version $v payload '$owner' does not match its winner")
+    }
+  }
+}
+
+/** Conditional-PUT commit backend (the S3 If-None-Match shape). */
+class IndexLifecycleMemoryCommitSpec
+  extends IndexLifecycleContract(memoryCommit = true)
