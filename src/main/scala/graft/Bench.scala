@@ -106,7 +106,19 @@ object Bench {
     // headline total goes LAST in the line: the driver's artifact keeps the
     // tail of stdout, and r1–r4 artifacts lost the leading total field when
     // the long line was head-truncated.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$ejson,"isolated":$ijson,"queries":$qjson,"value":$total}""")
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$ejson,"isolated":$ijson,"queries":$qjson,"value":$total}"""
+    println(line)
+    // the SAME json, untruncated, committed in-repo: the driver artifact
+    // keeps only ~2000 chars of stdout, so only ~60 of the per-query
+    // medians survive into BENCH_r{N}.json — this file is what lets the
+    // next round diff EVERY query. Overridable for ad-hoc runs.
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "bench_full_r10.json")
+    if (fullOut.nonEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(fullOut),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write $fullOut: $e") }
     spark.stop()
   }
 }

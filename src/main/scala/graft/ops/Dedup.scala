@@ -434,25 +434,34 @@ object Dedup {
                           maxDf: Int = Int.MaxValue,
                           orphanGraceMs: Long =
                             graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
-                          readerGraceMs: Long = 0L): Unit = {
-    import org.apache.spark.sql.expressions.Window
+                          readerGraceMs: Long = 0L): Unit =
     graft.sources.IndexLifecycle.rebuild(spark, indexPath,
-        orphanGraceMs, readerGraceMs) {
-      (src, _, dst) =>
-        val posts = src.select(col("doc"), col("s")).distinct()
-        val hot = posts.groupBy("s").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > maxDf).select("s")
-        posts.join(hot, Seq("s"), "left_anti")
-          .withColumn("n_sh",
-            count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
-          .withColumn("bucket",
-            pmod(xxhash64(col("s")), lit(nBuckets)).cast("int"))
-          .withColumn("ingest", lit("base"))
-          .repartition(col("bucket"))
-          .write.mode("overwrite").partitionBy("ingest", "bucket")
-          .parquet(dst)
-        hot.coalesce(1).write.mode("overwrite").parquet(hotSidecar(dst))
-    }
+      orphanGraceMs, readerGraceMs)(shingleRebuildClosure(nBuckets, maxDf))
+
+  /** The rebuild's build body, shared with the reader-isolated forget
+    * path ([[Forget.fromShingleIndexViaRebuild]] feeds it the
+    * victim-filtered src — same output as rebuilding after an in-place
+    * forget, proven identical because a doc only ever contributes its
+    * own postings and the survivor dfs can only drop, never crossing
+    * the cap upward).
+    */
+  private[graft] def shingleRebuildClosure(nBuckets: Int, maxDf: Int)
+      : (DataFrame, String, String) => Unit = {
+    import org.apache.spark.sql.expressions.Window
+    (src, _, dst) =>
+      val posts = src.select(col("doc"), col("s")).distinct()
+      val hot = posts.groupBy("s").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf).select("s")
+      posts.join(hot, Seq("s"), "left_anti")
+        .withColumn("n_sh",
+          count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
+        .withColumn("bucket",
+          pmod(xxhash64(col("s")), lit(nBuckets)).cast("int"))
+        .withColumn("ingest", lit("base"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("ingest", "bucket")
+        .parquet(dst)
+      hot.coalesce(1).write.mode("overwrite").parquet(hotSidecar(dst))
   }
 
   /** Jaccard near-dup pairs of a NEW batch against a PERSISTED corpus

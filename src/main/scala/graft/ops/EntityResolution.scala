@@ -287,26 +287,32 @@ object EntityResolution {
   def rebuildVariantIndex(spark: org.apache.spark.sql.SparkSession,
                           indexPath: String, nBuckets: Int = 16,
                           maxDf: Int = Int.MaxValue): Unit =
-    graft.sources.IndexLifecycle.rebuild(spark, indexPath) {
-      (src, srcDir, dst) =>
-        // maxDist is immutable across rebuilds (the stored rows ARE
-        // the depth-d neighborhoods); nBuckets is pure layout and may
-        // change — the refreshed sidecar rides inside the new version
-        val maxDist = spark.read.parquet(erParamsSidecar(srcDir))
-          .head().getInt(0)
-        val rows = src.select(col("id"), col("nm"), col("blk"), col("v"))
-          .distinct()
-        val hot = rows.groupBy("blk", "v").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > maxDf).select("blk", "v")
-        rows.join(hot, Seq("blk", "v"), "left_anti")
-          .withColumn("bucket", pmod(col("v"), lit(nBuckets)).cast("int"))
-          .withColumn("ingest", lit("base"))
-          .repartition(col("bucket"))
-          .write.mode("overwrite").partitionBy("ingest", "bucket")
-          .parquet(dst)
-        hot.coalesce(1).write.mode("overwrite")
-          .parquet(hotVariantsSidecar(dst))
-        writeErParams(spark, dst, maxDist, nBuckets)
+    graft.sources.IndexLifecycle.rebuild(spark, indexPath)(
+      variantRebuildClosure(spark, nBuckets, maxDf))
+
+  /** Build body shared with [[Forget.fromVariantIndexViaRebuild]]. */
+  private[graft] def variantRebuildClosure(
+      spark: org.apache.spark.sql.SparkSession, nBuckets: Int, maxDf: Int)
+      : (DataFrame, String, String) => Unit =
+    (src, srcDir, dst) => {
+      // maxDist is immutable across rebuilds (the stored rows ARE
+      // the depth-d neighborhoods); nBuckets is pure layout and may
+      // change — the refreshed sidecar rides inside the new version
+      val maxDist = spark.read.parquet(erParamsSidecar(srcDir))
+        .head().getInt(0)
+      val rows = src.select(col("id"), col("nm"), col("blk"), col("v"))
+        .distinct()
+      val hot = rows.groupBy("blk", "v").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf).select("blk", "v")
+      rows.join(hot, Seq("blk", "v"), "left_anti")
+        .withColumn("bucket", pmod(col("v"), lit(nBuckets)).cast("int"))
+        .withColumn("ingest", lit("base"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("ingest", "bucket")
+        .parquet(dst)
+      hot.coalesce(1).write.mode("overwrite")
+        .parquet(hotVariantsSidecar(dst))
+      writeErParams(spark, dst, maxDist, nBuckets)
     }
 
   /** Link a dirty-feed batch against the PERSISTED master index —
@@ -546,7 +552,11 @@ object EntityResolution {
           writeVariantIndex(cust, "c_custkey", "c_name", "c_nationkey", p)
           val ids = cust.filter(col("c_custkey") % 20 === 0)
             .select("c_custkey").collect().map(_.getLong(0)).toSeq
-          val removed = Forget.fromVariantIndex(s, p, ids)
+          // round-10: the reader-isolated path (victim-filtered fenced
+          // rebuild). The oracle is unchanged: stored rows are
+          // per-record facts and the build is uncapped, so in-place and
+          // via-rebuild deletions coincide row-for-row.
+          val removed = Forget.fromVariantIndexViaRebuild(s, p, ids)
           require(removed > 0L, "forget removed nothing — bad fixture")
         }
         val dir = graft.sources.IndexLifecycle.resolveDir(s, idx)

@@ -175,4 +175,74 @@ object Forget {
                     docIds: Seq[Long]): Long =
     graft.sources.IndexLifecycle.mutate(spark, indexPath)(dir =>
       rewriteWithout(spark, dir, Seq("ingest", "bucket"), "doc_id", docIds))
+
+  // ------------------------------------------- reader-isolated variants
+
+  /** The `viaRebuild` family: the same deletions expressed as a fenced
+    * [[graft.sources.IndexLifecycle.forgetViaRebuild]] — the index is
+    * rebuilt from its victim-filtered contents into a FRESH data dir
+    * and published through the CAS, so a concurrent prober only ever
+    * resolves a fully-built version (the in-place `from*Index` forms
+    * rewrite files inside the live dir and have a documented torn-read
+    * window for the touched partitions). Cost: one full index rewrite
+    * instead of touched-partition rewrites — the price of full reader
+    * isolation; pick per deployment. A second benefit falls out for
+    * free: every derived corpus statistic (shingle hot list, ER hot
+    * variants, BM25 segment stats, cell/IVF quantizers) is refreshed
+    * from the survivors, so the in-place forms' documented
+    * stats-drift-until-next-rebuild window does not exist here. For
+    * the cell and IVF families that refresh re-runs the quantizer, so
+    * survivors may land in DIFFERENT cells/lists than before (corpus
+    * statistics, not per-vector data — same as any maintenance
+    * rebuild).
+    */
+  def fromShingleIndexViaRebuild(spark: SparkSession, indexPath: String,
+                                 docIds: Seq[Long], nBuckets: Int = 64,
+                                 maxDf: Int = Int.MaxValue): Long =
+    graft.sources.IndexLifecycle.forgetViaRebuild(spark, indexPath,
+      col("doc").isin(docIds: _*))(
+      Dedup.shingleRebuildClosure(nBuckets, maxDf))
+
+  def fromIvfIndexViaRebuild(spark: SparkSession, indexPath: String,
+                             vecIds: Seq[Long], centroidEvery: Int): Long =
+    graft.sources.IndexLifecycle.forgetViaRebuild(spark, indexPath,
+      col("nid").isin(vecIds: _*)) { (kept, _, dst) =>
+      Similarity.ivfWriteIndexDet(kept.select(col("nid"), col("nvec")),
+        "nid", "nvec", centroidEvery, dst)
+    }
+
+  def fromCellIndexViaRebuild(spark: SparkSession, indexPath: String,
+                              vecIds: Seq[Long], centroidEvery: Int): Long =
+    graft.sources.IndexLifecycle.forgetViaRebuild(spark, indexPath,
+      col("vec_id").isin(vecIds: _*)) { (kept, _, dst) =>
+      SemDedup.writeCellIndex(
+        kept.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", centroidEvery, dst)
+    }
+
+  def fromPhashIndexViaRebuild(spark: SparkSession, indexPath: String,
+                               imageIds: Seq[Long],
+                               nBuckets: Int = 64): Long =
+    graft.sources.IndexLifecycle.forgetViaRebuild(spark, indexPath,
+      col("id").isin(imageIds: _*))(
+      Multimodal.phashRebuildClosure(spark, nBuckets))
+
+  def fromVariantIndexViaRebuild(spark: SparkSession, indexPath: String,
+                                 recordIds: Seq[Long], nBuckets: Int = 16,
+                                 maxDf: Int = Int.MaxValue): Long =
+    graft.sources.IndexLifecycle.forgetViaRebuild(spark, indexPath,
+      col("id").isin(recordIds: _*))(
+      EntityResolution.variantRebuildClosure(spark, nBuckets, maxDf))
+
+  def fromSpanIndexViaRebuild(spark: SparkSession, indexPath: String,
+                              docIds: Seq[Long], nBuckets: Int = 16): Long =
+    graft.sources.IndexLifecycle.forgetViaRebuild(spark, indexPath,
+      col("doc").isin(docIds: _*))(
+      SpanDedup.spanRebuildClosure(spark, nBuckets))
+
+  def fromBm25IndexViaRebuild(spark: SparkSession, indexPath: String,
+                              docIds: Seq[Long], nBuckets: Int = 16): Long =
+    graft.sources.IndexLifecycle.forgetViaRebuild(spark, indexPath,
+      col("doc_id").isin(docIds: _*))(
+      Search.bm25RebuildClosure(spark, nBuckets))
 }

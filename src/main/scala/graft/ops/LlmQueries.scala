@@ -184,6 +184,72 @@ object LlmQueries {
     })
   }
 
+  /** Streaming MULTIMODAL curation fixture — the attachCurate fixture
+    * plus the phash image canon ([[graft.streaming.StreamingDedup
+    * .attachCurateMm]]): offline shingle index + DSIR model over the
+    * %10≠0 corpus, an offline PHASH index over a corpus slice chosen so
+    * the image canon visibly bites (see the predicate comment), then
+    * the same two MemoryStream batches. Memoized per dataset dir via
+    * TempFixtures (throwing builds neither cache nor leak).
+    */
+  private def streamingCurateMmFor(s: org.apache.spark.sql.SparkSession,
+                                   datasetDir: String): String =
+    graft.util.TempFixtures.dir(s"scuratemm:$datasetDir") { root =>
+      val idx = s"$root/shingle"
+      val ph = s"$root/phash"
+      val model = s"$root/model"
+      val out = s"$root/out"
+      val docs = Tables(s, datasetDir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx,
+        maxDf = shingleMaxDf)
+      // Phash population: the synthetic planted copies are id%10==7
+      // (exact pixel copy of id−7) and id%10==8 (near copy of id−8) —
+      // id−7/id−8 are ≡0 (mod 10), i.e. EXACTLY the streaming batch
+      // ids, so indexing every planted copy would image-drop the whole
+      // stream and indexing none would make the canon vacuous. Keep
+      // the exact copies only for id≡27 (mod 40): half of batch 0
+      // (ids ≡20 mod 40) has a pre-existing perceptual duplicate and
+      // is cut by the image canon even though its TEXT is unique —
+      // the cut the text-only loop cannot make — while the other half
+      // and batch 1 pass through it.
+      val phPop = docs.filter(col("doc_id") % 10 =!= 0 &&
+        col("doc_id") % 10 =!= 8 &&
+        (col("doc_id") % 10 =!= 7 || col("doc_id") % 40 === 27))
+      // maxDist=1 (2 bands of 28 bits), NOT the pairs queries' 3: the
+      // synthetic gradient corpus is low-entropy enough that hamming≤3
+      // coincidences between UNRELATED images starve the fixture (one
+      // survivor at sf0.01); at ≤1 the canon still catches the planted
+      // exact copies while unrelated images pass
+      Multimodal.writePhashIndex(Multimodal.asPhashImageTable(phPop), ph,
+        maxDist = 1, nBuckets = 16)
+      Dsir.writeModel(corpus.filter(col("doc_id") % 7 =!= 0),
+        corpus.filter(col("doc_id") % 7 === 0), "doc_id", "text", model)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingDedup.attachCurateMm(
+          input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+          images = b => Multimodal.asPhashImageTable(b),
+          indexPath = idx, phashIndexPath = ph, modelPath = model,
+          outDir = out, n = 3, threshold = 0.8, maxDist = 1,
+          phashBuckets = 16)
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try {
+        // MemoryStream TRANSPORT harness collect — see
+        // streamingDedupPairsFor's note
+        def slice(m: Int) = docs.filter(col("doc_id") % 20 === m)
+          .select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        input.addData(slice(0): _*)
+        q.processAllAvailable()
+        input.addData(slice(10): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+
   /** The near-dup cluster table `sample_split_leakage_safe` joins
     * against, built once per dataset dir per JVM and persisted. In
     * production the cluster assignment is the caller's EXISTING dedup
@@ -250,7 +316,20 @@ object LlmQueries {
     * banding: `bands(id, h, b, v)` regenerated entirely from the
     * closed-form synthetic pixels (eid remap + the one-pixel tweak).
     */
-  private val phashBandsCte =
+  /** The closed-form dHash/band replay, parameterized by the banding
+    * (`maxDist + 1` bands of `56 / (maxDist + 1)` bits — the pigeonhole
+    * contract [[graft.ops.Multimodal.phashBandsOf]] implements).
+    */
+  private def phashBandsCteFor(maxDist: Int): String = {
+    val nBands = maxDist + 1
+    val bandBits = 56 / nBands
+    phashBandsCteRaw
+      .replace("BANDBITS", bandBits.toString)
+      .replace("BANDMASK", ((1L << bandBits) - 1).toString)
+      .replace("NBANDS", nBands.toString)
+  }
+
+  private val phashBandsCteRaw =
     """WITH ids AS (
       SELECT doc_id AS id,
         CASE WHEN doc_id % 10 = 7 THEN doc_id - 7
@@ -285,8 +364,10 @@ object LlmQueries {
       GROUP BY a.id),
     bands AS (
       SELECT id, h, t.b AS b,
-        (h >> CAST(14 * t.b AS INT)) & 16383 AS v
-      FROM bits, LATERAL (SELECT unnest(range(4)) AS b) t)"""
+        (h >> CAST(BANDBITS * t.b AS INT)) & BANDMASK AS v
+      FROM bits, LATERAL (SELECT unnest(range(NBANDS)) AS b) t)"""
+
+  private val phashBandsCte = phashBandsCteFor(3)
 
   /** One persisted phash index per dataset dir per JVM — the offline
     * image-index build, same memoize-and-cleanup story as the
@@ -2736,16 +2817,16 @@ object LlmQueries {
         ORDER BY doc_id""")),
 
     // Deletion propagation (right-to-be-forgotten) into a persisted
-    // shingle index: build a dedicated index over the doc_id%10==0
-    // slice, forget the %20==0 half via touched-partition rewrite
-    // (ops/Forget — id predicate pushed to parquet, only partitions
-    // holding the ids rewritten), read the surviving postings back.
-    // The oracle is rebuild-without-ids: identical postings BUT with
-    // the hot list and every survivor's n_sh computed over the
-    // ORIGINAL corpus (forget does not recompute build-time stats;
-    // a survivor's n_sh counts only its own postings, so deletion of
-    // other docs cannot change it — which is exactly why the
-    // touched-partition rewrite is sound).
+    // shingle index, through the READER-ISOLATED path (round-10:
+    // Forget.fromShingleIndexViaRebuild — the victim-filtered fenced
+    // rebuild, so concurrent probers only ever resolve a full version;
+    // the in-place touched-partition rewrite remains the quiet-window
+    // option, raced and proven in IndexLifecycleSpec). The oracle is
+    // rebuild-without-ids LITERALLY now; it is unchanged from the
+    // in-place era because the two paths' outputs provably coincide
+    // for this family: a doc only contributes its own postings (n_sh
+    // unchanged for survivors) and survivor dfs only DROP, so the
+    // recomputed hot cap excludes nothing new.
     GQuery("forget_shingle_index",
       (s, d) => {
         // build→forget memoized per dataset dir (a forget is a
@@ -2768,11 +2849,15 @@ object LlmQueries {
             nBuckets = 16, maxDf = shingleMaxDf)
           val ids = corpus.filter(col("doc_id") % 20 === 0)
             .select("doc_id").collect().map(_.getLong(0)).toSeq
-          val removed = Forget.fromShingleIndex(s, p, ids)
+          val removed = Forget.fromShingleIndexViaRebuild(s, p, ids,
+            nBuckets = 16, maxDf = shingleMaxDf)
           require(removed > 0L, "forget removed nothing — bad fixture")
           p
         })
-        s.read.parquet(idx).select(col("doc"), col("s"), col("n_sh"))
+        // viaRebuild converts the index to generational — resolve, never
+        // read the root
+        s.read.parquet(graft.sources.IndexLifecycle.resolveDir(s, idx))
+          .select(col("doc"), col("s"), col("n_sh"))
           .orderBy(col("doc"), col("s"))
       },
       Some(s"""WITH toks AS (
@@ -2807,11 +2892,13 @@ object LlmQueries {
           Multimodal.writePhashIndex(corpus, p, nBuckets = 16)
           val ids = corpus.filter(col("doc_id") % 20 === 0)
             .select("doc_id").collect().map(_.getLong(0)).toSeq
-          val removed = Forget.fromPhashIndex(s, p, ids)
+          val removed = Forget.fromPhashIndexViaRebuild(s, p, ids,
+            nBuckets = 16)
           require(removed > 0L, "forget removed nothing — bad fixture")
           p
         })
-        s.read.parquet(idx).select(col("id"), col("h"), col("b"), col("v"))
+        s.read.parquet(graft.sources.IndexLifecycle.resolveDir(s, idx))
+          .select(col("id"), col("h"), col("b"), col("v"))
           .orderBy(col("id"), col("b"))
       },
       Some(s"""$phashBandsCte
@@ -2907,6 +2994,149 @@ object LlmQueries {
         surv1 AS (
           SELECT doc_id FROM keptb ANTI JOIN
             (SELECT DISTINCT i AS doc_id FROM j1) USING (doc_id)
+          WHERE doc_id % 20 = 10),
+        uni AS (SELECT doc_id, unnest(tk) AS g FROM toksA),
+        bi AS (
+          SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS g
+          FROM toksA, LATERAL (SELECT unnest(generate_series(1,
+            greatest(len(tk) - 1, 0))) AS i)),
+        feats AS (
+          SELECT doc_id, (${duckHex32("'dsir:' || g")}) % 256 AS bk
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        tf AS (SELECT bk, count(*) AS c FROM feats
+               WHERE doc_id % 10 <> 0 AND doc_id % 7 = 0 GROUP BY 1),
+        rf AS (SELECT bk, count(*) AS c FROM feats
+               WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 0 GROUP BY 1),
+        tt AS (SELECT count(*) AS n FROM feats
+               WHERE doc_id % 10 <> 0 AND doc_id % 7 = 0),
+        rt AS (SELECT count(*) AS n FROM feats
+               WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 0),
+        lr AS (
+          SELECT sp.bk,
+            CAST(floor(ln((COALESCE(tf.c, 0) + 1)::DOUBLE / (tt.n + 256)) * 1e6) AS BIGINT)
+            - CAST(floor(ln((COALESCE(rf.c, 0) + 1)::DOUBLE / (rt.n + 256)) * 1e6) AS BIGINT)
+              AS lr_u
+          FROM range(256) sp(bk) LEFT JOIN tf USING (bk)
+          LEFT JOIN rf USING (bk), tt, rt),
+        w AS (
+          SELECT f.doc_id, CAST(count(*) AS INT) AS n_feats,
+            CAST(sum(lr.lr_u) AS BIGINT) AS logw_u
+          FROM feats f JOIN lr USING (bk) GROUP BY 1)
+        SELECT 0 AS batch, w.doc_id, n_feats,
+          CAST(logw_u AS DOUBLE) / 1e6 AS logw
+        FROM w SEMI JOIN surv0 USING (doc_id)
+        UNION ALL
+        SELECT 1, w.doc_id, n_feats, CAST(logw_u AS DOUBLE) / 1e6
+        FROM w SEMI JOIN surv1 USING (doc_id)
+        ORDER BY batch, doc_id""")),
+
+    // STREAMING MULTIMODAL CURATION — streaming_curate plus the IMAGE
+    // canon (round-10): per micro-batch, repetition gate → text
+    // near-dup probe against the shingle index → PERCEPTUAL image
+    // probe against the phash index (a doc whose image duplicates an
+    // already-curated image is cut even when its text is unique) →
+    // DSIR scoring; BOTH indexes absorb the survivors so batch 1's
+    // two canons see batch 0's curated docs
+    // (StreamingDedup.attachCurateMm — the streaming square of
+    // pipeline_train_export_mm's batch composition). The oracle
+    // replays BOTH canons across both batches in one WITH stack: the
+    // closed-form dHash/band pipeline (phashBandsCte), the
+    // hot-list-governed two-probe text dedup, the image-history
+    // growth (batch 1 probes base ∪ batch-0 survivors' bands), and
+    // the bucket-model scoring. The phash fixture population is
+    // chosen so the image canon provably bites (see
+    // streamingCurateMmFor).
+    GQuery("streaming_curate_mm",
+      (s, d) => {
+        val p = streamingCurateMmFor(s, d)
+        s.read.parquet(s"$p/out")
+          .select(col("batch").cast("int").as("batch"),
+            col("doc").as("doc_id"), col("n_feats"), col("logw"))
+          .orderBy(col("batch"), col("doc_id"))
+      },
+      Some(s"""${phashBandsCteFor(1)},
+        phcorp AS (
+          SELECT * FROM bands WHERE id % 10 NOT IN (0, 8)
+            AND (id % 10 <> 7 OR id % 40 = 27)),
+        toksA AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM documents),
+        tri AS (
+          SELECT doc_id, CASE WHEN len(tk) >= 3
+            THEN list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+            ELSE [] END AS tg
+          FROM toksA WHERE doc_id % 20 = 0 OR doc_id % 20 = 10),
+        trir AS (
+          SELECT doc_id, CASE WHEN len(tg) > 0
+            THEN 1.0 - len(list_distinct(tg))::DOUBLE / len(tg)
+            ELSE 0.0 END AS dtr
+          FROM tri),
+        cnt AS (
+          SELECT doc_id, t, count(*) AS k
+          FROM (SELECT doc_id, unnest(tk) AS t FROM toksA
+                WHERE doc_id % 20 = 0 OR doc_id % 20 = 10)
+          GROUP BY 1, 2),
+        topr AS (SELECT doc_id, max(k)::DOUBLE / sum(k) AS ttr
+                 FROM cnt GROUP BY 1),
+        keptb AS (
+          SELECT trir.doc_id FROM trir LEFT JOIN topr USING (doc_id)
+          WHERE CAST(floor(trir.dtr * 1e6) AS BIGINT) <= 20000
+            AND CAST(floor(COALESCE(topr.ttr, 0.0) * 1e6) AS BIGINT) <= 120000),
+        sh0 AS (
+          SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+          FROM toksA, LATERAL (SELECT unnest(generate_series(1,
+            greatest(len(tk) - 2, 0))) AS i)),
+        cor0 AS (SELECT * FROM sh0 WHERE doc_id % 10 <> 0),
+        hot AS (SELECT s FROM cor0 GROUP BY s HAVING count(*) > $shingleMaxDf),
+        cor AS (SELECT cor0.* FROM cor0 ANTI JOIN hot USING (s)),
+        b0 AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (s)
+               SEMI JOIN keptb USING (doc_id) WHERE doc_id % 20 = 0),
+        corn AS (SELECT doc_id, count(*) AS n FROM cor GROUP BY 1),
+        b0n AS (SELECT doc_id, count(*) AS n FROM b0 GROUP BY 1),
+        j0 AS (
+          SELECT i FROM (
+            SELECT a.doc_id AS i, c.doc_id AS j, count(*) AS common
+            FROM b0 a JOIN cor c ON a.s = c.s GROUP BY 1, 2) p
+          JOIN b0n ON b0n.doc_id = p.i JOIN corn ON corn.doc_id = p.j
+          WHERE common::DOUBLE / (b0n.n + corn.n - common) >= 0.8),
+        imgd0 AS (
+          SELECT DISTINCT q.id AS doc_id
+          FROM phcorp c JOIN (SELECT * FROM bands WHERE id % 20 = 0) q
+            ON c.b = q.b AND c.v = q.v
+          WHERE bit_count(xor(c.h, q.h)) <= 1),
+        surv0 AS (
+          SELECT doc_id FROM keptb
+          ANTI JOIN (SELECT DISTINCT i AS doc_id FROM j0) USING (doc_id)
+          ANTI JOIN imgd0 USING (doc_id)
+          WHERE doc_id % 20 = 0),
+        hist AS (
+          SELECT * FROM cor
+          UNION ALL
+          SELECT b0.* FROM b0 SEMI JOIN surv0 USING (doc_id)),
+        hn AS (SELECT doc_id, count(*) AS n FROM hist GROUP BY 1),
+        b1 AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (s)
+               SEMI JOIN keptb USING (doc_id) WHERE doc_id % 20 = 10),
+        b1n AS (SELECT doc_id, count(*) AS n FROM b1 GROUP BY 1),
+        j1 AS (
+          SELECT i FROM (
+            SELECT a.doc_id AS i, h.doc_id AS j, count(*) AS common
+            FROM b1 a JOIN hist h ON a.s = h.s GROUP BY 1, 2) p
+          JOIN b1n ON b1n.doc_id = p.i JOIN hn ON hn.doc_id = p.j
+          WHERE common::DOUBLE / (b1n.n + hn.n - common) >= 0.8),
+        ph1 AS (
+          SELECT * FROM phcorp
+          UNION ALL
+          SELECT * FROM bands WHERE id IN (SELECT doc_id FROM surv0)),
+        imgd1 AS (
+          SELECT DISTINCT q.id AS doc_id
+          FROM ph1 c JOIN (SELECT * FROM bands WHERE id % 20 = 10) q
+            ON c.b = q.b AND c.v = q.v
+          WHERE bit_count(xor(c.h, q.h)) <= 1),
+        surv1 AS (
+          SELECT doc_id FROM keptb
+          ANTI JOIN (SELECT DISTINCT i AS doc_id FROM j1) USING (doc_id)
+          ANTI JOIN imgd1 USING (doc_id)
           WHERE doc_id % 20 = 10),
         uni AS (SELECT doc_id, unnest(tk) AS g FROM toksA),
         bi AS (

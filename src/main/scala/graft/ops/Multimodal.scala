@@ -365,18 +365,23 @@ object Multimodal {
                           graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
                         readerGraceMs: Long = 0L): Unit =
     graft.sources.IndexLifecycle.rebuild(spark, indexPath,
-        orphanGraceMs, readerGraceMs) {
-      (src, srcDir, dst) =>
-        val maxDist = spark.read
-          .parquet(phashParamsSidecar(srcDir)).head().getInt(0)
-        src.select(col("id"), col("h"), col("b"), col("v"))
-          .distinct()
-          .withColumn("bucket", phashBucket(nBuckets))
-          .withColumn("ingest", lit("base"))
-          .repartition(col("bucket"))
-          .write.mode("overwrite").partitionBy("ingest", "bucket")
-          .parquet(dst)
-        writePhashParams(spark, dst, maxDist, nBuckets)
+      orphanGraceMs, readerGraceMs)(phashRebuildClosure(spark, nBuckets))
+
+  /** Build body shared with [[Forget.fromPhashIndexViaRebuild]]. */
+  private[graft] def phashRebuildClosure(
+      spark: org.apache.spark.sql.SparkSession, nBuckets: Int)
+      : (DataFrame, String, String) => Unit =
+    (src, srcDir, dst) => {
+      val maxDist = spark.read
+        .parquet(phashParamsSidecar(srcDir)).head().getInt(0)
+      src.select(col("id"), col("h"), col("b"), col("v"))
+        .distinct()
+        .withColumn("bucket", phashBucket(nBuckets))
+        .withColumn("ingest", lit("base"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("ingest", "bucket")
+        .parquet(dst)
+      writePhashParams(spark, dst, maxDist, nBuckets)
     }
 
   /** Perceptual near-dups of a NEW image batch against a PERSISTED

@@ -288,20 +288,30 @@ object Search {
     */
   def rebuildBm25Index(spark: org.apache.spark.sql.SparkSession,
                        indexPath: String, nBuckets: Int = 16): Unit =
-    graft.sources.IndexLifecycle.rebuild(spark, indexPath) {
-      (src, _, dst) =>
-        val rows = graft.util.Caches.own(
-          src.select(col("doc_id"), col("t"), col("tf"), col("len"))
-            .distinct()
-            .withColumn("bucket",
-              pmod(xxhash64(col("t")), lit(nBuckets)).cast("int")))
-        rows
-          .withColumn("ingest", lit("base"))
-          .repartition(col("bucket"))
-          .write.mode("overwrite").partitionBy("ingest", "bucket")
-          .parquet(dst)
-        writeSegStats(spark, rows, s"$dst/ingest=base")
-        writeBm25Params(spark, dst, nBuckets)
+    graft.sources.IndexLifecycle.rebuild(spark, indexPath)(
+      bm25RebuildClosure(spark, nBuckets))
+
+  /** Build body shared with [[Forget.fromBm25IndexViaRebuild]] — which
+    * is also where the in-place forget's documented stats drift closes
+    * WITH the deletion instead of at the next maintenance rebuild: the
+    * segment stats are recomputed from the filtered postings.
+    */
+  private[graft] def bm25RebuildClosure(
+      spark: org.apache.spark.sql.SparkSession, nBuckets: Int)
+      : (DataFrame, String, String) => Unit =
+    (src, _, dst) => {
+      val rows = graft.util.Caches.own(
+        src.select(col("doc_id"), col("t"), col("tf"), col("len"))
+          .distinct()
+          .withColumn("bucket",
+            pmod(xxhash64(col("t")), lit(nBuckets)).cast("int")))
+      rows
+        .withColumn("ingest", lit("base"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("ingest", "bucket")
+        .parquet(dst)
+      writeSegStats(spark, rows, s"$dst/ingest=base")
+      writeBm25Params(spark, dst, nBuckets)
     }
 
   /** BM25 top-k against the PERSISTED index: the query set's term
@@ -320,19 +330,49 @@ object Search {
                        indexPath: String, queries: Seq[(Int, String)],
                        k: Int, nBuckets: Int = 16,
                        excludeIngest: Option[String] = None): DataFrame = {
-    import spark.implicits._
     import org.apache.hadoop.fs.Path
     val dir = graft.sources.IndexLifecycle.resolveDir(spark, indexPath)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = graft.sources.IndexLifecycle
+      .segmentsOf(fs, new Path(dir))
+      .filterNot(excludeIngest.contains)
+    bm25ProbeSegments(spark, dir, segs, queries, k, nBuckets)
+  }
+
+  /** [[bm25AgainstIndex]] PINNED to a retained manifest version — the
+    * reproducible-export read: the probe targets version `v`'s data dir
+    * restricted to the segment set its marker recorded
+    * ([[graft.sources.IndexLifecycle.manifestAt]]), so re-running the
+    * same standing queries against the same version returns the same
+    * snapshot even while appends keep landing (appends mutate the
+    * SHARED dir; the pinned segment list is what keeps later batches
+    * out). Corpus stats sum over the pinned segments only, so scores
+    * are the ones the live probe returned when `v` was current. Fails
+    * loudly outside the retention window; forgotten rows stay
+    * forgotten (RTBF reaches historical reads — see the lifecycle
+    * class doc).
+    */
+  def bm25AgainstIndexAt(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, version: Long,
+                         queries: Seq[(Int, String)],
+                         k: Int, nBuckets: Int = 16): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val m = graft.sources.IndexLifecycle.manifestAt(spark, indexPath, version)
+    val dir = new Path(new Path(indexPath), m.dir).toString
+    bm25ProbeSegments(spark, dir, m.segments, queries, k, nBuckets)
+  }
+
+  private def bm25ProbeSegments(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, segs: Seq[String],
+                                queries: Seq[(Int, String)],
+                                k: Int, nBuckets: Int): DataFrame = {
+    import spark.implicits._
     requireBm25Params(spark, dir, nBuckets)
     val qterms = qidTerms(queries)
       .toDF("qid", "t")
       .withColumn("bucket", pmod(xxhash64(col("t")), lit(nBuckets)).cast("int"))
     val touched = qterms.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val segs = graft.sources.IndexLifecycle
-      .segmentsOf(fs, new Path(dir))
-      .filterNot(excludeIngest.contains)
     require(segs.nonEmpty, s"bm25 index at $dir holds no segments")
     // ONE job over every segment's stats file — a per-segment
     // sequential head() loop would pay linear driver-side scheduling
@@ -343,10 +383,13 @@ object Search {
     val (n, sumLen) = (statsRow.getLong(0), statsRow.getLong(1))
     require(n > 0, s"bm25 index at $dir holds no documents")
     val avglen = sumLen.toDouble / n
-    val posts0 = spark.read.parquet(dir)
-      .filter(col("bucket").isin(touched: _*))
-    val posts = excludeIngest.fold(posts0)(t =>
-      posts0.filter(col("ingest") =!= lit(t)))
+    // the probed segment set is explicit (current minus excluded for
+    // the live probe; the marker's pinned list for probes-at-version) —
+    // `ingest` is the first partition level, so this prunes directories
+    // exactly like the bucket filter
+    val posts = spark.read.parquet(dir)
+      .filter(col("bucket").isin(touched: _*) &&
+        col("ingest").isin(segs: _*))
     // the hit frame feeds BOTH the dft aggregate and the scoring join —
     // own the persist so the bucket scan runs once (the coverage/link
     // probe discipline); swept by the caller's harness
@@ -446,6 +489,33 @@ object Search {
       },
       Some(bm25OracleSql(registeredQueries, 10,
         "WHERE doc_id % 10 <> 0 OR doc_id % 20 = 0"))),
+
+    // Probe PINNED to a manifest version (round-10): the same index as
+    // search_bm25_incremental but generational (rebuild → v2 = [base])
+    // with the %20==0 batch appended AFTER (v3 = [base, b0]); the
+    // registered probe pins v2, so its corpus is the PRE-append
+    // population even though the append mutated the same data dir the
+    // pinned read resolves. The oracle is the BM25 replay restricted
+    // to the base population — a probe that read the dir's current
+    // listing instead of the marker's pinned segment set would score
+    // b0's documents too and hash-mismatch. This is the reproducible
+    // training-export read: "the snapshot as of version v", replayable
+    // until retention prunes v.
+    GQuery("search_bm25_at",
+      (s, d) => {
+        val idx = graft.util.TempFixtures.dir(s"bm25at:$d") { p =>
+          val docs = Tables(s, d, "documents")
+          writeBm25Index(docs.filter(col("doc_id") % 10 =!= 0),
+            "doc_id", "text", p)
+          // convert publishes v1 (flat content), rebuild publishes v2
+          // (fresh base dir) — the version the probe pins
+          rebuildBm25Index(s, p)
+          appendToBm25Index(s, p, docs.filter(col("doc_id") % 20 === 0),
+            "doc_id", "text", ingestTag = "b0") // v3: [base, b0]
+        }
+        bm25AgainstIndexAt(s, idx, version = 2L, registeredQueries, 10)
+      },
+      Some(bm25OracleSql(registeredQueries, 10, "WHERE doc_id % 10 <> 0"))),
 
     // Misra-Gries heavy hitters in the exact regime: capacity 64 ≥ the
     // corpus's 31-token vocabulary, so no counter is ever evicted and

@@ -262,6 +262,12 @@ object SemDedup {
                      centroidEvery: Int, indexPath: String): Unit = {
     val cents = emb.filter(col(idCol) % centroidEvery === 0)
       .select(col(idCol).as("cluster"), col(vecCol).as("cvec"))
+    // an empty quantizer writes an empty index SILENTLY (the assignment
+    // join drops every row) — found by a forget-via-rebuild whose victim
+    // set happened to cover every id ≡ 0 (mod centroidEvery); fail loudly
+    require(!cents.isEmpty,
+      s"writeCellIndex: no centroids — no input id is ≡ 0 (mod " +
+        s"$centroidEvery); pick a centroidEvery the id population hits")
     val cells = KMeansStep.assignTo(emb, idCol, vecCol, cents)
       .select(col("vec_id"), col("cluster").as("cell"))
     emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
@@ -520,17 +526,19 @@ object SemDedup {
 
   val queries: Seq[GQuery] = Seq(
     // Deletion propagation (right-to-be-forgotten) into the persisted
-    // semantic cell index — the embedding twin of forget_shingle_index:
-    // build a dedicated cell index over the vec_id%10<>0 slice, forget
-    // the %7==0 members via touched-partition rewrite
-    // (Forget.fromCellIndex — id predicate pushed to parquet, only the
-    // cells holding the ids rewritten), read back (vec_id, cell) plus a
-    // micro-unit L2 norm proving the vector payload survived the
-    // rewrite byte-exact. Oracle = rebuild-without-ids with the
-    // centroids and every survivor's cell computed over the ORIGINAL
-    // corpus: forget does not re-run the quantizer, and a survivor's
-    // build-time assignment cannot change when other rows vanish —
-    // which is exactly why the touched-partition rewrite is sound.
+    // semantic cell index — the embedding twin of forget_shingle_index,
+    // through the READER-ISOLATED path (round-10:
+    // Forget.fromCellIndexViaRebuild — the victim-filtered fenced
+    // rebuild; concurrent probers only ever resolve a full version; the
+    // in-place touched-partition rewrite remains the quiet-window
+    // option, spec-proven in SemDedupSpec). Unlike the shingle family,
+    // the two paths' outputs DIFFER here by design: the rebuild
+    // re-selects the quantizer from the SURVIVORS (every %IncEvery-th
+    // surviving id) and re-assigns every survivor against it — the
+    // oracle replays exactly that, centroids and assignments both
+    // computed over the post-forget population. The micro-unit L2 norm
+    // still proves the vector payloads came through the rewrite
+    // byte-exact.
     GQuery("forget_cell_index",
       (s, d) => {
         // the build→forget cycle is memoized per dataset dir (a forget
@@ -546,13 +554,19 @@ object SemDedup {
             .filter(col("vec_id") % 10 =!= 0)
           writeCellIndex(corpus, "vec_id", "embedding",
             centroidEvery = IncEvery, indexPath = p)
-          val ids = corpus.filter(col("vec_id") % 7 === 0)
+          // victims are %11 (not the %7 the in-place era used):
+          // IncEvery is 49 = 7^2, so a %7 victim set contains EVERY
+          // candidate centroid id among the survivors and the fresh
+          // quantizer would be empty — writeCellIndex now fails loudly
+          // on exactly that
+          val ids = corpus.filter(col("vec_id") % 11 === 0)
             .select("vec_id").collect().map(_.getLong(0)).toSeq
-          val removed = Forget.fromCellIndex(s, p, ids)
+          val removed = Forget.fromCellIndexViaRebuild(s, p, ids,
+            centroidEvery = IncEvery)
           require(removed > 0L, "forget removed nothing — bad fixture")
           p
         })
-        s.read.parquet(idx)
+        s.read.parquet(graft.sources.IndexLifecycle.resolveDir(s, idx))
           .select(col("vec_id"), col("cell").cast("long").as("cell"),
             floor(sqrt(aggregate(col("embedding"), lit(0.0d),
               (acc, x) => acc + x.cast("double") * x.cast("double"))) * 1e6)
@@ -560,7 +574,7 @@ object SemDedup {
           .orderBy(col("vec_id"))
       },
       Some(s"""WITH cor AS (
-          SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
+          SELECT * FROM embeddings WHERE vec_id % 10 <> 0 AND vec_id % 11 <> 0),
         cents AS (SELECT vec_id AS cell, embedding FROM cor
                   WHERE vec_id % $IncEvery = 0),
         ca AS (
@@ -575,7 +589,6 @@ object SemDedup {
             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1e6) AS BIGINT)
             AS norm_u
         FROM ca JOIN embeddings e ON e.vec_id = ca.vec_id
-        WHERE ca.vec_id % 7 <> 0
         ORDER BY ca.vec_id""")),
 
     // Incremental semantic dedup: a new batch (vec_id%10==0) probed

@@ -186,19 +186,25 @@ object SpanDedup {
     */
   def rebuildSpanIndex(spark: org.apache.spark.sql.SparkSession,
                        indexPath: String, nBuckets: Int = 16): Unit =
-    graft.sources.IndexLifecycle.rebuild(spark, indexPath) {
-      (src, srcDir, dst) =>
-        // k is immutable across rebuilds (the stored counts ARE
-        // k-gram counts); nBuckets is pure layout and may change
-        val k = spark.read.parquet(spanParamsSidecar(srcDir))
-          .head().getInt(0)
-        src.select(col("doc"), col("h"), col("cnt")).distinct()
-          .withColumn("bucket", bucketOf(col("h"), nBuckets))
-          .withColumn("ingest", lit("base"))
-          .repartition(col("bucket"))
-          .write.mode("overwrite").partitionBy("ingest", "bucket")
-          .parquet(dst)
-        writeSpanParams(spark, dst, k, nBuckets)
+    graft.sources.IndexLifecycle.rebuild(spark, indexPath)(
+      spanRebuildClosure(spark, nBuckets))
+
+  /** Build body shared with [[Forget.fromSpanIndexViaRebuild]]. */
+  private[graft] def spanRebuildClosure(
+      spark: org.apache.spark.sql.SparkSession, nBuckets: Int)
+      : (DataFrame, String, String) => Unit =
+    (src, srcDir, dst) => {
+      // k is immutable across rebuilds (the stored counts ARE
+      // k-gram counts); nBuckets is pure layout and may change
+      val k = spark.read.parquet(spanParamsSidecar(srcDir))
+        .head().getInt(0)
+      src.select(col("doc"), col("h"), col("cnt")).distinct()
+        .withColumn("bucket", bucketOf(col("h"), nBuckets))
+        .withColumn("ingest", lit("base"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("ingest", "bucket")
+        .parquet(dst)
+      writeSpanParams(spark, dst, k, nBuckets)
     }
 
   /** [[spanCoverage]] for a NEW batch against the PERSISTED corpus
@@ -380,7 +386,10 @@ object SpanDedup {
           writeSpanIndex(corpus, "doc_id", "text", K, p)
           val ids = corpus.filter(col("doc_id") % 20 === 0)
             .select("doc_id").collect().map(_.getLong(0)).toSeq
-          val removed = graft.ops.Forget.fromSpanIndex(s, p, ids)
+          // round-10: the reader-isolated path (victim-filtered fenced
+          // rebuild). Oracle unchanged: (doc, h, cnt) rows are per-doc
+          // facts, so in-place and via-rebuild deletions coincide.
+          val removed = graft.ops.Forget.fromSpanIndexViaRebuild(s, p, ids)
           require(removed > 0L, "forget removed nothing — bad fixture")
         }
         val dir = graft.sources.IndexLifecycle.resolveDir(s, idx)

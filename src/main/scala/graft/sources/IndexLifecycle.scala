@@ -608,13 +608,14 @@ object IndexLifecycle {
                        readerGraceMs: Long = 0L)
                       (build: (DataFrame, String, String) => Unit): Long = {
     var removed = 0L
+    val hit = org.apache.spark.sql.functions.coalesce(
+      victim, org.apache.spark.sql.functions.lit(false))
     rebuild(spark, path, orphanGraceMs, readerGraceMs) { (src, srcDir, dstDir) =>
-      val keep = src.filter(!org.apache.spark.sql.functions.coalesce(
-        victim, org.apache.spark.sql.functions.lit(false)))
-      // counted per attempt; a fenced retry recounts against the new
-      // src, so the surviving attempt's count is the one returned
-      removed = src.count() - keep.count()
-      build(keep, srcDir, dstDir)
+      // counted per attempt (one predicate-pushed scan); a fenced retry
+      // recounts against the new src, so the surviving attempt's count
+      // is the one returned
+      removed = src.filter(hit).count()
+      build(src.filter(!hit), srcDir, dstDir)
     }
     removed
   }

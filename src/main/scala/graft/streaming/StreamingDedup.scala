@@ -44,19 +44,18 @@ import graft.ops.Dedup
   */
 object StreamingDedup {
 
-  /** Shared trigger scaffolding for every attach* loop: run the body,
-    * then release THIS trigger's operator-owned persists even when the
-    * body throws (a failed trigger must not pin its caches for the
-    * session's remaining lifetime). Thread-scoped
-    * ([[graft.util.Caches.sweepOwn]]) so concurrent streams in one
-    * session never unpersist each other's in-flight frames at a
-    * trigger boundary.
+  /** Shared trigger scaffolding for every attach* loop: run the body
+    * under its own cache-ownership scope ([[graft.util.Caches.scoped]])
+    * so THIS trigger's operator-owned persists are released at trigger
+    * exit even when the body throws (a failed trigger must not pin its
+    * caches for the session's remaining lifetime), and concurrent
+    * streams in one session never unpersist each other's in-flight
+    * frames — ownership is a per-scope token, immune to JVM thread-id
+    * reuse.
     */
   private def perTrigger(body: (DataFrame, Long) => Unit)
       : (DataFrame, Long) => Unit =
-    (batch, batchId) =>
-      try body(batch, batchId)
-      finally graft.util.Caches.sweepOwn()
+    (batch, batchId) => graft.util.Caches.scoped(body(batch, batchId))
 
 
   /** Build the `foreachBatch` writer; the caller picks trigger/
@@ -222,6 +221,74 @@ object StreamingDedup {
     * map-only, the probe is bucket-pruned batch×history, the scoring
     * join carries the 256-row model.
     */
+  /** [[attachCurate]] extended to a MULTIMODAL corpus — the streaming
+    * form of `pipeline_train_export_mm`'s two-canon composition, per
+    * micro-batch inside one foreachBatch:
+    *
+    *  1. GATE: Gopher-style repetition filters on the text;
+    *  2. TEXT CANON: survivors probe the persisted shingle index and
+    *     near-dups of anything already ingested are dropped;
+    *  3. IMAGE CANON: the remaining docs' images probe the persisted
+    *     phash index — a doc whose image perceptually duplicates an
+    *     already-curated image is dropped EVEN WHEN ITS TEXT IS UNIQUE
+    *     (the cut the text-only loop cannot make);
+    *  4. SCORE: survivors carry DSIR importance weights into
+    *     `outDir/batch=<id>`;
+    *  5. both indexes absorb the survivors (text postings under
+    *     `ingest=b<id>`, dHash bands likewise) so the NEXT batch's two
+    *     canons see this batch's curated documents.
+    *
+    * `images` maps a batch to its [[graft.ops.Multimodal.MediaRow]]
+    * frame (doc_id, mime, payload) — a production multimodal table
+    * selects its binary column; the registered fixture derives the
+    * closed-form synthetic payloads. Same batchId-keyed idempotence
+    * contract as [[attach]]: both probes exclude the batch's own
+    * replayed segment, both appends and the output write are
+    * batchId-keyed overwrites. Per trigger nothing scans history:
+    * gate map-only, both probes bucket-pruned batch×history, the
+    * scoring join carries the 256-row model.
+    */
+  def attachCurateMm(docs: DataFrame, idCol: String, textCol: String,
+                     images: DataFrame => DataFrame,
+                     indexPath: String, phashIndexPath: String,
+                     modelPath: String, outDir: String,
+                     n: Int = 3, threshold: Double = 0.8,
+                     nBuckets: Int = 64, maxDist: Int = 3,
+                     phashBuckets: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      import org.apache.spark.sql.functions._
+      val rep = graft.ops.TextAnalysis.repetition(batch, idCol, textCol)
+      // keep EVERY batch column (unlike attachCurate's id+text): the
+      // image payload must still be there when `images` runs on the
+      // text survivors and again on the final survivors
+      val kept = batch.join(rep, idCol)
+        .filter(floor(col("dup_trigram_ratio") * 1e6) <= 20000L &&
+          floor(col("top_token_ratio") * 1e6) <= 120000L)
+        .select(batch.columns.map(col): _*)
+      val textDups = graft.ops.Dedup.jaccardAgainstIndex(spark, indexPath,
+          kept, idCol, textCol, n, threshold, nBuckets,
+          excludeIngest = Some(s"b$batchId"))
+        .select(col("i").as(idCol)).distinct()
+      val ddText = kept.join(textDups, Seq(idCol), "left_anti")
+      val imgDups = graft.ops.Multimodal.phashAgainstIndex(spark,
+          phashIndexPath, images(ddText), maxDist, phashBuckets,
+          excludeIngest = Some(s"b$batchId"))
+        .select(col("j").as(idCol)).distinct()
+      val survivors = ddText.join(imgDups, Seq(idCol), "left_anti")
+      graft.ops.Dsir.scoreAgainstModel(spark, modelPath, survivors,
+          idCol, textCol)
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(outDir)
+      graft.ops.Dedup.appendToShingleIndex(spark, indexPath, survivors,
+        idCol, textCol, n, ingestTag = s"b$batchId", nBuckets = nBuckets)
+      graft.ops.Multimodal.appendToPhashIndex(spark, phashIndexPath,
+        images(survivors), ingestTag = s"b$batchId", maxDist = maxDist,
+        nBuckets = phashBuckets)
+    })
+
   def attachCurate(docs: DataFrame, idCol: String, textCol: String,
                    indexPath: String, modelPath: String, outDir: String,
                    n: Int = 3, threshold: Double = 0.8,

@@ -23,7 +23,9 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val reps = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 2, 4)
+    // pass a lone 0 to skip the replica sweep (e.g. SCALE_OPS=seg runs)
+    val reps = (if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+                else Seq(1, 2, 4)).filter(_ > 0)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -142,6 +144,50 @@ object ScaleSmoke {
     val events = graft.util.Tables(spark, sfDir, "events")
     val lineitem = graft.util.Tables(spark, sfDir, "lineitem")
     val customer = graft.util.Tables(spark, sfDir, "customer")
+
+    // Segment-growth cost model (round-10 VERDICT #3): steady-state
+    // streaming appends accumulate one `ingest=` segment per trigger,
+    // and probes pay per-segment listing, stats-sidecar reads and
+    // parquet footer sets. The curve holds the CORPUS fixed and varies
+    // only how many segments it is split across — any probe growth is
+    // pure segment-count overhead, not data. Then maybeRebuild(8)
+    // collapses (a no-op at ≤8) and the probe must return to the
+    // one-segment number: the policy that keeps steady-state streaming
+    // probes flat at amortized O(rebuild/maxSegments) per batch.
+    // Run: SCALE_OPS=seg runMain graft.tools.ScaleSmoke <sfDir> 0
+    if (only.exists(_.contains("seg"))) {
+      val q0 = graft.ops.Search.registeredQueries
+      for (sc <- Seq(1, 4, 16, 64, 256)) {
+        val idx = java.nio.file.Files
+          .createTempDirectory(s"graft_scale_seg_s$sc").toString + "/index"
+        timed(s"seg_build s$sc") {
+          graft.ops.Search.writeBm25Index(
+            docs.filter(pmod(col("doc_id"), lit(sc)) === 0),
+            "doc_id", "text", idx)
+          (1 until sc).foreach { r =>
+            graft.ops.Search.appendToBm25Index(spark, idx,
+              docs.filter(pmod(col("doc_id"), lit(sc)) === r),
+              "doc_id", "text", ingestTag = s"s$r")
+          }
+          spark.read.parquet(
+            graft.sources.IndexLifecycle.resolveDir(spark, idx)).count()
+        }
+        timed(s"seg_probe_warm s$sc")(
+          graft.ops.Search.bm25AgainstIndex(spark, idx, q0, 10).count())
+        timed(s"seg_probe s$sc")(
+          graft.ops.Search.bm25AgainstIndex(spark, idx, q0, 10).count())
+        timed(s"seg_maybe_rebuild s$sc") {
+          val ran = graft.sources.IndexLifecycle.maybeRebuild(spark, idx,
+            maxSegments = 8)(graft.ops.Search.bm25RebuildClosure(spark, 16))
+          assert(ran == (sc > 8),
+            s"maybeRebuild(8) must fire iff segments > 8 (sc=$sc, ran=$ran)")
+          if (ran) 1L else 0L
+        }
+        timed(s"seg_probe_after s$sc")(
+          graft.ops.Search.bm25AgainstIndex(spark, idx, q0, 10).count())
+      }
+    }
+
     for (n <- reps) {
       val d = replicateDocs(docs, n)
       val e = replicateEmb(emb, n)

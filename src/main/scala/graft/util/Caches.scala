@@ -36,37 +36,85 @@ import org.apache.spark.storage.StorageLevel
   *    materializes a query and moves on) calls [[Caches.sweep]] after
   *    each materialization. Library users running one query per job
   *    never need to: the session teardown releases everything.
+  *  - Concurrent streams (each trigger on its own stream-execution
+  *    thread) wrap each trigger body in [[Caches.scoped]], which
+  *    releases exactly that trigger's persists at scope exit — even on
+  *    a throwing trigger — without unpersisting a sibling stream's
+  *    in-flight frames. Ownership is an explicit SCOPE TOKEN carried in
+  *    a ThreadLocal, not the raw thread id: JVM thread ids are reused,
+  *    so id-keyed ownership could hand a dead stream's entries to an
+  *    unrelated new thread (which would then unpersist frames it never
+  *    owned), and a thread that died mid-trigger would leave entries
+  *    that LOOK owned by its id's next tenant. A token is unique for
+  *    the scope's lifetime; entries whose scope died unreleased are
+  *    inert until a harness-wide [[sweep]] (documented leak-until-sweep,
+  *    never misattribution).
   *
-  * `sweep` uses `unpersist(blocking = false)`: the registry/CacheManager
-  * bookkeeping is synchronous (the entry is gone immediately, so specs
-  * can assert on `getPersistentRDDs`), only the executor block deletes
-  * are async — by the time the next query materializes anything the
-  * memory is back.
+  * `sweep`/scope release use `unpersist(blocking = false)`: the
+  * registry/CacheManager bookkeeping is synchronous (the entry is gone
+  * immediately, so specs can assert on `getPersistentRDDs`), only the
+  * executor block deletes are async — by the time the next query
+  * materializes anything the memory is back.
   */
 object Caches {
 
-  private val owned = new ConcurrentLinkedQueue[(Long, Dataset[_])]()
+  /** Opaque ownership token — one per [[scoped]] invocation. */
+  private final class Scope
 
-  /** Persist `ds` at `level` and register it for the next sweep. The
-    * entry is tagged with the REGISTERING THREAD so concurrent
-    * streaming queries (each trigger runs on its own stream-execution
-    * thread) can release their own persists without unpersisting a
-    * sibling stream's in-flight frame mid-materialization
-    * ([[sweepOwn]]); single-threaded harnesses keep the drain-all
-    * [[sweep]].
+  private val current = new ThreadLocal[Scope]()
+
+  private val owned = new ConcurrentLinkedQueue[(Scope, Dataset[_])]()
+
+  /** Persist `ds` at `level` and register it for release: to the
+    * enclosing [[scoped]] block's exit if one is active on this
+    * thread, else to the next harness-wide [[sweep]].
     */
   def own[T](ds: Dataset[T],
              level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
     ds.persist(level)
-    owned.add((Thread.currentThread().getId, ds))
+    owned.add((current.get(), ds))
     ds
   }
 
-  /** Unpersist every registered dataset; returns how many were released.
-    * Idempotent and safe at any time — unpersisting a plan that a later
-    * action still needs only costs recomputation, never correctness.
-    * Harness use only (Bench/Verify/TimeQ/ScaleSmoke own the whole
-    * session); concurrent-stream code must use [[sweepOwn]].
+  /** Run `body` under a fresh ownership scope and release exactly the
+    * persists it [[own]]ed on the way out — throwing included (a failed
+    * trigger must not pin its caches for the session's remaining
+    * lifetime). Scopes nest: an inner scope releases only its own
+    * entries and restores the outer one. This is the per-trigger
+    * contract for every streaming attach* loop; safe beside concurrent
+    * scopes in the same session by construction (tokens never collide,
+    * unlike thread ids).
+    */
+  def scoped[T](body: => T): T = {
+    val prev = current.get()
+    val s = new Scope
+    current.set(s)
+    try body
+    finally {
+      current.set(prev)
+      release(s)
+    }
+  }
+
+  private def release(s: Scope): Int = {
+    var n = 0
+    val it = owned.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e._1 eq s) {
+        it.remove()
+        e._2.unpersist(blocking = false)
+        n += 1
+      }
+    }
+    n
+  }
+
+  /** Unpersist every registered dataset — scoped or not; returns how
+    * many were released. Idempotent and safe at any time: unpersisting
+    * a plan that a later action still needs only costs recomputation,
+    * never correctness. Harness use only (Bench/Verify/TimeQ/ScaleSmoke
+    * own the whole session); concurrent-stream code uses [[scoped]].
     */
   def sweep(): Int = {
     var n = 0
@@ -75,25 +123,6 @@ object Caches {
       e._2.unpersist(blocking = false)
       n += 1
       e = owned.poll()
-    }
-    n
-  }
-
-  /** Unpersist only the entries THIS thread registered — the
-    * per-trigger release for streaming loops, safe beside concurrent
-    * queries in the same session.
-    */
-  def sweepOwn(): Int = {
-    val me = Thread.currentThread().getId
-    var n = 0
-    val it = owned.iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e._1 == me) {
-        it.remove()
-        e._2.unpersist(blocking = false)
-        n += 1
-      }
     }
     n
   }

@@ -75,26 +75,40 @@ class CacheLifecycleSpec extends AnyFunSuite {
       "second run leaked entries past the sweep")
   }
 
-  test("sweepOwn releases only the calling thread's entries — concurrent streams keep theirs") {
+  test("scoped releases only its own entries at exit — concurrent streams keep theirs; throwing bodies release too") {
     Caches.sweep() // clean slate
     import spark.implicits._
+    // a sibling stream's trigger fires (and exits its scope) while an
+    // UNSCOPED frame — a concurrent harness query, another stream's
+    // in-flight trigger — is still live: the scope exit must release
+    // only its own entry
     val mine = Caches.own(Seq(1, 2, 3).toDF("a"))
     mine.count()
-    @volatile var otherPending = -1
+    @volatile var pendingInside = -1
+    @volatile var pendingAfterSibling = -1
     val other = new Thread(() => {
-      val theirs = Caches.own(Seq(4, 5).toDF("b"))
-      theirs.count()
-      // simulate the sibling stream's trigger boundary firing while
-      // OUR frame is still in flight: its scoped sweep must release
-      // only its own entry
-      Caches.sweepOwn()
-      otherPending = Caches.pending
+      Caches.scoped {
+        val theirs = Caches.own(Seq(4, 5).toDF("b"))
+        theirs.count()
+        pendingInside = Caches.pending
+      }
+      pendingAfterSibling = Caches.pending
     })
     other.start(); other.join()
-    assert(otherPending == 1,
-      s"sibling sweepOwn touched this thread's entry: pending=$otherPending")
-    assert(Caches.sweepOwn() == 1, "own entry not released by own sweep")
-    assert(Caches.pending == 0)
+    assert(pendingInside == 2)
+    assert(pendingAfterSibling == 1,
+      s"sibling scope exit touched the unscoped entry: pending=$pendingAfterSibling")
+    // a THROWING trigger body still releases its persists (the scope's
+    // finally), and nested scopes restore the outer token
+    intercept[RuntimeException](Caches.scoped {
+      Caches.own(Seq(6).toDF("c")).count()
+      Caches.scoped { Caches.own(Seq(7).toDF("d")).count() }
+      assert(Caches.pending == 2) // inner released, own + unscoped remain...
+      sys.error("trigger failure")
+    })
+    assert(Caches.pending == 1,
+      s"throwing scope leaked entries: pending=${Caches.pending}")
+    assert(Caches.sweep() == 1)
   }
 
   test("sweep mid-lineage only costs recomputation, never correctness") {

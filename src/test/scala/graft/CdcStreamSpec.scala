@@ -1277,6 +1277,78 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(scored.values.forall(v => !v.isNaN && !v.isInfinite),
       s"non-finite importance weights: $scored")
   }
+
+  test("streaming multimodal curation: text canon AND image canon, both histories cross batches") {
+    import graft.ops.{Dedup, Dsir, Multimodal, PpmImage}
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    def body(seed: Int) = (0 until 20).map(i => s"w${seed}_$i").mkString(" ")
+    def img(seed: Int): Array[Byte] = {
+      val r = new scala.util.Random(seed)
+      PpmImage.encode(
+        PpmImage.Image(16, 16, Array.fill(16 * 16 * 3)(r.nextInt(256).toByte)))
+    }
+    val corpus = Seq((1L, body(1), img(1)), (2L, body(2), img(2)))
+      .toDF("doc_id", "text", "payload")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_scuratemm_spec").toString
+    val idx = root + "/shingle"; val ph = root + "/phash"
+    val model = root + "/model"; val out = root + "/out"
+    Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx,
+      nBuckets = 8)
+    val toImgs = (b: org.apache.spark.sql.DataFrame) =>
+      b.select(col("doc_id"), lit("image/x-portable-pixmap").as("mime"),
+        col("payload"))
+    Multimodal.writePhashIndex(toImgs(corpus), ph, maxDist = 3, nBuckets = 8)
+    Dsir.writeModel(corpus.select("doc_id", "text"),
+      corpus.filter(col("doc_id") === 1).select("doc_id", "text"),
+      "doc_id", "text", model)
+    val input = MemoryStream[(Long, String, Array[Byte])]
+    val q = StreamingDedup.attachCurateMm(
+        input.toDF().toDF("doc_id", "text", "payload"), "doc_id", "text",
+        images = toImgs, indexPath = idx, phashIndexPath = ph,
+        modelPath = model, outDir = out,
+        n = 3, threshold = 0.5, nBuckets = 8, maxDist = 3,
+        phashBuckets = 8)
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    try {
+      // batch 0: 10 = novel text + novel image (survives, both indexes
+      // absorb it); 20 = text near-dup of corpus doc 1 (text canon);
+      // 30 = UNIQUE text but an exact pixel copy of corpus image 1 —
+      // only the IMAGE canon can cut it
+      input.addData(
+        (10L, body(10), img(10)),
+        (20L, body(1).replace("w1_5 ", "EDIT "), img(20)),
+        (30L, body(30), img(1)))
+      q.processAllAvailable()
+      // batch 1: 40 = unique text, copy of BATCH-0 SURVIVOR 10's image
+      // (image history crossed the batch boundary); 50 = text near-dup
+      // of batch-0 survivor 10 (text history crossed); 60 = novel;
+      // 70 = copy of TEXT-DROPPED doc 20's image — 20 was never
+      // appended, so 70 must SURVIVE (only curated docs enter the
+      // image history)
+      input.addData(
+        (40L, body(40), img(10)),
+        (50L, body(10).replace("w10_7 ", "EDIT "), img(50)),
+        (60L, body(60), img(60)),
+        (70L, body(70), img(20)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select("batch", "doc")
+      .as[(Int, Long)].collect().toSet
+    assert(got == Set((0, 10L), (1, 60L), (1, 70L)), s"curated rows: $got")
+    // both indexes hold exactly base + the survivors, one ingest each
+    val inPh = spark.read.parquet(
+        graft.sources.IndexLifecycle.resolveDir(spark, ph))
+      .select("id").distinct().as[Long].collect().toSet
+    assert(inPh == Set(1L, 2L, 10L, 60L, 70L), s"phash index ids: $inPh")
+    val inSh = spark.read.parquet(
+        graft.sources.IndexLifecycle.resolveDir(spark, idx))
+      .select("doc").distinct().as[Long].collect().toSet
+    assert(inSh == Set(1L, 2L, 10L, 60L, 70L), s"shingle index ids: $inSh")
+  }
 }
 
 object CdcStreamSpecSchemas {

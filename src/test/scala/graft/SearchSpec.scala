@@ -254,4 +254,38 @@ class SearchSpec extends AnyFunSuite {
     assert(graft.sources.IndexLifecycle.segmentsOf(fs,
       new org.apache.hadoop.fs.Path(dir)) == Seq("base"))
   }
+
+  test("bm25 probe-at-version: pinned snapshots replay exactly while the live index grows; pruned versions fail loudly") {
+    import graft.sources.IndexLifecycle
+    val docs = Tables(spark, sfDir, "documents")
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val b0 = docs.filter(col("doc_id") % 20 === 0)
+    val b1 = docs.filter(col("doc_id") % 20 === 10)
+    val qs = Search.registeredQueries
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bm25at_spec").toString + "/index"
+    Search.writeBm25Index(base, "doc_id", "text", idx)
+    Search.rebuildBm25Index(spark, idx) // convert → v1, rebuild → v2
+    Search.appendToBm25Index(spark, idx, b0, "doc_id", "text", "b0") // v3
+    Search.appendToBm25Index(spark, idx, b1, "doc_id", "text", "b1") // v4
+    def shot(pop: org.apache.spark.sql.DataFrame) =
+      Search.bm25TopK(pop, "doc_id", "text", qs, 10)
+        .select("qid", "doc_id", "rn", "score_u")
+        .as[(Int, Long, Int, Long)].collect().toSet
+    def at(v: Long) = Search.bm25AgainstIndexAt(spark, idx, v, qs, 10)
+      .select("qid", "doc_id", "rn", "score_u")
+      .as[(Int, Long, Int, Long)].collect().toSet
+    // each pinned version scores exactly the corpus prefix that was
+    // committed as of that version — stats and postings both pinned
+    assert(at(2L) == shot(base), "v2 must replay the pre-append snapshot")
+    assert(at(3L) == shot(base.unionByName(b0)))
+    assert(at(4L) == shot(base.unionByName(b0).unionByName(b1)))
+    // the live probe is the newest pin
+    assert(at(4L) == Search.bm25AgainstIndex(spark, idx, qs, 10)
+      .select("qid", "doc_id", "rn", "score_u")
+      .as[(Int, Long, Int, Long)].collect().toSet)
+    // outside the window: loud, names readable versions, never falls back
+    val e = intercept[RuntimeException](at(99L))
+    assert(e.getMessage.contains("not readable"))
+  }
 }
