@@ -1,0 +1,490 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.util.{GQuery, Tables}
+
+/** Text near-dup detection over the `documents` table:
+  * exact/jaccard/MinHash-LSH/SimHash families with their md5 twins,
+  * the persisted shingle index (probe/append/forget), connected
+  * components, and the streaming dedup loop.
+  *
+  * Split out of LlmQueries (round 10); all shared SQL fragments and
+  * memoized fixtures live in [[LlmShared]].
+  */
+object LlmDedupQueries {
+
+  import LlmShared._
+
+  val queries: Seq[GQuery] = Seq(
+
+    GQuery("dedup_exact",
+      (s, d) => Dedup.exact(Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("content_hash")),
+      Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        COUNT(*) AS dup_cnt FROM documents GROUP BY text ORDER BY content_hash""")),
+
+    GQuery("dedup_jaccard",
+      (s, d) => Dedup.jaccardPairs(Tables(s, d, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.8, maxDf = shingleMaxDf)
+        .orderBy(col("i"), col("j")),
+      Some(s"""$shingleCte,
+        pairs AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT i, j, common::DOUBLE / (ca.n + cb.n - common) AS jc
+          FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j)
+        SELECT i, j, CAST(CAST(floor(jc * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS jaccard FROM jac
+        WHERE jc >= 0.8 ORDER BY i, j""")),
+
+    // Cross-source duplication matrix: near-dup pairs labeled by the
+    // (unordered) source pair they straddle — the diagnostic that tells
+    // a curation run WHICH feeds copy each other (mirror sites, scraped
+    // re-posts) vs merely duplicating internally, i.e. where dedup
+    // budget and crawl exclusions should go. Pairs are the already
+    // candidate-bounded jaccard set; each label fetch is an equi-join
+    // against the doc→source map (pairs ≪ corpus, AQE broadcasts the
+    // pair side); one partial-agg'd count per source pair.
+    GQuery("dedup_source_overlap",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+          threshold = 0.8, maxDf = shingleMaxDf)
+        val m = docs.select(col("doc_id"), col("source"))
+        pairs
+          .join(m.select(col("doc_id").as("__i"), col("source").as("ga")),
+            col("i") === col("__i"))
+          .join(m.select(col("doc_id").as("__j"), col("source").as("gb")),
+            col("j") === col("__j"))
+          .select(least(col("ga"), col("gb")).as("src_a"),
+            greatest(col("ga"), col("gb")).as("src_b"))
+          .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""$shingleCte,
+        pairs AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT i, j, common::DOUBLE / (ca.n + cb.n - common) AS jc
+          FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j),
+        sel AS (SELECT i, j FROM jac WHERE jc >= 0.8),
+        lab AS (
+          SELECT least(da.source, db.source) AS src_a,
+                 greatest(da.source, db.source) AS src_b
+          FROM sel
+          JOIN documents da ON da.doc_id = sel.i
+          JOIN documents db ON db.doc_id = sel.j)
+        SELECT src_a, src_b, count(*) AS n_pairs FROM lab
+        GROUP BY src_a, src_b ORDER BY src_a, src_b""")),
+
+    // LSH candidates verified by exact Jaccard — approximate recall, so
+    // rows-only (DedupSpec measures recall vs dedup_jaccard).
+    GQuery("dedup_minhash_lsh",
+      (s, d) => Dedup.minhashLsh(Tables(s, d, "documents"),
+          "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.8,
+          maxDf = shingleMaxDf)
+        .orderBy(col("i"), col("j")),
+      None),
+
+    GQuery("dedup_simhash",
+      (s, d) => Dedup.simhashPairs(Tables(s, d, "documents"),
+          "doc_id", "text", maxDist = 3)
+        .orderBy(col("i"), col("j")),
+      None),
+
+    // md5-twin of dedup_minhash_lsh: permutation hash = first 8 md5 hex
+    // chars, band key = comma-joined signature string — every stage
+    // (signatures → bands → candidate join → exact-Jaccard verify) is
+    // replayed verbatim by the oracle, so the LSH pipeline itself is
+    // hash-checked, not just recall-tested.
+    GQuery("dedup_minhash_md5",
+      (s, d) => Dedup.minhashLshPortable(Tables(s, d, "documents"),
+          "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.8,
+          maxDf = shingleMaxDf)
+        .orderBy(col("i"), col("j")),
+      Some(s"""$shingleCte,
+        sigs AS (
+          SELECT doc_id, i, min(${duckHex32("i::VARCHAR || ' ' || s")}) AS sig
+          FROM sh, range(16) r(i) GROUP BY doc_id, i),
+        bnd AS (
+          SELECT doc_id, i // 4 AS band,
+                 string_agg(sig::VARCHAR, ',' ORDER BY i) AS bv
+          FROM sigs GROUP BY doc_id, i // 4),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+          FROM bnd a JOIN bnd b
+            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        pairs AS (
+          SELECT c.i, c.j, count(*) AS common
+          FROM cands c
+          JOIN sh sa ON sa.doc_id = c.i
+          JOIN sh sb ON sb.doc_id = c.j AND sb.s = sa.s
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT i, j, common::DOUBLE / (ca.n + cb.n - common) AS jc
+          FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j)
+        SELECT i, j, CAST(CAST(floor(jc * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS jaccard FROM jac
+        WHERE jc >= 0.8 ORDER BY i, j""")),
+
+    // md5-twin of dedup_simhash: 32-bit fingerprints from md5-hashed
+    // tokens; pigeonhole bands (4 × 8 bits for maxDist 3) and popcount
+    // verify replayed exactly in the oracle.
+    GQuery("dedup_simhash_md5",
+      (s, d) => Dedup.simhashPairsPortable(Tables(s, d, "documents"),
+          "doc_id", "text", maxDist = 3)
+        .orderBy(col("i"), col("j")),
+      Some(s"""WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+          FROM documents),
+        h AS (SELECT doc_id, ${duckHex32("t")} AS h FROM toks),
+        bitsums AS (
+          SELECT doc_id, b,
+                 sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS c
+          FROM h, range(32) r(b) GROUP BY doc_id, b),
+        sims AS (
+          SELECT doc_id,
+                 sum(CASE WHEN c > 0 THEN (1::BIGINT << CAST(b AS INT))
+                     ELSE 0::BIGINT END) AS sh
+          FROM bitsums GROUP BY doc_id),
+        bnd AS (
+          SELECT doc_id, sh, c AS band, (sh >> CAST(c * 8 AS INT)) & 255 AS v
+          FROM sims, range(4) r(c)),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+                 a.sh AS si, b.sh AS sj
+          FROM bnd a JOIN bnd b
+            ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
+        SELECT i, j, CAST(bit_count(xor(si, sj)) AS INT) AS dist
+        FROM cands WHERE bit_count(xor(si, sj)) <= 3 ORDER BY i, j""")),
+
+    // Incremental-ingest dedup: the doc_id%10 "new batch" joined against
+    // the rest of the corpus only — batch×corpus postings, never
+    // corpus×corpus. The oracle restricts the same pair join by the
+    // same predicate.
+    GQuery("dedup_incremental",
+      (s, d) => Dedup.jaccardAgainstCorpus(Tables(s, d, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.8,
+          newPred = _ % 10 === 0, maxDf = shingleMaxDf)
+        .orderBy(col("i"), col("j")),
+      Some(s"""$shingleCte,
+        pairs AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+          FROM sh a JOIN sh b
+            ON a.s = b.s AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT i, j, common::DOUBLE / (ca.n + cb.n - common) AS jc
+          FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j)
+        SELECT i, j, CAST(CAST(floor(jc * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS jaccard FROM jac
+        WHERE jc >= 0.8 ORDER BY i, j""")),
+
+    // Containment near-dup: |A∩B| / min(|A|,|B|) — catches the
+    // short-doc-quoted-inside-long-doc redundancy Jaccard structurally
+    // misses (score ⊇ jaccard at equal threshold; 0.9 keeps it a
+    // distinct, tighter family on this corpus).
+    GQuery("dedup_containment",
+      (s, d) => Dedup.containmentPairs(Tables(s, d, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.9, maxDf = shingleMaxDf)
+        .orderBy(col("i"), col("j")),
+      Some(s"""$shingleCte,
+        pairs AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        cm AS (
+          SELECT i, j, common::DOUBLE / least(ca.n, cb.n) AS c
+          FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j)
+        SELECT i, j, CAST(CAST(floor(c * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS containment
+        FROM cm WHERE c >= 0.9 ORDER BY i, j""")),
+
+    // Bloom-prefiltered incremental EXACT dedup: the runtime-filter
+    // rendering — definitely-new batch docs short-circuit past the
+    // confirm join (no false negatives), only the maybe slice joins.
+    // Output is exact, so the oracle is the plain anti-join semantics
+    // with no bloom internals to replay.
+    GQuery("dedup_incremental_bloom",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        Dedup.exactNewViaBloom(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text")
+          .orderBy(col("content_hash"))
+      },
+      Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+          COUNT(*) AS dup_cnt
+        FROM documents b WHERE doc_id % 10 = 0
+          AND NOT EXISTS (SELECT 1 FROM documents c
+                          WHERE c.doc_id % 10 <> 0 AND c.text = b.text)
+        GROUP BY text ORDER BY content_hash""")),
+
+    // The PERSISTED-index form of incremental dedup: corpus postings
+    // pre-shingled and df-capped at index-build time (offline job,
+    // memoized per JVM), batch shingled live and filtered by the
+    // INDEX's persisted hot list (the index is the source of truth for
+    // "too common" — a 10%-sized batch's local dfs are meaningless),
+    // probe = equi-join against the index with bucket ids pushed as a
+    // partition filter. The oracle replays the corpus-side cap applied
+    // to BOTH sides.
+    GQuery("dedup_incremental_indexed",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val idx = shingleIndexFor(d, docs.filter(col("doc_id") % 10 =!= 0))
+        Dedup.jaccardAgainstIndex(s, idx,
+            docs.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text", n = 3, threshold = 0.8)
+          .orderBy(col("i"), col("j"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM documents),
+        sh0 AS (
+          SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i)),
+        bat0 AS (SELECT * FROM sh0 WHERE doc_id % 10 = 0),
+        cor0 AS (SELECT * FROM sh0 WHERE doc_id % 10 <> 0),
+        chot AS (SELECT s FROM cor0 GROUP BY s HAVING count(*) > $shingleMaxDf),
+        bat AS (SELECT bat0.* FROM bat0 ANTI JOIN chot USING (s)),
+        cor AS (SELECT cor0.* FROM cor0 ANTI JOIN chot USING (s)),
+        bcnt AS (SELECT doc_id, count(*) AS n FROM bat GROUP BY 1),
+        ccnt AS (SELECT doc_id, count(*) AS n FROM cor GROUP BY 1),
+        pairs AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+          FROM bat a JOIN cor b ON a.s = b.s
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT i, j, common::DOUBLE / (ca.n + cb.n - common) AS jc
+          FROM pairs JOIN bcnt ca ON ca.doc_id = i JOIN ccnt cb ON cb.doc_id = j)
+        SELECT i, j, CAST(CAST(floor(jc * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS jaccard
+        FROM jac WHERE jc >= 0.8 ORDER BY i, j""")),
+
+    // Pairwise near-dup verdicts → per-document cluster assignment +
+    // canonical-member choice (connected components via hash-min label
+    // propagation — ops/Cluster.scala). The oracle closes the same pair
+    // set with a recursive CTE and must agree on every (doc, cluster,
+    // keep) row, so the iterative Spark propagation is hash-checked
+    // against a declarative transitive closure.
+    GQuery("dedup_clusters",
+      (s, d) => Cluster.dedupClusters(
+          Dedup.jaccardPairs(Tables(s, d, "documents"), "doc_id", "text",
+            n = 3, threshold = 0.8, maxDf = shingleMaxDf).select("i", "j"))
+        .orderBy(col("doc_id")),
+      Some(s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        pairs AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT i, j, common::DOUBLE / (ca.n + cb.n - common) AS jc
+          FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j),
+        e0 AS (SELECT i, j FROM jac WHERE jc >= 0.8),
+        e AS (SELECT i AS a, j AS b FROM e0 UNION SELECT j, i FROM e0),
+        reach(node, r) AS (
+          SELECT a, b FROM e
+          UNION
+          SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a)
+        SELECT node AS doc_id, least(node, min(r)) AS cluster,
+               CAST(least(node, min(r)) = node AS INT) AS keep
+        FROM reach GROUP BY node ORDER BY doc_id""")),
+
+    // INCREMENTAL clustering: the historical corpus (doc_id%10≠0) is
+    // labeled once, then the batch's pairs (any pair touching a
+    // %10==0 doc) merge into that labeling via
+    // Cluster.incrementalComponents — untouched components pass
+    // through an anti-join, only the merge frontier enters the
+    // contraction loop. The output must be BYTE-IDENTICAL to the
+    // one-shot clustering of all pairs, so the oracle is exactly
+    // dedup_clusters' recursive CTE — the strongest possible check
+    // that the incremental path loses nothing.
+    GQuery("dedup_clusters_incremental",
+      (s, d) => {
+        // base labels + probe edges are MEMOIZED per dataset dir
+        // (incCcFixtureFor): in production both are existing artifacts
+        // — the maintained cluster table and the streaming probe's
+        // pairs — so the query times the label-merge itself.
+        val root = incCcFixtureFor(s, d)
+        Cluster.incrementalComponents(
+            s.read.parquet(s"$root/labels"),
+            s.read.parquet(s"$root/new_pairs"))
+          .select(col("node").as("doc_id"), col("cluster"),
+            (col("node") === col("cluster")).cast("int").as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        pairs AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT i, j, common::DOUBLE / (ca.n + cb.n - common) AS jc
+          FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j),
+        e0 AS (SELECT i, j FROM jac WHERE jc >= 0.8),
+        e AS (SELECT i AS a, j AS b FROM e0 UNION SELECT j, i FROM e0),
+        reach(node, r) AS (
+          SELECT a, b FROM e
+          UNION
+          SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a)
+        SELECT node AS doc_id, least(node, min(r)) AS cluster,
+               CAST(least(node, min(r)) = node AS INT) AS keep
+        FROM reach GROUP BY node ORDER BY doc_id""")),
+
+    // Canonical selection: clustering only GROUPS duplicates; curation
+    // keeps the cleanest member of each group and drops the rest. Per
+    // cluster, argmax of the Gopher-style quality score on a
+    // floor-quantized micro-unit key (id tiebreak) — the oracle replays
+    // clustering (recursive CTE), the quality formula, and the argmax.
+    GQuery("dedup_keep_best",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        Cluster.keepBest(
+            Cluster.dedupClusters(
+              Dedup.jaccardPairs(docs, "doc_id", "text",
+                n = 3, threshold = 0.8, maxDf = shingleMaxDf)
+                .select("i", "j")),
+            TextAnalysis.quality(docs, "text"),
+            "doc_id", "quality_score")
+          .orderBy(col("cluster"))
+      },
+      Some(s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        pairs AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT i, j, common::DOUBLE / (ca.n + cb.n - common) AS jc
+          FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j),
+        e0 AS (SELECT i, j FROM jac WHERE jc >= 0.8),
+        e AS (SELECT i AS a, j AS b FROM e0 UNION SELECT j, i FROM e0),
+        reach(node, r) AS (
+          SELECT a, b FROM e
+          UNION
+          SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a),
+        cl AS (SELECT node AS doc_id, least(node, min(r)) AS cluster
+          FROM reach GROUP BY node),
+        qr AS (SELECT doc_id, length(text) AS chars,
+          len(list_filter(string_split(text, ' '), x -> x <> '')) AS toks,
+          length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
+          length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+          FROM documents),
+        q AS (SELECT doc_id,
+          (1.0 - CASE WHEN chars > 0 THEN punct::DOUBLE / chars ELSE 0.0 END)
+            * (1.0 - CASE WHEN chars > 0 THEN digits::DOUBLE / chars ELSE 0.0 END)
+            * least(1.0, toks::DOUBLE / 20.0) AS qs
+          FROM qr),
+        scored AS (SELECT cl.cluster, cl.doc_id,
+            CAST(floor(q.qs * 1e6) AS BIGINT) AS qu
+          FROM cl JOIN q USING (doc_id)),
+        r AS (SELECT cluster, doc_id, qu,
+            row_number() OVER (PARTITION BY cluster
+              ORDER BY qu DESC NULLS LAST, doc_id) AS rn,
+            count(*) OVER (PARTITION BY cluster) AS n_members
+          FROM scored)
+        SELECT cluster, doc_id AS best_id, CAST(qu AS DOUBLE) / 1e6 AS best_quality,
+          CAST(n_members AS BIGINT) AS n_members
+        FROM r WHERE rn = 1 ORDER BY cluster""")),
+
+    // Deletion propagation (right-to-be-forgotten) into a persisted
+    // shingle index, through the READER-ISOLATED path (round-10:
+    // Forget.fromShingleIndexViaRebuild — the victim-filtered fenced
+    // rebuild, so concurrent probers only ever resolve a full version;
+    // the in-place touched-partition rewrite remains the quiet-window
+    // option, raced and proven in IndexLifecycleSpec). The oracle is
+    // rebuild-without-ids LITERALLY now; it is unchanged from the
+    // in-place era because the two paths' outputs provably coincide
+    // for this family: a doc only contributes its own postings (n_sh
+    // unchanged for survivors) and survivor dfs only DROP, so the
+    // recomputed hot cap excludes nothing new.
+    GQuery("forget_shingle_index",
+      (s, d) => {
+        // build→forget memoized per dataset dir (a forget is a
+        // one-shot mutation — the same ids cannot be forgotten twice);
+        // steady-state bench passes time the surviving-postings read,
+        // the operator is timed once and spec-proven in LlmOpsSpec's
+        // forget test. Temp dir registered with the shared shutdown
+        // cleanup walk.
+        val idx = graft.util.TempFixtures.dir(s"shforget:$d") { p =>
+          val corpus = Tables(s, d, "documents")
+            .filter(col("doc_id") % 10 === 0)
+          // nBuckets 16 (not the 64 a full corpus uses): the fixture
+          // indexes ~10% of documents, and bucket count is a pure layout
+          // knob — 64 near-empty partition dirs cost file overhead per
+          // bench pass without changing any posting
+          Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, p,
+            nBuckets = 16, maxDf = shingleMaxDf)
+          val ids = corpus.filter(col("doc_id") % 20 === 0)
+            .select("doc_id").collect().map(_.getLong(0)).toSeq
+          val removed = Forget.fromShingleIndexViaRebuild(s, p, ids,
+            nBuckets = 16, maxDf = shingleMaxDf)
+          require(removed > 0L, "forget removed nothing — bad fixture")
+        }
+        // viaRebuild converts the index to generational — resolve, never
+        // read the root
+        s.read.parquet(graft.sources.IndexLifecycle.resolveDir(s, idx))
+          .select(col("doc"), col("s"), col("n_sh"))
+          .orderBy(col("doc"), col("s"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM documents WHERE doc_id % 10 = 0),
+        sh0 AS (
+          SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i)),
+        hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > $shingleMaxDf),
+        cf AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (s)),
+        nsh AS (SELECT doc_id, count(*) AS n FROM cf GROUP BY 1)
+        SELECT cf.doc_id AS doc, cf.s AS s, CAST(nsh.n AS INT) AS n_sh
+        FROM cf JOIN nsh USING (doc_id)
+        WHERE cf.doc_id % 20 <> 0
+        ORDER BY doc, s""")),
+
+    GQuery("streaming_dedup_pairs",
+      (s, d) => {
+        val pairs = streamingDedupPairsFor(s, d)
+        s.read.parquet(pairs)
+          .select(col("batch").cast("int").as("batch"), col("i"), col("j"),
+            col("jaccard"))
+          .orderBy(col("batch"), col("i"), col("j"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM documents),
+        sh0 AS (
+          SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i)),
+        cor0 AS (SELECT * FROM sh0 WHERE doc_id % 10 <> 0),
+        hot AS (SELECT s FROM cor0 GROUP BY s HAVING count(*) > $shingleMaxDf),
+        cor AS (SELECT cor0.* FROM cor0 ANTI JOIN hot USING (s)),
+        a AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (s) WHERE doc_id % 20 = 0),
+        b AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (s) WHERE doc_id % 20 = 10),
+        corn AS (SELECT doc_id, count(*) AS n FROM cor GROUP BY 1),
+        an AS (SELECT doc_id, count(*) AS n FROM a GROUP BY 1),
+        bn AS (SELECT doc_id, count(*) AS n FROM b GROUP BY 1),
+        p0 AS (
+          SELECT a.doc_id AS i, cor.doc_id AS j, count(*) AS common
+          FROM a JOIN cor ON a.s = cor.s GROUP BY 1, 2),
+        j0 AS (
+          SELECT i, j, common::DOUBLE / (an.n + corn.n - common) AS jc
+          FROM p0 JOIN an ON an.doc_id = i JOIN corn ON corn.doc_id = j),
+        hist AS (
+          SELECT * FROM cor UNION ALL SELECT * FROM a),
+        hn AS (SELECT doc_id, count(*) AS n FROM hist GROUP BY 1),
+        p1 AS (
+          SELECT b.doc_id AS i, hist.doc_id AS j, count(*) AS common
+          FROM b JOIN hist ON b.s = hist.s GROUP BY 1, 2),
+        j1 AS (
+          SELECT i, j, common::DOUBLE / (bn.n + hn.n - common) AS jc
+          FROM p1 JOIN bn ON bn.doc_id = i JOIN hn ON hn.doc_id = j)
+        SELECT CAST(0 AS INT) AS batch, i, j,
+          CAST(CAST(floor(jc * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS jaccard
+        FROM j0 WHERE jc >= 0.8
+        UNION ALL
+        SELECT CAST(1 AS INT), i, j,
+          CAST(CAST(floor(jc * 1e6) AS BIGINT) AS DOUBLE) / 1e6
+        FROM j1 WHERE jc >= 0.8
+        ORDER BY batch, i, j"""))
+  )
+}

@@ -1,0 +1,524 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.util.{GQuery, Tables}
+
+/** End-to-end curation/export compositions, batch
+  * and streaming, text-only and multimodal.
+  *
+  * Split out of LlmQueries (round 10); all shared SQL fragments and
+  * memoized fixtures live in [[LlmShared]].
+  */
+object LlmPipelineQueries {
+
+  import LlmShared._
+
+  val queries: Seq[GQuery] = Seq(
+
+    // End-to-end training export — the composition a pretraining run
+    // actually consumes: quality gate (top 70% per source) → exact-
+    // dedup canon (min-id per md5(text)) → deterministic 95/5
+    // train/valid split → per-split shuffle into 4 shards with dense
+    // positions. Every stage is an already-proven op; the value is the
+    // one-call recipe and the one-WITH-stack oracle over the whole
+    // chain. Cost ≈ sum of stages: one source-keyed exchange (gate),
+    // one md5 groupBy + semi join (canon), map-only split, one
+    // (split, shard) exchange (shards) — nothing quadratic, nothing
+    // corpus-sized on the driver.
+    GQuery("pipeline_train_export",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val scored = TextAnalysis.quality(docs, "text")
+          .withColumn("score_u",
+            floor(col("quality_score") * 1e6).cast("long"))
+        val gated = Sampling.qualityGate(scored, "doc_id", "source",
+          col("score_u"), keepBps = 7000)
+        val canon = gated.groupBy(md5(col("text")).as("__h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val dd = gated.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+        val split = Sampling.hashSplit(dd, "doc_id", "xsp",
+          Seq("train" -> 9500, "valid" -> 500))
+        Sampling.shuffleShards(split, "doc_id", "xsh", numShards = 4,
+            extraPartitionCols = Seq(col("split")))
+          .select(col("doc_id"), col("split"), col("shard"), col("pos"))
+          .orderBy(col("split"), col("shard"), col("pos"))
+      },
+      Some(s"""WITH q AS (SELECT doc_id, source, text,
+          length(text) AS chars,
+          len(list_filter(string_split(text, ' '), x -> x <> '')) AS toks,
+          length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
+          length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+          FROM documents),
+        sc AS (SELECT doc_id, source, text,
+          CAST(floor(
+            (1.0 - CASE WHEN chars > 0 THEN punct::DOUBLE / chars ELSE 0.0 END)
+            * (1.0 - CASE WHEN chars > 0 THEN digits::DOUBLE / chars ELSE 0.0 END)
+            * least(1.0, toks::DOUBLE / 20.0) * 1e6) AS BIGINT) AS score_u
+          FROM q),
+        g AS (SELECT doc_id, source, text, score_u,
+          count(*) OVER (PARTITION BY source) AS n,
+          row_number() OVER (PARTITION BY source
+            ORDER BY score_u DESC, doc_id) AS rn
+          FROM sc),
+        gated AS (SELECT doc_id, text FROM g
+          WHERE rn <= (n * 7000 + 9999) // 10000),
+        canon AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+        dd AS (SELECT gated.doc_id FROM gated SEMI JOIN canon USING (doc_id)),
+        sp AS (SELECT doc_id,
+          CASE WHEN ${duckHex32("'xsp:' || doc_id")} % 10000 < 9500
+            THEN 'train' ELSE 'valid' END AS split
+          FROM dd),
+        h AS (SELECT doc_id, split,
+          ${duckHex60("'xsh:' || doc_id")} AS h FROM sp)
+        SELECT doc_id, split, CAST(h % 4 AS INT) AS shard,
+          CAST(row_number() OVER (PARTITION BY split, h % 4
+            ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        FROM h ORDER BY split, shard, pos""")),
+
+    // The MULTIMODAL train export — pipeline_train_export extended to
+    // a text+image corpus, composed from already-proven stages the way
+    // the pieces are meant to stack:
+    //   1. ALIGNMENT GATE (profile_align_audit's semantics as a
+    //      filter): only docs whose embedding row exists survive —
+    //      planted misalignment (vec_id%13 drops) makes it bite;
+    //   2. per-source QUALITY GATE (top 70%);
+    //   3. TEXT exact-dedup canon (min id per md5(text));
+    //   4. IMAGE perceptual canon: connected components over the
+    //      phash near-dup pairs (multimodal_phash_pairs' banding) with
+    //      the maxBucket=16 hot-bucket cap — the synthetic gradient
+    //      images are a LOW-ENTROPY corpus (whole eid ranges share a
+    //      dHash), so the uncapped banded join is ~6M pairs at sf0.1
+    //      and the CC collapses 90% of the corpus into one component;
+    //      the cap excludes those degenerate buckets (the documented
+    //      production mitigation for exactly this regime) and keeps
+    //      the genuinely distinctive duplicate groups, including the
+    //      planted b/b+7/b+8 families. Canon rule is FIRST-OCCURRENCE-
+    //      WINS: any doc whose image near-duplicates a lower id's is
+    //      cut (one distinct over the pair list — no iterative
+    //      connected-components rounds, which measured 9 s of pure
+    //      shuffle-iteration overhead here; the CC-exact variant
+    //      remains dedup_clusters' composition) — a doc is dropped
+    //      even when its text is unique, which is exactly what the
+    //      text-only export misses. The oracle replays the cap: hot
+    //      (b, v) counted over the UNPRUNED bands, anti-joined before
+    //      candidate generation, bit-for-bit the phashPairs semantics;
+    //   5. deterministic 95/5 split → per-split shuffle into 4 shards.
+    // One WITH-stack oracle replays the whole chain (the phash CTEs
+    // need WITH RECURSIVE for the component closure). Cost = the text
+    // pipeline + one banded self-join + the star-contraction CC on the
+    // tiny pair graph — nothing quadratic, nothing corpus-sized
+    // driver-side.
+    GQuery("pipeline_train_export_mm",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val emb = Tables(s, d, "embeddings")
+          .filter(col("vec_id") % 13 =!= 0)
+          .select(col("vec_id").as("doc_id"))
+        val aligned = docs.join(emb, Seq("doc_id"), "left_semi")
+        val scored = TextAnalysis.quality(aligned, "text")
+          .withColumn("score_u",
+            floor(col("quality_score") * 1e6).cast("long"))
+        val gated = Sampling.qualityGate(scored, "doc_id", "source",
+          col("score_u"), keepBps = 7000)
+        val canon = gated.groupBy(md5(col("text")).as("__h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val dd = gated.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+        val pairs = Multimodal.phashPairs(
+          Multimodal.asPhashImageTable(docs), maxDist = 3, maxBucket = 16)
+        val imgDrop = pairs.select(col("j").as("doc_id")).distinct()
+        val ddmm = dd.join(imgDrop, Seq("doc_id"), "left_anti")
+        val split = Sampling.hashSplit(ddmm, "doc_id", "msp",
+          Seq("train" -> 9500, "valid" -> 500))
+        Sampling.shuffleShards(split, "doc_id", "msh", numShards = 4,
+            extraPartitionCols = Seq(col("split")))
+          .select(col("doc_id"), col("split"), col("shard"), col("pos"))
+          .orderBy(col("split"), col("shard"), col("pos"))
+      },
+      Some(s"""$phashBandsCte,
+        phot AS (SELECT b, v FROM bands GROUP BY b, v HAVING count(*) > 16),
+        ppruned AS (SELECT bands.* FROM bands ANTI JOIN phot USING (b, v)),
+        pcand AS (
+          SELECT i, j FROM (
+            SELECT DISTINCT a.id AS i, a.h AS hi, b.id AS j, b.h AS hj
+            FROM ppruned a JOIN ppruned b
+              ON a.b = b.b AND a.v = b.v AND a.id < b.id)
+          WHERE bit_count(xor(hi, hj)) <= 3),
+        imgdrop AS (SELECT DISTINCT j AS doc_id FROM pcand),
+        q AS (SELECT doc_id, source, text,
+          length(text) AS chars,
+          len(list_filter(string_split(text, ' '), x -> x <> '')) AS toks,
+          length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
+          length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+          FROM documents
+          WHERE doc_id IN (SELECT vec_id FROM embeddings WHERE vec_id % 13 <> 0)),
+        sc AS (SELECT doc_id, source, text,
+          CAST(floor(
+            (1.0 - CASE WHEN chars > 0 THEN punct::DOUBLE / chars ELSE 0.0 END)
+            * (1.0 - CASE WHEN chars > 0 THEN digits::DOUBLE / chars ELSE 0.0 END)
+            * least(1.0, toks::DOUBLE / 20.0) * 1e6) AS BIGINT) AS score_u
+          FROM q),
+        g AS (SELECT doc_id, source, text, score_u,
+          count(*) OVER (PARTITION BY source) AS n,
+          row_number() OVER (PARTITION BY source
+            ORDER BY score_u DESC, doc_id) AS rn
+          FROM sc),
+        gated AS (SELECT doc_id, text FROM g
+          WHERE rn <= (n * 7000 + 9999) // 10000),
+        canon AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+        dd AS (SELECT gated.doc_id FROM gated SEMI JOIN canon USING (doc_id)),
+        ddmm AS (SELECT doc_id FROM dd ANTI JOIN imgdrop USING (doc_id)),
+        sp AS (SELECT doc_id,
+          CASE WHEN ${duckHex32("'msp:' || doc_id")} % 10000 < 9500
+            THEN 'train' ELSE 'valid' END AS split
+          FROM ddmm),
+        hh AS (SELECT doc_id, split,
+          ${duckHex60("'msh:' || doc_id")} AS h FROM sp)
+        SELECT doc_id, split, CAST(h % 4 AS INT) AS shard,
+          CAST(row_number() OVER (PARTITION BY split, h % 4
+            ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        FROM hh ORDER BY split, shard, pos""")),
+
+    // End-to-end corpus curation — the flagship COMPOSITION: the
+    // Gopher-style repetition gate, exact-dedup canonicalization, and
+    // benchmark decontamination are each registered operators already;
+    // this chains them the way a production curation run would and the
+    // oracle replays the whole chain in one WITH stack. Corpus =
+    // doc_id%7≠0; the %7==0 slice is the EXTERNAL benchmark — it gates
+    // stage 3 but never reaches the output. Thresholds are
+    // floor-micro-unit comparisons (the cross-engine contract; the
+    // ratios themselves are bit-identical sequential folds both
+    // engines, proven by text_repetition's hash-green row).
+    GQuery("pipeline_curate",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+        val rep = TextAnalysis.repetition(corpus, "doc_id", "text")
+        val kept = corpus.join(rep, "doc_id")
+          .filter(floor(col("dup_trigram_ratio") * 1e6) <= 20000L &&
+            floor(col("top_token_ratio") * 1e6) <= 120000L)
+        val canon = kept.groupBy(md5(col("text")).as("__h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val deduped = kept.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+        val dirty = Dedup.ngramOverlap(docs, "doc_id", "text", n = 5,
+            benchPred = _ % 7 === 0)
+          .select(col("doc").as("doc_id"))
+        deduped.join(dirty, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"),
+            size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH cor AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+        toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM cor),
+        tri AS (
+          SELECT doc_id, CASE WHEN len(tk) >= 3
+            THEN list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+            ELSE [] END AS tg
+          FROM toks),
+        trir AS (
+          SELECT doc_id, CASE WHEN len(tg) > 0
+            THEN 1.0 - len(list_distinct(tg))::DOUBLE / len(tg)
+            ELSE 0.0 END AS dup_trigram_ratio
+          FROM tri),
+        cnt AS (
+          SELECT doc_id, t, count(*) AS k
+          FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY 1, 2),
+        top AS (
+          SELECT doc_id, max(k)::DOUBLE / sum(k) AS top_token_ratio
+          FROM cnt GROUP BY doc_id),
+        kept AS (
+          SELECT c.doc_id, c.text, c.lang
+          FROM cor c JOIN trir USING (doc_id) LEFT JOIN top USING (doc_id)
+          WHERE CAST(floor(trir.dup_trigram_ratio * 1e6) AS BIGINT) <= 20000
+            AND CAST(floor(COALESCE(top.top_token_ratio, 0.0) * 1e6) AS BIGINT)
+                <= 120000),
+        canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+        dd AS (SELECT kept.* FROM kept SEMI JOIN canon USING (doc_id)),
+        atoks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM documents),
+        sh5 AS (
+          SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS s
+          FROM atoks,
+            LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS i)),
+        bench AS (SELECT DISTINCT s FROM sh5 WHERE doc_id % 7 = 0),
+        dirty AS (
+          SELECT DISTINCT doc_id FROM sh5 SEMI JOIN bench USING (s)
+          WHERE doc_id % 7 <> 0)
+        SELECT dd.doc_id, dd.lang,
+          CAST(len(list_filter(string_split(dd.text, ' '), x -> x <> ''))
+            AS INT) AS n_tokens
+        FROM dd ANTI JOIN dirty USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // Streaming incremental dedup, end to end through Structured
+    // Streaming (streaming/StreamingDedup foreachBatch loop): offline
+    // base index over doc_id%10<>0, then two deterministic
+    // micro-batches (%20==0, then %20==10) probe-then-append — batch 1
+    // sees base ∪ batch 0. The run is memoized per dataset dir (the
+    // stream is a fixture; per-trigger cost is benched by
+    // dedup_incremental_indexed and spec-proven in CdcStreamSpec) and
+    // the oracle replays both probes with the index-side hot list.
+    // STREAMING CURATION — the flagship streaming composition: per
+    // micro-batch, repetition gate → probe-dedup against everything
+    // already ingested (offline corpus index + earlier batches'
+    // appended survivors) → DSIR importance scoring against the
+    // persisted model, all inside one foreachBatch
+    // (StreamingDedup.attachCurate). Batch 1's output must reflect
+    // batch 0's survivors both as dedup HISTORY and as absent from its
+    // own rows. The oracle replays gates, the hot-list-governed
+    // two-probe dedup, and the bucket-model scoring in one WITH stack.
+    GQuery("streaming_curate",
+      (s, d) => {
+        val out = streamingCurateFor(s, d)
+        s.read.parquet(out)
+          .select(col("batch").cast("int").as("batch"),
+            col("doc").as("doc_id"), col("n_feats"), col("logw"))
+          .orderBy(col("batch"), col("doc_id"))
+      },
+      Some(s"""WITH toksA AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM documents),
+        tri AS (
+          SELECT doc_id, CASE WHEN len(tk) >= 3
+            THEN list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+            ELSE [] END AS tg
+          FROM toksA WHERE doc_id % 20 = 0 OR doc_id % 20 = 10),
+        trir AS (
+          SELECT doc_id, CASE WHEN len(tg) > 0
+            THEN 1.0 - len(list_distinct(tg))::DOUBLE / len(tg)
+            ELSE 0.0 END AS dtr
+          FROM tri),
+        cnt AS (
+          SELECT doc_id, t, count(*) AS k
+          FROM (SELECT doc_id, unnest(tk) AS t FROM toksA
+                WHERE doc_id % 20 = 0 OR doc_id % 20 = 10)
+          GROUP BY 1, 2),
+        topr AS (SELECT doc_id, max(k)::DOUBLE / sum(k) AS ttr
+                 FROM cnt GROUP BY 1),
+        keptb AS (
+          SELECT trir.doc_id FROM trir LEFT JOIN topr USING (doc_id)
+          WHERE CAST(floor(trir.dtr * 1e6) AS BIGINT) <= 20000
+            AND CAST(floor(COALESCE(topr.ttr, 0.0) * 1e6) AS BIGINT) <= 120000),
+        sh0 AS (
+          SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+          FROM toksA, LATERAL (SELECT unnest(generate_series(1,
+            greatest(len(tk) - 2, 0))) AS i)),
+        cor0 AS (SELECT * FROM sh0 WHERE doc_id % 10 <> 0),
+        hot AS (SELECT s FROM cor0 GROUP BY s HAVING count(*) > $shingleMaxDf),
+        cor AS (SELECT cor0.* FROM cor0 ANTI JOIN hot USING (s)),
+        b0 AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (s)
+               SEMI JOIN keptb USING (doc_id) WHERE doc_id % 20 = 0),
+        corn AS (SELECT doc_id, count(*) AS n FROM cor GROUP BY 1),
+        b0n AS (SELECT doc_id, count(*) AS n FROM b0 GROUP BY 1),
+        j0 AS (
+          SELECT i FROM (
+            SELECT a.doc_id AS i, c.doc_id AS j, count(*) AS common
+            FROM b0 a JOIN cor c ON a.s = c.s GROUP BY 1, 2) p
+          JOIN b0n ON b0n.doc_id = p.i JOIN corn ON corn.doc_id = p.j
+          WHERE common::DOUBLE / (b0n.n + corn.n - common) >= 0.8),
+        surv0 AS (
+          SELECT doc_id FROM keptb ANTI JOIN
+            (SELECT DISTINCT i AS doc_id FROM j0) USING (doc_id)
+          WHERE doc_id % 20 = 0),
+        hist AS (
+          SELECT * FROM cor
+          UNION ALL
+          SELECT b0.* FROM b0 SEMI JOIN surv0 USING (doc_id)),
+        hn AS (SELECT doc_id, count(*) AS n FROM hist GROUP BY 1),
+        b1 AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (s)
+               SEMI JOIN keptb USING (doc_id) WHERE doc_id % 20 = 10),
+        b1n AS (SELECT doc_id, count(*) AS n FROM b1 GROUP BY 1),
+        j1 AS (
+          SELECT i FROM (
+            SELECT a.doc_id AS i, h.doc_id AS j, count(*) AS common
+            FROM b1 a JOIN hist h ON a.s = h.s GROUP BY 1, 2) p
+          JOIN b1n ON b1n.doc_id = p.i JOIN hn ON hn.doc_id = p.j
+          WHERE common::DOUBLE / (b1n.n + hn.n - common) >= 0.8),
+        surv1 AS (
+          SELECT doc_id FROM keptb ANTI JOIN
+            (SELECT DISTINCT i AS doc_id FROM j1) USING (doc_id)
+          WHERE doc_id % 20 = 10),
+        uni AS (SELECT doc_id, unnest(tk) AS g FROM toksA),
+        bi AS (
+          SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS g
+          FROM toksA, LATERAL (SELECT unnest(generate_series(1,
+            greatest(len(tk) - 1, 0))) AS i)),
+        feats AS (
+          SELECT doc_id, (${duckHex32("'dsir:' || g")}) % 256 AS bk
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        tf AS (SELECT bk, count(*) AS c FROM feats
+               WHERE doc_id % 10 <> 0 AND doc_id % 7 = 0 GROUP BY 1),
+        rf AS (SELECT bk, count(*) AS c FROM feats
+               WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 0 GROUP BY 1),
+        tt AS (SELECT count(*) AS n FROM feats
+               WHERE doc_id % 10 <> 0 AND doc_id % 7 = 0),
+        rt AS (SELECT count(*) AS n FROM feats
+               WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 0),
+        lr AS (
+          SELECT sp.bk,
+            CAST(floor(ln((COALESCE(tf.c, 0) + 1)::DOUBLE / (tt.n + 256)) * 1e6) AS BIGINT)
+            - CAST(floor(ln((COALESCE(rf.c, 0) + 1)::DOUBLE / (rt.n + 256)) * 1e6) AS BIGINT)
+              AS lr_u
+          FROM range(256) sp(bk) LEFT JOIN tf USING (bk)
+          LEFT JOIN rf USING (bk), tt, rt),
+        w AS (
+          SELECT f.doc_id, CAST(count(*) AS INT) AS n_feats,
+            CAST(sum(lr.lr_u) AS BIGINT) AS logw_u
+          FROM feats f JOIN lr USING (bk) GROUP BY 1)
+        SELECT 0 AS batch, w.doc_id, n_feats,
+          CAST(logw_u AS DOUBLE) / 1e6 AS logw
+        FROM w SEMI JOIN surv0 USING (doc_id)
+        UNION ALL
+        SELECT 1, w.doc_id, n_feats, CAST(logw_u AS DOUBLE) / 1e6
+        FROM w SEMI JOIN surv1 USING (doc_id)
+        ORDER BY batch, doc_id""")),
+
+    // STREAMING MULTIMODAL CURATION — streaming_curate plus the IMAGE
+    // canon (round-10): per micro-batch, repetition gate → text
+    // near-dup probe against the shingle index → PERCEPTUAL image
+    // probe against the phash index (a doc whose image duplicates an
+    // already-curated image is cut even when its text is unique) →
+    // DSIR scoring; BOTH indexes absorb the survivors so batch 1's
+    // two canons see batch 0's curated docs
+    // (StreamingDedup.attachCurateMm — the streaming square of
+    // pipeline_train_export_mm's batch composition). The oracle
+    // replays BOTH canons across both batches in one WITH stack: the
+    // closed-form dHash/band pipeline (phashBandsCte), the
+    // hot-list-governed two-probe text dedup, the image-history
+    // growth (batch 1 probes base ∪ batch-0 survivors' bands), and
+    // the bucket-model scoring. The phash fixture population is
+    // chosen so the image canon provably bites (see
+    // streamingCurateMmFor).
+    GQuery("streaming_curate_mm",
+      (s, d) => {
+        val p = streamingCurateMmFor(s, d)
+        s.read.parquet(s"$p/out")
+          .select(col("batch").cast("int").as("batch"),
+            col("doc").as("doc_id"), col("n_feats"), col("logw"))
+          .orderBy(col("batch"), col("doc_id"))
+      },
+      Some(s"""${phashBandsCteFor(1)},
+        phcorp AS (
+          SELECT * FROM bands WHERE id % 10 NOT IN (0, 8)
+            AND (id % 10 <> 7 OR id % 40 = 27)),
+        toksA AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM documents),
+        tri AS (
+          SELECT doc_id, CASE WHEN len(tk) >= 3
+            THEN list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+            ELSE [] END AS tg
+          FROM toksA WHERE doc_id % 20 = 0 OR doc_id % 20 = 10),
+        trir AS (
+          SELECT doc_id, CASE WHEN len(tg) > 0
+            THEN 1.0 - len(list_distinct(tg))::DOUBLE / len(tg)
+            ELSE 0.0 END AS dtr
+          FROM tri),
+        cnt AS (
+          SELECT doc_id, t, count(*) AS k
+          FROM (SELECT doc_id, unnest(tk) AS t FROM toksA
+                WHERE doc_id % 20 = 0 OR doc_id % 20 = 10)
+          GROUP BY 1, 2),
+        topr AS (SELECT doc_id, max(k)::DOUBLE / sum(k) AS ttr
+                 FROM cnt GROUP BY 1),
+        keptb AS (
+          SELECT trir.doc_id FROM trir LEFT JOIN topr USING (doc_id)
+          WHERE CAST(floor(trir.dtr * 1e6) AS BIGINT) <= 20000
+            AND CAST(floor(COALESCE(topr.ttr, 0.0) * 1e6) AS BIGINT) <= 120000),
+        sh0 AS (
+          SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+          FROM toksA, LATERAL (SELECT unnest(generate_series(1,
+            greatest(len(tk) - 2, 0))) AS i)),
+        cor0 AS (SELECT * FROM sh0 WHERE doc_id % 10 <> 0),
+        hot AS (SELECT s FROM cor0 GROUP BY s HAVING count(*) > $shingleMaxDf),
+        cor AS (SELECT cor0.* FROM cor0 ANTI JOIN hot USING (s)),
+        b0 AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (s)
+               SEMI JOIN keptb USING (doc_id) WHERE doc_id % 20 = 0),
+        corn AS (SELECT doc_id, count(*) AS n FROM cor GROUP BY 1),
+        b0n AS (SELECT doc_id, count(*) AS n FROM b0 GROUP BY 1),
+        j0 AS (
+          SELECT i FROM (
+            SELECT a.doc_id AS i, c.doc_id AS j, count(*) AS common
+            FROM b0 a JOIN cor c ON a.s = c.s GROUP BY 1, 2) p
+          JOIN b0n ON b0n.doc_id = p.i JOIN corn ON corn.doc_id = p.j
+          WHERE common::DOUBLE / (b0n.n + corn.n - common) >= 0.8),
+        imgd0 AS (
+          SELECT DISTINCT q.id AS doc_id
+          FROM phcorp c JOIN (SELECT * FROM bands WHERE id % 20 = 0) q
+            ON c.b = q.b AND c.v = q.v
+          WHERE bit_count(xor(c.h, q.h)) <= 1),
+        surv0 AS (
+          SELECT doc_id FROM keptb
+          ANTI JOIN (SELECT DISTINCT i AS doc_id FROM j0) USING (doc_id)
+          ANTI JOIN imgd0 USING (doc_id)
+          WHERE doc_id % 20 = 0),
+        hist AS (
+          SELECT * FROM cor
+          UNION ALL
+          SELECT b0.* FROM b0 SEMI JOIN surv0 USING (doc_id)),
+        hn AS (SELECT doc_id, count(*) AS n FROM hist GROUP BY 1),
+        b1 AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (s)
+               SEMI JOIN keptb USING (doc_id) WHERE doc_id % 20 = 10),
+        b1n AS (SELECT doc_id, count(*) AS n FROM b1 GROUP BY 1),
+        j1 AS (
+          SELECT i FROM (
+            SELECT a.doc_id AS i, h.doc_id AS j, count(*) AS common
+            FROM b1 a JOIN hist h ON a.s = h.s GROUP BY 1, 2) p
+          JOIN b1n ON b1n.doc_id = p.i JOIN hn ON hn.doc_id = p.j
+          WHERE common::DOUBLE / (b1n.n + hn.n - common) >= 0.8),
+        ph1 AS (
+          SELECT * FROM phcorp
+          UNION ALL
+          SELECT * FROM bands WHERE id IN (SELECT doc_id FROM surv0)),
+        imgd1 AS (
+          SELECT DISTINCT q.id AS doc_id
+          FROM ph1 c JOIN (SELECT * FROM bands WHERE id % 20 = 10) q
+            ON c.b = q.b AND c.v = q.v
+          WHERE bit_count(xor(c.h, q.h)) <= 1),
+        surv1 AS (
+          SELECT doc_id FROM keptb
+          ANTI JOIN (SELECT DISTINCT i AS doc_id FROM j1) USING (doc_id)
+          ANTI JOIN imgd1 USING (doc_id)
+          WHERE doc_id % 20 = 10),
+        uni AS (SELECT doc_id, unnest(tk) AS g FROM toksA),
+        bi AS (
+          SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS g
+          FROM toksA, LATERAL (SELECT unnest(generate_series(1,
+            greatest(len(tk) - 1, 0))) AS i)),
+        feats AS (
+          SELECT doc_id, (${duckHex32("'dsir:' || g")}) % 256 AS bk
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        tf AS (SELECT bk, count(*) AS c FROM feats
+               WHERE doc_id % 10 <> 0 AND doc_id % 7 = 0 GROUP BY 1),
+        rf AS (SELECT bk, count(*) AS c FROM feats
+               WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 0 GROUP BY 1),
+        tt AS (SELECT count(*) AS n FROM feats
+               WHERE doc_id % 10 <> 0 AND doc_id % 7 = 0),
+        rt AS (SELECT count(*) AS n FROM feats
+               WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 0),
+        lr AS (
+          SELECT sp.bk,
+            CAST(floor(ln((COALESCE(tf.c, 0) + 1)::DOUBLE / (tt.n + 256)) * 1e6) AS BIGINT)
+            - CAST(floor(ln((COALESCE(rf.c, 0) + 1)::DOUBLE / (rt.n + 256)) * 1e6) AS BIGINT)
+              AS lr_u
+          FROM range(256) sp(bk) LEFT JOIN tf USING (bk)
+          LEFT JOIN rf USING (bk), tt, rt),
+        w AS (
+          SELECT f.doc_id, CAST(count(*) AS INT) AS n_feats,
+            CAST(sum(lr.lr_u) AS BIGINT) AS logw_u
+          FROM feats f JOIN lr USING (bk) GROUP BY 1)
+        SELECT 0 AS batch, w.doc_id, n_feats,
+          CAST(logw_u AS DOUBLE) / 1e6 AS logw
+        FROM w SEMI JOIN surv0 USING (doc_id)
+        UNION ALL
+        SELECT 1, w.doc_id, n_feats, CAST(logw_u AS DOUBLE) / 1e6
+        FROM w SEMI JOIN surv1 USING (doc_id)
+        ORDER BY batch, doc_id"""))
+  )
+}

@@ -1,0 +1,399 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.util.{GQuery, Tables}
+
+/** Shared constants, DuckDB SQL fragments and build-once temp fixtures
+  * for the LLM-pipeline driver registry (split out of LlmQueries,
+  * round 10). Everything here is `private[ops]`-scoped via the object.
+  */
+private[ops] object LlmShared {
+
+  /** Document-frequency cap for shingle postings — mirrored between the
+    * Spark side (Dedup.invertedIndex maxDf broadcast anti-join) and the
+    * oracle's hot/ANTI JOIN CTE. 5 is active on the sf0.01 corpus (max
+    * df there is 7) while keeping every genuine near-dup pair.
+    */
+  val shingleMaxDf = 5
+
+  /** DuckDB rendering of Dedup.md5Hash32 / the md5-derived 32-bit token
+    * hash: first 8 hex chars of md5($e) as a BIGINT via the per-char
+    * polynomial (DuckDB has no conv()).
+    */
+  def duckHex32(e: String): String =
+    "CAST(list_sum(list_transform(range(8), k -> " +
+      s"CAST(strpos('0123456789abcdef', md5($e)[1+k]) - 1 AS BIGINT) " +
+      "* (1::BIGINT << CAST(4*(7-k) AS INT)))) AS BIGINT)"
+
+  /** Sampling.hashOrder60's DuckDB rendering: md5 hex chars 1-8 and
+    * 9-16 as two 32-bit words fused hi·2²⁸ + (lo mod 2²⁸).
+    */
+  def duckHex60(e: String): String = {
+    def word(off: Int) =
+      "CAST(list_sum(list_transform(range(8), k -> " +
+        s"CAST(strpos('0123456789abcdef', md5($e)[$off+k]) - 1 AS BIGINT) " +
+        "* (1::BIGINT << CAST(4*(7-k) AS INT)))) AS BIGINT)"
+    s"(${word(1)} * 268435456 + ${word(9)} % 268435456)"
+  }
+
+  // All build-once fixtures below are memoized through
+  // graft.util.TempFixtures (round-10 migration): one shared cache with
+  // shutdown cleanup, and a THROWING build neither caches a half-built
+  // path nor leaks its temp dir — the contract the old per-file
+  // ConcurrentHashMap + cleanup-hook copies only approximated.
+
+  /** One persisted shingle index per dataset dir per JVM (the corpus
+    * side of incremental dedup, built by an "offline job" once): the
+    * registered query times the PROBE path, which is what runs per
+    * ingest.
+    */
+  def shingleIndexFor(datasetDir: String,
+                      corpus: org.apache.spark.sql.DataFrame): String =
+    graft.util.TempFixtures.dir(s"shingle:$datasetDir") { idx =>
+      Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx,
+        maxDf = shingleMaxDf)
+    }
+
+  /** One full StreamingDedup run per dataset dir per JVM: offline base
+    * index (doc_id%10≠0), then two deterministic MemoryStream
+    * micro-batches (%20==0, %20==10) through the foreachBatch
+    * probe-then-append loop. Memoized like the shingle/IVF indexes —
+    * the stream is a fixture; per-trigger economics are benched by
+    * `dedup_incremental_indexed` and raced/replayed in CdcStreamSpec.
+    * Returns the pairs output directory.
+    */
+  def streamingDedupPairsFor(s: org.apache.spark.sql.SparkSession,
+                             datasetDir: String): String =
+    graft.util.TempFixtures.dir(s"sdedup:$datasetDir") { root =>
+      val idx = root + "/index"
+      val pairs = root + "/pairs"
+      val docs = Tables(s, datasetDir, "documents")
+      Dedup.writeShingleIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", n = 3, idx, maxDf = shingleMaxDf)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingDedup.attach(
+          input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+          idx, pairs, n = 3, threshold = 0.8)
+        .option("checkpointLocation", root + "/ckpt")
+        .start()
+      try {
+        // this collect is the MemoryStream TRANSPORT harness, not the
+        // operator: a real deployment's batches arrive via
+        // readStream (FileTopic/Kafka) and never touch the driver;
+        // the probe-then-append loop itself is fully distributed
+        def slice(m: Int) = docs.filter(col("doc_id") % 20 === m)
+          .select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        input.addData(slice(0): _*)
+        q.processAllAvailable()
+        input.addData(slice(10): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    } + "/pairs"
+
+  /** Streaming-curation fixture: offline shingle index + DSIR model
+    * over the %10≠0 corpus, then two MemoryStream batches (%20==0,
+    * %20==10) through [[graft.streaming.StreamingDedup.attachCurate]].
+    * Memoized per dataset dir — the registered query times the curated
+    * OUTPUT read; each stage's per-batch cost is benched by its own
+    * query (text_repetition, dedup_incremental_indexed,
+    * sample_importance_incremental).
+    */
+  def streamingCurateFor(s: org.apache.spark.sql.SparkSession,
+                         datasetDir: String): String =
+    graft.util.TempFixtures.dir(s"scurate:$datasetDir") { root =>
+      val idx = root + "/index"
+      val model = root + "/model"
+      val out = root + "/out"
+      val docs = Tables(s, datasetDir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx,
+        maxDf = shingleMaxDf)
+      Dsir.writeModel(corpus.filter(col("doc_id") % 7 =!= 0),
+        corpus.filter(col("doc_id") % 7 === 0), "doc_id", "text", model)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingDedup.attachCurate(
+          input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+          idx, model, out, n = 3, threshold = 0.8)
+        .option("checkpointLocation", root + "/ckpt")
+        .start()
+      try {
+        // MemoryStream TRANSPORT harness collect — see
+        // streamingDedupPairsFor's note
+        def slice(m: Int) = docs.filter(col("doc_id") % 20 === m)
+          .select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        input.addData(slice(0): _*)
+        q.processAllAvailable()
+        input.addData(slice(10): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    } + "/out"
+
+  /** Streaming MULTIMODAL curation fixture — the attachCurate fixture
+    * plus the phash image canon ([[graft.streaming.StreamingDedup
+    * .attachCurateMm]]): offline shingle index + DSIR model over the
+    * %10≠0 corpus, an offline PHASH index over a corpus slice chosen so
+    * the image canon visibly bites (see the predicate comment), then
+    * the same two MemoryStream batches. Memoized per dataset dir via
+    * TempFixtures (throwing builds neither cache nor leak).
+    */
+  def streamingCurateMmFor(s: org.apache.spark.sql.SparkSession,
+                                   datasetDir: String): String =
+    graft.util.TempFixtures.dir(s"scuratemm:$datasetDir") { root =>
+      val idx = s"$root/shingle"
+      val ph = s"$root/phash"
+      val model = s"$root/model"
+      val out = s"$root/out"
+      val docs = Tables(s, datasetDir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx,
+        maxDf = shingleMaxDf)
+      // Phash population: the synthetic planted copies are id%10==7
+      // (exact pixel copy of id−7) and id%10==8 (near copy of id−8) —
+      // id−7/id−8 are ≡0 (mod 10), i.e. EXACTLY the streaming batch
+      // ids, so indexing every planted copy would image-drop the whole
+      // stream and indexing none would make the canon vacuous. Keep
+      // the exact copies only for id≡27 (mod 40): half of batch 0
+      // (ids ≡20 mod 40) has a pre-existing perceptual duplicate and
+      // is cut by the image canon even though its TEXT is unique —
+      // the cut the text-only loop cannot make — while the other half
+      // and batch 1 pass through it.
+      val phPop = docs.filter(col("doc_id") % 10 =!= 0 &&
+        col("doc_id") % 10 =!= 8 &&
+        (col("doc_id") % 10 =!= 7 || col("doc_id") % 40 === 27))
+      // maxDist=1 (2 bands of 28 bits), NOT the pairs queries' 3: the
+      // synthetic gradient corpus is low-entropy enough that hamming≤3
+      // coincidences between UNRELATED images starve the fixture (one
+      // survivor at sf0.01); at ≤1 the canon still catches the planted
+      // exact copies while unrelated images pass
+      Multimodal.writePhashIndex(Multimodal.asPhashImageTable(phPop), ph,
+        maxDist = 1, nBuckets = 16)
+      Dsir.writeModel(corpus.filter(col("doc_id") % 7 =!= 0),
+        corpus.filter(col("doc_id") % 7 === 0), "doc_id", "text", model)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingDedup.attachCurateMm(
+          input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+          images = b => Multimodal.asPhashImageTable(b),
+          indexPath = idx, phashIndexPath = ph, modelPath = model,
+          outDir = out, n = 3, threshold = 0.8, maxDist = 1,
+          phashBuckets = 16)
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try {
+        // MemoryStream TRANSPORT harness collect — see
+        // streamingDedupPairsFor's note
+        def slice(m: Int) = docs.filter(col("doc_id") % 20 === m)
+          .select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        input.addData(slice(0): _*)
+        q.processAllAvailable()
+        input.addData(slice(10): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+
+  /** The near-dup cluster table `sample_split_leakage_safe` joins
+    * against, built once per dataset dir per JVM and persisted. In
+    * production the cluster assignment is the caller's EXISTING dedup
+    * artifact (the same CC output dedup_clusters materializes), not
+    * something the split recomputes per run — memoizing keeps the
+    * registered query timing the split operator itself (read the
+    * cluster table + one broadcast join + a map), which is what runs
+    * per split at 100 TB.
+    */
+  def dedupClustersFor(s: org.apache.spark.sql.SparkSession,
+                       datasetDir: String): String =
+    graft.util.TempFixtures.dir(s"clusters:$datasetDir") { p =>
+      val docs = Tables(s, datasetDir, "documents")
+      Cluster.dedupClusters(
+          Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+            threshold = 0.8, maxDf = shingleMaxDf).select("i", "j"))
+        .write.mode("overwrite").parquet(p)
+    }
+
+  /** Base labeling + new-edge batch for `dedup_clusters_incremental`,
+    * built once per dataset dir per JVM. In production BOTH inputs are
+    * existing artifacts: the labeling is the corpus's maintained
+    * cluster table and the new edges are the streaming probe's output
+    * ([[graft.streaming.StreamingDedup]]) — the merge never re-derives
+    * either. Memoizing keeps the registered query timing the
+    * label-merge operator (read two tables + frontier contraction),
+    * which is the per-ingest steady-state cost.
+    */
+  def incCcFixtureFor(s: org.apache.spark.sql.SparkSession,
+                      datasetDir: String): String =
+    graft.util.TempFixtures.dir(s"inccc:$datasetDir") { root =>
+      val docs = Tables(s, datasetDir, "documents")
+      val all = Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.8, maxDf = shingleMaxDf)
+        .select("i", "j")
+        .transform(t => graft.util.Caches.own(t))
+      val isBatch = (c: org.apache.spark.sql.Column) => c % 10 === 0
+      Cluster.connectedComponents(
+          all.filter(!isBatch(col("i")) && !isBatch(col("j"))))
+        .write.mode("overwrite").parquet(s"$root/labels")
+      all.filter(isBatch(col("i")) || isBatch(col("j")))
+        .write.mode("overwrite").parquet(s"$root/new_pairs")
+    }
+
+  /** Shared DuckDB replay of asPhashImageTable + dhash56 + the 4×14-bit
+    * banding: `bands(id, h, b, v)` regenerated entirely from the
+    * closed-form synthetic pixels (eid remap + the one-pixel tweak).
+    */
+  /** The closed-form dHash/band replay, parameterized by the banding
+    * (`maxDist + 1` bands of `56 / (maxDist + 1)` bits — the pigeonhole
+    * contract [[graft.ops.Multimodal.phashBandsOf]] implements).
+    */
+  def phashBandsCteFor(maxDist: Int): String = {
+    val nBands = maxDist + 1
+    val bandBits = 56 / nBands
+    phashBandsCteRaw
+      .replace("BANDBITS", bandBits.toString)
+      .replace("BANDMASK", ((1L << bandBits) - 1).toString)
+      .replace("NBANDS", nBands.toString)
+  }
+
+  val phashBandsCteRaw =
+    """WITH ids AS (
+      SELECT doc_id AS id,
+        CASE WHEN doc_id % 10 = 7 THEN doc_id - 7
+             WHEN doc_id % 10 = 8 THEN doc_id - 8
+             ELSE doc_id END AS eid,
+        doc_id % 10 = 8 AS tweak
+      FROM documents),
+    dims AS (SELECT id, eid, tweak,
+        8 + eid % 9 AS w, 8 + eid % 7 AS h FROM ids),
+    grid AS (
+      SELECT id, eid, tweak, w, h, gx.x AS x, gy.y AS y,
+        (gx.x * w) // 8 AS sx, (gy.y * h) // 8 AS sy
+      FROM dims,
+        LATERAL (SELECT unnest(range(8)) AS x) gx,
+        LATERAL (SELECT unnest(range(8)) AS y) gy),
+    gray AS (
+      SELECT id, x, y,
+        CASE WHEN tweak AND sx = (2 * w) // 8 AND sy = (3 * h) // 8
+          THEN 765
+          ELSE (7*eid + 3*sx + 5*sy) % 256 + (11*eid + sx + 2*sy) % 256
+               + (13*eid + 3*sx + sy) % 256
+        END AS g
+      FROM grid),
+    bits AS (
+      SELECT a.id,
+        CAST(sum(CASE WHEN a.g < b.g
+          THEN 1::BIGINT << CAST(a.y * 7 + a.x AS INT)
+          ELSE 0 END) AS BIGINT) AS h
+      FROM gray a JOIN gray b ON a.id = b.id AND a.y = b.y
+        AND b.x = a.x + 1
+      WHERE a.x < 7
+      GROUP BY a.id),
+    bands AS (
+      SELECT id, h, t.b AS b,
+        (h >> CAST(BANDBITS * t.b AS INT)) & BANDMASK AS v
+      FROM bits, LATERAL (SELECT unnest(range(NBANDS)) AS b) t)"""
+
+  val phashBandsCte = phashBandsCteFor(3)
+
+  /** One persisted phash index per dataset dir per JVM — the offline
+    * image-index build, same memoize-and-cleanup story as the
+    * shingle/cell/IVF indexes: the registered query times the PROBE.
+    */
+  def phashIndexFor(s: org.apache.spark.sql.SparkSession,
+                    datasetDir: String): String =
+    graft.util.TempFixtures.dir(s"phash:$datasetDir") { idx =>
+      Multimodal.writePhashIndex(
+        Multimodal.asPhashImageTable(Tables(s, datasetDir, "documents"))
+          .filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 8),
+        idx)
+    }
+
+  def ivfIndexFor(datasetDir: String,
+                  emb: org.apache.spark.sql.DataFrame): String =
+    graft.util.TempFixtures.dir(s"ivf:$datasetDir") { idx =>
+      Similarity.ivfWriteIndex(emb, "vec_id", "embedding", idx, maxFit = 500L)
+    }
+
+  val shingleCte =
+    s"""WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i)),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > $shingleMaxDf),
+      |sh AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (s)),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)""".stripMargin
+
+  /** Shared replay of the DSIR weight pipeline (target = doc_id%7==0,
+    * 256 buckets, salt "dsir"): hashed unigram+bigram features,
+    * dense-spine Laplace-smoothed bucket log-probs floored to
+    * micro-nats per corpus, per-doc exact integer sum of the ratios.
+    * `rawPred` picks the model's raw-side slice; `scorePred` the docs
+    * actually scored (they differ in the incremental variant, where
+    * the batch is scored against a model fitted WITHOUT it).
+    */
+  def dsirCte(rawPred: String, scorePred: String) =
+    s"""WITH tkl AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |uni AS (SELECT doc_id, unnest(t) AS g FROM tkl),
+      |bi AS (
+      |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+      |  FROM tkl, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i)),
+      |feats AS (
+      |  SELECT doc_id, (${duckHex32("'dsir:' || g")}) % 256 AS bk
+      |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+      |tf AS (SELECT bk, count(*) AS c FROM feats WHERE doc_id % 7 = 0 GROUP BY 1),
+      |rf AS (SELECT bk, count(*) AS c FROM feats WHERE $rawPred GROUP BY 1),
+      |tt AS (SELECT count(*) AS n FROM feats WHERE doc_id % 7 = 0),
+      |rt AS (SELECT count(*) AS n FROM feats WHERE $rawPred),
+      |lr AS (
+      |  SELECT sp.bk,
+      |    CAST(floor(ln((COALESCE(tf.c, 0) + 1)::DOUBLE / (tt.n + 256)) * 1e6) AS BIGINT)
+      |    - CAST(floor(ln((COALESCE(rf.c, 0) + 1)::DOUBLE / (rt.n + 256)) * 1e6) AS BIGINT)
+      |      AS lr_u
+      |  FROM range(256) sp(bk) LEFT JOIN tf USING (bk) LEFT JOIN rf USING (bk), tt, rt),
+      |w AS (
+      |  SELECT f.doc_id, CAST(count(*) AS INT) AS n_feats,
+      |    CAST(sum(lr.lr_u) AS BIGINT) AS logw_u
+      |  FROM feats f JOIN lr USING (bk)
+      |  WHERE $scorePred GROUP BY 1)""".stripMargin
+
+  val dsirWeightsCte =
+    dsirCte("doc_id % 7 <> 0", "f.doc_id % 7 <> 0")
+
+  /** One persisted DSIR model per dataset dir per JVM (the offline fit
+    * over target=%7==0 / already-ingested raw=%7≠0∧%10≠0) — same
+    * memoize-and-cleanup story as the shingle/cell indexes: the
+    * registered query times the per-batch SCORING path, which is what
+    * runs per ingest at 100 TB.
+    */
+  def dsirModelFor(s: org.apache.spark.sql.SparkSession,
+                   datasetDir: String): String =
+    graft.util.TempFixtures.dir(s"dsir:$datasetDir") { p =>
+      val docs = Tables(s, datasetDir, "documents")
+      Dsir.writeModel(
+        docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", p)
+    }
+
+  val sqlCos =
+    """list_sum(list_transform(list_zip(q.embedding, v.embedding),
+      |   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      | / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |  * sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+      .stripMargin
+
+  val sqlCosAb = sqlCos.replace("q.embedding", "a.embedding")
+    .replace("v.embedding", "b.embedding")
+}

@@ -441,21 +441,8 @@ object SemDedup {
     * %50 init would select zero centroids.
     */
   private val IncEvery = 49
-  private val cellIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private lazy val cellCleanupHook: Unit = {
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      cellIndexCache.values.forEach { idx =>
-        val root = java.nio.file.Paths.get(idx).getParent
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(root).iterator.asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        } catch { case _: java.io.IOException => () } // best-effort
-      }
-    }))
-  }
+  // fixtures memoized via graft.util.TempFixtures (round-10 migration:
+  // shared cache, shutdown cleanup, throw-safe builds)
 
   /** The assign-to-`cents` CTE body, reused by the incremental and
     * streaming oracles (argmin on micro-unit d2, tie → cell id).
@@ -476,12 +463,9 @@ object SemDedup {
     * dedup_semantic_incremental and the loop is spec-proven).
     */
   private def streamingSemanticFor(s: org.apache.spark.sql.SparkSession,
-                                   d: String): String = {
-    cellCleanupHook
-    cellIndexCache.computeIfAbsent(s"stream:$d", _ => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_sem_stream").toString
-      val idx = root + "/index"
+                                   d: String): String =
+    graft.util.TempFixtures.dir(s"semstream:$d") { root =>
+      val idx = root + "/idx"
       val pairs = root + "/pairs"
       val emb = Tables(s, d, "embeddings")
       writeCellIndex(emb.filter(col("vec_id") % 10 =!= 0),
@@ -507,22 +491,15 @@ object SemDedup {
         input.addData(slice(10): _*)
         q.processAllAvailable()
       } finally q.stop()
-      pairs
-    })
-  }
+    } + "/pairs"
 
   private def cellIndexFor(s: org.apache.spark.sql.SparkSession,
-                           d: String): String = {
-    cellCleanupHook
-    cellIndexCache.computeIfAbsent(d, _ => {
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_cell_idx").toString + "/index"
+                           d: String): String =
+    graft.util.TempFixtures.dir(s"cell:$d") { idx =>
       writeCellIndex(Tables(s, d, "embeddings")
           .filter(col("vec_id") % 10 =!= 0),
         "vec_id", "embedding", centroidEvery = IncEvery, idx)
-      idx
-    })
-  }
+    }
 
   val queries: Seq[GQuery] = Seq(
     // Deletion propagation (right-to-be-forgotten) into the persisted
@@ -546,10 +523,7 @@ object SemDedup {
         // twice); steady-state bench passes time the surviving-postings
         // read, the operator itself is timed once and spec-proven in
         // SemDedupSpec's cell-index forget test
-        cellCleanupHook
-        val idx = cellIndexCache.computeIfAbsent(s"forget:$d", _ => {
-          val p = java.nio.file.Files
-            .createTempDirectory("graft_forget_cell").toString + "/index"
+        val idx = graft.util.TempFixtures.dir(s"cellforget:$d") { p =>
           val corpus = Tables(s, d, "embeddings")
             .filter(col("vec_id") % 10 =!= 0)
           writeCellIndex(corpus, "vec_id", "embedding",
@@ -564,8 +538,7 @@ object SemDedup {
           val removed = Forget.fromCellIndexViaRebuild(s, p, ids,
             centroidEvery = IncEvery)
           require(removed > 0L, "forget removed nothing — bad fixture")
-          p
-        })
+        }
         s.read.parquet(graft.sources.IndexLifecycle.resolveDir(s, idx))
           .select(col("vec_id"), col("cell").cast("long").as("cell"),
             floor(sqrt(aggregate(col("embedding"), lit(0.0d),
