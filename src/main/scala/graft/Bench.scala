@@ -108,12 +108,13 @@ object Bench {
     // the long line was head-truncated.
     val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$ejson,"isolated":$ijson,"queries":$qjson,"value":$total}"""
     println(line)
-    // the SAME json, untruncated, committed in-repo: the driver artifact
-    // keeps only ~2000 chars of stdout, so only ~60 of the per-query
-    // medians survive into BENCH_r{N}.json — this file is what lets the
-    // next round diff EVERY query. Overridable for ad-hoc runs.
+    // the SAME json, untruncated: the driver artifact keeps only ~2000
+    // chars of stdout, so only ~60 of the per-query medians survive into
+    // BENCH_r{N}.json. The default name is round-NEUTRAL so an ad-hoc run
+    // can never clobber a committed bench_full_r{N}.json; at round close
+    // copy it to the round-stamped name and commit BOTH.
     val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      "bench_full_r10.json")
+      "bench_full_latest.json")
     if (fullOut.nonEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get(fullOut),
         (line + "\n").getBytes("UTF-8"))

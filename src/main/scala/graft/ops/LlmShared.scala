@@ -247,11 +247,10 @@ private[ops] object LlmShared {
         .write.mode("overwrite").parquet(s"$root/new_pairs")
     }
 
-  /** Shared DuckDB replay of asPhashImageTable + dhash56 + the 4×14-bit
-    * banding: `bands(id, h, b, v)` regenerated entirely from the
-    * closed-form synthetic pixels (eid remap + the one-pixel tweak).
-    */
-  /** The closed-form dHash/band replay, parameterized by the banding
+  /** Shared DuckDB replay of asPhashImageTable + dhash56 —
+    * `bands(id, h, b, v)` regenerated entirely from the closed-form
+    * synthetic pixels (eid remap + the one-pixel tweak) — parameterized
+    * by the banding
     * (`maxDist + 1` bands of `56 / (maxDist + 1)` bits — the pigeonhole
     * contract [[graft.ops.Multimodal.phashBandsOf]] implements).
     */

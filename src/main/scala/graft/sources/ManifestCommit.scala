@@ -93,6 +93,8 @@ trait ManifestCommit {
   */
 final class FsManifestCommit(fs: FileSystem, root: Path) extends ManifestCommit {
 
+  private val tmpSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private val isLocal =
     Option(fs.getUri.getScheme).forall(s => s == "file" || s == "local")
 
@@ -104,12 +106,23 @@ final class FsManifestCommit(fs: FileSystem, root: Path) extends ManifestCommit 
       val dir = localDir
       java.nio.file.Files.createDirectories(dir)
       val target = dir.resolve(name)
-      val tmp = dir.resolve(s".$name.link_tmp_${Thread.currentThread().getId}")
+      // tmp must be unique ACROSS PROCESSES, not just threads: two JVMs
+      // sharing the mount (the deployment this CAS exists for) routinely
+      // reuse the same thread ids, and a shared tmp path lets the CAS
+      // winner link the LOSER's payload — a silently corrupted chain.
+      val tmp = dir.resolve(
+        s".$name.link_tmp_${ProcessHandle.current().pid()}_" +
+          s"${Thread.currentThread().getId}_${tmpSeq.incrementAndGet()}")
       java.nio.file.Files.write(tmp, payload)
       try {
         try { java.nio.file.Files.createLink(target, tmp); true }
         catch {
           case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.nio.file.NoSuchFileException =>
+            // tmp vanished under us (e.g. an operator-driven cleanup of
+            // dot-temps): the marker was NOT created — report a lost
+            // CAS rather than crashing the publish loop
+            false
           case _: UnsupportedOperationException =>
             // no hard links (exotic mount): O_EXCL create is still an
             // atomic claim; the payload write after it is covered by
@@ -219,11 +232,18 @@ object ManifestCommit {
   def hasOverride(main: Path): Boolean = lookup(main.toString).isDefined
 
   private def lookup(path: String): Option[ManifestCommit] = {
-    var best: String = null
-    overrides.forEach((prefix, _) =>
-      if (path.startsWith(prefix) && (best == null || prefix.length > best.length))
-        best = prefix)
-    Option(best).map(overrides.get)
+    // capture the commit VALUE during the scan: re-reading the map by
+    // key after picking the winner races unregister() into Some(null)
+    var bestPrefix: String = null
+    var bestCommit: ManifestCommit = null
+    overrides.forEach { (prefix, commit) =>
+      if (path.startsWith(prefix) &&
+        (bestPrefix == null || prefix.length > bestPrefix.length)) {
+        bestPrefix = prefix
+        bestCommit = commit
+      }
+    }
+    Option(bestCommit)
   }
 
   /** The commit for the index rooted at `main`. */
