@@ -427,7 +427,9 @@ object Dedup {
     * under different tags. Shingles dropped by a PREVIOUS build's cap
     * are gone from the postings and stay gone — the rebuild's cap can
     * only tighten further, the same under-cap-only drift direction as
-    * the between-rebuilds window.
+    * the between-rebuilds window — and the refreshed hot SIDECAR is
+    * the union with the prior one, so batch-side probe filtering stays
+    * consistent with those forever-gone postings.
     */
   def rebuildShingleIndex(spark: org.apache.spark.sql.SparkSession,
                           indexPath: String, nBuckets: Int = 64,
@@ -437,6 +439,19 @@ object Dedup {
                           readerGraceMs: Long = 0L): Unit =
     graft.sources.IndexLifecycle.rebuild(spark, indexPath,
       orphanGraceMs, readerGraceMs)(shingleRebuildClosure(nBuckets, maxDf))
+
+  /** [[graft.sources.IndexLifecycle.maybeRebuild]] with this family's
+    * build body: collapse iff the index holds more than `maxSegments`
+    * segments. `nBuckets`/`maxDf` must match the offline build (the
+    * same contract as [[rebuildShingleIndex]]). Returns true iff a
+    * rebuild ran.
+    */
+  def maybeRebuildShingleIndex(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String, maxSegments: Int,
+                               nBuckets: Int = 64,
+                               maxDf: Int = Int.MaxValue): Boolean =
+    graft.sources.IndexLifecycle.maybeRebuild(spark, indexPath,
+      maxSegments)(shingleRebuildClosure(nBuckets, maxDf))
 
   /** The rebuild's build body, shared with the reader-isolated forget
     * path ([[Forget.fromShingleIndexViaRebuild]] feeds it the
@@ -448,10 +463,21 @@ object Dedup {
   private[graft] def shingleRebuildClosure(nBuckets: Int, maxDf: Int)
       : (DataFrame, String, String) => Unit = {
     import org.apache.spark.sql.expressions.Window
-    (src, _, dst) =>
+    (src, srcDir, dst) =>
       val posts = src.select(col("doc"), col("s")).distinct()
+      // the refreshed hot list is the UNION of the recounted dfs with
+      // the prior sidecar: a shingle a past build capped away has no
+      // postings left to recount (its df here is 0), but its corpus
+      // rows are gone FOREVER — dropping it from the sidecar would let
+      // later batch probes keep it, inflating their n_sh denominator
+      // against a corpus that can never match it (caught by the
+      // dedup_jaccard_at oracle). Hot is monotone, exactly like the
+      // "gone and stays gone" posting contract it mirrors.
+      val oldHot = posts.sparkSession.read.parquet(hotSidecar(srcDir))
+        .select("s")
       val hot = posts.groupBy("s").agg(count(lit(1)).as("__df"))
         .filter(col("__df") > maxDf).select("s")
+        .unionByName(oldHot).distinct()
       posts.join(hot, Seq("s"), "left_anti")
         .withColumn("n_sh",
           count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
@@ -477,9 +503,42 @@ object Dedup {
                           indexPath: String, batch: DataFrame,
                           idCol: String, textCol: String, n: Int,
                           threshold: Double, nBuckets: Int = 64,
-                          excludeIngest: Option[String] = None): DataFrame = {
+                          excludeIngest: Option[String] = None): DataFrame =
+    jaccardProbe(spark,
+      graft.sources.IndexLifecycle.resolveDir(spark, indexPath),
+      segments = None, batch, idCol, textCol, n, threshold, nBuckets,
+      excludeIngest)
+
+  /** [[jaccardAgainstIndex]] PINNED to a retained manifest version —
+    * the reproducible-export read for the text-canon family, the same
+    * contract as [[Search.bm25AgainstIndexAt]]: the probe targets
+    * version `v`'s data dir restricted to the segment set its marker
+    * recorded, so the corpus is the one the export that recorded `v`
+    * saw, even while appends keep landing in the shared dir. The hot
+    * list is the pinned dir's sidecar (appends never touch it; only a
+    * rebuild — which starts a new dir — refreshes it). Fails loudly
+    * outside the retention window; forgotten rows stay forgotten.
+    */
+  def jaccardAgainstIndexAt(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, version: Long,
+                            batch: DataFrame,
+                            idCol: String, textCol: String, n: Int,
+                            threshold: Double,
+                            nBuckets: Int = 64): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val m = graft.sources.IndexLifecycle.manifestAt(spark, indexPath, version)
+    jaccardProbe(spark, new Path(new Path(indexPath), m.dir).toString,
+      segments = Some(m.segments), batch, idCol, textCol, n, threshold,
+      nBuckets, excludeIngest = None)
+  }
+
+  private def jaccardProbe(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, segments: Option[Seq[String]],
+                           batch: DataFrame,
+                           idCol: String, textCol: String, n: Int,
+                           threshold: Double, nBuckets: Int,
+                           excludeIngest: Option[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dir = graft.sources.IndexLifecycle.resolveDir(spark, indexPath)
     val hot = spark.read.parquet(hotSidecar(dir))
     val bsh = shingles(batch, idCol, textCol, n, Int.MaxValue)
       .join(hot, Seq("s"), "left_anti") // tiny hot list — AQE broadcasts
@@ -489,11 +548,25 @@ object Dedup {
       .collect().map(_.getInt(0)).toSeq
     // excludeIngest: the streaming loop skips its OWN batch tag so a
     // replayed trigger (crash after append, before checkpoint commit)
-    // does not match the batch against its previously-appended self
-    val corpus0 = spark.read.parquet(dir)
+    // does not match the batch against its previously-appended self.
+    // The segment filter alone is NOT sufficient: a rebuild landing in
+    // the crash window (the documented periodic maintenance job, or the
+    // in-loop maxSegments policy) absorbs the tag into `ingest=base`,
+    // where the replayed batch's own postings are no longer excludable
+    // by segment. So the segment filter is the cheap prune and the
+    // id-level anti-join below is the correctness closure: an
+    // index-side doc carrying a batch id can only be the batch's
+    // earlier appended self — a document cannot have arrived before
+    // itself.
+    val corpusAll = spark.read.parquet(dir)
       .filter(col("bucket").isin(touched: _*))
-    val corpus = excludeIngest.fold(corpus0)(t =>
-        corpus0.filter(col("ingest") =!= lit(t)))
+    val corpus0 = segments.fold(corpusAll)(segs =>
+      corpusAll.filter(col("ingest").isin(segs: _*)))
+    val corpus = excludeIngest.fold(corpus0) { t =>
+        corpus0.filter(col("ingest") =!= lit(t))
+          .join(batch.select(col(idCol).as("doc")).distinct(),
+            Seq("doc"), "left_anti")
+      }
       .select(col("doc").as("jdoc"), col("s").as("js"), col("n_sh").as("nj"))
     bsh.join(corpus, col("s") === col("js"))
       .groupBy(col("doc").as("i"), col("jdoc").as("j"),

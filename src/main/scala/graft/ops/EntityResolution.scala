@@ -290,6 +290,17 @@ object EntityResolution {
     graft.sources.IndexLifecycle.rebuild(spark, indexPath)(
       variantRebuildClosure(spark, nBuckets, maxDf))
 
+  /** [[graft.sources.IndexLifecycle.maybeRebuild]] with this family's
+    * build body; `nBuckets`/`maxDf` must match the offline build.
+    * Returns true iff a rebuild ran.
+    */
+  def maybeRebuildVariantIndex(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String, maxSegments: Int,
+                               nBuckets: Int = 16,
+                               maxDf: Int = Int.MaxValue): Boolean =
+    graft.sources.IndexLifecycle.maybeRebuild(spark, indexPath,
+      maxSegments)(variantRebuildClosure(spark, nBuckets, maxDf))
+
   /** Build body shared with [[Forget.fromVariantIndexViaRebuild]]. */
   private[graft] def variantRebuildClosure(
       spark: org.apache.spark.sql.SparkSession, nBuckets: Int, maxDf: Int)
@@ -302,8 +313,17 @@ object EntityResolution {
         .head().getInt(0)
       val rows = src.select(col("id"), col("nm"), col("blk"), col("v"))
         .distinct()
+      // hot is monotone across rebuilds (union with the prior sidecar,
+      // same contract as the shingle family): a key a past build capped
+      // has no rows left to recount, but its index side is gone for
+      // good — keeping it hot spares every later batch the dead-end
+      // variant derivation and equi-join work on a key that cannot
+      // produce a candidate
+      val oldHot = spark.read.parquet(hotVariantsSidecar(srcDir))
+        .select("blk", "v")
       val hot = rows.groupBy("blk", "v").agg(count(lit(1)).as("__df"))
         .filter(col("__df") > maxDf).select("blk", "v")
+        .unionByName(oldHot).distinct()
       rows.join(hot, Seq("blk", "v"), "left_anti")
         .withColumn("bucket", pmod(col("v"), lit(nBuckets)).cast("int"))
         .withColumn("ingest", lit("base"))
@@ -348,8 +368,13 @@ object EntityResolution {
       .collect().map(_.getInt(0)).toSeq
     val idx0 = spark.read.parquet(dir)
       .filter(col("bucket").isin(touched: _*))
-    val idx = excludeIngest.fold(idx0)(t =>
-      idx0.filter(col("ingest") =!= lit(t)))
+    // segment filter = cheap replay prune; the id anti-join closes the
+    // rebuild-absorbed-the-tag case (see Dedup.jaccardAgainstIndex)
+    val idx = excludeIngest.fold(idx0) { t =>
+      idx0.filter(col("ingest") =!= lit(t))
+        .join(batch.select(col(idCol).as("id")).distinct(),
+          Seq("id"), "left_anti")
+    }
     // candidates as bare id pairs — names join AFTER the distinct
     // collapses variant multiplicity (linkPairs' join-then-fetch
     // shape); ni comes from the already-pruned index subset, never a

@@ -239,28 +239,36 @@ object LlmDedupQueries {
             "doc_id", "text", n = 3, threshold = 0.8)
           .orderBy(col("i"), col("j"))
       },
-      Some(s"""WITH toks AS (
-          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
-          FROM documents),
-        sh0 AS (
-          SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
-          FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i)),
-        bat0 AS (SELECT * FROM sh0 WHERE doc_id % 10 = 0),
-        cor0 AS (SELECT * FROM sh0 WHERE doc_id % 10 <> 0),
-        chot AS (SELECT s FROM cor0 GROUP BY s HAVING count(*) > $shingleMaxDf),
-        bat AS (SELECT bat0.* FROM bat0 ANTI JOIN chot USING (s)),
-        cor AS (SELECT cor0.* FROM cor0 ANTI JOIN chot USING (s)),
-        bcnt AS (SELECT doc_id, count(*) AS n FROM bat GROUP BY 1),
-        ccnt AS (SELECT doc_id, count(*) AS n FROM cor GROUP BY 1),
-        pairs AS (
-          SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
-          FROM bat a JOIN cor b ON a.s = b.s
-          GROUP BY 1, 2),
-        jac AS (
-          SELECT i, j, common::DOUBLE / (ca.n + cb.n - common) AS jc
-          FROM pairs JOIN bcnt ca ON ca.doc_id = i JOIN ccnt cb ON cb.doc_id = j)
-        SELECT i, j, CAST(CAST(floor(jc * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS jaccard
-        FROM jac WHERE jc >= 0.8 ORDER BY i, j""")),
+      Some(jaccardIndexedOracleSql)),
+
+    // Probe PINNED to a manifest version (the text-canon family's
+    // reproducible-export read, same doctrine as search_bm25_at): the
+    // same index as dedup_incremental_indexed but generational (rebuild
+    // → v2 = [base]) with the %20==0 docs appended AFTER (v3). The
+    // probe pins v2, so its corpus is the PRE-append %10≠0 population —
+    // a listing-based read would ALSO see the appended %20==0 docs,
+    // which are a subset of the %10==0 batch itself, and hash-mismatch
+    // loudly with jaccard-1.0 self-pairs. Same oracle as the live
+    // base-only probe by construction.
+    GQuery("dedup_jaccard_at",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val idx = graft.util.TempFixtures.dir(s"jacat:$d") { p =>
+          Dedup.writeShingleIndex(docs.filter(col("doc_id") % 10 =!= 0),
+            "doc_id", "text", n = 3, p, maxDf = shingleMaxDf)
+          // convert publishes v1 (flat content), rebuild publishes v2
+          // (fresh base dir) — the version the probe pins
+          Dedup.rebuildShingleIndex(s, p, maxDf = shingleMaxDf)
+          Dedup.appendToShingleIndex(s, p,
+            docs.filter(col("doc_id") % 20 === 0),
+            "doc_id", "text", n = 3, ingestTag = "b0") // v3: [base, b0]
+        }
+        Dedup.jaccardAgainstIndexAt(s, idx, version = 2L,
+            docs.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text", n = 3, threshold = 0.8)
+          .orderBy(col("i"), col("j"))
+      },
+      Some(jaccardIndexedOracleSql)),
 
     // Pairwise near-dup verdicts → per-document cluster assignment +
     // canonical-member choice (connected components via hash-min label

@@ -378,6 +378,86 @@ object LlmEmbedQueries {
           WHERE rn <= 10 ORDER BY qid, rn"""
       }),
 
+    // ANN QUALITY SELF-EVAL: recall@10 of the deterministic IVF config
+    // against the exact brute-force top-k, per query — the number a
+    // production deployment monitors to know its quantizer/nprobe still
+    // hold as the corpus drifts (at 100 TB you run this over a sampled
+    // query set on a schedule; an ANN config without a recall probe is
+    // unfalsifiable). Both sides are deterministic, so the oracle
+    // replays the ENTIRE evaluation — quantize→probe→rank, the exact
+    // ranking, and the per-query intersection — and the recall numbers
+    // themselves are hash-checked, not eyeballed.
+    GQuery("sim_ann_recall",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val qs = emb.filter(col("vec_id") % 100 === 0)
+        val ann = Similarity.ivfTopKDet(emb, qs, "vec_id", "embedding",
+          k = 10, centroidEvery = 50, nprobe = 4).select("qid", "nid")
+        val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
+          k = 10).select("qid", "nid")
+        val hits = exact.join(ann, Seq("qid", "nid"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("hits"))
+        qs.select(col("vec_id").as("qid"))
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+            (coalesce(col("hits"), lit(0L)).cast("double") / 10.0).as("recall"))
+          .orderBy(col("qid"))
+      },
+      Some {
+        val d2vc = """list_sum(list_transform(list_zip(v.embedding, c.embedding), p ->
+            (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+            * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"""
+        val d2qc = d2vc.replace("v.embedding", "q.embedding")
+        s"""WITH cents AS (
+            SELECT vec_id AS list, embedding FROM embeddings WHERE vec_id % 50 = 0),
+          a AS (
+            SELECT vec_id AS nid, list FROM (
+              SELECT v.vec_id, c.list,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY CAST(floor($d2vc * 1e6) AS BIGINT) ASC NULLS LAST,
+                           c.list) AS rn
+              FROM embeddings v, cents c) t WHERE rn = 1),
+          p AS (
+            SELECT qid, list FROM (
+              SELECT q.vec_id AS qid, c.list,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY CAST(floor($d2qc * 1e6) AS BIGINT) ASC NULLS LAST,
+                           c.list) AS rn
+              FROM embeddings q, cents c WHERE q.vec_id % 100 = 0) t
+            WHERE rn <= 4),
+          annk AS (
+            SELECT qid, nid FROM (
+              SELECT qid, nid,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY score_u DESC NULLS LAST, nid) AS rn
+              FROM (
+                SELECT p.qid, a.nid,
+                  CAST(floor((${sqlCos.replace("q.embedding", "x.embedding")
+                    .replace("v.embedding", "y.embedding")}) * 1e6) AS BIGINT) AS score_u
+                FROM p JOIN a USING (list)
+                  JOIN embeddings x ON x.vec_id = p.qid
+                  JOIN embeddings y ON y.vec_id = a.nid
+                WHERE a.nid <> p.qid) s0) s1
+            WHERE rn <= 10),
+          exk AS (
+            SELECT qid, nid FROM (
+              SELECT q.vec_id AS qid, v.vec_id AS nid,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY CAST(floor($sqlCos * 1e6) AS BIGINT) DESC NULLS LAST,
+                           v.vec_id) AS rn
+              FROM embeddings q, embeddings v
+              WHERE q.vec_id % 100 = 0 AND v.vec_id <> q.vec_id) e0
+            WHERE rn <= 10),
+          hits AS (
+            SELECT qid, count(*) AS hits FROM (
+              SELECT qid, nid FROM exk INTERSECT SELECT qid, nid FROM annk) i0
+            GROUP BY qid)
+          SELECT q.vec_id AS qid, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+            CAST(coalesce(h.hits, 0) AS DOUBLE) / 10.0 AS recall
+          FROM embeddings q LEFT JOIN hits h ON h.qid = q.vec_id
+          WHERE q.vec_id % 100 = 0 ORDER BY qid"""
+      }),
+
     // Persisted det-quantizer IVF index + APPEND, probed end to end:
     // base index over the vec_id%10≠0 corpus (centroidEvery=49 — the
     // %50 init would select zero ids in this slice), one appended

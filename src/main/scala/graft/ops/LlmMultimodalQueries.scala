@@ -85,6 +85,39 @@ object LlmMultimodalQueries {
         FROM cand WHERE bit_count(xor(hi, hj)) <= 3
         ORDER BY i, j""")),
 
+    // Probe PINNED to a manifest version — the image-canon family's
+    // reproducible-export read (same doctrine as search_bm25_at /
+    // dedup_jaccard_at): the same corpus index but generational
+    // (rebuild → v2 = [base]), with the planted-dup batch itself
+    // appended AFTER the pin (v3). The pinned probe must see only the
+    // pre-append corpus; a listing-based read would match every batch
+    // image against its own appended copy at hamming 0 and
+    // hash-mismatch. Oracle = the incremental replay, identical by
+    // construction.
+    GQuery("multimodal_phash_at",
+      (s, d) => {
+        val imgs = Multimodal.asPhashImageTable(Tables(s, d, "documents"))
+        val isBatch = col("doc_id") % 10 === 7 || col("doc_id") % 10 === 8
+        val idx = graft.util.TempFixtures.dir(s"phashat:$d") { p =>
+          Multimodal.writePhashIndex(imgs.filter(!isBatch), p)
+          Multimodal.rebuildPhashIndex(s, p) // v1 convert, v2 fresh base
+          Multimodal.appendToPhashIndex(s, p, imgs.filter(isBatch),
+            ingestTag = "b0") // v3: [base, b0]
+        }
+        Multimodal.phashAgainstIndexAt(s, idx, version = 2L,
+            imgs.filter(isBatch), maxDist = 3)
+          .orderBy(col("i"), col("j"))
+      },
+      Some(s"""$phashBandsCte,
+        corp AS (SELECT * FROM bands WHERE id % 10 <> 7 AND id % 10 <> 8),
+        bat AS (SELECT * FROM bands WHERE id % 10 = 7 OR id % 10 = 8),
+        cand AS (
+          SELECT DISTINCT c.id AS i, c.h AS hi, q.id AS j, q.h AS hj
+          FROM corp c JOIN bat q ON c.b = q.b AND c.v = q.v)
+        SELECT i, j, CAST(bit_count(xor(hi, hj)) AS INT) AS dist
+        FROM cand WHERE bit_count(xor(hi, hj)) <= 3
+        ORDER BY i, j""")),
+
     // REAL nearest-neighbor resize: decode → resample to 4×4 → re-encode
     // → decode again. The oracle mirrors the integer sampling formula
     // sx = x2·w/4, sy = y2·h/4 pixel for pixel.

@@ -55,6 +55,38 @@ private[ops] object LlmShared {
         maxDf = shingleMaxDf)
     }
 
+  /** The DuckDB replay of jaccardAgainstIndex over corpus %10≠0 /
+    * batch %10==0 with the index-side df-cap applied to BOTH sides —
+    * shared by `dedup_incremental_indexed` (live probe of the base-only
+    * index) and `dedup_jaccard_at` (probe pinned to the pre-append
+    * version of an index that has since absorbed more segments): both
+    * reads see exactly the %10≠0 population, which is the point of the
+    * pin.
+    */
+  val jaccardIndexedOracleSql: String =
+    s"""WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM documents),
+        sh0 AS (
+          SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i)),
+        bat0 AS (SELECT * FROM sh0 WHERE doc_id % 10 = 0),
+        cor0 AS (SELECT * FROM sh0 WHERE doc_id % 10 <> 0),
+        chot AS (SELECT s FROM cor0 GROUP BY s HAVING count(*) > $shingleMaxDf),
+        bat AS (SELECT bat0.* FROM bat0 ANTI JOIN chot USING (s)),
+        cor AS (SELECT cor0.* FROM cor0 ANTI JOIN chot USING (s)),
+        bcnt AS (SELECT doc_id, count(*) AS n FROM bat GROUP BY 1),
+        ccnt AS (SELECT doc_id, count(*) AS n FROM cor GROUP BY 1),
+        pairs AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+          FROM bat a JOIN cor b ON a.s = b.s
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT i, j, common::DOUBLE / (ca.n + cb.n - common) AS jc
+          FROM pairs JOIN bcnt ca ON ca.doc_id = i JOIN ccnt cb ON cb.doc_id = j)
+        SELECT i, j, CAST(CAST(floor(jc * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS jaccard
+        FROM jac WHERE jc >= 0.8 ORDER BY i, j"""
+
   /** One full StreamingDedup run per dataset dir per JVM: offline base
     * index (doc_id%10≠0), then two deterministic MemoryStream
     * micro-batches (%20==0, %20==10) through the foreachBatch

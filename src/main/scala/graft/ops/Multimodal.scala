@@ -367,6 +367,16 @@ object Multimodal {
     graft.sources.IndexLifecycle.rebuild(spark, indexPath,
       orphanGraceMs, readerGraceMs)(phashRebuildClosure(spark, nBuckets))
 
+  /** [[graft.sources.IndexLifecycle.maybeRebuild]] with this family's
+    * build body; `nBuckets` must match the offline build. Returns true
+    * iff a rebuild ran.
+    */
+  def maybeRebuildPhashIndex(spark: org.apache.spark.sql.SparkSession,
+                             indexPath: String, maxSegments: Int,
+                             nBuckets: Int = 64): Boolean =
+    graft.sources.IndexLifecycle.maybeRebuild(spark, indexPath,
+      maxSegments)(phashRebuildClosure(spark, nBuckets))
+
   /** Build body shared with [[Forget.fromPhashIndexViaRebuild]]. */
   private[graft] def phashRebuildClosure(
       spark: org.apache.spark.sql.SparkSession, nBuckets: Int)
@@ -395,8 +405,33 @@ object Multimodal {
   def phashAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                         indexPath: String, batch: DataFrame,
                         maxDist: Int = 3, nBuckets: Int = 64,
-                        excludeIngest: Option[String] = None): DataFrame = {
-    val dir = graft.sources.IndexLifecycle.resolveDir(spark, indexPath)
+                        excludeIngest: Option[String] = None): DataFrame =
+    phashProbe(spark,
+      graft.sources.IndexLifecycle.resolveDir(spark, indexPath),
+      segments = None, batch, maxDist, nBuckets, excludeIngest)
+
+  /** [[phashAgainstIndex]] PINNED to a retained manifest version — the
+    * reproducible-export read for the image-canon family (the same
+    * contract as [[graft.ops.Dedup.jaccardAgainstIndexAt]] /
+    * [[graft.ops.Search.bm25AgainstIndexAt]]): version `v`'s data dir
+    * restricted to the segment set its marker recorded. Fails loudly
+    * outside the retention window; forgotten rows stay forgotten.
+    */
+  def phashAgainstIndexAt(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, version: Long,
+                          batch: DataFrame, maxDist: Int = 3,
+                          nBuckets: Int = 64): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val m = graft.sources.IndexLifecycle.manifestAt(spark, indexPath, version)
+    phashProbe(spark, new Path(new Path(indexPath), m.dir).toString,
+      segments = Some(m.segments), batch, maxDist, nBuckets,
+      excludeIngest = None)
+  }
+
+  private def phashProbe(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, segments: Option[Seq[String]],
+                         batch: DataFrame, maxDist: Int, nBuckets: Int,
+                         excludeIngest: Option[String]): DataFrame = {
     requirePhashParams(spark, dir, maxDist, nBuckets)
     // the batch kernel feeds the touched-bucket collect AND the join —
     // own the persist so each payload is decoded once
@@ -407,11 +442,18 @@ object Multimodal {
       .collect().map(_.getInt(0)).toSeq
     // excludeIngest: the streaming loop skips its OWN batch tag so a
     // replayed trigger (crash after append, before checkpoint commit)
-    // does not match the batch against its previously-appended self
-    val corpus0 = spark.read.parquet(dir)
+    // does not match the batch against its previously-appended self.
+    // Segment filter = cheap prune; the id anti-join is the correctness
+    // closure for a rebuild absorbing the replayed tag into base (see
+    // Dedup.jaccardAgainstIndex)
+    val corpusAll = spark.read.parquet(dir)
       .filter(col("bucket").isin(touched: _*))
-    val corpus = excludeIngest.fold(corpus0)(t =>
-        corpus0.filter(col("ingest") =!= lit(t)))
+    val corpus0 = segments.fold(corpusAll)(segs =>
+      corpusAll.filter(col("ingest").isin(segs: _*)))
+    val corpus = excludeIngest.fold(corpus0) { t =>
+        corpus0.filter(col("ingest") =!= lit(t))
+          .join(bb.select("id").distinct(), Seq("id"), "left_anti")
+      }
       .select(col("id").as("jid"), col("h").as("jh"),
         col("b").as("jb"), col("v").as("jv"))
     bb.join(corpus, col("b") === col("jb") && col("v") === col("jv"))

@@ -291,6 +291,16 @@ object Search {
     graft.sources.IndexLifecycle.rebuild(spark, indexPath)(
       bm25RebuildClosure(spark, nBuckets))
 
+  /** [[graft.sources.IndexLifecycle.maybeRebuild]] with this family's
+    * build body; `nBuckets` must match the offline build. Returns true
+    * iff a rebuild ran.
+    */
+  def maybeRebuildBm25Index(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, maxSegments: Int,
+                            nBuckets: Int = 16): Boolean =
+    graft.sources.IndexLifecycle.maybeRebuild(spark, indexPath,
+      maxSegments)(bm25RebuildClosure(spark, nBuckets))
+
   /** Build body shared with [[Forget.fromBm25IndexViaRebuild]] — which
     * is also where the in-place forget's documented stats drift closes
     * WITH the deletion instead of at the next maintenance rebuild: the
@@ -324,7 +334,12 @@ object Search {
     *
     * `excludeIngest`: a streaming ingest loop's replayed trigger skips
     * its own segment (rows AND stats), the standard at-least-once
-    * window closure.
+    * window closure. Note [[graft.streaming.StreamingDedup.attachBm25]]
+    * deliberately does NOT pass it — it appends FIRST so standing
+    * queries see the batch, and a replay that finds its tag absorbed by
+    * a rebuild re-probes the identical corpus (retrieval has no
+    * self-match hazard; the dedup families' id-level closure is about
+    * pair semantics, not reachability).
     */
   def bm25AgainstIndex(spark: org.apache.spark.sql.SparkSession,
                        indexPath: String, queries: Seq[(Int, String)],

@@ -337,6 +337,22 @@ object SemDedup {
           "vec_id", "embedding", centroidEvery, dst)
     }
 
+  /** [[graft.sources.IndexLifecycle.maybeRebuild]] with this family's
+    * build body: collapse iff more than `maxSegments` segments. The
+    * rebuild re-selects the quantizer from the CURRENT population
+    * (same contract as [[rebuildCellIndex]]) — later probes assign
+    * against the refreshed centroid sidecar, so the cell space shift
+    * is invisible to callers. Returns true iff a rebuild ran.
+    */
+  def maybeRebuildCellIndex(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, maxSegments: Int,
+                            centroidEvery: Int): Boolean =
+    graft.sources.IndexLifecycle.maybeRebuild(spark, indexPath,
+        maxSegments) { (src, _, dst) =>
+      writeCellIndex(src.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", centroidEvery, dst)
+    }
+
   /** Semantic near-dups of a NEW batch against a PERSISTED corpus cell
     * index: batch vectors assign map-only against the index's centroid
     * sidecar (broadcast, ≤ k rows), the touched cell ids are collected
@@ -366,8 +382,14 @@ object SemDedup {
       .collect().map(_.getLong(0)).toSeq
     val hist0 = spark.read.parquet(dir)
       .filter(col("cell").isin(touched: _*))
-    val hist = excludeIngest.fold(hist0)(t =>
-        hist0.filter(col("ingest") =!= lit(t)))
+    // segment filter = cheap replay prune; the id anti-join is the
+    // correctness closure for the case where a rebuild absorbed the
+    // replayed tag into base (see jaccardAgainstIndex)
+    val hist = excludeIngest.fold(hist0) { t =>
+        hist0.filter(col("ingest") =!= lit(t))
+          .join(batch.select(col(idCol).as("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")
+      }
       .select(col("vec_id").as("j"), col("embedding").as("__hv"), col("cell"))
     val thrU = math.round(threshold * 1e6)
     probe.join(hist, "cell")

@@ -189,6 +189,16 @@ object SpanDedup {
     graft.sources.IndexLifecycle.rebuild(spark, indexPath)(
       spanRebuildClosure(spark, nBuckets))
 
+  /** [[graft.sources.IndexLifecycle.maybeRebuild]] with this family's
+    * build body; `nBuckets` must match the offline build. Returns true
+    * iff a rebuild ran.
+    */
+  def maybeRebuildSpanIndex(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, maxSegments: Int,
+                            nBuckets: Int = 16): Boolean =
+    graft.sources.IndexLifecycle.maybeRebuild(spark, indexPath,
+      maxSegments)(spanRebuildClosure(spark, nBuckets))
+
   /** Build body shared with [[Forget.fromSpanIndexViaRebuild]]. */
   private[graft] def spanRebuildClosure(
       spark: org.apache.spark.sql.SparkSession, nBuckets: Int)
@@ -232,8 +242,15 @@ object SpanDedup {
       .collect().map(_.getInt(0)).toSeq
     val idx0 = spark.read.parquet(dir)
       .filter(col("bucket").isin(touched: _*))
-    val idx = excludeIngest.fold(idx0)(t =>
-      idx0.filter(col("ingest") =!= lit(t)))
+    // segment filter = cheap replay prune; the doc-id anti-join closes
+    // the rebuild-absorbed-the-tag case (see Dedup.jaccardAgainstIndex):
+    // without it a replayed batch's own absorbed counts double into
+    // n_occ against its live batch-side counts
+    val idx = excludeIngest.fold(idx0) { t =>
+      idx0.filter(col("ingest") =!= lit(t))
+        .join(batch.select(col(idCol).as("doc")).distinct(),
+          Seq("doc"), "left_anti")
+    }
     val batchCnt = fp.groupBy("h").agg(count(lit(1)).as("cnt"))
     val dup = idx.select(col("h"), col("cnt"))
       .unionByName(batchCnt)

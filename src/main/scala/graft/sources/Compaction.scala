@@ -179,19 +179,26 @@ object Compaction {
   private[graft] def claimNext(fs: org.apache.hadoop.fs.FileSystem,
                                main: Path, writerId: String): Long = {
     fs.mkdirs(main)
+    // the claim create uses FsManifestCommit's exclusive-create
+    // (hard-link CAS on file:, O_EXCL fallback) — Hadoop's local
+    // create(overwrite=false) is check-then-create, and two writers
+    // under load really did both "claim" the same generation through
+    // that window (caught by the two-writer soak spec), after which
+    // they share one data dir and the fenced loser's cleanup deletes
+    // the WINNER's published data. Deliberately NOT forIndex(): claims
+    // guard DATA DIRS, which live on this filesystem even when an
+    // index's markers commit through a registered object-store
+    // adapter, and every claim reader (listNums, pruneDataDirs, the
+    // lifecycle's tombstone checks) lists the filesystem.
+    val mc = new FsManifestCommit(fs, main)
     var attempts = 0
     while (attempts < 64) {
       val m = math.max(
         listNums(fs, main, ManifestPrefix).maxOption.getOrElse(0L),
         listNums(fs, main, ClaimPrefix).maxOption.getOrElse(0L)) + 1
-      val p = new Path(main, ClaimPrefix + genName(m))
-      try {
-        val out = fs.create(p, false)
-        try out.write(writerId.getBytes("UTF-8")) finally out.close()
-        return m
-      } catch {
-        case _: java.io.IOException => attempts += 1 // lost the race; rescan
-      }
+      if (mc.createExclusive(ClaimPrefix + genName(m),
+          writerId.getBytes("UTF-8"))) return m
+      attempts += 1 // lost the race; rescan
     }
     sys.error(s"claimNext: no claimable generation after 64 attempts at $main")
   }

@@ -41,6 +41,17 @@ import graft.ops.Dedup
   * periodic [[Dedup.writeShingleIndex]] rebuild (which also refreshes
   * the hot list), exactly the segment-merge maintenance a log-
   * structured store runs.
+  *
+  * Every attach* loop takes `maxSegments` (default 0 = off): when set,
+  * the trigger runs the family's
+  * [[graft.sources.IndexLifecycle.maybeRebuild]] policy after its
+  * append, so segment accumulation is bounded IN the loop instead of
+  * by an operator remembering the maintenance job — probes stay on the
+  * flat part of the measured probe-vs-segment-count curve at an
+  * amortized O(rebuild / maxSegments) per trigger. Replay stays safe
+  * when a rebuild absorbs a replayed batch's tag because the probes'
+  * exclusion is id-level, not only segment-level (see
+  * [[Dedup.jaccardAgainstIndex]]).
   */
 object StreamingDedup {
 
@@ -68,7 +79,8 @@ object StreamingDedup {
   def attach(docs: DataFrame, idCol: String, textCol: String,
              indexPath: String, pairsDir: String,
              n: Int = 3, threshold: Double = 0.5,
-             nBuckets: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
+             nBuckets: Int = 64, maxSegments: Int = 0,
+             maxDf: Int = Int.MaxValue): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       Dedup.jaccardAgainstIndex(spark, indexPath, batch,
@@ -80,6 +92,15 @@ object StreamingDedup {
         .partitionBy("batch").parquet(pairsDir)
       Dedup.appendToShingleIndex(spark, indexPath, batch,
         idCol, textCol, n, ingestTag = s"b$batchId", nBuckets = nBuckets)
+      // maxSegments > 0 = the in-loop compaction policy: one segment
+      // accumulates per batch, so the steady-state stream pays the
+      // bounded merge every ~maxSegments triggers and probes stay on
+      // the flat part of the measured probe-vs-segment-count curve.
+      // Safe under replay: the probe's exclusion is id-level, so a
+      // rebuild absorbing the replayed tag cannot resurrect self-matches
+      if (maxSegments > 0)
+        Dedup.maybeRebuildShingleIndex(spark, indexPath, maxSegments,
+          nBuckets, maxDf)
     })
 
   /** The same probe-then-append streaming loop over EMBEDDINGS: each
@@ -97,7 +118,11 @@ object StreamingDedup {
     */
   def attachSemantic(vecs: DataFrame, idCol: String, vecCol: String,
                      indexPath: String, pairsDir: String,
-                     threshold: Double): DataStreamWriter[org.apache.spark.sql.Row] =
+                     threshold: Double, maxSegments: Int = 0,
+                     centroidEvery: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(maxSegments == 0 || centroidEvery > 0,
+      "in-loop compaction re-selects the quantizer: pass the offline " +
+        "build's centroidEvery alongside maxSegments")
     vecs.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       graft.ops.SemDedup.semanticAgainstIndex(spark, indexPath, batch,
@@ -108,7 +133,11 @@ object StreamingDedup {
         .partitionBy("batch").parquet(pairsDir)
       graft.ops.SemDedup.appendToCellIndex(spark, indexPath, batch,
         idCol, vecCol, ingestTag = s"b$batchId")
+      if (maxSegments > 0)
+        graft.ops.SemDedup.maybeRebuildCellIndex(spark, indexPath,
+          maxSegments, centroidEvery)
     })
+  }
 
   /** The probe-then-append loop for IMAGES: each micro-batch's
     * perceptual near-dups against the persisted phash index
@@ -122,8 +151,8 @@ object StreamingDedup {
     * and image modalities all run the same ingest loop.
     */
   def attachPhash(images: DataFrame, indexPath: String, pairsDir: String,
-                  maxDist: Int = 3,
-                  nBuckets: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
+                  maxDist: Int = 3, nBuckets: Int = 64,
+                  maxSegments: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
     images.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       graft.ops.Multimodal.phashAgainstIndex(spark, indexPath, batch,
@@ -134,6 +163,9 @@ object StreamingDedup {
         .partitionBy("batch").parquet(pairsDir)
       graft.ops.Multimodal.appendToPhashIndex(spark, indexPath, batch,
         ingestTag = s"b$batchId", maxDist = maxDist, nBuckets = nBuckets)
+      if (maxSegments > 0)
+        graft.ops.Multimodal.maybeRebuildPhashIndex(spark, indexPath,
+          maxSegments, nBuckets)
     })
 
   /** Streaming ENTITY RESOLUTION on master-table ingest — the
@@ -153,8 +185,9 @@ object StreamingDedup {
     */
   def attachLink(masters: DataFrame, idCol: String, nameCol: String,
                  blockCol: String, indexPath: String, pairsDir: String,
-                 maxDist: Int = 1,
-                 nBuckets: Int = 16): DataStreamWriter[org.apache.spark.sql.Row] =
+                 maxDist: Int = 1, nBuckets: Int = 16,
+                 maxSegments: Int = 0,
+                 maxDf: Int = Int.MaxValue): DataStreamWriter[org.apache.spark.sql.Row] =
     masters.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       graft.ops.EntityResolution.linkAgainstIndex(spark, indexPath, batch,
@@ -167,6 +200,9 @@ object StreamingDedup {
       graft.ops.EntityResolution.appendToVariantIndex(spark, indexPath,
         batch, idCol, nameCol, blockCol, ingestTag = s"b$batchId",
         maxDist = maxDist, nBuckets = nBuckets)
+      if (maxSegments > 0)
+        graft.ops.EntityResolution.maybeRebuildVariantIndex(spark,
+          indexPath, maxSegments, nBuckets, maxDf)
     })
 
   /** Streaming RETRIEVAL REFRESH on corpus ingest — the BM25 postings
@@ -186,11 +222,17 @@ object StreamingDedup {
   def attachBm25(docs: DataFrame, idCol: String, textCol: String,
                  indexPath: String, outDir: String,
                  standingQueries: Seq[(Int, String)], k: Int = 10,
-                 nBuckets: Int = 16): DataStreamWriter[org.apache.spark.sql.Row] =
+                 nBuckets: Int = 16,
+                 maxSegments: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       graft.ops.Search.appendToBm25Index(spark, indexPath, batch,
         idCol, textCol, ingestTag = s"b$batchId", nBuckets = nBuckets)
+      // compact BEFORE the probe: the probe is the per-trigger product,
+      // so it should read the collapsed layout the policy just paid for
+      if (maxSegments > 0)
+        graft.ops.Search.maybeRebuildBm25Index(spark, indexPath,
+          maxSegments, nBuckets)
       graft.ops.Search.bm25AgainstIndex(spark, indexPath,
           standingQueries, k, nBuckets)
         .withColumn("batch", lit(batchId))
@@ -199,28 +241,6 @@ object StreamingDedup {
         .partitionBy("batch").parquet(outDir)
     })
 
-  /** The full per-batch CURATION loop — the streaming composition of
-    * three already-proven stages, chained the way a production ingest
-    * runs them inside ONE foreachBatch:
-    *
-    *  1. GATE: Gopher-style repetition filters
-    *     ([[graft.ops.TextAnalysis.repetition]], the pipeline_curate
-    *     thresholds) drop low-quality documents map-side;
-    *  2. DEDUP: survivors probe the persisted shingle index
-    *     ([[graft.ops.Dedup.jaccardAgainstIndex]]) and near-dups of
-    *     ANYTHING already ingested — offline corpus or an earlier
-    *     batch — are dropped;
-    *  3. SCORE: unique survivors are scored against the persisted
-    *     DSIR model ([[graft.ops.Dsir.scoreAgainstModel]]) and land
-    *     in `outDir/batch=<id>` with their importance weights;
-    *  4. the survivors' postings join the index under `ingest=b<id>`
-    *     so the next batch dedups against them.
-    *
-    * Same batchId-keyed idempotence contract as [[attach]]. Per
-    * trigger nothing scans the historical corpus: the gate is
-    * map-only, the probe is bucket-pruned batch×history, the scoring
-    * join carries the 256-row model.
-    */
   /** [[attachCurate]] extended to a MULTIMODAL corpus — the streaming
     * form of `pipeline_train_export_mm`'s two-canon composition, per
     * micro-batch inside one foreachBatch:
@@ -254,7 +274,8 @@ object StreamingDedup {
                      modelPath: String, outDir: String,
                      n: Int = 3, threshold: Double = 0.8,
                      nBuckets: Int = 64, maxDist: Int = 3,
-                     phashBuckets: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
+                     phashBuckets: Int = 64, maxSegments: Int = 0,
+                     maxDf: Int = Int.MaxValue): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       import org.apache.spark.sql.functions._
@@ -287,12 +308,41 @@ object StreamingDedup {
       graft.ops.Multimodal.appendToPhashIndex(spark, phashIndexPath,
         images(survivors), ingestTag = s"b$batchId", maxDist = maxDist,
         nBuckets = phashBuckets)
+      if (maxSegments > 0) {
+        graft.ops.Dedup.maybeRebuildShingleIndex(spark, indexPath,
+          maxSegments, nBuckets, maxDf)
+        graft.ops.Multimodal.maybeRebuildPhashIndex(spark, phashIndexPath,
+          maxSegments, phashBuckets)
+      }
     })
 
+  /** The full per-batch CURATION loop — the streaming composition of
+    * three already-proven stages, chained the way a production ingest
+    * runs them inside ONE foreachBatch:
+    *
+    *  1. GATE: Gopher-style repetition filters
+    *     ([[graft.ops.TextAnalysis.repetition]], the pipeline_curate
+    *     thresholds) drop low-quality documents map-side;
+    *  2. DEDUP: survivors probe the persisted shingle index
+    *     ([[graft.ops.Dedup.jaccardAgainstIndex]]) and near-dups of
+    *     ANYTHING already ingested — offline corpus or an earlier
+    *     batch — are dropped;
+    *  3. SCORE: unique survivors are scored against the persisted
+    *     DSIR model ([[graft.ops.Dsir.scoreAgainstModel]]) and land
+    *     in `outDir/batch=<id>` with their importance weights;
+    *  4. the survivors' postings join the index under `ingest=b<id>`
+    *     so the next batch dedups against them.
+    *
+    * Same batchId-keyed idempotence contract as [[attach]]. Per
+    * trigger nothing scans the historical corpus: the gate is
+    * map-only, the probe is bucket-pruned batch×history, the scoring
+    * join carries the 256-row model.
+    */
   def attachCurate(docs: DataFrame, idCol: String, textCol: String,
                    indexPath: String, modelPath: String, outDir: String,
                    n: Int = 3, threshold: Double = 0.8,
-                   nBuckets: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
+                   nBuckets: Int = 64, maxSegments: Int = 0,
+                   maxDf: Int = Int.MaxValue): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       import org.apache.spark.sql.functions._
@@ -314,5 +364,8 @@ object StreamingDedup {
         .partitionBy("batch").parquet(outDir)
       graft.ops.Dedup.appendToShingleIndex(spark, indexPath, survivors,
         idCol, textCol, n, ingestTag = s"b$batchId", nBuckets = nBuckets)
+      if (maxSegments > 0)
+        Dedup.maybeRebuildShingleIndex(spark, indexPath, maxSegments,
+          nBuckets, maxDf)
     })
 }

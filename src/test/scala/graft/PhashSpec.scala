@@ -138,6 +138,15 @@ class PhashSpec extends AnyFunSuite {
         nBuckets = 16)
       .select("i", "j", "dist").as[(Long, Long, Int)].collect()
     assert(reprobe.toSet == after.toSet, "probe identical after rebuild")
+    // the rebuild ABSORBED ingest=b0 into base, so a replayed trigger's
+    // excludeIngest can no longer skip the batch by segment — the
+    // id-level closure must still reproduce the pre-append probe (the
+    // crash-after-append + concurrent-rebuild window)
+    val replayAbsorbed = Multimodal.phashAgainstIndex(spark, idx, batch,
+        maxDist = 3, nBuckets = 16, excludeIngest = Some("b0"))
+      .select("i", "j", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(replayAbsorbed == got.filter(p => p._2 % 10 == 7).toSet,
+      "absorbed-segment replay must still exclude the batch's own rows")
   }
 
   test("phash index forget: ids gone, survivors byte-identical, idempotent, probe-blind") {
