@@ -337,6 +337,44 @@ object Dedup {
     * inflate a pair's intersection.
     */
   private def hotSidecar(indexPath: String) = s"$indexPath/_graft_hot"
+  private def shingleParamsSidecar(dir: String) = s"$dir/_graft_shingle_params"
+
+  /** n, nBuckets and maxDf are INDEX CONTRACT (the phash params
+    * doctrine): an append or probe run with a different n derives
+    * shingles the stored postings can never equal (silent zero
+    * matches), a different bucket count prunes the wrong partitions
+    * (silent candidate loss), and a rebuild run with a different maxDf
+    * silently changes the capping policy the oracles replay. The build
+    * persists all three; appends and probes validate (n, nBuckets) and
+    * fail loudly on a mismatch; rebuilds read (nBuckets, maxDf) from
+    * the sidecar instead of trusting the caller — retuning the policy
+    * is [[writeShingleIndex]]'s job (a full offline rebuild).
+    */
+  private[graft] def writeShingleParams(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, n: Int, nBuckets: Int,
+                                 maxDf: Int): Unit = {
+    import spark.implicits._
+    Seq((n, nBuckets, maxDf)).toDF("n", "n_buckets", "max_df")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(shingleParamsSidecar(dir))
+  }
+
+  private def readShingleParams(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(shingleParamsSidecar(dir)).head()
+    (r.getAs[Int]("n"), r.getAs[Int]("n_buckets"), r.getAs[Int]("max_df"))
+  }
+
+  private def requireShingleParams(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String, n: Int,
+                                   nBuckets: Int): Unit = {
+    val (sn, snb, _) = readShingleParams(spark, dir)
+    require(sn == n && snb == nBuckets,
+      s"shingle index at $dir was built with n=$sn, nBuckets=$snb — " +
+        s"caller passed n=$n, nBuckets=$nBuckets; a mismatched shingle " +
+        "width finds nothing and a mismatched bucketing prunes the " +
+        "wrong partitions, both silently")
+  }
 
   def writeShingleIndex(df: DataFrame, idCol: String, textCol: String,
                         n: Int, indexPath: String, nBuckets: Int = 64,
@@ -350,9 +388,20 @@ object Dedup {
     // batch (batch df ≤ maxDf), inflating every ni with shingles the
     // index can never match — every jaccard tanks and the probe finds
     // ZERO pairs. Both sides must filter by the SAME (index-side) list.
+    //
+    // The sidecar stores 64-bit xxhash64 FINGERPRINTS (`h`), never the
+    // shingle text: hot entries are MONOTONE across rebuilds (see
+    // [[shingleRebuildClosure]]), so raw strings here would outlive the
+    // documents they came from — including documents erased by the
+    // RTBF path, whose every posting is gone but whose capped shingle
+    // text would sit in `_graft_hot` forever. Dfs are still counted per
+    // exact STRING before hashing; only the persisted exclusion key is
+    // the fingerprint (a probe-side false exclusion needs a 64-bit
+    // collision against the hot set — odds ~|hot|/2^64 per shingle).
     val all = shingles(df, idCol, textCol, n, Int.MaxValue)
+      .withColumn("h", xxhash64(col("s")))
     val hot = all.groupBy("s").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxDf).select("s")
+      .filter(col("__df") > maxDf).select(xxhash64(col("s")).as("h"))
     import org.apache.spark.sql.expressions.Window
     // `ingest` is the FIRST partition level: the offline build owns
     // `ingest=base`, and every ingested batch owns `ingest=<its tag>` —
@@ -361,13 +410,15 @@ object Dedup {
     // blind append that would duplicate postings and silently inflate
     // every later probe's `common` counts. Bucket pruning is unaffected:
     // a `bucket` filter prunes at the second directory level.
-    all.join(hot, Seq("s"), "left_anti")
+    all.join(hot, Seq("h"), "left_anti")
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
-      .withColumn("bucket", pmod(xxhash64(col("s")), lit(nBuckets)).cast("int"))
+      .withColumn("bucket", pmod(col("h"), lit(nBuckets)).cast("int"))
+      .drop("h")
       .withColumn("ingest", lit("base"))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("ingest", "bucket").parquet(indexPath)
     hot.coalesce(1).write.mode("overwrite").parquet(hotSidecar(indexPath))
+    writeShingleParams(df.sparkSession, indexPath, n, nBuckets, maxDf)
   }
 
   /** Write an ingested batch's postings into a persisted index under
@@ -401,16 +452,18 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     graft.sources.IndexLifecycle.appendSegment(spark, indexPath, ingestTag) {
       (dir, tmp) =>
+        requireShingleParams(spark, dir, n, nBuckets)
         // hot list read from the dir being appended to — a racing
         // rebuild's re-seal re-reads the REFRESHED list, so re-sealed
         // rows stay consistent with the index that will serve them
         val hot = spark.read.parquet(hotSidecar(dir))
         shingles(batch, idCol, textCol, n, Int.MaxValue)
-          .join(hot, Seq("s"), "left_anti")
+          .withColumn("h", xxhash64(col("s")))
+          .join(hot, Seq("h"), "left_anti")
           .withColumn("n_sh",
             count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
-          .withColumn("bucket",
-            pmod(xxhash64(col("s")), lit(nBuckets)).cast("int"))
+          .withColumn("bucket", pmod(col("h"), lit(nBuckets)).cast("int"))
+          .drop("h")
           .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     }
@@ -432,38 +485,45 @@ object Dedup {
     * consistent with those forever-gone postings.
     */
   def rebuildShingleIndex(spark: org.apache.spark.sql.SparkSession,
-                          indexPath: String, nBuckets: Int = 64,
-                          maxDf: Int = Int.MaxValue,
+                          indexPath: String,
                           orphanGraceMs: Long =
                             graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
                           readerGraceMs: Long = 0L): Unit =
     graft.sources.IndexLifecycle.rebuild(spark, indexPath,
-      orphanGraceMs, readerGraceMs)(shingleRebuildClosure(nBuckets, maxDf))
+      orphanGraceMs, readerGraceMs)(shingleRebuildClosure)
 
   /** [[graft.sources.IndexLifecycle.maybeRebuild]] with this family's
     * build body: collapse iff the index holds more than `maxSegments`
-    * segments. `nBuckets`/`maxDf` must match the offline build (the
-    * same contract as [[rebuildShingleIndex]]). Returns true iff a
-    * rebuild ran.
+    * segments. Policy and layout come from the index's own params
+    * sidecar — an auto-fired rebuild can never silently drift from the
+    * offline build. Returns true iff a rebuild ran. Pass the SAME
+    * `readerGraceMs` discipline as your explicit rebuilds: in-loop
+    * compaction rebuilds often, and retention keeps only two data
+    * dirs, so a zero grace under long-running concurrent readers can
+    * delete a dir mid-scan.
     */
   def maybeRebuildShingleIndex(spark: org.apache.spark.sql.SparkSession,
                                indexPath: String, maxSegments: Int,
-                               nBuckets: Int = 64,
-                               maxDf: Int = Int.MaxValue): Boolean =
+                               orphanGraceMs: Long =
+                                 graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
+                               readerGraceMs: Long = 0L): Boolean =
     graft.sources.IndexLifecycle.maybeRebuild(spark, indexPath,
-      maxSegments)(shingleRebuildClosure(nBuckets, maxDf))
+      maxSegments, orphanGraceMs, readerGraceMs)(shingleRebuildClosure)
 
   /** The rebuild's build body, shared with the reader-isolated forget
     * path ([[Forget.fromShingleIndexViaRebuild]] feeds it the
     * victim-filtered src — same output as rebuilding after an in-place
     * forget, proven identical because a doc only ever contributes its
     * own postings and the survivor dfs can only drop, never crossing
-    * the cap upward).
+    * the cap upward). nBuckets and maxDf come from the SOURCE dir's
+    * params sidecar, re-persisted into the new version — policy is
+    * pinned at build time, never at rebuild call sites.
     */
-  private[graft] def shingleRebuildClosure(nBuckets: Int, maxDf: Int)
+  private[graft] def shingleRebuildClosure
       : (DataFrame, String, String) => Unit = {
     import org.apache.spark.sql.expressions.Window
     (src, srcDir, dst) =>
+      val (n, nBuckets, maxDf) = readShingleParams(src.sparkSession, srcDir)
       val posts = src.select(col("doc"), col("s")).distinct()
       // the refreshed hot list is the UNION of the recounted dfs with
       // the prior sidecar: a shingle a past build capped away has no
@@ -472,22 +532,27 @@ object Dedup {
       // later batch probes keep it, inflating their n_sh denominator
       // against a corpus that can never match it (caught by the
       // dedup_jaccard_at oracle). Hot is monotone, exactly like the
-      // "gone and stays gone" posting contract it mirrors.
+      // "gone and stays gone" posting contract it mirrors — which is
+      // why the sidecar holds FINGERPRINTS, not text (see
+      // [[writeShingleIndex]]): monotone raw strings would survive the
+      // RTBF erasure of every document that produced them.
       val oldHot = posts.sparkSession.read.parquet(hotSidecar(srcDir))
-        .select("s")
+        .select("h")
       val hot = posts.groupBy("s").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > maxDf).select("s")
+        .filter(col("__df") > maxDf).select(xxhash64(col("s")).as("h"))
         .unionByName(oldHot).distinct()
-      posts.join(hot, Seq("s"), "left_anti")
+      posts.withColumn("h", xxhash64(col("s")))
+        .join(hot, Seq("h"), "left_anti")
         .withColumn("n_sh",
           count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
-        .withColumn("bucket",
-          pmod(xxhash64(col("s")), lit(nBuckets)).cast("int"))
+        .withColumn("bucket", pmod(col("h"), lit(nBuckets)).cast("int"))
+        .drop("h")
         .withColumn("ingest", lit("base"))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("ingest", "bucket")
         .parquet(dst)
       hot.coalesce(1).write.mode("overwrite").parquet(hotSidecar(dst))
+      writeShingleParams(src.sparkSession, dst, n, nBuckets, maxDf)
   }
 
   /** Jaccard near-dup pairs of a NEW batch against a PERSISTED corpus
@@ -539,11 +604,14 @@ object Dedup {
                            threshold: Double, nBuckets: Int,
                            excludeIngest: Option[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireShingleParams(spark, dir, n, nBuckets)
     val hot = spark.read.parquet(hotSidecar(dir))
     val bsh = shingles(batch, idCol, textCol, n, Int.MaxValue)
-      .join(hot, Seq("s"), "left_anti") // tiny hot list — AQE broadcasts
+      .withColumn("h", xxhash64(col("s")))
+      .join(hot, Seq("h"), "left_anti") // tiny hot list — AQE broadcasts
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
-      .withColumn("bucket", pmod(xxhash64(col("s")), lit(nBuckets)).cast("int"))
+      .withColumn("bucket", pmod(col("h"), lit(nBuckets)).cast("int"))
+      .drop("h")
     val touched = bsh.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
     // excludeIngest: the streaming loop skips its OWN batch tag so a

@@ -207,17 +207,23 @@ object EntityResolution {
     */
   private def writeErParams(spark: org.apache.spark.sql.SparkSession,
                             dir: String, maxDist: Int,
-                            nBuckets: Int): Unit = {
+                            nBuckets: Int, maxDf: Int): Unit = {
     import spark.implicits._
-    Seq((maxDist, nBuckets)).toDF("max_dist", "n_buckets")
+    Seq((maxDist, nBuckets, maxDf)).toDF("max_dist", "n_buckets", "max_df")
       .coalesce(1).write.mode("overwrite").parquet(erParamsSidecar(dir))
+  }
+
+  private def readErParams(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(erParamsSidecar(dir)).head()
+    (r.getAs[Int]("max_dist"), r.getAs[Int]("n_buckets"),
+      r.getAs[Int]("max_df"))
   }
 
   private def requireErParams(spark: org.apache.spark.sql.SparkSession,
                               dir: String, maxDist: Int,
                               nBuckets: Int): Unit = {
-    val r = spark.read.parquet(erParamsSidecar(dir)).head()
-    val (md, nb) = (r.getInt(0), r.getInt(1))
+    val (md, nb, _) = readErParams(spark, dir)
     require(md == maxDist && nb == nBuckets,
       s"variant index at $dir was built with maxDist=$md, nBuckets=$nb " +
         s"— caller passed maxDist=$maxDist, nBuckets=$nBuckets; a " +
@@ -252,7 +258,7 @@ object EntityResolution {
       .parquet(indexPath)
     hot.coalesce(1).write.mode("overwrite")
       .parquet(hotVariantsSidecar(indexPath))
-    writeErParams(master.sparkSession, indexPath, maxDist, nBuckets)
+    writeErParams(master.sparkSession, indexPath, maxDist, nBuckets, maxDf)
   }
 
   /** Append a grown master table's NEW records under `ingest=<tag>` —
@@ -285,32 +291,39 @@ object EntityResolution {
     * losslessly.
     */
   def rebuildVariantIndex(spark: org.apache.spark.sql.SparkSession,
-                          indexPath: String, nBuckets: Int = 16,
-                          maxDf: Int = Int.MaxValue): Unit =
-    graft.sources.IndexLifecycle.rebuild(spark, indexPath)(
-      variantRebuildClosure(spark, nBuckets, maxDf))
+                          indexPath: String,
+                          orphanGraceMs: Long =
+                            graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
+                          readerGraceMs: Long = 0L): Unit =
+    graft.sources.IndexLifecycle.rebuild(spark, indexPath,
+      orphanGraceMs, readerGraceMs)(variantRebuildClosure(spark))
 
   /** [[graft.sources.IndexLifecycle.maybeRebuild]] with this family's
-    * build body; `nBuckets`/`maxDf` must match the offline build.
+    * build body; every param comes from the index's own sidecar, so an
+    * auto-fired rebuild can never drift from the offline build. Pass
+    * the same `readerGraceMs` discipline as your explicit rebuilds.
     * Returns true iff a rebuild ran.
     */
   def maybeRebuildVariantIndex(spark: org.apache.spark.sql.SparkSession,
                                indexPath: String, maxSegments: Int,
-                               nBuckets: Int = 16,
-                               maxDf: Int = Int.MaxValue): Boolean =
+                               orphanGraceMs: Long =
+                                 graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
+                               readerGraceMs: Long = 0L): Boolean =
     graft.sources.IndexLifecycle.maybeRebuild(spark, indexPath,
-      maxSegments)(variantRebuildClosure(spark, nBuckets, maxDf))
+      maxSegments, orphanGraceMs, readerGraceMs)(variantRebuildClosure(spark))
 
   /** Build body shared with [[Forget.fromVariantIndexViaRebuild]]. */
   private[graft] def variantRebuildClosure(
-      spark: org.apache.spark.sql.SparkSession, nBuckets: Int, maxDf: Int)
+      spark: org.apache.spark.sql.SparkSession)
       : (DataFrame, String, String) => Unit =
     (src, srcDir, dst) => {
-      // maxDist is immutable across rebuilds (the stored rows ARE
-      // the depth-d neighborhoods); nBuckets is pure layout and may
-      // change — the refreshed sidecar rides inside the new version
-      val maxDist = spark.read.parquet(erParamsSidecar(srcDir))
-        .head().getInt(0)
+      // every param comes from the SOURCE dir's sidecar and is
+      // re-persisted into the new version: maxDist is immutable across
+      // rebuilds (the stored rows ARE the depth-d neighborhoods),
+      // nBuckets pins the layout probes prune by, and maxDf pins the
+      // capping policy — a rebuild call site can no longer silently
+      // retune any of them (writeVariantIndex is the retune path)
+      val (maxDist, nBuckets, maxDf) = readErParams(spark, srcDir)
       val rows = src.select(col("id"), col("nm"), col("blk"), col("v"))
         .distinct()
       // hot is monotone across rebuilds (union with the prior sidecar,
@@ -332,7 +345,7 @@ object EntityResolution {
         .parquet(dst)
       hot.coalesce(1).write.mode("overwrite")
         .parquet(hotVariantsSidecar(dst))
-      writeErParams(spark, dst, maxDist, nBuckets)
+      writeErParams(spark, dst, maxDist, nBuckets, maxDf)
     }
 
   /** Link a dirty-feed batch against the PERSISTED master index —

@@ -197,11 +197,10 @@ object Forget {
     * rebuild).
     */
   def fromShingleIndexViaRebuild(spark: SparkSession, indexPath: String,
-                                 docIds: Seq[Long], nBuckets: Int = 64,
-                                 maxDf: Int = Int.MaxValue): Long =
+                                 docIds: Seq[Long]): Long =
     graft.sources.IndexLifecycle.forgetViaRebuild(spark, indexPath,
       col("doc").isin(docIds: _*))(
-      Dedup.shingleRebuildClosure(nBuckets, maxDf))
+      Dedup.shingleRebuildClosure)
 
   def fromIvfIndexViaRebuild(spark: SparkSession, indexPath: String,
                              vecIds: Seq[Long], centroidEvery: Int): Long =
@@ -212,37 +211,37 @@ object Forget {
     }
 
   def fromCellIndexViaRebuild(spark: SparkSession, indexPath: String,
-                              vecIds: Seq[Long], centroidEvery: Int): Long =
+                              vecIds: Seq[Long]): Long =
     graft.sources.IndexLifecycle.forgetViaRebuild(spark, indexPath,
-      col("vec_id").isin(vecIds: _*)) { (kept, _, dst) =>
+      col("vec_id").isin(vecIds: _*)) { (kept, srcDir, dst) =>
+      // quantizer policy from the index's own sidecar (params doctrine)
       SemDedup.writeCellIndex(
         kept.select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", centroidEvery, dst)
+        "vec_id", "embedding",
+        SemDedup.readCellCentroidEvery(spark, srcDir), dst)
     }
 
   def fromPhashIndexViaRebuild(spark: SparkSession, indexPath: String,
-                               imageIds: Seq[Long],
-                               nBuckets: Int = 64): Long =
+                               imageIds: Seq[Long]): Long =
     graft.sources.IndexLifecycle.forgetViaRebuild(spark, indexPath,
       col("id").isin(imageIds: _*))(
-      Multimodal.phashRebuildClosure(spark, nBuckets))
+      Multimodal.phashRebuildClosure(spark))
 
   def fromVariantIndexViaRebuild(spark: SparkSession, indexPath: String,
-                                 recordIds: Seq[Long], nBuckets: Int = 16,
-                                 maxDf: Int = Int.MaxValue): Long =
+                                 recordIds: Seq[Long]): Long =
     graft.sources.IndexLifecycle.forgetViaRebuild(spark, indexPath,
       col("id").isin(recordIds: _*))(
-      EntityResolution.variantRebuildClosure(spark, nBuckets, maxDf))
+      EntityResolution.variantRebuildClosure(spark))
 
   def fromSpanIndexViaRebuild(spark: SparkSession, indexPath: String,
-                              docIds: Seq[Long], nBuckets: Int = 16): Long =
+                              docIds: Seq[Long]): Long =
     graft.sources.IndexLifecycle.forgetViaRebuild(spark, indexPath,
       col("doc").isin(docIds: _*))(
-      SpanDedup.spanRebuildClosure(spark, nBuckets))
+      SpanDedup.spanRebuildClosure(spark))
 
   def fromBm25IndexViaRebuild(spark: SparkSession, indexPath: String,
-                              docIds: Seq[Long], nBuckets: Int = 16): Long =
+                              docIds: Seq[Long]): Long =
     graft.sources.IndexLifecycle.forgetViaRebuild(spark, indexPath,
       col("doc_id").isin(docIds: _*))(
-      Search.bm25RebuildClosure(spark, nBuckets))
+      Search.bm25RebuildClosure(spark))
 }

@@ -258,7 +258,7 @@ object LlmDedupQueries {
             "doc_id", "text", n = 3, p, maxDf = shingleMaxDf)
           // convert publishes v1 (flat content), rebuild publishes v2
           // (fresh base dir) — the version the probe pins
-          Dedup.rebuildShingleIndex(s, p, maxDf = shingleMaxDf)
+          Dedup.rebuildShingleIndex(s, p)
           Dedup.appendToShingleIndex(s, p,
             docs.filter(col("doc_id") % 20 === 0),
             "doc_id", "text", n = 3, ingestTag = "b0") // v3: [base, b0]
@@ -425,8 +425,7 @@ object LlmDedupQueries {
             nBuckets = 16, maxDf = shingleMaxDf)
           val ids = corpus.filter(col("doc_id") % 20 === 0)
             .select("doc_id").collect().map(_.getLong(0)).toSeq
-          val removed = Forget.fromShingleIndexViaRebuild(s, p, ids,
-            nBuckets = 16, maxDf = shingleMaxDf)
+          val removed = Forget.fromShingleIndexViaRebuild(s, p, ids)
           require(removed > 0L, "forget removed nothing — bad fixture")
         }
         // viaRebuild converts the index to generational — resolve, never

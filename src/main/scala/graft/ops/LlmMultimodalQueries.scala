@@ -392,8 +392,7 @@ object LlmMultimodalQueries {
           Multimodal.writePhashIndex(corpus, p, nBuckets = 16)
           val ids = corpus.filter(col("doc_id") % 20 === 0)
             .select("doc_id").collect().map(_.getLong(0)).toSeq
-          val removed = Forget.fromPhashIndexViaRebuild(s, p, ids,
-            nBuckets = 16)
+          val removed = Forget.fromPhashIndexViaRebuild(s, p, ids)
           require(removed > 0L, "forget removed nothing — bad fixture")
         }
         s.read.parquet(graft.sources.IndexLifecycle.resolveDir(s, idx))

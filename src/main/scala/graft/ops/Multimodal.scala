@@ -360,30 +360,37 @@ object Multimodal {
     * version dir through the publish.
     */
   def rebuildPhashIndex(spark: org.apache.spark.sql.SparkSession,
-                        indexPath: String, nBuckets: Int = 64,
+                        indexPath: String,
                         orphanGraceMs: Long =
                           graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
                         readerGraceMs: Long = 0L): Unit =
     graft.sources.IndexLifecycle.rebuild(spark, indexPath,
-      orphanGraceMs, readerGraceMs)(phashRebuildClosure(spark, nBuckets))
+      orphanGraceMs, readerGraceMs)(phashRebuildClosure(spark))
 
   /** [[graft.sources.IndexLifecycle.maybeRebuild]] with this family's
-    * build body; `nBuckets` must match the offline build. Returns true
-    * iff a rebuild ran.
+    * build body; every param comes from the index's own sidecar. Pass
+    * the same `readerGraceMs` discipline as your explicit rebuilds.
+    * Returns true iff a rebuild ran.
     */
   def maybeRebuildPhashIndex(spark: org.apache.spark.sql.SparkSession,
                              indexPath: String, maxSegments: Int,
-                             nBuckets: Int = 64): Boolean =
+                             orphanGraceMs: Long =
+                               graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
+                             readerGraceMs: Long = 0L): Boolean =
     graft.sources.IndexLifecycle.maybeRebuild(spark, indexPath,
-      maxSegments)(phashRebuildClosure(spark, nBuckets))
+      maxSegments, orphanGraceMs, readerGraceMs)(phashRebuildClosure(spark))
 
   /** Build body shared with [[Forget.fromPhashIndexViaRebuild]]. */
   private[graft] def phashRebuildClosure(
-      spark: org.apache.spark.sql.SparkSession, nBuckets: Int)
+      spark: org.apache.spark.sql.SparkSession)
       : (DataFrame, String, String) => Unit =
     (src, srcDir, dst) => {
-      val maxDist = spark.read
-        .parquet(phashParamsSidecar(srcDir)).head().getInt(0)
+      // both params come from the SOURCE dir's sidecar — rebuild call
+      // sites can no longer silently retune banding or layout
+      // (writePhashIndex is the retune path)
+      val pr = spark.read.parquet(phashParamsSidecar(srcDir)).head()
+      val (maxDist, nBuckets) =
+        (pr.getAs[Int]("max_dist"), pr.getAs[Int]("n_buckets"))
       src.select(col("id"), col("h"), col("b"), col("v"))
         .distinct()
         .withColumn("bucket", phashBucket(nBuckets))

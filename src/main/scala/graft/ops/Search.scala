@@ -287,19 +287,25 @@ object Search {
     * window closes here, the hot-list refresh policy.
     */
   def rebuildBm25Index(spark: org.apache.spark.sql.SparkSession,
-                       indexPath: String, nBuckets: Int = 16): Unit =
-    graft.sources.IndexLifecycle.rebuild(spark, indexPath)(
-      bm25RebuildClosure(spark, nBuckets))
+                       indexPath: String,
+                       orphanGraceMs: Long =
+                         graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
+                       readerGraceMs: Long = 0L): Unit =
+    graft.sources.IndexLifecycle.rebuild(spark, indexPath,
+      orphanGraceMs, readerGraceMs)(bm25RebuildClosure(spark))
 
   /** [[graft.sources.IndexLifecycle.maybeRebuild]] with this family's
-    * build body; `nBuckets` must match the offline build. Returns true
-    * iff a rebuild ran.
+    * build body; the layout comes from the index's own params sidecar.
+    * Pass the same `readerGraceMs` discipline as your explicit
+    * rebuilds. Returns true iff a rebuild ran.
     */
   def maybeRebuildBm25Index(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String, maxSegments: Int,
-                            nBuckets: Int = 16): Boolean =
+                            orphanGraceMs: Long =
+                              graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
+                            readerGraceMs: Long = 0L): Boolean =
     graft.sources.IndexLifecycle.maybeRebuild(spark, indexPath,
-      maxSegments)(bm25RebuildClosure(spark, nBuckets))
+      maxSegments, orphanGraceMs, readerGraceMs)(bm25RebuildClosure(spark))
 
   /** Build body shared with [[Forget.fromBm25IndexViaRebuild]] — which
     * is also where the in-place forget's documented stats drift closes
@@ -307,9 +313,14 @@ object Search {
     * segment stats are recomputed from the filtered postings.
     */
   private[graft] def bm25RebuildClosure(
-      spark: org.apache.spark.sql.SparkSession, nBuckets: Int)
+      spark: org.apache.spark.sql.SparkSession)
       : (DataFrame, String, String) => Unit =
-    (src, _, dst) => {
+    (src, srcDir, dst) => {
+      // the layout comes from the SOURCE dir's sidecar — rebuild call
+      // sites can no longer silently rebucket (writeBm25Index is the
+      // retune path)
+      val nBuckets = spark.read.parquet(bm25ParamsSidecar(srcDir))
+        .head().getAs[Int]("n_buckets")
       val rows = graft.util.Caches.own(
         src.select(col("doc_id"), col("t"), col("tf"), col("len"))
           .distinct()

@@ -257,6 +257,7 @@ object SemDedup {
     * argument as the shingle index's hot list).
     */
   private def centroidsSidecar(indexPath: String) = s"$indexPath/_graft_centroids"
+  private def cellParamsSidecar(indexPath: String) = s"$indexPath/_graft_cell_params"
 
   def writeCellIndex(emb: DataFrame, idCol: String, vecCol: String,
                      centroidEvery: Int, indexPath: String): Unit = {
@@ -277,7 +278,20 @@ object SemDedup {
       .write.mode("overwrite").partitionBy("ingest", "cell").parquet(indexPath)
     cents.coalesce(1).write.mode("overwrite")
       .parquet(centroidsSidecar(indexPath))
+    // quantizer-selection POLICY rides with the index (the params
+    // doctrine): an auto-fired rebuild re-selects centroids with the
+    // build's own centroidEvery instead of trusting a call site
+    val sess = emb.sparkSession
+    import sess.implicits._
+    Seq(Tuple1(centroidEvery)).toDF("centroid_every")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(cellParamsSidecar(indexPath))
   }
+
+  private[ops] def readCellCentroidEvery(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Int =
+    spark.read.parquet(cellParamsSidecar(dir))
+      .head().getAs[Int]("centroid_every")
 
   /** Append a new batch to a persisted cell index under its own
     * `ingest=<tag>` partition level — the embedding twin of
@@ -346,11 +360,15 @@ object SemDedup {
     */
   def maybeRebuildCellIndex(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String, maxSegments: Int,
-                            centroidEvery: Int): Boolean =
+                            orphanGraceMs: Long =
+                              graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
+                            readerGraceMs: Long = 0L): Boolean =
     graft.sources.IndexLifecycle.maybeRebuild(spark, indexPath,
-        maxSegments) { (src, _, dst) =>
+        maxSegments, orphanGraceMs, readerGraceMs) { (src, srcDir, dst) =>
+      val ce = spark.read.parquet(cellParamsSidecar(srcDir))
+        .head().getAs[Int]("centroid_every")
       writeCellIndex(src.select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", centroidEvery, dst)
+        "vec_id", "embedding", ce, dst)
     }
 
   /** Semantic near-dups of a NEW batch against a PERSISTED corpus cell
@@ -557,8 +575,7 @@ object SemDedup {
           // on exactly that
           val ids = corpus.filter(col("vec_id") % 11 === 0)
             .select("vec_id").collect().map(_.getLong(0)).toSeq
-          val removed = Forget.fromCellIndexViaRebuild(s, p, ids,
-            centroidEvery = IncEvery)
+          val removed = Forget.fromCellIndexViaRebuild(s, p, ids)
           require(removed > 0L, "forget removed nothing — bad fixture")
         }
         s.read.parquet(graft.sources.IndexLifecycle.resolveDir(s, idx))

@@ -185,29 +185,38 @@ object SpanDedup {
     * under two tags, the phash discipline).
     */
   def rebuildSpanIndex(spark: org.apache.spark.sql.SparkSession,
-                       indexPath: String, nBuckets: Int = 16): Unit =
-    graft.sources.IndexLifecycle.rebuild(spark, indexPath)(
-      spanRebuildClosure(spark, nBuckets))
+                       indexPath: String,
+                       orphanGraceMs: Long =
+                         graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
+                       readerGraceMs: Long = 0L): Unit =
+    graft.sources.IndexLifecycle.rebuild(spark, indexPath,
+      orphanGraceMs, readerGraceMs)(spanRebuildClosure(spark))
 
   /** [[graft.sources.IndexLifecycle.maybeRebuild]] with this family's
-    * build body; `nBuckets` must match the offline build. Returns true
-    * iff a rebuild ran.
+    * build body; every param comes from the index's own sidecar. Pass
+    * the same `readerGraceMs` discipline as your explicit rebuilds.
+    * Returns true iff a rebuild ran.
     */
   def maybeRebuildSpanIndex(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String, maxSegments: Int,
-                            nBuckets: Int = 16): Boolean =
+                            orphanGraceMs: Long =
+                              graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
+                            readerGraceMs: Long = 0L): Boolean =
     graft.sources.IndexLifecycle.maybeRebuild(spark, indexPath,
-      maxSegments)(spanRebuildClosure(spark, nBuckets))
+      maxSegments, orphanGraceMs, readerGraceMs)(spanRebuildClosure(spark))
 
   /** Build body shared with [[Forget.fromSpanIndexViaRebuild]]. */
   private[graft] def spanRebuildClosure(
-      spark: org.apache.spark.sql.SparkSession, nBuckets: Int)
+      spark: org.apache.spark.sql.SparkSession)
       : (DataFrame, String, String) => Unit =
     (src, srcDir, dst) => {
-      // k is immutable across rebuilds (the stored counts ARE
-      // k-gram counts); nBuckets is pure layout and may change
-      val k = spark.read.parquet(spanParamsSidecar(srcDir))
-        .head().getInt(0)
+      // both params come from the SOURCE dir's sidecar: k is immutable
+      // across rebuilds (the stored counts ARE k-gram counts) and
+      // nBuckets pins the layout probes prune by — rebuild call sites
+      // can no longer silently retune either (writeSpanIndex is the
+      // retune path)
+      val r = spark.read.parquet(spanParamsSidecar(srcDir)).head()
+      val (k, nBuckets) = (r.getAs[Int]("k"), r.getAs[Int]("n_buckets"))
       src.select(col("doc"), col("h"), col("cnt")).distinct()
         .withColumn("bucket", bucketOf(col("h"), nBuckets))
         .withColumn("ingest", lit("base"))

@@ -227,6 +227,26 @@ object IndexLifecycle {
     markerNums(mc).maxOption.flatMap(v => readMarker(mc, v))
   }
 
+  /** Union of the `absorbed` lists across every RETAINED marker up to
+    * and including version `upTo` — what [[appendSegment]]'s replay
+    * pre-check consults before sealing anything. A marker that
+    * vanishes between the listing and its read (a concurrent
+    * publisher's prune) forces a full re-list rather than a skip: the
+    * dropped manifest could be exactly the absorbing rebuild, and
+    * treating it as absent would green-light a duplicating re-seal.
+    */
+  private def absorbedWithin(mc: ManifestCommit, upTo: Long): Set[String] = {
+    var attempts = 0
+    while (attempts < 8) {
+      attempts += 1
+      val reads = markerNums(mc).filter(_ <= upTo).map(v => readMarker(mc, v))
+      if (!reads.exists(_.isEmpty)) return reads.flatMap(_.get.absorbed).toSet
+    }
+    sys.error(s"absorbedWithin: markers at ${mc.describe} kept vanishing " +
+      "mid-read across 8 re-listings — a publisher is pruning faster " +
+      "than this reader can list; re-run the append")
+  }
+
   /** The directory every read, probe, sidecar access, in-place rewrite
     * and segment seal must target: the current version's data dir for
     * a generational index, `path` itself for a flat one. Reading the
@@ -422,6 +442,22 @@ object IndexLifecycle {
         sealSegment(fs, main, tag)(writeSeg)
         refresh(spark, path)
       case Some(m0) =>
+        // Replay pre-check, BEFORE any seal: a crash between the index
+        // commit and the stream's checkpoint commit replays the batch,
+        // and if a rebuild absorbed this tag into base in that window
+        // (in-loop compaction makes this routine), the tag is gone from
+        // the segment listing — a blind re-seal would duplicate every
+        // row of the batch in base + ingest=<tag>, silently inflating
+        // all later probes. Absorption is decidable within the marker
+        // retention window ([[MarkerKeep]] publishes); a replay older
+        // than that re-seals — the same horizon as the CAS-loss guard
+        // below, and far beyond the at-least-once crash window this
+        // protects (a stream restarts on its LAST uncommitted batch).
+        if (!chainSegments(fs, main, m0).contains(tag) &&
+            absorbedWithin(mc, m0.v).contains(tag)) {
+          refresh(spark, path)
+          return
+        }
         var m = m0
         var sealedInto: String = null
         var attempts = 0

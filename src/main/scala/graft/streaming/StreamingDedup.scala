@@ -51,7 +51,16 @@ import graft.ops.Dedup
   * amortized O(rebuild / maxSegments) per trigger. Replay stays safe
   * when a rebuild absorbs a replayed batch's tag because the probes'
   * exclusion is id-level, not only segment-level (see
-  * [[Dedup.jaccardAgainstIndex]]).
+  * [[Dedup.jaccardAgainstIndex]]), and because a crash-restart replay
+  * of an already-absorbed tag is detected before it can re-seal
+  * ([[graft.sources.IndexLifecycle.appendSegment]]'s pre-check). Each
+  * loop also takes `readerGraceMs` (default 0), threaded into its
+  * maybeRebuild: in-loop compaction rebuilds OFTEN and retention keeps
+  * only two data dirs, so a deployment with long-running concurrent
+  * readers must pass the same grace here as on its explicit rebuilds
+  * or a probe can lose its dir mid-scan. Rebuild POLICY (nBuckets,
+  * maxDf, centroidEvery, ...) is never passed here: every family reads
+  * it from the index's own params sidecar.
   */
 object StreamingDedup {
 
@@ -80,7 +89,7 @@ object StreamingDedup {
              indexPath: String, pairsDir: String,
              n: Int = 3, threshold: Double = 0.5,
              nBuckets: Int = 64, maxSegments: Int = 0,
-             maxDf: Int = Int.MaxValue): DataStreamWriter[org.apache.spark.sql.Row] =
+             readerGraceMs: Long = 0L): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       Dedup.jaccardAgainstIndex(spark, indexPath, batch,
@@ -100,7 +109,7 @@ object StreamingDedup {
       // rebuild absorbing the replayed tag cannot resurrect self-matches
       if (maxSegments > 0)
         Dedup.maybeRebuildShingleIndex(spark, indexPath, maxSegments,
-          nBuckets, maxDf)
+          readerGraceMs = readerGraceMs)
     })
 
   /** The same probe-then-append streaming loop over EMBEDDINGS: each
@@ -119,10 +128,7 @@ object StreamingDedup {
   def attachSemantic(vecs: DataFrame, idCol: String, vecCol: String,
                      indexPath: String, pairsDir: String,
                      threshold: Double, maxSegments: Int = 0,
-                     centroidEvery: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] = {
-    require(maxSegments == 0 || centroidEvery > 0,
-      "in-loop compaction re-selects the quantizer: pass the offline " +
-        "build's centroidEvery alongside maxSegments")
+                     readerGraceMs: Long = 0L): DataStreamWriter[org.apache.spark.sql.Row] = {
     vecs.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       graft.ops.SemDedup.semanticAgainstIndex(spark, indexPath, batch,
@@ -135,7 +141,7 @@ object StreamingDedup {
         idCol, vecCol, ingestTag = s"b$batchId")
       if (maxSegments > 0)
         graft.ops.SemDedup.maybeRebuildCellIndex(spark, indexPath,
-          maxSegments, centroidEvery)
+          maxSegments, readerGraceMs = readerGraceMs)
     })
   }
 
@@ -152,7 +158,8 @@ object StreamingDedup {
     */
   def attachPhash(images: DataFrame, indexPath: String, pairsDir: String,
                   maxDist: Int = 3, nBuckets: Int = 64,
-                  maxSegments: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
+                  maxSegments: Int = 0,
+                  readerGraceMs: Long = 0L): DataStreamWriter[org.apache.spark.sql.Row] =
     images.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       graft.ops.Multimodal.phashAgainstIndex(spark, indexPath, batch,
@@ -165,7 +172,7 @@ object StreamingDedup {
         ingestTag = s"b$batchId", maxDist = maxDist, nBuckets = nBuckets)
       if (maxSegments > 0)
         graft.ops.Multimodal.maybeRebuildPhashIndex(spark, indexPath,
-          maxSegments, nBuckets)
+          maxSegments, readerGraceMs = readerGraceMs)
     })
 
   /** Streaming ENTITY RESOLUTION on master-table ingest — the
@@ -187,7 +194,7 @@ object StreamingDedup {
                  blockCol: String, indexPath: String, pairsDir: String,
                  maxDist: Int = 1, nBuckets: Int = 16,
                  maxSegments: Int = 0,
-                 maxDf: Int = Int.MaxValue): DataStreamWriter[org.apache.spark.sql.Row] =
+                 readerGraceMs: Long = 0L): DataStreamWriter[org.apache.spark.sql.Row] =
     masters.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       graft.ops.EntityResolution.linkAgainstIndex(spark, indexPath, batch,
@@ -202,7 +209,7 @@ object StreamingDedup {
         maxDist = maxDist, nBuckets = nBuckets)
       if (maxSegments > 0)
         graft.ops.EntityResolution.maybeRebuildVariantIndex(spark,
-          indexPath, maxSegments, nBuckets, maxDf)
+          indexPath, maxSegments, readerGraceMs = readerGraceMs)
     })
 
   /** Streaming RETRIEVAL REFRESH on corpus ingest — the BM25 postings
@@ -223,7 +230,8 @@ object StreamingDedup {
                  indexPath: String, outDir: String,
                  standingQueries: Seq[(Int, String)], k: Int = 10,
                  nBuckets: Int = 16,
-                 maxSegments: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
+                 maxSegments: Int = 0,
+                 readerGraceMs: Long = 0L): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       graft.ops.Search.appendToBm25Index(spark, indexPath, batch,
@@ -232,7 +240,7 @@ object StreamingDedup {
       // so it should read the collapsed layout the policy just paid for
       if (maxSegments > 0)
         graft.ops.Search.maybeRebuildBm25Index(spark, indexPath,
-          maxSegments, nBuckets)
+          maxSegments, readerGraceMs = readerGraceMs)
       graft.ops.Search.bm25AgainstIndex(spark, indexPath,
           standingQueries, k, nBuckets)
         .withColumn("batch", lit(batchId))
@@ -275,7 +283,7 @@ object StreamingDedup {
                      n: Int = 3, threshold: Double = 0.8,
                      nBuckets: Int = 64, maxDist: Int = 3,
                      phashBuckets: Int = 64, maxSegments: Int = 0,
-                     maxDf: Int = Int.MaxValue): DataStreamWriter[org.apache.spark.sql.Row] =
+                     readerGraceMs: Long = 0L): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       import org.apache.spark.sql.functions._
@@ -310,9 +318,9 @@ object StreamingDedup {
         nBuckets = phashBuckets)
       if (maxSegments > 0) {
         graft.ops.Dedup.maybeRebuildShingleIndex(spark, indexPath,
-          maxSegments, nBuckets, maxDf)
+          maxSegments, readerGraceMs = readerGraceMs)
         graft.ops.Multimodal.maybeRebuildPhashIndex(spark, phashIndexPath,
-          maxSegments, phashBuckets)
+          maxSegments, readerGraceMs = readerGraceMs)
       }
     })
 
@@ -342,7 +350,7 @@ object StreamingDedup {
                    indexPath: String, modelPath: String, outDir: String,
                    n: Int = 3, threshold: Double = 0.8,
                    nBuckets: Int = 64, maxSegments: Int = 0,
-                   maxDf: Int = Int.MaxValue): DataStreamWriter[org.apache.spark.sql.Row] =
+                   readerGraceMs: Long = 0L): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       import org.apache.spark.sql.functions._
@@ -366,6 +374,6 @@ object StreamingDedup {
         idCol, textCol, n, ingestTag = s"b$batchId", nBuckets = nBuckets)
       if (maxSegments > 0)
         Dedup.maybeRebuildShingleIndex(spark, indexPath, maxSegments,
-          nBuckets, maxDf)
+          readerGraceMs = readerGraceMs)
     })
 }

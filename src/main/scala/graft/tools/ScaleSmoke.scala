@@ -178,7 +178,7 @@ object ScaleSmoke {
           graft.ops.Search.bm25AgainstIndex(spark, idx, q0, 10).count())
         timed(s"seg_maybe_rebuild s$sc") {
           val ran = graft.sources.IndexLifecycle.maybeRebuild(spark, idx,
-            maxSegments = 8)(graft.ops.Search.bm25RebuildClosure(spark, 16))
+            maxSegments = 8)(graft.ops.Search.bm25RebuildClosure(spark))
           assert(ran == (sc > 8),
             s"maybeRebuild(8) must fire iff segments > 8 (sc=$sc, ran=$ran)")
           if (ran) 1L else 0L

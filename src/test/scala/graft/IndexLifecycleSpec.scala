@@ -55,7 +55,7 @@ abstract class IndexLifecycleContract(memoryCommit: Boolean) extends AnyFunSuite
       nBuckets = NB)
     // convert up front: the one-time flat→generational moves are a
     // quiet-window operation, and these tests race writers afterwards
-    Dedup.rebuildShingleIndex(spark, idx, nBuckets = NB)
+    Dedup.rebuildShingleIndex(spark, idx)
     idx
   }
 
@@ -77,8 +77,12 @@ abstract class IndexLifecycleContract(memoryCommit: Boolean) extends AnyFunSuite
       .withColumn("ingest", lit("base"))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("ingest", "bucket").parquet(dst)
-    spark.emptyDataset[String].toDF("s")
+    spark.emptyDataset[Long].toDF("h")
       .coalesce(1).write.mode("overwrite").parquet(dst + "/_graft_hot")
+    // the family's real closure re-persists the params sidecar into
+    // every new version; the injected body must do the same or later
+    // appends/probes fail their params validation
+    Dedup.writeShingleParams(spark, dst, 3, NB, Int.MaxValue)
   }
 
   /** (doc, shingle) set of the index's CURRENT version. */
@@ -161,15 +165,17 @@ abstract class IndexLifecycleContract(memoryCommit: Boolean) extends AnyFunSuite
         // rebuild absorbs the CURRENT index (which contains b1 from
         // the original append) and publishes — the replay is now the
         // stale loser
-        Dedup.rebuildShingleIndex(spark, idx, nBuckets = NB)
+        Dedup.rebuildShingleIndex(spark, idx)
       }
       import org.apache.spark.sql.expressions.Window
       val hot = spark.read.parquet(dir + "/_graft_hot")
       Dedup.shingles(docs(batch), "doc_id", "text", 3, Int.MaxValue)
-        .join(hot, Seq("s"), "left_anti")
+        .withColumn("h", xxhash64(col("s")))
+        .join(hot, Seq("h"), "left_anti")
         .withColumn("n_sh",
           count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
-        .withColumn("bucket", pmod(xxhash64(col("s")), lit(NB)).cast("int"))
+        .withColumn("bucket", pmod(col("h"), lit(NB)).cast("int"))
+        .drop("h")
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     }
@@ -180,6 +186,33 @@ abstract class IndexLifecycleContract(memoryCommit: Boolean) extends AnyFunSuite
     // and the winning rebuild collapsed everything to base
     assert(IndexLifecycle.segmentsOf(fsOf(idx),
       new Path(IndexLifecycle.resolveDir(spark, idx))) == Seq("base"))
+  }
+
+  test("crash-restart replay of a tag a rebuild already absorbed: append is a no-op, not a duplicating re-seal") {
+    val base = 0L until 30L
+    val batch = 300L until 312L
+    val idx = newIndex("graft_ixfence3", base)
+    append(idx, batch, "b1")
+    // the crash window: the index commit (append + the rebuild that
+    // absorbed it) landed, the stream's checkpoint commit did NOT —
+    // in-loop compaction makes this ordering routine. The rebuild
+    // finishes BEFORE the restart, so the replayed append starts with
+    // no CAS contention at all: the happy path would seal b1's rows a
+    // second time next to the copy living in base.
+    Dedup.rebuildShingleIndex(spark, idx)
+    var sealRan = false
+    IndexLifecycle.appendSegment(spark, idx, "b1") { (_, _) =>
+      sealRan = true // reaching the seal at all IS the bug
+    }
+    assert(!sealRan,
+      "replayed append of an absorbed tag must detect absorption " +
+        "BEFORE sealing — its rows already live in base")
+    assert(postings(idx) == expected(base ++ batch))
+    assert(dupPostings(idx).isEmpty,
+      "crash-restart replay duplicated the batch's postings")
+    assert(IndexLifecycle.segmentsOf(fsOf(idx),
+      new Path(IndexLifecycle.resolveDir(spark, idx))) == Seq("base"),
+      "no ingest segment may reappear for an absorbed tag")
   }
 
   test("forget fenced by a concurrent rebuild: re-runs on the winner's output, deletion converges") {
@@ -199,7 +232,7 @@ abstract class IndexLifecycleContract(memoryCommit: Boolean) extends AnyFunSuite
         // the rebuild reads the PRE-forget state and publishes a new
         // dir that still carries the victims — the revival this test
         // exists to prove the mutate loop repairs
-        Dedup.rebuildShingleIndex(spark, idx, nBuckets = NB)
+        Dedup.rebuildShingleIndex(spark, idx)
       }
       Forget.rewriteWithout(spark, dir,
         Seq("ingest", "bucket"), "doc", victims)
@@ -226,7 +259,7 @@ abstract class IndexLifecycleContract(memoryCommit: Boolean) extends AnyFunSuite
           // rebuild retries internally on a lost CAS; a surviving
           // FencedWriteException after its internal retries would
           // bubble up here and fail the test
-          Dedup.rebuildShingleIndex(spark, idx, nBuckets = NB,
+          Dedup.rebuildShingleIndex(spark, idx,
             readerGraceMs = 120000L)
           done += 1
         }
@@ -260,7 +293,7 @@ abstract class IndexLifecycleContract(memoryCommit: Boolean) extends AnyFunSuite
         while (churning) {
           // concurrent-writer deployment: wall-time retention so the
           // prober's resolved dir outlives back-to-back publishes
-          Dedup.rebuildShingleIndex(spark, idx, nBuckets = NB,
+          Dedup.rebuildShingleIndex(spark, idx,
             readerGraceMs = 120000L)
         }
       } catch { case t: Throwable => bad = t }
@@ -283,7 +316,7 @@ abstract class IndexLifecycleContract(memoryCommit: Boolean) extends AnyFunSuite
     assert(probes >= 1, "prober never completed a read during churn")
     // final convergence: one more rebuild collapses any still-open
     // segments; content must equal a fresh build over base ∪ batches
-    Dedup.rebuildShingleIndex(spark, idx, nBuckets = NB)
+    Dedup.rebuildShingleIndex(spark, idx)
     assert(postings(idx) == expected(base ++ batches.flatten),
       "soak lost or invented postings")
     assert(dupPostings(idx).isEmpty, "soak duplicated postings")
@@ -334,8 +367,8 @@ abstract class IndexLifecycleContract(memoryCommit: Boolean) extends AnyFunSuite
     // while its marker is still retained: the dir-pruned error path.
     // orphanGraceMs=0: claim tombstones minutes old would otherwise
     // read as live writers and defer the dir deletion this test needs
-    Dedup.rebuildShingleIndex(spark, idx, nBuckets = NB)
-    Dedup.rebuildShingleIndex(spark, idx, nBuckets = NB, orphanGraceMs = 0L)
+    Dedup.rebuildShingleIndex(spark, idx)
+    Dedup.rebuildShingleIndex(spark, idx, orphanGraceMs = 0L)
     val e2 = intercept[RuntimeException](
       IndexLifecycle.manifestAt(spark, idx, 12L))
     assert(e2.getMessage.contains("already pruned"))

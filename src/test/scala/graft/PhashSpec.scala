@@ -125,7 +125,7 @@ class PhashSpec extends AnyFunSuite {
     val preRows = spark.read.parquet(idx)
       .select("id", "h", "b", "v").distinct()
       .collect().map(_.toString).toSet
-    Multimodal.rebuildPhashIndex(spark, idx, nBuckets = 16)
+    Multimodal.rebuildPhashIndex(spark, idx)
     val cur = graft.sources.IndexLifecycle.resolveDir(spark, idx)
     assert(cur != idx, "rebuild must leave a generational index")
     assert(ls(cur).filter(_.startsWith("ingest=")) == Set("ingest=base"),
@@ -133,9 +133,10 @@ class PhashSpec extends AnyFunSuite {
     val postRows = spark.read.parquet(cur)
       .select("id", "h", "b", "v").collect().map(_.toString).toSet
     assert(postRows == preRows, "rebuild preserves the distinct band rows")
+    // no nBuckets retune: the rebuild re-persists the BUILD's layout
+    // (the params doctrine), so probes keep using the build's bucketing
     val reprobe = Multimodal.phashAgainstIndex(spark, idx,
-        imgs.filter(col("doc_id") % 10 === 8), maxDist = 3,
-        nBuckets = 16)
+        imgs.filter(col("doc_id") % 10 === 8), maxDist = 3)
       .select("i", "j", "dist").as[(Long, Long, Int)].collect()
     assert(reprobe.toSet == after.toSet, "probe identical after rebuild")
     // the rebuild ABSORBED ingest=b0 into base, so a replayed trigger's
@@ -143,7 +144,7 @@ class PhashSpec extends AnyFunSuite {
     // id-level closure must still reproduce the pre-append probe (the
     // crash-after-append + concurrent-rebuild window)
     val replayAbsorbed = Multimodal.phashAgainstIndex(spark, idx, batch,
-        maxDist = 3, nBuckets = 16, excludeIngest = Some("b0"))
+        maxDist = 3, excludeIngest = Some("b0"))
       .select("i", "j", "dist").as[(Long, Long, Int)].collect().toSet
     assert(replayAbsorbed == got.filter(p => p._2 % 10 == 7).toSet,
       "absorbed-segment replay must still exclude the batch's own rows")

@@ -99,7 +99,7 @@ class StreamingCompactionSpec extends AnyFunSuite {
     assert(before == Set((30L, 1L)), s"pre-append probe: $before")
     Dedup.appendToShingleIndex(spark, idx, batch, "doc_id", "text",
       n = 3, ingestTag = "b0", nBuckets = 8)
-    Dedup.rebuildShingleIndex(spark, idx, nBuckets = 8)
+    Dedup.rebuildShingleIndex(spark, idx)
     // b0 is gone as a segment — its rows live in ingest=base now
     val segs = IndexLifecycle.segmentCount(spark, idx)
     assert(segs == 1, s"rebuild must absorb the tag: $segs segments")
@@ -130,7 +130,7 @@ class StreamingCompactionSpec extends AnyFunSuite {
       s"pre-append probe must see zero duplication: $before")
     SpanDedup.appendToSpanIndex(spark, idx, batch, "doc_id", "text",
       k = 5, ingestTag = "b0", nBuckets = 8)
-    SpanDedup.rebuildSpanIndex(spark, idx, nBuckets = 8)
+    SpanDedup.rebuildSpanIndex(spark, idx)
     assert(IndexLifecycle.segmentCount(spark, idx) == 1)
     assert(probe() == before,
       "absorbed-tag replay must not double-count the batch's own spans")
@@ -141,7 +141,7 @@ class StreamingCompactionSpec extends AnyFunSuite {
     val idx = java.nio.file.Files
       .createTempDirectory("graft_jacat").toString + "/index"
     Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx, nBuckets = 8)
-    Dedup.rebuildShingleIndex(spark, idx, nBuckets = 8) // v1 convert, v2 base
+    Dedup.rebuildShingleIndex(spark, idx) // v1 convert, v2 base
     // append a near-dup of corpus doc 1 — visible to v3, not to v2
     Dedup.appendToShingleIndex(spark, idx,
       Seq((50L, body(1).replace("v1_9 ", "EDIT "))).toDF("doc_id", "text"),
@@ -173,14 +173,20 @@ class StreamingCompactionSpec extends AnyFunSuite {
       .createTempDirectory("graft_hotmono").toString + "/index"
     Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx,
       nBuckets = 8, maxDf = 5)
+    // the sidecar stores xxhash64 fingerprints, never raw shingle text
+    // (RTBF: monotone raw strings would outlive erased documents) —
+    // so the assertions work in fingerprint space
+    val sharedH = Seq(shared).toDF("s")
+      .select(xxhash64(col("s"))).as[Long].head()
     val hot0 = spark.read
       .parquet(IndexLifecycle.resolveDir(spark, idx) + "/_graft_hot")
-      .as[String].collect().toSet
-    assert(hot0.contains(shared), s"build must cap the shared shingle: $hot0")
-    Dedup.rebuildShingleIndex(spark, idx, nBuckets = 8, maxDf = 5)
+      .as[Long].collect().toSet
+    assert(hot0.contains(sharedH),
+      s"build must cap the shared shingle (fingerprint $sharedH): $hot0")
+    Dedup.rebuildShingleIndex(spark, idx)
     val hot1 = spark.read
       .parquet(IndexLifecycle.resolveDir(spark, idx) + "/_graft_hot")
-      .as[String].collect().toSet
+      .as[Long].collect().toSet
     assert(hot0.subsetOf(hot1),
       s"rebuild must keep the prior hot list: lost ${hot0 -- hot1}")
   }
