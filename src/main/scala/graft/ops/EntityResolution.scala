@@ -366,9 +366,39 @@ object EntityResolution {
                        indexPath: String, batch: DataFrame,
                        idCol: String, nameCol: String, blockCol: String,
                        maxDist: Int = 1, nBuckets: Int = 16,
-                       excludeIngest: Option[String] = None): DataFrame = {
+                       excludeIngest: Option[String] = None): DataFrame =
+    linkProbe(spark,
+      graft.sources.IndexLifecycle.resolveDir(spark, indexPath),
+      segments = None, batch, idCol, nameCol, blockCol, maxDist,
+      nBuckets, excludeIngest)
+
+  /** [[linkAgainstIndex]] PINNED to a retained manifest version — the
+    * reproducible-export read for the identity family, the same
+    * contract as [[Dedup.jaccardAgainstIndexAt]]: the batch links
+    * against exactly the master population version `v`'s marker
+    * recorded, even while onboarding keeps appending. Fails loudly
+    * outside the retention window; forgotten records stay forgotten
+    * (a forget scrubs retired dirs).
+    */
+  def linkAgainstIndexAt(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, version: Long,
+                         batch: DataFrame,
+                         idCol: String, nameCol: String, blockCol: String,
+                         maxDist: Int = 1, nBuckets: Int = 16): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val m = graft.sources.IndexLifecycle.manifestAt(spark, indexPath, version)
+    linkProbe(spark, new Path(new Path(indexPath), m.dir).toString,
+      segments = Some(m.segments), batch, idCol, nameCol, blockCol,
+      maxDist, nBuckets, excludeIngest = None)
+  }
+
+  private def linkProbe(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, segments: Option[Seq[String]],
+                        batch: DataFrame,
+                        idCol: String, nameCol: String, blockCol: String,
+                        maxDist: Int, nBuckets: Int,
+                        excludeIngest: Option[String]): DataFrame = {
     require(maxDist == 1 || maxDist == 2, s"maxDist 1 or 2, got $maxDist")
-    val dir = graft.sources.IndexLifecycle.resolveDir(spark, indexPath)
     requireErParams(spark, dir, maxDist, nBuckets)
     val hot = spark.read.parquet(hotVariantsSidecar(dir))
     // own the persist: the batch variant frame feeds the touched-bucket
@@ -379,8 +409,10 @@ object EntityResolution {
         .withColumn("bucket", pmod(col("v"), lit(nBuckets)).cast("int")))
     val touched = bv.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val idx0 = spark.read.parquet(dir)
+    val idxAll = spark.read.parquet(dir)
       .filter(col("bucket").isin(touched: _*))
+    val idx0 = segments.fold(idxAll)(segs =>
+      idxAll.filter(col("ingest").isin(segs: _*)))
     // segment filter = cheap replay prune; the id anti-join closes the
     // rebuild-absorbed-the-tag case (see Dedup.jaccardAgainstIndex)
     val idx = excludeIngest.fold(idx0) { t =>
@@ -572,6 +604,60 @@ object EntityResolution {
             CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
           FROM recs a JOIN crm b ON a.blk = b.blk
           WHERE levenshtein(a.nm, b.nm) <= 1
+          ORDER BY i, j"""
+      }),
+
+    // Linkage PINNED to a manifest version (the reproducible-export
+    // read for the identity family, same doctrine as search_bm25_at):
+    // base index over the EVEN masters, rebuild publishes v2 ([base]),
+    // then the ODD masters are appended (v3). The dirty feed derives
+    // from ALL masters but links pinned at v2 — only even-master pairs
+    // may appear; a listing-based read would also match every odd
+    // master (its own corruption twin included) and hash-mismatch
+    // loudly. The pin is what the oracle verifies.
+    GQuery("er_link_at",
+      (s, d) => {
+        val cust = Tables(s, d, "customer").filter(col("c_nationkey") < 3)
+        val idx = graft.util.TempFixtures.dir(s"erlinkat:$d") { p =>
+          writeVariantIndex(cust.filter(col("c_custkey") % 2 === 0),
+            "c_custkey", "c_name", "c_nationkey", p)
+          // convert publishes v1 (flat content), rebuild v2 (fresh base)
+          rebuildVariantIndex(s, p)
+          appendToVariantIndex(s, p,
+            cust.filter(col("c_custkey") % 2 === 1),
+            "c_custkey", "c_name", "c_nationkey",
+            ingestTag = "b0") // v3: [base, b0]
+        }
+        val pck = (pmod(conv(substring(md5(
+            concat(lit("crm:"), col("c_custkey").cast("string"))),
+            1, 8), 16, 10).cast("long"),
+          length(col("c_name")).cast("long")) + 1).cast("int")
+        val crm = cust.select(
+          (col("c_custkey") + 1000000L).as("crm_id"),
+          concat(col("c_name").substr(lit(1), pck - 1),
+            col("c_name").substr(pck + 1, length(col("c_name"))))
+            .as("crm_name"),
+          col("c_nationkey").as("crm_nation"))
+        linkAgainstIndexAt(s, idx, version = 2L, crm,
+            "crm_id", "crm_name", "crm_nation", maxDist = 1)
+          .orderBy(col("i"), col("j"))
+      },
+      Some {
+        val hex32 = "CAST(list_sum(list_transform(range(8), k -> " +
+          "CAST(strpos('0123456789abcdef', md5('crm:' || id)[1+k]) - 1 " +
+          "AS BIGINT) * (1::BIGINT << CAST(4*(7-k) AS INT)))) AS BIGINT)"
+        s"""WITH recs AS (
+            SELECT c_custkey AS id, c_name AS nm, c_nationkey AS blk
+            FROM customer WHERE c_nationkey < 3),
+          pos AS (SELECT id, nm, blk,
+            $hex32 % len(nm) + 1 AS p FROM recs),
+          crm AS (SELECT id + 1000000 AS id, blk,
+            nm[1:CAST(p - 1 AS INT)] || nm[CAST(p + 1 AS INT):] AS nm
+            FROM pos)
+          SELECT a.id AS i, b.id AS j,
+            CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+          FROM recs a JOIN crm b ON a.blk = b.blk
+          WHERE a.id % 2 = 0 AND levenshtein(a.nm, b.nm) <= 1
           ORDER BY i, j"""
       }),
 

@@ -253,18 +253,8 @@ object LlmDedupQueries {
     GQuery("dedup_jaccard_at",
       (s, d) => {
         val docs = Tables(s, d, "documents")
-        val idx = graft.util.TempFixtures.dir(s"jacat:$d") { p =>
-          Dedup.writeShingleIndex(docs.filter(col("doc_id") % 10 =!= 0),
-            "doc_id", "text", n = 3, p, maxDf = shingleMaxDf)
-          // convert publishes v1 (flat content), rebuild publishes v2
-          // (fresh base dir) — the version the probe pins
-          Dedup.rebuildShingleIndex(s, p)
-          Dedup.appendToShingleIndex(s, p,
-            docs.filter(col("doc_id") % 20 === 0),
-            "doc_id", "text", n = 3, ingestTag = "b0") // v3: [base, b0]
-        }
-        Dedup.jaccardAgainstIndexAt(s, idx, version = 2L,
-            docs.filter(col("doc_id") % 10 === 0),
+        Dedup.jaccardAgainstIndexAt(s, jaccardAtIndexFor(s, d),
+            version = 2L, docs.filter(col("doc_id") % 10 === 0),
             "doc_id", "text", n = 3, threshold = 0.8)
           .orderBy(col("i"), col("j"))
       },

@@ -179,6 +179,117 @@ object LlmPipelineQueries {
             ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
         FROM hh ORDER BY split, shard, pos""")),
 
+    // The REPRODUCIBLE training export — the capstone of the round-10
+    // version-pinning work: the full multimodal export recipe with
+    // both canon stages probing PERSISTED indexes PINNED at manifest
+    // v2, so re-running the export later — after ingest appended more
+    // segments to both indexes (the text index really does carry a
+    // post-pin b0 segment here) — replays the exact same shard files.
+    // Stages over the %10==0 batch: per-source quality gate (top 70%)
+    // → text near-dup canon against the pinned shingle index (jaccard
+    // ≥ 0.8, index-side hot cap both sides) → perceptual image canon
+    // against the pinned phash index (maxDist=1 banding — the
+    // canon-fixture setting for the low-entropy synthetic gradients)
+    // → deterministic 95/5 split → per-split shuffle into 4 shards
+    // with dense positions. Funnel at sf0.01: 50 batch docs → 36 past
+    // the gate → 6 text-dropped, 46 image-dropped → 4 exported: the
+    // synthetic gradient images are LOW-ENTROPY (unrelated eids share
+    // dHashes even at hamming ≤ 1), so the image canon is this
+    // aggressive BY CONSTRUCTION of the test corpus — the honest
+    // output, replayed exactly. The oracle replays the ENTIRE chain — both
+    // banded joins, the cap, the gate, the split and the shard
+    // positions — in one WITH stack; the pinned reads are what make
+    // that replay well-defined while the indexes keep growing.
+    GQuery("pipeline_train_export_at",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val batch = docs.filter(col("doc_id") % 10 === 0)
+        val tIdx = jaccardAtIndexFor(s, d)
+        val pIdx = exportPhashIndexFor(s, d)
+        val scored = TextAnalysis.quality(batch, "text")
+          .withColumn("score_u",
+            floor(col("quality_score") * 1e6).cast("long"))
+        val gated = Sampling.qualityGate(scored, "doc_id", "source",
+          col("score_u"), keepBps = 7000)
+        val textDrop = Dedup.jaccardAgainstIndexAt(s, tIdx, version = 2L,
+            batch, "doc_id", "text", n = 3, threshold = 0.8)
+          .select(col("i").as("doc_id")).distinct()
+        val imgDrop = Multimodal.phashAgainstIndexAt(s, pIdx, version = 2L,
+            Multimodal.asPhashImageTable(batch), maxDist = 1)
+          .select(col("j").as("doc_id")).distinct()
+        val kept = gated.join(textDrop, Seq("doc_id"), "left_anti")
+          .join(imgDrop, Seq("doc_id"), "left_anti")
+        val split = Sampling.hashSplit(kept, "doc_id", "esp",
+          Seq("train" -> 9500, "valid" -> 500))
+        Sampling.shuffleShards(split, "doc_id", "esh", numShards = 4,
+            extraPartitionCols = Seq(col("split")))
+          .select(col("doc_id"), col("split"), col("shard"), col("pos"))
+          .orderBy(col("split"), col("shard"), col("pos"))
+      },
+      Some(s"""${phashBandsCteFor(1)},
+        pcorp AS (SELECT * FROM bands
+          WHERE id % 10 <> 0 AND id % 20 <> 7 AND id % 20 <> 8),
+        pbat AS (SELECT * FROM bands WHERE id % 10 = 0),
+        pcand AS (
+          SELECT DISTINCT c.id AS i, c.h AS hi, q.id AS j, q.h AS hj
+          FROM pcorp c JOIN pbat q ON c.b = q.b AND c.v = q.v),
+        pdrop AS (SELECT DISTINCT j AS doc_id FROM pcand
+          WHERE bit_count(xor(hi, hj)) <= 1),
+        toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM documents),
+        sh0 AS (
+          SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i)),
+        bat0 AS (SELECT * FROM sh0 WHERE doc_id % 10 = 0),
+        cor0 AS (SELECT * FROM sh0 WHERE doc_id % 10 <> 0),
+        chot AS (SELECT s FROM cor0 GROUP BY s HAVING count(*) > $shingleMaxDf),
+        bat AS (SELECT bat0.* FROM bat0 ANTI JOIN chot USING (s)),
+        cor AS (SELECT cor0.* FROM cor0 ANTI JOIN chot USING (s)),
+        bcnt AS (SELECT doc_id, count(*) AS n FROM bat GROUP BY 1),
+        ccnt AS (SELECT doc_id, count(*) AS n FROM cor GROUP BY 1),
+        jpairs AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+          FROM bat a JOIN cor b ON a.s = b.s
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT i, j, common::DOUBLE / (ca.n + cb.n - common) AS jc
+          FROM jpairs JOIN bcnt ca ON ca.doc_id = i
+            JOIN ccnt cb ON cb.doc_id = j),
+        tdrop AS (SELECT DISTINCT i AS doc_id FROM jac WHERE jc >= 0.8),
+        q AS (SELECT doc_id, source, text,
+          length(text) AS chars,
+          len(list_filter(string_split(text, ' '), x -> x <> '')) AS toks,
+          length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
+          length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+          FROM documents WHERE doc_id % 10 = 0),
+        sc AS (SELECT doc_id, source,
+          CAST(floor(
+            (1.0 - CASE WHEN chars > 0 THEN punct::DOUBLE / chars ELSE 0.0 END)
+            * (1.0 - CASE WHEN chars > 0 THEN digits::DOUBLE / chars ELSE 0.0 END)
+            * least(1.0, toks::DOUBLE / 20.0) * 1e6) AS BIGINT) AS score_u
+          FROM q),
+        g AS (SELECT doc_id, score_u,
+          count(*) OVER (PARTITION BY source) AS n,
+          row_number() OVER (PARTITION BY source
+            ORDER BY score_u DESC, doc_id) AS rn
+          FROM sc),
+        gated AS (SELECT doc_id FROM g
+          WHERE rn <= (n * 7000 + 9999) // 10000),
+        kept AS (SELECT doc_id FROM gated
+          ANTI JOIN tdrop USING (doc_id)
+          ANTI JOIN pdrop USING (doc_id)),
+        sp AS (SELECT doc_id,
+          CASE WHEN ${duckHex32("'esp:' || doc_id")} % 10000 < 9500
+            THEN 'train' ELSE 'valid' END AS split
+          FROM kept),
+        hh AS (SELECT doc_id, split,
+          ${duckHex60("'esh:' || doc_id")} AS h FROM sp)
+        SELECT doc_id, split, CAST(h % 4 AS INT) AS shard,
+          CAST(row_number() OVER (PARTITION BY split, h % 4
+            ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        FROM hh ORDER BY split, shard, pos""")),
+
     // End-to-end corpus curation — the flagship COMPOSITION: the
     // Gopher-style repetition gate, exact-dedup canonicalization, and
     // benchmark decontamination are each registered operators already;

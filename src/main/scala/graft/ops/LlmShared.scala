@@ -55,6 +55,47 @@ private[ops] object LlmShared {
         maxDf = shingleMaxDf)
     }
 
+  /** The generational shingle index BOTH dedup_jaccard_at and the
+    * pinned train export probe: corpus %10≠0 at v2 ([base]), the
+    * %20==0 slice appended after the pin (v3). Memoized once per
+    * dataset dir.
+    */
+  def jaccardAtIndexFor(s: org.apache.spark.sql.SparkSession,
+                        datasetDir: String): String =
+    graft.util.TempFixtures.dir(s"jacat:$datasetDir") { p =>
+      val docs = Tables(s, datasetDir, "documents")
+      Dedup.writeShingleIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", n = 3, p, maxDf = shingleMaxDf)
+      // convert publishes v1 (flat content), rebuild publishes v2
+      // (fresh base dir) — the version the probes pin
+      Dedup.rebuildShingleIndex(s, p)
+      Dedup.appendToShingleIndex(s, p,
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 3, ingestTag = "b0") // v3: [base, b0]
+    }
+
+  /** The pinned train export's image-canon index: corpus %10≠0 images
+    * banded at maxDist=1 (the canon-fixture banding — the synthetic
+    * gradients are low-entropy, hamming≤3 coincidences between
+    * unrelated eids would starve any survivors-of-the-canon output),
+    * generational at v2 = [base]. Memoized once per dataset dir.
+    */
+  def exportPhashIndexFor(s: org.apache.spark.sql.SparkSession,
+                          datasetDir: String): String =
+    graft.util.TempFixtures.dir(s"exphash:$datasetDir") { p =>
+      val imgs = Multimodal.asPhashImageTable(Tables(s, datasetDir, "documents"))
+      // corpus excludes the %20∈{7,8} planted partners: every %10==0
+      // batch image has an exact copy at +7 and a tweak at +8, so a
+      // corpus with ALL partners present drops the ENTIRE batch (the
+      // canon starves to zero output — measured). Keeping only the
+      // %20∈{17,18} half makes the image canon bite on exactly the
+      // %20==10 batch half while the %20==0 half survives it.
+      Multimodal.writePhashIndex(imgs.filter(col("doc_id") % 10 =!= 0 &&
+          col("doc_id") % 20 =!= 7 && col("doc_id") % 20 =!= 8),
+        p, maxDist = 1)
+      Multimodal.rebuildPhashIndex(s, p) // v1 convert, v2 fresh base
+    }
+
   /** The DuckDB replay of jaccardAgainstIndex over corpus %10≠0 /
     * batch %10==0 with the index-side df-cap applied to BOTH sides —
     * shared by `dedup_incremental_indexed` (live probe of the base-only

@@ -239,8 +239,39 @@ object SpanDedup {
                            indexPath: String, batch: DataFrame,
                            idCol: String, textCol: String, k: Int,
                            minOcc: Int = 2, nBuckets: Int = 16,
-                           excludeIngest: Option[String] = None): DataFrame = {
-    val dir = graft.sources.IndexLifecycle.resolveDir(spark, indexPath)
+                           excludeIngest: Option[String] = None): DataFrame =
+    coverageProbe(spark,
+      graft.sources.IndexLifecycle.resolveDir(spark, indexPath),
+      segments = None, batch, idCol, textCol, k, minOcc, nBuckets,
+      excludeIngest)
+
+  /** [[coverageAgainstIndex]] PINNED to a retained manifest version —
+    * the reproducible-export read for the span family, the same
+    * contract as [[Dedup.jaccardAgainstIndexAt]]: historical span
+    * counts come from version `v`'s recorded segment set only, so the
+    * coverage report replays exactly even while appends keep landing.
+    * Fails loudly outside the retention window; forgotten rows stay
+    * forgotten (a forget scrubs retired dirs).
+    */
+  def coverageAgainstIndexAt(spark: org.apache.spark.sql.SparkSession,
+                             indexPath: String, version: Long,
+                             batch: DataFrame,
+                             idCol: String, textCol: String, k: Int,
+                             minOcc: Int = 2,
+                             nBuckets: Int = 16): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val m = graft.sources.IndexLifecycle.manifestAt(spark, indexPath, version)
+    coverageProbe(spark, new Path(new Path(indexPath), m.dir).toString,
+      segments = Some(m.segments), batch, idCol, textCol, k, minOcc,
+      nBuckets, excludeIngest = None)
+  }
+
+  private def coverageProbe(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, segments: Option[Seq[String]],
+                            batch: DataFrame,
+                            idCol: String, textCol: String, k: Int,
+                            minOcc: Int, nBuckets: Int,
+                            excludeIngest: Option[String]): DataFrame = {
     requireSpanParams(spark, dir, k, nBuckets)
     // the batch fingerprint frame feeds the touched-bucket collect, the
     // batch-side counts AND the coverage window — one persist, caller-swept
@@ -249,8 +280,10 @@ object SpanDedup {
         .withColumn("bucket", bucketOf(col("h"), nBuckets)))
     val touched = fp.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val idx0 = spark.read.parquet(dir)
+    val idxAll = spark.read.parquet(dir)
       .filter(col("bucket").isin(touched: _*))
+    val idx0 = segments.fold(idxAll)(segs =>
+      idxAll.filter(col("ingest").isin(segs: _*)))
     // segment filter = cheap replay prune; the doc-id anti-join closes
     // the rebuild-absorbed-the-tag case (see Dedup.jaccardAgainstIndex):
     // without it a replayed batch's own absorbed counts double into
@@ -373,6 +406,56 @@ object SpanDedup {
       },
       Some(s"""WITH ${oracleGramCte(K,
           "WHERE doc_id % 10 <> 0 OR doc_id % 20 = 0 OR doc_id % 20 = 10")},
+        dup AS (
+          SELECT h FROM fp GROUP BY h HAVING count(*) >= 2),
+        cov AS (
+          SELECT doc_id,
+            count(*) AS n_dup_positions,
+            CAST(sum(c) AS BIGINT) AS covered_tokens
+          FROM (
+            SELECT doc_id, least($K,
+              coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+                $K)) AS c
+            FROM fp JOIN dup USING (h)
+            WHERE doc_id % 20 = 10)
+          GROUP BY doc_id)
+        SELECT doc_id AS doc,
+          CAST(len(l) AS INT) AS n_tokens,
+          coalesce(n_dup_positions, 0) AS n_dup_positions,
+          coalesce(covered_tokens, 0) AS covered_tokens,
+          CASE WHEN len(l) > 0
+            THEN CAST(coalesce(covered_tokens, 0) AS DOUBLE) / len(l)
+            ELSE 0.0 END AS dup_ratio
+        FROM tok LEFT JOIN cov USING (doc_id)
+        WHERE doc_id % 20 = 10
+        ORDER BY doc""")),
+
+    // Span coverage PINNED to a manifest version (the
+    // reproducible-export read, same doctrine as search_bm25_at /
+    // dedup_jaccard_at): base = %10≠0 spans, rebuild publishes v2
+    // ([base]), then the PROBE BATCH ITSELF (%20==10) is appended
+    // (v3). The probe pins v2, so historical counts come from the
+    // pre-append corpus only — a listing-based read would count the
+    // batch's own appended spans a second time, pushing every batch
+    // span to n_occ ≥ 2 (the whole doc reads as duplicated) and
+    // hash-mismatching loudly. The pin is what the oracle verifies.
+    GQuery("dedup_span_at",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val idx = graft.util.TempFixtures.dir(s"spanat:$d") { p =>
+          writeSpanIndex(docs.filter(col("doc_id") % 10 =!= 0),
+            "doc_id", "text", K, p)
+          // convert publishes v1 (flat content), rebuild v2 (fresh base)
+          rebuildSpanIndex(s, p)
+          appendToSpanIndex(s, p, docs.filter(col("doc_id") % 20 === 10),
+            "doc_id", "text", K, ingestTag = "b0") // v3: [base, b0]
+        }
+        coverageAgainstIndexAt(s, idx, version = 2L,
+            docs.filter(col("doc_id") % 20 === 10), "doc_id", "text", K)
+          .orderBy(col("doc"))
+      },
+      Some(s"""WITH ${oracleGramCte(K,
+          "WHERE doc_id % 10 <> 0 OR doc_id % 20 = 10")},
         dup AS (
           SELECT h FROM fp GROUP BY h HAVING count(*) >= 2),
         cov AS (

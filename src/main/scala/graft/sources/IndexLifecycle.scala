@@ -637,6 +637,18 @@ object IndexLifecycle {
     * regenerate derived sidecars/stats from it (which is exactly what
     * a rebuild does anyway, and why stats drift cannot survive this
     * path, unlike in-place forgets).
+    *
+    * PHYSICAL erasure: the rebuild's normal retention keeps the
+    * previous data dir on disk (two-dir window) — for a forget that
+    * dir still holds the victims' bytes, so this path finishes with
+    * [[scrubRetired]]: every non-current generation dir is deleted in
+    * the same call when `readerGraceMs` permits (the default 0 scrubs
+    * immediately). With a nonzero grace the scrub defers — the logical
+    * erasure is complete (no read through the manifest can reach the
+    * victims' rows) and the caller completes physical erasure by
+    * calling [[scrubRetired]] after the grace, or simply via the next
+    * forget. Pinned reads of pre-forget versions fail loudly after the
+    * scrub — that is the point of a right-to-be-forgotten erasure.
     */
   def forgetViaRebuild(spark: SparkSession, path: String,
                        victim: org.apache.spark.sql.Column,
@@ -653,7 +665,56 @@ object IndexLifecycle {
       removed = src.filter(hit).count()
       build(src.filter(!hit), srcDir, dstDir)
     }
+    scrubRetired(spark, path, orphanGraceMs, readerGraceMs)
     removed
+  }
+
+  /** Delete every RETIRED generation dir (anything but the current
+    * manifest's), completing the physical half of an RTBF erasure —
+    * [[prune]] deliberately keeps a two-dir window for replays and
+    * in-flight readers, which is exactly wrong for forgotten data.
+    * Honors the same two guards as [[prune]]: a live claim (another
+    * writer's in-flight build dir, which the fence machinery will
+    * re-run against post-forget content anyway) and `readerGraceMs`
+    * measured from the CURRENT version's marker — if the grace has not
+    * elapsed the scrub is skipped (returns false) so a reader that
+    * resolved the pre-forget dir can finish its scan; call again after
+    * the grace to finish erasure. Returns true when no retired dir
+    * remains.
+    */
+  def scrubRetired(spark: SparkSession, path: String,
+                   orphanGraceMs: Long = DefaultOrphanGraceMs,
+                   readerGraceMs: Long = 0L): Boolean = {
+    val main = new Path(path)
+    val fs = fsOf(spark, main)
+    val mc = commitOf(spark, main)
+    val m = manifest(spark, path).getOrElse(return true) // flat: nothing retired
+    if (readerGraceMs > 0L &&
+        mc.createdAt(markerName(m.v))
+          .exists(t => System.currentTimeMillis() - t < readerGraceMs))
+      return false
+    // a dir any RETAINED marker references was PUBLISHED — its claim
+    // file is a tombstone, not an in-flight guard, so it never blocks
+    // the scrub; the claim-liveness check only protects dirs no marker
+    // knows about (a concurrent writer's build in progress)
+    val published = markerNums(mc).flatMap(v => readMarker(mc, v))
+      .map(_.dir).toSet
+    var clean = true
+    fs.listStatus(main).toSeq.filter(_.isDirectory).foreach { s =>
+      val nm = s.getPath.getName
+      if (Compaction.genNumber(nm).isDefined && nm != m.dir) {
+        val claim = new Path(main, Compaction.ClaimPrefix + nm)
+        val live = !published.contains(nm) && {
+          try fs.exists(claim) && (System.currentTimeMillis() -
+            fs.getFileStatus(claim).getModificationTime) < orphanGraceMs
+          catch { case _: java.io.FileNotFoundException => false }
+        }
+        if (live) clean = false
+        else fs.delete(s.getPath, true)
+      }
+    }
+    refresh(spark, path)
+    clean
   }
 
   /** One-time flat → generational conversion: move the flat index's

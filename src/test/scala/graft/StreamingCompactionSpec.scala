@@ -191,6 +191,46 @@ class StreamingCompactionSpec extends AnyFunSuite {
       s"rebuild must keep the prior hot list: lost ${hot0 -- hot1}")
   }
 
+  test("RTBF erasure is byte-level: no victim-derived text survives anywhere under the index after forgetViaRebuild") {
+    // two victim docs share a distinctive phrase; maxDf=1 caps it at
+    // build time, so it enters the hot sidecar — the one place where
+    // the monotone contract would have kept RAW victim text alive
+    // through every future rebuild (the sidecar stores fingerprints
+    // precisely so this test can pass). Survivor postings keep their
+    // own raw shingles — erasure is about the VICTIMS' bytes.
+    val secret = "zq1x zq2y zq3z"
+    val corpus = Seq(
+      (1L, s"${body(1)} $secret"),
+      (2L, s"${body(2)} $secret"),
+      (3L, body(3))).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_rtbf").toString + "/index"
+    Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx,
+      nBuckets = 4, maxDf = 1)
+    val removed = graft.ops.Forget.fromShingleIndexViaRebuild(
+      spark, idx, Seq(1L, 2L))
+    assert(removed > 0L, "forget must remove the victims' postings")
+    // scan EVERY byte of EVERY file under the index root — data,
+    // sidecars, markers, retained old generations after prune
+    import scala.jdk.CollectionConverters._
+    val victimBytes = Seq("zq1x", "zq2y", "zq3z").map(_.getBytes("UTF-8"))
+    val offenders = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(idx)).iterator.asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .filter { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f)
+        victimBytes.exists(tok =>
+          bytes.sliding(tok.length).exists(_.sameElements(tok)))
+      }.map(_.toString).toSeq
+    assert(offenders.isEmpty,
+      s"victim-derived text still at rest under the index: $offenders")
+    // and the survivor is untouched
+    val left = spark.read
+      .parquet(IndexLifecycle.resolveDir(spark, idx))
+      .select("doc").distinct().as[Long].collect().toSet
+    assert(left == Set(3L), s"survivors: $left")
+  }
+
   test("cell absorbed-tag replay: id-level closure over the semantic index") {
     def v(xs: Double*) = xs.map(_.toFloat).toArray
     val corpus = Seq(1L -> v(1, 0, 0, 0), 2L -> v(0, 1, 0, 0))
