@@ -361,8 +361,32 @@ object Dedup {
 
   private def readShingleParams(spark: org.apache.spark.sql.SparkSession,
                                 dir: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(shingleParamsSidecar(dir)).head()
+    val r =
+      try spark.read.parquet(shingleParamsSidecar(dir)).head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException => sys.error(
+          s"shingle index at $dir has no _graft_shingle_params sidecar " +
+            "— it predates the params doctrine (or is not a shingle " +
+            "index). Rebuild it offline with writeShingleIndex to adopt " +
+            s"the pinned-policy layout. (${e.getMessage.linesIterator.take(1).mkString})")
+      }
     (r.getAs[Int]("n"), r.getAs[Int]("n_buckets"), r.getAs[Int]("max_df"))
+  }
+
+  /** Read a hot sidecar, failing crisply on the pre-fingerprint layout
+    * (raw `s` strings) instead of with a lazy unresolved-column error
+    * three operators later.
+    */
+  private def readHot(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame = {
+    val hot = spark.read.parquet(hotSidecar(dir))
+    if (!hot.columns.contains("h")) sys.error(
+      s"hot sidecar at ${hotSidecar(dir)} has columns " +
+        s"${hot.columns.mkString(",")} — the pre-fingerprint layout " +
+        "(raw shingle text). Rebuild the index offline with " +
+        "writeShingleIndex; the fingerprint layout is also what the " +
+        "RTBF erasure contract requires.")
+    hot
   }
 
   private def requireShingleParams(spark: org.apache.spark.sql.SparkSession,
@@ -456,7 +480,7 @@ object Dedup {
         // hot list read from the dir being appended to — a racing
         // rebuild's re-seal re-reads the REFRESHED list, so re-sealed
         // rows stay consistent with the index that will serve them
-        val hot = spark.read.parquet(hotSidecar(dir))
+        val hot = readHot(spark, dir)
         shingles(batch, idCol, textCol, n, Int.MaxValue)
           .withColumn("h", xxhash64(col("s")))
           .join(hot, Seq("h"), "left_anti")
@@ -536,8 +560,7 @@ object Dedup {
       // why the sidecar holds FINGERPRINTS, not text (see
       // [[writeShingleIndex]]): monotone raw strings would survive the
       // RTBF erasure of every document that produced them.
-      val oldHot = posts.sparkSession.read.parquet(hotSidecar(srcDir))
-        .select("h")
+      val oldHot = readHot(posts.sparkSession, srcDir).select("h")
       val hot = posts.groupBy("s").agg(count(lit(1)).as("__df"))
         .filter(col("__df") > maxDf).select(xxhash64(col("s")).as("h"))
         .unionByName(oldHot).distinct()
@@ -605,7 +628,7 @@ object Dedup {
                            excludeIngest: Option[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     requireShingleParams(spark, dir, n, nBuckets)
-    val hot = spark.read.parquet(hotSidecar(dir))
+    val hot = readHot(spark, dir)
     val bsh = shingles(batch, idCol, textCol, n, Int.MaxValue)
       .withColumn("h", xxhash64(col("s")))
       .join(hot, Seq("h"), "left_anti") // tiny hot list — AQE broadcasts

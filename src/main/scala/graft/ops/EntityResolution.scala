@@ -215,7 +215,12 @@ object EntityResolution {
 
   private def readErParams(spark: org.apache.spark.sql.SparkSession,
                            dir: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(erParamsSidecar(dir)).head()
+    val df = spark.read.parquet(erParamsSidecar(dir))
+    if (!df.columns.contains("max_df")) sys.error(
+      s"variant index at $dir carries a pre-round-10 params sidecar " +
+        s"(${df.columns.mkString(",")} — no max_df): the capping policy " +
+        "is not pinned. Rebuild it offline with writeVariantIndex.")
+    val r = df.head()
     (r.getAs[Int]("max_dist"), r.getAs[Int]("n_buckets"),
       r.getAs[Int]("max_df"))
   }
@@ -536,9 +541,7 @@ object EntityResolution {
           .orderBy(col("i"), col("j"))
       },
       Some {
-        val hex32 = "CAST(list_sum(list_transform(range(8), k -> " +
-          "CAST(strpos('0123456789abcdef', md5('crm:' || id)[1+k]) - 1 " +
-          "AS BIGINT) * (1::BIGINT << CAST(4*(7-k) AS INT)))) AS BIGINT)"
+        val hex32 = LlmShared.duckHex32("'crm:' || id")
         s"""WITH recs AS (
             SELECT c_custkey AS id, c_name AS nm, c_nationkey AS blk
             FROM customer WHERE c_nationkey < 3),
@@ -589,9 +592,7 @@ object EntityResolution {
           .orderBy(col("i"), col("j"))
       },
       Some {
-        val hex32 = "CAST(list_sum(list_transform(range(8), k -> " +
-          "CAST(strpos('0123456789abcdef', md5('crm:' || id)[1+k]) - 1 " +
-          "AS BIGINT) * (1::BIGINT << CAST(4*(7-k) AS INT)))) AS BIGINT)"
+        val hex32 = LlmShared.duckHex32("'crm:' || id")
         s"""WITH recs AS (
             SELECT c_custkey AS id, c_name AS nm, c_nationkey AS blk
             FROM customer WHERE c_nationkey < 3),
@@ -643,9 +644,7 @@ object EntityResolution {
           .orderBy(col("i"), col("j"))
       },
       Some {
-        val hex32 = "CAST(list_sum(list_transform(range(8), k -> " +
-          "CAST(strpos('0123456789abcdef', md5('crm:' || id)[1+k]) - 1 " +
-          "AS BIGINT) * (1::BIGINT << CAST(4*(7-k) AS INT)))) AS BIGINT)"
+        val hex32 = LlmShared.duckHex32("'crm:' || id")
         s"""WITH recs AS (
             SELECT c_custkey AS id, c_name AS nm, c_nationkey AS blk
             FROM customer WHERE c_nationkey < 3),

@@ -197,23 +197,33 @@ object Forget {
     * rebuild).
     */
   def fromShingleIndexViaRebuild(spark: SparkSession, indexPath: String,
-                                 docIds: Seq[Long]): Long =
+                                 docIds: Seq[Long],
+                                 orphanGraceMs: Long =
+                                   graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
+                                 readerGraceMs: Long = 0L): Long =
     graft.sources.IndexLifecycle.forgetViaRebuild(spark, indexPath,
-      col("doc").isin(docIds: _*))(
+      col("doc").isin(docIds: _*), orphanGraceMs, readerGraceMs)(
       Dedup.shingleRebuildClosure)
 
   def fromIvfIndexViaRebuild(spark: SparkSession, indexPath: String,
-                             vecIds: Seq[Long], centroidEvery: Int): Long =
+                             vecIds: Seq[Long], centroidEvery: Int,
+                             orphanGraceMs: Long =
+                               graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
+                             readerGraceMs: Long = 0L): Long =
     graft.sources.IndexLifecycle.forgetViaRebuild(spark, indexPath,
-      col("nid").isin(vecIds: _*)) { (kept, _, dst) =>
+      col("nid").isin(vecIds: _*), orphanGraceMs, readerGraceMs) { (kept, _, dst) =>
       Similarity.ivfWriteIndexDet(kept.select(col("nid"), col("nvec")),
         "nid", "nvec", centroidEvery, dst)
     }
 
   def fromCellIndexViaRebuild(spark: SparkSession, indexPath: String,
-                              vecIds: Seq[Long]): Long =
+                              vecIds: Seq[Long],
+                              orphanGraceMs: Long =
+                                graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
+                              readerGraceMs: Long = 0L): Long =
     graft.sources.IndexLifecycle.forgetViaRebuild(spark, indexPath,
-      col("vec_id").isin(vecIds: _*)) { (kept, srcDir, dst) =>
+      col("vec_id").isin(vecIds: _*),
+      orphanGraceMs, readerGraceMs) { (kept, srcDir, dst) =>
       // quantizer policy from the index's own sidecar (params doctrine)
       SemDedup.writeCellIndex(
         kept.select(col("vec_id"), col("embedding")),
@@ -222,26 +232,38 @@ object Forget {
     }
 
   def fromPhashIndexViaRebuild(spark: SparkSession, indexPath: String,
-                               imageIds: Seq[Long]): Long =
+                               imageIds: Seq[Long],
+                               orphanGraceMs: Long =
+                                 graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
+                               readerGraceMs: Long = 0L): Long =
     graft.sources.IndexLifecycle.forgetViaRebuild(spark, indexPath,
-      col("id").isin(imageIds: _*))(
+      col("id").isin(imageIds: _*), orphanGraceMs, readerGraceMs)(
       Multimodal.phashRebuildClosure(spark))
 
   def fromVariantIndexViaRebuild(spark: SparkSession, indexPath: String,
-                                 recordIds: Seq[Long]): Long =
+                                 recordIds: Seq[Long],
+                                 orphanGraceMs: Long =
+                                   graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
+                                 readerGraceMs: Long = 0L): Long =
     graft.sources.IndexLifecycle.forgetViaRebuild(spark, indexPath,
-      col("id").isin(recordIds: _*))(
+      col("id").isin(recordIds: _*), orphanGraceMs, readerGraceMs)(
       EntityResolution.variantRebuildClosure(spark))
 
   def fromSpanIndexViaRebuild(spark: SparkSession, indexPath: String,
-                              docIds: Seq[Long]): Long =
+                              docIds: Seq[Long],
+                              orphanGraceMs: Long =
+                                graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
+                              readerGraceMs: Long = 0L): Long =
     graft.sources.IndexLifecycle.forgetViaRebuild(spark, indexPath,
-      col("doc").isin(docIds: _*))(
+      col("doc").isin(docIds: _*), orphanGraceMs, readerGraceMs)(
       SpanDedup.spanRebuildClosure(spark))
 
   def fromBm25IndexViaRebuild(spark: SparkSession, indexPath: String,
-                              docIds: Seq[Long]): Long =
+                              docIds: Seq[Long],
+                              orphanGraceMs: Long =
+                                graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
+                              readerGraceMs: Long = 0L): Long =
     graft.sources.IndexLifecycle.forgetViaRebuild(spark, indexPath,
-      col("doc_id").isin(docIds: _*))(
+      col("doc_id").isin(docIds: _*), orphanGraceMs, readerGraceMs)(
       Search.bm25RebuildClosure(spark))
 }

@@ -235,27 +235,7 @@ object LlmPipelineQueries {
           FROM pcorp c JOIN pbat q ON c.b = q.b AND c.v = q.v),
         pdrop AS (SELECT DISTINCT j AS doc_id FROM pcand
           WHERE bit_count(xor(hi, hj)) <= 1),
-        toks AS (
-          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
-          FROM documents),
-        sh0 AS (
-          SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
-          FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i)),
-        bat0 AS (SELECT * FROM sh0 WHERE doc_id % 10 = 0),
-        cor0 AS (SELECT * FROM sh0 WHERE doc_id % 10 <> 0),
-        chot AS (SELECT s FROM cor0 GROUP BY s HAVING count(*) > $shingleMaxDf),
-        bat AS (SELECT bat0.* FROM bat0 ANTI JOIN chot USING (s)),
-        cor AS (SELECT cor0.* FROM cor0 ANTI JOIN chot USING (s)),
-        bcnt AS (SELECT doc_id, count(*) AS n FROM bat GROUP BY 1),
-        ccnt AS (SELECT doc_id, count(*) AS n FROM cor GROUP BY 1),
-        jpairs AS (
-          SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
-          FROM bat a JOIN cor b ON a.s = b.s
-          GROUP BY 1, 2),
-        jac AS (
-          SELECT i, j, common::DOUBLE / (ca.n + cb.n - common) AS jc
-          FROM jpairs JOIN bcnt ca ON ca.doc_id = i
-            JOIN ccnt cb ON cb.doc_id = j),
+        $jaccardIndexedCtes,
         tdrop AS (SELECT DISTINCT i AS doc_id FROM jac WHERE jc >= 0.8),
         q AS (SELECT doc_id, source, text,
           length(text) AS chars,

@@ -104,8 +104,8 @@ private[ops] object LlmShared {
     * reads see exactly the %10≠0 population, which is the point of the
     * pin.
     */
-  val jaccardIndexedOracleSql: String =
-    s"""WITH toks AS (
+  val jaccardIndexedCtes: String =
+    s"""toks AS (
           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
           FROM documents),
         sh0 AS (
@@ -124,7 +124,10 @@ private[ops] object LlmShared {
           GROUP BY 1, 2),
         jac AS (
           SELECT i, j, common::DOUBLE / (ca.n + cb.n - common) AS jc
-          FROM pairs JOIN bcnt ca ON ca.doc_id = i JOIN ccnt cb ON cb.doc_id = j)
+          FROM pairs JOIN bcnt ca ON ca.doc_id = i JOIN ccnt cb ON cb.doc_id = j)"""
+
+  val jaccardIndexedOracleSql: String =
+    s"""WITH $jaccardIndexedCtes
         SELECT i, j, CAST(CAST(floor(jc * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS jaccard
         FROM jac WHERE jc >= 0.8 ORDER BY i, j"""
 

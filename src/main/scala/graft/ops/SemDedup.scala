@@ -290,8 +290,15 @@ object SemDedup {
 
   private[ops] def readCellCentroidEvery(
       spark: org.apache.spark.sql.SparkSession, dir: String): Int =
-    spark.read.parquet(cellParamsSidecar(dir))
+    try spark.read.parquet(cellParamsSidecar(dir))
       .head().getAs[Int]("centroid_every")
+    catch {
+      case e: org.apache.spark.sql.AnalysisException => sys.error(
+        s"cell index at $dir has no _graft_cell_params sidecar — it " +
+          "predates the pinned-quantizer-policy layout. Rebuild it " +
+          "offline with writeCellIndex. " +
+          s"(${e.getMessage.linesIterator.take(1).mkString})")
+    }
 
   /** Append a new batch to a persisted cell index under its own
     * `ingest=<tag>` partition level — the embedding twin of

@@ -453,8 +453,12 @@ object IndexLifecycle {
         // than that re-seals — the same horizon as the CAS-loss guard
         // below, and far beyond the at-least-once crash window this
         // protects (a stream restarts on its LAST uncommitted batch).
-        if (!chainSegments(fs, main, m0).contains(tag) &&
-            absorbedWithin(mc, m0.v).contains(tag)) {
+        // Steady-state cost of the pre-check: one marker listing plus
+        // ≤ MarkerKeep(8) bounded marker reads per append — metadata
+        // only, paid once per streaming trigger; the segment listing
+        // is reused by the loop's first iteration below.
+        val segs0 = chainSegments(fs, main, m0)
+        if (!segs0.contains(tag) && absorbedWithin(mc, m0.v).contains(tag)) {
           refresh(spark, path)
           return
         }
@@ -467,7 +471,8 @@ object IndexLifecycle {
             sealSegment(fs, new Path(main, m.dir), tag)(writeSeg)
             sealedInto = m.dir
           }
-          val segs = (chainSegments(fs, main, m) :+ tag).distinct
+          val segs = ((if (m eq m0) segs0
+            else chainSegments(fs, main, m)) :+ tag).distinct
           if (casPublish(mc, m.v, m.dir, Seq.empty, segs)) {
             pruneMarkers(spark, path); refresh(spark, path); return
           }
@@ -688,7 +693,30 @@ object IndexLifecycle {
     val main = new Path(path)
     val fs = fsOf(spark, main)
     val mc = commitOf(spark, main)
-    val m = manifest(spark, path).getOrElse(return true) // flat: nothing retired
+    if (manifest(spark, path).isEmpty) return true // flat: nothing retired
+    // ONE consistent marker scan decides both "which dirs were ever
+    // published" and "which dir is current": deriving the current dir
+    // from an EARLIER manifest read while the published set comes from
+    // a fresh listing would let a rebuild that publishes in between
+    // put its brand-new CURRENT dir into `published` (stripping the
+    // claim guard) while the stale current pointer marks it retired —
+    // and the scrub would delete the index's live data. A marker that
+    // vanishes mid-scan (concurrent prune) forces a re-list, same as
+    // absorbedWithin.
+    var reads = Seq.empty[Manifest]
+    var attempts = 0
+    while ({
+      attempts += 1
+      val r = markerNums(mc).sorted.map(v => readMarker(mc, v))
+      if (r.exists(_.isEmpty)) {
+        if (attempts >= 8) sys.error(
+          s"scrubRetired: markers at ${mc.describe} kept vanishing " +
+            "mid-read across 8 re-listings; re-run the scrub")
+        true
+      } else { reads = r.map(_.get); false }
+    }) ()
+    if (reads.isEmpty) return true
+    val m = reads.last // newest within the SAME scan as `published`
     if (readerGraceMs > 0L &&
         mc.createdAt(markerName(m.v))
           .exists(t => System.currentTimeMillis() - t < readerGraceMs))
@@ -696,9 +724,12 @@ object IndexLifecycle {
     // a dir any RETAINED marker references was PUBLISHED — its claim
     // file is a tombstone, not an in-flight guard, so it never blocks
     // the scrub; the claim-liveness check only protects dirs no marker
-    // knows about (a concurrent writer's build in progress)
-    val published = markerNums(mc).flatMap(v => readMarker(mc, v))
-      .map(_.dir).toSet
+    // knows about (a concurrent writer's build in progress, whose
+    // claim is by construction younger than orphanGraceMs). A publish
+    // landing AFTER this scan creates a FRESH dir (current dirs are
+    // never resurrected from retired ones), so it is either absent
+    // from the listing below or protected by its young claim.
+    val published = reads.map(_.dir).toSet
     var clean = true
     fs.listStatus(main).toSeq.filter(_.isDirectory).foreach { s =>
       val nm = s.getPath.getName
