@@ -188,6 +188,49 @@ object ScaleSmoke {
       }
     }
 
+    // The same probe-vs-segment-count curve for the SHINGLE family —
+    // a second measured instance of the cost model, and (round 10) the
+    // one whose append path now runs the absorbed-replay pre-check on
+    // every seal, so the build column also prices that check at real
+    // segment counts. Corpus fixed (docs %10≠0, uncapped so the probe
+    // result is IDENTICAL at every split), probe batch fixed
+    // (%10==0 ∧ %7==0), segments vary.
+    // Run: SCALE_OPS=segsh runMain graft.tools.ScaleSmoke <sfDir> 0
+    if (only.exists(_.contains("segsh"))) {
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val probeB = docs.filter(col("doc_id") % 10 === 0 &&
+        col("doc_id") % 7 === 0)
+      def probe(idx: String): Long =
+        graft.ops.Dedup.jaccardAgainstIndex(spark, idx, probeB,
+          "doc_id", "text", n = 3, threshold = 0.5).count()
+      for (sc <- Seq(1, 4, 16, 64)) {
+        val idx = java.nio.file.Files
+          .createTempDirectory(s"graft_scale_segsh_s$sc").toString + "/index"
+        timed(s"segsh_build s$sc") {
+          graft.ops.Dedup.writeShingleIndex(
+            corpus.filter(pmod(col("doc_id"), lit(sc)) === 0),
+            "doc_id", "text", n = 3, idx)
+          (1 until sc).foreach { r =>
+            graft.ops.Dedup.appendToShingleIndex(spark, idx,
+              corpus.filter(pmod(col("doc_id"), lit(sc)) === r),
+              "doc_id", "text", n = 3, ingestTag = s"s$r")
+          }
+          spark.read.parquet(
+            graft.sources.IndexLifecycle.resolveDir(spark, idx)).count()
+        }
+        timed(s"segsh_probe_warm s$sc")(probe(idx))
+        timed(s"segsh_probe s$sc")(probe(idx))
+        timed(s"segsh_maybe_rebuild s$sc") {
+          val ran = graft.ops.Dedup.maybeRebuildShingleIndex(spark, idx,
+            maxSegments = 8)
+          assert(ran == (sc > 8),
+            s"maybeRebuild(8) must fire iff segments > 8 (sc=$sc, ran=$ran)")
+          if (ran) 1L else 0L
+        }
+        timed(s"segsh_probe_after s$sc")(probe(idx))
+      }
+    }
+
     for (n <- reps) {
       val d = replicateDocs(docs, n)
       val e = replicateEmb(emb, n)
