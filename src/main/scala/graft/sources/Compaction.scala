@@ -522,6 +522,76 @@ object Compaction {
     * should catch it, re-read the current generation, recompute, and
     * retry; last-publisher-wins callers may ignore the loser entirely.
     */
+  /** Right-to-be-forgotten on a generational TABLE — the CDC-side twin
+    * of [[IndexLifecycle.forgetViaRebuild]]: publish a new generation
+    * holding the current rows MINUS what `victim` matches (readers only
+    * ever resolve a full generation — old or new, never partial), then
+    * physically SCRUB every retired generation dir, because the normal
+    * two-generation reader grace is exactly wrong for forgotten data:
+    * it keeps the victims' bytes on disk and [[readTableAt]] serving
+    * them. After the scrub, time travel to pre-forget generations
+    * fails loudly ([[readTableAt]]'s retention message) — the point of
+    * an erasure. A concurrent publisher fences the rewrite
+    * ([[FencedWriteException]]); the forget re-reads the winner's
+    * state and retries, so the returned count is the surviving
+    * attempt's. `readerGraceMs` defers only the SCRUB (the logical
+    * erasure is complete once the new generation publishes); pass the
+    * same discipline as your other writes and call again (or rely on
+    * the next forget) to finish physical erasure under long scans.
+    */
+  def forgetRows(spark: SparkSession, path: String,
+                 victim: org.apache.spark.sql.Column,
+                 orphanGraceMs: Long = DefaultOrphanGraceMs,
+                 readerGraceMs: Long = 0L): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val hit = coalesce(victim, lit(false))
+    var attempts = 0
+    while (attempts < 8) {
+      attempts += 1
+      val cur = readTable(spark, path)
+      val removed = cur.filter(hit).count()
+      try {
+        writeGen(cur.filter(not(hit)), path,
+          orphanGraceMs = orphanGraceMs, readerGraceMs = readerGraceMs)
+        scrubRetiredGens(spark, path, orphanGraceMs, readerGraceMs)
+        return removed
+      } catch {
+        case _: FencedWriteException => () // stale read — re-derive
+      }
+    }
+    sys.error(s"forgetRows: fenced 8 times at $path — a writer is " +
+      "publishing faster than the forget can re-derive; quiesce it")
+  }
+
+  /** Delete every gen dir STRICTLY below the current generation —
+    * [[pruneDataDirs]] minus its two-generation reader-grace floor,
+    * for the erasure path only. In-flight dirs ABOVE current keep
+    * their live-claim protection; `readerGraceMs` (measured from the
+    * current generation's marker) skips the scrub entirely when the
+    * window is still open (returns false — call again after).
+    */
+  def scrubRetiredGens(spark: SparkSession, path: String,
+                       orphanGraceMs: Long = DefaultOrphanGraceMs,
+                       readerGraceMs: Long = 0L): Boolean = {
+    val main = new Path(path)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pubs = listNums(fs, main, ManifestPrefix).sorted.reverse
+    if (pubs.isEmpty) return true
+    val curN = pubs.head
+    if (readerGraceMs > 0L && {
+        try System.currentTimeMillis() - fs.getFileStatus(
+          new Path(main, ManifestPrefix + genName(curN)))
+          .getModificationTime < readerGraceMs
+        catch { case _: java.io.FileNotFoundException => false }
+      }) return false
+    fs.listStatus(main).toSeq.filter(_.isDirectory).foreach { s =>
+      genNumber(s.getPath.getName).foreach { nn =>
+        if (nn < curN) fs.delete(s.getPath, true)
+      }
+    }
+    true
+  }
+
   def writeGen(df: org.apache.spark.sql.DataFrame, path: String,
                beforePublish: Path => Unit = _ => (),
                orphanGraceMs: Long = DefaultOrphanGraceMs,

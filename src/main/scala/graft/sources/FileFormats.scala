@@ -236,7 +236,34 @@ object FileFormats {
         SELECT 2, count(*),
           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         FROM orders
-        ORDER BY gen_rank"""))
+        ORDER BY gen_rank""")),
+
+    // Right-to-be-forgotten on a generational TABLE (the CDC-side twin
+    // of the index families' forgetViaRebuild): publish current-minus-
+    // victims as a new generation, then SCRUB the retired dirs — the
+    // normal two-generation reader grace would keep the victims' bytes
+    // on disk and readTableAt serving them. The fixture takes the
+    // table through two publishes first so retired generations really
+    // exist; post-forget, generations() must collapse to the single
+    // current one (erasure reaching time travel is the contract).
+    GQuery("fmt_forget_rows",
+      (s, d) => {
+        val path = graft.util.TempFixtures.dir(s"fgrows:$d") { p =>
+          val cust = Tables(s, d, "customer")
+          Compaction.writeGen(cust.filter(col("c_custkey") % 2 === 0), p)
+          Compaction.writeGen(cust, p) // g2: full table; g1 retired
+          val removed = Compaction.forgetRows(s, p,
+            col("c_custkey") % 20 === 0)
+          require(removed > 0L, "forget removed nothing — bad fixture")
+          require(Compaction.generations(s, p).length == 1,
+            "scrub must leave only the current generation readable")
+        }
+        Compaction.readTable(s, path)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey FROM customer
+        WHERE c_custkey % 20 <> 0 ORDER BY c_custkey"""))
   )
 
   /** Build-once time-travel fixture: a generational table taken through

@@ -231,6 +231,46 @@ class StreamingCompactionSpec extends AnyFunSuite {
     assert(left == Set(3L), s"survivors: $left")
   }
 
+  test("table RTBF: forgetRows erases victims byte-level, collapses time travel, idempotent") {
+    import graft.sources.Compaction
+    val secret = "zqtab1 zqtab2"
+    val rows = Seq((1L, s"keep one"), (2L, s"victim $secret"),
+      (3L, s"also keep")).toDF("id", "payload")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_tabrtbf").toString + "/table"
+    Compaction.writeGen(rows.filter(col("id") =!= 3L), path) // g1
+    Compaction.writeGen(rows, path)                          // g2; g1 retired
+    val gensBefore = Compaction.generations(spark, path)
+    assert(gensBefore.length == 2, s"fixture needs a retired gen: $gensBefore")
+    val removed = Compaction.forgetRows(spark, path, col("id") === 2L)
+    assert(removed == 1L)
+    // logical erasure
+    assert(Compaction.readTable(spark, path)
+      .select("id").as[Long].collect().toSet == Set(1L, 3L))
+    // time travel to the pre-forget generations is GONE, loudly
+    val gens = Compaction.generations(spark, path)
+    assert(gens.length == 1, s"scrub must leave one readable gen: $gens")
+    gensBefore.foreach { g =>
+      intercept[IllegalArgumentException](
+        Compaction.readTableAt(spark, path, g))
+    }
+    // physical erasure: no victim bytes anywhere under the table root
+    import scala.jdk.CollectionConverters._
+    val victimBytes = Seq("zqtab1", "zqtab2").map(_.getBytes("UTF-8"))
+    val offenders = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(path)).iterator.asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .filter { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f)
+        victimBytes.exists(tok =>
+          bytes.sliding(tok.length).exists(_.sameElements(tok)))
+      }.map(_.toString).toSeq
+    assert(offenders.isEmpty,
+      s"victim bytes still at rest under the table: $offenders")
+    // idempotent
+    assert(Compaction.forgetRows(spark, path, col("id") === 2L) == 0L)
+  }
+
   test("cell absorbed-tag replay: id-level closure over the semantic index") {
     def v(xs: Double*) = xs.map(_.toFloat).toArray
     val corpus = Seq(1L -> v(1, 0, 0, 0), 2L -> v(0, 1, 0, 0))
