@@ -422,14 +422,9 @@ object CdcQueries {
     * dir: the maintenance loop is spec-proven and benched by
     * cdc_incremental_agg; the registered query times the HISTORY READ.
     */
-  private val aggHistoryCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def aggHistoryFixture(s: org.apache.spark.sql.SparkSession,
                                 d: String): String =
-    aggHistoryCache.computeIfAbsent(d, _ => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_agg_hist").toString + "/table"
+    graft.util.TempFixtures.dir(s"agghist:$d") { path =>
       val orders = Tables(s, d, "orders")
       val dec = DecimalType(18, 2)
       val nullDec = lit(null).cast(dec)
@@ -442,8 +437,7 @@ object CdcQueries {
           after = col("after"), batchId = Some(m.toLong),
           generational = true)
       }
-      path
-    })
+    }
 
   /** Aggregate-state TIME TRAVEL — the synthesis of generational IVM
     * (each maintained batch publishes one immutable generation) and
@@ -482,15 +476,10 @@ object CdcQueries {
     * under key+10M), gen 2 the true orders table. Memoized per dataset
     * dir; the registered query times the diff join.
     */
-  private val genFeedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def genFeedFixture(s: org.apache.spark.sql.SparkSession,
                              d: String): String =
-    genFeedCache.computeIfAbsent(d, _ => {
+    graft.util.TempFixtures.dir(s"genfeed:$d") { path =>
       import graft.sources.Compaction
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_gen_feed").toString + "/table"
       val orders = Tables(s, d, "orders")
       val key = col("o_orderkey")
       val drifted = orders.filter(key % 97 =!= 0)
@@ -501,8 +490,7 @@ object CdcQueries {
           .withColumn("o_orderkey", key + 10000000L))
       Compaction.writeGen(drifted, path)
       Compaction.writeGen(orders, path)
-      path
-    })
+    }
 
   /** Change feed BETWEEN generations — time travel turned into a CDC
     * source ([[graft.sources.Compaction.generationDiff]]): the

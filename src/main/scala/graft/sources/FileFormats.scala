@@ -271,19 +271,14 @@ object FileFormats {
     * dataset dir per JVM (the mutation is one-shot; re-running it per
     * bench pass would time fixture writes, not the time-travel read).
     */
-  private val timeTravelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def timeTravelFixture(s: org.apache.spark.sql.SparkSession,
                                 d: String): String =
-    timeTravelCache.computeIfAbsent(d, _ => {
-      val path = tmp("graft_time_travel")
+    graft.util.TempFixtures.dir(s"timetravel:$d") { path =>
       val orders = Tables(s, d, "orders")
       Compaction.writeGen(orders.filter(col("o_orderkey") % 3 === 0), path)
       Compaction.writeGen(orders.filter(col("o_orderkey") % 3 <= 1), path)
       Compaction.writeGen(orders, path)
-      path
-    })
+    }
 
   /** Materialize the first 64 documents as one raw .bin file each under
     * a stable temp path (same rebuild-on-sf-change discipline as
