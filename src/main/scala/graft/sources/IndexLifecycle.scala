@@ -468,7 +468,15 @@ object IndexLifecycle {
         while (attempts < 16) {
           attempts += 1
           if (sealedInto != m.dir) {
-            sealSegment(fs, new Path(main, m.dir), tag)(writeSeg)
+            if (!sealSegment(fs, new Path(main, m.dir), tag)(writeSeg)) {
+              // empty micro-batch (all rows hot-filtered or an empty
+              // trigger): nothing was sealed, so publishing would pin a
+              // phantom tag whose ingest dir doesn't exist — every later
+              // version's chain would carry it and pinned probes would
+              // crash on the missing seg-stats path. No data, no commit.
+              refresh(spark, path)
+              return
+            }
             sealedInto = m.dir
           }
           val segs = ((if (m eq m0) segs0
@@ -654,6 +662,15 @@ object IndexLifecycle {
     * calling [[scrubRetired]] after the grace, or simply via the next
     * forget. Pinned reads of pre-forget versions fail loudly after the
     * scrub — that is the point of a right-to-be-forgotten erasure.
+    *
+    * CONCURRENT READERS: the reader-isolation claim above covers the
+    * RESOLVE (a prober never sees a partially-built dir) — it does not
+    * survive the immediate scrub: with the default `readerGraceMs = 0`
+    * the pre-forget dir is deleted right after publish, so a reader
+    * that resolved it loses its files mid-scan. Deployments with
+    * concurrent probers must pass a `readerGraceMs` covering their
+    * longest scan (the same rule the in-loop compaction docs state);
+    * the default 0 is for quiet-window / single-process use.
     */
   def forgetViaRebuild(spark: SparkSession, path: String,
                        victim: org.apache.spark.sql.Column,

@@ -129,8 +129,16 @@ final class FsManifestCommit(fs: FileSystem, root: Path) extends ManifestCommit 
             // the reader's empty-marker retry
             try {
               java.nio.file.Files.createFile(target)
-              java.nio.file.Files.write(target, payload)
-              true
+              try { java.nio.file.Files.write(target, payload); true }
+              catch {
+                case e: java.io.IOException =>
+                  // created-but-unwritten is OUR half marker — withdraw
+                  // it (mirroring the non-local branch) so readers don't
+                  // stall forever on an empty payload
+                  try java.nio.file.Files.deleteIfExists(target)
+                  catch { case _: java.io.IOException => () }
+                  false
+              }
             } catch { case _: java.nio.file.FileAlreadyExistsException => false }
         }
       } finally java.nio.file.Files.deleteIfExists(tmp)
