@@ -369,7 +369,14 @@ object IndexLifecycle {
     * directory name) into the latter. Replays of the same tag replace
     * the whole segment subtree — strictly stronger idempotency than
     * the dynamic-partition overwrite this replaces. Returns false for
-    * an empty segment (nothing written, any previous copy removed).
+    * an empty segment: nothing is written AND any previously sealed
+    * copy of the tag is left INTACT — that copy may be referenced by
+    * the published manifest chain (a replay whose original batch was
+    * non-empty), and deleting it here would leave every live version
+    * pointing at a vanished dir (a phantom segment readers crash on).
+    * An empty replay of a non-empty batch is a non-deterministic
+    * source; keeping the originally committed rows is the consistent
+    * resolution.
     *
     * Atomicity, honestly: a FIRST seal is all-or-nothing (one rename —
     * what the rebuild's absorbed-list exactness relies on). A REPLAY
@@ -397,7 +404,6 @@ object IndexLifecycle {
     }
     if (!hasData) {
       fs.delete(tmp, true)
-      if (fs.exists(segDir)) fs.delete(segDir, true)
       return false
     }
     if (fs.exists(segDir) && !fs.rename(segDir, old))
@@ -474,6 +480,10 @@ object IndexLifecycle {
               // phantom tag whose ingest dir doesn't exist — every later
               // version's chain would carry it and pinned probes would
               // crash on the missing seg-stats path. No data, no commit.
+              // If the tag is ALREADY in the published chain (an empty
+              // replay of an originally non-empty batch), sealSegment
+              // left that committed copy intact, so the chain stays
+              // consistent without a publish either way.
               refresh(spark, path)
               return
             }

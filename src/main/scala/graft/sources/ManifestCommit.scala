@@ -124,43 +124,60 @@ final class FsManifestCommit(fs: FileSystem, root: Path) extends ManifestCommit 
             // CAS rather than crashing the publish loop
             false
           case _: UnsupportedOperationException =>
-            // no hard links (exotic mount): O_EXCL create is still an
-            // atomic claim; the payload write after it is covered by
-            // the reader's empty-marker retry
-            try {
-              java.nio.file.Files.createFile(target)
-              try { java.nio.file.Files.write(target, payload); true }
-              catch {
-                case e: java.io.IOException =>
-                  // created-but-unwritten is OUR half marker — withdraw
-                  // it (mirroring the non-local branch) so readers don't
-                  // stall forever on an empty payload
-                  try java.nio.file.Files.deleteIfExists(target)
-                  catch { case _: java.io.IOException => () }
-                  false
-              }
-            } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+            exclusiveCreateNoLink(target, payload)
         }
       } finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
-      var created = false
-      try {
-        val out = fs.create(new Path(root, name), false)
-        created = true
-        try out.write(payload) finally out.close()
-        true
-      } catch {
+      exclusiveCreateStream(name, payload)
+    }
+
+  /** The local branch's no-hard-links fallback (exotic mounts): O_EXCL
+    * create is still an atomic claim; the payload write after it is
+    * covered by the reader's empty-marker retry. `write` is a test seam
+    * — the withdraw contract below is fault-injected through it.
+    */
+  private[graft] def exclusiveCreateNoLink(
+      target: java.nio.file.Path, payload: Array[Byte],
+      write: (java.nio.file.Path, Array[Byte]) => Unit =
+        (t, p) => { java.nio.file.Files.write(t, p); () }): Boolean =
+    try {
+      java.nio.file.Files.createFile(target)
+      try { write(target, payload); true }
+      catch {
         case _: java.io.IOException =>
-          // created-but-unwritten is OUR half marker (the exclusive
-          // create succeeded) — withdraw it so the chain's readers
-          // don't stall on an empty payload; created=false means the
-          // create itself lost the race and there is nothing to undo
-          if (created) try fs.delete(new Path(root, name), false) catch {
-            case _: java.io.IOException => ()
-          }
+          // created-but-unwritten is OUR half marker — withdraw
+          // it (mirroring the non-local branch) so readers don't
+          // stall forever on an empty payload
+          try java.nio.file.Files.deleteIfExists(target)
+          catch { case _: java.io.IOException => () }
           false
       }
+    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+  /** The non-local (HDFS-shape) branch: exclusive create claims the
+    * name, the payload streams after — a write/close failure withdraws
+    * OUR half marker; a failed create is a lost race with nothing to
+    * undo.
+    */
+  private def exclusiveCreateStream(name: String, payload: Array[Byte]): Boolean = {
+    var created = false
+    try {
+      val out = fs.create(new Path(root, name), false)
+      created = true
+      try out.write(payload) finally out.close()
+      true
+    } catch {
+      case _: java.io.IOException =>
+        // created-but-unwritten is OUR half marker (the exclusive
+        // create succeeded) — withdraw it so the chain's readers
+        // don't stall on an empty payload; created=false means the
+        // create itself lost the race and there is nothing to undo
+        if (created) try fs.delete(new Path(root, name), false) catch {
+          case _: java.io.IOException => ()
+        }
+        false
     }
+  }
 
   override def read(name: String): Option[Array[Byte]] =
     try {

@@ -442,6 +442,56 @@ abstract class IndexLifecycleContract(memoryCommit: Boolean) extends AnyFunSuite
     })
   }
 
+  test("empty micro-batch: seals nothing, publishes nothing; a later real append of the same tag still commits") {
+    val base = 0L until 20L
+    val idx = newIndex("graft_ixempty", base)
+    val v0 = IndexLifecycle.versions(spark, idx).max
+    val pre = postings(idx)
+    // an empty trigger (all rows hot-filtered, or a source with no new
+    // data): writeSeg produces no data files at all
+    IndexLifecycle.appendSegment(spark, idx, "eb0") { (_, _) => () }
+    assert(IndexLifecycle.versions(spark, idx).max == v0,
+      "an empty micro-batch must not bump the manifest version")
+    assert(!IndexLifecycle.manifestAt(spark, idx, v0).segments.contains("eb0") &&
+      IndexLifecycle.segmentsOf(fsOf(idx),
+        new Path(IndexLifecycle.resolveDir(spark, idx))).forall(_ != "eb0"),
+      "an empty micro-batch must not pin a phantom tag in the chain")
+    assert(postings(idx) == pre)
+    // the SAME tag later carrying real data must still commit — the
+    // empty trigger reserved nothing
+    val batch = 850L until 858L
+    append(idx, batch, "eb0")
+    val v1 = IndexLifecycle.versions(spark, idx).max
+    assert(v1 == v0 + 1)
+    assert(postings(idx) == expected(base ++ batch))
+    // and the pinned read of the new version resolves every chained
+    // segment — the crash mode the empty-batch guard exists to prevent
+    assert(pinnedPostings(idx, v1) == expected(base ++ batch))
+    assert(dupPostings(idx).isEmpty)
+  }
+
+  test("empty replay of a non-empty tag: the committed copy survives — no phantom segment in the published chain") {
+    val base = 0L until 20L
+    val batch = 900L until 908L
+    val idx = newIndex("graft_ixereplay", base)
+    append(idx, batch, "er1")
+    val v = IndexLifecycle.versions(spark, idx).max
+    val want = expected(base ++ batch)
+    assert(postings(idx) == want)
+    // non-deterministic replay: the original batch committed rows, the
+    // replay writes NOTHING — the previously sealed copy (still
+    // referenced by every published version's chain) must stay intact
+    IndexLifecycle.appendSegment(spark, idx, "er1") { (_, _) => () }
+    assert(IndexLifecycle.versions(spark, idx).max == v,
+      "an empty replay must not publish")
+    assert(fsOf(idx).exists(new Path(IndexLifecycle.resolveDir(spark, idx),
+      "ingest=er1")), "the empty replay deleted the committed segment dir")
+    assert(postings(idx) == want,
+      "the empty replay orphaned the chain (phantom segment)")
+    assert(pinnedPostings(idx, v) == want)
+    assert(dupPostings(idx).isEmpty)
+  }
+
   if (memoryCommit)
     test("memory commit really owns the chain: no marker files ever touch the filesystem") {
       val idx = newIndex("graft_ixmem", 0L until 10L)
