@@ -270,6 +270,74 @@ object LlmPipelineQueries {
             ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
         FROM hh ORDER BY split, shard, pos""")),
 
+    // The UNIFIED EXPORT MANIFEST (round 12) — one atomically-committed
+    // artifact pinning EVERY input of a training export (table
+    // generation, both index manifest versions, params-sidecar
+    // fingerprints, recipe id + scalar params, result row-hash), plus
+    // the replay API that re-runs the recipe from the manifest ALONE.
+    // The fixture commits the export, then appends to AND forgets from
+    // every input (scrubs deferred by reader grace — the documented
+    // logical-now/physical-later RTBF contract): a replay resolving any
+    // input to current state would see the %10==5 table rows, the
+    // %20==0 text segment, or the %20==7 planted image partners (which
+    // would canon-drop the whole %20==0 batch half) and hash-mismatch.
+    // TrainExport.replay itself verifies the replayed rows' fingerprint
+    // against the committed one before returning; the oracle then
+    // replays the entire pinned recipe closed-form — the same proven
+    // WITH stack as pipeline_train_export_at (identical pinned
+    // populations by construction), under this export's own split/shard
+    // salts. Timed path = the replay: metadata validation + the pinned
+    // recipe, nothing corpus-sized on the driver.
+    GQuery("pipeline_train_export_replay",
+      (s, d) => {
+        val ex = trainExportReplayFor(s, d)
+        TrainExport.replay(s, ex)
+          .orderBy(col("split"), col("shard"), col("pos"))
+      },
+      Some(s"""${phashBandsCteFor(1)},
+        pcorp AS (SELECT * FROM bands
+          WHERE id % 10 <> 0 AND id % 20 <> 7 AND id % 20 <> 8),
+        pbat AS (SELECT * FROM bands WHERE id % 10 = 0),
+        pcand AS (
+          SELECT DISTINCT c.id AS i, c.h AS hi, q.id AS j, q.h AS hj
+          FROM pcorp c JOIN pbat q ON c.b = q.b AND c.v = q.v),
+        pdrop AS (SELECT DISTINCT j AS doc_id FROM pcand
+          WHERE bit_count(xor(hi, hj)) <= 1),
+        $jaccardIndexedCtes,
+        tdrop AS (SELECT DISTINCT i AS doc_id FROM jac WHERE jc >= 0.8),
+        q AS (SELECT doc_id, source, text,
+          length(text) AS chars,
+          len(list_filter(string_split(text, ' '), x -> x <> '')) AS toks,
+          length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
+          length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+          FROM documents WHERE doc_id % 10 = 0),
+        sc AS (SELECT doc_id, source,
+          CAST(floor(
+            (1.0 - CASE WHEN chars > 0 THEN punct::DOUBLE / chars ELSE 0.0 END)
+            * (1.0 - CASE WHEN chars > 0 THEN digits::DOUBLE / chars ELSE 0.0 END)
+            * least(1.0, toks::DOUBLE / 20.0) * 1e6) AS BIGINT) AS score_u
+          FROM q),
+        g AS (SELECT doc_id, score_u,
+          count(*) OVER (PARTITION BY source) AS n,
+          row_number() OVER (PARTITION BY source
+            ORDER BY score_u DESC, doc_id) AS rn
+          FROM sc),
+        gated AS (SELECT doc_id FROM g
+          WHERE rn <= (n * 7000 + 9999) // 10000),
+        kept AS (SELECT doc_id FROM gated
+          ANTI JOIN tdrop USING (doc_id)
+          ANTI JOIN pdrop USING (doc_id)),
+        sp AS (SELECT doc_id,
+          CASE WHEN ${duckHex32("'rsp:' || doc_id")} % 10000 < 9500
+            THEN 'train' ELSE 'valid' END AS split
+          FROM kept),
+        hh AS (SELECT doc_id, split,
+          ${duckHex60("'rsh:' || doc_id")} AS h FROM sp)
+        SELECT doc_id, split, CAST(h % 4 AS INT) AS shard,
+          CAST(row_number() OVER (PARTITION BY split, h % 4
+            ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        FROM hh ORDER BY split, shard, pos""")),
+
     // End-to-end corpus curation — the flagship COMPOSITION: the
     // Gopher-style repetition gate, exact-dedup canonicalization, and
     // benchmark decontamination are each registered operators already;

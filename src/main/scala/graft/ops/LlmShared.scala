@@ -96,6 +96,60 @@ private[ops] object LlmShared {
       Multimodal.rebuildPhashIndex(s, p) // v1 convert, v2 fresh base
     }
 
+  /** The unified-export-manifest fixture (pipeline_train_export_replay):
+    * builds PRIVATE copies of the export inputs — a generational batch
+    * table (g1 = the %10==0 slice) and the text/image canon indexes
+    * (each rebuilt once, pinned at v2 = [base]) — commits ONE export
+    * manifest over all three via [[TrainExport.commit]], then mutates
+    * EVERY input with both an append and a reader-grace-deferred
+    * forget, so a replay that resolved any input to CURRENT state
+    * would read a different population (the %10==5 table rows, the
+    * %20==0 text segment, the %20==7 planted image partners) and
+    * hash-mismatch. Returns the committed export dir; the registered
+    * query replays from the manifest alone. Indexes are private, not
+    * the shared jacat/exphash fixtures: this fixture FORGETS, and
+    * pinned fixtures must never share an index with a forgetting one.
+    */
+  def trainExportReplayFor(s: org.apache.spark.sql.SparkSession,
+                           datasetDir: String): String =
+    graft.util.TempFixtures.dir(s"exreplay:$datasetDir") { p =>
+      // defers every physical scrub far past this JVM's reads; pruning
+      // only runs during the mutations below, so nothing expires later
+      val grace = 600000L
+      val docs = Tables(s, datasetDir, "documents")
+      val imgs = Multimodal.asPhashImageTable(docs)
+      graft.sources.Compaction.writeGen(
+        docs.filter(col("doc_id") % 10 === 0), s"$p/docs") // g1: the pin
+      Dedup.writeShingleIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", n = 3, s"$p/text", maxDf = shingleMaxDf)
+      Dedup.rebuildShingleIndex(s, s"$p/text") // v1 convert, v2 = [base]
+      Multimodal.writePhashIndex(imgs.filter(col("doc_id") % 10 =!= 0 &&
+          col("doc_id") % 20 =!= 7 && col("doc_id") % 20 =!= 8),
+        s"$p/img", maxDist = 1)
+      Multimodal.rebuildPhashIndex(s, s"$p/img") // v2 = [base]
+      TrainExport.commit(s, s"$p/export", TrainExport.StandardRecipe,
+        params = Map("keepBps" -> "7000", "n" -> "3", "threshold" -> "0.8",
+          "maxDist" -> "1", "trainBps" -> "9500", "numShards" -> "4",
+          "splitSalt" -> "rsp", "shardSalt" -> "rsh"),
+        tables = Map("docs" -> s"$p/docs"),
+        indexes = Map("text" -> s"$p/text", "image" -> s"$p/img"))
+      // mutate EVERY input — append AND forget — after the commit
+      graft.sources.Compaction.writeGen(
+        docs.filter(col("doc_id") % 10 === 0 || col("doc_id") % 10 === 5),
+        s"$p/docs", readerGraceMs = grace) // g2: appended rows
+      graft.sources.Compaction.forgetRows(s, s"$p/docs",
+        col("doc_id") % 40 === 0, readerGraceMs = grace) // g3: forgotten
+      Dedup.appendToShingleIndex(s, s"$p/text",
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", n = 3,
+        ingestTag = "b0") // v3
+      Forget.fromShingleIndexViaRebuild(s, s"$p/text", Seq(3L, 13L, 23L),
+        readerGraceMs = grace) // v4
+      Multimodal.appendToPhashIndex(s, s"$p/img",
+        imgs.filter(col("doc_id") % 20 === 7), "b0", maxDist = 1) // v3
+      Forget.fromPhashIndexViaRebuild(s, s"$p/img", Seq(11L, 31L),
+        readerGraceMs = grace) // v4
+    } + "/export"
+
   /** The DuckDB replay of jaccardAgainstIndex over corpus %10≠0 /
     * batch %10==0 with the index-side df-cap applied to BOTH sides —
     * shared by `dedup_incremental_indexed` (live probe of the base-only

@@ -1,0 +1,380 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.{Compaction, IndexLifecycle, ManifestCommit}
+
+/** The unified export manifest — ONE atomically-committed artifact that
+  * makes a training-data export reproducible from metadata alone.
+  *
+  * A production export is a recipe (gate → canon probes → split →
+  * shard) over inputs that keep moving: generational tables absorb
+  * appends and forgets, persisted indexes absorb ingest segments and
+  * rebuilds. The repo already has every PRIMITIVE pin — table
+  * generations ([[Compaction.readTableAt]]), index manifest versions
+  * ([[IndexLifecycle.manifestAt]] behind the `*AgainstIndexAt`
+  * probes), and per-version params sidecars — but a reproducible
+  * export needs them recorded TOGETHER, or re-running "the same"
+  * export quietly resolves some input to a newer state. This is the
+  * Iceberg-snapshot idea applied to a multi-input pipeline: the
+  * manifest, not the current state of any store, is the source of
+  * truth for what the export read.
+  *
+  * `commit` resolves every input to its CURRENT pin, runs the recipe
+  * against pinned reads only, writes the output under
+  * `<exportDir>/data`, and commits one `_graft_export` manifest via
+  * [[ManifestCommit.createExclusive]] — the same atomic
+  * exclusive-create the index chains commit through (hard-link CAS on
+  * posix, conditional-PUT shape on object stores), so a crashed export
+  * never leaves a half-manifest and two racing exports into one dir
+  * get one winner. The manifest records the recipe id, every scalar
+  * parameter, every table pin (path + generation), every index pin
+  * (path + manifest version + a fingerprint of that version's params
+  * sidecars), and an order-insensitive fingerprint of the committed
+  * rows.
+  *
+  * `replay` re-runs the recipe from the manifest alone: it re-reads
+  * each table at its pinned generation, re-probes each index at its
+  * pinned version, re-validates the params-sidecar fingerprints (a
+  * retuned index under the same path would otherwise replay a
+  * different recipe), recomputes the row fingerprint, and fails loudly
+  * on ANY divergence — including the retention messages when a pinned
+  * generation or version has been pruned/scrubbed (RTBF is allowed to
+  * break replayability; it must never silently change it).
+  *
+  * Scale shape: the manifest is O(inputs) metadata; the pin
+  * resolution and validation are bounded marker/sidecar reads; the
+  * only data-sized work is the recipe itself plus one aggregate for
+  * the row fingerprint (sum of per-row xxhash64 in DECIMAL(38,0) —
+  * one exchange, no collect, no global sort, overflow-free past any
+  * realistic row count).
+  */
+object TrainExport {
+
+  /** A table input pinned to a published generation. */
+  final case class TablePin(path: String, gen: Long)
+
+  /** An index input pinned to a manifest version; `paramsFp` is the
+    * fingerprint of that version's `_graft_*_params` sidecars (the
+    * full rebuild policy the params doctrine persists in-index).
+    */
+  final case class IndexPin(path: String, version: Long, paramsFp: String)
+
+  /** The committed export manifest. `resultFp` is the decimal-rendered
+    * order-insensitive row fingerprint of the exported data.
+    */
+  final case class ExportManifest(recipe: String,
+                                  params: Map[String, String],
+                                  tables: Map[String, TablePin],
+                                  indexes: Map[String, IndexPin],
+                                  resultFp: String)
+
+  /** What a recipe sees: pinned reads only. A recipe that bypasses
+    * this (reading a current table or probing an unpinned index) is
+    * not reproducible — nothing here can stop that, but everything a
+    * recipe legitimately needs is reachable through it.
+    */
+  final class PinnedInputs private[TrainExport] (
+      spark: SparkSession,
+      tables: Map[String, TablePin],
+      indexes: Map[String, IndexPin]) {
+
+    /** The named table AT its pinned generation. */
+    def table(name: String): DataFrame = {
+      val pin = tables.getOrElse(name, sys.error(
+        s"export recipe asked for table '$name' but the manifest pins " +
+          s"only: ${tables.keys.toSeq.sorted.mkString(",")}"))
+      Compaction.readTableAt(spark, pin.path, pin.gen)
+    }
+
+    /** The named index's pin — recipes pass `(pin.path, pin.version)`
+      * to the family's `*AgainstIndexAt` probe.
+      */
+    def index(name: String): IndexPin =
+      indexes.getOrElse(name, sys.error(
+        s"export recipe asked for index '$name' but the manifest pins " +
+          s"only: ${indexes.keys.toSeq.sorted.mkString(",")}"))
+  }
+
+  /** A recipe: (session, pinned inputs, scalar params) → the export
+    * frame. Must be deterministic given its pins and params — that is
+    * the whole contract replay verifies.
+    */
+  type Recipe = (SparkSession, PinnedInputs, Map[String, String]) => DataFrame
+
+  private val recipes = new ConcurrentHashMap[String, Recipe]()
+
+  /** Register (or replace) the recipe body for `id`. Replay resolves
+    * recipes by id, so a deployment registers its recipe code once per
+    * JVM (built-ins below register at class load).
+    */
+  def registerRecipe(id: String)(fn: Recipe): Unit = {
+    require(id.nonEmpty && !id.exists(c => c == '=' || c == '\n'),
+      s"recipe id must be a plain identifier: '$id'")
+    recipes.put(id, fn)
+  }
+
+  /** The committed manifest's object name inside the export dir. */
+  val ManifestName = "_graft_export"
+
+  private val Header = "graft-export-v1"
+
+  /** Run `recipe` against the CURRENT state of every input, pinned:
+    * each table at its newest published generation, each index at its
+    * newest manifest version. Writes the output to `<exportDir>/data`
+    * and atomically commits the manifest recording every pin. Fails if
+    * the dir already holds a committed export (an export dir is
+    * immutable once committed — write a new dir per export).
+    */
+  def commit(spark: SparkSession, exportDir: String, recipe: String,
+             params: Map[String, String],
+             tables: Map[String, String],
+             indexes: Map[String, String]): ExportManifest = {
+    val fn = recipes.get(recipe)
+    require(fn != null, s"no recipe registered under '$recipe' — " +
+      s"registered: ${recipeIds.mkString(",")}")
+    (params.keys ++ tables.keys ++ indexes.keys).foreach { k =>
+      require(k.nonEmpty && k.forall(c => c.isLetterOrDigit || c == '_' ||
+          c == '.' || c == '-'),
+        s"export input/param name must be [A-Za-z0-9_.-]: '$k'")
+    }
+    params.values.foreach(v => require(!v.contains("\n"),
+      s"param values must be single-line: '$v'"))
+    val tPins = tables.map { case (name, path) =>
+      val gens = Compaction.generations(spark, path)
+      require(gens.nonEmpty, s"table '$name' at $path has no published " +
+        "generations — exports pin generational tables " +
+        "(Compaction.writeGen); a flat table has no stable pin to record")
+      name -> TablePin(path, gens.max)
+    }
+    val iPins = indexes.map { case (name, path) =>
+      val m = IndexLifecycle.manifest(spark, path).getOrElse(sys.error(
+        s"index '$name' at $path has no manifest chain — exports pin " +
+          "manifest versions; rebuild it once (IndexLifecycle.rebuild) " +
+          "to convert it to generational"))
+      name -> IndexPin(path, m.v,
+        paramsFingerprint(spark, new Path(new Path(path), m.dir)))
+    }
+    val out = fn(spark, new PinnedInputs(spark, tPins, iPins), params)
+    val main = new Path(exportDir)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mc = ManifestCommit.forIndex(fs, main)
+    require(mc.read(ManifestName).isEmpty,
+      s"$exportDir already holds a committed export manifest — an " +
+        "export dir is immutable once committed; write a new dir")
+    val dataDir = new Path(main, "data").toString
+    out.write.mode("overwrite").parquet(dataDir)
+    // fingerprint the COMMITTED artifact (the parquet round-trip is
+    // the authoritative bytes a consumer reads), not the live plan
+    val m = ExportManifest(recipe, params, tPins, iPins,
+      resultFp = rowFingerprint(spark.read.parquet(dataDir)))
+    require(mc.createExclusive(ManifestName, render(m).getBytes("UTF-8")),
+      s"lost the export-commit race at $exportDir — another export " +
+        "committed this dir first; write a new dir")
+    m
+  }
+
+  /** The committed manifest of `exportDir`, parsed. */
+  def manifest(spark: SparkSession, exportDir: String): ExportManifest = {
+    val main = new Path(exportDir)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mc = ManifestCommit.forIndex(fs, main)
+    val bytes = mc.read(ManifestName).getOrElse(sys.error(
+      s"$exportDir holds no committed export manifest ($ManifestName)"))
+    parse(new String(bytes, "UTF-8"), exportDir)
+  }
+
+  /** Re-run the export from its manifest alone and verify it is
+    * hash-identical to what was committed. Fails loudly when: a pinned
+    * table generation is outside the retention window
+    * ([[Compaction.readTableAt]]'s message), a pinned index version is
+    * marker-pruned or its dir scrubbed ([[IndexLifecycle.manifestAt]]'s
+    * messages — the documented consequence of RTBF with zero reader
+    * grace), a pinned version's params sidecars changed, the recipe id
+    * is not registered in this JVM, or the replayed rows' fingerprint
+    * differs from the committed one (a non-deterministic recipe).
+    * Returns the replayed frame after verification.
+    */
+  def replay(spark: SparkSession, exportDir: String): DataFrame = {
+    val m = manifest(spark, exportDir)
+    val fn = recipes.get(m.recipe)
+    require(fn != null, s"export at $exportDir was built by recipe " +
+      s"'${m.recipe}', which is not registered in this JVM " +
+      s"(registered: ${recipeIds.mkString(",")}) — register it with " +
+      "TrainExport.registerRecipe before replaying")
+    // eager pin validation, so a broken pin fails HERE with its own
+    // retention message rather than deep inside the recipe's plan
+    m.tables.foreach { case (name, pin) =>
+      try Compaction.readTableAt(spark, pin.path, pin.gen)
+      catch { case e: IllegalArgumentException => throw new IllegalArgumentException(
+        s"replay of $exportDir: pinned table '$name' is gone — ${e.getMessage}", e) }
+    }
+    m.indexes.foreach { case (name, pin) =>
+      val im =
+        try IndexLifecycle.manifestAt(spark, pin.path, pin.version)
+        catch { case e: RuntimeException => throw new RuntimeException(
+          s"replay of $exportDir: pinned index '$name' is gone — ${e.getMessage}", e) }
+      val fp = paramsFingerprint(spark, new Path(new Path(pin.path), im.dir))
+      require(fp == pin.paramsFp,
+        s"replay of $exportDir: index '$name' params sidecars changed " +
+          s"under the pinned version (committed ${pin.paramsFp}, now " +
+          s"$fp) — the index was retuned in place; replay would not be " +
+          "faithful")
+    }
+    val out = fn(spark, new PinnedInputs(spark, m.tables, m.indexes), m.params)
+    val fp = rowFingerprint(out)
+    require(fp == m.resultFp,
+      s"replay of $exportDir diverged: committed row fingerprint " +
+        s"${m.resultFp}, replayed $fp — the recipe is not " +
+        "deterministic given its pins (an unpinned read, a " +
+        "partition-order-sensitive aggregate, or a changed library)")
+    out
+  }
+
+  private def recipeIds: Seq[String] = {
+    val out = Seq.newBuilder[String]
+    recipes.forEach((k, _) => out += k)
+    out.result().sorted
+  }
+
+  /** Order-insensitive multiset fingerprint of a frame: per-row
+    * xxhash64 of the JSON-rendered row, summed in DECIMAL(38,0) (no
+    * overflow at any realistic count, no ANSI sum-overflow failure).
+    * One aggregate, distributed, collect-free. Engine-internal — never
+    * compared against another engine.
+    */
+  private def rowFingerprint(df: DataFrame): String = {
+    val row = df.select(xxhash64(to_json(struct(df.columns.toIndexedSeq.map(col): _*)))
+      .cast("decimal(38,0)").as("h"))
+    val s = row.agg(sum(col("h"))).head().get(0)
+    if (s == null) "empty" else s.toString
+  }
+
+  /** Fingerprint of every `_graft_*_params` sidecar under a pinned
+    * data dir (the persisted rebuild policy): md5 over sidecar names
+    * and their sorted rendered rows. Sidecars are bounded metadata —
+    * driver-side render is fine.
+    */
+  private def paramsFingerprint(spark: SparkSession, dataDir: Path): String = {
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecars =
+      if (!fs.exists(dataDir)) Seq.empty
+      else fs.listStatus(dataDir).toSeq.map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith("_graft_") && n.endsWith("_params")
+        }
+        .sortBy(_.getName)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    sidecars.foreach { p =>
+      digest.update(p.getName.getBytes("UTF-8"))
+      spark.read.parquet(p.toString).collect().map(_.toString).sorted
+        .foreach(r => digest.update(r.getBytes("UTF-8")))
+    }
+    digest.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  // ---- serialization: one small line-oriented artifact, keys sorted
+  // so equal manifests are byte-equal ----
+
+  private def render(m: ExportManifest): String = {
+    val b = new StringBuilder
+    b.append(Header).append('\n')
+    b.append("recipe=").append(m.recipe).append('\n')
+    b.append("result=").append(m.resultFp).append('\n')
+    m.params.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      b.append("param.").append(k).append('=').append(v).append('\n')
+    }
+    m.tables.toSeq.sortBy(_._1).foreach { case (k, p) =>
+      b.append("table.").append(k).append('=')
+        .append(p.gen).append('|').append(p.path).append('\n')
+    }
+    m.indexes.toSeq.sortBy(_._1).foreach { case (k, p) =>
+      b.append("index.").append(k).append('=').append(p.version)
+        .append('|').append(p.paramsFp).append('|').append(p.path).append('\n')
+    }
+    b.result()
+  }
+
+  private def parse(s: String, where: String): ExportManifest = {
+    val lines = s.linesIterator.toSeq.filter(_.nonEmpty)
+    require(lines.headOption.contains(Header),
+      s"unrecognized export manifest at $where: " +
+        s"'${lines.headOption.getOrElse("")}'")
+    var recipe = ""
+    var result = ""
+    val params = Map.newBuilder[String, String]
+    val tables = Map.newBuilder[String, TablePin]
+    val indexes = Map.newBuilder[String, IndexPin]
+    lines.tail.foreach { line =>
+      val eq = line.indexOf('=')
+      require(eq > 0, s"malformed export manifest line at $where: '$line'")
+      val (key, value) = (line.substring(0, eq), line.substring(eq + 1))
+      key match {
+        case "recipe" => recipe = value
+        case "result" => result = value
+        case k if k.startsWith("param.") =>
+          params += k.stripPrefix("param.") -> value
+        case k if k.startsWith("table.") =>
+          val bar = value.indexOf('|')
+          require(bar > 0, s"malformed table pin at $where: '$line'")
+          tables += k.stripPrefix("table.") ->
+            TablePin(value.substring(bar + 1), value.substring(0, bar).toLong)
+        case k if k.startsWith("index.") =>
+          val parts = value.split("\\|", 3)
+          require(parts.length == 3, s"malformed index pin at $where: '$line'")
+          indexes += k.stripPrefix("index.") ->
+            IndexPin(parts(2), parts(0).toLong, parts(1))
+        case other =>
+          sys.error(s"unknown export manifest key at $where: '$other'")
+      }
+    }
+    require(recipe.nonEmpty && result.nonEmpty,
+      s"export manifest at $where is missing recipe/result")
+    ExportManifest(recipe, params.result(), tables.result(),
+      indexes.result(), result)
+  }
+
+  // ---- built-in recipes ----
+
+  /** The standard curation export (the `pipeline_train_export_at`
+    * chain, parameterized): per-source quality gate → text near-dup
+    * canon against the pinned shingle index → perceptual image canon
+    * against the pinned phash index → deterministic split →
+    * per-split shuffle shards with dense positions. Inputs: table
+    * `docs`; indexes `text` (shingle) and `image` (phash). Params:
+    * keepBps, n, threshold, maxDist, trainBps, numShards, splitSalt,
+    * shardSalt.
+    */
+  val StandardRecipe = "train_export_v1"
+
+  registerRecipe(StandardRecipe) { (s, in, p) =>
+    val batch = in.table("docs")
+    val t = in.index("text")
+    val im = in.index("image")
+    val scored = TextAnalysis.quality(batch, "text")
+      .withColumn("score_u", floor(col("quality_score") * 1e6).cast("long"))
+    val gated = Sampling.qualityGate(scored, "doc_id", "source",
+      col("score_u"), keepBps = p("keepBps").toInt)
+    val textDrop = Dedup.jaccardAgainstIndexAt(s, t.path, t.version,
+        batch, "doc_id", "text", n = p("n").toInt,
+        threshold = p("threshold").toDouble)
+      .select(col("i").as("doc_id")).distinct()
+    val imgDrop = Multimodal.phashAgainstIndexAt(s, im.path, im.version,
+        Multimodal.asPhashImageTable(batch), maxDist = p("maxDist").toInt)
+      .select(col("j").as("doc_id")).distinct()
+    val kept = gated.join(textDrop, Seq("doc_id"), "left_anti")
+      .join(imgDrop, Seq("doc_id"), "left_anti")
+    val trainBps = p("trainBps").toInt
+    val split = Sampling.hashSplit(kept, "doc_id", p("splitSalt"),
+      Seq("train" -> trainBps, "valid" -> (10000 - trainBps)))
+    Sampling.shuffleShards(split, "doc_id", p("shardSalt"),
+        numShards = p("numShards").toInt,
+        extraPartitionCols = Seq(col("split")))
+      .select(col("doc_id"), col("split"), col("shard"), col("pos"))
+  }
+}

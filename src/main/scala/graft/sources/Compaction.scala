@@ -377,7 +377,8 @@ object Compaction {
     */
   private[graft] def publish(fs: org.apache.hadoop.fs.FileSystem,
                              conf: org.apache.hadoop.conf.Configuration,
-                             main: Path, gen: String): Unit = {
+                             main: Path, gen: String,
+                             readerGraceMs: Long = 0L): Unit = {
     val n = genNumber(gen).getOrElse(sys.error(s"bad generation name $gen"))
     val curMax = listNums(fs, main, ManifestPrefix).maxOption.getOrElse(0L)
     if (curMax >= n) {
@@ -393,16 +394,28 @@ object Compaction {
     try out.write(gen.getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, new Path(main, ManifestPrefix + gen)))
       sys.error(s"compaction: publishing manifest for $gen failed")
-    // rank-based marker grace (keep the two most recent published);
-    // claims ≤ n are dead — fulfilled by this publish, or fenced (a
+    // rank-based marker grace (keep the two most recent published),
+    // widened by the same wall-time readerGraceMs as pruneDataDirs —
+    // markers and data dirs must expire TOGETHER, or a wall-grace
+    // retention (a pinned export's generation) loses its marker two
+    // publishes in while its dir is still protected, and readTableAt
+    // reports it unreadable with the data sitting right there.
+    // Claims ≤ n are dead — fulfilled by this publish, or fenced (a
     // live writer's claim is always above the current maximum marker)
     val graceFloor = listNums(fs, main, ManifestPrefix)
       .sorted.reverse.take(2).last
+    val retiredLongAgo = readerGraceMs <= 0L || {
+      try System.currentTimeMillis() - fs.getFileStatus(
+        new Path(main, ManifestPrefix + genName(graceFloor)))
+        .getModificationTime >= readerGraceMs
+      catch { case _: java.io.FileNotFoundException => true }
+    }
     fs.listStatus(main).toSeq.map(_.getPath).foreach { p =>
       val name = p.getName
       if (name.startsWith(ManifestPrefix))
         genNumber(name.stripPrefix(ManifestPrefix)) match {
-          case Some(m) if m < graceFloor => fs.delete(p, false)
+          case Some(m) if m < graceFloor && retiredLongAgo =>
+            fs.delete(p, false)
           case _ => ()
         }
       else if (name.startsWith(ClaimPrefix))
@@ -494,7 +507,7 @@ object Compaction {
       .repartition(nOut)
       .write.mode("overwrite").parquet(new Path(main, next).toString)
     carrySidecars(fs, conf, curDir, new Path(main, next))
-    publish(fs, conf, main, next)
+    publish(fs, conf, main, next, readerGraceMs)
     pruneDataDirs(fs, main, orphanGraceMs, readerGraceMs)
     Stats(files.size, dataFiles(fs, new Path(main, next)).size, bytes,
       rewritten = true)
@@ -603,7 +616,7 @@ object Compaction {
     val next = genName(claimNext(fs, main, s"writeGen@${spark.sparkContext.applicationId}"))
     df.write.mode("overwrite").parquet(new Path(main, next).toString)
     beforePublish(new Path(main, next))
-    publish(fs, conf, main, next)
+    publish(fs, conf, main, next, readerGraceMs)
     // rank-based two-generation reader grace (a reader that resolved
     // two publishes ago may still be scanning), crashed-claim expiry,
     // optional wall-time retention for concurrent-writer deployments

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Forget, TrainExport}
+import graft.sources.{Compaction, IndexLifecycle}
+
+/** The unified export manifest's contract ([[TrainExport]]):
+  * one atomically-committed artifact pins every input (table
+  * generations, index manifest versions, params-sidecar fingerprints)
+  * and `replay` re-runs the recipe from the manifest alone —
+  * hash-identical while the pins are retained, loudly failing with the
+  * retention messages once a pinned version is scrubbed, and loudly
+  * failing when a pinned index's params sidecars changed underneath.
+  * Also pins the round-12 Compaction fix the feature exposed: marker
+  * pruning honors the same wall-time readerGraceMs as data-dir pruning
+  * (markers and dirs must expire together, or readTableAt reports a
+  * generation unreadable while its data is still protected).
+  */
+class TrainExportSpec extends AnyFunSuite {
+  import GraftSpark.spark
+
+  import spark.implicits._
+
+  private val NB = 4
+
+  /** Deterministic tiny corpus, same construction as
+    * IndexLifecycleSpec: identical ids → identical text, so overlap
+    * between batch and corpus ids is exact-duplicate text (jaccard 1).
+    */
+  private def docs(ids: Seq[Long]) =
+    ids.toDF("doc_id").withColumn("text",
+      concat_ws(" ",
+        concat(lit("a"), pmod(col("doc_id"), lit(5))),
+        concat(lit("b"), pmod(col("doc_id"), lit(3))),
+        concat(lit("c"), col("doc_id")),
+        concat(lit("d"), col("doc_id") + 1),
+        concat(lit("e"), pmod(col("doc_id"), lit(7))),
+        concat(lit("f"), col("doc_id") * 2),
+        concat(lit("g"), pmod(col("doc_id") + 3, lit(4))),
+        concat(lit("h"), col("doc_id"))))
+
+  TrainExport.registerRecipe("spec_export_v1") { (s, in, p) =>
+    val batch = in.table("docs")
+    val t = in.index("text")
+    val drop = Dedup.jaccardAgainstIndexAt(s, t.path, t.version, batch,
+        "doc_id", "text", n = p("n").toInt,
+        threshold = p("threshold").toDouble, nBuckets = p("nBuckets").toInt)
+      .select(col("i").as("doc_id")).distinct()
+    batch.join(drop, Seq("doc_id"), "left_anti").select("doc_id")
+  }
+
+  private val recipeParams = Map(
+    "n" -> "3", "threshold" -> "0.9", "nBuckets" -> NB.toString)
+
+  /** Builds table g1 = ids 25..34, text index v2 over ids 0..29, and
+    * commits the export. Kept set under the PINS: 30..34 (25..29 are
+    * exact dups of corpus docs).
+    */
+  private def freshExport(prefix: String): (String, TrainExport.ExportManifest) = {
+    val root = java.nio.file.Files.createTempDirectory(prefix).toString
+    Compaction.writeGen(docs(25L to 34L), s"$root/docs")
+    Dedup.writeShingleIndex(docs(0L until 30L), "doc_id", "text", n = 3,
+      s"$root/text", nBuckets = NB)
+    Dedup.rebuildShingleIndex(spark, s"$root/text") // v1 convert, v2 base
+    val m = TrainExport.commit(spark, s"$root/export", "spec_export_v1",
+      params = recipeParams,
+      tables = Map("docs" -> s"$root/docs"),
+      indexes = Map("text" -> s"$root/text"))
+    (root, m)
+  }
+
+  private def keptIds(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("doc_id").as[Long].collect().sorted.toSeq
+
+  test("commit pins every input; replay after append+forget on all of them is hash-identical to the artifact") {
+    val (root, m) = freshExport("graft_texp")
+    assert(m.recipe == "spec_export_v1")
+    assert(m.tables("docs").gen == 1L)
+    assert(m.indexes("text").version == 2L)
+    assert(m.params == recipeParams)
+    // the manifest is ONE committed artifact and round-trips exactly
+    assert(TrainExport.manifest(spark, s"$root/export") == m)
+    val artifact = keptIds(spark.read.parquet(s"$root/export/data"))
+    assert(artifact == (30L to 34L),
+      s"pinned recipe must keep exactly the non-duplicate ids: $artifact")
+    // mutate EVERY input — append AND forget, scrubs grace-deferred.
+    // The appended index segment contains the batch's own 30..34 text:
+    // an unpinned replay would drop ALL of them (empty result).
+    val grace = 600000L
+    Compaction.writeGen(docs(25L to 44L), s"$root/docs",
+      readerGraceMs = grace)
+    Compaction.forgetRows(spark, s"$root/docs",
+      col("doc_id") % 2 === 0, readerGraceMs = grace)
+    Dedup.appendToShingleIndex(spark, s"$root/text", docs(30L to 40L),
+      "doc_id", "text", n = 3, ingestTag = "b0", nBuckets = NB)
+    Forget.fromShingleIndexViaRebuild(spark, s"$root/text",
+      Seq(26L, 27L), readerGraceMs = grace)
+    val replayed = TrainExport.replay(spark, s"$root/export")
+    assert(keptIds(replayed) == artifact,
+      "replay after mutating every input must reproduce the artifact")
+  }
+
+  test("a second commit into the same export dir fails loudly") {
+    val (root, _) = freshExport("graft_texp2")
+    val e = intercept[IllegalArgumentException](
+      TrainExport.commit(spark, s"$root/export", "spec_export_v1",
+        params = recipeParams,
+        tables = Map("docs" -> s"$root/docs"),
+        indexes = Map("text" -> s"$root/text")))
+    assert(e.getMessage.contains("immutable once committed"))
+  }
+
+  test("replay fails with the table retention message once the pinned generation is scrubbed") {
+    val (root, _) = freshExport("graft_texp3")
+    // two zero-grace publishes move the rank floor past g1: marker and
+    // dir both expire (the pre-round-12 marker pruning and the dir
+    // pruning now agree)
+    Compaction.writeGen(docs(25L to 35L), s"$root/docs")
+    Compaction.writeGen(docs(25L to 36L), s"$root/docs")
+    val e = intercept[IllegalArgumentException](
+      TrainExport.replay(spark, s"$root/export"))
+    assert(e.getMessage.contains("pinned table 'docs' is gone") &&
+      e.getMessage.contains("retention window"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
+  test("replay fails with the index retention message once the pinned version's dir is scrubbed") {
+    val (root, _) = freshExport("graft_texp4")
+    // two rebuilds with zero orphan grace retire the pinned v2 dir
+    // (dir retention = two most recent distinct dirs)
+    Dedup.rebuildShingleIndex(spark, s"$root/text")
+    Dedup.rebuildShingleIndex(spark, s"$root/text", orphanGraceMs = 0L)
+    val e = intercept[RuntimeException](
+      TrainExport.replay(spark, s"$root/export"))
+    assert(e.getMessage.contains("pinned index 'text' is gone"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
+  test("replay fails when the pinned version's params sidecars changed in place") {
+    val (root, m) = freshExport("graft_texp5")
+    val pin = m.indexes("text")
+    val im = IndexLifecycle.manifestAt(spark, pin.path, pin.version)
+    val pinnedDir = new Path(new Path(pin.path), im.dir).toString
+    // simulate an in-place retune (the params doctrine forbids it —
+    // which is exactly why replay must detect it)
+    Dedup.writeShingleParams(spark, pinnedDir, 3, NB, 999)
+    val e = intercept[IllegalArgumentException](
+      TrainExport.replay(spark, s"$root/export"))
+    assert(e.getMessage.contains("params sidecars changed"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
+  test("writeGen readerGraceMs retains older generations' MARKERS as long as their dirs (round-12 fix)") {
+    val t = java.nio.file.Files.createTempDirectory("graft_texp6")
+      .toString + "/tbl"
+    Compaction.writeGen(docs(0L to 4L), t) // g1
+    Compaction.writeGen(docs(0L to 5L), t, readerGraceMs = 600000L) // g2
+    Compaction.writeGen(docs(0L to 6L), t, readerGraceMs = 600000L) // g3
+    assert(Compaction.generations(spark, t) == Seq(1L, 2L, 3L),
+      "wall grace must keep g1 readable past the two-publish rank floor")
+    assert(Compaction.readTableAt(spark, t, 1L).count() == 5L)
+    // zero grace restores the pure rank-based retention
+    Compaction.writeGen(docs(0L to 7L), t) // g4
+    assert(Compaction.generations(spark, t) == Seq(3L, 4L),
+      "zero grace must prune markers and dirs below the rank floor")
+  }
+}
