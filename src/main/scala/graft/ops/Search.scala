@@ -543,6 +543,30 @@ object Search {
       },
       Some(bm25OracleSql(registeredQueries, 10, "WHERE doc_id % 10 <> 0"))),
 
+    // Deletion propagation (RTBF) into the persisted BM25 postings
+    // index through the reader-isolated path (round-12 — the last of
+    // the six forget-bearing index families to get an oracle row;
+    // byte-level erasure is additionally proven in SearchSpec's
+    // victim-text scan). Forget ≡ rebuild-without-ids: the closure
+    // recomputes dft, doc count and avgdl from the SURVIVING postings
+    // (df only drops, survivors' tf/len are per-doc and untouched), so
+    // the post-forget probe provably equals the generated BM25 replay
+    // over the surviving population — which is exactly the oracle.
+    GQuery("forget_bm25_index",
+      (s, d) => {
+        val idx = graft.util.TempFixtures.dir(s"bm25forget:$d") { p =>
+          val corpus = Tables(s, d, "documents")
+            .filter(col("doc_id") % 10 === 0)
+          writeBm25Index(corpus, "doc_id", "text", p, nBuckets = 16)
+          val ids = corpus.filter(col("doc_id") % 20 === 0)
+            .select("doc_id").collect().map(_.getLong(0)).toSeq
+          val removed = graft.ops.Forget.fromBm25IndexViaRebuild(s, p, ids)
+          require(removed > 0L, "forget removed nothing — bad fixture")
+        }
+        bm25AgainstIndex(s, idx, registeredQueries, 10)
+      },
+      Some(bm25OracleSql(registeredQueries, 10, "WHERE doc_id % 20 = 10"))),
+
     // Misra-Gries heavy hitters in the exact regime: capacity 64 ≥ the
     // corpus's 31-token vocabulary, so no counter is ever evicted and
     // the sketch provably equals the exact token counts (which is what

@@ -255,6 +255,55 @@ class SearchSpec extends AnyFunSuite {
       new org.apache.hadoop.fs.Path(dir)) == Seq("base"))
   }
 
+  test("bm25 RTBF erasure is byte-level: no victim-derived term survives anywhere under the index after forgetViaRebuild") {
+    // the BM25 postings store RAW terms (column t) — the victims'
+    // distinctive tokens must not survive in any file under the index
+    // root once the reader-isolated forget has scrubbed the retired
+    // dirs (the same contract StreamingCompactionSpec proves for the
+    // shingle family's fingerprint sidecars)
+    import graft.ops.Forget
+    val secret = Seq("zqb1x", "zqb2y", "zqb3z")
+    val corpus = Seq(
+      (1L, s"alpha beta ${secret.mkString(" ")}"),
+      (2L, s"alpha gamma ${secret.mkString(" ")}"),
+      (3L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bm25rtbf").toString + "/index"
+    Search.writeBm25Index(corpus, "doc_id", "text", idx, nBuckets = 4)
+    val removed = Forget.fromBm25IndexViaRebuild(spark, idx, Seq(1L, 2L))
+    assert(removed > 0L, "forget must remove the victims' postings")
+    // scan EVERY byte of EVERY file under the index root — postings,
+    // stats sidecars, params, markers, anything retained after prune
+    import scala.jdk.CollectionConverters._
+    val victimBytes = secret.map(_.getBytes("UTF-8"))
+    val offenders = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(idx)).iterator.asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .filter { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f)
+        victimBytes.exists(tok =>
+          bytes.sliding(tok.length).exists(_.sameElements(tok)))
+      }.map(_.toString).toSeq
+    assert(offenders.isEmpty,
+      s"victim-derived terms still at rest under the index: $offenders")
+    // the survivor is untouched and the probe equals a fresh build
+    // over the surviving population (stats recomputed from survivors)
+    val left = spark.read.parquet(
+        graft.sources.IndexLifecycle.resolveDir(spark, idx))
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(left == Set(3L), s"survivors: $left")
+    val qs = Seq((1, "alpha"), (2, "delta"))
+    val got = Search.bm25AgainstIndex(spark, idx, qs, 10, nBuckets = 4)
+      .select("qid", "doc_id", "rn", "score_u")
+      .as[(Int, Long, Int, Long)].collect().toSet
+    val fresh = Search.bm25TopK(corpus.filter(col("doc_id") === 3L),
+        "doc_id", "text", qs, 10)
+      .select("qid", "doc_id", "rn", "score_u")
+      .as[(Int, Long, Int, Long)].collect().toSet
+    assert(got == fresh,
+      "post-forget probe diverged from the surviving one-shot pass")
+  }
+
   test("bm25 probe-at-version: pinned snapshots replay exactly while the live index grows; pruned versions fail loudly") {
     import graft.sources.IndexLifecycle
     val docs = Tables(spark, sfDir, "documents")
