@@ -40,17 +40,68 @@ import org.apache.spark.storage.StorageLevel
   */
 object Cluster {
 
+  /** The conf key that switches the iteration frames from
+    * executor-local to RELIABLE checkpointing. See [[materialize]].
+    */
+  val CheckpointDirConf = "spark.graft.checkpointDir"
+
+  /** Instrumentation from the most recent [[connectedComponents]] run
+    * on this thread: contraction rounds to the fixpoint, final
+    * star-edge count, and per-round wall seconds (materialize +
+    * fixpoint test). Diagnostic only — ScaleSmoke's cc modes print it
+    * so any contraction-schedule change argues from a measured
+    * rounds×cost curve instead of a single total.
+    */
+  final case class CcRunStats(rounds: Int, edges: Long,
+                              roundSecs: Seq[Double])
+
+  private val lastRunTL = new ThreadLocal[CcRunStats]
+
+  def lastRun: Option[CcRunStats] = Option(lastRunTL.get)
+
+  private val ckptConfigured =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Materialize an iteration frame and truncate its lineage — every
+    * round of the star-contraction loop must cut the plan or round k
+    * replays rounds 1..k-1.
+    *
+    * Default: eager `localCheckpoint` — blocks live on the executors
+    * that computed them. Fast (no distributed write), but
+    * NON-RECOMPUTABLE: lineage is gone, so losing one executor mid-job
+    * kills a long CC run. Fine on local[*] and for short loops.
+    *
+    * Opt-in reliable mode for cluster deployments: set
+    * `spark.graft.checkpointDir` to a fault-tolerant path (HDFS /
+    * object store) and iteration frames go through `df.checkpoint` —
+    * files survive executor loss, so a 100-TB CC job rides out node
+    * churn at the cost of one distributed write per round. Set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (or sweep
+    * the dir) to reclaim finished rounds' files.
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(CheckpointDirConf) match {
+      case Some(dir) if dir.nonEmpty =>
+        val sc = df.sparkSession.sparkContext
+        // setCheckpointDir mints a fresh UUID subdir per call — set it
+        // only when the configured root actually changed
+        if (ckptConfigured.getAndSet(dir) != dir ||
+            sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case _ => df.localCheckpoint(eager = true)
+    }
+
   /** Assign every node appearing in `edges` (columns `i`, `j`) the min
     * node id of its connected component. Returns (`node`, `cluster`).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     // canonical undirected edge set, self-loops dropped
-    var e = edges
+    var e = materialize(edges
       .select(least(col("i"), col("j")).as("u"),
         greatest(col("i"), col("j")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(eager = true)
+      .distinct())
     // every node that appears in any pair — the label domain (fixed
     // across rounds; star contraction may drop a node from the edge
     // set once it is directly attached to its minimum)
@@ -89,24 +140,27 @@ object Cluster {
 
     var iter = 0
     var converged = false
+    val roundSecs = Seq.newBuilder[Double]
     while (!converged && iter < maxIter) {
-      // ONE star cycle per materialization (the eager localCheckpoint
-      // also truncates lineage so round k never replays rounds 1..k-1).
-      // Chaining TWO cycles per checkpoint was measured and rejected:
-      // the deeper unmaterialized plan (4 grouped-min passes + 2
-      // distincts in one query) planned strictly worse — 5.5 s vs
-      // 1.7 s for dedup_clusters at sf0.1.
-      val next = smallStar(largeStar(e)).localCheckpoint(eager = true)
+      val t0 = System.nanoTime()
+      // ONE star cycle per materialization. Chaining TWO cycles per
+      // checkpoint was measured and rejected: the deeper
+      // unmaterialized plan (4 grouped-min passes + 2 distincts in one
+      // query) planned strictly worse — 5.5 s vs 1.7 s for
+      // dedup_clusters at sf0.1.
+      val next = materialize(smallStar(largeStar(e)))
       // exact fixpoint test on the (pair-bounded) edge set — a hash
       // compare could terminate early on a collision
       converged = next.count() == e.count() &&
         next.exceptAll(e).limit(1).count() == 0
+      roundSecs += (System.nanoTime() - t0) / 1e9
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc] iter=$iter edges=${next.count()} converged=$converged")
       e.unpersist(blocking = false)
       e = next
       iter += 1
     }
+    lastRunTL.set(CcRunStats(iter, e.count(), roundSecs.result()))
 
     // fixpoint edges are stars (node → component min); the min itself
     // appears only on the v side and labels itself

@@ -79,6 +79,17 @@ object ScaleSmoke {
         graft.util.Caches.sweep()
       }
 
+    // rounds-to-convergence + per-round wall time of the star
+    // contraction inside the tag's operator (round-12: the perennial
+    // top-5 bench rows er_entities/dedup_clusters argue contraction-
+    // schedule changes from this curve, not a single total)
+    def ccStats(tag: String): Unit =
+      if (only.forall(_.exists(tag.startsWith)))
+        graft.ops.Cluster.lastRun.foreach { s =>
+          println(s"SCALE $tag ccRounds=${s.rounds} starEdges=${s.edges} " +
+            s"roundSecs=${s.roundSecs.map(x => f"$x%.2f").mkString(",")}")
+        }
+
     // Adversarial df-skew: one 3-token phrase appended to every other
     // document, so one shingle's posting list is 50% of the corpus (the
     // stop-phrase case the df-cap exists for). The cap must drop it via
@@ -432,6 +443,7 @@ object ScaleSmoke {
           .select("i", "j")
         graft.ops.Cluster.dedupClusters(pairs).count()
       }
+      ccStats(s"cc_clusters x$n")
       // span dedup over n× docs (replica token-tagging keeps k-grams
       // distinct across replicas: duplication structure grows linearly)
       timed(s"span_coverage x$n")(
@@ -451,6 +463,7 @@ object ScaleSmoke {
       timed(s"er_entities x$n")(
         graft.ops.EntityResolution.entities(replicateCustomers(customer, n),
           "c_custkey", "c_name", "c_nationkey").count())
+      ccStats(s"er_entities x$n")
       // depth-2 neighborhood with the hot-variant cap (the production
       // configuration — templated names make a few 2-delete variants
       // collide across much of a block; the cap keeps the candidate
@@ -545,6 +558,7 @@ object ScaleSmoke {
           .localCheckpoint(eager = true)
         timed(s"inc_cc x$n")(
           graft.ops.Cluster.incrementalComponents(labels, newE).count())
+        ccStats(s"inc_cc x$n")
       }
       // Persisted ER variant index: build over n× masters, probe a
       // FIXED dirty-feed batch (one-char-deleted twins of the replica-0

@@ -101,4 +101,45 @@ class CcPropertySpec extends AnyFunSuite {
       assert(inc == full, s"trial $trial: incremental diverged from one-shot")
     }
   }
+
+  test("spark.graft.checkpointDir toggles RELIABLE checkpointing: identical labels, files actually land in the dir") {
+    // the 100-TB deployment knob (round-12): localCheckpoint blocks die
+    // with their executor, so long CC loops opt into reliable
+    // checkpoints by conf — results must be byte-identical either way
+    val rnd = new Random(42)
+    val n = 150
+    val edges = ((0 until n * 2).map { _ =>
+      val a = rnd.nextInt(n).toLong
+      var b = rnd.nextInt(n).toLong
+      if (a == b) b = (b + 1) % n
+      (math.min(a, b), math.max(a, b))
+    } ++ (0 until 40).map(k => (k.toLong + 500L, k.toLong + 501L)))
+      .filter(e => e._1 != e._2).distinct
+    val local = Cluster.connectedComponents(edges.toDF("i", "j"))
+      .as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ccckpt").toString
+    spark.conf.set(Cluster.CheckpointDirConf, dir)
+    try {
+      val reliable = Cluster.connectedComponents(edges.toDF("i", "j"))
+        .as[(Long, Long)].collect().toMap
+      assert(reliable == local,
+        "reliable-checkpoint CC diverged from the localCheckpoint path")
+      // the incremental merge loop runs through the same materializer
+      val inc = Cluster.incrementalComponents(
+          edges.take(edges.size / 2).toDF("i", "j")
+            .transform(df => Cluster.connectedComponents(df)),
+          edges.drop(edges.size / 2).toDF("i", "j"))
+        .as[(Long, Long)].collect().toMap
+      assert(inc == local, "reliable-path incremental merge diverged")
+      // and the checkpoints really were RELIABLE ones: RDD checkpoint
+      // files landed under the configured dir
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator.asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .take(1).toSeq
+      assert(files.nonEmpty,
+        s"no checkpoint files under $dir — the conf did not take effect")
+    } finally spark.conf.unset(Cluster.CheckpointDirConf)
+  }
 }
