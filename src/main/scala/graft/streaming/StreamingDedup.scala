@@ -42,7 +42,11 @@ import graft.ops.Dedup
   * the hot list), exactly the segment-merge maintenance a log-
   * structured store runs.
   *
-  * Every attach* loop takes `maxSegments` (default 0 = off): when set,
+  * Every attach* loop takes `maxSegments` (round-12 DEFAULTS: the
+  * family's measured-knee policy — 8 for the shingle-probing loops,
+  * 16 for the bucket-pruned families; pass 0 to disable when an
+  * external maintenance job owns compaction, accepting unbounded
+  * segment growth until it runs): when set,
   * the trigger runs the family's
   * [[graft.sources.IndexLifecycle.maybeRebuild]] policy after its
   * append, so segment accumulation is bounded IN the loop instead of
@@ -63,6 +67,19 @@ import graft.ops.Dedup
   * it from the index's own params sidecar.
   */
 object StreamingDedup {
+
+  /** Default in-loop compaction caps: HALF the measured probe knee of
+    * the family's probe-vs-segment-count curve (PLANS.md round-10
+    * batches 3/14). The shingle probe reads wide posting rows per
+    * touched bucket and degrades ~2.5x by 16 segments, so the
+    * shingle-probing loops cap at 8; the bm25/cell/phash/ER
+    * bucket-pruned probes stay flat to ~64, so those loops cap at 16.
+    * A cap of 0 disables in-loop compaction (unbounded segment growth
+    * — only for deployments whose maintenance job rebuilds on its own
+    * schedule).
+    */
+  val ShingleMaxSegments = 8
+  val BucketedMaxSegments = 16
 
   /** Shared trigger scaffolding for every attach* loop: run the body
     * under its own cache-ownership scope ([[graft.util.Caches.scoped]])
@@ -88,7 +105,7 @@ object StreamingDedup {
   def attach(docs: DataFrame, idCol: String, textCol: String,
              indexPath: String, pairsDir: String,
              n: Int = 3, threshold: Double = 0.5,
-             nBuckets: Int = 64, maxSegments: Int = 0,
+             nBuckets: Int = 64, maxSegments: Int = ShingleMaxSegments,
              readerGraceMs: Long = 0L): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
@@ -127,7 +144,8 @@ object StreamingDedup {
     */
   def attachSemantic(vecs: DataFrame, idCol: String, vecCol: String,
                      indexPath: String, pairsDir: String,
-                     threshold: Double, maxSegments: Int = 0,
+                     threshold: Double,
+                     maxSegments: Int = BucketedMaxSegments,
                      readerGraceMs: Long = 0L): DataStreamWriter[org.apache.spark.sql.Row] = {
     vecs.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
@@ -158,7 +176,7 @@ object StreamingDedup {
     */
   def attachPhash(images: DataFrame, indexPath: String, pairsDir: String,
                   maxDist: Int = 3, nBuckets: Int = 64,
-                  maxSegments: Int = 0,
+                  maxSegments: Int = BucketedMaxSegments,
                   readerGraceMs: Long = 0L): DataStreamWriter[org.apache.spark.sql.Row] =
     images.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
@@ -193,7 +211,7 @@ object StreamingDedup {
   def attachLink(masters: DataFrame, idCol: String, nameCol: String,
                  blockCol: String, indexPath: String, pairsDir: String,
                  maxDist: Int = 1, nBuckets: Int = 16,
-                 maxSegments: Int = 0,
+                 maxSegments: Int = BucketedMaxSegments,
                  readerGraceMs: Long = 0L): DataStreamWriter[org.apache.spark.sql.Row] =
     masters.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
@@ -230,7 +248,7 @@ object StreamingDedup {
                  indexPath: String, outDir: String,
                  standingQueries: Seq[(Int, String)], k: Int = 10,
                  nBuckets: Int = 16,
-                 maxSegments: Int = 0,
+                 maxSegments: Int = BucketedMaxSegments,
                  readerGraceMs: Long = 0L): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
@@ -282,7 +300,8 @@ object StreamingDedup {
                      modelPath: String, outDir: String,
                      n: Int = 3, threshold: Double = 0.8,
                      nBuckets: Int = 64, maxDist: Int = 3,
-                     phashBuckets: Int = 64, maxSegments: Int = 0,
+                     phashBuckets: Int = 64,
+                     maxSegments: Int = ShingleMaxSegments,
                      readerGraceMs: Long = 0L): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
@@ -349,7 +368,8 @@ object StreamingDedup {
   def attachCurate(docs: DataFrame, idCol: String, textCol: String,
                    indexPath: String, modelPath: String, outDir: String,
                    n: Int = 3, threshold: Double = 0.8,
-                   nBuckets: Int = 64, maxSegments: Int = 0,
+                   nBuckets: Int = 64,
+                   maxSegments: Int = ShingleMaxSegments,
                    readerGraceMs: Long = 0L): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession

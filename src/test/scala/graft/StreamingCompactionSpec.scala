@@ -84,6 +84,38 @@ class StreamingCompactionSpec extends AnyFunSuite {
     assert(rows(idxA) == rows(idxB), "compacted postings must match")
   }
 
+  test("DEFAULT maxSegments: an attach loop left on its defaults stays bounded at the family cap (round-12)") {
+    // the round-10..11 default was 0 = unbounded — a user following the
+    // scaladoc got linear probe degradation until they found the curve
+    // tables; the defaults are now the measured-knee policy and this
+    // pins the DEFAULT code path (no maxSegments argument at all)
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, body(1))).toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sdef").toString
+    val idx = root + "/index"
+    Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx, nBuckets = 8)
+    val nBatches = StreamingDedup.ShingleMaxSegments + 2
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingDedup.attach(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", idx, root + "/pairs", n = 3, threshold = 0.99,
+        nBuckets = 8) // NO maxSegments: the default policy must engage
+      .option("checkpointLocation", root + "/ckpt").start()
+    try (0 until nBatches).foreach { k =>
+      in.addData((200L + k) -> body(200 + k)); q.processAllAvailable()
+    } finally q.stop()
+    val segs = IndexLifecycle.segmentCount(spark, idx)
+    assert(segs <= StreamingDedup.ShingleMaxSegments,
+      s"default policy must bound segments at the shingle cap: $segs")
+    assert(segs < nBatches + 1,
+      s"no rebuild ever ran — the default policy did not engage: $segs")
+    // the postings survived the in-loop rebuilds intact
+    val docs = spark.read.parquet(IndexLifecycle.resolveDir(spark, idx))
+      .select("doc").distinct().as[Long].collect().toSet
+    assert(docs == (Set(1L) ++ (0 until nBatches).map(200L + _)),
+      s"in-loop compaction lost documents: $docs")
+  }
+
   test("shingle absorbed-tag replay: id-level closure keeps the probe self-match-free") {
     val corpus = Seq((1L, body(1)), (2L, body(2))).toDF("doc_id", "text")
     val idx = java.nio.file.Files
