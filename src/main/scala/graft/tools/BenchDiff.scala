@@ -1,0 +1,97 @@
+package graft.tools
+
+/** Self-diffing bench triage — compares two `Bench` full artifacts and
+  * separates plan regressions from host noise, the adjudication that
+  * previously needed manual TimeQ forensics every round (r8 "+30%
+  * drift", r10 steal episodes, r11's degraded-host artifact).
+  *
+  * Usage: `runMain graft.tools.BenchDiff [current] [prior]`
+  * Defaults: `bench_full_latest.json` vs the highest-numbered committed
+  * `bench_full_r*.json` in the working directory.
+  *
+  * Interpretation rules (the round workflow's, made executable):
+  *  - steal_pct > 0.5 in EITHER artifact → per-query flags are
+  *    UNRELIABLE; re-run on an idle box before reading them (a steal
+  *    episode inflates all queries ~uniformly — median ratio >> 1 with
+  *    flat spread is host noise, not a regression);
+  *  - flags are ratio > 1.5 with the prior ≥ 0.05 s (sub-50 ms rows
+  *    are pure jitter at local[32]);
+  *  - a missing steal_pct (pre-round-12 artifact) reads as unknown.
+  */
+object BenchDiff {
+
+  private val Pair = """"([^"]+)":(-?[0-9][0-9.eE+\-]*)""".r
+
+  private def queriesOf(json: String): Map[String, Double] = {
+    val key = "\"queries\":{"
+    val i = json.indexOf(key)
+    if (i < 0) return Map.empty
+    val start = i + key.length
+    val end = json.indexOf('}', start)
+    Pair.findAllMatchIn(json.substring(start, end))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  private def scalarOf(json: String, name: String): Option[Double] = {
+    val key = s""""$name":"""
+    val i = json.indexOf(key)
+    if (i < 0) None
+    else """-?[0-9][0-9.eE+\-]*""".r
+      .findPrefixOf(json.substring(i + key.length)).map(_.toDouble)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val curPath = args.headOption.getOrElse("bench_full_latest.json")
+    val priorPath = args.lift(1).getOrElse {
+      val rs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(n => n.startsWith("bench_full_r") &&
+          n.endsWith(".json")).sorted
+      require(rs.nonEmpty, "no committed bench_full_r*.json to diff against")
+      rs.last
+    }
+    def read(p: String) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+    val (cur, prior) = (read(curPath), read(priorPath))
+    val (cq, pq) = (queriesOf(cur), queriesOf(prior))
+    val (cSteal, pSteal) = (scalarOf(cur, "steal_pct"),
+      scalarOf(prior, "steal_pct"))
+    println(f"current  $curPath%s  total=${scalarOf(cur, "value").getOrElse(-1.0)}%.1f s  " +
+      s"queries=${cq.size}  steal_pct=${cSteal.map(_.toString).getOrElse("unknown")}")
+    println(f"prior    $priorPath%s  total=${scalarOf(prior, "value").getOrElse(-1.0)}%.1f s  " +
+      s"queries=${pq.size}  steal_pct=${pSteal.map(_.toString).getOrElse("unknown")}")
+    val added = (cq.keySet -- pq.keySet).toSeq.sorted
+    val removed = (pq.keySet -- cq.keySet).toSeq.sorted
+    if (added.nonEmpty) println(s"new queries (${added.size}): ${added.mkString(", ")}")
+    if (removed.nonEmpty) println(s"REMOVED queries (${removed.size}): ${removed.mkString(", ")}")
+    val ratios = cq.keySet.intersect(pq.keySet).toSeq
+      .filter(k => cq(k) >= 0 && pq(k) > 0)
+      .map(k => (k, cq(k), pq(k), cq(k) / pq(k)))
+      .sortBy(-_._4)
+    require(ratios.nonEmpty, "no comparable queries between the artifacts")
+    val median = ratios.map(_._4).sorted.apply(ratios.size / 2)
+    println(f"median ratio ${median}%.3f over ${ratios.size} comparable queries")
+    val stealClean = cSteal.exists(s => s >= 0 && s <= 0.5) &&
+      pSteal.forall(s => s < 0 || s <= 0.5)
+    val flagged = ratios.filter(r => r._4 > 1.5 && r._3 >= 0.05)
+    if (flagged.isEmpty)
+      println("no query regressed past 1.5x (prior >= 0.05 s)")
+    else {
+      val tag = if (stealClean) "REGRESSION CANDIDATES (steal clean — investigate plans)"
+        else "flagged >1.5x, but steal_pct is high/unknown — RE-RUN ON AN IDLE BOX before believing these"
+      println(s"$tag:")
+      flagged.take(20).foreach { case (k, c, p, r) =>
+        println(f"  $k%-40s ${p}%8.2f -> ${c}%8.2f  (${r}%.2fx)")
+      }
+    }
+    val errs = """"errors":\[([^\]]*)\]""".r.findFirstMatchIn(cur)
+      .map(_.group(1)).getOrElse("")
+    if (errs.nonEmpty) println(s"ERRORS in current artifact: $errs")
+    val verdict =
+      if (cSteal.exists(s => s > 0.5))
+        "VERDICT: current run is steal-contaminated — not committable, re-run"
+      else if (errs.nonEmpty) "VERDICT: current run has errors — fix before committing"
+      else if (flagged.isEmpty) "VERDICT: clean — committable"
+      else "VERDICT: clean host but flagged queries — explain or fix before committing"
+    println(verdict)
+  }
+}
