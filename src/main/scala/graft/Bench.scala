@@ -47,19 +47,30 @@ object Bench {
     val tmp = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     import scala.jdk.CollectionConverters._
+    import scala.util.control.NonFatal
+    // NonFatal, not IOException: Files.list/walk iterators throw
+    // UncheckedIOException (a RuntimeException) on unreadable entries
+    // (another user's mode-700 dir, contents vanishing mid-traversal)
+    // — a best-effort sweep must never abort the bench. Streams are
+    // closed explicitly (each walk holds an fd until closed).
     try {
-      val stale = java.nio.file.Files.list(tmp).iterator.asScala
-        .filter(p => p.getFileName.toString.startsWith("graft_"))
-        .toSeq
+      val listing = java.nio.file.Files.list(tmp)
+      val stale =
+        try listing.iterator.asScala
+          .filter(p => p.getFileName.toString.startsWith("graft_")).toSeq
+        finally listing.close()
       stale.foreach { root =>
-        try java.nio.file.Files.walk(root).iterator.asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-        catch { case _: java.io.IOException => () }
+        try {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.iterator.asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally walk.close()
+        } catch { case NonFatal(_) => () }
       }
       if (stale.nonEmpty)
         System.err.println(s"[bench] swept ${stale.size} stale graft_* " +
           "fixture dirs from a killed prior run")
-    } catch { case _: java.io.IOException => () }
+    } catch { case NonFatal(_) => () }
   }
 
   def main(args: Array[String]): Unit = {

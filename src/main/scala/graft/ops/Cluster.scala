@@ -42,6 +42,8 @@ object Cluster {
 
   /** The conf key that switches the iteration frames from
     * executor-local to RELIABLE checkpointing. See [[materialize]].
+    * The checkpoint dir is SparkContext-global: configure ONE root per
+    * context (sessions sharing a context must agree on it).
     */
   val CheckpointDirConf = "spark.graft.checkpointDir"
 
@@ -59,8 +61,7 @@ object Cluster {
 
   def lastRun: Option[CcRunStats] = Option(lastRunTL.get)
 
-  private val ckptConfigured =
-    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val ckptLock = new Object
 
   /** Materialize an iteration frame and truncate its lineage — every
     * round of the star-contraction loop must cut the plan or round k
@@ -83,11 +84,24 @@ object Cluster {
     df.sparkSession.conf.getOption(CheckpointDirConf) match {
       case Some(dir) if dir.nonEmpty =>
         val sc = df.sparkSession.sparkContext
-        // setCheckpointDir mints a fresh UUID subdir per call — set it
-        // only when the configured root actually changed
-        if (ckptConfigured.getAndSet(dir) != dir ||
-            sc.getCheckpointDir.isEmpty)
-          sc.setCheckpointDir(dir)
+        // setCheckpointDir mints a fresh UUID subdir per call, so set
+        // it only when the configured ROOT actually differs from the
+        // context's current one (getCheckpointDir returns the
+        // fs-qualified root/UUID path — compare the qualified parent).
+        // The checkpoint dir is SparkContext-GLOBAL: two sessions
+        // configuring DIFFERENT roots on one context would ping-pong
+        // it and land frames under each other's roots — one reliable
+        // root per context is the deployment contract (documented on
+        // CheckpointDirConf); the lock only keeps the compare-and-set
+        // itself race-free.
+        ckptLock.synchronized {
+          val want = new org.apache.hadoop.fs.Path(dir)
+          val wantQ = want.getFileSystem(sc.hadoopConfiguration)
+            .makeQualified(want).toString
+          val curRoot = sc.getCheckpointDir.map(c =>
+            new org.apache.hadoop.fs.Path(c).getParent.toString)
+          if (!curRoot.contains(wantQ)) sc.setCheckpointDir(dir)
+        }
         df.checkpoint(eager = true)
       case _ => df.localCheckpoint(eager = true)
     }
@@ -141,6 +155,11 @@ object Cluster {
     var iter = 0
     var converged = false
     val roundSecs = Seq.newBuilder[Double]
+    // carry each round's edge count forward: the fixpoint test needs
+    // (prev, next) counts, and recounting the checkpointed prev frame
+    // every round (plus once more for the stats) is a redundant job
+    // per round on the bench's hottest iterative operator
+    var eCount = e.count()
     while (!converged && iter < maxIter) {
       val t0 = System.nanoTime()
       // ONE star cycle per materialization. Chaining TWO cycles per
@@ -149,18 +168,20 @@ object Cluster {
       // query) planned strictly worse — 5.5 s vs 1.7 s for
       // dedup_clusters at sf0.1.
       val next = materialize(smallStar(largeStar(e)))
+      val nextCount = next.count()
       // exact fixpoint test on the (pair-bounded) edge set — a hash
       // compare could terminate early on a collision
-      converged = next.count() == e.count() &&
+      converged = nextCount == eCount &&
         next.exceptAll(e).limit(1).count() == 0
       roundSecs += (System.nanoTime() - t0) / 1e9
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"[cc] iter=$iter edges=${next.count()} converged=$converged")
+        println(s"[cc] iter=$iter edges=$nextCount converged=$converged")
       e.unpersist(blocking = false)
       e = next
+      eCount = nextCount
       iter += 1
     }
-    lastRunTL.set(CcRunStats(iter, e.count(), roundSecs.result()))
+    lastRunTL.set(CcRunStats(iter, eCount, roundSecs.result()))
 
     // fixpoint edges are stars (node → component min); the min itself
     // appears only on the v side and labels itself

@@ -142,8 +142,11 @@ object TrainExport {
           c == '.' || c == '-'),
         s"export input/param name must be [A-Za-z0-9_.-]: '$k'")
     }
-    params.values.foreach(v => require(!v.contains("\n"),
-      s"param values must be single-line: '$v'"))
+    // reject ALL control chars, not just '\n': parse splits on
+    // linesIterator, which also breaks on '\r' — a CR in a value would
+    // commit a manifest that can never be parsed back
+    params.values.foreach(v => require(!v.exists(_.isControl),
+      s"param values must be single-line printable text: '$v'"))
     val tPins = tables.map { case (name, path) =>
       val gens = Compaction.generations(spark, path)
       require(gens.nonEmpty, s"table '$name' at $path has no published " +
@@ -166,16 +169,32 @@ object TrainExport {
     require(mc.read(ManifestName).isEmpty,
       s"$exportDir already holds a committed export manifest — an " +
         "export dir is immutable once committed; write a new dir")
-    val dataDir = new Path(main, "data").toString
-    out.write.mode("overwrite").parquet(dataDir)
-    // fingerprint the COMMITTED artifact (the parquet round-trip is
-    // the authoritative bytes a consumer reads), not the live plan
-    val m = ExportManifest(recipe, params, tPins, iPins,
-      resultFp = rowFingerprint(spark.read.parquet(dataDir)))
-    require(mc.createExclusive(ManifestName, render(m).getBytes("UTF-8")),
-      s"lost the export-commit race at $exportDir — another export " +
-        "committed this dir first; write a new dir")
-    m
+    // stage under a writer-unique name and only the CAS WINNER renames
+    // it to `data`: two racing commits into one dir must leave the
+    // winner's manifest describing the winner's rows — a loser writing
+    // `data` directly (mode overwrite) after the winner's commit would
+    // silently break the fingerprint/pins/data agreement. A crash
+    // between the CAS and the rename leaves a committed manifest with
+    // no data dir: detectable (dataDir absent), and the data is
+    // re-derivable from the manifest via replay.
+    val staging = new Path(main,
+      s".data.tmp.${ProcessHandle.current().pid()}_" +
+        java.util.UUID.randomUUID().toString.take(8))
+    val dataDir = new Path(main, "data")
+    out.write.mode("overwrite").parquet(staging.toString)
+    try {
+      // fingerprint the COMMITTED artifact (the parquet round-trip is
+      // the authoritative bytes a consumer reads), not the live plan
+      val m = ExportManifest(recipe, params, tPins, iPins,
+        resultFp = rowFingerprint(spark.read.parquet(staging.toString)))
+      require(mc.createExclusive(ManifestName, render(m).getBytes("UTF-8")),
+        s"lost the export-commit race at $exportDir — another export " +
+          "committed this dir first; write a new dir")
+      if (!fs.rename(staging, dataDir))
+        sys.error(s"export commit at $exportDir: rename $staging -> " +
+          s"$dataDir failed after the manifest CAS")
+      m
+    } finally fs.delete(staging, true) // no-op for the winner
   }
 
   /** The committed manifest of `exportDir`, parsed. */
@@ -225,7 +244,13 @@ object TrainExport {
           s"$fp) — the index was retuned in place; replay would not be " +
           "faithful")
     }
-    val out = fn(spark, new PinnedInputs(spark, m.tables, m.indexes), m.params)
+    // own the persist: the fingerprint aggregate below materializes the
+    // full recipe, and the returned frame must not re-execute it when
+    // the caller consumes the rows (graft.util.Caches sweeps owned
+    // persists at the operator-lifecycle points — bench pass /
+    // streaming trigger / explicit sweep)
+    val out = graft.util.Caches.own(
+      fn(spark, new PinnedInputs(spark, m.tables, m.indexes), m.params))
     val fp = rowFingerprint(out)
     require(fp == m.resultFp,
       s"replay of $exportDir diverged: committed row fingerprint " +

@@ -43,11 +43,14 @@ object BenchDiff {
   def main(args: Array[String]): Unit = {
     val curPath = args.headOption.getOrElse("bench_full_latest.json")
     val priorPath = args.lift(1).getOrElse {
+      // order by the ROUND NUMBER, not lexicographically — "r9" sorts
+      // after "r12" as a string and would silently pick a stale prior
+      val RName = """bench_full_r(\d+)\.json""".r
       val rs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .map(_.getName).filter(n => n.startsWith("bench_full_r") &&
-          n.endsWith(".json")).sorted
+        .map(_.getName).collect { case n @ RName(num) => (num.toInt, n) }
+        .sorted
       require(rs.nonEmpty, "no committed bench_full_r*.json to diff against")
-      rs.last
+      rs.last._2
     }
     def read(p: String) = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
@@ -70,8 +73,17 @@ object BenchDiff {
     require(ratios.nonEmpty, "no comparable queries between the artifacts")
     val median = ratios.map(_._4).sorted.apply(ratios.size / 2)
     println(f"median ratio ${median}%.3f over ${ratios.size} comparable queries")
-    val stealClean = cSteal.exists(s => s >= 0 && s <= 0.5) &&
-      pSteal.forall(s => s < 0 || s <= 0.5)
+    // flags are trustworthy only when BOTH artifacts are measured AND
+    // clean: a steal-inflated PRIOR hides a real current regression
+    // behind a <1.5 ratio just as a steal-inflated CURRENT fakes one;
+    // a missing/unreadable steal_pct (pre-round-12 artifact, non-Linux)
+    // reads as unknown, not clean
+    val cClean = cSteal.exists(s => s >= 0 && s <= 0.5)
+    val pClean = pSteal.exists(s => s >= 0 && s <= 0.5)
+    val stealClean = cClean && pClean
+    if (cClean && !pClean)
+      println("note: prior artifact's steal_pct is high or unknown — " +
+        "ratios may UNDERSTATE regressions (inflated baseline)")
     val flagged = ratios.filter(r => r._4 > 1.5 && r._3 >= 0.05)
     if (flagged.isEmpty)
       println("no query regressed past 1.5x (prior >= 0.05 s)")
