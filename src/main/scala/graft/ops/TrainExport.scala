@@ -272,7 +272,7 @@ object TrainExport {
     * One aggregate, distributed, collect-free. Engine-internal — never
     * compared against another engine.
     */
-  private def rowFingerprint(df: DataFrame): String = {
+  private[graft] def rowFingerprint(df: DataFrame): String = {
     val row = df.select(xxhash64(to_json(struct(df.columns.toIndexedSeq.map(col): _*)))
       .cast("decimal(38,0)").as("h"))
     val s = row.agg(sum(col("h"))).head().get(0)
@@ -387,10 +387,12 @@ object TrainExport {
       col("score_u"), keepBps = p("keepBps").toInt)
     val textDrop = Dedup.jaccardAgainstIndexAt(s, t.path, t.version,
         batch, "doc_id", "text", n = p("n").toInt,
-        threshold = p("threshold").toDouble)
+        threshold = p("threshold").toDouble,
+        nBuckets = p.getOrElse("nBuckets", "64").toInt)
       .select(col("i").as("doc_id")).distinct()
     val imgDrop = Multimodal.phashAgainstIndexAt(s, im.path, im.version,
-        Multimodal.asPhashImageTable(batch), maxDist = p("maxDist").toInt)
+        Multimodal.asPhashImageTable(batch), maxDist = p("maxDist").toInt,
+        nBuckets = p.getOrElse("phashBuckets", "64").toInt)
       .select(col("j").as("doc_id")).distinct()
     val kept = gated.join(textDrop, Seq("doc_id"), "left_anti")
       .join(imgDrop, Seq("doc_id"), "left_anti")

@@ -153,6 +153,125 @@ class TrainExportSpec extends AnyFunSuite {
       s"wrong failure: ${e.getMessage}")
   }
 
+  test("replay in a FRESH JVM: a second process re-runs the export from the manifest alone, hash-verified") {
+    // the headline property, proven across a process boundary: the
+    // child JVM shares NOTHING with this one but the filesystem — its
+    // recipe registry re-populates at class load, every pin resolves
+    // from storage, and TrainExport.replay's fingerprint check guards
+    // the result. An in-JVM replay could silently lean on memoized
+    // session state; a forked one cannot.
+    import graft.ops.Multimodal
+    import scala.sys.process._
+    // the BUILT-IN recipe (train_export_v1), deliberately: the child
+    // JVM only has the library's class-load registrations — a
+    // spec-local recipe would not exist over there, which is exactly
+    // the deployment contract (recipe code ships in the jar)
+    val sdocs = docs(0L until 40L)
+      .withColumn("source", pmod(col("doc_id"), lit(3)).cast("string"))
+    val root = java.nio.file.Files.createTempDirectory("graft_texp8").toString
+    Compaction.writeGen(sdocs.filter(col("doc_id") % 2 === 0), s"$root/docs")
+    Dedup.writeShingleIndex(sdocs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", n = 3, s"$root/text", nBuckets = NB)
+    Dedup.rebuildShingleIndex(spark, s"$root/text")
+    Multimodal.writePhashIndex(
+      Multimodal.asPhashImageTable(sdocs.filter(col("doc_id") % 2 =!= 0)),
+      s"$root/img", maxDist = 1, nBuckets = NB)
+    Multimodal.rebuildPhashIndex(spark, s"$root/img")
+    TrainExport.commit(spark, s"$root/export", TrainExport.StandardRecipe,
+      params = Map("keepBps" -> "9000", "n" -> "3", "threshold" -> "0.9",
+        "maxDist" -> "1", "trainBps" -> "9500", "numShards" -> "2",
+        "splitSalt" -> "jsp", "shardSalt" -> "jsh",
+        "nBuckets" -> NB.toString, "phashBuckets" -> NB.toString),
+      tables = Map("docs" -> s"$root/docs"),
+      indexes = Map("text" -> s"$root/text", "image" -> s"$root/img"))
+    val artifact = keptIds(spark.read.parquet(s"$root/export/data")
+      .select("doc_id"))
+    assert(artifact.nonEmpty, "vacuous fixture: the export kept nothing")
+    // mutate the inputs, as production would between export and a
+    // later replay (grace-deferred scrubs keep the pins readable)
+    Compaction.writeGen(sdocs, s"$root/docs", readerGraceMs = 600000L)
+    Dedup.appendToShingleIndex(spark, s"$root/text",
+      sdocs.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 3,
+      ingestTag = "b0", nBuckets = NB)
+    val cp = System.getProperty("java.class.path")
+    assert(cp.contains("classes"), s"test classpath not propagated: $cp")
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val out = new StringBuilder
+    val rc = Process(Seq(javaBin, "-Xmx1g", "-cp", cp,
+      "graft.tools.ReplayChild", s"$root/export"))
+      .!(ProcessLogger(l => out.synchronized { out.append(l).append('\n') }))
+    assert(rc == 0, s"fresh-JVM replay failed (rc=$rc):\n$out")
+    val line = out.toString.linesIterator.find(_.startsWith("REPLAY:"))
+      .getOrElse(fail(s"no REPLAY line from child:\n$out"))
+    val ids = line.split(":", 3)(2).split(",").filter(_.nonEmpty)
+      .map(_.toLong).toSeq.sorted
+    assert(ids == artifact,
+      s"fresh-JVM replay must reproduce the committed kept set: " +
+        s"got $ids, committed $artifact")
+  }
+
+  test("two racing commits into one export dir: one winner, and data/ holds exactly the winner's rows") {
+    // the review-found race: a loser writing data/ directly (mode
+    // overwrite) AFTER the winner's manifest CAS would silently break
+    // the fingerprint/pins/data agreement. With staged writes only the
+    // CAS winner renames into data/ — so whatever the interleaving,
+    // the committed fingerprint must re-verify against data/.
+    val root = java.nio.file.Files.createTempDirectory("graft_texp7").toString
+    Compaction.writeGen(docs(25L to 34L), s"$root/docs")
+    Dedup.writeShingleIndex(docs(0L until 30L), "doc_id", "text", n = 3,
+      s"$root/text", nBuckets = NB)
+    Dedup.rebuildShingleIndex(spark, s"$root/text")
+    // different thresholds → different kept sets → different
+    // fingerprints: if the loser's rows leaked into data/, the winner's
+    // committed fingerprint cannot match them
+    def attempt(threshold: String): Either[Throwable, TrainExport.ExportManifest] =
+      try Right(TrainExport.commit(spark, s"$root/export", "spec_export_v1",
+        params = recipeParams.updated("threshold", threshold),
+        tables = Map("docs" -> s"$root/docs"),
+        indexes = Map("text" -> s"$root/text")))
+      catch { case t: Throwable => Left(t) }
+    @volatile var r1: Either[Throwable, TrainExport.ExportManifest] = null
+    @volatile var r2: Either[Throwable, TrainExport.ExportManifest] = null
+    val t1 = new Thread(() => r1 = attempt("0.9"))
+    val t2 = new Thread(() => r2 = attempt("0.1"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val results = Seq(r1, r2)
+    assert(results.count(_.isRight) == 1,
+      s"exactly one commit must win: $results")
+    assert(results.collect { case Left(t) => t.getMessage }
+      .forall(m => m.contains("race") || m.contains("immutable")),
+      s"loser must fail with the commit-race message: $results")
+    val won = results.collectFirst { case Right(m) => m }.get
+    // the committed manifest round-trips and describes data/ exactly:
+    // replay re-verifies the fingerprint against a fresh recipe run,
+    // and the artifact's own rows re-hash to the committed fingerprint
+    assert(TrainExport.manifest(spark, s"$root/export") == won)
+    val replayed = keptIds(TrainExport.replay(spark, s"$root/export"))
+    assert(replayed == keptIds(spark.read.parquet(s"$root/export/data")),
+      "data/ does not match the committed manifest (loser's rows leaked in)")
+    // no staged temp dirs left behind by either side
+    val leftovers = new java.io.File(s"$root/export").listFiles()
+      .map(_.getName).filter(_.startsWith(".data.tmp."))
+    assert(leftovers.isEmpty, s"staging leak: ${leftovers.mkString(",")}")
+  }
+
+  test("rowFingerprint: invariant under partitioning and row order, sensitive to any row change and to duplicates") {
+    val base = docs(0L until 50L)
+    val fp = TrainExport.rowFingerprint(base)
+    assert(fp == TrainExport.rowFingerprint(base.repartition(7)),
+      "fingerprint must not depend on partitioning")
+    assert(fp == TrainExport.rowFingerprint(base.orderBy(col("doc_id").desc)),
+      "fingerprint must not depend on row order")
+    assert(fp == TrainExport.rowFingerprint(
+      docs((0L until 50L).reverse)), "fingerprint must not depend on input order")
+    assert(fp != TrainExport.rowFingerprint(docs(0L until 49L)),
+      "dropping a row must change the fingerprint")
+    assert(fp != TrainExport.rowFingerprint(
+      base.unionAll(docs(Seq(7L)))),
+      "a duplicated row must change the fingerprint (multiset semantics)")
+    assert(TrainExport.rowFingerprint(base.filter(lit(false))) == "empty")
+  }
+
   test("writeGen readerGraceMs retains older generations' MARKERS as long as their dirs (round-12 fix)") {
     val t = java.nio.file.Files.createTempDirectory("graft_texp6")
       .toString + "/tbl"
