@@ -189,11 +189,19 @@ object Materialize {
           .agg(sum(col("live_cnt")).as("live_cnt"),
             sum(col("live_sum")).cast(dec).as("live_sum"))
           .filter(col("live_cnt") > 0)
+      // read-snapshot fence: `merged` scans curDir (resolved ABOVE,
+      // before the plan was built) — the fence must name THAT
+      // generation, so a concurrent publisher landing any time after
+      // the resolve fences this publish (FencedWriteException fails
+      // the trigger; the stream replays the batch against the winner's
+      // state) instead of being silently rolled back
+      val readGen =
+        if (exists) Compaction.genNumber(curDir.getName) else None
       Compaction.writeGen(merged, path, gen =>
         batchId.foreach { id =>
           val out = fs.create(new Path(gen, "_graft_last_batch"), true)
           try out.write(id.toString.getBytes) finally out.close()
-        })
+        }, expectGen = readGen)
       return
     }
     // A genuinely fresh table (nothing at main, no completed staged copy,

@@ -151,7 +151,29 @@ object Compaction {
 
   private[sources] def genName(n: Long): String = f"g$n%09d"
 
-  private[sources] def genNumber(name: String): Option[Long] =
+  /** True when `marker` is at least `graceMs` old (absent counts as
+    * long-gone) — the single wall-grace clock for marker AND data-dir
+    * retention, shared so the two planes cannot silently diverge.
+    */
+  private[graft] def agedPast(fs: org.apache.hadoop.fs.FileSystem,
+                              marker: Path, graceMs: Long): Boolean =
+    graceMs <= 0L || {
+      try System.currentTimeMillis() - fs.getFileStatus(marker)
+        .getModificationTime >= graceMs
+      catch { case _: java.io.FileNotFoundException => true }
+    }
+
+  /** True when `claim` exists and is younger than `orphanGraceMs` — a
+    * live writer's lease; absent or aged counts as dead. Shared by the
+    * table and index retention paths.
+    */
+  private[graft] def liveClaim(fs: org.apache.hadoop.fs.FileSystem,
+                               claim: Path, orphanGraceMs: Long): Boolean =
+    try fs.exists(claim) && (System.currentTimeMillis() -
+      fs.getFileStatus(claim).getModificationTime) < orphanGraceMs
+    catch { case _: java.io.FileNotFoundException => false }
+
+  private[graft] def genNumber(name: String): Option[Long] =
     if (name.length == 10 && name.head == 'g' && name.tail.forall(_.isDigit))
       Some(name.tail.toLong)
     else None
@@ -235,21 +257,14 @@ object Compaction {
     if (pubs.isEmpty) return
     val curN = pubs.head
     val graceFloor = pubs.take(2).last
-    val retiredLongAgo = readerGraceMs <= 0L || {
-      try System.currentTimeMillis() - fs.getFileStatus(
-        new Path(main, ManifestPrefix + genName(graceFloor)))
-        .getModificationTime >= readerGraceMs
-      catch { case _: java.io.FileNotFoundException => true }
-    }
+    val retiredLongAgo = agedPast(fs,
+      new Path(main, ManifestPrefix + genName(graceFloor)), readerGraceMs)
     fs.listStatus(main).toSeq.filter(_.isDirectory).foreach { s =>
       genNumber(s.getPath.getName).foreach { nn =>
         if (nn < graceFloor) { if (retiredLongAgo) fs.delete(s.getPath, true) }
         else if (nn > curN) {
-          val claim = new Path(main, ClaimPrefix + genName(nn))
-          val live =
-            try fs.exists(claim) && (System.currentTimeMillis() -
-              fs.getFileStatus(claim).getModificationTime) < orphanGraceMs
-            catch { case _: java.io.FileNotFoundException => false }
+          val live = liveClaim(fs,
+            new Path(main, ClaimPrefix + genName(nn)), orphanGraceMs)
           // delete the dir but KEEP the expired claim as a tombstone:
           // deleting it would let claimNext REUSE the number, and a
           // resurrected writer (paused past its lease, write job still
@@ -378,15 +393,26 @@ object Compaction {
   private[graft] def publish(fs: org.apache.hadoop.fs.FileSystem,
                              conf: org.apache.hadoop.conf.Configuration,
                              main: Path, gen: String,
-                             readerGraceMs: Long = 0L): Unit = {
+                             readerGraceMs: Long = 0L,
+                             expectCur: Option[Long] = None): Unit = {
     val n = genNumber(gen).getOrElse(sys.error(s"bad generation name $gen"))
     val curMax = listNums(fs, main, ManifestPrefix).maxOption.getOrElse(0L)
-    if (curMax >= n) {
+    // Two fences. The monotonic one (curMax >= n) catches a writer a
+    // CONCURRENT publish already numbered past. `expectCur` is the
+    // read-snapshot fence for read-modify-write publishers (forgetRows,
+    // compactGen, maintainAggregate): a writer whose CLAIM number is
+    // higher but whose INPUT predates an interleaved publish passes the
+    // monotonic check and would silently roll that publish back — for a
+    // forget, resurrecting the victims AFTER the RTBF call returned
+    // success. Such writers record the generation they read and lose
+    // here unless it is still current.
+    if (curMax >= n || expectCur.exists(_ != curMax)) {
       fs.delete(new Path(main, gen), true)
       fs.delete(new Path(main, ClaimPrefix + gen), false)
       throw new FencedWriteException(
-        s"publish of $gen fenced: generation ${genName(curMax)} was " +
-          s"published concurrently at $main — stale writer loses, " +
+        s"publish of $gen fenced: expected current generation " +
+          s"${expectCur.fold(s"< $n")(e => genName(e))} but found " +
+          s"${genName(curMax)} at $main — stale writer loses, " +
           "re-read current state and retry")
     }
     val tmp = new Path(main, s".${ManifestPrefix}$gen.tmp")
@@ -404,12 +430,8 @@ object Compaction {
     // live writer's claim is always above the current maximum marker)
     val graceFloor = listNums(fs, main, ManifestPrefix)
       .sorted.reverse.take(2).last
-    val retiredLongAgo = readerGraceMs <= 0L || {
-      try System.currentTimeMillis() - fs.getFileStatus(
-        new Path(main, ManifestPrefix + genName(graceFloor)))
-        .getModificationTime >= readerGraceMs
-      catch { case _: java.io.FileNotFoundException => true }
-    }
+    val retiredLongAgo = agedPast(fs,
+      new Path(main, ManifestPrefix + genName(graceFloor)), readerGraceMs)
     fs.listStatus(main).toSeq.map(_.getPath).foreach { p =>
       val name = p.getName
       if (name.startsWith(ManifestPrefix))
@@ -436,8 +458,16 @@ object Compaction {
     if (currentGen(fs, main).isDefined) return
     val g1 = new Path(main, genName(1L))
     fs.mkdirs(g1)
-    fs.listStatus(main).toSeq.filter(_.isFile).foreach { s =>
-      if (!fs.rename(s.getPath, new Path(g1, s.getPath.getName)))
+    // move DIRECTORIES too: a flat table written with partitionBy keeps
+    // all data under key=.../part-* subdirs with no top-level files —
+    // a file-only move published an EMPTY g1 and readers silently saw
+    // zero rows while the real data sat unreferenced at the root
+    fs.listStatus(main).toSeq.foreach { s =>
+      val nm = s.getPath.getName
+      val keep = nm == genName(1L) || nm.startsWith(ManifestPrefix) ||
+        nm.startsWith(ClaimPrefix) || nm.startsWith(".") ||
+        (s.isDirectory && genNumber(nm).isDefined)
+      if (!keep && !fs.rename(s.getPath, new Path(g1, nm)))
         sys.error(s"toGenerational: rename ${s.getPath} failed")
     }
     publish(fs, spark.sparkContext.hadoopConfiguration, main, genName(1L))
@@ -507,7 +537,10 @@ object Compaction {
       .repartition(nOut)
       .write.mode("overwrite").parquet(new Path(main, next).toString)
     carrySidecars(fs, conf, curDir, new Path(main, next))
-    publish(fs, conf, main, next, readerGraceMs)
+    // read-snapshot fence: this rewrite was derived from `cur` — an
+    // ingest publishing mid-compaction must fence it (the retry costs
+    // one wasted rewrite; losing the ingest's rows would be silent)
+    publish(fs, conf, main, next, readerGraceMs, genNumber(cur))
     pruneDataDirs(fs, main, orphanGraceMs, readerGraceMs)
     Stats(files.size, dataFiles(fs, new Path(main, next)).size, bytes,
       rewritten = true)
@@ -561,11 +594,20 @@ object Compaction {
     var attempts = 0
     while (attempts < 8) {
       attempts += 1
-      val cur = readTable(spark, path)
+      // pin the read to a NAMED generation and fence the publish on it:
+      // a concurrent writer whose claim lands above ours but whose input
+      // also predates our publish must not be able to roll the forget
+      // back (victims resurrected after the RTBF call returned) — and
+      // symmetrically, our forget must not roll back a publish that
+      // landed after this read
+      val curGen = generations(spark, path).maxOption
+      val cur = curGen.fold(readTable(spark, path))(g =>
+        readTableAt(spark, path, g))
       val removed = cur.filter(hit).count()
       try {
         writeGen(cur.filter(not(hit)), path,
-          orphanGraceMs = orphanGraceMs, readerGraceMs = readerGraceMs)
+          orphanGraceMs = orphanGraceMs, readerGraceMs = readerGraceMs,
+          expectGen = curGen)
         scrubRetiredGens(spark, path, orphanGraceMs, readerGraceMs)
         return removed
       } catch {
@@ -608,7 +650,8 @@ object Compaction {
   def writeGen(df: org.apache.spark.sql.DataFrame, path: String,
                beforePublish: Path => Unit = _ => (),
                orphanGraceMs: Long = DefaultOrphanGraceMs,
-               readerGraceMs: Long = 0L): Unit = {
+               readerGraceMs: Long = 0L,
+               expectGen: Option[Long] = None): Unit = {
     val spark = df.sparkSession
     val main = new Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -616,7 +659,7 @@ object Compaction {
     val next = genName(claimNext(fs, main, s"writeGen@${spark.sparkContext.applicationId}"))
     df.write.mode("overwrite").parquet(new Path(main, next).toString)
     beforePublish(new Path(main, next))
-    publish(fs, conf, main, next, readerGraceMs)
+    publish(fs, conf, main, next, readerGraceMs, expectGen)
     // rank-based two-generation reader grace (a reader that resolved
     // two publishes ago may still be scanning), crashed-claim expiry,
     // optional wall-time retention for concurrent-writer deployments

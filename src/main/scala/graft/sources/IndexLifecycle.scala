@@ -110,8 +110,15 @@ object IndexLifecycle {
     */
   private val publishLock = new Object
 
+  /** `segmentsRecorded` distinguishes a marker whose publisher RECORDED
+    * an (possibly empty) segment set from a pre-segment-format marker
+    * with no `segments=` key at all: an all-forgotten version's set is
+    * legitimately empty and must stay pinned/replayable as such, never
+    * silently re-derived from a (racy) directory listing.
+    */
   final case class Manifest(v: Long, dir: String, absorbed: Seq[String],
-                            segments: Seq[String])
+                            segments: Seq[String],
+                            segmentsRecorded: Boolean = true)
 
   private val CapableSchemes =
     Set("file", "local", "hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs", "o3fs")
@@ -202,11 +209,15 @@ object IndexLifecycle {
             case l if l.startsWith("dir=") => l.stripPrefix("dir=") }
           dir match {
             case Some(d) if d.nonEmpty =>
-              def field(key: String): Seq[String] = lines.collectFirst {
+              def field(key: String): Option[Seq[String]] = lines.collectFirst {
                 case l if l.startsWith(key + "=") =>
                   l.stripPrefix(key + "=").split(",").toSeq.filter(_.nonEmpty)
-              }.getOrElse(Seq.empty)
-              return Some(Manifest(v, d, field("absorbed"), field("segments")))
+              }
+              val segs = field("segments")
+              return Some(Manifest(v, d,
+                field("absorbed").getOrElse(Seq.empty),
+                segs.getOrElse(Seq.empty),
+                segmentsRecorded = segs.isDefined))
             case _ =>
               tries += 1
               Thread.sleep(math.min(2L << tries, 8192L)) // publisher mid-write
@@ -221,10 +232,34 @@ object IndexLifecycle {
       "punched into a healthy chain")
   }
 
-  /** Current manifest of the index at `path`, None if flat. */
+  /** Current manifest of the index at `path`, None if flat. None is
+    * returned ONLY when no markers are listed at all: a max-listed
+    * marker whose read comes back absent (pruned because MarkerKeep
+    * newer publishes landed between the listing and the read — the
+    * churn-soak shape) forces a RE-LIST, never a silent flat fallback.
+    * Degrading to None here is the worst failure mode in the file: the
+    * caller treats a generational index as flat, resolveDir returns
+    * the ROOT, and an appendSegment would seal a batch next to the g*
+    * dirs where no generational reader ever looks — a silently lost
+    * batch under an already-committed stream checkpoint.
+    */
   def manifest(spark: SparkSession, path: String): Option[Manifest] = {
     val mc = commitOf(spark, new Path(path))
-    markerNums(mc).maxOption.flatMap(v => readMarker(mc, v))
+    var attempts = 0
+    while (attempts < 8) {
+      attempts += 1
+      markerNums(mc).maxOption match {
+        case None => return None // genuinely flat: nothing listed
+        case Some(v) =>
+          readMarker(mc, v) match {
+            case some @ Some(_) => return some
+            case None => () // max marker pruned mid-read — re-list
+          }
+      }
+    }
+    sys.error(s"manifest: the newest marker at ${mc.describe} kept " +
+      "vanishing mid-read across 8 re-listings — a publisher is pruning " +
+      "faster than this reader can list; retry the operation")
   }
 
   /** Union of the `absorbed` lists across every RETAINED marker up to
@@ -295,7 +330,7 @@ object IndexLifecycle {
       s"index version $v at $path names data dir ${m.dir}, which a later " +
         "rebuild's retention already pruned (readable: " +
         s"${versions(spark, path).mkString(",")})")
-    require(m.segments.nonEmpty,
+    require(m.segmentsRecorded,
       s"index version $v at $path predates segment-pinned manifests — " +
         "no replayable segment set was recorded; re-publish (any append " +
         "or rebuild) to start the pinnable chain")
@@ -359,7 +394,7 @@ object IndexLifecycle {
     * leak into another publisher's pinned set.
     */
   private def chainSegments(fs: FileSystem, main: Path, m: Manifest): Seq[String] =
-    if (m.segments.nonEmpty) m.segments
+    if (m.segmentsRecorded) m.segments
     else segmentsOf(fs, new Path(main, m.dir))
 
   /** Write-then-rename a segment into `dir/ingest=<tag>`. `writeSeg`
@@ -396,7 +431,22 @@ object IndexLifecycle {
     val tmp = new Path(dir, TmpPrefix + tag)
     val old = new Path(dir, TmpPrefix + tag + ".replaced")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    if (fs.exists(old)) fs.delete(old, true)
+    // a prior replay crashed BETWEEN its two renames (segDir parked at
+    // `old`, replacement never swung in): the parked copy is the ONLY
+    // committed copy of a segment every retained manifest still
+    // references — RESTORE it before anything can fail again. Deleting
+    // it here (the pre-round-12 behavior) was the one way a committed
+    // segment could be permanently lost: if this replay's writeSeg then
+    // crashed or produced an empty batch, all copies were gone while
+    // the chain still pinned the tag. When BOTH exist, the crash was
+    // after the swap-in — the parked copy is the superseded duplicate
+    // and deleting it is the normal cleanup.
+    if (fs.exists(old)) {
+      if (!fs.exists(segDir)) {
+        if (!fs.rename(old, segDir))
+          sys.error(s"sealSegment: restore of parked $old -> $segDir failed")
+      } else fs.delete(old, true)
+    }
     writeSeg(dir.toString, tmp.toString)
     val hasData = fs.exists(tmp) && fs.listStatus(tmp).exists { s =>
       val n = s.getPath.getName
@@ -762,11 +812,8 @@ object IndexLifecycle {
       val nm = s.getPath.getName
       if (Compaction.genNumber(nm).isDefined && nm != m.dir) {
         val claim = new Path(main, Compaction.ClaimPrefix + nm)
-        val live = !published.contains(nm) && {
-          try fs.exists(claim) && (System.currentTimeMillis() -
-            fs.getFileStatus(claim).getModificationTime) < orphanGraceMs
-          catch { case _: java.io.FileNotFoundException => false }
-        }
+        val live = !published.contains(nm) &&
+          Compaction.liveClaim(fs, claim, orphanGraceMs)
         if (live) clean = false
         else fs.delete(s.getPath, true)
       }
@@ -796,8 +843,23 @@ object IndexLifecycle {
       val nm = s.getPath.getName
       val keep = nm == dirName || nm.startsWith(Compaction.ClaimPrefix) ||
         nm.startsWith(Marker) || nm.startsWith(".")
-      if (!keep && !fs.rename(s.getPath, new Path(dst, nm)))
-        sys.error(s"convert: rename ${s.getPath} into $dst failed")
+      if (!keep) {
+        if (s.isDirectory && Compaction.genNumber(nm).isDefined) {
+          // a PRIOR convert attempt crashed mid-move (claimed dir, some
+          // segments already inside, no marker — or convert() would
+          // have returned early). Renaming the dir itself would NEST
+          // those segments one level down where segmentsOf and the
+          // published manifest never see them — flatten its children
+          // into the new dir instead.
+          fs.listStatus(s.getPath).foreach { c =>
+            if (!fs.rename(c.getPath, new Path(dst, c.getPath.getName)))
+              sys.error(s"convert: recover of crashed-attempt segment " +
+                s"${c.getPath} into $dst failed")
+          }
+          fs.delete(s.getPath, true)
+        } else if (!fs.rename(s.getPath, new Path(dst, nm)))
+          sys.error(s"convert: rename ${s.getPath} into $dst failed")
+      }
     }
     if (!casPublish(mc, 0L, dirName, Seq.empty, segmentsOf(fs, dst)))
       sys.error(s"convert: concurrent conversion detected at $path — " +
@@ -908,10 +970,7 @@ object IndexLifecycle {
       val nm = s.getPath.getName
       if (Compaction.genNumber(nm).isDefined && !keepSet.contains(nm)) {
         val claim = new Path(main, Compaction.ClaimPrefix + nm)
-        val live =
-          try fs.exists(claim) && (System.currentTimeMillis() -
-            fs.getFileStatus(claim).getModificationTime) < orphanGraceMs
-          catch { case _: java.io.FileNotFoundException => false }
+        val live = Compaction.liveClaim(fs, claim, orphanGraceMs)
         if (!live && retiredLongAgo) fs.delete(s.getPath, true)
       }
     }

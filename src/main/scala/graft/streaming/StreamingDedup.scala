@@ -302,6 +302,7 @@ object StreamingDedup {
                      nBuckets: Int = 64, maxDist: Int = 3,
                      phashBuckets: Int = 64,
                      maxSegments: Int = ShingleMaxSegments,
+                     phashMaxSegments: Int = BucketedMaxSegments,
                      readerGraceMs: Long = 0L): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
@@ -335,12 +336,15 @@ object StreamingDedup {
       graft.ops.Multimodal.appendToPhashIndex(spark, phashIndexPath,
         images(survivors), ingestTag = s"b$batchId", maxDist = maxDist,
         nBuckets = phashBuckets)
-      if (maxSegments > 0) {
+      // per-family caps: the shingle knee is ~8 segments, the banded
+      // phash probe stays flat to ~64 — one shared cap would rebuild
+      // the image index twice as often as its measured policy
+      if (maxSegments > 0)
         graft.ops.Dedup.maybeRebuildShingleIndex(spark, indexPath,
           maxSegments, readerGraceMs = readerGraceMs)
+      if (phashMaxSegments > 0)
         graft.ops.Multimodal.maybeRebuildPhashIndex(spark, phashIndexPath,
-          maxSegments, readerGraceMs = readerGraceMs)
-      }
+          phashMaxSegments, readerGraceMs = readerGraceMs)
     })
 
   /** The full per-batch CURATION loop — the streaming composition of
