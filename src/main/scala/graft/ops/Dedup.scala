@@ -57,8 +57,12 @@ object Dedup {
     val n = if (expectedItems > 0) expectedItems else corpus.count()
     val bloom = corpus.stat.bloomFilter(key, math.max(n, 1L), fpp)
     val might = graft.functions.BloomMightContain.mightContain(key, bloom)
-    val definiteNew = batch.filter(!might)
-    val rescued = batch.filter(might).join(
+    // null text: xxhash64(null) is null, so `might` is null and BOTH
+    // filters would drop the row — but the exactness contract is the
+    // plain anti-join's, where a null key never matches and the row is
+    // NEW. Route null-text rows to the definite-new side explicitly.
+    val definiteNew = batch.filter(!might || col(textCol).isNull)
+    val rescued = batch.filter(might && col(textCol).isNotNull).join(
       corpus.select(col(textCol)), Seq(textCol), "left_anti")
     exact(definiteNew.unionByName(rescued), idCol, textCol)
   }
@@ -422,10 +426,18 @@ object Dedup {
     // exact STRING before hashing; only the persisted exclusion key is
     // the fingerprint (a probe-side false exclusion needs a 64-bit
     // collision against the hot set — odds ~|hot|/2^64 per shingle).
-    val all = shingles(df, idCol, textCol, n, Int.MaxValue)
-      .withColumn("h", xxhash64(col("s")))
-    val hot = all.groupBy("s").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxDf).select(xxhash64(col("s")).as("h"))
+    // the corpus-wide distinct shingling is the dominant exchange and
+    // feeds THREE actions (the hot-df aggregation, the anti-join left
+    // side, and — via hot — the sidecar write); the partial-agg
+    // boundary blocks ReuseExchange, so persist it once instead of
+    // paying the explode+distinct three times (owned: swept by the
+    // harness at the operator-lifecycle points)
+    val all = graft.util.Caches.own(
+      shingles(df, idCol, textCol, n, Int.MaxValue)
+        .withColumn("h", xxhash64(col("s"))))
+    val hot = graft.util.Caches.own(
+      all.groupBy("s").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf).select(xxhash64(col("s")).as("h")))
     import org.apache.spark.sql.expressions.Window
     // `ingest` is the FIRST partition level: the offline build owns
     // `ingest=base`, and every ingested batch owns `ingest=<its tag>` —
@@ -548,7 +560,8 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     (src, srcDir, dst) =>
       val (n, nBuckets, maxDf) = readShingleParams(src.sparkSession, srcDir)
-      val posts = src.select(col("doc"), col("s")).distinct()
+      val posts = graft.util.Caches.own(
+        src.select(col("doc"), col("s")).distinct())
       // the refreshed hot list is the UNION of the recounted dfs with
       // the prior sidecar: a shingle a past build capped away has no
       // postings left to recount (its df here is 0), but its corpus
@@ -561,9 +574,10 @@ object Dedup {
       // [[writeShingleIndex]]): monotone raw strings would survive the
       // RTBF erasure of every document that produced them.
       val oldHot = readHot(posts.sparkSession, srcDir).select("h")
-      val hot = posts.groupBy("s").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > maxDf).select(xxhash64(col("s")).as("h"))
-        .unionByName(oldHot).distinct()
+      val hot = graft.util.Caches.own(
+        posts.groupBy("s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf).select(xxhash64(col("s")).as("h"))
+          .unionByName(oldHot).distinct())
       posts.withColumn("h", xxhash64(col("s")))
         .join(hot, Seq("h"), "left_anti")
         .withColumn("n_sh",
@@ -629,12 +643,16 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     requireShingleParams(spark, dir, n, nBuckets)
     val hot = readHot(spark, dir)
-    val bsh = shingles(batch, idCol, textCol, n, Int.MaxValue)
-      .withColumn("h", xxhash64(col("s")))
-      .join(hot, Seq("h"), "left_anti") // tiny hot list — AQE broadcasts
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
-      .withColumn("bucket", pmod(col("h"), lit(nBuckets)).cast("int"))
-      .drop("h")
+    // the batch kernel feeds the touched-bucket collect AND the probe
+    // join — own the persist so the shingling + hot anti-join + n_sh
+    // window run once per probe, not twice (phashProbe's bb pattern)
+    val bsh = graft.util.Caches.own(
+      shingles(batch, idCol, textCol, n, Int.MaxValue)
+        .withColumn("h", xxhash64(col("s")))
+        .join(hot, Seq("h"), "left_anti") // tiny hot list — AQE broadcasts
+        .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc")).cast("int"))
+        .withColumn("bucket", pmod(col("h"), lit(nBuckets)).cast("int"))
+        .drop("h"))
     val touched = bsh.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
     // excludeIngest: the streaming loop skips its OWN batch tag so a
@@ -714,6 +732,12 @@ object Dedup {
     // Dataset persists until unpersist/session-stop; the cleaner only
     // reclaims GC'd raw RDDs), so these entries leaked per call until
     // the harness sweep was introduced.
+    // bands > k makes every band key empty (all docs share one bucket —
+    // a silent full cross product on the portable path); k % bands != 0
+    // silently discards the trailing signatures (recall below the
+    // configured k with no warning)
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"minhashLsh: bands=$bands must divide k=$k signatures evenly")
     val sh = graft.util.Caches.own(invertedIndex(df, idCol, textCol, n, maxDf))
     val aggs = (0 until k).map(i => min(sigHash(i, col("s"))).as(s"sig_$i"))
     // carry n_sh through the signature agg (functionally dependent on doc)
@@ -859,6 +883,14 @@ object Dedup {
                    tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val chunks = maxDist + 1
     val width = bits / chunks
+    // width == 64 must mask to ALL bits (Scala's 1L << 64 wraps to 1,
+    // so (1L << 64) - 1 == 0 — every band value collapses to 0 and the
+    // candidate join degenerates to the full n^2 cross product); width
+    // == 0 (more chunks than bits) has no valid banding at all
+    require(width >= 1,
+      s"simhashPairs: maxDist=$maxDist needs ${chunks} bands but the " +
+        s"fingerprint has only $bits bits — at most ${bits - 1} distance")
+    val bandMask = if (width >= 64) -1L else (1L << width) - 1
     // one narrow row per doc; persisting it runs the fingerprint
     // computation (explode + 64-way contribution agg) once instead of
     // once per self-join side — AQE often plans one side broadcast,
@@ -868,7 +900,7 @@ object Dedup {
     val bandCols = (0 until chunks).map { c =>
       struct(lit(c).as("band"),
         shiftright(col("simhash"), c * width)
-          .bitwiseAND((1L << width) - 1).as("v"))
+          .bitwiseAND(bandMask).as("v"))
     }
     val buckets = sh.select(col("doc"), col("simhash"),
       explode(array(bandCols: _*)).as("bk"))

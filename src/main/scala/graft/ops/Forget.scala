@@ -206,15 +206,13 @@ object Forget {
       Dedup.shingleRebuildClosure)
 
   def fromIvfIndexViaRebuild(spark: SparkSession, indexPath: String,
-                             vecIds: Seq[Long], centroidEvery: Int,
+                             vecIds: Seq[Long],
                              orphanGraceMs: Long =
                                graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
                              readerGraceMs: Long = 0L): Long =
     graft.sources.IndexLifecycle.forgetViaRebuild(spark, indexPath,
-      col("nid").isin(vecIds: _*), orphanGraceMs, readerGraceMs) { (kept, _, dst) =>
-      Similarity.ivfWriteIndexDet(kept.select(col("nid"), col("nvec")),
-        "nid", "nvec", centroidEvery, dst)
-    }
+      col("nid").isin(vecIds: _*), orphanGraceMs, readerGraceMs)(
+      Similarity.ivfDetRebuildClosure(spark))
 
   def fromCellIndexViaRebuild(spark: SparkSession, indexPath: String,
                               vecIds: Seq[Long],

@@ -38,6 +38,7 @@ object Sampling {
                 splits: Seq[(String, Int)]): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum <= 10000,
       s"split weights must be basis points summing to <= 10000: $splits")
+    requireColumnsFree(df, "hashSplit", "split")
     val b = hashBucket(col(idCol), salt)
     val cums = splits.map(_._2).scanLeft(0)(_ + _).tail
     val assigned = splits.zip(cums).init
@@ -66,6 +67,8 @@ object Sampling {
   def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
                        salt: String, trainBps: Int): DataFrame = {
     require(trainBps >= 0 && trainBps <= 10000, s"bps out of range: $trainBps")
+    requireColumnsFree(df, "leakageSafeSplit", "group_id", "split",
+      "__cid", "__grp")
     val cl = clusters.select(col("doc_id").as("__cid"),
       col("cluster").as("__grp"))
     df.join(cl, col(idCol) === col("__cid"), "left")
@@ -99,6 +102,8 @@ object Sampling {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("__rk"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    requireColumnsFree(df, "tokenBudgetSample", "n_tokens", "cum_tokens",
+      "__rk")
     df.withColumn("n_tokens", tokensCol.cast("long"))
       .withColumn("__rk", hashBucket(col(idCol), salt))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
@@ -128,6 +133,7 @@ object Sampling {
     val w = Window.partitionBy(col(groupCol))
     val rank = row_number().over(
       w.orderBy(hashBucket(col(idCol), salt), col(idCol)))
+    requireColumnsFree(df, "stratifiedSample", "__rk", "__n")
     df.withColumn("__rk", rank)
       .withColumn("__n", count(lit(1)).over(w))
       .filter(col("__rk") <= ceil(col("__n") * bps / 10000.0))
@@ -149,6 +155,7 @@ object Sampling {
     */
   def rebalanceUniform(df: DataFrame, idCol: String, groupCol: String,
                        salt: String): DataFrame = {
+    requireColumnsFree(df, "rebalanceUniform", "keep", "__bps")
     val cnts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
     val minN = cnts.agg(min(col("__n")).as("__minn"))
     val rates = cnts.crossJoin(broadcast(minN))
@@ -182,6 +189,7 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
+    requireColumnsFree(df, "mixtureSample", "__rk", "__take")
     val wtab = weights.toDF(groupCol, "__w")
     // the global-min window runs over ≤ |groups| rows (the caller's
     // bounded enum) — a single-partition frame of metadata, not data;
@@ -194,6 +202,20 @@ object Sampling {
         min(col("__cap")).over(Window.partitionBy()))
       .withColumn("__take", expr("__nm * __w DIV 10000"))
       .select(col(groupCol), col("__take"))
+    // a weighted group with ZERO corpus rows contributes no cap row, so
+    // the min would silently ignore it and the output mix would omit
+    // the group at full takes for the others — per the contract
+    // (largest N whose per-group needs fit the AVAILABLE counts) the
+    // only honest answers are N = 0 or a loud failure; fail loudly
+    // (a zero-row weighted group is a typo'd name or a broken upstream
+    // filter, not a sampling decision). Bounded metadata collect.
+    val present = targets.select(col(groupCol).cast("string"))
+      .collect().map(_.getString(0)).toSet
+    val missing = weights.map(_._1).filterNot(present)
+    require(missing.isEmpty,
+      s"mixtureSample: weighted group(s) absent from the corpus: " +
+        s"${missing.mkString(", ")} — the requested mixture is " +
+        "unsatisfiable (largest feasible N is 0)")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(hashBucket(col(idCol), salt), col(idCol))
     df.join(broadcast(targets), groupCol)
@@ -227,6 +249,7 @@ object Sampling {
   def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
                         salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireColumnsFree(df, "temperatureSample", "__rk", "__take")
     val wAll = Window.partitionBy()
     val targets = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
       .withColumn("__wu",
@@ -269,6 +292,7 @@ object Sampling {
       s"epoch factors must be positive basis points: $epochsBp")
     val spark = df.sparkSession
     import spark.implicits._
+    requireColumnsFree(df, "repeatEpochs", "epoch", "__ebp", "__k", "__f")
     val wtab = epochsBp.toDF(groupCol, "__ebp")
     df.join(broadcast(wtab), groupCol)
       .withColumn("__k", expr("__ebp DIV 10000").cast("int"))
@@ -304,13 +328,18 @@ object Sampling {
     // negatives — corrupt training pairs, no error), and the +1
     // self-collision bump could land on a hole. Sparse ids must be
     // ranked into a dense surrogate first (GlobalOrder.globalRank).
-    val stats = df.agg(count(lit(1)), min(col(idCol).cast("long")),
-      max(col(idCol).cast("long"))).head()
+    val stats = df.agg(count(lit(1)), countDistinct(col(idCol)),
+      min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
     val n = stats.getLong(0)
+    // count/min/max alone pass on DUPLICATED ids ([0,1,1,3]: n=4,
+    // min=0, max=3) while the domain still has holes — distinctness is
+    // what makes min=0 ∧ max=n-1 imply [0, n) with no gaps
     require(n == 0 ||
-      (stats.getLong(1) == 0L && stats.getLong(2) == n - 1),
-      s"negativeSamples requires a dense id domain [0, n): got n=$n, " +
-        s"min=${stats.getLong(1)}, max=${stats.getLong(2)} — rank ids " +
+      (stats.getLong(1) == n &&
+        stats.getLong(2) == 0L && stats.getLong(3) == n - 1),
+      s"negativeSamples requires a dense DISTINCT id domain [0, n): " +
+        s"got n=$n, distinct=${stats.getLong(1)}, " +
+        s"min=${stats.getLong(2)}, max=${stats.getLong(3)} — rank ids " +
         "into a dense surrogate (GlobalOrder.globalRank) first")
     val cand = df.select(col(idCol).as("anchor"))
       .select(col("anchor"), explode(array((0 until k).map(lit): _*)).as("j"))

@@ -217,8 +217,14 @@ object Similarity {
                  vecCol: String, k: Int, centroidEvery: Int = 50,
                  nprobe: Int = 4): DataFrame = {
     import graft.functions.SquaredDistance.squaredDistance
-    val cents = corpus.filter(col(idCol) % centroidEvery === 0)
-      .select(col(idCol).as("list"), col(vecCol).as("cvec"))
+    val cents = graft.util.Caches.own(
+      corpus.filter(col(idCol) % centroidEvery === 0)
+        .select(col(idCol).as("list"), col(vecCol).as("cvec")))
+    require(!cents.isEmpty,
+      s"ivfTopKDet: no corpus id is congruent 0 mod $centroidEvery — " +
+        "the deterministic quantizer is empty and every probe would " +
+        "silently return zero neighbors; pick a centroidEvery that " +
+        "intersects the id population")
     val assigned = corpus
       .select(col(idCol).as("nid"), col(vecCol).as("nvec"))
       .crossJoin(broadcast(cents))
@@ -242,6 +248,26 @@ object Similarity {
   }
 
   private def centroidsPath(indexPath: String) = s"$indexPath/_graft_centroids"
+
+  private def ivfdetParamsSidecar(indexPath: String) =
+    s"$indexPath/_graft_ivfdet_params"
+
+  /** The det index's pinned quantizer policy (params doctrine: policy
+    * is set ONCE at [[ivfWriteIndexDet]] and never at a rebuild/forget
+    * call site — a drifting centroidEvery silently reshapes every
+    * list). Missing sidecar = a pre-round-12 layout: rebuild offline
+    * with ivfWriteIndexDet.
+    */
+  private def readIvfDetParams(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): Int =
+    try spark.read.parquet(ivfdetParamsSidecar(dir))
+      .head().getAs[Int]("centroid_every")
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        sys.error(s"det IVF index at $dir has no _graft_ivfdet_params " +
+          "sidecar — it predates the pinned-params layout; rebuild it " +
+          s"offline with ivfWriteIndexDet (${e.getMessage.linesIterator.next()})")
+    }
 
   /** Persist the IVF index: inverted lists directory-partitioned by list
     * id (`indexPath/list=<i>/…`) plus the nlist-row centroid table in an
@@ -274,8 +300,20 @@ object Similarity {
   def ivfWriteIndexDet(corpus: DataFrame, idCol: String, vecCol: String,
                        centroidEvery: Int, indexPath: String): Unit = {
     import graft.functions.SquaredDistance.squaredDistance
-    val cents = corpus.filter(col(idCol) % centroidEvery === 0)
-      .select(col(idCol).as("list"), col(vecCol).as("cvec"))
+    val spark = corpus.sparkSession
+    val cents = graft.util.Caches.own(
+      corpus.filter(col(idCol) % centroidEvery === 0)
+        .select(col(idCol).as("list"), col(vecCol).as("cvec")))
+    // loud, not silent: an id slice containing no multiple of
+    // centroidEvery writes an empty index whose every later probe
+    // returns zero neighbors with no error — the writeCellIndex
+    // failure class (the %7-victims-vs-49 modulus trap), guarded here
+    // the same way
+    require(!cents.isEmpty,
+      s"ivfWriteIndexDet: no corpus id is congruent 0 mod " +
+        s"$centroidEvery — the deterministic quantizer would be empty " +
+        "and the index unusable; pick a centroidEvery that intersects " +
+        "the id population")
     corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
       .crossJoin(broadcast(cents))
       .withColumn("d2_u",
@@ -289,6 +327,12 @@ object Similarity {
       .write.mode("overwrite").partitionBy("ingest", "list").parquet(indexPath)
     cents.select(col("list"), col("cvec"))
       .coalesce(1).write.mode("overwrite").parquet(centroidsPath(indexPath))
+    // pin the quantizer policy in-index (params doctrine): rebuilds and
+    // forgets re-read it instead of taking it at the call site
+    import spark.implicits._
+    Seq(Tuple1(centroidEvery)).toDF("centroid_every")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(ivfdetParamsSidecar(indexPath))
   }
 
   /** Segment-merge rebuild for the det-quantizer IVF index — identical
@@ -300,16 +344,26 @@ object Similarity {
     * fence the commit instead of being lost or duplicated).
     */
   def rebuildIvfIndexDet(spark: org.apache.spark.sql.SparkSession,
-                         indexPath: String, centroidEvery: Int,
+                         indexPath: String,
                          orphanGraceMs: Long =
                            graft.sources.IndexLifecycle.DefaultOrphanGraceMs,
                          readerGraceMs: Long = 0L): Unit =
     graft.sources.IndexLifecycle.rebuild(spark, indexPath,
         orphanGraceMs, readerGraceMs) {
-      (src, _, dst) =>
+      (src, srcDir, dst) =>
+        // quantizer policy comes from the SOURCE dir's sidecar —
+        // rebuild call sites can no longer silently retune
+        // (ivfWriteIndexDet is the retune path)
         ivfWriteIndexDet(src.select(col("nid"), col("nvec")),
-          "nid", "nvec", centroidEvery, dst)
+          "nid", "nvec", readIvfDetParams(spark, srcDir), dst)
     }
+
+  private[ops] def ivfDetRebuildClosure(
+      spark: org.apache.spark.sql.SparkSession)
+      : (DataFrame, String, String) => Unit =
+    (kept, srcDir, dst) =>
+      ivfWriteIndexDet(kept.select(col("nid"), col("nvec")),
+        "nid", "nvec", readIvfDetParams(spark, srcDir), dst)
 
   /** Append a batch of vectors to a persisted IVF index under its own
     * `ingest=<tag>` partition — the ANN-index analogue of

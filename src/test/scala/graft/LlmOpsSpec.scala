@@ -208,6 +208,51 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == mem, s"indexed path diverged: ${(got diff mem).take(5)} vs ${(mem diff got).take(5)}")
   }
 
+  test("band-parameter guards: degenerate band widths fail loudly instead of degenerating to all-pairs (round-12)") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
+      .toDF("doc_id", "text")
+    // width 0 (more chunks than bits): no valid banding — pre-fix the
+    // zero mask collapsed every band value to 0 = full cross product
+    val e1 = intercept[IllegalArgumentException](
+      Dedup.simhashPairsPortable(docs, "doc_id", "text", maxDist = 32))
+    assert(e1.getMessage.contains("bits"))
+    // width 64 (maxDist=0, 64-bit fingerprint) is legal: the mask must
+    // cover ALL bits (Scala's 1L<<64 wraps to 1 → mask 0 pre-fix), so
+    // only exact-fingerprint twins pair — the identical docs do, the
+    // distinct one does not
+    val p0 = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 0)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(p0 == Set((1L, 2L)), s"maxDist=0 banding broken: $p0")
+    // bands must divide k: a non-divisor silently dropped trailing
+    // signatures (recall below the configured k)
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.minhashLsh(docs, "doc_id", "text", n = 2, k = 16, bands = 5,
+        threshold = 0.5))
+    assert(e2.getMessage.contains("divide"))
+    val e3 = intercept[IllegalArgumentException](
+      Dedup.minhashLsh(docs, "doc_id", "text", n = 2, k = 4, bands = 8,
+        threshold = 0.5))
+    assert(e3.getMessage.contains("divide"))
+  }
+
+  test("det IVF: an id slice with no quantizer candidate fails loudly instead of writing a silently empty index (round-12)") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    // every id ≡ 0 (mod 49) removed: the deterministic quantizer slice
+    // is empty — pre-fix this wrote an empty index whose probes all
+    // returned zero neighbors with no error
+    val noCents = emb.filter(col("vec_id") % 49 =!= 0).limit(200)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_empty").toString + "/index"
+    val e = intercept[IllegalArgumentException](
+      Similarity.ivfWriteIndexDet(noCents, "vec_id", "embedding",
+        centroidEvery = 49, indexPath = idx))
+    assert(e.getMessage.contains("quantizer"))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.ivfTopKDet(noCents, noCents.limit(3), "vec_id",
+        "embedding", k = 3, centroidEvery = 49).count())
+    assert(e2.getMessage.contains("quantizer"))
+  }
+
   test("det IVF index append: relabeled twins find their originals, replay idempotent") {
     val emb = Tables(spark, sfDir, "embeddings")
     val corpus = emb.filter(col("vec_id") % 10 =!= 0)
@@ -240,7 +285,7 @@ class LlmOpsSpec extends AnyFunSuite {
     // a fresh det build over the union (same quantizer rule); the
     // rebuild converts to the CAS-versioned layout, so the raw
     // snapshot reads the resolved version dir
-    Similarity.rebuildIvfIndexDet(spark, idx, centroidEvery = 49)
+    Similarity.rebuildIvfIndexDet(spark, idx) // policy from the sidecar
     def snap(p: String) = spark.read.parquet(p)
       .select(col("ingest"), col("nid"), col("list").cast("long"), col("nvec"))
       .as[(String, Long, Long, Array[Float])].collect()
@@ -976,7 +1021,7 @@ class LlmOpsSpec extends AnyFunSuite {
     val err = intercept[IllegalArgumentException] {
       Sampling.negativeSamples(sparse, "doc_id", k = 4, salt = "ep1")
     }
-    assert(err.getMessage.contains("dense id domain"))
+    assert(err.getMessage.contains("dense DISTINCT id domain"))
   }
 
   test("hard negatives: scores inside the band, subset of the corpus scan") {

@@ -68,6 +68,59 @@ class SamplingPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("negativeSamples: duplicated ids are rejected — count/min/max alone would pass with holes (round-12 fix)") {
+    import graft.ops.Sampling
+    val dup = Seq(0L, 1L, 1L, 3L).toDF("id")
+    val e = intercept[IllegalArgumentException](
+      Sampling.negativeSamples(dup, "id", k = 2, salt = "neg"))
+    assert(e.getMessage.contains("DISTINCT"))
+    // the genuinely dense domain still works
+    val ok = Sampling.negativeSamples(
+      (0L until 8L).toDF("id"), "id", k = 2, salt = "neg")
+    assert(ok.count() == 16L)
+    assert(ok.filter(col("neg_id") === col("anchor")).count() == 0L)
+  }
+
+  test("mixtureSample: a weighted group with zero corpus rows fails loudly instead of silently skewing the mix (round-12 fix)") {
+    import graft.ops.Sampling
+    val df = Seq.tabulate(40)(i =>
+      (i.toLong, if (i % 2 == 0) "web" else "code")).toDF("id", "src")
+    val e = intercept[IllegalArgumentException](
+      Sampling.mixtureSample(df, "id", "src", "mx",
+        Seq("web" -> 6000, "code" -> 2000, "books" -> 2000)).count())
+    assert(e.getMessage.contains("books") &&
+      e.getMessage.contains("unsatisfiable"))
+    // the satisfiable mixture still samples
+    assert(Sampling.mixtureSample(df, "id", "src", "mx",
+      Seq("web" -> 5000, "code" -> 5000)).count() > 0L)
+  }
+
+  test("generated-column clashes fail loudly across the sampling ops (round-12 guard wiring)") {
+    import graft.ops.Sampling
+    val df = (0L until 10L).toDF("id")
+      .withColumn("src", lit("a"))
+    def clash(body: => Any, colName: String): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains(colName), e.getMessage)
+    }
+    clash(Sampling.hashSplit(df.withColumn("split", lit(1)), "id", "s",
+      Seq("train" -> 10000)), "split")
+    clash(Sampling.tokenBudgetSample(df.withColumn("cum_tokens", lit(1L)),
+      "id", "src", lit(3L), "s", 10L), "cum_tokens")
+    clash(Sampling.stratifiedSample(df.withColumn("__n", lit(1L)),
+      "id", "src", "s", 5000), "__n")
+    clash(Sampling.rebalanceUniform(df.withColumn("keep", lit(true)),
+      "id", "src", "s"), "keep")
+    clash(Sampling.repeatEpochs(df.withColumn("epoch", lit(0)),
+      "id", "src", "s", Seq("a" -> 10000)), "epoch")
+    clash(Sampling.mixtureSample(df.withColumn("__take", lit(1L)),
+      "id", "src", "s", Seq("a" -> 10000)), "__take")
+    clash(Sampling.temperatureSample(df.withColumn("__rk", lit(1L)),
+      "id", "src", "s"), "__rk")
+    clash(Sampling.leakageSafeSplit(df.withColumn("group_id", lit(1L)),
+      "id", Seq((0L, 0L)).toDF("doc_id", "cluster"), "s", 8000), "group_id")
+  }
+
   test("hashSplit: growth-stable on sparse random ids") {
     val ids = Seq.fill(500)(rnd.nextLong() & Long.MaxValue).distinct
     val splits = Seq("a" -> 5000, "b" -> 5000)
