@@ -39,11 +39,17 @@ object Bench {
     * leftover dirs cost +28 s on a 150 s suite by degrading every
     * /tmp createTempDirectory/list — which masquerades as environment
     * drift. Only `graft_*` prefixes are touched (this engine's own
-    * fixtures); disable with SPARK_GRAFT_SWEEP=0 when a concurrent
-    * graft JVM is alive (the round workflow forbids that anyway).
+    * fixtures), and only dirs whose root mtime is older than 6 h — a
+    * concurrently-running graft JVM's LIVE fixtures (tests, a second
+    * bench) have fresh mtimes and are left alone, so the opt-out env
+    * var is a belt, not the only protection. Disable entirely with
+    * SPARK_GRAFT_SWEEP=0; SPARK_GRAFT_SWEEP=all ignores the age guard
+    * (manual cleanup on a box known to be otherwise idle).
     */
   private def sweepStaleFixtures(): Unit = {
     if (sys.env.get("SPARK_GRAFT_SWEEP").contains("0")) return
+    val sweepAll = sys.env.get("SPARK_GRAFT_SWEEP").contains("all")
+    val staleBeforeMs = System.currentTimeMillis() - 6L * 3600 * 1000
     val tmp = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     import scala.jdk.CollectionConverters._
@@ -57,7 +63,12 @@ object Bench {
       val listing = java.nio.file.Files.list(tmp)
       val stale =
         try listing.iterator.asScala
-          .filter(p => p.getFileName.toString.startsWith("graft_")).toSeq
+          .filter(p => p.getFileName.toString.startsWith("graft_"))
+          .filter(p => sweepAll ||
+            (try java.nio.file.Files.getLastModifiedTime(p).toMillis <
+              staleBeforeMs
+            catch { case NonFatal(_) => false }))
+          .toSeq
         finally listing.close()
       stale.foreach { root =>
         try {

@@ -113,13 +113,24 @@ object TrainExport {
     * JVM (built-ins below register at class load).
     */
   def registerRecipe(id: String)(fn: Recipe): Unit = {
-    require(id.nonEmpty && !id.exists(c => c == '=' || c == '\n'),
+    // reject ALL control chars ('\r' breaks linesIterator parse just
+    // like '\n'), not only the two the manifest syntax uses
+    require(id.nonEmpty && !id.exists(c => c == '=' || c.isControl),
       s"recipe id must be a plain identifier: '$id'")
     recipes.put(id, fn)
   }
 
   /** The committed manifest's object name inside the export dir. */
   val ManifestName = "_graft_export"
+
+  /** Test seam: commit routes its post-CAS rename through this — the
+    * only way to exercise the CAS-won/rename-failed recovery branch
+    * (staging preserved for manual promotion), same doctrine as
+    * [[ManifestCommit.exclusiveCreateNoLink]]'s write seam.
+    */
+  private[graft] var renameImpl:
+      (org.apache.hadoop.fs.FileSystem, Path, Path) => Boolean =
+    (fs, src, dst) => fs.rename(src, dst)
 
   private val Header = "graft-export-v1"
 
@@ -147,6 +158,13 @@ object TrainExport {
     // commit a manifest that can never be parsed back
     params.values.foreach(v => require(!v.exists(_.isControl),
       s"param values must be single-line printable text: '$v'"))
+    // table/index paths land on manifest lines too — a POSIX-legal
+    // '\n' or '\r' in a path would commit a permanently unparseable
+    // (hence unreplayable) manifest
+    (tables ++ indexes).foreach { case (name, path) =>
+      require(!path.exists(_.isControl),
+        s"input '$name' path must be single-line printable text: '$path'")
+    }
     val tPins = tables.map { case (name, path) =>
       val gens = Compaction.generations(spark, path)
       require(gens.nonEmpty, s"table '$name' at $path has no published " +
@@ -182,6 +200,8 @@ object TrainExport {
         java.util.UUID.randomUUID().toString.take(8))
     val dataDir = new Path(main, "data")
     out.write.mode("overwrite").parquet(staging.toString)
+    var committed = false
+    var renamed = false
     try {
       // fingerprint the COMMITTED artifact (the parquet round-trip is
       // the authoritative bytes a consumer reads), not the live plan
@@ -190,11 +210,22 @@ object TrainExport {
       require(mc.createExclusive(ManifestName, render(m).getBytes("UTF-8")),
         s"lost the export-commit race at $exportDir — another export " +
           "committed this dir first; write a new dir")
-      if (!fs.rename(staging, dataDir))
+      committed = true
+      if (!renameImpl(fs, staging, dataDir))
         sys.error(s"export commit at $exportDir: rename $staging -> " +
-          s"$dataDir failed after the manifest CAS")
+          s"$dataDir failed AFTER the manifest CAS — the export IS " +
+          s"committed; its data is left at $staging for manual " +
+          "promotion (or re-derive via replay)")
+      renamed = true
       m
-    } finally fs.delete(staging, true) // no-op for the winner
+    } finally {
+      // staging is scratch only while nothing is committed (loser /
+      // pre-CAS failure) or once the rename moved it. Between the CAS
+      // and a successful rename it is the committed export's ONLY data
+      // copy — deleting it there would leave recovery hostage to the
+      // replay pins' retention.
+      if (!committed || renamed) fs.delete(staging, true)
+    }
   }
 
   /** The committed manifest of `exportDir`, parsed. */
@@ -244,14 +275,30 @@ object TrainExport {
           s"$fp) — the index was retuned in place; replay would not be " +
           "faithful")
     }
-    // own the persist: the fingerprint aggregate below materializes the
-    // full recipe, and the returned frame must not re-execute it when
-    // the caller consumes the rows (graft.util.Caches sweeps owned
-    // persists at the operator-lifecycle points — bench pass /
-    // streaming trigger / explicit sweep)
+    // own the persist: the staging write below materializes the full
+    // recipe, and the returned frame must not re-execute it when the
+    // caller consumes the rows (graft.util.Caches sweeps owned persists
+    // at the operator-lifecycle points)
     val out = graft.util.Caches.own(
       fn(spark, new PinnedInputs(spark, m.tables, m.indexes), m.params))
-    val fp = rowFingerprint(out)
+    // fingerprint the SAME representation commit fingerprinted — the
+    // parquet round-trip — by staging the replayed frame next to the
+    // export (same shared FS a cluster's executors can reach) and
+    // hashing the read-back. Hashing the live plan instead would fail
+    // every replay of a recipe whose output normalizes on write
+    // (e.g. timestamp precision) with a misleading "not deterministic".
+    // Replay already pays one full recipe execution; the extra write is
+    // the price of an apples-to-apples verdict.
+    val main = new Path(exportDir)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(main,
+      s".replay.tmp.${ProcessHandle.current().pid()}_" +
+        java.util.UUID.randomUUID().toString.take(8))
+    val fp =
+      try {
+        out.write.mode("overwrite").parquet(staging.toString)
+        rowFingerprint(spark.read.parquet(staging.toString))
+      } finally fs.delete(staging, true)
     require(fp == m.resultFp,
       s"replay of $exportDir diverged: committed row fingerprint " +
         s"${m.resultFp}, replayed $fp — the recipe is not " +
@@ -377,6 +424,17 @@ object TrainExport {
     */
   val StandardRecipe = "train_export_v1"
 
+  /** The embedding-side export (VERDICT r12 #1's capstone): semantic
+    * canon against the pinned SemDedup cell index, then ANN top-k
+    * retrieval of the survivors against the pinned det-IVF index — a
+    * contrastive-pairs export whose BOTH index reads are the
+    * embedding-family `*AgainstIndexAt` probes, so a recipe whose canon
+    * is semantic dedup or whose retrieval is ANN is now pinnable.
+    * Inputs: table `vecs`; indexes `cells` (cell) and `ann` (det-IVF).
+    * Params: threshold, k, nprobe.
+    */
+  val EmbedRecipe = "embed_export_v1"
+
   registerRecipe(StandardRecipe) { (s, in, p) =>
     val batch = in.table("docs")
     val t = in.index("text")
@@ -403,5 +461,18 @@ object TrainExport {
         numShards = p("numShards").toInt,
         extraPartitionCols = Seq(col("split")))
       .select(col("doc_id"), col("split"), col("shard"), col("pos"))
+  }
+
+  registerRecipe(EmbedRecipe) { (s, in, p) =>
+    val batch = in.table("vecs")
+    val c = in.index("cells")
+    val a = in.index("ann")
+    val drop = SemDedup.semanticAgainstIndexAt(s, c.path, c.version,
+        batch, "vec_id", "embedding",
+        threshold = p("threshold").toDouble)
+      .select(col("i").as("vec_id")).distinct()
+    val kept = batch.join(drop, Seq("vec_id"), "left_anti")
+    Similarity.ivfProbeIndexDetAt(s, a.path, a.version, kept,
+      "vec_id", "embedding", k = p("k").toInt, nprobe = p("nprobe").toInt)
   }
 }

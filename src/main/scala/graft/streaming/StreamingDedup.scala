@@ -65,6 +65,14 @@ import graft.ops.Dedup
   * or a probe can lose its dir mid-scan. Rebuild POLICY (nBuckets,
   * maxDf, centroidEvery, ...) is never passed here: every family reads
   * it from the index's own params sidecar.
+  *
+  * @note BEHAVIOR CHANGE (round 12): `maxSegments` defaults flipped
+  *       from 0 (off) to the measured-knee caps below. A deployment
+  *       that upgraded across that change and relied on an EXTERNAL
+  *       maintenance job now runs in-loop rebuilds too — per-trigger
+  *       latency spikes at the rebuild cadence plus the rebuild's
+  *       write amplification. Pass `maxSegments = 0` explicitly to
+  *       restore the old behavior and keep compaction external.
   */
 object StreamingDedup {
 

@@ -255,6 +255,57 @@ class TrainExportSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"staging leak: ${leftovers.mkString(",")}")
   }
 
+  test("rename failure AFTER the manifest CAS preserves the staged data for manual promotion") {
+    // the review-found recovery hazard: the finally-block cleanup must
+    // NOT delete staging when the CAS won but the rename failed —
+    // between those two points staging is the committed export's only
+    // data copy, and replay-based recovery depends on pin retention
+    val (root, expected) = {
+      val r = java.nio.file.Files.createTempDirectory("graft_texp9").toString
+      Compaction.writeGen(docs(25L to 34L), s"$r/docs")
+      Dedup.writeShingleIndex(docs(0L until 30L), "doc_id", "text", n = 3,
+        s"$r/text", nBuckets = NB)
+      Dedup.rebuildShingleIndex(spark, s"$r/text")
+      (r, (30L to 34L).toSeq)
+    }
+    val realRename = TrainExport.renameImpl
+    val e =
+      try {
+        TrainExport.renameImpl = (_, _, _) => false
+        intercept[RuntimeException](
+          TrainExport.commit(spark, s"$root/export", "spec_export_v1",
+            params = recipeParams,
+            tables = Map("docs" -> s"$root/docs"),
+            indexes = Map("text" -> s"$root/text")))
+      } finally TrainExport.renameImpl = realRename
+    assert(e.getMessage.contains("manual promotion"), e.getMessage)
+    // the manifest IS committed...
+    val m = TrainExport.manifest(spark, s"$root/export")
+    assert(m.recipe == "spec_export_v1")
+    // ...data/ is absent, and staging survived with the winner's rows
+    val entries = new java.io.File(s"$root/export").listFiles().map(_.getName)
+    assert(!entries.contains("data"), entries.mkString(","))
+    val staged = entries.filter(_.startsWith(".data.tmp."))
+    assert(staged.length == 1, s"expected one preserved staging dir: ${entries.mkString(",")}")
+    assert(keptIds(spark.read.parquet(s"$root/export/${staged.head}")) == expected)
+    // manual promotion completes the commit; replay then verifies it
+    assert(new java.io.File(s"$root/export/${staged.head}")
+      .renameTo(new java.io.File(s"$root/export/data")))
+    assert(keptIds(TrainExport.replay(spark, s"$root/export")) == expected)
+  }
+
+  test("control characters in input paths and recipe ids are rejected before they can commit an unparseable manifest") {
+    val e1 = intercept[IllegalArgumentException](
+      TrainExport.commit(spark, "/tmp/never", "spec_export_v1",
+        params = recipeParams,
+        tables = Map("docs" -> "/tmp/bad\npath"),
+        indexes = Map.empty))
+    assert(e1.getMessage.contains("single-line printable"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      TrainExport.registerRecipe("bad\rid")((_, _, _) => docs(Seq(1L))))
+    assert(e2.getMessage.contains("plain identifier"), e2.getMessage)
+  }
+
   test("rowFingerprint: invariant under partitioning and row order, sensitive to any row change and to duplicates") {
     val base = docs(0L until 50L)
     val fp = TrainExport.rowFingerprint(base)
