@@ -526,6 +526,75 @@ object LlmEmbedQueries {
           WHERE rn <= 10 ORDER BY qid, rn"""
       }),
 
+    // Probe PINNED to a manifest version (the ANN-retrieval family's
+    // reproducible-export read, same doctrine as dedup_jaccard_at /
+    // search_bm25_at): the same det index as sim_ann_ivf_det_append but
+    // generational (rebuild → v2 = [base]) with the %20==0 vectors
+    // appended AFTER the pin (v3). The probe pins v2, so the searched
+    // corpus is the PRE-append %10≠0 population — a listing-based read
+    // would ALSO rank the appended %20==0 vectors into the top-k and
+    // hash-mismatch loudly. The oracle is the det_append oracle with
+    // pop restricted to the base corpus. Closes the TrainExport
+    // pinnability gap for ANN retrieval (VERDICT r12 #1).
+    GQuery("sim_ann_ivf_at",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val idx = graft.util.TempFixtures.dir(s"ivfdetat:$d") { p =>
+          Similarity.ivfWriteIndexDet(emb.filter(col("vec_id") % 10 =!= 0),
+            "vec_id", "embedding", centroidEvery = 49, indexPath = p)
+          // convert publishes v1 (flat content), rebuild publishes v2
+          // (fresh base dir) — the version the probe pins
+          Similarity.rebuildIvfIndexDet(s, p)
+          Similarity.ivfAppendToIndex(s, p,
+            emb.filter(col("vec_id") % 20 === 0),
+            "vec_id", "embedding", ingestTag = "b0") // v3: [base, b0]
+        }
+        Similarity.ivfProbeIndexDetAt(s, idx, version = 2L,
+            emb.filter(col("vec_id") % 20 === 10), "vec_id", "embedding",
+            k = 10, nprobe = 4)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some {
+        val d2vc = """list_sum(list_transform(list_zip(v.embedding, c.embedding), p ->
+            (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+            * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"""
+        val d2qc = d2vc.replace("v.embedding", "q.embedding")
+        s"""WITH cents AS (
+            SELECT vec_id AS list, embedding FROM embeddings
+            WHERE vec_id % 10 <> 0 AND vec_id % 49 = 0),
+          pop AS (
+            SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
+          a AS (
+            SELECT vec_id AS nid, list FROM (
+              SELECT v.vec_id, c.list,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY CAST(floor($d2vc * 1e6) AS BIGINT) ASC NULLS LAST,
+                           c.list) AS rn
+              FROM pop v, cents c) t WHERE rn = 1),
+          p AS (
+            SELECT qid, list FROM (
+              SELECT q.vec_id AS qid, c.list,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY CAST(floor($d2qc * 1e6) AS BIGINT) ASC NULLS LAST,
+                           c.list) AS rn
+              FROM embeddings q, cents c WHERE q.vec_id % 20 = 10) t
+            WHERE rn <= 4),
+          sc AS (
+            SELECT p.qid, a.nid,
+              CAST(floor((${sqlCos.replace("q.embedding", "x.embedding")
+                .replace("v.embedding", "y.embedding")}) * 1e6) AS BIGINT) AS score_u
+            FROM p JOIN a USING (list)
+              JOIN embeddings x ON x.vec_id = p.qid
+              JOIN embeddings y ON y.vec_id = a.nid
+            WHERE a.nid <> p.qid)
+          SELECT qid, nid, CAST(score_u AS DOUBLE) / 1e6 AS score, rn FROM (
+            SELECT qid, nid, score_u,
+              CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY score_u DESC NULLS LAST, nid) AS INT) AS rn
+            FROM sc)
+          WHERE rn <= 10 ORDER BY qid, rn"""
+      }),
+
     // IVF-PQ (ops/Pq.scala): the FAISS production composition — IVF
     // list pruning (nprobe/nlist of the corpus touched) × PQ codes
     // (32× less bytes per touched row). Rows-only like its IVF parent

@@ -338,6 +338,80 @@ object LlmPipelineQueries {
             ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
         FROM hh ORDER BY split, shard, pos""")),
 
+    // The EMBEDDING-side export manifest, replayed (VERDICT r12 #1's
+    // capstone): TrainExport.EmbedRecipe — semantic canon against the
+    // PINNED cell index (SemDedup.semanticAgainstIndexAt) + ANN top-k
+    // of the survivors against the PINNED det-IVF index
+    // (Similarity.ivfProbeIndexDetAt) — committed over a generational
+    // vectors table and both embedding-family indexes, every input
+    // mutated after the commit (fixture scaladoc: an unpinned replay
+    // self-drops the canon and self-ranks the ANN). The oracle replays
+    // the whole pinned recipe: the shared deterministic quantizer (the
+    // cell and IVF assignments coincide — same centroids, same
+    // floor-micro-d2 argmin, same id tiebreak), the cos-threshold drop
+    // set, and the d2-probed cosine-ranked top-10.
+    GQuery("pipeline_train_export_embed",
+      (s, d) => {
+        val ex = trainExportEmbedFor(s, d)
+        TrainExport.replay(s, ex)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some {
+        val d2vc = """list_sum(list_transform(list_zip(v.embedding, c.embedding), p ->
+            (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+            * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"""
+        val d2qc = d2vc.replace("v.embedding", "q.embedding")
+        val cosxy = """list_sum(list_transform(list_zip(x.embedding, y.embedding),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(x.embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))
+           * sqrt(list_sum(list_transform(y.embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))))"""
+        s"""WITH cor AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
+          bat AS (SELECT * FROM embeddings WHERE vec_id % 10 = 0),
+          cents AS (SELECT vec_id AS cell, embedding FROM cor
+                    WHERE vec_id % 49 = 0),
+          ca AS (
+            SELECT vec_id, cell FROM (
+              SELECT v.vec_id, c.cell,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY CAST(floor($d2vc * 1e6) AS BIGINT) ASC NULLS LAST,
+                           c.cell) AS rn
+              FROM cor v, cents c) t WHERE rn = 1),
+          ba AS (
+            SELECT vec_id, cell FROM (
+              SELECT v.vec_id, c.cell,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY CAST(floor($d2vc * 1e6) AS BIGINT) ASC NULLS LAST,
+                           c.cell) AS rn
+              FROM bat v, cents c) t WHERE rn = 1),
+          dropped AS (
+            SELECT DISTINCT ba.vec_id
+            FROM ba JOIN ca ON ba.cell = ca.cell
+            JOIN embeddings x ON x.vec_id = ba.vec_id
+            JOIN embeddings y ON y.vec_id = ca.vec_id
+            WHERE CAST(floor(($cosxy) * 1e6) AS BIGINT) >= 400000),
+          kept AS (SELECT bat.* FROM bat ANTI JOIN dropped USING (vec_id)),
+          p AS (
+            SELECT qid, list FROM (
+              SELECT q.vec_id AS qid, c.cell AS list,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY CAST(floor($d2qc * 1e6) AS BIGINT) ASC NULLS LAST,
+                           c.cell) AS rn
+              FROM kept q, cents c) t WHERE rn <= 4),
+          sc AS (
+            SELECT p.qid, ca.vec_id AS nid,
+              CAST(floor(($cosxy) * 1e6) AS BIGINT) AS score_u
+            FROM p JOIN ca ON ca.cell = p.list
+            JOIN embeddings x ON x.vec_id = p.qid
+            JOIN embeddings y ON y.vec_id = ca.vec_id
+            WHERE ca.vec_id <> p.qid)
+          SELECT qid, nid, CAST(score_u AS DOUBLE) / 1e6 AS score, rn FROM (
+            SELECT qid, nid, score_u,
+              CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY score_u DESC NULLS LAST, nid) AS INT) AS rn
+            FROM sc)
+          WHERE rn <= 10 ORDER BY qid, rn"""
+      }),
+
     // End-to-end corpus curation — the flagship COMPOSITION: the
     // Gopher-style repetition gate, exact-dedup canonicalization, and
     // benchmark decontamination are each registered operators already;

@@ -150,6 +150,46 @@ private[ops] object LlmShared {
         readerGraceMs = grace) // v4
     } + "/export"
 
+  /** The EMBEDDING-side export fixture (pipeline_train_export_embed):
+    * generational vectors table (g1 = the %10==0 slice), SemDedup cell
+    * index and det-IVF index each over the %10≠0 corpus (centroidEvery
+    * 49 — the %50 init selects zero ids in this slice), each rebuilt
+    * once so the pin is v2 = [base]. Commits the embed recipe over all
+    * three, then mutates EVERY input after the commit: g2 appends the
+    * %10==5 rows, and both indexes absorb the %20==0 vectors — a
+    * subset of the batch itself, so an unpinned replay would
+    * cos-1.0 self-drop the canon AND rank self into the ANN top-k,
+    * hash-mismatching loudly either way.
+    */
+  def trainExportEmbedFor(s: org.apache.spark.sql.SparkSession,
+                          datasetDir: String): String =
+    graft.util.TempFixtures.dir(s"exembed:$datasetDir") { p =>
+      val grace = 600000L
+      val emb = Tables(s, datasetDir, "embeddings")
+      graft.sources.Compaction.writeGen(
+        emb.filter(col("vec_id") % 10 === 0), s"$p/vecs") // g1: the pin
+      SemDedup.writeCellIndex(emb.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", centroidEvery = 49, s"$p/cells")
+      SemDedup.rebuildCellIndex(s, s"$p/cells", centroidEvery = 49)
+      Similarity.ivfWriteIndexDet(emb.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", centroidEvery = 49, indexPath = s"$p/ann")
+      Similarity.rebuildIvfIndexDet(s, s"$p/ann") // v1 convert, v2 base
+      TrainExport.commit(s, s"$p/export", TrainExport.EmbedRecipe,
+        params = Map("threshold" -> "0.4", "k" -> "10", "nprobe" -> "4"),
+        tables = Map("vecs" -> s"$p/vecs"),
+        indexes = Map("cells" -> s"$p/cells", "ann" -> s"$p/ann"))
+      // mutate EVERY input after the commit
+      graft.sources.Compaction.writeGen(
+        emb.filter(col("vec_id") % 10 === 0 || col("vec_id") % 10 === 5),
+        s"$p/vecs", readerGraceMs = grace) // g2
+      SemDedup.appendToCellIndex(s, s"$p/cells",
+        emb.filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", ingestTag = "b0") // v3
+      Similarity.ivfAppendToIndex(s, s"$p/ann",
+        emb.filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", ingestTag = "b0") // v3
+    } + "/export"
+
   /** The DuckDB replay of jaccardAgainstIndex over corpus %10≠0 /
     * batch %10==0 with the index-side df-cap applied to BOTH sides —
     * shared by `dedup_incremental_indexed` (live probe of the base-only

@@ -396,8 +396,41 @@ object SemDedup {
                            indexPath: String, batch: DataFrame,
                            idCol: String, vecCol: String,
                            threshold: Double,
-                           excludeIngest: Option[String] = None): DataFrame = {
-    val dir = graft.sources.IndexLifecycle.resolveDir(spark, indexPath)
+                           excludeIngest: Option[String] = None): DataFrame =
+    semanticProbe(spark,
+      graft.sources.IndexLifecycle.resolveDir(spark, indexPath),
+      segments = None, batch, idCol, vecCol, threshold, excludeIngest)
+
+  /** [[semanticAgainstIndex]] PINNED to a retained manifest version —
+    * the reproducible-export read for the embedding-canon family, the
+    * same contract as [[Dedup.jaccardAgainstIndexAt]] /
+    * [[graft.ops.Search.bm25AgainstIndexAt]]: the probe targets version
+    * `v`'s data dir restricted to the segment set its marker recorded,
+    * so the corpus (and the quantizer — the centroid sidecar lives in
+    * the pinned dir, untouched by appends) is exactly what the export
+    * that recorded `v` saw, even while appends keep landing in the
+    * shared dir. Fails loudly outside the retention window; forgotten
+    * rows stay forgotten. This closes the TrainExport coverage gap for
+    * recipes whose canon is semantic dedup.
+    */
+  def semanticAgainstIndexAt(spark: org.apache.spark.sql.SparkSession,
+                             indexPath: String, version: Long,
+                             batch: DataFrame,
+                             idCol: String, vecCol: String,
+                             threshold: Double): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val m = graft.sources.IndexLifecycle.manifestAt(spark, indexPath, version)
+    semanticProbe(spark, new Path(new Path(indexPath), m.dir).toString,
+      segments = Some(m.segments), batch, idCol, vecCol, threshold,
+      excludeIngest = None)
+  }
+
+  private def semanticProbe(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, segments: Option[Seq[String]],
+                            batch: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double,
+                            excludeIngest: Option[String]): DataFrame = {
     val cents = spark.read.parquet(centroidsSidecar(dir))
     val assigned = KMeansStep.assignTo(batch, idCol, vecCol, cents)
       .select(col("vec_id"), col("cluster").as("cell"))
@@ -405,8 +438,13 @@ object SemDedup {
       .join(assigned, "vec_id")
     val touched = probe.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val hist0 = spark.read.parquet(dir)
+    val histAll = spark.read.parquet(dir)
       .filter(col("cell").isin(touched: _*))
+    // pinned reads restrict to the segment set version v's marker
+    // recorded — appends sealed after the pin share the dir but not
+    // the manifest (see jaccardProbe)
+    val hist0 = segments.fold(histAll)(segs =>
+      histAll.filter(col("ingest").isin(segs: _*)))
     // segment filter = cheap replay prune; the id anti-join is the
     // correctness closure for the case where a rebuild absorbed the
     // replayed tag into base (see jaccardAgainstIndex)
@@ -548,6 +586,46 @@ object SemDedup {
         "vec_id", "embedding", centroidEvery = IncEvery, idx)
     }
 
+  /** The pinned-probe fixture: same base corpus as [[cellIndexFor]]
+    * but generational — convert publishes v1 (flat content), rebuild
+    * publishes v2 (fresh base dir, the version the probe pins) — with
+    * the %20==0 vectors appended AFTER the pin (v3), the established
+    * append-after-pin trap (a listing read would self-match the batch).
+    */
+  private def cellAtIndexFor(s: org.apache.spark.sql.SparkSession,
+                             d: String): String =
+    graft.util.TempFixtures.dir(s"cellat:$d") { idx =>
+      val emb = Tables(s, d, "embeddings")
+      writeCellIndex(emb.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", centroidEvery = IncEvery, idx)
+      rebuildCellIndex(s, idx, centroidEvery = IncEvery)
+      appendToCellIndex(s, idx, emb.filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", ingestTag = "b0") // v3: [base, b0]
+    }
+
+  /** Corpus assignment + batch assignment + within-cell cosine
+    * threshold, replayed over the %10≠0 / %10==0 split — shared by the
+    * live listing probe and the pinned-v2 probe (whose corpora are
+    * identical by construction).
+    */
+  private def semanticIndexedOracleSql: String =
+    s"""WITH cor AS (
+        SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
+      bat AS (SELECT * FROM embeddings WHERE vec_id % 10 = 0),
+      cents AS (SELECT vec_id AS cell, embedding FROM cor
+                WHERE vec_id % $IncEvery = 0),
+      ca AS (${sqlAssign("cor")}),
+      ba AS (${sqlAssign("bat")}),
+      p AS (
+        SELECT ba.vec_id AS i, ca.vec_id AS j, ba.cell,
+          CAST(floor(${sqlCos("x", "y")} * 1e6) AS BIGINT) AS cos_u
+        FROM ba JOIN ca ON ba.cell = ca.cell
+        JOIN embeddings x ON x.vec_id = ba.vec_id
+        JOIN embeddings y ON y.vec_id = ca.vec_id
+        WHERE CAST(floor(${sqlCos("x", "y")} * 1e6) AS BIGINT) >= $ThrU)
+      SELECT i, j, cell, CAST(cos_u AS DOUBLE) / 1e6 AS cos
+      FROM p ORDER BY i, j"""
+
   val queries: Seq[GQuery] = Seq(
     // Deletion propagation (right-to-be-forgotten) into the persisted
     // semantic cell index — the embedding twin of forget_shingle_index,
@@ -622,34 +700,25 @@ object SemDedup {
           Tables(s, d, "embeddings").filter(col("vec_id") % 10 === 0),
           "vec_id", "embedding", threshold = Thr)
         .orderBy(col("i"), col("j")),
-      Some(s"""WITH cor AS (
-          SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
-        bat AS (SELECT * FROM embeddings WHERE vec_id % 10 = 0),
-        cents AS (SELECT vec_id AS cell, embedding FROM cor
-                  WHERE vec_id % $IncEvery = 0),
-        ca AS (
-          SELECT vec_id, cell FROM (
-            SELECT v.vec_id, c.cell,
-              row_number() OVER (PARTITION BY v.vec_id
-                ORDER BY CAST(floor(${sqlD2("v", "c")} * 1e6) AS BIGINT)
-                         ASC NULLS LAST, c.cell) AS rn
-            FROM cor v, cents c) t WHERE rn = 1),
-        ba AS (
-          SELECT vec_id, cell FROM (
-            SELECT v.vec_id, c.cell,
-              row_number() OVER (PARTITION BY v.vec_id
-                ORDER BY CAST(floor(${sqlD2("v", "c")} * 1e6) AS BIGINT)
-                         ASC NULLS LAST, c.cell) AS rn
-            FROM bat v, cents c) t WHERE rn = 1),
-        p AS (
-          SELECT ba.vec_id AS i, ca.vec_id AS j, ba.cell,
-            CAST(floor(${sqlCos("x", "y")} * 1e6) AS BIGINT) AS cos_u
-          FROM ba JOIN ca ON ba.cell = ca.cell
-          JOIN embeddings x ON x.vec_id = ba.vec_id
-          JOIN embeddings y ON y.vec_id = ca.vec_id
-          WHERE CAST(floor(${sqlCos("x", "y")} * 1e6) AS BIGINT) >= $ThrU)
-        SELECT i, j, cell, CAST(cos_u AS DOUBLE) / 1e6 AS cos
-        FROM p ORDER BY i, j""")),
+      Some(semanticIndexedOracleSql)),
+
+    // Probe PINNED to a manifest version (the embedding-canon family's
+    // reproducible-export read, same doctrine as dedup_jaccard_at): the
+    // same cell index as dedup_semantic_incremental but generational
+    // (rebuild → v2 = [base]) with the %20==0 vectors appended AFTER
+    // (v3). The probe pins v2, so its corpus is the PRE-append %10≠0
+    // population — a listing-based read would ALSO see the appended
+    // %20==0 vectors, which are a subset of the %10==0 batch itself,
+    // and hash-mismatch loudly with cos-1.0 self-pairs. Same oracle as
+    // the live base-only probe by construction (the rebuild re-selects
+    // the same deterministic quantizer over the same corpus).
+    GQuery("dedup_semantic_at",
+      (s, d) => semanticAgainstIndexAt(s, cellAtIndexFor(s, d),
+          version = 2L,
+          Tables(s, d, "embeddings").filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", threshold = Thr)
+        .orderBy(col("i"), col("j")),
+      Some(semanticIndexedOracleSql)),
 
     // Streaming probe-then-append over embeddings: two MemoryStream
     // micro-batches through attachSemantic — batch 0 probes the base

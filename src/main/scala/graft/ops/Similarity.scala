@@ -436,9 +436,39 @@ object Similarity {
   def ivfProbeIndexDet(spark: org.apache.spark.sql.SparkSession,
                        indexPath: String, queries: DataFrame,
                        idCol: String, vecCol: String, k: Int,
-                       nprobe: Int = 4): DataFrame = {
+                       nprobe: Int = 4): DataFrame =
+    ivfDetProbe(spark,
+      graft.sources.IndexLifecycle.resolveDir(spark, indexPath),
+      segments = None, queries, idCol, vecCol, k, nprobe)
+
+  /** [[ivfProbeIndexDet]] PINNED to a retained manifest version — the
+    * reproducible-export read for the ANN-retrieval family, the same
+    * contract as [[graft.ops.Dedup.jaccardAgainstIndexAt]]: the probe
+    * targets version `v`'s data dir restricted to the segment set its
+    * marker recorded, so the searched corpus (and the quantizer — the
+    * centroid sidecar lives in the pinned dir, untouched by appends)
+    * is exactly what the export that recorded `v` saw. Fails loudly
+    * outside the retention window; forgotten vectors stay forgotten.
+    * This closes the TrainExport coverage gap for recipes whose
+    * retrieval is ANN.
+    */
+  def ivfProbeIndexDetAt(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, version: Long,
+                         queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         nprobe: Int = 4): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val m = graft.sources.IndexLifecycle.manifestAt(spark, indexPath, version)
+    ivfDetProbe(spark, new Path(new Path(indexPath), m.dir).toString,
+      segments = Some(m.segments), queries, idCol, vecCol, k, nprobe)
+  }
+
+  private def ivfDetProbe(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, segments: Option[Seq[String]],
+                          queries: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          nprobe: Int): DataFrame = {
     import graft.functions.SquaredDistance.squaredDistance
-    val dir = graft.sources.IndexLifecycle.resolveDir(spark, indexPath)
     val cents = spark.read.parquet(centroidsPath(dir))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("d2_u"), col("list"))
@@ -451,8 +481,13 @@ object Similarity {
       .select("qid", "qvec", "list")
     val probed = probes.select("list").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val assigned = spark.read.parquet(dir)
+    val assignedAll = spark.read.parquet(dir)
       .filter(col("list").isin(probed: _*))
+    // pinned reads restrict to the segment set version v's marker
+    // recorded — appends sealed after the pin share the dir but not
+    // the manifest (see jaccardProbe)
+    val assigned = segments.fold(assignedAll)(segs =>
+      assignedAll.filter(col("ingest").isin(segs: _*)))
     scoreProbed(assigned, probes, k)
   }
 
