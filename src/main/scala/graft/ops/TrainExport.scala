@@ -64,6 +64,16 @@ object TrainExport {
     */
   final case class IndexPin(path: String, version: Long, paramsFp: String)
 
+  /** A model input (DSIR importance weights, an LR scorer — any plain
+    * parquet artifact with no generation or version of its own) pinned
+    * by a content fingerprint: the same order-insensitive row hash as
+    * `resultFp`, computed at commit and re-validated at replay. Unlike
+    * table/index pins there is no retained older version to read — a
+    * changed model dir fails the replay loudly rather than silently
+    * resolving to current disk state (the r12 verdict's gap #3).
+    */
+  final case class ModelPin(path: String, contentFp: String)
+
   /** The committed export manifest. `resultFp` is the decimal-rendered
     * order-insensitive row fingerprint of the exported data.
     */
@@ -71,6 +81,7 @@ object TrainExport {
                                   params: Map[String, String],
                                   tables: Map[String, TablePin],
                                   indexes: Map[String, IndexPin],
+                                  models: Map[String, ModelPin],
                                   resultFp: String)
 
   /** What a recipe sees: pinned reads only. A recipe that bypasses
@@ -81,7 +92,8 @@ object TrainExport {
   final class PinnedInputs private[TrainExport] (
       spark: SparkSession,
       tables: Map[String, TablePin],
-      indexes: Map[String, IndexPin]) {
+      indexes: Map[String, IndexPin],
+      models: Map[String, ModelPin] = Map.empty) {
 
     /** The named table AT its pinned generation. */
     def table(name: String): DataFrame = {
@@ -98,6 +110,16 @@ object TrainExport {
       indexes.getOrElse(name, sys.error(
         s"export recipe asked for index '$name' but the manifest pins " +
           s"only: ${indexes.keys.toSeq.sorted.mkString(",")}"))
+
+    /** The named model artifact, content-fingerprint-pinned (replay
+      * validates the fingerprint before the recipe runs).
+      */
+    def model(name: String): DataFrame = {
+      val pin = models.getOrElse(name, sys.error(
+        s"export recipe asked for model '$name' but the manifest pins " +
+          s"only: ${models.keys.toSeq.sorted.mkString(",")}"))
+      spark.read.parquet(pin.path)
+    }
   }
 
   /** A recipe: (session, pinned inputs, scalar params) → the export
@@ -144,11 +166,12 @@ object TrainExport {
   def commit(spark: SparkSession, exportDir: String, recipe: String,
              params: Map[String, String],
              tables: Map[String, String],
-             indexes: Map[String, String]): ExportManifest = {
+             indexes: Map[String, String],
+             models: Map[String, String] = Map.empty): ExportManifest = {
     val fn = recipes.get(recipe)
     require(fn != null, s"no recipe registered under '$recipe' — " +
       s"registered: ${recipeIds.mkString(",")}")
-    (params.keys ++ tables.keys ++ indexes.keys).foreach { k =>
+    (params.keys ++ tables.keys ++ indexes.keys ++ models.keys).foreach { k =>
       require(k.nonEmpty && k.forall(c => c.isLetterOrDigit || c == '_' ||
           c == '.' || c == '-'),
         s"export input/param name must be [A-Za-z0-9_.-]: '$k'")
@@ -161,7 +184,7 @@ object TrainExport {
     // table/index paths land on manifest lines too — a POSIX-legal
     // '\n' or '\r' in a path would commit a permanently unparseable
     // (hence unreplayable) manifest
-    (tables ++ indexes).foreach { case (name, path) =>
+    (tables ++ indexes ++ models).foreach { case (name, path) =>
       require(!path.exists(_.isControl),
         s"input '$name' path must be single-line printable text: '$path'")
     }
@@ -180,7 +203,13 @@ object TrainExport {
       name -> IndexPin(path, m.v,
         paramsFingerprint(spark, new Path(new Path(path), m.dir)))
     }
-    val out = fn(spark, new PinnedInputs(spark, tPins, iPins), params)
+    val mPins = models.map { case (name, path) =>
+      // content fingerprint at commit time — the params-sidecar md5
+      // treatment scaled to a data-sized artifact (one distributed
+      // aggregate, no collect)
+      name -> ModelPin(path, rowFingerprint(spark.read.parquet(path)))
+    }
+    val out = fn(spark, new PinnedInputs(spark, tPins, iPins, mPins), params)
     val main = new Path(exportDir)
     val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mc = ManifestCommit.forIndex(fs, main)
@@ -205,7 +234,7 @@ object TrainExport {
     try {
       // fingerprint the COMMITTED artifact (the parquet round-trip is
       // the authoritative bytes a consumer reads), not the live plan
-      val m = ExportManifest(recipe, params, tPins, iPins,
+      val m = ExportManifest(recipe, params, tPins, iPins, mPins,
         resultFp = rowFingerprint(spark.read.parquet(staging.toString)))
       require(mc.createExclusive(ManifestName, render(m).getBytes("UTF-8")),
         s"lost the export-commit race at $exportDir — another export " +
@@ -275,12 +304,28 @@ object TrainExport {
           s"$fp) — the index was retuned in place; replay would not be " +
           "faithful")
     }
+    m.models.foreach { case (name, pin) =>
+      val fp =
+        try rowFingerprint(spark.read.parquet(pin.path))
+        catch { case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"replay of $exportDir: pinned model '$name' is gone — " +
+              s"${e.getMessage.linesIterator.next()}", e) }
+      require(fp == pin.contentFp,
+        s"replay of $exportDir: model '$name' at ${pin.path} changed " +
+          s"since the commit (committed content fingerprint " +
+          s"${pin.contentFp}, now $fp) — a model dir has no retained " +
+          "versions to pin, so replay against the changed artifact " +
+          "would not be faithful; restore the committed model or " +
+          "re-export")
+    }
     // own the persist: the staging write below materializes the full
     // recipe, and the returned frame must not re-execute it when the
     // caller consumes the rows (graft.util.Caches sweeps owned persists
     // at the operator-lifecycle points)
     val out = graft.util.Caches.own(
-      fn(spark, new PinnedInputs(spark, m.tables, m.indexes), m.params))
+      fn(spark, new PinnedInputs(spark, m.tables, m.indexes, m.models),
+        m.params))
     // fingerprint the SAME representation commit fingerprinted — the
     // parquet round-trip — by staging the replayed frame next to the
     // export (same shared FS a cluster's executors can reach) and
@@ -369,6 +414,10 @@ object TrainExport {
       b.append("index.").append(k).append('=').append(p.version)
         .append('|').append(p.paramsFp).append('|').append(p.path).append('\n')
     }
+    m.models.toSeq.sortBy(_._1).foreach { case (k, p) =>
+      b.append("model.").append(k).append('=')
+        .append(p.contentFp).append('|').append(p.path).append('\n')
+    }
     b.result()
   }
 
@@ -382,6 +431,7 @@ object TrainExport {
     val params = Map.newBuilder[String, String]
     val tables = Map.newBuilder[String, TablePin]
     val indexes = Map.newBuilder[String, IndexPin]
+    val models = Map.newBuilder[String, ModelPin]
     lines.tail.foreach { line =>
       val eq = line.indexOf('=')
       require(eq > 0, s"malformed export manifest line at $where: '$line'")
@@ -401,6 +451,11 @@ object TrainExport {
           require(parts.length == 3, s"malformed index pin at $where: '$line'")
           indexes += k.stripPrefix("index.") ->
             IndexPin(parts(2), parts(0).toLong, parts(1))
+        case k if k.startsWith("model.") =>
+          val bar = value.indexOf('|')
+          require(bar > 0, s"malformed model pin at $where: '$line'")
+          models += k.stripPrefix("model.") ->
+            ModelPin(value.substring(bar + 1), value.substring(0, bar))
         case other =>
           sys.error(s"unknown export manifest key at $where: '$other'")
       }
@@ -408,7 +463,7 @@ object TrainExport {
     require(recipe.nonEmpty && result.nonEmpty,
       s"export manifest at $where is missing recipe/result")
     ExportManifest(recipe, params.result(), tables.result(),
-      indexes.result(), result)
+      indexes.result(), models.result(), result)
   }
 
   // ---- built-in recipes ----

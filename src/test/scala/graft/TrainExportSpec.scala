@@ -255,6 +255,50 @@ class TrainExportSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"staging leak: ${leftovers.mkString(",")}")
   }
 
+  test("model pins: a recipe's DSIR/LR-style model input is content-fingerprinted at commit and validated at replay") {
+    // the r12 verdict's gap #3: model artifacts are plain parquet dirs
+    // with no generation/version — without a pin, replay silently
+    // resolves them to current disk state
+    val root = java.nio.file.Files.createTempDirectory("graft_texpm").toString
+    Compaction.writeGen(docs(25L to 34L), s"$root/docs")
+    Seq((0L, 10L), (1L, 20L), (2L, 30L)).toDF("k", "w")
+      .write.parquet(s"$root/model")
+    TrainExport.registerRecipe("spec_model_export_v1") { (s, in, _) =>
+      val m = in.model("m")
+      in.table("docs")
+        .withColumn("k", pmod(col("doc_id"), lit(3)))
+        .join(broadcast(m), Seq("k"))
+        .select(col("doc_id"), col("w"))
+    }
+    val m = TrainExport.commit(spark, s"$root/export", "spec_model_export_v1",
+      params = Map.empty,
+      tables = Map("docs" -> s"$root/docs"),
+      indexes = Map.empty,
+      models = Map("m" -> s"$root/model"))
+    assert(m.models("m").contentFp != "empty")
+    // the manifest round-trips the model pin
+    assert(TrainExport.manifest(spark, s"$root/export") == m)
+    // untouched model → hash-identical replay
+    val replayed = TrainExport.replay(spark, s"$root/export")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(replayed == (25L to 34L))
+    // mutate the model dir in place → replay fails with the
+    // fingerprint message (even though the recipe would still run)
+    Seq((0L, 11L), (1L, 20L), (2L, 30L)).toDF("k", "w")
+      .write.mode("overwrite").parquet(s"$root/model")
+    val e = intercept[IllegalArgumentException](
+      TrainExport.replay(spark, s"$root/export"))
+    assert(e.getMessage.contains("model 'm'") &&
+      e.getMessage.contains("changed since the commit"), e.getMessage)
+    // model dir gone entirely → the retention-style message
+    val fs = new org.apache.hadoop.fs.Path(s"$root/model")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/model"), true)
+    val e2 = intercept[IllegalArgumentException](
+      TrainExport.replay(spark, s"$root/export"))
+    assert(e2.getMessage.contains("pinned model 'm' is gone"), e2.getMessage)
+  }
+
   test("rename failure AFTER the manifest CAS preserves the staged data for manual promotion") {
     // the review-found recovery hazard: the finally-block cleanup must
     // NOT delete staging when the CAS won but the rename failed —
