@@ -135,11 +135,13 @@ object Bench {
       graft.util.Caches.sweep() // driver-side bookkeeping, outside the timing
       name -> (if (ok) dt else -1.0)
     }.toMap
-    // ISOLATED measure for the documented suite-pressure canaries
-    // (q84's exact-percentile value buffering breathes ±60% with
-    // whatever the suite leaves on the heap — its isolated number is
-    // the stable one to trend; override the set with
-    // SPARK_GRAFT_ISOLATED=a,b,c). Runs AFTER the warm pass (JIT +
+    // ISOLATED measure for the documented suite-pressure canaries.
+    // Historical: q84 earned this slot when it was the buffering
+    // percentile() aggregate (±60% with whatever the suite left on
+    // the heap); round 13 swapped the registered q84 to the sort-based
+    // exact plan, and the canary STAYS on it to trend the swap —
+    // override the set with SPARK_GRAFT_ISOLATED=a,b,c. Runs AFTER
+    // the warm pass (JIT +
     // page cache hot) but BEFORE the timed suite passes — measured:
     // running it last, even behind a System.gc(), inherits four
     // passes of tenured garbage and reads HIGHER than the suite

@@ -253,50 +253,21 @@ object StatsQueries {
       None),
 
     // Equi-depth histogram: 16 equal-mass buckets of the price column,
-    // cut at exact percentiles (sort-based, linear interpolation — the
-    // q42 cross-engine pairing percentile ↔ quantile_cont). The cut
-    // array is a 1-row broadcast; bucket assignment is a map-only
-    // count-of-cuts-below fold. The rank-normalization half of the
-    // Z-order layout as a first-class query.
+    // cut at EXACT percentiles from the sort-based distributed
+    // computation (exactCutsSorted: one range exchange + bounded
+    // ranked-row fetch) — the scale-safe exact plan, registered as THE
+    // q84 since round 13. The buffering percentile() aggregate that
+    // used to sit here (the repo's long-standing memory-cliff anchor —
+    // ImperativeAggregate buffers every value per group, OOM at 100×)
+    // is retired to a spec-only anchor: ApproxPercentileSpec asserts
+    // its cuts agree with these to within ULP rounding, so the oracle
+    // contract is unchanged (same linear interpolation, same
+    // quantile_cont replay; cuts only feed value comparisons, where a
+    // ULP changes nothing). Bucket assignment stays a map-only
+    // fold. q84_equidepth_approx remains the GK-sketch production twin.
+    // (The former q84_equidepth_sorted row is this row now — the
+    // duplicate registration was dropped with the swap.)
     GQuery("q84_equidepth_histogram",
-      (s, d) => {
-        val probs = (1 to 15).map(_ / 16.0)
-        val li = Tables(s, d, "lineitem")
-        val cuts = li.agg(
-          percentile(col("l_extendedprice"),
-            array(probs.map(lit): _*)).as("cuts"))
-        li.crossJoin(broadcast(cuts))
-          .withColumn("bucket",
-            aggregate(col("cuts"), lit(0),
-              (acc, c) => acc +
-                when(col("l_extendedprice") > c, 1).otherwise(0)))
-          .groupBy(col("bucket"))
-          .agg(count(lit(1)).as("n"),
-            min(col("l_extendedprice")).as("lo"),
-            max(col("l_extendedprice")).as("hi"))
-          .orderBy(col("bucket"))
-      },
-      Some {
-        val probs = (1 to 15).map(_ / 16.0).mkString("[", ", ", "]")
-        s"""WITH cuts AS (
-            SELECT quantile_cont(l_extendedprice, $probs) AS cuts
-            FROM lineitem)
-          SELECT bucket, COUNT(*) AS n, min(p) AS lo, max(p) AS hi
-          FROM (
-            SELECT l_extendedprice AS p,
-              CAST(len(list_filter(cuts, c -> l_extendedprice > c)) AS INT)
-                AS bucket
-            FROM lineitem, cuts)
-          GROUP BY bucket ORDER BY bucket"""
-      }),
-
-    // EXACT-at-scale twin of q84: the same cuts (bit-identical — SAME
-    // oracle SQL) from the sort-based distributed computation instead
-    // of the buffering ImperativeAggregate. This is the answer to
-    // "exact percentiles are a memory cliff at 100 TB": they aren't,
-    // if you pay one range-exchange sort — the cliff is specific to
-    // the percentile() aggregate's implementation.
-    GQuery("q84_equidepth_sorted",
       (s, d) => {
         val li = Tables(s, d, "lineitem")
         val probs = (1 to 15).map(_ / 16.0)

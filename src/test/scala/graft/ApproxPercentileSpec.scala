@@ -90,6 +90,34 @@ class ApproxPercentileSpec extends AnyFunSuite {
     }
   }
 
+  test("spec-only anchor: the buffering percentile() aggregate's cuts are bit-identical to exactCutsSorted") {
+    // Round 13 retired percentile() from the registered q84 (the
+    // ImperativeAggregate buffers every value per group — the repo's
+    // last standing memory cliff at 100×); the registered plan is now
+    // the sort-based exactCutsSorted. This anchor keeps the retired
+    // implementation honest-by-reference: both sides implement the
+    // same linear-interpolation contract (index p·(n−1)), so the cuts
+    // must agree to within a few ULPs (the two sides order the
+    // lo + (hi−lo)·frac arithmetic differently — measured one-ULP
+    // spread at sf0.01; the registered output is insensitive because
+    // cuts only feed value comparisons, where a ULP between two real
+    // data points changes nothing). If Spark's percentile() semantics
+    // ever drift beyond that, this is the spec that says the
+    // registered q84 and its quantile_cont oracle no longer describe
+    // the retired aggregate.
+    val li = Tables(spark, sfDir, "lineitem")
+    val probs = (1 to 15).map(_ / 16.0)
+    val buffered = li.agg(percentile(col("l_extendedprice"),
+        array(probs.map(lit): _*)).as("cuts"))
+      .collect()(0).getSeq[Double](0)
+    val sorted = StatsQueries.exactCutsSorted(li, "l_extendedprice", probs)
+    assert(buffered.length == sorted.length)
+    probs.indices.foreach { i =>
+      assert(math.abs(buffered(i) - sorted(i)) <= 4 * math.ulp(sorted(i)),
+        s"cut ${probs(i)}: percentile()=${buffered(i)} vs sorted=${sorted(i)}")
+    }
+  }
+
   test("approx twins return the same groups as their exact twins") {
     // same bucket/group domain — the twins must be drop-in swaps
     val exactW = ProfileQueries.queries.find(_.name == "q89_winsorize").get
