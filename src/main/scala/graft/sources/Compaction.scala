@@ -133,6 +133,7 @@ object Compaction {
     */
   private val ManifestPrefix = "_graft_gen."
   private[sources] val ClaimPrefix = "_graft_claim."
+  private[sources] val LeasePrefix = "_graft_lease."
 
   /** Default lease on an unpublished-but-claimed generation dir before
     * other writers may prune it as a crashed orphan (see [[claimNext]]).
@@ -225,6 +226,84 @@ object Compaction {
     sys.error(s"claimNext: no claimable generation after 64 attempts at $main")
   }
 
+  // ------------------------------------------------------- leases
+
+  /** Retention leases: a consumer (a committed TrainExport, a
+    * long-lived downstream snapshot) pins published generation `gen`
+    * PAST the normal two-generation + wall-grace retention by creating
+    * a `_graft_lease.<leaseId>` marker whose payload names the
+    * generation. [[pruneDataDirs]] and [[publish]]'s marker pruning
+    * both consult the lease set and keep a leased generation's dir AND
+    * marker until every lease naming it is [[releaseLease]]d — the
+    * Iceberg snapshot-ref idea reduced to one marker per holder.
+    *
+    * PRECEDENCE (the RTBF contract): a lease holds RETENTION pruning
+    * only. [[forgetRows]] / [[scrubRetiredGens]] — the erasure path —
+    * remain lease-BLIND by design: right-to-be-forgotten overrides
+    * every pin, the leased generation's dir is physically scrubbed,
+    * and a later pinned read ([[readTableAt]]) or export replay fails
+    * loudly with the retention message rather than silently serving
+    * the forgotten rows. Leases defer garbage collection; they never
+    * veto erasure.
+    *
+    * Acquire is CAS-idempotent per leaseId (re-acquiring the same
+    * (id, gen) succeeds; the same id on a DIFFERENT generation fails
+    * loudly), and re-verifies the generation is still readable after
+    * the lease lands — closing the race against a concurrent publish
+    * whose prune was already past the lease listing.
+    */
+  def acquireLease(spark: SparkSession, path: String, gen: Long,
+                   leaseId: String): Unit = {
+    require(leaseId.nonEmpty && leaseId.forall(c => c.isLetterOrDigit ||
+        c == '_' || c == '.' || c == '-'),
+      s"leaseId must be [A-Za-z0-9_.-]: '$leaseId'")
+    val main = new Path(path)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(main, ManifestPrefix + genName(gen))) &&
+        fs.exists(new Path(main, genName(gen))),
+      s"cannot lease generation $gen at $path — not readable " +
+        s"(readable: ${generations(spark, path).mkString(",")})")
+    val mc = new FsManifestCommit(fs, main)
+    val name = LeasePrefix + leaseId
+    if (!mc.createExclusive(name, genName(gen).getBytes("UTF-8"))) {
+      val held = mc.read(name).map(new String(_, "UTF-8"))
+      require(held.contains(genName(gen)),
+        s"lease '$leaseId' at $path already pins generation " +
+          s"${held.getOrElse("?")}, not ${genName(gen)} — release it " +
+          "first or use a distinct leaseId per export")
+    }
+    // the lease only protects from NOW on — re-verify nothing pruned
+    // the generation between the readability check and the lease CAS
+    if (!fs.exists(new Path(main, ManifestPrefix + genName(gen))) ||
+        !fs.exists(new Path(main, genName(gen)))) {
+      mc.delete(name)
+      sys.error(s"generation $gen at $path was pruned while acquiring " +
+        "the lease — re-derive the pin from current state")
+    }
+  }
+
+  /** Release a retention lease; the generation it pinned re-enters the
+    * normal retention rules on the next publish/prune cycle.
+    */
+  def releaseLease(spark: SparkSession, path: String, leaseId: String): Unit = {
+    val main = new Path(path)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new FsManifestCommit(fs, main).delete(LeasePrefix + leaseId)
+  }
+
+  /** Generation numbers currently held by at least one lease. Bounded
+    * metadata (one list + one tiny read per lease).
+    */
+  private[graft] def leasedGens(fs: org.apache.hadoop.fs.FileSystem,
+                                main: Path): Set[Long] = {
+    val mc = new FsManifestCommit(fs, main)
+    mc.list(LeasePrefix)
+      .flatMap(n => mc.read(n))
+      .map(new String(_, "UTF-8"))
+      .flatMap(genNumber)
+      .toSet
+  }
+
   /** Prune data dirs under the generational grace rules. Published
     * generations: keep the two most recently PUBLISHED (rank-based, not
     * number-based — claims can leave gaps in the numbering, and a
@@ -259,9 +338,11 @@ object Compaction {
     val graceFloor = pubs.take(2).last
     val retiredLongAgo = agedPast(fs,
       new Path(main, ManifestPrefix + genName(graceFloor)), readerGraceMs)
+    val leased = leasedGens(fs, main) // retention holds; RTBF ignores
     fs.listStatus(main).toSeq.filter(_.isDirectory).foreach { s =>
       genNumber(s.getPath.getName).foreach { nn =>
-        if (nn < graceFloor) { if (retiredLongAgo) fs.delete(s.getPath, true) }
+        if (nn < graceFloor) {
+          if (retiredLongAgo && !leased(nn)) fs.delete(s.getPath, true) }
         else if (nn > curN) {
           val live = liveClaim(fs,
             new Path(main, ClaimPrefix + genName(nn)), orphanGraceMs)
@@ -432,11 +513,12 @@ object Compaction {
       .sorted.reverse.take(2).last
     val retiredLongAgo = agedPast(fs,
       new Path(main, ManifestPrefix + genName(graceFloor)), readerGraceMs)
+    val leased = leasedGens(fs, main) // markers and dirs expire together
     fs.listStatus(main).toSeq.map(_.getPath).foreach { p =>
       val name = p.getName
       if (name.startsWith(ManifestPrefix))
         genNumber(name.stripPrefix(ManifestPrefix)) match {
-          case Some(m) if m < graceFloor && retiredLongAgo =>
+          case Some(m) if m < graceFloor && retiredLongAgo && !leased(m) =>
             fs.delete(p, false)
           case _ => ()
         }
@@ -624,6 +706,10 @@ object Compaction {
     * their live-claim protection; `readerGraceMs` (measured from the
     * current generation's marker) skips the scrub entirely when the
     * window is still open (returns false — call again after).
+    * Deliberately lease-BLIND ([[acquireLease]]'s precedence contract):
+    * RTBF erasure overrides every retention lease — the leased
+    * generation's rows are physically gone and its pinned reads fail
+    * loudly from then on.
     */
   def scrubRetiredGens(spark: SparkSession, path: String,
                        orphanGraceMs: Long = DefaultOrphanGraceMs,

@@ -183,6 +183,59 @@ object IndexLifecycle {
 
   private def markerName(v: Long): String = Marker + Compaction.genName(v)
 
+  private val LeaseMarker = "_graft_ixlease."
+
+  /** Retention leases on index manifest versions — the index twin of
+    * [[Compaction.acquireLease]]: a `_graft_ixlease.<leaseId>` object
+    * in the SAME commit store as the version markers pins version `v`
+    * past the [[MarkerKeep]]-marker / two-dir retention window.
+    * [[pruneMarkers]] and [[prune]] keep a leased version's marker and
+    * its data dir until every lease naming it is released.
+    *
+    * PRECEDENCE: leases hold RETENTION only. [[forgetViaRebuild]] /
+    * [[scrubRetired]] — the RTBF erasure path — stay lease-blind: the
+    * leased version's dir is physically scrubbed and later pinned
+    * reads ([[manifestAt]] / the `*AgainstIndexAt` probes) fail with
+    * the established retention messages. Leases defer garbage
+    * collection; they never veto erasure.
+    */
+  def acquireLease(spark: SparkSession, path: String, v: Long,
+                   leaseId: String): Unit = {
+    require(leaseId.nonEmpty && leaseId.forall(c => c.isLetterOrDigit ||
+        c == '_' || c == '.' || c == '-'),
+      s"leaseId must be [A-Za-z0-9_.-]: '$leaseId'")
+    val main = new Path(path)
+    val mc = commitOf(spark, main)
+    manifestAt(spark, path, v) // throws when v is not pinnable
+    val name = LeaseMarker + leaseId
+    if (!mc.createExclusive(name,
+        Compaction.genName(v).getBytes("UTF-8"))) {
+      val held = mc.read(name).map(new String(_, "UTF-8"))
+      require(held.contains(Compaction.genName(v)),
+        s"index lease '$leaseId' at $path already pins version " +
+          s"${held.getOrElse("?")}, not v$v — release it first or use " +
+          "a distinct leaseId per export")
+    }
+    // re-verify after the lease lands: a concurrent rebuild's prune may
+    // have been past the lease listing already
+    try manifestAt(spark, path, v)
+    catch { case e: Throwable => mc.delete(name); throw e }
+  }
+
+  /** Release an index retention lease; the version re-enters normal
+    * retention on the next rebuild's prune.
+    */
+  def releaseLease(spark: SparkSession, path: String, leaseId: String): Unit =
+    commitOf(spark, new Path(path)).delete(LeaseMarker + leaseId)
+
+  /** Versions currently held by at least one lease — bounded metadata. */
+  private def leasedVersions(mc: ManifestCommit): Set[Long] =
+    mc.list(LeaseMarker)
+      .flatMap(n => mc.read(n))
+      .map(new String(_, "UTF-8"))
+      .flatMap(Compaction.genNumber)
+      .toSet
+
   private def markerNums(mc: ManifestCommit): Seq[Long] =
     mc.list(Marker).flatMap(n => Compaction.genNumber(n.stripPrefix(Marker)))
 
@@ -762,7 +815,10 @@ object IndexLifecycle {
     * elapsed the scrub is skipped (returns false) so a reader that
     * resolved the pre-forget dir can finish its scan; call again after
     * the grace to finish erasure. Returns true when no retired dir
-    * remains.
+    * remains. Deliberately lease-BLIND ([[acquireLease]]'s precedence
+    * contract): RTBF erasure overrides retention leases — a leased
+    * version's dir is scrubbed and its pinned reads fail loudly from
+    * then on.
     */
   def scrubRetired(spark: SparkSession, path: String,
                    orphanGraceMs: Long = DefaultOrphanGraceMs,
@@ -920,7 +976,8 @@ object IndexLifecycle {
     val mc = commitOf(spark, main)
     val nums = markerNums(mc).sorted.reverse
     if (nums.isEmpty) return
-    nums.drop(MarkerKeep).foreach(v => mc.delete(markerName(v)))
+    val leased = leasedVersions(mc)
+    nums.drop(MarkerKeep).filterNot(leased).foreach(v => mc.delete(markerName(v)))
     val manifests = nums.take(MarkerKeep).flatMap(v => readMarker(mc, v))
     manifests.map(_.dir).distinct.take(2).foreach { d =>
       val dp = new Path(main, d)
@@ -953,10 +1010,16 @@ object IndexLifecycle {
     val mc = commitOf(spark, main)
     val nums = markerNums(mc).sorted.reverse
     if (nums.isEmpty) return
-    nums.drop(MarkerKeep).foreach(v => mc.delete(markerName(v)))
+    val leased = leasedVersions(mc)
+    nums.drop(MarkerKeep).filterNot(leased).foreach(v => mc.delete(markerName(v)))
     val kept = nums.take(MarkerKeep)
     val manifests = kept.flatMap(v => readMarker(mc, v))
     val keepDirs = manifests.map(_.dir).distinct.take(2)
+    // a leased version's data dir survives with its marker — wherever
+    // it sits in the chain (leases hold retention; scrubRetired, the
+    // RTBF path, stays lease-blind)
+    val leasedDirs = nums.filter(leased)
+      .flatMap(v => readMarker(mc, v)).map(_.dir).toSet
     val retiredLongAgo = readerGraceMs <= 0L || keepDirs.drop(1).headOption
       .flatMap { second =>
         manifests.filter(_.dir == second).map(_.v).minOption
@@ -965,7 +1028,7 @@ object IndexLifecycle {
         mc.createdAt(markerName(v))
           .forall(t => System.currentTimeMillis() - t >= readerGraceMs)
       }
-    val keepSet = keepDirs.toSet
+    val keepSet = keepDirs.toSet ++ leasedDirs
     fs.listStatus(main).toSeq.filter(_.isDirectory).foreach { s =>
       val nm = s.getPath.getName
       if (Compaction.genNumber(nm).isDefined && !keepSet.contains(nm)) {

@@ -255,6 +255,69 @@ class TrainExportSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"staging leak: ${leftovers.mkString(",")}")
   }
 
+  test("retention leases: a leased export replays after the exact pruning cycles that break an unleased one; RTBF forget still wins") {
+    val (root, m) = freshExport("graft_texpl")
+    val artifact = keptIds(spark.read.parquet(s"$root/export/data"))
+    val id = TrainExport.lease(spark, s"$root/export")
+    assert(id == TrainExport.leaseId(s"$root/export"))
+    // leasing is idempotent — a crashed-and-retried lease call converges
+    TrainExport.lease(spark, s"$root/export")
+    // TABLE: two zero-grace publishes — the cycle that scrubs the pin
+    // in the "table retention message" test above
+    Compaction.writeGen(docs(25L to 35L), s"$root/docs")
+    Compaction.writeGen(docs(25L to 36L), s"$root/docs")
+    // INDEX: two zero-orphan-grace rebuilds — the cycle from the
+    // "index retention message" test
+    Dedup.rebuildShingleIndex(spark, s"$root/text")
+    Dedup.rebuildShingleIndex(spark, s"$root/text", orphanGraceMs = 0L)
+    // with the leases held, both pins survived and replay is
+    // hash-identical to the committed artifact
+    assert(Compaction.generations(spark, s"$root/docs").contains(m.tables("docs").gen),
+      "leased table generation must survive the pruning cycles")
+    assert(keptIds(TrainExport.replay(spark, s"$root/export")) == artifact,
+      "leased export must replay after cycles that prune unleased pins")
+    // RTBF precedence: forget physically erases THROUGH the lease;
+    // replay then fails loudly with the established retention messages.
+    // Index first (replay validates tables before indexes).
+    Forget.fromShingleIndexViaRebuild(spark, s"$root/text", Seq(26L))
+    val e1 = intercept[RuntimeException](
+      TrainExport.replay(spark, s"$root/export"))
+    assert(e1.getMessage.contains("pinned index 'text' is gone"),
+      s"wrong failure: ${e1.getMessage}")
+    Compaction.forgetRows(spark, s"$root/docs", col("doc_id") === 26L)
+    val e2 = intercept[IllegalArgumentException](
+      TrainExport.replay(spark, s"$root/export"))
+    assert(e2.getMessage.contains("pinned table 'docs' is gone"),
+      s"wrong failure: ${e2.getMessage}")
+    // release is clean even though the pins are already erased
+    TrainExport.releaseLeases(spark, s"$root/export")
+  }
+
+  test("lease mechanics: same-id re-acquire converges, conflicting pin fails, release restores normal retention") {
+    val root = java.nio.file.Files.createTempDirectory("graft_texpl2").toString
+    val t = s"$root/tbl"
+    Compaction.writeGen(docs(0L to 4L), t) // g1
+    Compaction.acquireLease(spark, t, 1L, "holder_a")
+    Compaction.acquireLease(spark, t, 1L, "holder_a") // idempotent
+    Compaction.writeGen(docs(0L to 5L), t) // g2
+    val e = intercept[IllegalArgumentException](
+      Compaction.acquireLease(spark, t, 2L, "holder_a"))
+    assert(e.getMessage.contains("already pins"), e.getMessage)
+    // two publishes push g1 below the grace floor — leased, it survives
+    Compaction.writeGen(docs(0L to 6L), t) // g3
+    assert(Compaction.generations(spark, t) == Seq(1L, 2L, 3L))
+    assert(Compaction.readTableAt(spark, t, 1L).count() == 5L)
+    // released, the next publish prunes it under the normal rank rules
+    Compaction.releaseLease(spark, t, "holder_a")
+    Compaction.writeGen(docs(0L to 7L), t) // g4
+    assert(Compaction.generations(spark, t) == Seq(3L, 4L),
+      "a released generation must re-enter normal retention")
+    // unreadable generations cannot be leased
+    val e2 = intercept[IllegalArgumentException](
+      Compaction.acquireLease(spark, t, 1L, "holder_b"))
+    assert(e2.getMessage.contains("cannot lease"), e2.getMessage)
+  }
+
   test("model pins: a recipe's DSIR/LR-style model input is content-fingerprinted at commit and validated at replay") {
     // the r12 verdict's gap #3: model artifacts are plain parquet dirs
     // with no generation/version — without a pin, replay silently
