@@ -148,8 +148,18 @@ object Dsir {
                         modelPath: String, batch: DataFrame, idCol: String,
                         textCol: String, buckets: Int = 256,
                         salt: String = "dsir"): DataFrame =
-    scoreFeatures(features(batch, idCol, textCol, buckets, salt),
-      spark.read.parquet(modelPath))
+    scoreWithModel(spark.read.parquet(modelPath), batch, idCol, textCol,
+      buckets, salt)
+
+  /** [[scoreAgainstModel]] over an already-loaded model frame — the
+    * form a content-pinned read needs (TrainExport's
+    * `PinnedInputs.model` hands the recipe a DataFrame, not a path).
+    * `buckets`/`salt` must match the model's fit, as everywhere.
+    */
+  def scoreWithModel(model: DataFrame, batch: DataFrame, idCol: String,
+                     textCol: String, buckets: Int = 256,
+                     salt: String = "dsir"): DataFrame =
+    scoreFeatures(features(batch, idCol, textCol, buckets, salt), model)
 
   /** The resampling step: top-`n` of `weights` by Gumbel-perturbed
     * log-weight — equivalent to drawing n documents without

@@ -190,6 +190,112 @@ private[ops] object LlmShared {
         "vec_id", "embedding", ingestTag = "b0") // v3
     } + "/export"
 
+  /** The DuckDB replay of the two-batch streaming curation run (gate →
+    * text canon with history growth → DSIR scoring) — shared by
+    * `streaming_curate` (the live streamed output) and
+    * `streaming_curate_export` (the drained run re-derived from pins
+    * by TrainExport.replay: identical populations by construction, so
+    * identical oracle).
+    */
+  val streamingCurateOracleSql: String = s"""WITH toksA AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents),
+    tri AS (
+      SELECT doc_id, CASE WHEN len(tk) >= 3
+        THEN list_transform(range(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        ELSE [] END AS tg
+      FROM toksA WHERE doc_id % 20 = 0 OR doc_id % 20 = 10),
+    trir AS (
+      SELECT doc_id, CASE WHEN len(tg) > 0
+        THEN 1.0 - len(list_distinct(tg))::DOUBLE / len(tg)
+        ELSE 0.0 END AS dtr
+      FROM tri),
+    cnt AS (
+      SELECT doc_id, t, count(*) AS k
+      FROM (SELECT doc_id, unnest(tk) AS t FROM toksA
+            WHERE doc_id % 20 = 0 OR doc_id % 20 = 10)
+      GROUP BY 1, 2),
+    topr AS (SELECT doc_id, max(k)::DOUBLE / sum(k) AS ttr
+             FROM cnt GROUP BY 1),
+    keptb AS (
+      SELECT trir.doc_id FROM trir LEFT JOIN topr USING (doc_id)
+      WHERE CAST(floor(trir.dtr * 1e6) AS BIGINT) <= 20000
+        AND CAST(floor(COALESCE(topr.ttr, 0.0) * 1e6) AS BIGINT) <= 120000),
+    sh0 AS (
+      SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      FROM toksA, LATERAL (SELECT unnest(generate_series(1,
+        greatest(len(tk) - 2, 0))) AS i)),
+    cor0 AS (SELECT * FROM sh0 WHERE doc_id % 10 <> 0),
+    hot AS (SELECT s FROM cor0 GROUP BY s HAVING count(*) > $shingleMaxDf),
+    cor AS (SELECT cor0.* FROM cor0 ANTI JOIN hot USING (s)),
+    b0 AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (s)
+           SEMI JOIN keptb USING (doc_id) WHERE doc_id % 20 = 0),
+    corn AS (SELECT doc_id, count(*) AS n FROM cor GROUP BY 1),
+    b0n AS (SELECT doc_id, count(*) AS n FROM b0 GROUP BY 1),
+    j0 AS (
+      SELECT i FROM (
+        SELECT a.doc_id AS i, c.doc_id AS j, count(*) AS common
+        FROM b0 a JOIN cor c ON a.s = c.s GROUP BY 1, 2) p
+      JOIN b0n ON b0n.doc_id = p.i JOIN corn ON corn.doc_id = p.j
+      WHERE common::DOUBLE / (b0n.n + corn.n - common) >= 0.8),
+    surv0 AS (
+      SELECT doc_id FROM keptb ANTI JOIN
+        (SELECT DISTINCT i AS doc_id FROM j0) USING (doc_id)
+      WHERE doc_id % 20 = 0),
+    hist AS (
+      SELECT * FROM cor
+      UNION ALL
+      SELECT b0.* FROM b0 SEMI JOIN surv0 USING (doc_id)),
+    hn AS (SELECT doc_id, count(*) AS n FROM hist GROUP BY 1),
+    b1 AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (s)
+           SEMI JOIN keptb USING (doc_id) WHERE doc_id % 20 = 10),
+    b1n AS (SELECT doc_id, count(*) AS n FROM b1 GROUP BY 1),
+    j1 AS (
+      SELECT i FROM (
+        SELECT a.doc_id AS i, h.doc_id AS j, count(*) AS common
+        FROM b1 a JOIN hist h ON a.s = h.s GROUP BY 1, 2) p
+      JOIN b1n ON b1n.doc_id = p.i JOIN hn ON hn.doc_id = p.j
+      WHERE common::DOUBLE / (b1n.n + hn.n - common) >= 0.8),
+    surv1 AS (
+      SELECT doc_id FROM keptb ANTI JOIN
+        (SELECT DISTINCT i AS doc_id FROM j1) USING (doc_id)
+      WHERE doc_id % 20 = 10),
+    uni AS (SELECT doc_id, unnest(tk) AS g FROM toksA),
+    bi AS (
+      SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS g
+      FROM toksA, LATERAL (SELECT unnest(generate_series(1,
+        greatest(len(tk) - 1, 0))) AS i)),
+    feats AS (
+      SELECT doc_id, (${duckHex32("'dsir:' || g")}) % 256 AS bk
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+    tf AS (SELECT bk, count(*) AS c FROM feats
+           WHERE doc_id % 10 <> 0 AND doc_id % 7 = 0 GROUP BY 1),
+    rf AS (SELECT bk, count(*) AS c FROM feats
+           WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 0 GROUP BY 1),
+    tt AS (SELECT count(*) AS n FROM feats
+           WHERE doc_id % 10 <> 0 AND doc_id % 7 = 0),
+    rt AS (SELECT count(*) AS n FROM feats
+           WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 0),
+    lr AS (
+      SELECT sp.bk,
+        CAST(floor(ln((COALESCE(tf.c, 0) + 1)::DOUBLE / (tt.n + 256)) * 1e6) AS BIGINT)
+        - CAST(floor(ln((COALESCE(rf.c, 0) + 1)::DOUBLE / (rt.n + 256)) * 1e6) AS BIGINT)
+          AS lr_u
+      FROM range(256) sp(bk) LEFT JOIN tf USING (bk)
+      LEFT JOIN rf USING (bk), tt, rt),
+    w AS (
+      SELECT f.doc_id, CAST(count(*) AS INT) AS n_feats,
+        CAST(sum(lr.lr_u) AS BIGINT) AS logw_u
+      FROM feats f JOIN lr USING (bk) GROUP BY 1)
+    SELECT 0 AS batch, w.doc_id, n_feats,
+      CAST(logw_u AS DOUBLE) / 1e6 AS logw
+    FROM w SEMI JOIN surv0 USING (doc_id)
+    UNION ALL
+    SELECT 1, w.doc_id, n_feats, CAST(logw_u AS DOUBLE) / 1e6
+    FROM w SEMI JOIN surv1 USING (doc_id)
+    ORDER BY batch, doc_id"""
+
   /** The DuckDB replay of jaccardAgainstIndex over corpus %10≠0 /
     * batch %10==0 with the index-side df-cap applied to BOTH sides —
     * shared by `dedup_incremental_indexed` (live probe of the base-only
@@ -306,6 +412,73 @@ private[ops] object LlmShared {
         q.processAllAvailable()
       } finally q.stop()
     } + "/out"
+
+  /** The DRAIN-EXPORT fixture (streaming_curate_export): the
+    * streamingCurateFor run made exportable — the shingle index is
+    * rebuilt to generational BEFORE the stream (so per-batch versions
+    * exist) and the loop runs with in-loop compaction OFF
+    * (maxSegments = 0, the commitStreamDrain requirement), then at
+    * drain time [[TrainExport.commitStreamDrain]] snapshots the
+    * streamed input as a generational table, pins one index version
+    * per batch (the corpus each trigger probed) plus the
+    * content-fingerprinted DSIR model, and commits the export. Every
+    * input is mutated AFTER the commit (another generation, another
+    * ingest segment) — the established trap: an unpinned replay would
+    * read a different corpus and hash-mismatch. Returns the export dir.
+    */
+  def streamingCurateExportFor(s: org.apache.spark.sql.SparkSession,
+                               datasetDir: String): String =
+    graft.util.TempFixtures.dir(s"scurexp:$datasetDir") { root =>
+      val idx = root + "/index"
+      val model = root + "/model"
+      val out = root + "/out"
+      val docs = Tables(s, datasetDir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx,
+        maxDf = shingleMaxDf)
+      Dedup.rebuildShingleIndex(s, idx) // v1 convert, v2 = [base]
+      Dsir.writeModel(corpus.filter(col("doc_id") % 7 =!= 0),
+        corpus.filter(col("doc_id") % 7 === 0), "doc_id", "text", model)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingDedup.attachCurate(
+          input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+          idx, model, out, n = 3, threshold = 0.8,
+          maxSegments = 0) // per-batch pins need the segment chain intact
+        .option("checkpointLocation", root + "/ckpt")
+        .start()
+      try {
+        // MemoryStream TRANSPORT harness collect — see
+        // streamingDedupPairsFor's note
+        def slice(m: Int) = docs.filter(col("doc_id") % 20 === m)
+          .select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        input.addData(slice(0): _*)
+        q.processAllAvailable()
+        input.addData(slice(10): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      // drain: commit the pinned export of exactly what streamed
+      val streamed = docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("text")).withColumn("batch", lit(0))
+        .unionByName(docs.filter(col("doc_id") % 20 === 10)
+          .select(col("doc_id"), col("text")).withColumn("batch", lit(1)))
+      TrainExport.commitStreamDrain(s, s"$root/export", streamed,
+        s"$root/docs", idx, model, batchTags = Seq("b0", "b1"),
+        n = 3, threshold = 0.8)
+      // mutate every input AFTER the commit (grace defers scrubs past
+      // this JVM's reads): new table generation, new ingest segment —
+      // the appended %20==5 docs would perturb an unpinned probe
+      graft.sources.Compaction.writeGen(
+        streamed.unionByName(docs.filter(col("doc_id") % 20 === 5)
+          .select(col("doc_id"), col("text")).withColumn("batch", lit(2))),
+        s"$root/docs", readerGraceMs = 600000L)
+      Dedup.appendToShingleIndex(s, idx,
+        docs.filter(col("doc_id") % 20 === 5), "doc_id", "text", n = 3,
+        ingestTag = "b2")
+    } + "/export"
 
   /** Streaming MULTIMODAL curation fixture — the attachCurate fixture
     * plus the phash image canon ([[graft.streaming.StreamingDedup

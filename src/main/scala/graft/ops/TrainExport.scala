@@ -163,11 +163,21 @@ object TrainExport {
     * the dir already holds a committed export (an export dir is
     * immutable once committed — write a new dir per export).
     */
+  /** `indexVersions`: pin the named index at an EXPLICIT retained
+    * version instead of its newest — the drain-time export's per-batch
+    * pins ([[commitStreamDrain]]) and any "export what that job read,
+    * not what exists now" caller. Validated through
+    * [[IndexLifecycle.manifestAt]] like every pinned read.
+    */
   def commit(spark: SparkSession, exportDir: String, recipe: String,
              params: Map[String, String],
              tables: Map[String, String],
              indexes: Map[String, String],
-             models: Map[String, String] = Map.empty): ExportManifest = {
+             models: Map[String, String] = Map.empty,
+             indexVersions: Map[String, Long] = Map.empty): ExportManifest = {
+    indexVersions.keys.foreach(k => require(indexes.contains(k),
+      s"indexVersions names '$k', which is not in indexes " +
+        s"(${indexes.keys.toSeq.sorted.mkString(",")})"))
     val fn = recipes.get(recipe)
     require(fn != null, s"no recipe registered under '$recipe' — " +
       s"registered: ${recipeIds.mkString(",")}")
@@ -196,10 +206,13 @@ object TrainExport {
       name -> TablePin(path, gens.max)
     }
     val iPins = indexes.map { case (name, path) =>
-      val m = IndexLifecycle.manifest(spark, path).getOrElse(sys.error(
-        s"index '$name' at $path has no manifest chain — exports pin " +
-          "manifest versions; rebuild it once (IndexLifecycle.rebuild) " +
-          "to convert it to generational"))
+      val m = indexVersions.get(name) match {
+        case Some(v) => IndexLifecycle.manifestAt(spark, path, v)
+        case None => IndexLifecycle.manifest(spark, path).getOrElse(sys.error(
+          s"index '$name' at $path has no manifest chain — exports pin " +
+            "manifest versions; rebuild it once (IndexLifecycle.rebuild) " +
+            "to convert it to generational"))
+      }
       name -> IndexPin(path, m.v,
         paramsFingerprint(spark, new Path(new Path(path), m.dir)))
     }
@@ -350,6 +363,60 @@ object TrainExport {
         "deterministic given its pins (an unpinned read, a " +
         "partition-order-sensitive aggregate, or a changed library)")
     out
+  }
+
+  /** The deterministic lease id this export uses on every one of its
+    * pinned inputs: derived from the export dir path, so lease and
+    * release agree across JVMs with no extra state.
+    */
+  def leaseId(exportDir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(exportDir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"export_$digest"
+  }
+
+  /** Hold this committed export's pins past normal retention: one
+    * retention lease per pinned table generation
+    * ([[Compaction.acquireLease]]) and per pinned index version
+    * ([[IndexLifecycle.acquireLease]]), all under [[leaseId]]. With the
+    * leases held, compaction/rebuild cycles that would have pruned a
+    * pin no longer break replay; release with [[releaseLeases]] when
+    * the export no longer needs to be reproducible.
+    *
+    * PRECEDENCE (documented on both acquire sites): leases defer
+    * retention GC only — RTBF forgets still physically erase, and a
+    * subsequent [[replay]] fails loudly with the pin-gone message.
+    * Model pins need no lease: a model dir is not retention-managed,
+    * only fingerprint-validated.
+    *
+    * Idempotent (the per-store CAS accepts a re-acquire of the same
+    * (id, pin)). Acquire order is deterministic (sorted by input name)
+    * so two concurrent lease calls for one export converge instead of
+    * deadlocking on partial state.
+    */
+  def lease(spark: SparkSession, exportDir: String): String = {
+    val m = manifest(spark, exportDir)
+    val id = leaseId(exportDir)
+    m.tables.toSeq.sortBy(_._1).foreach { case (_, pin) =>
+      Compaction.acquireLease(spark, pin.path, pin.gen, id)
+    }
+    m.indexes.toSeq.sortBy(_._1).foreach { case (_, pin) =>
+      IndexLifecycle.acquireLease(spark, pin.path, pin.version, id)
+    }
+    id
+  }
+
+  /** Release every lease [[lease]] acquired for this export. */
+  def releaseLeases(spark: SparkSession, exportDir: String): Unit = {
+    val m = manifest(spark, exportDir)
+    val id = leaseId(exportDir)
+    m.tables.toSeq.sortBy(_._1).foreach { case (_, pin) =>
+      Compaction.releaseLease(spark, pin.path, id)
+    }
+    m.indexes.toSeq.sortBy(_._1).foreach { case (_, pin) =>
+      IndexLifecycle.releaseLease(spark, pin.path, id)
+    }
   }
 
   private def recipeIds: Seq[String] = {
@@ -516,6 +583,117 @@ object TrainExport {
         numShards = p("numShards").toInt,
         extraPartitionCols = Seq(col("split")))
       .select(col("doc_id"), col("split"), col("shard"), col("pos"))
+  }
+
+  /** The streaming-curation drain export: re-derives a drained
+    * [[graft.streaming.StreamingDedup.attachCurate]] run from pins
+    * alone — per streamed batch, the repetition gate, the text-canon
+    * probe against the index AT THE VERSION THAT BATCH SAW (pinned
+    * per batch via `indexVersions`), and DSIR scoring against the
+    * content-pinned model. Inputs: table `docs` (the drained input
+    * snapshot, with a `batch` column); indexes `text0..text{B-1}`
+    * (one per batch, all the same path at per-batch versions); model
+    * `dsir`. Params: n, threshold, nBuckets, batches. Use
+    * [[commitStreamDrain]] to derive the pins from the drained index
+    * chain.
+    */
+  val StreamRecipe = "stream_export_v1"
+
+  registerRecipe(StreamRecipe) { (s, in, p) =>
+    val docs = in.table("docs")
+    val model = in.model("dsir")
+    val n = p("n").toInt
+    val thr = p("threshold").toDouble
+    val nb = p.getOrElse("nBuckets", "64").toInt
+    val parts = (0 until p("batches").toInt).map { k =>
+      val t = in.index(s"text$k")
+      val b = docs.filter(col("batch") === k).drop("batch")
+      // the gate, canon, and scoring mirror attachCurate's trigger
+      // body exactly — the replay IS the streamed computation, with
+      // the live listing probe replaced by the per-batch pinned read
+      val rep = TextAnalysis.repetition(b, "doc_id", "text")
+      val kept = b.join(rep, "doc_id")
+        .filter(floor(col("dup_trigram_ratio") * 1e6) <= 20000L &&
+          floor(col("top_token_ratio") * 1e6) <= 120000L)
+        .select("doc_id", "text")
+      val dups = Dedup.jaccardAgainstIndexAt(s, t.path, t.version, kept,
+          "doc_id", "text", n, thr, nb)
+        .select(col("i").as("doc_id")).distinct()
+      val surv = kept.join(dups, Seq("doc_id"), "left_anti")
+      Dsir.scoreWithModel(model, surv, "doc_id", "text")
+        .withColumn("batch", lit(k))
+    }
+    parts.reduce(_ unionByName _)
+      .select(col("batch"), col("doc"), col("n_feats"),
+        col("logw_u"), col("logw"), col("mean_lr"))
+  }
+
+  /** Commit a drained streaming-curation run as a pinned export
+    * (VERDICT r12 #5): snapshots the drained raw input as generation 1+
+    * of `docsTablePath`, resolves ONE index version per streamed batch
+    * — the newest retained version that predates that batch's ingest
+    * segment, i.e. exactly the corpus its trigger probed — and commits
+    * [[StreamRecipe]] over those pins plus the content-pinned DSIR
+    * model.
+    *
+    * `streamed` must carry `doc_id`, `text`, and a 0-based `batch`
+    * column aligned with `batchTags` (tag k = the foreachBatch loop's
+    * `b<batchId>`).
+    *
+    * REQUIRES the loop to have run with in-loop compaction OFF
+    * (`maxSegments = 0`): a mid-stream rebuild absorbs ingest tags
+    * into `base`, after which the per-batch corpora no longer exist as
+    * segment subsets of any retained version — detected here and
+    * failed loudly rather than pinning a wrong corpus. Run the
+    * maintenance rebuild AFTER the drain export commits.
+    */
+  def commitStreamDrain(spark: SparkSession, exportDir: String,
+                        streamed: DataFrame, docsTablePath: String,
+                        indexPath: String, modelPath: String,
+                        batchTags: Seq[String],
+                        n: Int, threshold: Double,
+                        nBuckets: Int = 64): ExportManifest = {
+    require(batchTags.nonEmpty, "commitStreamDrain: no batches drained")
+    Compaction.writeGen(streamed, docsTablePath)
+    val vs = IndexLifecycle.versions(spark, indexPath)
+    require(vs.nonEmpty, s"index at $indexPath has no manifest chain — " +
+      "rebuild it once BEFORE streaming so per-batch versions exist")
+    val manifests = vs.map(v =>
+      v -> IndexLifecycle.manifestAt(spark, indexPath, v)).toMap
+    val pins = batchTags.zipWithIndex.map { case (tag, k) =>
+      // the version this batch's probe saw = the newest one where its
+      // own tag is nowhere (neither live as a segment nor absorbed by
+      // a rebuild) …
+      val firstWith = vs.filter(v => manifests(v).segments.contains(tag) ||
+        manifests(v).absorbed.contains(tag))
+      require(firstWith.nonEmpty,
+        s"commitStreamDrain: segment '$tag' is in no retained version " +
+          s"of $indexPath — the batch never appended, or the chain's " +
+          "retention window has moved past it; export closer to the drain")
+      val cands = vs.filter(_ < firstWith.min)
+      require(cands.nonEmpty,
+        s"commitStreamDrain: no retained version precedes segment " +
+          s"'$tag' at $indexPath — likely an in-loop rebuild absorbed " +
+          "it (run the loop with maxSegments = 0 and rebuild after the " +
+          "drain export)")
+      val v = cands.max
+      // … and every PRIOR batch's survivors present, or the pinned
+      // corpus is not what the trigger probed
+      val missing = batchTags.take(k).filterNot(manifests(v).segments.contains)
+      require(missing.isEmpty,
+        s"commitStreamDrain: version $v of $indexPath lacks prior " +
+          s"segments ${missing.mkString(",")} — the chain was rebuilt " +
+          "mid-stream; per-batch pins cannot be derived")
+      s"text$k" -> v
+    }
+    commit(spark, exportDir, StreamRecipe,
+      params = Map("n" -> n.toString, "threshold" -> threshold.toString,
+        "nBuckets" -> nBuckets.toString,
+        "batches" -> batchTags.size.toString),
+      tables = Map("docs" -> docsTablePath),
+      indexes = pins.map { case (nm, _) => nm -> indexPath }.toMap,
+      models = Map("dsir" -> modelPath),
+      indexVersions = pins.toMap)
   }
 
   registerRecipe(EmbedRecipe) { (s, in, p) =>
