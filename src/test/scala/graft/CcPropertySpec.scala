@@ -59,6 +59,27 @@ class CcPropertySpec extends AnyFunSuite {
     check(a ++ b :+ (1100L, 2100L), "bridged-chains")
   }
 
+  test("tail contraction schedule (rejected experiment knob): correct on the oriented-chain counterexample class") {
+    // Round-13 experiment: smallStar-only tail rounds once the edge
+    // count stops shrinking — measured strictly worse (the mandatory
+    // full-alternation verify round adds a round everywhere, PLANS.md
+    // table) and REJECTED as default, but the knob stays reproducible,
+    // so its correctness must stay pinned: a smallStar fixpoint is NOT
+    // the CC fixpoint on oriented chains, and the verify round is what
+    // makes the schedule sound. Chains + mixed shapes, both schedules,
+    // identical labels.
+    val rnd = new Random(11)
+    val ids = rnd.shuffle((0L until 300L).toVector)
+    val chain = ids.sliding(2).map(p => (p(0), p(1))).toSeq
+    val mixed = chain ++ (500L until 540L).map(i => (i, i + 1)) :+
+      (ids.head, 520L)
+    Cluster.tailScheduleForTest = true
+    try {
+      check(chain, "tail-chain-300")
+      check(mixed, "tail-mixed")
+    } finally Cluster.tailScheduleForTest = false
+  }
+
   test("random sparse, dense and star graphs match union-find") {
     val rnd = new Random(42)
     for (trial <- 1 to 8) {
