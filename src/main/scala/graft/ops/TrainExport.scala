@@ -347,9 +347,14 @@ object TrainExport {
     // (e.g. timestamp precision) with a misleading "not deterministic".
     // Replay already pays one full recipe execution; the extra write is
     // the price of an apples-to-apples verdict.
-    val main = new Path(exportDir)
-    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(main,
+    // staging root: next to the export by default (the shared FS every
+    // executor reaches); a consumer replaying from a READ-ONLY mount
+    // sets spark.graft.export.replayStagingDir to a writable shared
+    // path instead
+    val stagingRoot = spark.conf.getOption("spark.graft.export.replayStagingDir")
+      .map(new Path(_)).getOrElse(new Path(exportDir))
+    val fs = stagingRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(stagingRoot,
       s".replay.tmp.${ProcessHandle.current().pid()}_" +
         java.util.UUID.randomUUID().toString.take(8))
     val fp =
@@ -655,11 +660,16 @@ object TrainExport {
                         nBuckets: Int = 64): ExportManifest = {
     require(batchTags.nonEmpty, "commitStreamDrain: no batches drained")
     Compaction.writeGen(streamed, docsTablePath)
-    val vs = IndexLifecycle.versions(spark, indexPath)
-    require(vs.nonEmpty, s"index at $indexPath has no manifest chain — " +
+    val vsAll = IndexLifecycle.versions(spark, indexPath)
+    require(vsAll.nonEmpty, s"index at $indexPath has no manifest chain — " +
       "rebuild it once BEFORE streaming so per-batch versions exist")
-    val manifests = vs.map(v =>
-      v -> IndexLifecycle.manifestAt(spark, indexPath, v)).toMap
+    // PINNABLE versions only: an old marker whose data dir a later
+    // rebuild's retention already pruned throws in manifestAt — it is
+    // not a candidate, not an error (the drain pins recent versions)
+    val manifests = vsAll.flatMap(v =>
+      scala.util.Try(v -> IndexLifecycle.manifestAt(spark, indexPath, v))
+        .toOption).toMap
+    val vs = manifests.keys.toSeq.sorted
     val pins = batchTags.zipWithIndex.map { case (tag, k) =>
       // the version this batch's probe saw = the newest one where its
       // own tag is nowhere (neither live as a segment nor absorbed by

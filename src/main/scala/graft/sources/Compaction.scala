@@ -252,11 +252,19 @@ object Compaction {
     * the lease lands — closing the race against a concurrent publish
     * whose prune was already past the lease listing.
     */
+  /** Lease ids become store object names — the charset guard is a
+    * path-traversal guard, enforced on acquire AND release (a '/' in a
+    * released id would resolve outside the table root).
+    */
+  private[sources] def requireLeaseId(leaseId: String): Unit =
+    require(leaseId.nonEmpty && leaseId.forall(c => c.isLetterOrDigit ||
+        c == '_' || c == '.' || c == '-') && leaseId != "." &&
+        leaseId != "..",
+      s"leaseId must be [A-Za-z0-9_.-]: '$leaseId'")
+
   def acquireLease(spark: SparkSession, path: String, gen: Long,
                    leaseId: String): Unit = {
-    require(leaseId.nonEmpty && leaseId.forall(c => c.isLetterOrDigit ||
-        c == '_' || c == '.' || c == '-'),
-      s"leaseId must be [A-Za-z0-9_.-]: '$leaseId'")
+    requireLeaseId(leaseId)
     val main = new Path(path)
     val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(main, ManifestPrefix + genName(gen))) &&
@@ -286,6 +294,7 @@ object Compaction {
     * normal retention rules on the next publish/prune cycle.
     */
   def releaseLease(spark: SparkSession, path: String, leaseId: String): Unit = {
+    requireLeaseId(leaseId)
     val main = new Path(path)
     val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
     new FsManifestCommit(fs, main).delete(LeasePrefix + leaseId)

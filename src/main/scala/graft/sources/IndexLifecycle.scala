@@ -201,9 +201,7 @@ object IndexLifecycle {
     */
   def acquireLease(spark: SparkSession, path: String, v: Long,
                    leaseId: String): Unit = {
-    require(leaseId.nonEmpty && leaseId.forall(c => c.isLetterOrDigit ||
-        c == '_' || c == '.' || c == '-'),
-      s"leaseId must be [A-Za-z0-9_.-]: '$leaseId'")
+    Compaction.requireLeaseId(leaseId)
     val main = new Path(path)
     val mc = commitOf(spark, main)
     manifestAt(spark, path, v) // throws when v is not pinnable
@@ -225,8 +223,10 @@ object IndexLifecycle {
   /** Release an index retention lease; the version re-enters normal
     * retention on the next rebuild's prune.
     */
-  def releaseLease(spark: SparkSession, path: String, leaseId: String): Unit =
+  def releaseLease(spark: SparkSession, path: String, leaseId: String): Unit = {
+    Compaction.requireLeaseId(leaseId)
     commitOf(spark, new Path(path)).delete(LeaseMarker + leaseId)
+  }
 
   /** Versions currently held by at least one lease — bounded metadata. */
   private def leasedVersions(mc: ManifestCommit): Set[Long] =

@@ -316,6 +316,17 @@ class TrainExportSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       Compaction.acquireLease(spark, t, 1L, "holder_b"))
     assert(e2.getMessage.contains("cannot lease"), e2.getMessage)
+    // lease ids are store object names: the charset guard is a
+    // path-traversal guard and must hold on RELEASE too (a '/' in a
+    // released id would delete outside the table root)
+    Seq("../evil", "a/b", "", "..").foreach { bad =>
+      assert(intercept[IllegalArgumentException](
+        Compaction.releaseLease(spark, t, bad))
+        .getMessage.contains("leaseId"), s"'$bad' must be rejected")
+      assert(intercept[IllegalArgumentException](
+        graft.sources.IndexLifecycle.releaseLease(spark, t, bad))
+        .getMessage.contains("leaseId"), s"'$bad' must be rejected")
+    }
   }
 
   test("model pins: a recipe's DSIR/LR-style model input is content-fingerprinted at commit and validated at replay") {
