@@ -210,6 +210,65 @@ class TrainExportSpec extends AnyFunSuite {
         s"got $ids, committed $artifact")
   }
 
+  test("fresh-JVM replay of the EMBED recipe: both embedding-side pins resolve cross-process") {
+    // the round-13 capstone, proven across a process boundary like the
+    // standard recipe: embed_export_v1's two index reads are the NEW
+    // pinned probes (semanticAgainstIndexAt + ivfProbeIndexDetAt) —
+    // the child JVM re-registers the recipe at class load, resolves
+    // the cell and det-IVF pins from storage, and re-verifies the
+    // fingerprint after every input was mutated over here
+    import scala.sys.process._
+    val root = java.nio.file.Files.createTempDirectory("graft_texpe").toString
+    // coprime per-dimension moduli: the vector of vec_id repeats only
+    // with period 17·19·23·29 ≫ the id range, so no two ids carry
+    // identical embeddings and the 0.95-cos canon keeps a real subset
+    val mods = Seq(17, 19, 23, 29)
+    def vecs(ids: Seq[Long]) = ids.toDF("vec_id").withColumn("embedding",
+      array(mods.zipWithIndex.map { case (m, d) =>
+        (pmod(col("vec_id") * (d * 7 + 3), lit(m)).cast("double") / m.toDouble
+          - 0.5) // centered: positive-orthant vectors are all high-cos
+          .cast("float")
+      }: _*))
+    val all = vecs(1L to 140L)
+    val corpus = all.filter(col("vec_id") % 10 =!= 0)
+    Compaction.writeGen(all.filter(col("vec_id") % 10 === 0), s"$root/vecs")
+    graft.ops.SemDedup.writeCellIndex(corpus, "vec_id", "embedding",
+      centroidEvery = 7, s"$root/cells")
+    graft.ops.SemDedup.rebuildCellIndex(spark, s"$root/cells",
+      centroidEvery = 7) // v2
+    graft.ops.Similarity.ivfWriteIndexDet(corpus, "vec_id", "embedding",
+      centroidEvery = 7, indexPath = s"$root/ann")
+    graft.ops.Similarity.rebuildIvfIndexDet(spark, s"$root/ann") // v2
+    TrainExport.commit(spark, s"$root/export", TrainExport.EmbedRecipe,
+      params = Map("threshold" -> "0.95", "k" -> "5", "nprobe" -> "2"),
+      tables = Map("vecs" -> s"$root/vecs"),
+      indexes = Map("cells" -> s"$root/cells", "ann" -> s"$root/ann"))
+    val artifact = spark.read.parquet(s"$root/export/data")
+      .select("qid").as[Long].collect().sorted.toSeq
+    assert(artifact.nonEmpty, "vacuous fixture: the embed export kept nothing")
+    // mutate every input: the appended %20==0 vectors are a subset of
+    // the batch — an unpinned replay would self-drop and self-rank
+    Compaction.writeGen(all.filter(col("vec_id") % 5 === 0), s"$root/vecs",
+      readerGraceMs = 600000L)
+    graft.ops.SemDedup.appendToCellIndex(spark, s"$root/cells",
+      all.filter(col("vec_id") % 20 === 0), "vec_id", "embedding", "b0")
+    graft.ops.Similarity.ivfAppendToIndex(spark, s"$root/ann",
+      all.filter(col("vec_id") % 20 === 0), "vec_id", "embedding", "b0")
+    val cp = System.getProperty("java.class.path")
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val out = new StringBuilder
+    val rc = Process(Seq(javaBin, "-Xmx1g", "-cp", cp,
+      "graft.tools.ReplayChild", s"$root/export"))
+      .!(ProcessLogger(l => out.synchronized { out.append(l).append('\n') }))
+    assert(rc == 0, s"fresh-JVM embed replay failed (rc=$rc):\n$out")
+    val line = out.toString.linesIterator.find(_.startsWith("REPLAY:"))
+      .getOrElse(fail(s"no REPLAY line from child:\n$out"))
+    val ids = line.split(":", 3)(2).split(",").filter(_.nonEmpty)
+      .map(_.toLong).toSeq.sorted
+    assert(ids == artifact,
+      s"fresh-JVM embed replay must reproduce the committed qid multiset")
+  }
+
   test("two racing commits into one export dir: one winner, and data/ holds exactly the winner's rows") {
     // the review-found race: a loser writing data/ directly (mode
     // overwrite) AFTER the winner's manifest CAS would silently break
