@@ -32,6 +32,7 @@ object SparkEntry {
       ops.Lr.queries ++
       ops.Bpe.queries ++
       ops.Chunking.queries ++
+      ops.Validate.queries ++
       sources.FileFormats.queries ++
       sources.Layout.queries
 

@@ -1,0 +1,654 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Compaction
+import graft.util.{GQuery, Tables, TempFixtures}
+
+/** Declarative data-quality validation — the admission gate a training
+  * corpus runs before new data enters the pipeline (the reference has
+  * no validation surface at all; its only integrity check is the PK
+  * conflict skip, transaction_consumer.py:88 — everything here is the
+  * missing production half of that story).
+  *
+  * Design: a `Check` is a declarative constraint; `report` compiles
+  * every ROW-LEVEL check into ONE aggregation pass over the table —
+  * N checks cost one scan, one map-side-combined partial aggregate and
+  * a single-row reduce, never N jobs (the Deequ execution model,
+  * re-expressed as a plain Catalyst aggregate so it stays inside
+  * whole-stage codegen). Key-level checks (`Unique`) each add exactly
+  * one hash exchange on their key; referential integrity is one join
+  * whose parent side AQE broadcasts when bounded. Row-level
+  * enforcement (`quarantine`/`clean`) is map-only — no shuffle, no
+  * driver round-trip — so it composes with ingest at any scale.
+  *
+  * NULL semantics follow SQL CHECK constraints: a NULL value SATISFIES
+  * `InRange`/`InSet`/`MatchesRegex`/`Satisfies` (unknown is not a
+  * violation); policing nulls is `NotNull`/`Completeness`'s job. This
+  * keeps every constraint independently composable — a nullable column
+  * with a range check never double-counts its nulls.
+  */
+object Validate {
+
+  /** One declarative constraint. `name` is the stable identity used in
+    * reports and quarantine reasons — derived from the constraint so
+    * the same sheet produces the same report rows everywhere.
+    */
+  sealed trait Check { def name: String; def kind: String }
+
+  final case class NotNull(column: String) extends Check {
+    val name = s"not_null:$column"; val kind = "not_null"
+  }
+
+  /** Inclusive numeric bounds; NULLs pass (see object doc). */
+  final case class InRange(column: String, lo: Double, hi: Double)
+      extends Check {
+    val name = s"in_range:$column"; val kind = "in_range"
+  }
+
+  final case class InSet(column: String, allowed: Seq[Any]) extends Check {
+    val name = s"in_set:$column"; val kind = "in_set"
+  }
+
+  /** Partial-match regex (Spark `rlike` / DuckDB `regexp_matches`
+    * semantics — anchor with ^...$ for a full match). NULLs pass.
+    */
+  final case class MatchesRegex(column: String, regex: String)
+      extends Check {
+    val name = s"regex:$column"; val kind = "regex"
+  }
+
+  /** Escape hatch: any boolean Column; a row violates when the
+    * predicate is FALSE (NULL passes, per SQL CHECK).
+    */
+  final case class Satisfies(checkName: String, predicate: Column)
+      extends Check {
+    val name = s"satisfies:$checkName"; val kind = "satisfies"
+  }
+
+  /** Table-level completeness threshold in basis points: fails when
+    * non-null rows fall below `minBps`/10000 of the table. Violations
+    * in the report are the null rows themselves, so the count stays
+    * meaningful even when the check passes.
+    */
+  final case class Completeness(column: String, minBps: Int) extends Check {
+    require(minBps >= 0 && minBps <= 10000, s"minBps out of range: $minBps")
+    val name = s"completeness:$column"; val kind = "completeness"
+  }
+
+  /** Key uniqueness; violations = rows belonging to a key that occurs
+    * more than once (both copies of a duplicate count — the rows an
+    * operator would have to adjudicate). NULL keys group together like
+    * GROUP BY; exclude them with a NotNull check if they are invalid.
+    */
+  final case class Unique(columns: Seq[String]) extends Check {
+    require(columns.nonEmpty, "Unique needs at least one column")
+    val name = s"unique:${columns.mkString(",")}"; val kind = "unique"
+  }
+
+  /** The boolean "this row violates `c`" expression — the compilation
+    * unit `report`/`quarantine` share, so a report count and the
+    * quarantined row set can never disagree.
+    */
+  private def violation(c: Check): Column = c match {
+    case NotNull(cn) => col(cn).isNull
+    case InRange(cn, lo, hi) =>
+      col(cn).isNotNull && (col(cn) < lo || col(cn) > hi)
+    case InSet(cn, allowed) => col(cn).isNotNull && !col(cn).isin(allowed: _*)
+    case MatchesRegex(cn, re) => col(cn).isNotNull && !col(cn).rlike(re)
+    case Satisfies(_, p) => !coalesce(p, lit(true))
+    case Completeness(cn, _) => col(cn).isNull
+    case u: Unique => throw new IllegalArgumentException(
+      s"${u.name} is key-level — it cannot be evaluated per row")
+  }
+
+  private def isRowLevel(c: Check): Boolean = !c.isInstanceOf[Unique]
+
+  /** floor-micro-unit ratio (1e6 = every row violates) — BIGINT on
+    * both engines, so report hashes replay cross-engine.
+    */
+  private def ratioU(v: Column, n: Column): Column =
+    when(n === 0L, 0L).otherwise(
+      floor(v.cast("double") * 1e6 / n.cast("double")))
+
+  private def statusCol(c: Check, v: Column, n: Column): Column = c match {
+    case Completeness(_, minBps) =>
+      // integer arithmetic: non-null * 10000 >= minBps * rows
+      when((n - v) * 10000L >= lit(minBps.toLong) * n, "pass")
+        .otherwise("fail")
+    case _ => when(v === 0L, "pass").otherwise("fail")
+  }
+
+  /** Evaluate a constraint sheet: one report row per check —
+    * `(check_name, kind, n_rows, n_violations, violation_u, status)`,
+    * ordered by check_name. All row-level checks share ONE aggregation
+    * pass; each `Unique` adds one more (column-pruned) scan plus one
+    * partial-agg'd exchange on its key — ValidateSpec pins both plan
+    * shapes. The report is O(#checks) rows — safe to collect, join, or
+    * persist as an audit artifact.
+    */
+  def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "empty constraint sheet")
+    require(checks.map(_.name).distinct.length == checks.length,
+      s"duplicate check names: ${checks.map(_.name)}")
+    val (rowChecks, keyChecks) = checks.partition(isRowLevel)
+
+    val parts = Seq.newBuilder[DataFrame]
+    if (rowChecks.nonEmpty) {
+      val aggs = rowChecks.zipWithIndex.map { case (c, i) =>
+        coalesce(sum(when(violation(c), 1L).otherwise(0L)), lit(0L))
+          .as(s"__v$i")
+      }
+      val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+      val rows = array(rowChecks.zipWithIndex.map { case (c, i) =>
+        val v = col(s"__v$i"); val n = col("__n")
+        struct(lit(c.name).as("check_name"), lit(c.kind).as("kind"),
+          n.as("n_rows"), v.as("n_violations"),
+          ratioU(v, n).as("violation_u"), statusCol(c, v, n).as("status"))
+      }: _*)
+      parts += one.select(explode(rows).as("r")).select("r.*")
+    }
+    keyChecks.collect { case u: Unique => u }.foreach { u =>
+      val counts = df.groupBy(u.columns.map(col): _*)
+        .agg(count(lit(1)).as("__c"))
+      val one = counts.agg(
+        coalesce(sum(col("__c")), lit(0L)).as("__n"),
+        coalesce(sum(when(col("__c") > 1L, col("__c")).otherwise(0L)),
+          lit(0L)).as("__v"))
+      val v = col("__v"); val n = col("__n")
+      parts += one.select(lit(u.name).as("check_name"),
+        lit(u.kind).as("kind"), n.as("n_rows"), v.as("n_violations"),
+        ratioU(v, n).as("violation_u"), statusCol(u, v, n).as("status"))
+    }
+    parts.result().reduce(_.unionByName(_)).orderBy(col("check_name"))
+  }
+
+  /** Referential integrity as one report row: child rows whose key is
+    * fully non-null and matches no parent key are violations (SQL FK
+    * semantics — a NULL anywhere in the key passes). One scan of the
+    * child + one left join against the DISTINCT parent keys; AQE
+    * broadcasts the parent side when it is dimension-sized, and a
+    * fact-sized parent degrades to an ordinary shuffled join — never a
+    * driver collect.
+    */
+  def foreignKey(child: DataFrame, childCols: Seq[String],
+                 parent: DataFrame, parentCols: Seq[String]): DataFrame = {
+    require(childCols.nonEmpty && childCols.length == parentCols.length,
+      s"key arity mismatch: $childCols vs $parentCols")
+    requireColumnsFree(child, "foreignKey",
+      parentCols.indices.map(i => s"__pk$i") :+ "__hit": _*)
+    val name = s"fk:${childCols.mkString(",")}->${parentCols.mkString(",")}"
+    val pk = parent.select(parentCols.zipWithIndex.map { case (c, i) =>
+      col(c).as(s"__pk$i")
+    }: _*).distinct().withColumn("__hit", lit(1))
+    val cond = childCols.zipWithIndex.map { case (c, i) =>
+      col(c) === col(s"__pk$i")
+    }.reduce(_ && _)
+    val nonNullKey = childCols.map(col(_).isNotNull).reduce(_ && _)
+    val joined = child.join(pk, cond, "left")
+    val one = joined.agg(count(lit(1)).as("__n"),
+      coalesce(sum(when(nonNullKey && col("__hit").isNull, 1L)
+        .otherwise(0L)), lit(0L)).as("__v"))
+    val v = col("__v"); val n = col("__n")
+    one.select(lit(name).as("check_name"), lit("foreign_key").as("kind"),
+      n.as("n_rows"), v.as("n_violations"), ratioU(v, n).as("violation_u"),
+      when(v === 0L, "pass").otherwise("fail").as("status"))
+  }
+
+  /** Tag every row with the names of the row-level checks it violates
+    * (`violations: array<string>`, in sheet declaration order — empty
+    * array = clean). Map-only: the enforcement path adds zero
+    * shuffles to an ingest job.
+    */
+  def withViolations(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty && checks.forall(isRowLevel),
+      "withViolations takes row-level checks only (Unique needs report)")
+    requireColumnsFree(df, "withViolations", "violations")
+    val none = array().cast("array<string>")
+    val reasons = concat(checks.map { c =>
+      when(violation(c), array(lit(c.name))).otherwise(none)
+    }: _*)
+    df.withColumn("violations", reasons)
+  }
+
+  /** The violating rows, with reasons — route to a quarantine sink. */
+  def quarantine(df: DataFrame, checks: Seq[Check]): DataFrame =
+    withViolations(df, checks).filter(size(col("violations")) > 0)
+
+  /** The complement of [[quarantine]]: rows passing every check, with
+    * the scratch column dropped — the frame an ingest keeps.
+    */
+  def clean(df: DataFrame, checks: Seq[Check]): DataFrame =
+    withViolations(df, checks).filter(size(col("violations")) === 0)
+      .drop("violations")
+
+  /** Hard admission gate: throw (listing every failing check) unless
+    * the whole sheet passes. The collect is the O(#checks) report —
+    * bounded metadata, never data rows.
+    */
+  def requireValid(df: DataFrame, checks: Seq[Check], label: String): Unit = {
+    val bad = report(df, checks).filter(col("status") === "fail")
+      .select("check_name", "n_violations").collect()
+    if (bad.nonEmpty) {
+      val detail = bad.map(r => s"${r.getString(0)} (${r.getLong(1)} rows)")
+        .mkString("; ")
+      throw new IllegalStateException(
+        s"validation failed for $label: $detail")
+    }
+  }
+
+  /** Cross-generation drift audit over a [[Compaction]] generational
+    * table: compare the two most recent retained snapshots column by
+    * column — row count, null micro-ratio, exact distinct — and flag
+    * `drift` when the null ratio jumps more than `nullJumpU` micro
+    * units or the row count leaves [countLoBps, countHiBps]/10000 of
+    * the previous generation. This is the "did the new ingest silently
+    * degrade?" check a pipeline runs between publish and promote.
+    *
+    * Scale: one single-row aggregate per generation (all columns in
+    * one pass each, like the profiler) joined by broadcast — two scans
+    * total, no per-column jobs. Exact countDistinct is one expanded
+    * aggregate; swap columns to approx_count_distinct at extreme
+    * cardinalities if ±2% suffices (the report shape is unchanged).
+    */
+  def generationDrift(spark: SparkSession, path: String, cols: Seq[String],
+                      nullJumpU: Long = 1000L, countLoBps: Int = 9900,
+                      countHiBps: Int = 10100): DataFrame = {
+    require(cols.nonEmpty, "no columns to audit")
+    val gens = Compaction.generations(spark, path).sorted
+    require(gens.length >= 2,
+      s"drift audit needs two retained generations, found $gens at $path")
+    def metrics(g: Long, sfx: String): DataFrame = {
+      val dfg = Compaction.readTableAt(spark, path, g)
+      val aggs = cols.flatMap { c =>
+        Seq(coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"${c}__null_$sfx"),
+          countDistinct(col(c)).as(s"${c}__dst_$sfx"))
+      }
+      dfg.agg(count(lit(1)).as(s"__n_$sfx"), aggs: _*)
+    }
+    val one = metrics(gens(gens.length - 2), "old")
+      .crossJoin(broadcast(metrics(gens.last, "new")))
+    val rows = array(cols.map { c =>
+      val nOld = col("__n_old"); val nNew = col("__n_new")
+      val nullUOld = ratioU(col(s"${c}__null_old"), nOld)
+      val nullUNew = ratioU(col(s"${c}__null_new"), nNew)
+      val countDrift = nNew * 10000L < lit(countLoBps.toLong) * nOld ||
+        nNew * 10000L > lit(countHiBps.toLong) * nOld
+      val nullDrift = abs(nullUNew - nullUOld) > nullJumpU
+      struct(lit(c).as("col_name"), nOld.as("n_old"), nNew.as("n_new"),
+        nullUOld.as("null_u_old"), nullUNew.as("null_u_new"),
+        col(s"${c}__dst_old").as("distinct_old"),
+        col(s"${c}__dst_new").as("distinct_new"),
+        when(countDrift || nullDrift, "drift").otherwise("stable")
+          .as("status"))
+    }: _*)
+    one.select(explode(rows).as("r")).select("r.*").orderBy(col("col_name"))
+  }
+
+  /** Output/scratch column names are claimed via `withColumn`, which
+    * REPLACES an existing column of the same name — checked loudly
+    * instead (the [[Sampling]] discipline).
+    */
+  private def requireColumnsFree(df: DataFrame, ctx: String,
+                                 names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"$ctx writes column(s) ${clash.mkString(", ")} — rename them in " +
+        "the input (they would be silently overwritten)")
+  }
+
+  // --------------------------------------------------------------------
+  // Driver registry
+  // --------------------------------------------------------------------
+
+  /** The streaming admission sheet: three row-level checks that really
+    * bite on the synthetic corpus (n_chars tails past 500, zh is
+    * outside the allow-list) plus a per-batch Unique for the report.
+    */
+  private def streamingSheet: Seq[Check] = Seq(
+    InRange("n_chars", 0.0, 500.0),
+    InSet("lang", Seq("en", "fr", "de", "es")),
+    MatchesRegex("source", "^src[0-9]+$"),
+    Unique(Seq("doc_id")))
+
+  /** Streaming-gate fixture: two MemoryStream micro-batches of
+    * document metadata (doc_id%20==0, then %20==10 with its MIN-id row
+    * duplicated so Unique bites) through
+    * [[graft.streaming.StreamingDedup.attachValidated]]. Memoized per
+    * dataset dir; the registered query times the report read — the
+    * per-trigger gate cost is the map-only routing + one tiny
+    * aggregate, benched by validate_constraints/validate_quarantine.
+    */
+  private def streamingValidateFor(s: SparkSession, d: String): String =
+    TempFixtures.dir(s"svalidate:$d") { root =>
+      val docs = Tables(s, d, "documents")
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input = MemoryStream[(Long, String, String, Long)]
+      val q = graft.streaming.StreamingDedup.attachValidated(
+          input.toDS().toDF("doc_id", "lang", "source", "n_chars"),
+          streamingSheet,
+          root + "/clean", root + "/quarantine", root + "/report")
+        .option("checkpointLocation", root + "/ckpt")
+        .start()
+      try {
+        // MemoryStream TRANSPORT harness collect (LlmShared doctrine):
+        // a real deployment's batches arrive via readStream and never
+        // touch the driver; the gate itself is fully distributed
+        def slice(m: Long) = docs.filter(col("doc_id") % 20 === m)
+          .select("doc_id", "lang", "source", "n_chars").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getLong(3))).toSeq
+        input.addData(slice(0): _*)
+        q.processAllAvailable()
+        val b1 = slice(10)
+        input.addData((b1 :+ b1.minBy(_._1)): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+
+  val queries: Seq[GQuery] = Seq(
+    // Mixed constraint sheet over orders: every row-level kind plus a
+    // key-level Unique, all in one report — two checks fail by
+    // construction (the range cap excludes the price tail; O/F
+    // excludes status P; the priority regex excludes classes 4-5) so
+    // the counting path is proven, not just the all-green path.
+    GQuery("validate_constraints",
+      (s, d) => {
+        val orders = Tables(s, d, "orders")
+        report(orders, Seq(
+          NotNull("o_custkey"),
+          InRange("o_totalprice", 1000.0, 400000.0),
+          InSet("o_orderstatus", Seq("O", "F")),
+          MatchesRegex("o_orderpriority", "^[1-3]-"),
+          Completeness("o_orderdate", 9990),
+          Satisfies("price_positive", col("o_totalprice") > 0),
+          Unique(Seq("o_orderkey"))))
+      },
+      Some("""WITH n AS (SELECT count(*) AS n FROM orders),
+        rows0 AS (
+          SELECT 'completeness:o_orderdate' AS check_name,
+                 'completeness' AS kind,
+                 CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+            FROM orders
+          UNION ALL
+          SELECT 'in_range:o_totalprice', 'in_range',
+                 CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                       AND (o_totalprice < 1000.0 OR o_totalprice > 400000.0)
+                       THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+          UNION ALL
+          SELECT 'in_set:o_orderstatus', 'in_set',
+                 CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O','F')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+          UNION ALL
+          SELECT 'not_null:o_custkey', 'not_null',
+                 CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+          UNION ALL
+          SELECT 'regex:o_orderpriority', 'regex',
+                 CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                       AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+          UNION ALL
+          SELECT 'satisfies:price_positive', 'satisfies',
+                 CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, TRUE)
+                       THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+          UNION ALL
+          SELECT 'unique:o_orderkey', 'unique',
+                 CAST(coalesce((SELECT sum(c) FROM (
+                     SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+                   ) g WHERE c > 1), 0) AS BIGINT))
+        SELECT check_name, kind, n.n AS n_rows, n_violations,
+               CAST(floor(n_violations * 1000000.0 / n.n) AS BIGINT) AS violation_u,
+               CASE WHEN check_name = 'completeness:o_orderdate'
+                    THEN CASE WHEN (n.n - n_violations) * 10000 >= 9990 * n.n
+                              THEN 'pass' ELSE 'fail' END
+                    WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        FROM rows0, n ORDER BY check_name""")),
+
+    // Uniqueness across two tables and key widths: the single-column
+    // order key is genuinely duplicated in lineitem (multi-line
+    // orders) while the composite (orderkey, linenumber) is the true
+    // PK — the report must separate the two, and orders' customer key
+    // duplicates because customers reorder.
+    GQuery("validate_unique",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val orders = Tables(s, d, "orders")
+        report(li, Seq(Unique(Seq("l_orderkey")),
+            Unique(Seq("l_orderkey", "l_linenumber"))))
+          .unionByName(report(orders, Seq(Unique(Seq("o_custkey")))))
+          .orderBy(col("check_name"))
+      },
+      Some("""WITH u AS (
+          SELECT 'unique:l_orderkey' AS check_name,
+                 CAST(sum(c) AS BIGINT) AS n_rows,
+                 CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS n_violations
+            FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey) g
+          UNION ALL
+          SELECT 'unique:l_orderkey,l_linenumber', CAST(sum(c) AS BIGINT),
+                 CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+            FROM (SELECT count(*) AS c FROM lineitem
+                  GROUP BY l_orderkey, l_linenumber) g
+          UNION ALL
+          SELECT 'unique:o_custkey', CAST(sum(c) AS BIGINT),
+                 CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+            FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey) g)
+        SELECT check_name, 'unique' AS kind, n_rows, n_violations,
+               CAST(floor(n_violations * 1000000.0 / n_rows) AS BIGINT) AS violation_u,
+               CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        FROM u ORDER BY check_name""")),
+
+    // Referential integrity both ways: lineitem→orders holds by
+    // construction; orders→(even-keyed customers) fails on every
+    // odd-keyed customer's orders — the failing row proves orphan
+    // counting through the left join, not just the green path.
+    GQuery("validate_fk",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val orders = Tables(s, d, "orders")
+        val evenCust = Tables(s, d, "customer")
+          .filter(col("c_custkey") % 2 === 0)
+        foreignKey(li, Seq("l_orderkey"), orders, Seq("o_orderkey"))
+          .unionByName(
+            foreignKey(orders, Seq("o_custkey"), evenCust, Seq("c_custkey")))
+          .orderBy(col("check_name"))
+      },
+      Some("""WITH f AS (
+          SELECT 'fk:l_orderkey->o_orderkey' AS check_name,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND NOT EXISTS (
+                     SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+            FROM lineitem
+          UNION ALL
+          SELECT 'fk:o_custkey->c_custkey', CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN o_custkey IS NOT NULL AND NOT EXISTS (
+                     SELECT 1 FROM customer
+                     WHERE c_custkey = o_custkey AND c_custkey % 2 = 0)
+                   THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders)
+        SELECT check_name, 'foreign_key' AS kind, n_rows, n_violations,
+               CAST(floor(n_violations * 1000000.0 / n_rows) AS BIGINT) AS violation_u,
+               CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        FROM f ORDER BY check_name""")),
+
+    // Row-level enforcement: quarantined documents with their reasons
+    // (declaration order), rendered as a comma string for the
+    // cross-engine hash. Both checks really bite on the synthetic
+    // corpus (n_chars tails past 500; zh is outside the allow-list)
+    // and some rows violate both — the multi-reason path is covered.
+    GQuery("validate_quarantine",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        quarantine(docs, Seq(
+            InRange("n_chars", 0.0, 500.0),
+            InSet("lang", Seq("en", "fr", "de", "es"))))
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            concat_ws(",", col("violations")).as("reasons"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, n_chars,
+               concat_ws(',',
+                 CASE WHEN n_chars IS NOT NULL
+                       AND (n_chars < 0.0 OR n_chars > 500.0)
+                      THEN 'in_range:n_chars' END,
+                 CASE WHEN lang IS NOT NULL
+                       AND lang NOT IN ('en','fr','de','es')
+                      THEN 'in_set:lang' END) AS reasons
+        FROM documents
+        WHERE (n_chars IS NOT NULL AND (n_chars < 0.0 OR n_chars > 500.0))
+           OR (lang IS NOT NULL AND lang NOT IN ('en','fr','de','es'))
+        ORDER BY doc_id""")),
+
+    // Generation-over-generation drift on a generational table: g2
+    // drops 1 row in 199 (inside the ±1% count band) and nulls
+    // o_orderdate on every 50th key (a 2% null jump, far over the
+    // 0.1% alarm) — exactly one column must flag drift. The fixture
+    // is memoized per dataset dir; the timed path is the audit a
+    // pipeline runs between publish and promote: two single-pass
+    // profile aggregates + a broadcast join.
+    GQuery("validate_generation_drift",
+      (s, d) => {
+        val path = TempFixtures.dir(s"valdrift:$d") { p =>
+          val orders = Tables(s, d, "orders")
+          Compaction.writeGen(orders, p)
+          val degraded = orders.filter(col("o_orderkey") % 199 =!= 0)
+            .withColumn("o_orderdate",
+              when(col("o_orderkey") % 50 === 0, lit(null).cast("timestamp"))
+                .otherwise(col("o_orderdate")))
+          Compaction.writeGen(degraded, p)
+        }
+        generationDrift(s, path,
+          Seq("o_custkey", "o_totalprice", "o_orderdate"))
+      },
+      Some("""WITH gnew AS (
+          SELECT o_custkey, o_totalprice,
+                 CASE WHEN o_orderkey % 50 = 0 THEN NULL
+                      ELSE o_orderdate END AS o_orderdate
+            FROM orders WHERE o_orderkey % 199 <> 0),
+        old_m AS (
+          SELECT count(*) AS n,
+                 CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl1,
+                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS d1,
+                 CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl2,
+                 CAST(count(DISTINCT o_totalprice) AS BIGINT) AS d2,
+                 CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl3,
+                 CAST(count(DISTINCT o_orderdate) AS BIGINT) AS d3
+            FROM orders),
+        new_m AS (
+          SELECT count(*) AS n,
+                 CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl1,
+                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS d1,
+                 CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl2,
+                 CAST(count(DISTINCT o_totalprice) AS BIGINT) AS d2,
+                 CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl3,
+                 CAST(count(DISTINCT o_orderdate) AS BIGINT) AS d3
+            FROM gnew),
+        cols AS (
+          SELECT 'o_custkey' AS col_name, o.n AS n_old, w.n AS n_new,
+                 o.nl1 AS nulls_old, w.nl1 AS nulls_new,
+                 o.d1 AS distinct_old, w.d1 AS distinct_new
+            FROM old_m o, new_m w
+          UNION ALL
+          SELECT 'o_totalprice', o.n, w.n, o.nl2, w.nl2, o.d2, w.d2
+            FROM old_m o, new_m w
+          UNION ALL
+          SELECT 'o_orderdate', o.n, w.n, o.nl3, w.nl3, o.d3, w.d3
+            FROM old_m o, new_m w)
+        SELECT col_name, CAST(n_old AS BIGINT) AS n_old,
+               CAST(n_new AS BIGINT) AS n_new,
+               CAST(floor(nulls_old * 1000000.0 / n_old) AS BIGINT) AS null_u_old,
+               CAST(floor(nulls_new * 1000000.0 / n_new) AS BIGINT) AS null_u_new,
+               distinct_old, distinct_new,
+               CASE WHEN n_new * 10000 < 9900 * n_old
+                      OR n_new * 10000 > 10100 * n_old
+                      OR abs(CAST(floor(nulls_new * 1000000.0 / n_new) AS BIGINT)
+                           - CAST(floor(nulls_old * 1000000.0 / n_old) AS BIGINT)) > 1000
+                    THEN 'drift' ELSE 'stable' END AS status
+        FROM cols ORDER BY col_name""")),
+
+    // STREAMING ADMISSION GATE: per-micro-batch constraint reports
+    // from StreamingDedup.attachValidated — batch 1 carries a
+    // deliberately duplicated row, so the per-batch Unique fails in
+    // exactly one batch while the row-level checks bite in both. The
+    // oracle rebuilds each batch's slice (including the duplicate)
+    // and replays all four checks per batch.
+    GQuery("streaming_validate",
+      (s, d) => {
+        val p = streamingValidateFor(s, d)
+        s.read.parquet(p + "/report")
+          .select(col("batch").cast("int").as("batch"), col("check_name"),
+            col("kind"), col("n_rows"), col("n_violations"),
+            col("violation_u"), col("status"))
+          .orderBy(col("batch"), col("check_name"))
+      },
+      Some("""WITH b0 AS (
+          SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE doc_id % 20 = 0),
+        b1 AS (
+          SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE doc_id % 20 = 10
+          UNION ALL
+          SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE doc_id = (SELECT min(doc_id) FROM documents
+                          WHERE doc_id % 20 = 10)),
+        rep AS (
+          SELECT 0 AS batch, 'in_range:n_chars' AS check_name,
+                 'in_range' AS kind, CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CASE WHEN n_chars IS NOT NULL
+                       AND (n_chars < 0.0 OR n_chars > 500.0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+            FROM b0
+          UNION ALL
+          SELECT 0, 'in_set:lang', 'in_set', CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN lang IS NOT NULL
+                       AND lang NOT IN ('en','fr','de','es')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+            FROM b0
+          UNION ALL
+          SELECT 0, 'regex:source', 'regex', CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN source IS NOT NULL
+                       AND NOT regexp_matches(source, '^src[0-9]+$')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+            FROM b0
+          UNION ALL
+          SELECT 0, 'unique:doc_id', 'unique', CAST(sum(c) AS BIGINT),
+                 CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+            FROM (SELECT count(*) AS c FROM b0 GROUP BY doc_id) g
+          UNION ALL
+          SELECT 1, 'in_range:n_chars', 'in_range', CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN n_chars IS NOT NULL
+                       AND (n_chars < 0.0 OR n_chars > 500.0)
+                       THEN 1 ELSE 0 END) AS BIGINT)
+            FROM b1
+          UNION ALL
+          SELECT 1, 'in_set:lang', 'in_set', CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN lang IS NOT NULL
+                       AND lang NOT IN ('en','fr','de','es')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+            FROM b1
+          UNION ALL
+          SELECT 1, 'regex:source', 'regex', CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN source IS NOT NULL
+                       AND NOT regexp_matches(source, '^src[0-9]+$')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+            FROM b1
+          UNION ALL
+          SELECT 1, 'unique:doc_id', 'unique', CAST(sum(c) AS BIGINT),
+                 CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+            FROM (SELECT count(*) AS c FROM b1 GROUP BY doc_id) g)
+        SELECT batch, check_name, kind, n_rows, n_violations,
+               CAST(floor(n_violations * 1000000.0 / n_rows) AS BIGINT) AS violation_u,
+               CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        FROM rep ORDER BY batch, check_name"""))
+  )
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.ops.Dedup
+import graft.ops.{Dedup, Validate}
 
 /** Streaming incremental near-dup detection: the probe-then-append
   * ingest loop of [[Dedup.jaccardAgainstIndex]] /
@@ -408,4 +408,45 @@ object StreamingDedup {
         Dedup.maybeRebuildShingleIndex(spark, indexPath, maxSegments,
           readerGraceMs = readerGraceMs)
     })
+
+  /** Streaming ADMISSION GATE: every micro-batch runs a
+    * [[graft.ops.Validate]] constraint sheet BEFORE anything enters
+    * the pipeline — clean rows land in `outDir/batch=<id>`, violating
+    * rows in `quarantineDir/batch=<id>` with a `reasons` column
+    * (comma-joined check names, sheet order), and the O(#checks)
+    * per-batch audit report appends to `reportDir/batch=<id>`. This is
+    * the validation stage a production ingest runs in front of
+    * [[attachCurate]]: malformed rows never reach the dedup index or
+    * the scorer, and the report stream is the alerting feed.
+    *
+    * Routing uses the sheet's ROW-LEVEL checks (a row either violates
+    * or it doesn't); key-level checks (`Unique`) are a property of the
+    * batch, so they appear in the report but route nothing. All three
+    * writes are dynamic partition overwrites keyed by the streaming
+    * batchId — the [[attach]] idempotence contract: a replayed batch
+    * rewrites its own partitions bit-for-bit.
+    *
+    * Scale: routing is map-only (zero shuffles — the ValidateSpec plan
+    * pin); the report is one partial-agg'd pass per trigger plus one
+    * key exchange per Unique; per-trigger cost ∝ batch, never corpus.
+    */
+  def attachValidated(rows: DataFrame, checks: Seq[Validate.Check],
+                      outDir: String, quarantineDir: String,
+                      reportDir: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val rowChecks = checks.filterNot(_.isInstanceOf[Validate.Unique])
+    require(rowChecks.nonEmpty,
+      "admission gate needs at least one row-level check to route on")
+    rows.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
+      def land(df: DataFrame, dir: String): Unit =
+        df.withColumn("batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(dir)
+      land(Validate.clean(batch, rowChecks), outDir)
+      land(Validate.quarantine(batch, rowChecks)
+        .withColumn("reasons", concat_ws(",", col("violations")))
+        .drop("violations"), quarantineDir)
+      land(Validate.report(batch, checks), reportDir)
+    })
+  }
 }

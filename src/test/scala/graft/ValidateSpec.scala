@@ -1,0 +1,299 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Validate
+import graft.ops.Validate._
+import graft.sources.Compaction
+import graft.util.Tables
+
+/** Constraint-sheet semantics on hand-built frames: every check kind's
+  * violation rule (including the SQL-CHECK null-passes convention),
+  * report/quarantine agreement, FK null-key handling, threshold edges,
+  * and the generation-drift audit — the paths the fixed-corpus oracle
+  * rows exercise only at their observed data shapes.
+  */
+class ValidateSpec extends AnyFunSuite {
+  import GraftSpark.spark
+  import spark.implicits._
+
+  private def reportMap(rows: Array[org.apache.spark.sql.Row])
+      : Map[String, (Long, Long, String)] =
+    rows.map(r => r.getString(0) ->
+      ((r.getLong(2), r.getLong(3), r.getString(5)))).toMap
+
+  test("report: every row-level kind counts violations and NULL passes range/set/regex/satisfies") {
+    val df = Seq(
+      (1L, Some(5.0), Some("ok"), Some("a-1")),
+      (2L, Some(50.0), Some("bad"), Some("b-2")),   // range + set violations
+      (3L, None: Option[Double], None, None),        // nulls: pass range/set/regex
+      (4L, Some(-1.0), Some("ok"), Some("zz"))       // range + regex violations
+    ).toDF("id", "v", "tag", "code")
+    val rep = report(df, Seq(
+      NotNull("v"),
+      InRange("v", 0.0, 10.0),
+      InSet("tag", Seq("ok")),
+      MatchesRegex("code", "^[ab]-"),
+      Satisfies("v_small", col("v") < 6.0),
+      Completeness("tag", 7000)))
+    val m = reportMap(rep.collect())
+    assert(m("not_null:v") == ((4L, 1L, "fail")))
+    assert(m("in_range:v") == ((4L, 2L, "fail")), "nulls must pass InRange")
+    assert(m("in_set:tag") == ((4L, 1L, "fail")), "nulls must pass InSet")
+    assert(m("regex:code") == ((4L, 1L, "fail")), "nulls must pass regex")
+    assert(m("satisfies:v_small") == ((4L, 1L, "fail")),
+      "NULL predicate passes, only v=50 fails")
+    assert(m("completeness:tag") == ((4L, 1L, "pass")),
+      "3/4 non-null = 7500 bps >= 7000: violations reported, status pass")
+  }
+
+  test("completeness threshold edge: exactly at the bar passes, one below fails") {
+    val df = (1 to 10).map(i => (i, if (i <= 8) Some(i) else None))
+      .toDF("id", "x")
+    val at = reportMap(report(df, Seq(Completeness("x", 8000))).collect())
+    assert(at("completeness:x") == ((10L, 2L, "pass")), "8000/10000 exactly")
+    val over = reportMap(report(df, Seq(Completeness("x", 8001))).collect())
+    assert(over("completeness:x")._3 == "fail")
+  }
+
+  test("unique: single + composite keys, duplicates count both copies, null keys group") {
+    val df = Seq((1, "a"), (1, "b"), (2, "a"), (2, "a"), (2, "a"), (3, "c"))
+      .toDF("k", "s")
+    val m = reportMap(report(df, Seq(
+      Unique(Seq("k")), Unique(Seq("k", "s")))).collect())
+    assert(m("unique:k") == ((6L, 5L, "fail")), "k=1 twice + k=2 thrice")
+    assert(m("unique:k,s") == ((6L, 3L, "fail")), "(2,a) thrice")
+    val withNulls = Seq(Some(1), None, None).toDF("k")
+    val mn = reportMap(report(withNulls, Seq(Unique(Seq("k")))).collect())
+    assert(mn("unique:k") == ((3L, 2L, "fail")), "null keys group together")
+  }
+
+  test("report: empty frame yields zero counts and passes") {
+    val df = Seq.empty[(Int, String)].toDF("k", "s")
+    val m = reportMap(report(df, Seq(
+      NotNull("s"), Unique(Seq("k")))).collect())
+    assert(m("not_null:s") == ((0L, 0L, "pass")))
+    assert(m("unique:k") == ((0L, 0L, "pass")))
+  }
+
+  test("report rejects duplicate check names and empty sheets") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    intercept[IllegalArgumentException](
+      report(df, Seq(NotNull("a"), NotNull("a"))))
+    intercept[IllegalArgumentException](report(df, Nil))
+  }
+
+  test("foreignKey: orphans counted, NULL keys pass, duplicate parents harmless") {
+    val child = Seq((Some(1), "x"), (Some(2), "y"), (Some(9), "z"),
+      (None, "w")).toDF("fk", "payload")
+    val parent = Seq(1, 1, 2, 3).toDF("pk") // dup parent keys
+    val row = foreignKey(child, Seq("fk"), parent, Seq("pk")).collect()(0)
+    assert(row.getString(0) == "fk:fk->pk")
+    assert(row.getLong(2) == 4L, "n_rows counts every child row")
+    assert(row.getLong(3) == 1L, "only fk=9 orphans; NULL key passes")
+    assert(row.getString(5) == "fail")
+  }
+
+  test("foreignKey: composite key and the all-green path") {
+    val child = Seq((1, "a"), (2, "b")).toDF("k1", "k2")
+    val parent = Seq((1, "a"), (2, "b"), (3, "c")).toDF("p1", "p2")
+    val row = foreignKey(child, Seq("k1", "k2"), parent, Seq("p1", "p2"))
+      .collect()(0)
+    assert(row.getLong(3) == 0L && row.getString(5) == "pass")
+  }
+
+  test("quarantine/clean partition the frame exactly; reasons in declaration order") {
+    val df = Seq((1L, 5.0, "ok"), (2L, 50.0, "bad"), (3L, -2.0, "ok"),
+      (4L, 7.0, "fine")).toDF("id", "v", "tag")
+    val checks = Seq(InRange("v", 0.0, 10.0), InSet("tag", Seq("ok", "fine")))
+    val q = quarantine(df, checks)
+      .select(col("id"), concat_ws(",", col("violations")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(q == Map(2L -> "in_range:v,in_set:tag", 3L -> "in_range:v"),
+      "multi-reason row lists checks in sheet order")
+    val c = clean(df, checks).select("id").as[Long].collect().toSet
+    assert(c == Set(1L, 4L))
+    assert(!clean(df, checks).columns.contains("violations"))
+    // report and quarantine compile the same violation expression
+    val m = reportMap(report(df, checks).collect())
+    assert(m("in_range:v")._2 == 2L && m("in_set:tag")._2 == 1L)
+  }
+
+  test("withViolations rejects key-level checks and claimed columns") {
+    val df = Seq((1, 2)).toDF("a", "violations")
+    intercept[IllegalArgumentException](
+      withViolations(df.select(col("a")), Seq(Unique(Seq("a")))))
+    intercept[IllegalArgumentException](
+      withViolations(df, Seq(NotNull("a"))))
+  }
+
+  test("requireValid throws listing every failing check; passes silently when green") {
+    val df = Seq((1, "x"), (1, "y")).toDF("k", "s")
+    val e = intercept[IllegalStateException](
+      requireValid(df, Seq(Unique(Seq("k")), NotNull("s"),
+        Satisfies("k_big", col("k") > 10)), "t"))
+    assert(e.getMessage.contains("unique:k (2 rows)"))
+    assert(e.getMessage.contains("satisfies:k_big (2 rows)"))
+    assert(!e.getMessage.contains("not_null"))
+    requireValid(df, Seq(NotNull("s")), "t") // no throw
+  }
+
+  test("generationDrift: null jump and count escape flag drift; stable column stays stable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_valspec_")
+    val path = dir.toString + "/t"
+    try {
+      val g1 = (1 to 1000).map(i => (i.toLong, Some(s"s${i % 7}"), i * 1.5))
+        .toDF("id", "tag", "score")
+      Compaction.writeGen(g1, path)
+      // g2: 30% of tags nulled (null jump), half the rows gone (count
+      // escape hits EVERY column), score untouched in the kept rows
+      val g2 = (1 to 500).map(i =>
+        (i.toLong, if (i % 10 < 3) None else Some(s"s${i % 7}"), i * 1.5))
+        .toDF("id", "tag", "score")
+      Compaction.writeGen(g2, path)
+      val rep = Validate.generationDrift(spark, path, Seq("id", "tag"))
+        .collect().map(r => r.getString(0) -> r).toMap
+      assert(rep("id").getString(7) == "drift", "row count halved")
+      assert(rep("tag").getString(7) == "drift")
+      assert(rep("tag").getLong(4) == 300000L, "30% nulls in micro units")
+      assert(rep("id").getLong(1) == 1000L && rep("id").getLong(2) == 500L)
+      // same counts, same null ratio → stable, wide thresholds
+      val rep2 = Validate.generationDrift(spark, path, Seq("score"),
+        nullJumpU = 1000L, countLoBps = 4000, countHiBps = 11000)
+        .collect()(0)
+      assert(rep2.getString(7) == "stable")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator.asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("generationDrift requires two retained generations") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_valspec1_")
+    val path = dir.toString + "/t"
+    try {
+      Compaction.writeGen(Seq((1, "a")).toDF("id", "tag"), path)
+      val e = intercept[IllegalArgumentException](
+        Validate.generationDrift(spark, path, Seq("id")))
+      assert(e.getMessage.contains("two retained generations"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator.asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("plan shape: one pruned scan for all row checks, +1 per Unique, shuffle-free quarantine") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def dig(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case a: AdaptiveSparkPlanExec => dig(a.executedPlan)
+      case q: QueryStageExec => dig(q.plan)
+      case other => Seq(other)
+    }.flatten
+    val orders = Tables(spark, GraftSpark.sfDir, "orders")
+    val rowOnly = Seq(NotNull("o_custkey"), InRange("o_totalprice", 0, 1e6),
+      InSet("o_orderstatus", Seq("O", "F", "P")))
+
+    val rep = report(orders, rowOnly)
+    rep.collect()
+    val scans = dig(rep.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.length == 1,
+      s"3 row-level checks must share ONE scan:\n${rep.queryExecution.executedPlan}")
+    val read = scans.head.requiredSchema.fieldNames.toSet
+    assert(read == Set("o_custkey", "o_totalprice", "o_orderstatus"),
+      s"scan must prune to the checked columns, read $read")
+
+    val withU = report(orders, rowOnly :+ Unique(Seq("o_orderkey")))
+    withU.collect()
+    assert(dig(withU.queryExecution.executedPlan)
+      .count(_.isInstanceOf[FileSourceScanExec]) == 2,
+      "one extra scan for the Unique key group-by, not one per check")
+
+    val quar = quarantine(orders, rowOnly)
+    quar.collect()
+    assert(dig(quar.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }.isEmpty,
+      "quarantine must stay map-only")
+  }
+
+  test("attachValidated: per-batch routing complements, reasons, report, unique in the report only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_valstream_")
+    val root = dir.toString
+    val checks = Seq(InRange("v", 0.0, 10.0), InSet("tag", Seq("ok")),
+      Unique(Seq("id")))
+    val input = MemoryStream[(Long, Double, String)]
+    val q = graft.streaming.StreamingDedup.attachValidated(
+        input.toDS().toDF("id", "v", "tag"), checks,
+        s"$root/clean", s"$root/quar", s"$root/rep")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      input.addData((1L, 5.0, "ok"), (2L, 50.0, "ok"), (3L, 5.0, "bad"))
+      q.processAllAvailable()
+      input.addData((4L, 1.0, "ok"), (4L, 1.0, "ok"), (5L, -3.0, "bad"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val clean = spark.read.parquet(s"$root/clean")
+      .select("batch", "id").as[(Int, Long)].collect().sorted.toSeq
+    assert(clean == Seq((0, 1L), (1, 4L), (1, 4L)),
+      "clean keeps BOTH copies of the duplicate — Unique routes nothing")
+    val quar = spark.read.parquet(s"$root/quar")
+      .select(col("batch"), col("id"), col("reasons"))
+      .as[(Int, Long, String)].collect().toSet
+    assert(quar == Set((0, 2L, "in_range:v"), (0, 3L, "in_set:tag"),
+      (1, 5L, "in_range:v,in_set:tag")))
+    // complement: every input row landed exactly once on one side
+    assert(spark.read.parquet(s"$root/clean").count() +
+      spark.read.parquet(s"$root/quar").count() == 6L)
+    val rep = spark.read.parquet(s"$root/rep")
+      .select(col("batch"), col("check_name"), col("n_violations"),
+        col("status"))
+      .as[(Int, String, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(rep((0, "unique:id")) == ((0L, "pass")))
+    assert(rep((1, "unique:id")) == ((2L, "fail")), "the dup pair")
+    assert(rep((0, "in_range:v")) == ((1L, "fail")))
+    assert(rep((1, "in_set:tag")) == ((1L, "fail")))
+    assert(rep.size == 6, "3 checks x 2 batches")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir).iterator.asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  test("attachValidated rejects a sheet with no row-level checks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    intercept[IllegalArgumentException](
+      graft.streaming.StreamingDedup.attachValidated(
+        input.toDS().toDF("id", "v"), Seq(Unique(Seq("id"))),
+        "/tmp/x1", "/tmp/x2", "/tmp/x3"))
+  }
+
+  test("registered validate queries run green on sf0.001 and split pass/fail as designed") {
+    val d = GraftSpark.sfDir
+    val byName = Validate.queries.map(q => q.name -> q).toMap
+    val cons = byName("validate_constraints").fn(spark, d).collect()
+      .map(r => r.getString(0) -> r.getString(5)).toMap
+    assert(cons("not_null:o_custkey") == "pass")
+    assert(cons("unique:o_orderkey") == "pass")
+    assert(cons("in_set:o_orderstatus") == "fail", "status P exists")
+    assert(cons("regex:o_orderpriority") == "fail", "classes 4-5 exist")
+    val fk = byName("validate_fk").fn(spark, d).collect()
+      .map(r => r.getString(0) -> r.getString(5)).toMap
+    assert(fk("fk:l_orderkey->o_orderkey") == "pass")
+    assert(fk("fk:o_custkey->c_custkey") == "fail")
+    val drift = byName("validate_generation_drift").fn(spark, d).collect()
+      .map(r => r.getString(0) -> r.getString(7)).toMap
+    assert(drift == Map("o_custkey" -> "stable", "o_totalprice" -> "stable",
+      "o_orderdate" -> "drift"), "exactly the nulled column drifts")
+    val quar = byName("validate_quarantine").fn(spark, d)
+    assert(quar.count() > 0, "zh/no-tail corpus would make the row vacuous")
+  }
+}
