@@ -338,6 +338,97 @@ object LlmPipelineQueries {
             ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
         FROM hh ORDER BY split, shard, pos""")),
 
+    // The export's DATA CONTRACT audited (round 13): the replay
+    // fixture commits under LlmShared.trainExportContract — a
+    // violating output would have ABORTED the commit (spec-pinned in
+    // TrainExportSpec) — the sheet rides the manifest
+    // (contract.NNN lines), and TrainExport.auditContract re-checks
+    // the SHIPPED data dir against it with no recipe execution and no
+    // pins touched: the integrity audit a consumer runs before
+    // training on an artifact it did not produce. The oracle
+    // re-derives the committed output closed-form (the replay stack)
+    // and recomputes every report row's counts over it.
+    GQuery("pipeline_train_export_contract",
+      (s, d) => {
+        val ex = trainExportReplayFor(s, d)
+        TrainExport.auditContract(s, ex).orderBy(col("check_name"))
+      },
+      Some(s"""${phashBandsCteFor(1)},
+        pcorp AS (SELECT * FROM bands
+          WHERE id % 10 <> 0 AND id % 20 <> 7 AND id % 20 <> 8),
+        pbat AS (SELECT * FROM bands WHERE id % 10 = 0),
+        pcand AS (
+          SELECT DISTINCT c.id AS i, c.h AS hi, q.id AS j, q.h AS hj
+          FROM pcorp c JOIN pbat q ON c.b = q.b AND c.v = q.v),
+        pdrop AS (SELECT DISTINCT j AS doc_id FROM pcand
+          WHERE bit_count(xor(hi, hj)) <= 1),
+        $jaccardIndexedCtes,
+        tdrop AS (SELECT DISTINCT i AS doc_id FROM jac WHERE jc >= 0.8),
+        q AS (SELECT doc_id, source, text,
+          length(text) AS chars,
+          len(list_filter(string_split(text, ' '), x -> x <> '')) AS toks,
+          length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
+          length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+          FROM documents WHERE doc_id % 10 = 0),
+        sc AS (SELECT doc_id, source,
+          CAST(floor(
+            (1.0 - CASE WHEN chars > 0 THEN punct::DOUBLE / chars ELSE 0.0 END)
+            * (1.0 - CASE WHEN chars > 0 THEN digits::DOUBLE / chars ELSE 0.0 END)
+            * least(1.0, toks::DOUBLE / 20.0) * 1e6) AS BIGINT) AS score_u
+          FROM q),
+        g AS (SELECT doc_id, score_u,
+          count(*) OVER (PARTITION BY source) AS n,
+          row_number() OVER (PARTITION BY source
+            ORDER BY score_u DESC, doc_id) AS rn
+          FROM sc),
+        gated AS (SELECT doc_id FROM g
+          WHERE rn <= (n * 7000 + 9999) // 10000),
+        kept AS (SELECT doc_id FROM gated
+          ANTI JOIN tdrop USING (doc_id)
+          ANTI JOIN pdrop USING (doc_id)),
+        sp AS (SELECT doc_id,
+          CASE WHEN ${duckHex32("'rsp:' || doc_id")} % 10000 < 9500
+            THEN 'train' ELSE 'valid' END AS split
+          FROM kept),
+        hh AS (SELECT doc_id, split,
+          ${duckHex60("'rsh:' || doc_id")} AS h FROM sp),
+        outx AS (SELECT doc_id, split, CAST(h % 4 AS INT) AS shard,
+          CAST(row_number() OVER (PARTITION BY split, h % 4
+            ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+          FROM hh),
+        rep AS (
+          SELECT 'in_range:pos' AS check_name, 'in_range' AS kind,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CASE WHEN pos IS NOT NULL
+                       AND (pos < 0.0 OR pos > 1000000000.0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+            FROM outx
+          UNION ALL
+          SELECT 'in_range:shard', 'in_range', CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN shard IS NOT NULL
+                       AND (shard < 0.0 OR shard > 3.0)
+                       THEN 1 ELSE 0 END) AS BIGINT)
+            FROM outx
+          UNION ALL
+          SELECT 'in_set:split', 'in_set', CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN split IS NOT NULL
+                       AND split NOT IN ('train','valid')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+            FROM outx
+          UNION ALL
+          SELECT 'not_null:doc_id', 'not_null', CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            FROM outx
+          UNION ALL
+          SELECT 'unique:doc_id', 'unique',
+                 CAST(coalesce(sum(c), 0) AS BIGINT),
+                 CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+            FROM (SELECT count(*) AS c FROM outx GROUP BY doc_id) gg)
+        SELECT check_name, kind, n_rows, n_violations,
+               CAST(floor(n_violations * 1000000.0 / n_rows) AS BIGINT) AS violation_u,
+               CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        FROM rep ORDER BY check_name""")),
+
     // The EMBEDDING-side export manifest, replayed (VERDICT r12 #1's
     // capstone): TrainExport.EmbedRecipe — semantic canon against the
     // PINNED cell index (SemDedup.semanticAgainstIndexAt) + ANN top-k

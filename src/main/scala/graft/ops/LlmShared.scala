@@ -110,6 +110,17 @@ private[ops] object LlmShared {
     * the shared jacat/exphash fixtures: this fixture FORGETS, and
     * pinned fixtures must never share an index with a forgetting one.
     */
+  /** The data contract the standard export commits under: the shape
+    * invariants of the StandardRecipe output a trainer depends on.
+    * Shared with the pipeline_train_export_contract audit oracle.
+    */
+  def trainExportContract: Seq[Validate.Check] = Seq(
+    Validate.NotNull("doc_id"),
+    Validate.Unique(Seq("doc_id")),
+    Validate.InSet("split", Seq("train", "valid")),
+    Validate.InRange("shard", 0.0, 3.0),
+    Validate.InRange("pos", 0.0, 1e9))
+
   def trainExportReplayFor(s: org.apache.spark.sql.SparkSession,
                            datasetDir: String): String =
     graft.util.TempFixtures.dir(s"exreplay:$datasetDir") { p =>
@@ -132,7 +143,10 @@ private[ops] object LlmShared {
           "maxDist" -> "1", "trainBps" -> "9500", "numShards" -> "4",
           "splitSalt" -> "rsp", "shardSalt" -> "rsh"),
         tables = Map("docs" -> s"$p/docs"),
-        indexes = Map("text" -> s"$p/text", "image" -> s"$p/img"))
+        indexes = Map("text" -> s"$p/text", "image" -> s"$p/img"),
+        // the export's data contract: gates this commit, rides the
+        // manifest, and is what pipeline_train_export_contract audits
+        contract = trainExportContract)
       // mutate EVERY input — append AND forget — after the commit
       graft.sources.Compaction.writeGen(
         docs.filter(col("doc_id") % 10 === 0 || col("doc_id") % 10 === 5),

@@ -76,13 +76,18 @@ object TrainExport {
 
   /** The committed export manifest. `resultFp` is the decimal-rendered
     * order-insensitive row fingerprint of the exported data.
+    * `contract` is the data-quality sheet the output PASSED at commit
+    * time (commit aborts on a violation — see [[commit]]); it rides
+    * the manifest so replay re-validates and [[auditContract]] can
+    * re-check a shipped artifact at any time.
     */
   final case class ExportManifest(recipe: String,
                                   params: Map[String, String],
                                   tables: Map[String, TablePin],
                                   indexes: Map[String, IndexPin],
                                   models: Map[String, ModelPin],
-                                  resultFp: String)
+                                  resultFp: String,
+                                  contract: Seq[Validate.Check] = Nil)
 
   /** What a recipe sees: pinned reads only. A recipe that bypasses
     * this (reading a current table or probing an unpinned index) is
@@ -169,15 +174,30 @@ object TrainExport {
     * not what exists now" caller. Validated through
     * [[IndexLifecycle.manifestAt]] like every pinned read.
     */
+  /** `contract`: a data-only [[Validate]] sheet the export's OUTPUT
+    * must pass — evaluated on the staged parquet round-trip (the
+    * authoritative bytes a consumer reads) BEFORE the manifest CAS, so
+    * a violating export never commits: the staging dir is cleaned and
+    * the dir stays available. The sheet is canonicalized through
+    * [[Validate.serialize]]/[[Validate.deserialize]] (set values
+    * compare as strings on BOTH sides) and persisted in the manifest;
+    * [[replay]] re-validates and [[auditContract]] re-checks the
+    * shipped data at any time. `Satisfies` checks are rejected — a
+    * JVM Column cannot ride a manifest.
+    */
   def commit(spark: SparkSession, exportDir: String, recipe: String,
              params: Map[String, String],
              tables: Map[String, String],
              indexes: Map[String, String],
              models: Map[String, String] = Map.empty,
-             indexVersions: Map[String, Long] = Map.empty): ExportManifest = {
+             indexVersions: Map[String, Long] = Map.empty,
+             contract: Seq[Validate.Check] = Nil): ExportManifest = {
     indexVersions.keys.foreach(k => require(indexes.contains(k),
       s"indexVersions names '$k', which is not in indexes " +
         s"(${indexes.keys.toSeq.sorted.mkString(",")})"))
+    require(contract.size <= 999,
+      s"contract sheets cap at 999 checks, got ${contract.size}")
+    val contractC = contract.map(c => Validate.deserialize(Validate.serialize(c)))
     val fn = recipes.get(recipe)
     require(fn != null, s"no recipe registered under '$recipe' — " +
       s"registered: ${recipeIds.mkString(",")}")
@@ -245,10 +265,18 @@ object TrainExport {
     var committed = false
     var renamed = false
     try {
+      // the contract gates the CAS: a violating export never commits
+      // (this throw lands in the !committed branch of the finally —
+      // staging is cleaned and the dir stays available for a fixed
+      // re-export)
+      if (contractC.nonEmpty)
+        Validate.requireValid(spark.read.parquet(staging.toString),
+          contractC, s"export $exportDir (recipe '$recipe')")
       // fingerprint the COMMITTED artifact (the parquet round-trip is
       // the authoritative bytes a consumer reads), not the live plan
       val m = ExportManifest(recipe, params, tPins, iPins, mPins,
-        resultFp = rowFingerprint(spark.read.parquet(staging.toString)))
+        resultFp = rowFingerprint(spark.read.parquet(staging.toString)),
+        contract = contractC)
       require(mc.createExclusive(ManifestName, render(m).getBytes("UTF-8")),
         s"lost the export-commit race at $exportDir — another export " +
           "committed this dir first; write a new dir")
@@ -367,7 +395,27 @@ object TrainExport {
         s"${m.resultFp}, replayed $fp — the recipe is not " +
         "deterministic given its pins (an unpinned read, a " +
         "partition-order-sensitive aggregate, or a changed library)")
+    // re-run the committed contract on the replayed rows: catches a
+    // Validate semantics drift between the committing and replaying
+    // library versions (the fingerprint only proves the DATA matches)
+    if (m.contract.nonEmpty)
+      Validate.requireValid(out, m.contract, s"replay of $exportDir")
     out
+  }
+
+  /** Re-check a committed export's persisted contract against its
+    * SHIPPED data (`<exportDir>/data`) — the integrity audit a
+    * consumer runs before training on an artifact it did not produce:
+    * no recipe execution, no pins touched, one [[Validate.report]]
+    * over the data dir. Fails if the export committed without a
+    * contract (nothing to audit against).
+    */
+  def auditContract(spark: SparkSession, exportDir: String): DataFrame = {
+    val m = manifest(spark, exportDir)
+    require(m.contract.nonEmpty,
+      s"export at $exportDir committed without a contract — nothing " +
+        "to audit against; re-export with commit(contract = ...)")
+    Validate.report(spark.read.parquet(s"$exportDir/data"), m.contract)
   }
 
   /** The deterministic lease id this export uses on every one of its
@@ -490,6 +538,11 @@ object TrainExport {
       b.append("model.").append(k).append('=')
         .append(p.contentFp).append('|').append(p.path).append('\n')
     }
+    // zero-padded index keys: parse orders lexicographically, so the
+    // sheet's declaration order (= quarantine reason order) survives
+    m.contract.zipWithIndex.foreach { case (c, i) =>
+      b.append(f"contract.$i%03d=").append(Validate.serialize(c)).append('\n')
+    }
     b.result()
   }
 
@@ -504,6 +557,7 @@ object TrainExport {
     val tables = Map.newBuilder[String, TablePin]
     val indexes = Map.newBuilder[String, IndexPin]
     val models = Map.newBuilder[String, ModelPin]
+    val contract = Seq.newBuilder[(Int, Validate.Check)]
     lines.tail.foreach { line =>
       val eq = line.indexOf('=')
       require(eq > 0, s"malformed export manifest line at $where: '$line'")
@@ -528,6 +582,9 @@ object TrainExport {
           require(bar > 0, s"malformed model pin at $where: '$line'")
           models += k.stripPrefix("model.") ->
             ModelPin(value.substring(bar + 1), value.substring(0, bar))
+        case k if k.startsWith("contract.") =>
+          contract += k.stripPrefix("contract.").toInt ->
+            Validate.deserialize(value)
         case other =>
           sys.error(s"unknown export manifest key at $where: '$other'")
       }
@@ -535,7 +592,8 @@ object TrainExport {
     require(recipe.nonEmpty && result.nonEmpty,
       s"export manifest at $where is missing recipe/result")
     ExportManifest(recipe, params.result(), tables.result(),
-      indexes.result(), models.result(), result)
+      indexes.result(), models.result(), result,
+      contract.result().sortBy(_._1).map(_._2))
   }
 
   // ---- built-in recipes ----
@@ -657,7 +715,8 @@ object TrainExport {
                         indexPath: String, modelPath: String,
                         batchTags: Seq[String],
                         n: Int, threshold: Double,
-                        nBuckets: Int = 64): ExportManifest = {
+                        nBuckets: Int = 64,
+                        contract: Seq[Validate.Check] = Nil): ExportManifest = {
     require(batchTags.nonEmpty, "commitStreamDrain: no batches drained")
     Compaction.writeGen(streamed, docsTablePath)
     val vsAll = IndexLifecycle.versions(spark, indexPath)
@@ -703,7 +762,8 @@ object TrainExport {
       tables = Map("docs" -> docsTablePath),
       indexes = pins.map { case (nm, _) => nm -> indexPath }.toMap,
       models = Map("dsir" -> modelPath),
-      indexVersions = pins.toMap)
+      indexVersions = pins.toMap,
+      contract = contract)
   }
 
   registerRecipe(EmbedRecipe) { (s, in, p) =>

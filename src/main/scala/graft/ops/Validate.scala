@@ -287,6 +287,87 @@ object Validate {
     one.select(explode(rows).as("r")).select("r.*").orderBy(col("col_name"))
   }
 
+  /** Schema drift between the two most recent retained generations of
+    * a [[Compaction]] generational table: one row per column in either
+    * snapshot — `added` / `dropped` / `type_changed` / `unchanged` —
+    * the companion audit to [[generationDrift]]'s value-level checks
+    * (a silently widened or vanished column is the ingest failure the
+    * value metrics can't see). Driver-side METADATA only: one parquet
+    * footer read per generation, zero data jobs at any scale.
+    */
+  def generationSchemaDrift(spark: SparkSession, path: String): DataFrame = {
+    val gens = Compaction.generations(spark, path).sorted
+    require(gens.length >= 2,
+      s"schema-drift audit needs two retained generations, found $gens " +
+        s"at $path")
+    def types(g: Long): Map[String, String] =
+      Compaction.readTableAt(spark, path, g).schema.fields
+        .map(f => f.name -> f.dataType.simpleString).toMap
+    val (oldT, newT) = (types(gens(gens.length - 2)), types(gens.last))
+    val rows = (oldT.keySet ++ newT.keySet).toSeq.sorted.map { c =>
+      val change = (oldT.get(c), newT.get(c)) match {
+        case (Some(a), Some(b)) if a == b => "unchanged"
+        case (Some(_), Some(_)) => "type_changed"
+        case (None, _) => "added"
+        case _ => "dropped"
+      }
+      (c, oldT.get(c).orNull, newT.get(c).orNull, change)
+    }
+    import spark.implicits._
+    rows.toDF("col_name", "dtype_old", "dtype_new", "change")
+  }
+
+  /** Serialize a DATA-ONLY check to one single-line token for a
+    * persisted contract (the [[TrainExport]] manifest): fields joined
+    * with '|', free-text fields (column names, set values, regexes)
+    * URL-encoded so any legal value — including '|', '=', and control
+    * characters — round-trips. `Satisfies` wraps an arbitrary JVM
+    * Column and is rejected: a persisted contract must be replayable
+    * in a fresh process from the manifest alone.
+    *
+    * `InSet` values round-trip as STRINGS (`String.valueOf` at
+    * serialize). Callers that persist contracts get the canonicalized
+    * semantics on BOTH sides (commit canonicalizes through a
+    * round-trip before validating), so commit and replay can never
+    * disagree on a numeric-vs-string comparison.
+    */
+  def serialize(c: Check): String = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    c match {
+      case NotNull(cn) => s"not_null|${enc(cn)}"
+      case InRange(cn, lo, hi) => s"in_range|${enc(cn)}|$lo|$hi"
+      case InSet(cn, allowed) =>
+        (Seq("in_set", enc(cn)) ++
+          allowed.map(v => enc(String.valueOf(v)))).mkString("|")
+      case MatchesRegex(cn, re) => s"regex|${enc(cn)}|${enc(re)}"
+      case Completeness(cn, bps) => s"completeness|${enc(cn)}|$bps"
+      case Unique(cols) => ("unique" +: cols.map(enc)).mkString("|")
+      case s: Satisfies => throw new IllegalArgumentException(
+        s"${s.name} cannot be persisted in a contract — Satisfies wraps " +
+          "an arbitrary Column; express it as a data-only check")
+    }
+  }
+
+  /** Inverse of [[serialize]]; fails loudly on unparseable tokens. */
+  def deserialize(s: String): Check = {
+    def dec(x: String) = java.net.URLDecoder.decode(x, "UTF-8")
+    val parts = s.split("\\|", -1).toSeq
+    parts.head match {
+      case "not_null" if parts.length == 2 => NotNull(dec(parts(1)))
+      case "in_range" if parts.length == 4 =>
+        InRange(dec(parts(1)), parts(2).toDouble, parts(3).toDouble)
+      case "in_set" if parts.length >= 2 =>
+        InSet(dec(parts(1)), parts.drop(2).map(dec))
+      case "regex" if parts.length == 3 =>
+        MatchesRegex(dec(parts(1)), dec(parts(2)))
+      case "completeness" if parts.length == 3 =>
+        Completeness(dec(parts(1)), parts(2).toInt)
+      case "unique" if parts.length >= 2 => Unique(parts.tail.map(dec))
+      case _ => throw new IllegalArgumentException(
+        s"unparseable contract check: '$s'")
+    }
+  }
+
   /** Output/scratch column names are claimed via `withColumn`, which
     * REPLACES an existing column of the same name — checked loudly
     * instead (the [[Sampling]] discipline).
@@ -575,6 +656,35 @@ object Validate {
                            - CAST(floor(nulls_old * 1000000.0 / n_old) AS BIGINT)) > 1000
                     THEN 'drift' ELSE 'stable' END AS status
         FROM cols ORDER BY col_name""")),
+
+    // Schema drift between two publishes: g2 drops a column, adds one,
+    // and narrows a double to decimal — the audit must name all three
+    // alongside the unchanged columns. The Spark side reads real
+    // generational parquet footers; the oracle enumerates the expected
+    // verdict (the fixture's construction is the specification).
+    GQuery("validate_schema_drift",
+      (s, d) => {
+        val path = TempFixtures.dir(s"valschema:$d") { p =>
+          val orders = Tables(s, d, "orders")
+          Compaction.writeGen(orders, p)
+          Compaction.writeGen(orders
+            .drop("o_orderpriority")
+            .withColumn("o_comment", concat(lit("c"), col("o_orderkey")))
+            .withColumn("o_totalprice",
+              col("o_totalprice").cast("decimal(12,2)")), p)
+        }
+        generationSchemaDrift(s, path)
+      },
+      Some("""SELECT * FROM (VALUES
+          ('o_comment', NULL, 'string', 'added'),
+          ('o_custkey', 'bigint', 'bigint', 'unchanged'),
+          ('o_orderdate', 'timestamp_ntz', 'timestamp_ntz', 'unchanged'),
+          ('o_orderkey', 'bigint', 'bigint', 'unchanged'),
+          ('o_orderpriority', 'string', NULL, 'dropped'),
+          ('o_orderstatus', 'string', 'string', 'unchanged'),
+          ('o_totalprice', 'double', 'decimal(12,2)', 'type_changed'))
+        AS t(col_name, dtype_old, dtype_new, change)
+        ORDER BY col_name""")),
 
     // STREAMING ADMISSION GATE: per-micro-batch constraint reports
     // from StreamingDedup.attachValidated — batch 1 carries a

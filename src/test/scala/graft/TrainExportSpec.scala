@@ -514,4 +514,90 @@ class TrainExportSpec extends AnyFunSuite {
     assert(Compaction.generations(spark, t) == Seq(3L, 4L),
       "zero grace must prune markers and dirs below the rank floor")
   }
+
+  test("a failing contract ABORTS commit: no manifest, staging cleaned, dir reusable") {
+    val root = java.nio.file.Files.createTempDirectory("graft_texc1").toString
+    Compaction.writeGen(docs(25L to 34L), s"$root/docs")
+    Dedup.writeShingleIndex(docs(0L until 30L), "doc_id", "text", n = 3,
+      s"$root/text", nBuckets = NB)
+    Dedup.rebuildShingleIndex(spark, s"$root/text")
+    def commit(sheet: Seq[graft.ops.Validate.Check]) =
+      TrainExport.commit(spark, s"$root/export", "spec_export_v1",
+        params = recipeParams, tables = Map("docs" -> s"$root/docs"),
+        indexes = Map("text" -> s"$root/text"), contract = sheet)
+    // kept ids are 30..34 — a 0..10 range violates on every row
+    val e = intercept[IllegalStateException](
+      commit(Seq(graft.ops.Validate.InRange("doc_id", 0.0, 10.0))))
+    assert(e.getMessage.contains("validation failed") &&
+      e.getMessage.contains("in_range:doc_id (5 rows)"), e.getMessage)
+    intercept[RuntimeException](TrainExport.manifest(spark, s"$root/export"))
+    val leftovers = new java.io.File(s"$root/export").list()
+    assert(leftovers == null || !leftovers.exists(_.startsWith(".data.tmp")),
+      s"staging must be cleaned on a contract abort: ${leftovers.toSeq}")
+    // the dir stays available: a conforming re-export commits fine
+    val m = commit(Seq(graft.ops.Validate.InRange("doc_id", 0.0, 100.0)))
+    assert(m.contract.length == 1)
+    assert(keptIds(TrainExport.replay(spark, s"$root/export")) ==
+      (30L to 34L))
+  }
+
+  test("the contract rides the manifest canonicalized; auditContract re-checks shipped data and flags tampering") {
+    import graft.ops.Validate
+    val root = java.nio.file.Files.createTempDirectory("graft_texc2").toString
+    Compaction.writeGen(docs(25L to 34L), s"$root/docs")
+    Dedup.writeShingleIndex(docs(0L until 30L), "doc_id", "text", n = 3,
+      s"$root/text", nBuckets = NB)
+    Dedup.rebuildShingleIndex(spark, s"$root/text")
+    TrainExport.commit(spark, s"$root/export", "spec_export_v1",
+      params = recipeParams, tables = Map("docs" -> s"$root/docs"),
+      indexes = Map("text" -> s"$root/text"),
+      contract = Seq(Validate.NotNull("doc_id"),
+        Validate.Unique(Seq("doc_id")),
+        // non-string set values canonicalize to STRINGS in the manifest
+        Validate.InSet("doc_id", Seq(30L, 31L, 32L, 33L, 34L))))
+    val m = TrainExport.manifest(spark, s"$root/export")
+    assert(m.contract == Seq(Validate.NotNull("doc_id"),
+      Validate.Unique(Seq("doc_id")),
+      Validate.InSet("doc_id", Seq("30", "31", "32", "33", "34"))),
+      s"parsed contract: ${m.contract}")
+    val audit = TrainExport.auditContract(spark, s"$root/export")
+      .select("check_name", "status").as[(String, String)].collect().toMap
+    assert(audit == Map("not_null:doc_id" -> "pass",
+      "unique:doc_id" -> "pass", "in_set:doc_id" -> "pass"))
+    // replay re-validates and still passes
+    assert(keptIds(TrainExport.replay(spark, s"$root/export")) ==
+      (30L to 34L))
+    // tamper with the SHIPPED bytes: a duplicated id + an out-of-set id
+    docs(Seq(30L, 30L, 99L)).select("doc_id")
+      .write.mode("overwrite").parquet(s"$root/export/data")
+    val tampered = TrainExport.auditContract(spark, s"$root/export")
+      .select("check_name", "n_violations", "status")
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(tampered("unique:doc_id") == ((2L, "fail")))
+    assert(tampered("in_set:doc_id") == ((1L, "fail")))
+    assert(tampered("not_null:doc_id") == ((0L, "pass")))
+  }
+
+  test("Satisfies in a contract and contract-free audits are rejected with clear messages") {
+    import graft.ops.Validate
+    val root = java.nio.file.Files.createTempDirectory("graft_texc3").toString
+    Compaction.writeGen(docs(25L to 34L), s"$root/docs")
+    Dedup.writeShingleIndex(docs(0L until 30L), "doc_id", "text", n = 3,
+      s"$root/text", nBuckets = NB)
+    Dedup.rebuildShingleIndex(spark, s"$root/text")
+    val e = intercept[IllegalArgumentException](
+      TrainExport.commit(spark, s"$root/export", "spec_export_v1",
+        params = recipeParams, tables = Map("docs" -> s"$root/docs"),
+        indexes = Map("text" -> s"$root/text"),
+        contract = Seq(Validate.Satisfies("pos", col("doc_id") > 0))))
+    assert(e.getMessage.contains("cannot be persisted"), e.getMessage)
+    // nothing committed by the rejected attempt; commit without one
+    TrainExport.commit(spark, s"$root/export", "spec_export_v1",
+      params = recipeParams, tables = Map("docs" -> s"$root/docs"),
+      indexes = Map("text" -> s"$root/text"))
+    val e2 = intercept[IllegalArgumentException](
+      TrainExport.auditContract(spark, s"$root/export"))
+    assert(e2.getMessage.contains("without a contract"), e2.getMessage)
+  }
 }

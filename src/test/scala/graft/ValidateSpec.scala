@@ -170,6 +170,32 @@ class ValidateSpec extends AnyFunSuite {
     }
   }
 
+  test("generationSchemaDrift: added/dropped/type_changed/unchanged all reported; two gens required") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_valsch_")
+    val path = dir.toString + "/t"
+    try {
+      Compaction.writeGen(Seq((1L, "a", 1.5)).toDF("id", "tag", "score"),
+        path)
+      intercept[IllegalArgumentException](
+        Validate.generationSchemaDrift(spark, path))
+      Compaction.writeGen(Seq((1L, 2, true)).toDF("id", "score", "fresh"),
+        path)
+      val rows = Validate.generationSchemaDrift(spark, path).collect()
+        .map(r => r.getString(0) ->
+          ((Option(r.getString(1)), Option(r.getString(2)), r.getString(3))))
+        .toMap
+      assert(rows("id") == ((Some("bigint"), Some("bigint"), "unchanged")))
+      assert(rows("tag") == ((Some("string"), None, "dropped")))
+      assert(rows("score") == ((Some("double"), Some("int"), "type_changed")))
+      assert(rows("fresh") == ((None, Some("boolean"), "added")))
+      assert(rows.size == 4)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator.asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("generationDrift requires two retained generations") {
     val dir = java.nio.file.Files.createTempDirectory("graft_valspec1_")
     val path = dir.toString + "/t"
@@ -219,6 +245,30 @@ class ValidateSpec extends AnyFunSuite {
     assert(dig(quar.queryExecution.executedPlan)
       .collect { case s: ShuffleExchangeLike => s }.isEmpty,
       "quarantine must stay map-only")
+  }
+
+  test("serialize/deserialize round-trips every data-only check, hostile characters included") {
+    val hostile = "a|b=c%d\ne:f g" // separator, '=', '%', newline, space
+    val cases = Seq[Check](
+      NotNull(hostile),
+      InRange(hostile, -1.5e300, 42.0),
+      InSet(hostile, Seq("x", hostile, "")),
+      MatchesRegex(hostile, "^[1-3]-|x\\|y$"),
+      Completeness(hostile, 9990),
+      Unique(Seq(hostile, "plain")))
+    cases.foreach { c =>
+      val line = serialize(c)
+      assert(!line.exists(_.isControl), s"token must be single-line: $c")
+      assert(deserialize(line) == c, s"round-trip broke: $c -> $line")
+    }
+    // non-string set values canonicalize to strings — the documented
+    // both-sides-identical semantics TrainExport.commit relies on
+    assert(deserialize(serialize(InSet("k", Seq(1L, 2.5, true)))) ==
+      InSet("k", Seq("1", "2.5", "true")))
+    intercept[IllegalArgumentException](
+      serialize(Satisfies("p", col("x") > 0)))
+    intercept[IllegalArgumentException](deserialize("bogus|x"))
+    intercept[IllegalArgumentException](deserialize("in_range|c|1.0"))
   }
 
   test("attachValidated: per-batch routing complements, reasons, report, unique in the report only") {
