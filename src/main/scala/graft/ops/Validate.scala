@@ -44,10 +44,22 @@ object Validate {
   /** Inclusive numeric bounds; NULLs pass (see object doc). */
   final case class InRange(column: String, lo: Double, hi: Double)
       extends Check {
+    // an inverted or NaN bound makes every row a violation (NaN
+    // comparisons are engine-ordering-dependent on top) — always a
+    // caller bug, never a sheet
+    require(!lo.isNaN && !hi.isNaN && lo <= hi,
+      s"in_range:$column bounds must satisfy lo <= hi (non-NaN): [$lo, $hi]")
     val name = s"in_range:$column"; val kind = "in_range"
   }
 
   final case class InSet(column: String, allowed: Seq[Any]) extends Check {
+    // a JVM null in the allow-list turns isin() three-valued: every
+    // non-member row evaluates to NULL instead of false and the
+    // violation silently counts ZERO — reject it loudly (SQL-side
+    // NULLs already pass every membership check by the object doc)
+    require(allowed.forall(_ != null),
+      s"in_set:$column allow-list must not contain null " +
+        "(NULL values already pass; see the NULL-semantics doc)")
     val name = s"in_set:$column"; val kind = "in_set"
   }
 

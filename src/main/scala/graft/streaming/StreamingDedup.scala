@@ -436,6 +436,14 @@ object StreamingDedup {
     val rowChecks = checks.filterNot(_.isInstanceOf[Validate.Unique])
     require(rowChecks.nonEmpty,
       "admission gate needs at least one row-level check to route on")
+    // the gate CLAIMS batch (all three sinks), reasons (quarantine) and
+    // violations (scratch) via withColumn, which silently replaces an
+    // existing column — reject the clash loudly (the Sampling
+    // discipline; Validate.withViolations re-checks `violations`)
+    Seq("batch", "reasons", "violations").foreach(c =>
+      require(!rows.columns.contains(c),
+        s"attachValidated writes column '$c' — rename it in the input " +
+          "(it would be silently overwritten)"))
     rows.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       def land(df: DataFrame, dir: String): Unit =
         df.withColumn("batch", lit(batchId))

@@ -84,6 +84,14 @@ class ValidateSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](report(df, Nil))
   }
 
+  test("constructor guards: inverted/NaN range bounds and null allow-list entries are caller bugs") {
+    intercept[IllegalArgumentException](InRange("x", 5.0, 1.0))
+    intercept[IllegalArgumentException](InRange("x", Double.NaN, 1.0))
+    intercept[IllegalArgumentException](InRange("x", 0.0, Double.NaN))
+    InRange("x", 1.0, 1.0) // point range is legal
+    intercept[IllegalArgumentException](InSet("x", Seq("a", null)))
+  }
+
   test("foreignKey: orphans counted, NULL keys pass, duplicate parents harmless") {
     val child = Seq((Some(1), "x"), (Some(2), "y"), (Some(9), "z"),
       (None, "w")).toDF("fk", "payload")
@@ -316,7 +324,7 @@ class ValidateSpec extends AnyFunSuite {
       .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
-  test("attachValidated rejects a sheet with no row-level checks") {
+  test("attachValidated rejects a sheet with no row-level checks and claimed column names") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
@@ -324,6 +332,13 @@ class ValidateSpec extends AnyFunSuite {
       graft.streaming.StreamingDedup.attachValidated(
         input.toDS().toDF("id", "v"), Seq(Unique(Seq("id"))),
         "/tmp/x1", "/tmp/x2", "/tmp/x3"))
+    for (claimed <- Seq("batch", "reasons", "violations")) {
+      val e = intercept[IllegalArgumentException](
+        graft.streaming.StreamingDedup.attachValidated(
+          input.toDS().toDF("id", claimed), Seq(NotNull("id")),
+          "/tmp/x1", "/tmp/x2", "/tmp/x3"))
+      assert(e.getMessage.contains(claimed), e.getMessage)
+    }
   }
 
   test("registered validate queries run green on sf0.001 and split pass/fail as designed") {
