@@ -155,6 +155,7 @@ object ScaleSmoke {
     val events = graft.util.Tables(spark, sfDir, "events")
     val lineitem = graft.util.Tables(spark, sfDir, "lineitem")
     val customer = graft.util.Tables(spark, sfDir, "customer")
+    val orders = graft.util.Tables(spark, sfDir, "orders")
 
     // Segment-growth cost model (round-10 VERDICT #3): steady-state
     // streaming appends accumulate one `ingest=` segment per trigger,
@@ -540,6 +541,27 @@ object ScaleSmoke {
       }
       timed(s"tfidf x$n")(
         graft.ops.Search.tfidfTopK(d, "doc_id", "text", 5).count())
+      // data-quality validation: the N-check report is ONE scan + a
+      // single-row reduce (plus one grouped exchange for its Unique),
+      // quarantine routing is map-only, and FK is one left join against
+      // DISTINCT parent keys (parent held fixed, child n×) — all three
+      // curves must be linear in rows or the plan regressed
+      locally {
+        import graft.ops.Validate
+        val rowSheet = Seq[Validate.Check](
+          Validate.InRange("n_chars", 0.0, 500.0),
+          Validate.InSet("lang", Seq("en", "fr", "de", "es")),
+          Validate.MatchesRegex("source", "^src[0-9]+$"),
+          Validate.NotNull("text"))
+        timed(s"validate_report x$n")(
+          Validate.report(d, rowSheet :+ Validate.Unique(Seq("doc_id")))
+            .count())
+        timed(s"validate_quarantine x$n")(
+          Validate.quarantine(d, rowSheet).count())
+        timed(s"validate_fk x$n")(
+          Validate.foreignKey(replicateRows(lineitem, n),
+            Seq("l_orderkey"), orders, Seq("o_orderkey")).count())
+      }
       // incremental CC: fold a FIXED new-edge batch (replica-0 pairs
       // touching doc_id%13==0) into the labeling of everything else —
       // cost must track the touched frontier, not the n× corpus
