@@ -299,6 +299,95 @@ object Validate {
     one.select(explode(rows).as("r")).select("r.*").orderBy(col("col_name"))
   }
 
+  /** Constraint INFERENCE: derive a candidate sheet from a healthy
+    * corpus — the bootstrap for [[TrainExport]] data contracts and
+    * admission gates when nobody has written one yet (the Deequ
+    * suggestion story). ONE profile aggregation pass (count / nulls /
+    * exact distinct / numeric min-max for all columns together), then
+    * driver-side rule application on that single row — plus one
+    * bounded distinct job (≤ maxSetSize rows, gated by the already-
+    * computed cardinality) per column that qualifies for a set:
+    *
+    *  - zero nulls → `NotNull`; some nulls → `Completeness` at the
+    *    observed floor (never tighter than the data it came from);
+    *  - string column with ≤ `maxSetSize` distinct values covering at
+    *    most 1/20 of the rows → `InSet` over the sorted value list;
+    *  - numeric column → `InRange` at the observed [min, max];
+    *  - non-null column whose values are all distinct → `Unique`.
+    *
+    * SELF-CONSISTENCY (spec-pinned): every suggested check PASSES on
+    * the frame it was inferred from. Suggestions are a starting point —
+    * tighten bounds/slack by policy before committing them as a
+    * contract; observed min-max in particular only describes the
+    * corpus seen so far.
+    */
+  def suggest(df: DataFrame, cols: Seq[String],
+              maxSetSize: Int = 20): Seq[Check] = {
+    require(cols.nonEmpty, "no columns to profile")
+    import org.apache.spark.sql.types._
+    def isNum(dt: DataType) = dt match {
+      case _: NumericType => true
+      case _ => false
+    }
+    val aggs = cols.flatMap { c =>
+      val base = Seq(
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"${c}__null"),
+        countDistinct(col(c)).as(s"${c}__dst"))
+      if (isNum(df.schema(c).dataType))
+        base ++ Seq(min(col(c)).cast("double").as(s"${c}__min"),
+          max(col(c)).cast("double").as(s"${c}__max"))
+      else base
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*).collect()(0)
+    val n = row.getAs[Long]("__n")
+    cols.flatMap { c =>
+      val nulls = row.getAs[Long](s"${c}__null")
+      val dst = row.getAs[Long](s"${c}__dst")
+      val dt = df.schema(c).dataType
+      val nullCheck: Seq[Check] =
+        if (n == 0L) Nil
+        else if (nulls == 0L) Seq(NotNull(c))
+        else Seq(Completeness(c, ((n - nulls) * 10000L / n).toInt))
+      val setCheck: Seq[Check] =
+        if (dt == StringType && dst > 0 && dst <= maxSetSize &&
+            dst * 20 <= n - nulls)
+          Seq(InSet(c, df.filter(col(c).isNotNull).select(col(c))
+            .distinct().collect().map(_.getString(0)).sorted.toSeq))
+        else Nil
+      val rangeCheck: Seq[Check] =
+        if (isNum(dt) && n - nulls > 0)
+          Seq(InRange(c, row.getAs[Double](s"${c}__min"),
+            row.getAs[Double](s"${c}__max")))
+        else Nil
+      val uniqueCheck: Seq[Check] =
+        if (n > 0 && nulls == 0L && dst == n) Seq(Unique(Seq(c))) else Nil
+      nullCheck ++ setCheck ++ rangeCheck ++ uniqueCheck
+    }
+  }
+
+  /** [[suggest]] rendered as a cross-engine-hashable report:
+    * `(col_name, kind, detail)` ordered by (col_name, kind). Numeric
+    * bounds render as floor-micro BIGINTs, set values as the sorted
+    * comma-joined list — integers and plain strings, so a DuckDB
+    * oracle replays the inference rules exactly.
+    */
+  def suggestReport(df: DataFrame, cols: Seq[String],
+                    maxSetSize: Int = 20): DataFrame = {
+    val rows = suggest(df, cols, maxSetSize).map {
+      case NotNull(c) => (c, "not_null", "")
+      case Completeness(c, bps) => (c, "completeness", s"min_bps=$bps")
+      case InSet(c, vs) => (c, "in_set", vs.map(String.valueOf).mkString(","))
+      case InRange(c, lo, hi) => (c, "in_range",
+        s"lo_u=${math.floor(lo * 1e6).toLong},hi_u=${math.floor(hi * 1e6).toLong}")
+      case Unique(cs) => (cs.mkString(","), "unique", "")
+      case other => (other.name, other.kind, "")
+    }
+    import df.sparkSession.implicits._
+    rows.toDF("col_name", "kind", "detail")
+      .orderBy(col("col_name"), col("kind"))
+  }
+
   /** Schema drift between the two most recent retained generations of
     * a [[Compaction]] generational table: one row per column in either
     * snapshot — `added` / `dropped` / `type_changed` / `unchanged` —
@@ -442,6 +531,37 @@ object Validate {
         q.processAllAvailable()
       } finally q.stop()
     }
+
+  /** The [[suggestReport]] inference rules replayed in DuckDB for one
+    * `orders` column — each rule is a HAVING-gated aggregate row, so
+    * the oracle derives the SAME conditional suggestions from the data
+    * rather than hardcoding an expected sheet (SF-independent).
+    */
+  private def suggSqlBase(c: String): String = s"""
+    SELECT '$c' AS col_name, 'not_null' AS kind, '' AS detail FROM orders
+      HAVING count(*) > 0 AND count(*) = count($c)
+    UNION ALL
+    SELECT '$c', 'completeness',
+      'min_bps=' || CAST(count($c) * 10000 // count(*) AS BIGINT)
+      FROM orders HAVING count(*) > count($c)
+    UNION ALL
+    SELECT '$c', 'unique', '' FROM orders
+      HAVING count(*) > 0 AND count(*) = count($c)
+         AND count(DISTINCT $c) = count(*)"""
+
+  private def suggSqlNum(c: String): String = s"""${suggSqlBase(c)}
+    UNION ALL
+    SELECT '$c', 'in_range',
+      'lo_u=' || CAST(floor(CAST(min($c) AS DOUBLE) * 1e6) AS BIGINT) ||
+      ',hi_u=' || CAST(floor(CAST(max($c) AS DOUBLE) * 1e6) AS BIGINT)
+      FROM orders HAVING count($c) > 0"""
+
+  private def suggSqlStr(c: String): String = s"""${suggSqlBase(c)}
+    UNION ALL
+    SELECT '$c', 'in_set', string_agg(DISTINCT $c, ',' ORDER BY $c)
+      FROM orders WHERE $c IS NOT NULL
+      HAVING count(DISTINCT $c) BETWEEN 1 AND 20
+         AND count(DISTINCT $c) * 20 <= count($c)"""
 
   val queries: Seq[GQuery] = Seq(
     // Mixed constraint sheet over orders: every row-level kind plus a
@@ -668,6 +788,26 @@ object Validate {
                            - CAST(floor(nulls_old * 1000000.0 / n_old) AS BIGINT)) > 1000
                     THEN 'drift' ELSE 'stable' END AS status
         FROM cols ORDER BY col_name""")),
+
+    // Constraint INFERENCE over orders: the suggestion rules (not a
+    // hardcoded expected sheet) replayed conditionally in DuckDB —
+    // each rule is a HAVING-gated aggregate, so both engines derive
+    // the same suggestions from the same stats at any SF. On this
+    // corpus that means NotNull everywhere, InRange on the three
+    // numeric columns, InSet on the two low-cardinality strings, and
+    // Unique on the order key.
+    GQuery("validate_suggest",
+      (s, d) => suggestReport(Tables(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")),
+      Some(s"""WITH sugg AS (${suggSqlNum("o_orderkey")}
+          UNION ALL ${suggSqlNum("o_custkey")}
+          UNION ALL ${suggSqlStr("o_orderstatus")}
+          UNION ALL ${suggSqlNum("o_totalprice")}
+          UNION ALL ${suggSqlBase("o_orderdate")}
+          UNION ALL ${suggSqlStr("o_orderpriority")})
+        SELECT col_name, kind, detail FROM sugg
+        ORDER BY col_name, kind""")),
 
     // Schema drift between two publishes: g2 drops a column, adds one,
     // and narrows a double to decimal — the audit must name all three

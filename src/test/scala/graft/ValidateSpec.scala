@@ -255,6 +255,42 @@ class ValidateSpec extends AnyFunSuite {
       "quarantine must stay map-only")
   }
 
+  test("suggest: inference rules fire per shape, and every suggestion passes on its own data") {
+    val df = Seq(
+      (1L, Some("a"), Some(2.5), "x1"),
+      (2L, Some("b"), Some(7.5), "x2"),
+      (3L, Some("a"), None, "x3"),
+      (4L, None, Some(-1.0), "x4"),
+      (5L, Some("b"), Some(9.0), "x5")
+    ).toDF("id", "tag", "v", "label")
+    // id: bigint, no nulls, all distinct -> NotNull + InRange + Unique
+    // tag: string, 1 null -> Completeness(8000); 2 distinct but
+    //      2*20 > 4 non-null rows -> NO InSet (coverage rule)
+    // v: double, 1 null -> Completeness(8000) + InRange(-1.0, 9.0)
+    // label: string, 5 distinct = n -> Unique, no InSet (5*20 > 5)
+    val sugg = suggest(df, Seq("id", "tag", "v", "label"))
+    val names = sugg.map(c => (c.name, c)).toMap
+    assert(names.contains("not_null:id") && names.contains("unique:id"))
+    assert(names("in_range:id") == InRange("id", 1.0, 5.0))
+    assert(names("completeness:tag") == Completeness("tag", 8000))
+    assert(!names.contains("in_set:tag"), "coverage rule: 2*20 > 4")
+    assert(names("in_range:v") == InRange("v", -1.0, 9.0))
+    assert(names("completeness:v") == Completeness("v", 8000))
+    assert(names.contains("unique:label") &&
+      names.contains("not_null:label"))
+    // SELF-CONSISTENCY: inferred constraints hold on the source frame
+    val rep = report(df, sugg).filter(col("status") === "fail").collect()
+    assert(rep.isEmpty, s"suggestions must pass on their own data: " +
+      rep.map(_.getString(0)).mkString(","))
+    // low-cardinality set fires once coverage is met
+    val many = (1 to 100).map(i => (i.toLong, if (i % 2 == 0) "even"
+      else "odd")).toDF("id", "par")
+    val s2 = suggest(many, Seq("par"))
+    assert(s2.contains(InSet("par", Seq("even", "odd"))),
+      s"sorted set expected: $s2")
+    assert(report(many, s2).filter(col("status") === "fail").count() == 0)
+  }
+
   test("serialize/deserialize round-trips every data-only check, hostile characters included") {
     val hostile = "a|b=c%d\ne:f g" // separator, '=', '%', newline, space
     val cases = Seq[Check](
