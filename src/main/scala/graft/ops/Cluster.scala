@@ -65,7 +65,12 @@ object Cluster {
 
   /** Test seam for the rejected-but-kept tail contraction schedule —
     * lets CcPropertySpec exercise the smallStar-only branch without
-    * forking a JVM for the env var.
+    * forking a JVM for the env var. JVM-GLOBAL MUTABLE STATE: assumes
+    * the suite runs single-JVM with sequential test execution (the
+    * repo's sbt default — no parallel suites); the owning spec flips
+    * it inside try/finally so no other test observes it set. Would a
+    * concurrent runner ever be adopted, thread this through a
+    * components() parameter instead.
     */
   private[graft] var tailScheduleForTest = false
 

@@ -460,7 +460,9 @@ private[ops] object LlmShared {
       val q = graft.streaming.StreamingDedup.attachCurate(
           input.toDS().toDF("doc_id", "text"), "doc_id", "text",
           idx, model, out, n = 3, threshold = 0.8,
-          maxSegments = 0) // per-batch pins need the segment chain intact
+          exportable = true) // forces in-loop compaction OFF at attach
+                             // time — per-batch pins need the segment
+                             // chain intact (r13 verdict #3)
         .option("checkpointLocation", root + "/ckpt")
         .start()
       try {

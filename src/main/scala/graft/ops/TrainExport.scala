@@ -87,7 +87,8 @@ object TrainExport {
                                   indexes: Map[String, IndexPin],
                                   models: Map[String, ModelPin],
                                   resultFp: String,
-                                  contract: Seq[Validate.Check] = Nil)
+                                  contract: Seq[Validate.Check] = Nil,
+                                  recipeVersion: Option[Int] = None)
 
   /** What a recipe sees: pinned reads only. A recipe that bypasses
     * this (reading a current table or probing an unpinned index) is
@@ -133,18 +134,26 @@ object TrainExport {
     */
   type Recipe = (SparkSession, PinnedInputs, Map[String, String]) => DataFrame
 
-  private val recipes = new ConcurrentHashMap[String, Recipe]()
+  private val recipes = new ConcurrentHashMap[String, (Int, Recipe)]()
 
-  /** Register (or replace) the recipe body for `id`. Replay resolves
-    * recipes by id, so a deployment registers its recipe code once per
-    * JVM (built-ins below register at class load).
+  /** Register (or replace) the recipe body for `id` at `version`
+    * (default 1). The version is the recipe's CODE provenance pin
+    * (r13 verdict #2): `commit` records it in the manifest, and
+    * `replay` fails loudly with "recipe changed since commit" when the
+    * registered version differs — BEFORE executing anything — instead
+    * of running a drifted body to a misleading "recipe is not
+    * deterministic" fingerprint mismatch. Bump the version whenever
+    * the recipe BODY's semantics change; a deployment registers its
+    * recipe code once per JVM (built-ins below register at class
+    * load).
     */
-  def registerRecipe(id: String)(fn: Recipe): Unit = {
+  def registerRecipe(id: String, version: Int = 1)(fn: Recipe): Unit = {
     // reject ALL control chars ('\r' breaks linesIterator parse just
     // like '\n'), not only the two the manifest syntax uses
     require(id.nonEmpty && !id.exists(c => c == '=' || c.isControl),
       s"recipe id must be a plain identifier: '$id'")
-    recipes.put(id, fn)
+    require(version >= 1, s"recipe version must be >= 1, got $version")
+    recipes.put(id, (version, fn))
   }
 
   /** The committed manifest's object name inside the export dir. */
@@ -154,12 +163,24 @@ object TrainExport {
     * only way to exercise the CAS-won/rename-failed recovery branch
     * (staging preserved for manual promotion), same doctrine as
     * [[ManifestCommit.exclusiveCreateNoLink]]'s write seam.
+    * JVM-GLOBAL MUTABLE STATE: assumes single-JVM sequential test
+    * execution (the repo's sbt default); the owning spec restores it
+    * in try/finally.
     */
   private[graft] var renameImpl:
       (org.apache.hadoop.fs.FileSystem, Path, Path) => Boolean =
     (fs, src, dst) => fs.rename(src, dst)
 
+  /** Format headers. v1 = the original key set; v2 adds `model.*`,
+    * `contract.NNN`, and `recipeVersion` (r13 ADVICE: the version
+    * string must identify the format — a v1-only reader now fails on
+    * the HEADER with a "newer format" diagnosis instead of on some
+    * arbitrary first unknown key). New manifests always render v2;
+    * parse accepts both, and v1 manifests without the new keys stay
+    * replayable unchanged.
+    */
   private val Header = "graft-export-v1"
+  private val HeaderV2 = "graft-export-v2"
 
   /** Run `recipe` against the CURRENT state of every input, pinned:
     * each table at its newest published generation, each index at its
@@ -198,9 +219,10 @@ object TrainExport {
     require(contract.size <= 999,
       s"contract sheets cap at 999 checks, got ${contract.size}")
     val contractC = contract.map(c => Validate.deserialize(Validate.serialize(c)))
-    val fn = recipes.get(recipe)
-    require(fn != null, s"no recipe registered under '$recipe' — " +
+    val reg = recipes.get(recipe)
+    require(reg != null, s"no recipe registered under '$recipe' — " +
       s"registered: ${recipeIds.mkString(",")}")
+    val (recipeVer, fn) = reg
     (params.keys ++ tables.keys ++ indexes.keys ++ models.keys).foreach { k =>
       require(k.nonEmpty && k.forall(c => c.isLetterOrDigit || c == '_' ||
           c == '.' || c == '-'),
@@ -276,7 +298,7 @@ object TrainExport {
       // the authoritative bytes a consumer reads), not the live plan
       val m = ExportManifest(recipe, params, tPins, iPins, mPins,
         resultFp = rowFingerprint(spark.read.parquet(staging.toString)),
-        contract = contractC)
+        contract = contractC, recipeVersion = Some(recipeVer))
       require(mc.createExclusive(ManifestName, render(m).getBytes("UTF-8")),
         s"lost the export-commit race at $exportDir — another export " +
           "committed this dir first; write a new dir")
@@ -321,11 +343,24 @@ object TrainExport {
     */
   def replay(spark: SparkSession, exportDir: String): DataFrame = {
     val m = manifest(spark, exportDir)
-    val fn = recipes.get(m.recipe)
-    require(fn != null, s"export at $exportDir was built by recipe " +
+    val reg = recipes.get(m.recipe)
+    require(reg != null, s"export at $exportDir was built by recipe " +
       s"'${m.recipe}', which is not registered in this JVM " +
       s"(registered: ${recipeIds.mkString(",")}) — register it with " +
       "TrainExport.registerRecipe before replaying")
+    val (regVer, fn) = reg
+    // CODE provenance, checked BEFORE anything executes: a drifted
+    // recipe body would otherwise run to a fingerprint mismatch whose
+    // "not deterministic" diagnosis blames the wrong thing. v1
+    // manifests carry no version — their replays keep the old
+    // fingerprint-only contract.
+    m.recipeVersion.foreach { v =>
+      require(regVer == v,
+        s"replay of $exportDir: recipe '${m.recipe}' changed since " +
+          s"commit (v$v → v$regVer) — re-register the committed " +
+          "recipe body under its committed version, or re-export " +
+          "under the new one")
+    }
     // eager pin validation, so a broken pin fails HERE with its own
     // retention message rather than deep inside the recipe's plan
     m.tables.foreach { case (name, pin) =>
@@ -418,6 +453,25 @@ object TrainExport {
     Validate.report(spark.read.parquet(s"$exportDir/data"), m.contract)
   }
 
+  /** Contract EVOLUTION audit (r13 verdict #7): re-check a committed
+    * export's shipped data against a CALLER-SUPPLIED sheet — "would
+    * the new v2 contract pass on the v1 artifact we already shipped?"
+    * — the consumer-side question before tightening a contract or
+    * re-training on an old export. The sheet is canonicalized through
+    * the same serialize round-trip as [[commit]] (set values compare
+    * as strings on both sides; `Satisfies` rejected), so the verdict
+    * here is exactly the verdict committing under that sheet would
+    * have produced. The export's own persisted contract is untouched
+    * — the no-sheet overload above still audits it byte-identically.
+    */
+  def auditContract(spark: SparkSession, exportDir: String,
+                    sheet: Seq[Validate.Check]): DataFrame = {
+    require(sheet.nonEmpty, "empty contract sheet — nothing to audit")
+    val canon = sheet.map(c => Validate.deserialize(Validate.serialize(c)))
+    manifest(spark, exportDir) // proves this dir IS a committed export
+    Validate.report(spark.read.parquet(s"$exportDir/data"), canon)
+  }
+
   /** The deterministic lease id this export uses on every one of its
     * pinned inputs: derived from the export dir path, so lease and
     * release agree across JVMs with no extra state.
@@ -458,6 +512,41 @@ object TrainExport {
       IndexLifecycle.acquireLease(spark, pin.path, pin.version, id)
     }
     id
+  }
+
+  /** Join this export's pins to the LIVE leases on each pinned store —
+    * the operability view of [[lease]] (r13 verdict #1): one row per
+    * pinned table/index with whether THIS export's lease is held
+    * (`this_export_leased` — false = a compaction/rebuild cycle can
+    * prune the pin and break [[replay]]), how many live leases from
+    * any holder pin it (`live_holders`), and the export's own lease
+    * age when held (the number an operator compares against the
+    * [[Compaction.LeaseMaxAgeKey]] expiry policy to spot a keep-alive
+    * that stopped). Expired leases count as absent throughout. Models
+    * never appear: a model pin is a content fingerprint, not a
+    * retention hold. Bounded metadata — one marker listing per store.
+    */
+  def leaseReport(spark: SparkSession, exportDir: String): DataFrame = {
+    val m = manifest(spark, exportDir)
+    val id = leaseId(exportDir)
+    def row(name: String, kind: String, path: String, pin: Long,
+            leases: Seq[Compaction.Lease]) = {
+      val onPin = leases.filter(l => l.gen.contains(pin) && !l.expired)
+      val mine = onPin.find(_.leaseId == id)
+      (name, kind, path, pin, mine.nonEmpty, onPin.length.toLong,
+        mine.flatMap(_.ageMs))
+    }
+    val rows =
+      m.tables.toSeq.sortBy(_._1).map { case (n, p) =>
+        row(n, "table", p.path, p.gen, Compaction.listLeases(spark, p.path))
+      } ++
+      m.indexes.toSeq.sortBy(_._1).map { case (n, p) =>
+        row(n, "index", p.path, p.version,
+          IndexLifecycle.listLeases(spark, p.path))
+      }
+    import spark.implicits._
+    rows.toDF("input_name", "kind", "path", "pin", "this_export_leased",
+      "live_holders", "own_lease_age_ms")
   }
 
   /** Release every lease [[lease]] acquired for this export. */
@@ -520,8 +609,10 @@ object TrainExport {
 
   private def render(m: ExportManifest): String = {
     val b = new StringBuilder
-    b.append(Header).append('\n')
+    b.append(HeaderV2).append('\n')
     b.append("recipe=").append(m.recipe).append('\n')
+    m.recipeVersion.foreach(v =>
+      b.append("recipeVersion=").append(v).append('\n'))
     b.append("result=").append(m.resultFp).append('\n')
     m.params.toSeq.sortBy(_._1).foreach { case (k, v) =>
       b.append("param.").append(k).append('=').append(v).append('\n')
@@ -548,10 +639,15 @@ object TrainExport {
 
   private def parse(s: String, where: String): ExportManifest = {
     val lines = s.linesIterator.toSeq.filter(_.nonEmpty)
-    require(lines.headOption.contains(Header),
+    require(lines.headOption.exists(h => h == Header || h == HeaderV2),
       s"unrecognized export manifest at $where: " +
-        s"'${lines.headOption.getOrElse("")}'")
+        s"'${lines.headOption.getOrElse("")}'" +
+        (if (lines.headOption.exists(_.startsWith("graft-export-")))
+           " — a NEWER manifest format than this library reads; " +
+             "upgrade the reader"
+         else ""))
     var recipe = ""
+    var recipeVersion: Option[Int] = None
     var result = ""
     val params = Map.newBuilder[String, String]
     val tables = Map.newBuilder[String, TablePin]
@@ -564,6 +660,7 @@ object TrainExport {
       val (key, value) = (line.substring(0, eq), line.substring(eq + 1))
       key match {
         case "recipe" => recipe = value
+        case "recipeVersion" => recipeVersion = Some(value.toInt)
         case "result" => result = value
         case k if k.startsWith("param.") =>
           params += k.stripPrefix("param.") -> value
@@ -593,7 +690,7 @@ object TrainExport {
       s"export manifest at $where is missing recipe/result")
     ExportManifest(recipe, params.result(), tables.result(),
       indexes.result(), models.result(), result,
-      contract.result().sortBy(_._1).map(_._2))
+      contract.result().sortBy(_._1).map(_._2), recipeVersion)
   }
 
   // ---- built-in recipes ----
@@ -703,12 +800,16 @@ object TrainExport {
     * column aligned with `batchTags` (tag k = the foreachBatch loop's
     * `b<batchId>`).
     *
-    * REQUIRES the loop to have run with in-loop compaction OFF
-    * (`maxSegments = 0`): a mid-stream rebuild absorbs ingest tags
-    * into `base`, after which the per-batch corpora no longer exist as
-    * segment subsets of any retained version — detected here and
-    * failed loudly rather than pinning a wrong corpus. Run the
-    * maintenance rebuild AFTER the drain export commits.
+    * REQUIRES the loop to have run with in-loop compaction OFF —
+    * declare it at ATTACH time with
+    * [[graft.streaming.StreamingDedup.attachCurate]]`(exportable =
+    * true)`, which forces the cap to 0 before the first batch
+    * processes (passing `maxSegments = 0` by hand still works): a
+    * mid-stream rebuild absorbs ingest tags into `base`, after which
+    * the per-batch corpora no longer exist as segment subsets of any
+    * retained version — detected here and failed loudly rather than
+    * pinning a wrong corpus. Run the maintenance rebuild AFTER the
+    * drain export commits.
     */
   def commitStreamDrain(spark: SparkSession, exportDir: String,
                         streamed: DataFrame, docsTablePath: String,

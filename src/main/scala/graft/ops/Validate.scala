@@ -117,6 +117,45 @@ object Validate {
 
   private def isRowLevel(c: Check): Boolean = !c.isInstanceOf[Unique]
 
+  /** Guard the OTHER silent-pass membership trap: the [[InSet]]
+    * constructor rejects JVM nulls, but a persisted contract's values
+    * are canonicalized to STRINGS ([[serialize]]), and when such a
+    * sheet lands on a numeric column Spark coerces the comparison —
+    * an unparseable value casts to NULL, `isin` turns three-valued,
+    * and every violation silently counts ZERO. Verified here, where
+    * the sheet first meets the frame's schema: every string allow-list
+    * value on a non-string column must cast non-null to the column
+    * type (driver-side Catalyst literal eval — zero jobs), or the
+    * sheet fails loudly. Non-string values keep Spark's ordinary
+    * literal coercion (an Int against a double column is fine).
+    */
+  private def requireSetsApplicable(df: DataFrame, checks: Seq[Check]): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+    import org.apache.spark.sql.types.StringType
+    checks.foreach {
+      case InSet(cn, allowed) =>
+        df.schema.fields.find(_.name == cn).foreach { f =>
+          if (f.dataType != StringType &&
+              Cast.canCast(StringType, f.dataType)) {
+            // TRY mode: unparseable evals to null instead of the ANSI
+            // throw — WE own the diagnosis (the ANSI message would
+            // point at a cast, not at the sheet)
+            val bad = allowed.collect {
+              case v: String if Cast(Literal(v), f.dataType, Some("UTC"),
+                EvalMode.TRY).eval(null) == null => v
+            }
+            require(bad.isEmpty,
+              s"in_set:$cn allow-list value(s) ${bad.mkString("'", "', '", "'")} " +
+                s"do not cast to the column's ${f.dataType.simpleString} — " +
+                "membership would be three-valued and violations would " +
+                "silently count zero; fix the sheet's values or check a " +
+                "string column")
+          }
+        }
+      case _ => ()
+    }
+  }
+
   /** floor-micro-unit ratio (1e6 = every row violates) — BIGINT on
     * both engines, so report hashes replay cross-engine.
     */
@@ -144,6 +183,7 @@ object Validate {
     require(checks.nonEmpty, "empty constraint sheet")
     require(checks.map(_.name).distinct.length == checks.length,
       s"duplicate check names: ${checks.map(_.name)}")
+    requireSetsApplicable(df, checks)
     val (rowChecks, keyChecks) = checks.partition(isRowLevel)
 
     val parts = Seq.newBuilder[DataFrame]
@@ -216,6 +256,7 @@ object Validate {
   def withViolations(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty && checks.forall(isRowLevel),
       "withViolations takes row-level checks only (Unique needs report)")
+    requireSetsApplicable(df, checks)
     requireColumnsFree(df, "withViolations", "violations")
     val none = array().cast("array<string>")
     val reasons = concat(checks.map { c =>
@@ -302,11 +343,15 @@ object Validate {
   /** Constraint INFERENCE: derive a candidate sheet from a healthy
     * corpus — the bootstrap for [[TrainExport]] data contracts and
     * admission gates when nobody has written one yet (the Deequ
-    * suggestion story). ONE profile aggregation pass (count / nulls /
+    * suggestion story). AT MOST TWO jobs at any column count
+    * (spec-pinned): ONE profile aggregation pass (count / nulls /
     * exact distinct / numeric min-max for all columns together), then
-    * driver-side rule application on that single row — plus one
-    * bounded distinct job (≤ maxSetSize rows, gated by the already-
-    * computed cardinality) per column that qualifies for a set:
+    * driver-side rule application on that single row — plus, when any
+    * string column qualifies for a set, ONE bounded values job shared
+    * by every qualifying column (explode the (column, value) pairs
+    * from the same scan, distinct, collect ≤ maxSetSize × #qualifying
+    * rows — gated by the cardinalities the profile pass already
+    * proved):
     *
     *  - zero nulls → `NotNull`; some nulls → `Completeness` at the
     *    observed floor (never tighter than the data it came from);
@@ -314,6 +359,15 @@ object Validate {
     *    most 1/20 of the rows → `InSet` over the sorted value list;
     *  - numeric column → `InRange` at the observed [min, max];
     *  - non-null column whose values are all distinct → `Unique`.
+    *
+    * NaN discipline (float/double columns): min/max profile over the
+    * non-NaN values (Spark orders NaN ABOVE every double, so one NaN
+    * value would otherwise make the max NaN — a bound [[InRange]]
+    * loudly rejects), and a column that contains ANY NaN gets no
+    * range suggestion at all: NaN compares greater than every finite
+    * hi bound, so no finite range can pass on that data — suggesting
+    * one would break self-consistency. The column's other rules
+    * (completeness, distinctness) still fire.
     *
     * SELF-CONSISTENCY (spec-pinned): every suggested check PASSES on
     * the frame it was inferred from. Suggestions are a starting point —
@@ -329,39 +383,66 @@ object Validate {
       case _: NumericType => true
       case _ => false
     }
+    // isnan only types on float/double; every other numeric type has
+    // no NaN to guard against
+    def isFloating(dt: DataType) = dt == DoubleType || dt == FloatType
     val aggs = cols.flatMap { c =>
+      val dt = df.schema(c).dataType
       val base = Seq(
         coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
           .as(s"${c}__null"),
         countDistinct(col(c)).as(s"${c}__dst"))
-      if (isNum(df.schema(c).dataType))
-        base ++ Seq(min(col(c)).cast("double").as(s"${c}__min"),
-          max(col(c)).cast("double").as(s"${c}__max"))
-      else base
+      if (isNum(dt)) {
+        val clean = if (isFloating(dt)) when(!isnan(col(c)), col(c))
+                    else col(c)
+        val nanCnt = if (isFloating(dt))
+          coalesce(sum(when(isnan(col(c)), 1L).otherwise(0L)), lit(0L))
+        else lit(0L)
+        base ++ Seq(min(clean).cast("double").as(s"${c}__min"),
+          max(clean).cast("double").as(s"${c}__max"),
+          nanCnt.as(s"${c}__nan"))
+      } else base
     }
     val row = df.agg(count(lit(1)).as("__n"), aggs: _*).collect()(0)
     val n = row.getAs[Long]("__n")
+    def nulls(c: String) = row.getAs[Long](s"${c}__null")
+    def dst(c: String) = row.getAs[Long](s"${c}__dst")
+    // one shared values job for EVERY qualifying set column — the
+    // per-column distinct-collect this replaces cost N extra corpus
+    // scans on an N-column sheet (r13 verdict #6)
+    val setQualified = cols.filter { c =>
+      df.schema(c).dataType == StringType && dst(c) > 0 &&
+        dst(c) <= maxSetSize && dst(c) * 20 <= n - nulls(c)
+    }
+    val setValues: Map[String, Seq[String]] =
+      if (setQualified.isEmpty) Map.empty
+      else df.select(explode(array(setQualified.map(c =>
+          struct(lit(c).as("c"), col(c).as("v"))): _*)).as("p"))
+        .select(col("p.c").as("c"), col("p.v").as("v"))
+        .filter(col("v").isNotNull).distinct()
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (k, rs) => k -> rs.map(_.getString(1)).sorted.toSeq }
     cols.flatMap { c =>
-      val nulls = row.getAs[Long](s"${c}__null")
-      val dst = row.getAs[Long](s"${c}__dst")
       val dt = df.schema(c).dataType
       val nullCheck: Seq[Check] =
         if (n == 0L) Nil
-        else if (nulls == 0L) Seq(NotNull(c))
-        else Seq(Completeness(c, ((n - nulls) * 10000L / n).toInt))
+        else if (nulls(c) == 0L) Seq(NotNull(c))
+        else Seq(Completeness(c, ((n - nulls(c)) * 10000L / n).toInt))
       val setCheck: Seq[Check] =
-        if (dt == StringType && dst > 0 && dst <= maxSetSize &&
-            dst * 20 <= n - nulls)
-          Seq(InSet(c, df.filter(col(c).isNotNull).select(col(c))
-            .distinct().collect().map(_.getString(0)).sorted.toSeq))
-        else Nil
-      val rangeCheck: Seq[Check] =
-        if (isNum(dt) && n - nulls > 0)
+        setValues.get(c).map(vs => InSet(c, vs)).toSeq
+      val rangeCheck: Seq[Check] = {
+        val loIdx = if (isNum(dt)) Some(row.fieldIndex(s"${c}__min")) else None
+        val hasNan = isNum(dt) && row.getAs[Long](s"${c}__nan") > 0L
+        if (isNum(dt) && n - nulls(c) > 0 && !hasNan &&
+            !row.isNullAt(loIdx.get))
           Seq(InRange(c, row.getAs[Double](s"${c}__min"),
             row.getAs[Double](s"${c}__max")))
         else Nil
+      }
       val uniqueCheck: Seq[Check] =
-        if (n > 0 && nulls == 0L && dst == n) Seq(Unique(Seq(c))) else Nil
+        if (n > 0 && nulls(c) == 0L && dst(c) == n) Seq(Unique(Seq(c)))
+        else Nil
       nullCheck ++ setCheck ++ rangeCheck ++ uniqueCheck
     }
   }

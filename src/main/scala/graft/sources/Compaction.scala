@@ -262,6 +262,26 @@ object Compaction {
         leaseId != "..",
       s"leaseId must be [A-Za-z0-9_.-]: '$leaseId'")
 
+  /** RESIDUAL RACE (documented, not fully closable without a lock
+    * service): the post-CAS re-verify below and [[pruneDataDirs]]'s
+    * pre-delete second look close the two WIDE windows — a prune that
+    * finished listing leases before this CAS, and a CAS that landed
+    * after a prune's listing. What remains is the narrow interleaving
+    * (pruner's second look → this CAS → this re-verify → pruner's
+    * delete) where a lease can end up pinning a pruned generation;
+    * the later pinned read/replay then fails LOUDLY with the
+    * retention message — never silently serves wrong data. Deployments
+    * that need the window gone acquire leases within `readerGraceMs`
+    * of the pin (the wall-time floor keeps the dir alive through the
+    * acquire) — the same knob that protects long scans.
+    *
+    * Re-acquiring the SAME (leaseId, gen) REFRESHES the lease's age
+    * (the keep-alive for deployments running the optional
+    * [[LeaseMaxAgeKey]] expiry): the marker is re-created so its
+    * createdAt moves to now. The delete+create pair is not atomic — a
+    * concurrent acquirer stealing the id for a DIFFERENT generation
+    * in between fails this call loudly on the held-generation check.
+    */
   def acquireLease(spark: SparkSession, path: String, gen: Long,
                    leaseId: String): Unit = {
     requireLeaseId(leaseId)
@@ -279,6 +299,17 @@ object Compaction {
         s"lease '$leaseId' at $path already pins generation " +
           s"${held.getOrElse("?")}, not ${genName(gen)} — release it " +
           "first or use a distinct leaseId per export")
+      // same (id, gen): refresh the marker's age (keep-alive under
+      // maxAge expiry); a concurrent steal of the id between the
+      // delete and the create is caught by the recheck below
+      mc.delete(name)
+      if (!mc.createExclusive(name, genName(gen).getBytes("UTF-8"))) {
+        val now = mc.read(name).map(new String(_, "UTF-8"))
+        require(now.contains(genName(gen)),
+          s"lease '$leaseId' at $path was re-acquired for generation " +
+            s"${now.getOrElse("?")} while refreshing — use a distinct " +
+            "leaseId per holder")
+      }
     }
     // the lease only protects from NOW on — re-verify nothing pruned
     // the generation between the readability check and the lease CAS
@@ -300,13 +331,70 @@ object Compaction {
     new FsManifestCommit(fs, main).delete(LeasePrefix + leaseId)
   }
 
-  /** Generation numbers currently held by at least one lease. Bounded
+  /** Optional retention-lease EXPIRY, read from the Hadoop
+    * configuration (set `spark.hadoop.graft.lease.max.age.ms` or
+    * mutate `sparkContext.hadoopConfiguration`): when > 0, pruning
+    * treats any lease older than this as EXPIRED — it stops pinning,
+    * so a crashed consumer's orphaned lease frees its generation on
+    * the next prune cycle instead of pinning retention forever, and
+    * the expired marker itself is cleaned by [[pruneDataDirs]]. 0
+    * (default) = leases never expire (the r13 behavior). Live
+    * long-running consumers under expiry keep-alive by re-acquiring
+    * ([[acquireLease]] refreshes the same (id, gen)). Forget-wins
+    * precedence is untouched: RTBF was already lease-blind.
+    */
+  val LeaseMaxAgeKey = "graft.lease.max.age.ms"
+
+  private[graft] def leaseMaxAgeMs(
+      conf: org.apache.hadoop.conf.Configuration): Long =
+    conf.getLong(LeaseMaxAgeKey, 0L)
+
+  /** One held retention lease, as the operator-facing listing row.
+    * `gen` is None when the payload does not parse as a generation
+    * (a foreign or corrupt marker — enumerable, pins nothing).
+    */
+  final case class Lease(leaseId: String, gen: Option[Long],
+                         payload: String, ageMs: Option[Long],
+                         expired: Boolean)
+
+  /** Enumerate every retention lease held on `path` — the operability
+    * listing (r13 verdict #1): lease id, pinned generation, raw
+    * payload, age, and whether the configured [[LeaseMaxAgeKey]]
+    * expiry already voids it. Bounded metadata: one listing + one
+    * tiny read per lease.
+    */
+  def listLeases(spark: SparkSession, path: String): Seq[Lease] = {
+    val main = new Path(path)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mc = new FsManifestCommit(fs, main)
+    // read the policy from the SESSION conf, never fs.getConf: the
+    // FileSystem cache keys on scheme+ugi and hands back an instance
+    // built from whatever Configuration object came FIRST — a stale
+    // clone that silently misses later session-conf mutations
+    val maxAge = leaseMaxAgeMs(spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    mc.list(LeasePrefix).sorted.map { name =>
+      val payload = mc.read(name).map(new String(_, "UTF-8")).getOrElse("")
+      val age = mc.createdAt(name).map(t => math.max(0L, now - t))
+      Lease(name.stripPrefix(LeasePrefix), genNumber(payload), payload,
+        age, maxAge > 0 && age.exists(_ >= maxAge))
+    }
+  }
+
+  /** Generation numbers currently held by at least one LIVE lease
+    * (expired leases pin nothing when `maxAgeMs` > 0 — the
+    * [[LeaseMaxAgeKey]] policy, threaded by callers from the SESSION
+    * conf; see [[listLeases]] for why never fs.getConf). Bounded
     * metadata (one list + one tiny read per lease).
     */
   private[graft] def leasedGens(fs: org.apache.hadoop.fs.FileSystem,
-                                main: Path): Set[Long] = {
+                                main: Path,
+                                maxAgeMs: Long = 0L): Set[Long] = {
     val mc = new FsManifestCommit(fs, main)
+    val now = System.currentTimeMillis()
     mc.list(LeasePrefix)
+      .filter(n => maxAgeMs <= 0 ||
+        mc.createdAt(n).forall(t => now - t < maxAgeMs))
       .flatMap(n => mc.read(n))
       .map(new String(_, "UTF-8"))
       .flatMap(genNumber)
@@ -340,18 +428,36 @@ object Compaction {
     */
   private[graft] def pruneDataDirs(fs: org.apache.hadoop.fs.FileSystem,
                                    main: Path, orphanGraceMs: Long,
-                                   readerGraceMs: Long = 0L): Unit = {
+                                   readerGraceMs: Long = 0L,
+                                   leaseMaxAge: Long = 0L): Unit = {
     val pubs = listNums(fs, main, ManifestPrefix).sorted.reverse
     if (pubs.isEmpty) return
     val curN = pubs.head
     val graceFloor = pubs.take(2).last
     val retiredLongAgo = agedPast(fs,
       new Path(main, ManifestPrefix + genName(graceFloor)), readerGraceMs)
-    val leased = leasedGens(fs, main) // retention holds; RTBF ignores
+    val leased = leasedGens(fs, main, leaseMaxAge) // retention holds; RTBF ignores
+    // clean EXPIRED lease markers (maxAge enabled only): leasedGens
+    // already ignores them, but the dead marker would otherwise block
+    // its leaseId forever and clutter listLeases
+    if (leaseMaxAge > 0) {
+      val mc = new FsManifestCommit(fs, main)
+      val now = System.currentTimeMillis()
+      mc.list(LeasePrefix).foreach { n =>
+        if (mc.createdAt(n).exists(t => now - t >= leaseMaxAge)) mc.delete(n)
+      }
+    }
+    // SECOND LOOK (r13 ADVICE): a lease CAS that landed after the
+    // listing above must still pin — re-list immediately before any
+    // aged dir actually deletes. Lazy: costs nothing when no dir is
+    // up for deletion. The residual narrow window is documented on
+    // [[acquireLease]].
+    lazy val leasedNow = leasedGens(fs, main, leaseMaxAge)
     fs.listStatus(main).toSeq.filter(_.isDirectory).foreach { s =>
       genNumber(s.getPath.getName).foreach { nn =>
         if (nn < graceFloor) {
-          if (retiredLongAgo && !leased(nn)) fs.delete(s.getPath, true) }
+          if (retiredLongAgo && !leased(nn) && !leasedNow(nn))
+            fs.delete(s.getPath, true) }
         else if (nn > curN) {
           val live = liveClaim(fs,
             new Path(main, ClaimPrefix + genName(nn)), orphanGraceMs)
@@ -522,7 +628,7 @@ object Compaction {
       .sorted.reverse.take(2).last
     val retiredLongAgo = agedPast(fs,
       new Path(main, ManifestPrefix + genName(graceFloor)), readerGraceMs)
-    val leased = leasedGens(fs, main) // markers and dirs expire together
+    val leased = leasedGens(fs, main, leaseMaxAgeMs(conf)) // markers and dirs expire together
     fs.listStatus(main).toSeq.map(_.getPath).foreach { p =>
       val name = p.getName
       if (name.startsWith(ManifestPrefix))
@@ -617,7 +723,7 @@ object Compaction {
     if (currentGen(fs, main).isEmpty) toGenerational(spark, path)
     val cur = currentGen(fs, main).get
     val curDir = new Path(main, cur)
-    pruneDataDirs(fs, main, orphanGraceMs, readerGraceMs)
+    pruneDataDirs(fs, main, orphanGraceMs, readerGraceMs, leaseMaxAgeMs(conf))
     val files = dataFiles(fs, curDir)
     val bytes = files.map(_.getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
@@ -632,7 +738,7 @@ object Compaction {
     // ingest publishing mid-compaction must fence it (the retry costs
     // one wasted rewrite; losing the ingest's rows would be silent)
     publish(fs, conf, main, next, readerGraceMs, genNumber(cur))
-    pruneDataDirs(fs, main, orphanGraceMs, readerGraceMs)
+    pruneDataDirs(fs, main, orphanGraceMs, readerGraceMs, leaseMaxAgeMs(conf))
     Stats(files.size, dataFiles(fs, new Path(main, next)).size, bytes,
       rewritten = true)
   }
@@ -758,6 +864,6 @@ object Compaction {
     // rank-based two-generation reader grace (a reader that resolved
     // two publishes ago may still be scanning), crashed-claim expiry,
     // optional wall-time retention for concurrent-writer deployments
-    pruneDataDirs(fs, main, orphanGraceMs, readerGraceMs)
+    pruneDataDirs(fs, main, orphanGraceMs, readerGraceMs, leaseMaxAgeMs(conf))
   }
 }

@@ -213,11 +213,44 @@ object IndexLifecycle {
         s"index lease '$leaseId' at $path already pins version " +
           s"${held.getOrElse("?")}, not v$v — release it first or use " +
           "a distinct leaseId per export")
+      // same (id, v): refresh the marker's age — the keep-alive under
+      // [[Compaction.LeaseMaxAgeKey]] expiry ([[Compaction.acquireLease]]
+      // documents the non-atomic delete+create and its loud failure)
+      mc.delete(name)
+      if (!mc.createExclusive(name,
+          Compaction.genName(v).getBytes("UTF-8"))) {
+        val now = mc.read(name).map(new String(_, "UTF-8"))
+        require(now.contains(Compaction.genName(v)),
+          s"index lease '$leaseId' at $path was re-acquired for " +
+            s"version ${now.getOrElse("?")} while refreshing — use a " +
+            "distinct leaseId per holder")
+      }
     }
     // re-verify after the lease lands: a concurrent rebuild's prune may
-    // have been past the lease listing already
+    // have been past the lease listing already (the residual narrow
+    // window and its loud failure mode are documented on
+    // [[Compaction.acquireLease]])
     try manifestAt(spark, path, v)
     catch { case e: Throwable => mc.delete(name); throw e }
+  }
+
+  /** Enumerate every retention lease on the index at `path` —
+    * the index twin of [[Compaction.listLeases]] (version in place of
+    * generation; same expiry verdict from [[Compaction.LeaseMaxAgeKey]]).
+    */
+  def listLeases(spark: SparkSession, path: String): Seq[Compaction.Lease] = {
+    val main = new Path(path)
+    val mc = commitOf(spark, main)
+    val maxAge = Compaction.leaseMaxAgeMs(
+      spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    mc.list(LeaseMarker).sorted.map { name =>
+      val payload = mc.read(name).map(new String(_, "UTF-8")).getOrElse("")
+      val age = mc.createdAt(name).map(t => math.max(0L, now - t))
+      Compaction.Lease(name.stripPrefix(LeaseMarker),
+        Compaction.genNumber(payload), payload, age,
+        maxAge > 0 && age.exists(_ >= maxAge))
+    }
   }
 
   /** Release an index retention lease; the version re-enters normal
@@ -228,13 +261,34 @@ object IndexLifecycle {
     commitOf(spark, new Path(path)).delete(LeaseMarker + leaseId)
   }
 
-  /** Versions currently held by at least one lease — bounded metadata. */
-  private def leasedVersions(mc: ManifestCommit): Set[Long] =
+  /** Versions currently held by at least one LIVE lease — bounded
+    * metadata (expired leases pin nothing when `maxAgeMs` > 0; the
+    * [[Compaction.LeaseMaxAgeKey]] policy, threaded by callers).
+    */
+  private def leasedVersions(mc: ManifestCommit,
+                             maxAgeMs: Long = 0L): Set[Long] = {
+    val now = System.currentTimeMillis()
     mc.list(LeaseMarker)
+      .filter(n => maxAgeMs <= 0 ||
+        mc.createdAt(n).forall(t => now - t < maxAgeMs))
       .flatMap(n => mc.read(n))
       .map(new String(_, "UTF-8"))
       .flatMap(Compaction.genNumber)
       .toSet
+  }
+
+  /** Expired-lease marker hygiene (maxAge enabled only): the dead
+    * marker would otherwise block its leaseId forever. Run at the
+    * prune sites — the same place [[Compaction.pruneDataDirs]] cleans
+    * its plane's expired markers.
+    */
+  private def cleanExpiredLeases(mc: ManifestCommit, maxAgeMs: Long): Unit =
+    if (maxAgeMs > 0) {
+      val now = System.currentTimeMillis()
+      mc.list(LeaseMarker).foreach { n =>
+        if (mc.createdAt(n).exists(t => now - t >= maxAgeMs)) mc.delete(n)
+      }
+    }
 
   private def markerNums(mc: ManifestCommit): Seq[Long] =
     mc.list(Marker).flatMap(n => Compaction.genNumber(n.stripPrefix(Marker)))
@@ -976,7 +1030,10 @@ object IndexLifecycle {
     val mc = commitOf(spark, main)
     val nums = markerNums(mc).sorted.reverse
     if (nums.isEmpty) return
-    val leased = leasedVersions(mc)
+    val maxAge = Compaction.leaseMaxAgeMs(
+      spark.sparkContext.hadoopConfiguration)
+    cleanExpiredLeases(mc, maxAge)
+    val leased = leasedVersions(mc, maxAge)
     nums.drop(MarkerKeep).filterNot(leased).foreach(v => mc.delete(markerName(v)))
     val manifests = nums.take(MarkerKeep).flatMap(v => readMarker(mc, v))
     manifests.map(_.dir).distinct.take(2).foreach { d =>
@@ -1010,7 +1067,10 @@ object IndexLifecycle {
     val mc = commitOf(spark, main)
     val nums = markerNums(mc).sorted.reverse
     if (nums.isEmpty) return
-    val leased = leasedVersions(mc)
+    val maxAge = Compaction.leaseMaxAgeMs(
+      spark.sparkContext.hadoopConfiguration)
+    cleanExpiredLeases(mc, maxAge)
+    val leased = leasedVersions(mc, maxAge)
     nums.drop(MarkerKeep).filterNot(leased).foreach(v => mc.delete(markerName(v)))
     val kept = nums.take(MarkerKeep)
     val manifests = kept.flatMap(v => readMarker(mc, v))
@@ -1029,12 +1089,21 @@ object IndexLifecycle {
           .forall(t => System.currentTimeMillis() - t >= readerGraceMs)
       }
     val keepSet = keepDirs.toSet ++ leasedDirs
+    // SECOND LOOK (r13 ADVICE, the Compaction.pruneDataDirs twin):
+    // re-list leases immediately before any dir actually deletes, so
+    // a lease CAS that landed after the listing above still pins.
+    // Lazy — costs nothing when nothing is up for deletion.
+    lazy val leasedDirsNow = {
+      val live = leasedVersions(mc, maxAge)
+      nums.filter(live).flatMap(v => readMarker(mc, v)).map(_.dir).toSet
+    }
     fs.listStatus(main).toSeq.filter(_.isDirectory).foreach { s =>
       val nm = s.getPath.getName
       if (Compaction.genNumber(nm).isDefined && !keepSet.contains(nm)) {
         val claim = new Path(main, Compaction.ClaimPrefix + nm)
         val live = Compaction.liveClaim(fs, claim, orphanGraceMs)
-        if (!live && retiredLongAgo) fs.delete(s.getPath, true)
+        if (!live && retiredLongAgo && !leasedDirsNow.contains(nm))
+          fs.delete(s.getPath, true)
       }
     }
     // crashed appenders' temp dirs inside retained data dirs

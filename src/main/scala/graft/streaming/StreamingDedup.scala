@@ -377,12 +377,32 @@ object StreamingDedup {
     * map-only, the probe is bucket-pruned batch×history, the scoring
     * join carries the 256-row model.
     */
+  /** `exportable = true` declares the run will end in a
+    * [[graft.ops.TrainExport.commitStreamDrain]] drain export, whose
+    * per-batch pins REQUIRE in-loop compaction off (a mid-stream
+    * rebuild absorbs ingest tags and the per-batch corpora stop
+    * existing as segment subsets of any retained version — r13's
+    * default-configuration trap, which otherwise surfaces only AT
+    * EXPORT TIME, after the stream drained). The mode FORCES the
+    * effective cap to 0; a caller that also passes a contradictory
+    * positive `maxSegments` fails HERE, at attach time, before the
+    * first batch processes. Run the maintenance rebuild AFTER the
+    * drain export commits.
+    */
   def attachCurate(docs: DataFrame, idCol: String, textCol: String,
                    indexPath: String, modelPath: String, outDir: String,
                    n: Int = 3, threshold: Double = 0.8,
                    nBuckets: Int = 64,
                    maxSegments: Int = ShingleMaxSegments,
-                   readerGraceMs: Long = 0L): DataStreamWriter[org.apache.spark.sql.Row] =
+                   readerGraceMs: Long = 0L,
+                   exportable: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(!exportable || maxSegments == ShingleMaxSegments ||
+        maxSegments == 0,
+      s"attachCurate(exportable = true) forbids in-loop compaction — " +
+        "a mid-stream rebuild absorbs per-batch ingest tags and " +
+        "commitStreamDrain's pins become underivable; got maxSegments " +
+        s"= $maxSegments (leave it at the default or pass 0)")
+    val effMaxSegments = if (exportable) 0 else maxSegments
     docs.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       import org.apache.spark.sql.functions._
@@ -404,10 +424,11 @@ object StreamingDedup {
         .partitionBy("batch").parquet(outDir)
       graft.ops.Dedup.appendToShingleIndex(spark, indexPath, survivors,
         idCol, textCol, n, ingestTag = s"b$batchId", nBuckets = nBuckets)
-      if (maxSegments > 0)
-        Dedup.maybeRebuildShingleIndex(spark, indexPath, maxSegments,
+      if (effMaxSegments > 0)
+        Dedup.maybeRebuildShingleIndex(spark, indexPath, effMaxSegments,
           readerGraceMs = readerGraceMs)
     })
+  }
 
   /** Streaming ADMISSION GATE: every micro-batch runs a
     * [[graft.ops.Validate]] constraint sheet BEFORE anything enters

@@ -600,4 +600,193 @@ class TrainExportSpec extends AnyFunSuite {
       TrainExport.auditContract(spark, s"$root/export"))
     assert(e2.getMessage.contains("without a contract"), e2.getMessage)
   }
+
+  test("lease operability: listLeases enumerates both planes; leaseReport joins an export's pins to live leases") {
+    val (root, _) = freshExport("graft_texll")
+    def repRows() = TrainExport.leaseReport(spark, s"$root/export")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3),
+        r.getBoolean(4), r.getLong(5), !r.isNullAt(6))).toSeq.sortBy(_._1)
+    // nothing leased yet: every pin is flagged unprotected
+    assert(repRows() == Seq(("docs", "table", 1L, false, 0L, false),
+      ("text", "index", 2L, false, 0L, false)))
+    val id = TrainExport.lease(spark, s"$root/export")
+    // both planes enumerate the holder (id, target, age, live)
+    val tl = Compaction.listLeases(spark, s"$root/docs")
+    assert(tl.map(l => (l.leaseId, l.gen, l.expired)) ==
+      Seq((id, Some(1L), false)), s"table plane: $tl")
+    assert(tl.head.ageMs.exists(_ >= 0L))
+    val il = IndexLifecycle.listLeases(spark, s"$root/text")
+    assert(il.map(l => (l.leaseId, l.gen, l.expired)) ==
+      Seq((id, Some(2L), false)), s"index plane: $il")
+    // the report now shows this export's lease held on every pin
+    assert(repRows() == Seq(("docs", "table", 1L, true, 1L, true),
+      ("text", "index", 2L, true, 1L, true)))
+    // an ORPHANED foreign lease is enumerable alongside (the audit an
+    // operator runs to find who pins retention)
+    Compaction.acquireLease(spark, s"$root/docs", 1L, "crashed_job")
+    assert(Compaction.listLeases(spark, s"$root/docs").map(_.leaseId) ==
+      Seq("crashed_job", id).sorted)
+    assert(repRows().head == (("docs", "table", 1L, true, 2L, true)))
+    Compaction.releaseLease(spark, s"$root/docs", "crashed_job")
+    TrainExport.releaseLeases(spark, s"$root/export")
+    assert(Compaction.listLeases(spark, s"$root/docs").isEmpty)
+    assert(IndexLifecycle.listLeases(spark, s"$root/text").isEmpty)
+    assert(repRows().forall(r => !r._4 && r._5 == 0L))
+  }
+
+  test("lease expiry: a live lease pins and refreshes; an expired one frees its generation on the next cycle") {
+    val root = java.nio.file.Files.createTempDirectory("graft_texle").toString
+    val t = s"$root/tbl"
+    val conf = spark.sparkContext.hadoopConfiguration
+    Compaction.writeGen(docs(0L to 4L), t) // g1
+    Compaction.acquireLease(spark, t, 1L, "consumer")
+    try {
+      conf.setLong(Compaction.LeaseMaxAgeKey, 3600000L) // 1 h: live
+      Compaction.writeGen(docs(0L to 5L), t) // g2
+      Compaction.writeGen(docs(0L to 6L), t) // g3 prunes g1 unleased
+      assert(Compaction.generations(spark, t).contains(1L),
+        "an UNEXPIRED lease must keep pinning under an expiry policy")
+      // keep-alive: re-acquiring the same (id, gen) refreshes the age
+      Thread.sleep(250)
+      val before = Compaction.listLeases(spark, t).head.ageMs.get
+      assert(before >= 200L)
+      Compaction.acquireLease(spark, t, 1L, "consumer")
+      val after = Compaction.listLeases(spark, t).head.ageMs.get
+      assert(after < before, s"refresh must reset the age ($before -> $after)")
+      // the consumer crashes: its lease ages past the policy
+      Thread.sleep(10)
+      conf.setLong(Compaction.LeaseMaxAgeKey, 1L)
+      assert(Compaction.listLeases(spark, t).head.expired,
+        "listLeases must flag the orphan under the policy")
+      Compaction.writeGen(docs(0L to 7L), t) // the next prune cycle
+      assert(!Compaction.generations(spark, t).contains(1L),
+        "an expired lease must stop pinning")
+      assert(Compaction.listLeases(spark, t).isEmpty,
+        "the expired marker is cleaned so its leaseId unblocks")
+    } finally conf.unset(Compaction.LeaseMaxAgeKey)
+  }
+
+  test("index lease expiry mirrors the table plane") {
+    val root = java.nio.file.Files.createTempDirectory("graft_texli").toString
+    val idx = s"$root/ix"
+    val conf = spark.sparkContext.hadoopConfiguration
+    Dedup.writeShingleIndex(docs(0L to 9L), "doc_id", "text", n = 3, idx,
+      nBuckets = NB)
+    Dedup.rebuildShingleIndex(spark, idx) // v1 convert, v2 = [base]
+    IndexLifecycle.acquireLease(spark, idx, 2L, "consumer")
+    try {
+      conf.setLong(Compaction.LeaseMaxAgeKey, 3600000L)
+      // the cycle that scrubs an unleased v2 (r13 lease spec recipe)
+      Dedup.rebuildShingleIndex(spark, idx)
+      Dedup.rebuildShingleIndex(spark, idx, orphanGraceMs = 0L)
+      IndexLifecycle.manifestAt(spark, idx, 2L) // live lease: pinnable
+      conf.setLong(Compaction.LeaseMaxAgeKey, 1L)
+      Thread.sleep(10)
+      assert(IndexLifecycle.listLeases(spark, idx).head.expired)
+      Dedup.rebuildShingleIndex(spark, idx, orphanGraceMs = 0L)
+      intercept[RuntimeException](IndexLifecycle.manifestAt(spark, idx, 2L))
+      assert(IndexLifecycle.listLeases(spark, idx).isEmpty,
+        "the expired index marker is cleaned")
+    } finally conf.unset(Compaction.LeaseMaxAgeKey)
+  }
+
+  test("recipe provenance: replay names code drift crisply; v1 manifests keep the fingerprint-only contract; newer headers fail with upgrade") {
+    def register(v: Int): Unit =
+      TrainExport.registerRecipe("spec_export_ver", version = v) {
+        (s, in, p) => in.table("docs").select("doc_id")
+      }
+    register(1)
+    val root = java.nio.file.Files.createTempDirectory("graft_texrv").toString
+    Compaction.writeGen(docs(25L to 34L), s"$root/docs")
+    val m = TrainExport.commit(spark, s"$root/export", "spec_export_ver",
+      params = Map.empty, tables = Map("docs" -> s"$root/docs"),
+      indexes = Map.empty)
+    assert(m.recipeVersion.contains(1))
+    assert(TrainExport.manifest(spark, s"$root/export").recipeVersion
+      .contains(1))
+    // code drift: v2 registered in this JVM — the failure names the
+    // DRIFT, before any pin or recipe executes
+    register(2)
+    val e = intercept[IllegalArgumentException](
+      TrainExport.replay(spark, s"$root/export"))
+    assert(e.getMessage.contains("changed since commit (v1 → v2)"),
+      e.getMessage)
+    // the committed version restored: replay green again
+    register(1)
+    assert(keptIds(TrainExport.replay(spark, s"$root/export")) ==
+      (25L to 34L))
+    // a v1-FORMAT manifest (no recipeVersion line, old header) stays
+    // replayable even under a drifted registration — the pre-r14
+    // fingerprint-only contract
+    val mf = java.nio.file.Paths.get(s"$root/export/_graft_export")
+    val v2Text = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+    val v1Text = v2Text.linesIterator
+      .filterNot(_.startsWith("recipeVersion="))
+      .mkString("\n").replace("graft-export-v2", "graft-export-v1")
+    java.nio.file.Files.write(mf, v1Text.getBytes("UTF-8"))
+    register(7)
+    assert(TrainExport.manifest(spark, s"$root/export").recipeVersion.isEmpty)
+    assert(keptIds(TrainExport.replay(spark, s"$root/export")) ==
+      (25L to 34L))
+    // an unknown NEWER header fails on the header with an upgrade
+    // diagnosis, not on some arbitrary first key
+    java.nio.file.Files.write(mf,
+      v1Text.replace("graft-export-v1", "graft-export-v9").getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException](
+      TrainExport.manifest(spark, s"$root/export"))
+    assert(e2.getMessage.contains("upgrade the reader"), e2.getMessage)
+    register(1) // leave the registry as other tests expect
+  }
+
+  test("auditContract(dir, sheet): a proposed tighter contract flags the shipped artifact; the persisted audit is untouched") {
+    import graft.ops.Validate
+    val root = java.nio.file.Files.createTempDirectory("graft_texc4").toString
+    Compaction.writeGen(docs(25L to 34L), s"$root/docs")
+    Dedup.writeShingleIndex(docs(0L until 30L), "doc_id", "text", n = 3,
+      s"$root/text", nBuckets = NB)
+    Dedup.rebuildShingleIndex(spark, s"$root/text")
+    TrainExport.commit(spark, s"$root/export", "spec_export_v1",
+      params = recipeParams, tables = Map("docs" -> s"$root/docs"),
+      indexes = Map("text" -> s"$root/text"),
+      contract = Seq(Validate.NotNull("doc_id")))
+    // the shipped rows are 30..34; the persisted v1 contract passes
+    val a1 = TrainExport.auditContract(spark, s"$root/export")
+    assert(a1.filter(col("status") === "fail").count() == 0)
+    // "would v2's tighter sheet pass on v1's data?" — no: 32..34 escape
+    val v2 = Seq(Validate.NotNull("doc_id"): Validate.Check,
+      Validate.InRange("doc_id", 0.0, 31.0))
+    val a2 = TrainExport.auditContract(spark, s"$root/export", v2)
+      .filter(col("status") === "fail")
+      .select("check_name", "n_violations").collect()
+    assert(a2.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("in_range:doc_id", 3L)), s"got ${a2.mkString(",")}")
+    // the persisted audit is byte-identical after the what-if
+    assert(TrainExport.auditContract(spark, s"$root/export").collect()
+      .toSeq == a1.collect().toSeq)
+    // Satisfies cannot ride the canonicalization here either
+    intercept[IllegalArgumentException](
+      TrainExport.auditContract(spark, s"$root/export",
+        Seq(Validate.Satisfies("pos", col("doc_id") > 0))))
+    // an uncommitted dir is not auditable
+    intercept[RuntimeException](
+      TrainExport.auditContract(spark, s"$root/nothing", v2))
+  }
+
+  test("attachCurate(exportable = true) rejects a contradictory compaction cap at attach time, before any batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val e = intercept[IllegalArgumentException](
+      graft.streaming.StreamingDedup.attachCurate(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+        "/tmp/graft_never_idx", "/tmp/graft_never_model",
+        "/tmp/graft_never_out", maxSegments = 3, exportable = true))
+    assert(e.getMessage.contains("exportable") &&
+      e.getMessage.contains("maxSegments"), e.getMessage)
+    // the default-configured exportable loop is the green path — it is
+    // exercised end-to-end by the streaming_curate_export fixture
+    // (LlmShared.streamingCurateExportFor passes exportable = true and
+    // nothing else)
+  }
 }

@@ -291,6 +291,90 @@ class ValidateSpec extends AnyFunSuite {
     assert(report(many, s2).filter(col("status") === "fail").count() == 0)
   }
 
+  test("suggest: NaN values kill the range suggestion, not the whole sheet (r13 ADVICE)") {
+    val df = Seq(
+      (1L, 2.5, 1.0),
+      (2L, Double.NaN, 2.0),
+      (3L, 7.5, 3.0)
+    ).toDF("id", "noisy", "clean")
+    val sugg = suggest(df, Seq("id", "noisy", "clean"))
+    val names = sugg.map(_.name).toSet
+    // the NaN column keeps its non-range rules but gets no InRange —
+    // NaN compares greater than any finite hi bound, so a range could
+    // never pass on this data (self-consistency)
+    assert(!names.contains("in_range:noisy"), s"got $sugg")
+    assert(names.contains("not_null:noisy"))
+    // sibling columns are untouched by the NaN next door
+    assert(sugg.contains(InRange("clean", 1.0, 3.0)))
+    assert(sugg.contains(InRange("id", 1.0, 3.0)))
+    // and the sheet still self-passes end-to-end
+    assert(report(df, sugg).filter(col("status") === "fail").count() == 0)
+    // all-NaN column: min/max over non-NaN is null -> no range either
+    val allNan = Seq((1L, Double.NaN), (2L, Double.NaN)).toDF("id", "x")
+    assert(!suggest(allNan, Seq("x")).exists(_.name == "in_range:x"))
+  }
+
+  test("suggest runs at most two actions however many columns qualify (r13 verdict #6)") {
+    // AQE splits one action into a job per shuffle stage, so the unit
+    // that pins the N+1 -> 2 fix is QUERY EXECUTIONS (collects), not
+    // Spark jobs: one stats pass + ONE shared values job for all four
+    // qualifying set columns (the old code collected once per column)
+    val df = (1 to 200).map { i =>
+      (i.toLong, s"t${i % 3}", s"u${i % 4}", s"v${i % 5}", s"w${i % 6}",
+        i.toDouble, s"free_$i")
+    }.toDF("id", "c1", "c2", "c3", "c4", "num", "wide").cache()
+    df.count() // materialize outside the counted window
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      suggest(df, Seq("id", "c1", "c2", "c3", "c4", "num", "wide"))
+      // the execution-listener bus is async — poll until stable
+      var last = -1
+      var stable = 0
+      var tries = 0
+      while (stable < 3 && tries < 50) {
+        val now = actions.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+        Thread.sleep(100); tries += 1
+      }
+      assert(last >= 1 && last <= 2,
+        s"suggest must cost at most 2 actions (stats pass + one " +
+          s"shared values job), ran $last")
+    } finally {
+      spark.listenerManager.unregister(l)
+      df.unpersist()
+    }
+  }
+
+  test("in_set on a numeric column rejects unparseable string values loudly (r13 ADVICE)") {
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "amt")
+    // the trap: a persisted contract canonicalizes to strings; 'abc'
+    // casts to NULL against a double column and isin goes three-valued
+    val bad = Seq(InSet("amt", Seq("10.0", "abc")): Check)
+    val e1 = intercept[IllegalArgumentException](report(df, bad))
+    assert(e1.getMessage.contains("abc") &&
+      e1.getMessage.contains("three-valued"))
+    val e2 = intercept[IllegalArgumentException](quarantine(df, bad))
+    assert(e2.getMessage.contains("abc"))
+    // parseable string values keep Spark's ordinary coercion — and the
+    // violation COUNTS (the silent-zero mode this guard closes)
+    val ok = Seq(InSet("amt", Seq("10.0", "20.0")): Check)
+    val rep = reportMap(report(df, ok).collect())("in_set:amt")
+    assert(rep == ((3L, 1L, "fail")), s"got $rep")
+    // string columns are untouched (identity cast can't null out)
+    val sdf = Seq((1L, "x"), (2L, "abc")).toDF("id", "s")
+    assert(reportMap(report(sdf, Seq(InSet("s", Seq("x")))).collect())(
+      "in_set:s") == ((2L, 1L, "fail")))
+  }
+
   test("serialize/deserialize round-trips every data-only check, hostile characters included") {
     val hostile = "a|b=c%d\ne:f g" // separator, '=', '%', newline, space
     val cases = Seq[Check](
