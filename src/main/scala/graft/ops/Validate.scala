@@ -291,6 +291,66 @@ object Validate {
     }
   }
 
+  /** Persist a [[report]] as the validation HISTORY rows for
+    * `generation` of a monitored table (r13 verdict #4): the audit
+    * trail a pipeline appends on every publish so quality regressions
+    * show up as TRAJECTORIES ([[historyTrend]]), not just as the
+    * newest-vs-previous snapshot [[generationDrift]] sees. The history
+    * is itself a [[Compaction]] generational table — each publish
+    * rewrites the full accumulated trail as the next generation, so
+    * readers get atomic snapshots, a crashed write never corrupts the
+    * trail, and the write inherits the doctrine's fencing. IDEMPOTENT
+    * on republish: rows for `generation` are replaced, so a re-run
+    * publish hook converges byte-for-byte instead of duplicating.
+    *
+    * Scale: the trail is O(#checks × #generations) rows — bounded
+    * metadata; the rewrite-the-trail-per-publish cost is a few KB, the
+    * price of atomic snapshots without a second storage doctrine.
+    */
+  def publishReport(spark: SparkSession, historyPath: String,
+                    generation: Long, report: DataFrame): Unit = {
+    val want = Seq("check_name", "kind", "n_rows", "n_violations",
+      "violation_u", "status")
+    require(want.forall(report.columns.contains),
+      s"publishReport wants a Validate.report frame " +
+        s"(${want.mkString(",")}); got ${report.columns.mkString(",")}")
+    requireColumnsFree(report, "publishReport", "generation")
+    val tagged = report.select(want.map(col): _*)
+      .withColumn("generation", lit(generation))
+    val merged =
+      if (Compaction.generations(spark, historyPath).isEmpty) tagged
+      else Compaction.readTable(spark, historyPath)
+        .filter(col("generation") =!= generation)
+        .unionByName(tagged)
+    Compaction.writeGen(merged, historyPath)
+  }
+
+  /** Violation trajectories over the last `k` recorded generations of
+    * a [[publishReport]] trail: one row per (check, generation) with
+    * the micro-ratio, its delta vs the previous recorded generation
+    * IN the window (null for the window's first), and the recorded
+    * status — the feed a quality dashboard plots and an alerting rule
+    * thresholds on `delta_u`. Tiny frames throughout (the trail is
+    * bounded metadata), but the plan stays distributed: one window
+    * per check partition, one broadcast semi-join for the last-k cut.
+    */
+  def historyTrend(spark: SparkSession, historyPath: String,
+                   k: Int = 5): DataFrame = {
+    require(k >= 1, s"trend window must be >= 1 generations, got $k")
+    val h = Compaction.readTable(spark, historyPath)
+    val lastK = h.select("generation").distinct()
+      .orderBy(col("generation").desc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("check_name").orderBy("generation")
+    h.join(broadcast(lastK), Seq("generation"))
+      .withColumn("delta_u",
+        col("violation_u") - lag(col("violation_u"), 1).over(w))
+      .select(col("check_name"), col("kind"), col("generation"),
+        col("n_rows"), col("n_violations"), col("violation_u"),
+        col("delta_u"), col("status"))
+      .orderBy(col("check_name"), col("generation"))
+  }
+
   /** Cross-generation drift audit over a [[Compaction]] generational
     * table: compare the two most recent retained snapshots column by
     * column — row count, null micro-ratio, exact distinct — and flag
@@ -613,6 +673,64 @@ object Validate {
       } finally q.stop()
     }
 
+  /** The history-trail sheet: one threshold check, one range check,
+    * one hard null check — three kinds so the trend query's status
+    * and delta columns are proven on mixed check semantics.
+    */
+  private def historySheet: Seq[Check] = Seq(
+    Completeness("o_orderdate", 9990),
+    InRange("o_totalprice", 1000.0, 400000.0),
+    NotNull("o_custkey"))
+
+  /** Three publishes of a deliberately degrading orders table, each
+    * report recorded via [[publishReport]] — generation 2 drops ~0.5%
+    * of rows and nulls 2% of dates, generation 3 nulls 4% and pushes
+    * some prices past the range cap. Memoized per dataset dir; the
+    * registered query replays the whole trail through
+    * [[historyTrend]].
+    */
+  private def historyFixtureFor(s: SparkSession, d: String): String =
+    TempFixtures.dir(s"valhist:$d") { p =>
+      val orders = Tables(s, d, "orders")
+      def pub(g: Long, df: DataFrame): Unit =
+        publishReport(s, p, g, report(df, historySheet))
+      pub(1L, orders)
+      pub(2L, orders.filter(col("o_orderkey") % 199 =!= 0)
+        .withColumn("o_orderdate",
+          when(col("o_orderkey") % 50 === 0, lit(null))
+            .otherwise(col("o_orderdate"))))
+      pub(3L, orders.filter(col("o_orderkey") % 101 =!= 0)
+        .withColumn("o_orderdate",
+          when(col("o_orderkey") % 25 === 0, lit(null))
+            .otherwise(col("o_orderdate")))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 3)
+            .otherwise(col("o_totalprice"))))
+    }
+
+  /** The [[historySheet]] replayed per generation CTE in DuckDB —
+    * same check shapes as the validate_constraints oracle.
+    */
+  private def histSql(g: Int, src: String): String = s"""
+    SELECT CAST($g AS BIGINT) AS generation,
+           'completeness:o_orderdate' AS check_name,
+           'completeness' AS kind,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      FROM $src
+    UNION ALL
+    SELECT CAST($g AS BIGINT), 'in_range:o_totalprice', 'in_range',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                 AND (o_totalprice < 1000.0 OR o_totalprice > 400000.0)
+                 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM $src
+    UNION ALL
+    SELECT CAST($g AS BIGINT), 'not_null:o_custkey', 'not_null',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM $src"""
+
   /** The [[suggestReport]] inference rules replayed in DuckDB for one
     * `orders` column — each rule is a HAVING-gated aggregate row, so
     * the oracle derives the SAME conditional suggestions from the data
@@ -918,6 +1036,52 @@ object Validate {
           ('o_totalprice', 'double', 'decimal(12,2)', 'type_changed'))
         AS t(col_name, dtype_old, dtype_new, change)
         ORDER BY col_name""")),
+
+    // VALIDATION HISTORY: three publishes of a degrading table, each
+    // report persisted per generation (publishReport, idempotence
+    // spec-pinned), replayed as violation trajectories with per-check
+    // deltas. The oracle recomputes each generation's report
+    // closed-form from the fixture's construction and applies the
+    // same lag window — both engines derive the whole trail from the
+    // data, at any SF.
+    GQuery("validate_history",
+      (s, d) => historyTrend(s, historyFixtureFor(s, d), k = 3),
+      Some(s"""WITH g1 AS (SELECT o_custkey, o_totalprice, o_orderdate
+            FROM orders),
+        g2 AS (
+          SELECT o_custkey, o_totalprice,
+                 CASE WHEN o_orderkey % 50 = 0 THEN NULL
+                      ELSE o_orderdate END AS o_orderdate
+            FROM orders WHERE o_orderkey % 199 <> 0),
+        g3 AS (
+          SELECT o_custkey,
+                 CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 3
+                      ELSE o_totalprice END AS o_totalprice,
+                 CASE WHEN o_orderkey % 25 = 0 THEN NULL
+                      ELSE o_orderdate END AS o_orderdate
+            FROM orders WHERE o_orderkey % 101 <> 0),
+        rep AS (${histSql(1, "g1")}
+          UNION ALL ${histSql(2, "g2")}
+          UNION ALL ${histSql(3, "g3")}),
+        scored AS (
+          SELECT check_name, kind, generation, n_rows, n_violations,
+                 CASE WHEN n_rows = 0 THEN 0
+                      ELSE CAST(floor(n_violations * 1000000.0 / n_rows)
+                                AS BIGINT) END AS violation_u,
+                 CASE WHEN kind = 'completeness'
+                      THEN CASE WHEN (n_rows - n_violations) * 10000
+                                     >= 9990 * n_rows
+                                THEN 'pass' ELSE 'fail' END
+                      ELSE CASE WHEN n_violations = 0
+                                THEN 'pass' ELSE 'fail' END
+                 END AS status
+            FROM rep)
+        SELECT check_name, kind, generation, n_rows, n_violations,
+               violation_u,
+               violation_u - lag(violation_u) OVER (
+                 PARTITION BY check_name ORDER BY generation) AS delta_u,
+               status
+        FROM scored ORDER BY check_name, generation""")),
 
     // STREAMING ADMISSION GATE: per-micro-batch constraint reports
     // from StreamingDedup.attachValidated — batch 1 carries a

@@ -291,6 +291,41 @@ class ValidateSpec extends AnyFunSuite {
     assert(report(many, s2).filter(col("status") === "fail").count() == 0)
   }
 
+  test("publishReport is idempotent per generation; historyTrend windows the last k with per-check deltas") {
+    val p = java.nio.file.Files.createTempDirectory("graft_valh")
+      .toString + "/hist"
+    val sheet = Seq(NotNull("v"): Check, InRange("v", 0.0, 10.0))
+    def frame(bad: Int) = ((1 to (10 - bad)).map(_.toDouble) ++
+      Seq.fill(bad)(99.0)).toDF("v")
+    publishReport(spark, p, 1L, report(frame(0), sheet))
+    publishReport(spark, p, 2L, report(frame(2), sheet))
+    // republish of generation 2 REPLACES its rows — byte-identical
+    // trail, no duplicates (the crashed-and-retried publish hook)
+    publishReport(spark, p, 2L, report(frame(2), sheet))
+    assert(Compaction.readTable(spark, p).count() == 4,
+      "2 checks x 2 generations after an idempotent republish")
+    publishReport(spark, p, 3L, report(frame(5), sheet))
+    // k = 2: only generations 2 and 3; the window's first delta is null
+    val t2 = historyTrend(spark, p, k = 2)
+      .select("check_name", "generation", "violation_u", "delta_u", "status")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getString(4)))
+    assert(t2.toSeq == Seq(
+      ("in_range:v", 2L, 200000L, None, "fail"),
+      ("in_range:v", 3L, 500000L, Some(300000L), "fail"),
+      ("not_null:v", 2L, 0L, None, "pass"),
+      ("not_null:v", 3L, 0L, Some(0L), "pass")), t2.mkString(","))
+    // k past the recorded depth: the whole trail, gen 1 leads
+    val t9 = historyTrend(spark, p, k = 99)
+    assert(t9.count() == 6)
+    assert(t9.filter(col("generation") === 1L &&
+      col("delta_u").isNotNull).count() == 0)
+    // only genuine report frames are recordable
+    val e = intercept[IllegalArgumentException](
+      publishReport(spark, p, 4L, frame(0)))
+    assert(e.getMessage.contains("Validate.report frame"))
+  }
+
   test("suggest: NaN values kill the range suggestion, not the whole sheet (r13 ADVICE)") {
     val df = Seq(
       (1L, 2.5, 1.0),
