@@ -33,6 +33,7 @@ object SparkEntry {
       ops.Bpe.queries ++
       ops.Chunking.queries ++
       ops.Validate.queries ++
+      ops.Redact.queries ++
       sources.FileFormats.queries ++
       sources.Layout.queries
 

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.{GQuery, Tables}
 
@@ -63,15 +62,27 @@ object KMeansStep {
     // .00005 boundary that renders at it flips the emitted key between
     // engines. floor() acts on the binary value identically in both —
     // and the underlying doubles are bit-identical sequential folds.
-    val w = Window.partitionBy(col("__vid")).orderBy(col("d2_u"), col("cluster"))
+    //
+    // The argmin is a STRUCT-MIN AGGREGATE, not a row_number window
+    // (round-14 x32/x64 scale finding): the window form shuffled and
+    // sorted the full n·k candidate expansion — quadratic wall time
+    // the moment k grows with the corpus (assign's every-Nth init), a
+    // 10x knee at x32 on the semdedup curves. min over
+    // struct(d2_u, cluster) is the SAME lexicographic ranking
+    // (distance, then cluster id), but partial-aggregates map-side:
+    // the crossJoin candidates reduce to one row per vector INSIDE the
+    // scan stage and the exchange carries n rows, never n·k. The n·k
+    // DISTANCE FLOPS remain (brute-force assignment is the SemDedup
+    // paper's own cost; hold k fixed via explicit `cents` or go
+    // through the IVF coarse path when k must scale).
     vecs.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
       .crossJoin(broadcast(cents))
       .withColumn("d2_u", floor(sqDist(col("__v"), col("cvec")) * 1e6).cast("long"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("__vid").as("vec_id"), col("cluster"),
+      .groupBy(col("__vid"))
+      .agg(min(struct(col("d2_u"), col("cluster"))).as("__m"))
+      .select(col("__vid").as("vec_id"), col("__m.cluster").as("cluster"),
         // rendering only — the ranking key is the BIGINT above
-        (col("d2_u").cast("double") / 1e6).as("d2"))
+        (col("__m.d2_u").cast("double") / 1e6).as("d2"))
   }
 
   /** The update half: per (cluster, dimension) member count and exact

@@ -97,10 +97,34 @@ object SemDedup {
     * posting imbalance, and the per-member work is |subcentroids(cell)|
     * ≈ |cell|/subEvery distance folds, linear not quadratic.
     */
+  /** Sub-centroid argmin for the hot-cell members, as a STRUCT-MIN
+    * AGGREGATE rather than a row_number window (round-14 x32/x64
+    * scale finding, the [[KMeansStep.assignTo]] twin): the window
+    * form shuffled and locally SORTED the full member×sub-centroid
+    * candidate expansion — for a pile cell that is |pile|²/subEvery
+    * rows through a sort. The hash partial-agg reduces candidates to
+    * one row per vector inside the scan stage; the ranking contract
+    * is unchanged ((sd2_u, scid) lexicographic min — scid is unique
+    * per candidate, so the trailing carried fields never compare; the
+    * Long.MaxValue null guard covers the no-sub-centroid left-join
+    * row, whose scid coalesces to -1 exactly as before).
+    */
+  private def subAssign(hot: DataFrame, subC: DataFrame): DataFrame =
+    hot.join(subC, Seq("cell"), "left")
+      .withColumn("sd2_u",
+        floor(graft.functions.SquaredDistance
+          .squaredDistance(col("__v"), col("__sv")) * 1e6).cast("long"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(
+        coalesce(col("sd2_u"), lit(Long.MaxValue)).as("d"),
+        coalesce(col("scid"), lit(-1L)).as("scid"),
+        col("cell").as("cell"), col("__v").as("__v"))).as("__m"))
+      .select(col("vec_id"), col("__m.__v").as("__v"),
+        col("__m.cell").as("cell"), col("__m.scid").as("subcell"))
+
   def semanticPairsCapped(emb: DataFrame, idCol: String, vecCol: String,
                           centroidEvery: Int, threshold: Double,
                           maxCell: Long, subEvery: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cells = KMeansStep.assign(emb, idCol, vecCol, centroidEvery)
       .select(col("vec_id"), col("cluster").as("cell"))
     val tagged = emb.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
@@ -113,15 +137,7 @@ object SemDedup {
     val hot = withN.filter(col("__n") > maxCell)
     val subC = hot.filter(col("vec_id") % subEvery === 0)
       .select(col("cell"), col("vec_id").as("scid"), col("__v").as("__sv"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sd2_u"), col("scid"))
-    val hotAssigned = hot.join(subC, Seq("cell"), "left")
-      .withColumn("sd2_u",
-        floor(graft.functions.SquaredDistance
-          .squaredDistance(col("__v"), col("__sv")) * 1e6).cast("long"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("__v"), col("cell"),
-        coalesce(col("scid"), lit(-1L)).as("subcell"))
+    val hotAssigned = subAssign(hot, subC)
     val blocked = cold.union(hotAssigned)
     val thrU = math.round(threshold * 1e6)
     blocked.as("a").join(blocked.as("b"),
@@ -173,7 +189,6 @@ object SemDedup {
   def semanticPairsAuto(emb: DataFrame, idCol: String, vecCol: String,
                         centroidEvery: Int, threshold: Double,
                         maxCell: Long, subEvery: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cells = KMeansStep.assign(emb, idCol, vecCol, centroidEvery)
       .select(col("vec_id"), col("cluster").as("cell"))
     val tagged = emb.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
@@ -186,15 +201,7 @@ object SemDedup {
     val hot = withN.filter(col("__n") > maxCell)
     val subC = hot.filter(col("vec_id") % subEvery === 0)
       .select(col("cell"), col("vec_id").as("scid"), col("__v").as("__sv"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sd2_u"), col("scid"))
-    val hotAssigned = hot.join(subC, Seq("cell"), "left")
-      .withColumn("sd2_u",
-        floor(graft.functions.SquaredDistance
-          .squaredDistance(col("__v"), col("__sv")) * 1e6).cast("long"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("__v"), col("cell"),
-        coalesce(col("scid"), lit(-1L)).as("subcell"))
+    val hotAssigned = subAssign(hot, subC)
     // blocked is read three times (block-size agg + both pair-join
     // sides); the owned persist materializes the assignment once
     val blocked = cold.union(hotAssigned)

@@ -640,6 +640,40 @@ object ScaleSmoke {
               col("doc_id") % 20 === 10),
             "doc_id", "text", 8).count())
       }
+      // TrainExport commit + replay over n× inputs (r13 verdict #5):
+      // the commit pays recipe + staged write + fingerprint, the
+      // replay pays the same plus pin validation — both must track the
+      // recipe's own (linear) cost; a super-linear stage here would
+      // mean the manifest machinery, not the recipe, is the bottleneck.
+      // Prep (generational snapshot + index build) sits outside the
+      // clocks; the index holds the corpus minus the %20==10 slice so
+      // the canon anti-join does real work at every scale.
+      locally {
+        graft.ops.TrainExport.registerRecipe("scale_export_v1") { (s, in, p) =>
+          val batch = in.table("docs")
+          val t = in.index("text")
+          val drop = graft.ops.Dedup.jaccardAgainstIndexAt(s, t.path,
+              t.version, batch, "doc_id", "text", n = 3, threshold = 0.8)
+            .select(col("i").as("doc_id")).distinct()
+          batch.join(drop, Seq("doc_id"), "left_anti").select("doc_id")
+        }
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_scale_texp_x$n").toString
+        graft.sources.Compaction.writeGen(d, s"$root/docs")
+        graft.ops.Dedup.writeShingleIndex(
+          d.filter(col("doc_id") % 20 =!= 10), "doc_id", "text", 3,
+          s"$root/text", maxDf = 5)
+        graft.ops.Dedup.rebuildShingleIndex(spark, s"$root/text")
+        timed(s"train_commit x$n") {
+          graft.ops.TrainExport.commit(spark, s"$root/export",
+            "scale_export_v1", params = Map.empty,
+            tables = Map("docs" -> s"$root/docs"),
+            indexes = Map("text" -> s"$root/text"))
+          spark.read.parquet(s"$root/export/data").count()
+        }
+        timed(s"train_replay x$n")(
+          graft.ops.TrainExport.replay(spark, s"$root/export").count())
+      }
     }
     spark.stop()
   }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Redact
+import graft.ops.Redact.Rule
+
+/** PII span redaction semantics on hand-built rows: replacement
+  * parity-critical behaviors (all-occurrence replace, sheet-order
+  * chaining, boundary anchoring), the pre-scrub hit counting, the
+  * one-pass report, and the rule-sheet guards — the paths the planted
+  * oracle fixture exercises only at its own data shape.
+  */
+class RedactSpec extends AnyFunSuite {
+  import GraftSpark.spark
+  import spark.implicits._
+
+  test("apply scrubs every occurrence of every class; unmatched text is untouched") {
+    val df = Seq(
+      (1L, "mail a@b.co and c.d+x@e-f.org twice"),
+      (2L, "ssn 123-45-6789 phone 555-123-4567 ip 10.0.0.1"),
+      (3L, "clean text, nothing to scrub"),
+      (4L, "versions 1.2.3.4.5 are not a full ip boundary test")
+    ).toDF("id", "text")
+    val out = Redact.apply(df, "text").orderBy("id")
+      .select("text").as[String].collect()
+    assert(out(0) == "mail <EMAIL> and <EMAIL> twice",
+      s"all occurrences must replace: ${out(0)}")
+    assert(out(1) == "ssn <SSN> phone <PHONE> ip <IP>", out(1))
+    assert(out(2) == "clean text, nothing to scrub")
+    // 1.2.3.4.5: the ipv4 rule is \b-anchored on digit runs — the
+    // leading 1.2.3.4 matches (the .5 tail starts after the \b);
+    // pinning the actual behavior here keeps parity observable
+    assert(out(3) == "versions <IP>.5 are not a full ip boundary test",
+      out(3))
+  }
+
+  test("redacted counts hits on the ORIGINAL text, then scrubs; report is one pass with per-rule rows") {
+    val df = Seq(
+      (1L, "a@b.co and 10.0.0.1 and 10.0.0.2"),
+      (2L, "no pii here"),
+      (3L, "123-45-6789")
+    ).toDF("id", "text")
+    val r = Redact.redacted(df, "text").orderBy("id")
+      .select("text", "pii_hits").as[(String, Long)].collect()
+    assert(r(0) == (("<EMAIL> and <IP> and <IP>", 3L)), r(0).toString)
+    assert(r(1) == (("no pii here", 0L)))
+    assert(r(2) == (("<SSN>", 1L)))
+    val rep = Redact.report(df, "text").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2),
+        x.getLong(3)))).toMap
+    assert(rep("email") == ((3L, 1L, 1L)))
+    assert(rep("ipv4") == ((3L, 1L, 2L)), "2 matches in 1 doc")
+    assert(rep("ssn") == ((3L, 1L, 1L)))
+    assert(rep("phone") == ((3L, 0L, 0L)))
+  }
+
+  test("sheet order chains: specific rules must come before general ones, and do in StandardRules") {
+    // SSN is declared before phone; a 3-2-4 shape must land as <SSN>,
+    // never be half-eaten by the 3-3-4 phone rule
+    val df = Seq((1L, "id 123-45-6789 then 555-123-4567")).toDF("id", "text")
+    val out = Redact.apply(df, "text").select("text").as[String].head()
+    assert(out == "id <SSN> then <PHONE>")
+    // a custom sheet where a GENERAL rule precedes shows the chaining
+    // hazard the scaladoc warns about — pinned so the contract is real
+    val general = Seq(
+      Rule("digits", "[0-9]+", "<N>"),
+      Rule("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"))
+    val out2 = Redact.apply(df, "text", general)
+      .select("text").as[String].head()
+    assert(out2 == "id <N>-<N>-<N> then <N>-<N>-<N>",
+      s"general-first eats the specific match: $out2")
+  }
+
+  test("rule-sheet guards fail loudly") {
+    val df = Seq((1L, "x")).toDF("id", "text")
+    intercept[IllegalArgumentException](Redact.apply(df, "text", Nil))
+    intercept[IllegalArgumentException](Redact.apply(df, "text",
+      Seq(Rule("a", "x", "y"), Rule("a", "z", "w"))))
+    intercept[IllegalArgumentException](Rule("bad name", "x", "y"))
+    intercept[IllegalArgumentException](Rule("grp", "(x)", "$1"))
+    intercept[IllegalArgumentException](
+      Redact.redacted(df.withColumn("pii_hits", lit(1L)), "text"))
+  }
+}
