@@ -3,7 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.util.{GQuery, Tables}
+import graft.sources.Compaction
+import graft.util.{GQuery, Tables, TempFixtures}
 
 /** PII span redaction — the in-row complement of the engine's RTBF
   * machinery: `Compaction.forgetRows` / `Forget.from*IndexViaRebuild`
@@ -126,6 +127,25 @@ object Redact {
       .orderBy(col("rule_name"))
   }
 
+  /** The scrub guarantee as a data contract: one
+    * [[Validate.NoMatch]] per rule — an export committed under this
+    * sheet PROVABLY ships no span any rule would have matched
+    * (commit validates the staged bytes before the manifest CAS).
+    */
+  def noPiiContract(rules: Seq[Rule] = StandardRules): Seq[Validate.Check] =
+    rules.map(r => Validate.NoMatch("text", r.regex, r.name))
+
+  /** The redaction export recipe: scrub the pinned docs table with
+    * [[StandardRules]] — committed under [[noPiiContract]] it is the
+    * scrub-then-prove pipeline in one call (see
+    * `pipeline_redacted_export`).
+    */
+  val RedactRecipe = "redact_export_v1"
+
+  TrainExport.registerRecipe(RedactRecipe) { (s, in, p) =>
+    apply(in.table("docs").select("doc_id", "text"), "text")
+  }
+
   // ---- registered queries ----
   //
   // The synthetic documents corpus carries no PII, so the fixture
@@ -164,6 +184,37 @@ object Redact {
                 ELSE '' END AS text
       FROM documents"""
 
+  /** The [[StandardRules]] chain replayed in DuckDB (RE2), innermost
+    * rule first — shared by every oracle that re-derives scrubbed
+    * text.
+    */
+  private def scrubSql(c: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace($c,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+            '<EMAIL>', 'g'),
+          '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+          '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g'),
+          '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+          '<IP>', 'g')"""
+
+  /** Scrub-then-prove fixture: the planted corpus snapshotted as a
+    * generational table, exported through [[RedactRecipe]] UNDER
+    * [[noPiiContract]] — the commit itself is the proof that the
+    * shipped bytes carry no rule-matching span (a violating commit
+    * aborts before the manifest CAS; RedactSpec pins that negative
+    * path). Memoized per dataset dir; returns the export dir.
+    */
+  private def redactedExportFor(s: SparkSession, d: String): String =
+    TempFixtures.dir(s"redexp:$d") { root =>
+      Compaction.writeGen(
+        planted(Tables(s, d, "documents").select("doc_id", "text")),
+        root + "/docs")
+      TrainExport.commit(s, root + "/export", RedactRecipe,
+        params = Map.empty, tables = Map("docs" -> (root + "/docs")),
+        indexes = Map.empty, contract = noPiiContract())
+    } + "/export"
+
   val queries: Seq[GQuery] = Seq(
     // Scrub parity: the redacted text itself is hash-compared (md5 so
     // long documents hash compactly), plus the per-row hit count.
@@ -175,14 +226,7 @@ object Redact {
         .orderBy(col("doc_id")),
       Some(s"""WITH p AS ($PlantSql)
         SELECT doc_id,
-               md5(regexp_replace(regexp_replace(regexp_replace(
-                     regexp_replace(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                       '<EMAIL>', 'g'),
-                     '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
-                     '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g'),
-                     '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
-                     '<IP>', 'g')) AS text_md5,
+               md5(${scrubSql("text")}) AS text_md5,
                CAST(len(regexp_extract_all(text,
                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
                   + len(regexp_extract_all(text,
@@ -219,6 +263,22 @@ object Redact {
                CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
                  AS docs_hit,
                CAST(sum(c) AS BIGINT) AS total_matches
-        FROM m GROUP BY rule_name ORDER BY rule_name"""))
+        FROM m GROUP BY rule_name ORDER BY rule_name""")),
+
+    // Scrub-then-prove: the shipped bytes of a contract-gated
+    // redaction export (committed under noPiiContract — NoMatch per
+    // rule, validated on the staged parquet BEFORE the manifest CAS).
+    // The oracle re-derives plant + scrub closed-form; hash equality
+    // here means the committed artifact IS the scrubbed corpus.
+    GQuery("pipeline_redacted_export",
+      (s, d) => {
+        val export = redactedExportFor(s, d)
+        s.read.parquet(export + "/data")
+          .select(col("doc_id"), md5(col("text")).as("text_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH p AS ($PlantSql)
+        SELECT doc_id, md5(${scrubSql("text")}) AS text_md5
+        FROM p ORDER BY doc_id"""))
   )
 }

@@ -71,6 +71,24 @@ object Validate {
     val name = s"regex:$column"; val kind = "regex"
   }
 
+  /** The NEGATIVE regex check: a row violates when the column
+    * CONTAINS a match (partial, rlike semantics); NULLs pass. The
+    * contract form of a scrub guarantee — `NoMatch(text, emailRe)` in
+    * a [[graft.ops.TrainExport]] contract means a shipped export
+    * provably carries no email-shaped span ([[graft.ops.Redact]]'s
+    * rule regexes slot in directly).
+    */
+  final case class NoMatch(column: String, regex: String,
+                           label: String = "")
+      extends Check {
+    // a sheet often bans SEVERAL patterns on one column — the label
+    // keys them apart in report names (and quarantine reasons)
+    // without leaking a whole regex into every report row
+    val name = if (label.isEmpty) s"no_match:$column"
+               else s"no_match:$column:$label"
+    val kind = "no_match"
+  }
+
   /** Escape hatch: any boolean Column; a row violates when the
     * predicate is FALSE (NULL passes, per SQL CHECK).
     */
@@ -109,6 +127,7 @@ object Validate {
       col(cn).isNotNull && (col(cn) < lo || col(cn) > hi)
     case InSet(cn, allowed) => col(cn).isNotNull && !col(cn).isin(allowed: _*)
     case MatchesRegex(cn, re) => col(cn).isNotNull && !col(cn).rlike(re)
+    case NoMatch(cn, re, _) => col(cn).isNotNull && col(cn).rlike(re)
     case Satisfies(_, p) => !coalesce(p, lit(true))
     case Completeness(cn, _) => col(cn).isNull
     case u: Unique => throw new IllegalArgumentException(
@@ -582,6 +601,8 @@ object Validate {
         (Seq("in_set", enc(cn)) ++
           allowed.map(v => enc(String.valueOf(v)))).mkString("|")
       case MatchesRegex(cn, re) => s"regex|${enc(cn)}|${enc(re)}"
+      case NoMatch(cn, re, label) =>
+        s"no_match|${enc(cn)}|${enc(re)}|${enc(label)}"
       case Completeness(cn, bps) => s"completeness|${enc(cn)}|$bps"
       case Unique(cols) => ("unique" +: cols.map(enc)).mkString("|")
       case s: Satisfies => throw new IllegalArgumentException(
@@ -602,6 +623,9 @@ object Validate {
         InSet(dec(parts(1)), parts.drop(2).map(dec))
       case "regex" if parts.length == 3 =>
         MatchesRegex(dec(parts(1)), dec(parts(2)))
+      case "no_match" if parts.length == 3 || parts.length == 4 =>
+        NoMatch(dec(parts(1)), dec(parts(2)),
+          if (parts.length == 4) dec(parts(3)) else "")
       case "completeness" if parts.length == 3 =>
         Completeness(dec(parts(1)), parts(2).toInt)
       case "unique" if parts.length >= 2 => Unique(parts.tail.map(dec))

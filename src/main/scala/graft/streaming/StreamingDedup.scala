@@ -478,4 +478,35 @@ object StreamingDedup {
       land(Validate.report(batch, checks), reportDir)
     })
   }
+
+  /** Streaming PII SCRUB stage: every micro-batch lands
+    * [[graft.ops.Redact.redacted]] rows (text scrubbed in place, a
+    * pre-scrub `pii_hits` count) in `outDir/batch=<id>` and the
+    * per-rule [[graft.ops.Redact.report]] audit in
+    * `reportDir/batch=<id>` — the scrub a production ingest runs
+    * between [[attachValidated]]'s admission gate and
+    * [[attachCurate]]'s dedup/scoring, so no raw PII span ever
+    * reaches the index, the scorer, or a drained export. Same
+    * batchId-keyed dynamic-overwrite idempotence contract as every
+    * attach* loop; per-trigger cost is one map-only projection plus
+    * one single-row aggregate — ∝ batch, never corpus.
+    */
+  def attachRedacted(rows: DataFrame, textCol: String,
+                     rules: Seq[graft.ops.Redact.Rule],
+                     outDir: String, reportDir: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    Seq("batch", "pii_hits").foreach(c =>
+      require(!rows.columns.contains(c),
+        s"attachRedacted writes column '$c' — rename it in the input " +
+          "(it would be silently overwritten)"))
+    rows.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
+      def land(df: DataFrame, dir: String): Unit =
+        df.withColumn("batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(dir)
+      land(graft.ops.Redact.redacted(batch, textCol, rules), outDir)
+      land(graft.ops.Redact.report(batch, textCol, rules), reportDir)
+    })
+  }
 }

@@ -73,6 +73,72 @@ class RedactSpec extends AnyFunSuite {
       s"general-first eats the specific match: $out2")
   }
 
+  test("noPiiContract gates an export: raw text never commits, the redaction recipe does") {
+    import graft.ops.TrainExport
+    import graft.sources.Compaction
+    val root = java.nio.file.Files.createTempDirectory("graft_redexp").toString
+    val docs = Seq((1L, "mail a@b.co now"), (2L, "clean row"))
+      .toDF("doc_id", "text")
+    Compaction.writeGen(docs, s"$root/docs")
+    // a pass-through recipe ships the PII — the contract aborts the
+    // commit BEFORE the manifest CAS
+    TrainExport.registerRecipe("spec_raw_export") { (s, in, p) =>
+      in.table("docs").select("doc_id", "text")
+    }
+    val e = intercept[RuntimeException](
+      TrainExport.commit(spark, s"$root/bad", "spec_raw_export",
+        params = Map.empty, tables = Map("docs" -> s"$root/docs"),
+        indexes = Map.empty, contract = Redact.noPiiContract()))
+    assert(e.getMessage.contains("no_match:text:email"), e.getMessage)
+    intercept[RuntimeException](TrainExport.manifest(spark, s"$root/bad"))
+    // the redaction recipe under the SAME contract commits — the
+    // shipped bytes provably carry no rule-matching span
+    val m = TrainExport.commit(spark, s"$root/good", Redact.RedactRecipe,
+      params = Map.empty, tables = Map("docs" -> s"$root/docs"),
+      indexes = Map.empty, contract = Redact.noPiiContract())
+    assert(m.contract.length == Redact.StandardRules.length)
+    val out = spark.read.parquet(s"$root/good/data").orderBy("doc_id")
+      .select("text").as[String].collect()
+    assert(out.toSeq == Seq("mail <EMAIL> now", "clean row"))
+    // and the consumer-side audit over the shipped data stays green
+    assert(TrainExport.auditContract(spark, s"$root/good")
+      .filter(col("status") === "fail").count() == 0)
+  }
+
+  test("attachRedacted: per-batch scrubbed rows and audit report") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_redstr").toString
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.attachRedacted(
+        input.toDS().toDF("doc_id", "text"), "text",
+        Redact.StandardRules, root + "/out", root + "/report")
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    try {
+      input.addData((1L, "a@b.co here"), (2L, "clean"))
+      q.processAllAvailable()
+      input.addData((3L, "ip 10.0.0.1 and 10.0.0.2"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(root + "/out")
+      .select("batch", "doc_id", "text", "pii_hits")
+      .as[(Long, Long, String, Long)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq(
+      (0L, 1L, "<EMAIL> here", 1L),
+      (0L, 2L, "clean", 0L),
+      (1L, 3L, "ip <IP> and <IP>", 2L)), out.mkString(","))
+    val rep = spark.read.parquet(root + "/report")
+      .filter(col("batch") === 1L && col("rule_name") === "ipv4")
+      .select("docs_hit", "total_matches").as[(Long, Long)].head()
+    assert(rep == ((1L, 2L)))
+    // claimed-column guard
+    intercept[IllegalArgumentException](
+      graft.streaming.StreamingDedup.attachRedacted(
+        input.toDS().toDF("doc_id", "pii_hits"), "pii_hits",
+        Redact.StandardRules, root + "/x", root + "/y"))
+  }
+
   test("rule-sheet guards fail loudly") {
     val df = Seq((1L, "x")).toDF("id", "text")
     intercept[IllegalArgumentException](Redact.apply(df, "text", Nil))

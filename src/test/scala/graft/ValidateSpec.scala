@@ -410,6 +410,18 @@ class ValidateSpec extends AnyFunSuite {
       "in_set:s") == ((2L, 1L, "fail")))
   }
 
+  test("NoMatch: a contained match violates, clean and NULL pass — the scrub-guarantee contract kind") {
+    val df = Seq((1L, Some("has a@b.co inside")), (2L, Some("clean")),
+      (3L, None: Option[String])).toDF("id", "t")
+    val sheet = Seq(NoMatch("t", "[a-z]+@[a-z.]+"): Check)
+    assert(reportMap(report(df, sheet).collect())("no_match:t") ==
+      ((3L, 1L, "fail")))
+    // quarantine/clean agree with the report (shared violation expr)
+    assert(quarantine(df, sheet).select("id").as[Long].collect().toSeq ==
+      Seq(1L))
+    assert(clean(df, sheet).count() == 2L)
+  }
+
   test("serialize/deserialize round-trips every data-only check, hostile characters included") {
     val hostile = "a|b=c%d\ne:f g" // separator, '=', '%', newline, space
     val cases = Seq[Check](
@@ -417,6 +429,7 @@ class ValidateSpec extends AnyFunSuite {
       InRange(hostile, -1.5e300, 42.0),
       InSet(hostile, Seq("x", hostile, "")),
       MatchesRegex(hostile, "^[1-3]-|x\\|y$"),
+      NoMatch(hostile, "^[1-3]-|x\\|y$"),
       Completeness(hostile, 9990),
       Unique(Seq(hostile, "plain")))
     cases.foreach { c =>
