@@ -401,6 +401,61 @@ object Compaction {
       .toSet
   }
 
+  /** Operator console for a generational table — generations, writer
+    * claims, and retention leases in ONE frame (the companion of
+    * [[listLeases]]; r14 operability). One row per marker/dir:
+    * `(kind, name, gen, status, files, bytes, age_ms)` —
+    *  - kind `generation`: status `current` / `retained` (readable
+    *    older publish) / `marker_only` (published but dir pruned —
+    *    outside the time-travel window) / `unpublished_dir` (a
+    *    writer's work in progress or a crashed orphan);
+    *  - kind `claim`: a writer's fencing claim, age since created;
+    *  - kind `lease`: a retention hold — `held` or `expired` under
+    *    the [[LeaseMaxAgeKey]] policy.
+    * Bounded metadata: one listing plus one content summary per
+    * RETAINED data dir (never reads data rows) — safe against a
+    * production table at any scale.
+    */
+  def describe(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    val main = new Path(path)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    def age(p: Path): Option[Long] =
+      try Some(math.max(0L, now - fs.getFileStatus(p).getModificationTime))
+      catch { case _: java.io.FileNotFoundException => None }
+    val pubs = listNums(fs, main, ManifestPrefix).sorted
+    val cur = pubs.lastOption
+    val dirs = if (!fs.exists(main)) Set.empty[Long]
+      else fs.listStatus(main).toSeq.filter(_.isDirectory)
+        .flatMap(s => genNumber(s.getPath.getName)).toSet
+    val genRows = (pubs ++ dirs.filterNot(pubs.contains)).distinct.sorted.map { g =>
+      val hasDir = dirs(g)
+      val status =
+        if (cur.contains(g)) "current"
+        else if (pubs.contains(g) && hasDir) "retained"
+        else if (pubs.contains(g)) "marker_only"
+        else "unpublished_dir"
+      val (files, bytes) =
+        if (hasDir) {
+          val cs = fs.getContentSummary(new Path(main, genName(g)))
+          (Some(cs.getFileCount), Some(cs.getLength))
+        } else (None, None)
+      ("generation", genName(g), Some(g), status, files, bytes,
+        age(new Path(main, ManifestPrefix + genName(g))))
+    }
+    val claimRows = listNums(fs, main, ClaimPrefix).sorted.map { g =>
+      ("claim", genName(g), Some(g), "claimed", None: Option[Long],
+        None: Option[Long], age(new Path(main, ClaimPrefix + genName(g))))
+    }
+    val leaseRows = listLeases(spark, path).map { l =>
+      ("lease", l.leaseId, l.gen, if (l.expired) "expired" else "held",
+        None: Option[Long], None: Option[Long], l.ageMs)
+    }
+    import spark.implicits._
+    (genRows ++ claimRows ++ leaseRows)
+      .toDF("kind", "name", "gen", "status", "files", "bytes", "age_ms")
+  }
+
   /** Prune data dirs under the generational grace rules. Published
     * generations: keep the two most recently PUBLISHED (rank-based, not
     * number-based — claims can leave gaps in the numbering, and a

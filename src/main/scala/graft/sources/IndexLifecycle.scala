@@ -293,6 +293,57 @@ object IndexLifecycle {
   private def markerNums(mc: ManifestCommit): Seq[Long] =
     mc.list(Marker).flatMap(n => Compaction.genNumber(n.stripPrefix(Marker)))
 
+  /** Operator console for an index chain — the
+    * [[Compaction.describe]] twin: one row per manifest version,
+    * claim, and lease:
+    * `(kind, name, version, status, dir, segments, absorbed, age_ms)`
+    * — a version is `current` / `retained` (its dir still present) /
+    * `dir_pruned` (marker retained past the two-dir window — readable
+    * metadata, unpinnable data); leases are `held`/`expired` under
+    * [[Compaction.LeaseMaxAgeKey]]. Bounded metadata only.
+    */
+  def describe(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    val main = new Path(path)
+    val fs = fsOf(spark, main)
+    val mc = commitOf(spark, main)
+    val now = System.currentTimeMillis()
+    val nums = markerNums(mc).sorted
+    val cur = nums.lastOption
+    val verRows = nums.map { v =>
+      val m = readMarker(mc, v)
+      val dir = m.map(_.dir)
+      val hasDir = dir.exists(d => fs.exists(new Path(main, d)))
+      val status =
+        if (cur.contains(v) && hasDir) "current"
+        else if (hasDir) "retained"
+        else "dir_pruned"
+      ("version", f"v$v", Some(v), status, dir,
+        m.map(_.segments.length.toLong), m.map(_.absorbed.length.toLong),
+        mc.createdAt(markerName(v)).map(t => math.max(0L, now - t)))
+    }
+    val claimRows = (
+      if (!fs.exists(main)) Seq.empty
+      else fs.listStatus(main).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(Compaction.ClaimPrefix))
+        .flatMap(n => Compaction.genNumber(n.stripPrefix(Compaction.ClaimPrefix)))
+      ).sorted.map { g =>
+      ("claim", Compaction.genName(g), Some(g), "claimed",
+        None: Option[String], None: Option[Long], None: Option[Long],
+        try Some(math.max(0L, now - fs.getFileStatus(new Path(main,
+          Compaction.ClaimPrefix + Compaction.genName(g)))
+          .getModificationTime))
+        catch { case _: java.io.FileNotFoundException => None })
+    }
+    val leaseRows = listLeases(spark, path).map { l =>
+      ("lease", l.leaseId, l.gen, if (l.expired) "expired" else "held",
+        None: Option[String], None: Option[Long], None: Option[Long],
+        l.ageMs)
+    }
+    import spark.implicits._
+    (verRows ++ claimRows ++ leaseRows).toDF("kind", "name", "version",
+      "status", "dir", "segments", "absorbed", "age_ms")
+  }
+
   /** Read marker V's payload. On the HDFS commit branch the
     * create→write→close of a publish is not one atomic step, so a
     * listing can surface a marker whose payload is still empty for a

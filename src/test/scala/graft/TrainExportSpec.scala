@@ -772,6 +772,42 @@ class TrainExportSpec extends AnyFunSuite {
       TrainExport.auditContract(spark, s"$root/nothing", v2))
   }
 
+  test("describe: table plane shows generations/claims/leases; index plane shows versions/segments/leases") {
+    val root = java.nio.file.Files.createTempDirectory("graft_texd").toString
+    val t = s"$root/tbl"
+    Compaction.writeGen(docs(0L to 4L), t) // g1
+    Compaction.writeGen(docs(0L to 5L), t) // g2
+    Compaction.acquireLease(spark, t, 2L, "op_audit")
+    val d = Compaction.describe(spark, t).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(3)))
+    assert(d.contains(("generation", "g000000001", "retained")), d.mkString(","))
+    assert(d.contains(("generation", "g000000002", "current")))
+    assert(d.contains(("lease", "op_audit", "held")))
+    // readable generations carry file/byte counts; leases do not
+    val cur = Compaction.describe(spark, t)
+      .filter(col("status") === "current").collect()(0)
+    assert(!cur.isNullAt(4) && cur.getLong(5) > 0L, "files/bytes expected")
+    Compaction.releaseLease(spark, t, "op_audit")
+
+    val idx = s"$root/ix"
+    Dedup.writeShingleIndex(docs(0L to 9L), "doc_id", "text", n = 3, idx,
+      nBuckets = NB)
+    Dedup.rebuildShingleIndex(spark, idx) // v1 convert, v2 = [base]
+    Dedup.appendToShingleIndex(spark, idx, docs(10L to 12L), "doc_id",
+      "text", n = 3, ingestTag = "b9", nBuckets = NB) // v3 = [base, b9]
+    IndexLifecycle.acquireLease(spark, idx, 2L, "op_audit")
+    val di = IndexLifecycle.describe(spark, idx)
+    val kinds = di.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(3)))
+    assert(kinds.contains(("version", "v3", "current")), kinds.mkString(","))
+    assert(kinds.contains(("version", "v2", "retained")))
+    assert(kinds.contains(("lease", "op_audit", "held")))
+    // the current version records its live segment set
+    val v3 = di.filter(col("name") === "v3").collect()(0)
+    assert(v3.getLong(5) == 2L, s"segments [base, b9] expected: $v3")
+    IndexLifecycle.releaseLease(spark, idx, "op_audit")
+  }
+
   test("attachCurate(exportable = true) rejects a contradictory compaction cap at attach time, before any batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
