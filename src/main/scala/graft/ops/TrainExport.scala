@@ -514,6 +514,39 @@ object TrainExport {
     id
   }
 
+  /** The committed manifest as a frame — the export lineage an
+    * operator or a catalog UI reads without parsing `_graft_export`
+    * by hand: one row per manifest entry,
+    * `(kind, name, value, pin)` — kind ∈ recipe / recipe_version /
+    * result_fp / param / table / index / model / contract; `pin` is
+    * the generation/version for table/index rows, null elsewhere;
+    * `value` is the path / param value / fingerprint / serialized
+    * check. The [[Compaction.describe]] /
+    * [[IndexLifecycle.describe]] companion on the export plane.
+    */
+  def describe(spark: SparkSession, exportDir: String): DataFrame = {
+    val m = manifest(spark, exportDir)
+    val rows =
+      Seq(("recipe", m.recipe, "", None: Option[Long])) ++
+      m.recipeVersion.map(v =>
+        ("recipe_version", s"v$v", "", None: Option[Long])).toSeq ++
+      Seq(("result_fp", m.resultFp, "", None: Option[Long])) ++
+      m.params.toSeq.sortBy(_._1).map { case (k, v) =>
+        ("param", k, v, None: Option[Long]) } ++
+      m.tables.toSeq.sortBy(_._1).map { case (k, p) =>
+        ("table", k, p.path, Some(p.gen)) } ++
+      m.indexes.toSeq.sortBy(_._1).map { case (k, p) =>
+        ("index", k, s"${p.path} params_fp=${p.paramsFp}",
+          Some(p.version)) } ++
+      m.models.toSeq.sortBy(_._1).map { case (k, p) =>
+        ("model", k, s"${p.path} content_fp=${p.contentFp}",
+          None: Option[Long]) } ++
+      m.contract.zipWithIndex.map { case (c, i) =>
+        ("contract", c.name, Validate.serialize(c), Some(i.toLong)) }
+    import spark.implicits._
+    rows.toDF("kind", "name", "value", "pin")
+  }
+
   /** Join this export's pins to the LIVE leases on each pinned store —
     * the operability view of [[lease]] (r13 verdict #1): one row per
     * pinned table/index with whether THIS export's lease is held

@@ -354,20 +354,36 @@ object Validate {
     * per check partition, one broadcast semi-join for the last-k cut.
     */
   def historyTrend(spark: SparkSession, historyPath: String,
-                   k: Int = 5): DataFrame = {
-    require(k >= 1, s"trend window must be >= 1 generations, got $k")
-    val h = Compaction.readTable(spark, historyPath)
-    val lastK = h.select("generation").distinct()
-      .orderBy(col("generation").desc).limit(k)
+                   k: Int = 5): DataFrame =
+    trendOver(Compaction.readTable(spark, historyPath), "generation", k)
+
+  /** The same trajectory view over a STREAMING admission gate's
+    * per-batch report feed
+    * ([[graft.streaming.StreamingDedup.attachValidated]]'s
+    * `reportDir`): the micro-batch id is the time axis — last `k`
+    * batches, per-check violation trajectories with lag deltas. The
+    * alerting rule that thresholds `delta_u` works identically on the
+    * batch feed and the publish trail.
+    */
+  def batchTrend(spark: SparkSession, reportDir: String,
+                 k: Int = 5): DataFrame =
+    trendOver(spark.read.parquet(reportDir)
+        .withColumn("batch", col("batch").cast("long")),
+      "batch", k)
+
+  private def trendOver(h: DataFrame, timeCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"trend window must be >= 1 steps, got $k")
+    val lastK = h.select(timeCol).distinct()
+      .orderBy(col(timeCol).desc).limit(k)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("check_name").orderBy("generation")
-    h.join(broadcast(lastK), Seq("generation"))
+      .partitionBy("check_name").orderBy(timeCol)
+    h.join(broadcast(lastK), Seq(timeCol))
       .withColumn("delta_u",
         col("violation_u") - lag(col("violation_u"), 1).over(w))
-      .select(col("check_name"), col("kind"), col("generation"),
+      .select(col("check_name"), col("kind"), col(timeCol),
         col("n_rows"), col("n_violations"), col("violation_u"),
         col("delta_u"), col("status"))
-      .orderBy(col("check_name"), col("generation"))
+      .orderBy(col("check_name"), col(timeCol))
   }
 
   /** Cross-generation drift audit over a [[Compaction]] generational
@@ -1122,7 +1138,43 @@ object Validate {
             col("violation_u"), col("status"))
           .orderBy(col("batch"), col("check_name"))
       },
-      Some("""WITH b0 AS (
+      Some(SvRepSql + """
+        SELECT batch, check_name, kind, n_rows, n_violations,
+               CAST(floor(n_violations * 1000000.0 / n_rows) AS BIGINT) AS violation_u,
+               CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        FROM rep ORDER BY batch, check_name""")),
+
+    // Trend over the STREAMING gate's report feed: the same fixture's
+    // two batches as violation trajectories with per-check lag deltas
+    // — the alerting view. Oracle = the same per-batch report CTEs
+    // plus the identical lag window.
+    GQuery("streaming_validate_trend",
+      (s, d) => {
+        val p = streamingValidateFor(s, d)
+        batchTrend(s, p + "/report", k = 2)
+      },
+      Some(SvRepSql + """,
+        scored AS (
+          SELECT check_name, kind, CAST(batch AS BIGINT) AS batch,
+                 n_rows, n_violations,
+                 CAST(floor(n_violations * 1000000.0 / n_rows) AS BIGINT) AS violation_u,
+                 CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+            FROM rep)
+        SELECT check_name, kind, batch, n_rows, n_violations, violation_u,
+               violation_u - lag(violation_u) OVER (
+                 PARTITION BY check_name ORDER BY batch) AS delta_u,
+               status
+        FROM scored ORDER BY check_name, batch"""))
+  )
+
+  /** The streaming-gate fixture's per-batch reports, replayed as
+    * DuckDB CTEs — shared by the streaming_validate row and its trend
+    * twin so the two oracles can never drift apart.
+    */
+  // lazy: declared below `queries`, which references it — object vals
+  // initialize in declaration order and an eager val here would be
+  // null inside the query literals at class-init time
+  private lazy val SvRepSql = """WITH b0 AS (
           SELECT doc_id, lang, source, n_chars FROM documents
           WHERE doc_id % 20 = 0),
         b1 AS (
@@ -1176,10 +1228,5 @@ object Validate {
           UNION ALL
           SELECT 1, 'unique:doc_id', 'unique', CAST(sum(c) AS BIGINT),
                  CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
-            FROM (SELECT count(*) AS c FROM b1 GROUP BY doc_id) g)
-        SELECT batch, check_name, kind, n_rows, n_violations,
-               CAST(floor(n_violations * 1000000.0 / n_rows) AS BIGINT) AS violation_u,
-               CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
-        FROM rep ORDER BY batch, check_name"""))
-  )
+            FROM (SELECT count(*) AS c FROM b1 GROUP BY doc_id) g)"""
 }

@@ -808,6 +808,21 @@ class TrainExportSpec extends AnyFunSuite {
     IndexLifecycle.releaseLease(spark, idx, "op_audit")
   }
 
+  test("TrainExport.describe renders the committed manifest as a frame") {
+    val (root, m) = freshExport("graft_texdd")
+    val d = TrainExport.describe(spark, s"$root/export")
+    val kinds = d.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(kinds.contains(("recipe", "spec_export_v1")), kinds.mkString(","))
+    assert(kinds.contains(("recipe_version", "v1")))
+    assert(kinds.contains(("table", "docs")))
+    assert(kinds.contains(("index", "text")))
+    assert(kinds.count(_._1 == "param") == recipeParams.size)
+    val tbl = d.filter(col("kind") === "table").collect()(0)
+    assert(tbl.getLong(3) == m.tables("docs").gen)
+    val fp = d.filter(col("kind") === "result_fp").collect()(0)
+    assert(fp.getString(1) == m.resultFp)
+  }
+
   test("attachCurate(exportable = true) rejects a contradictory compaction cap at attach time, before any batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
