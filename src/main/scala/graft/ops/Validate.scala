@@ -334,14 +334,44 @@ object Validate {
       s"publishReport wants a Validate.report frame " +
         s"(${want.mkString(",")}); got ${report.columns.mkString(",")}")
     requireColumnsFree(report, "publishReport", "generation")
-    val tagged = report.select(want.map(col): _*)
+    // the report is tiny but its plan may be expensive (a full corpus
+    // agg) — materialize ONCE outside the fenced retry loop below, or
+    // every lost race re-runs the whole scan
+    val reportRows = report.select(want.map(col): _*).collect().toSeq
+    import spark.implicits._
+    val tagged = reportRows.map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+      .toDF(want: _*)
       .withColumn("generation", lit(generation))
-    val merged =
-      if (Compaction.generations(spark, historyPath).isEmpty) tagged
-      else Compaction.readTable(spark, historyPath)
-        .filter(col("generation") =!= generation)
-        .unionByName(tagged)
-    Compaction.writeGen(merged, historyPath)
+    // READ-MODIFY-WRITE fencing (the Materialize.maintainAggregate
+    // discipline): two hooks publishing different generations
+    // concurrently each read the trail, merge their own rows, and
+    // write — without the expectGen fence the later writeGen would
+    // silently roll back the earlier one's rows. Fenced losers re-read
+    // and retry; the loop is bounded because each retry starts from a
+    // strictly newer trail generation.
+    var attempts = 0
+    while (attempts < 16) {
+      val gens = Compaction.generations(spark, historyPath)
+      val merged =
+        if (gens.isEmpty) tagged
+        else Compaction.readTable(spark, historyPath)
+          .filter(col("generation") =!= generation)
+          .unionByName(tagged)
+      try {
+        // Some(0) on an empty trail: two concurrent FIRST publishes
+        // must fence too (None would disable the read-snapshot check
+        // and the loser would silently drop the winner's rows)
+        Compaction.writeGen(merged, historyPath,
+          expectGen = Some(gens.maxOption.getOrElse(0L)))
+        return
+      } catch {
+        case _: Compaction.FencedWriteException => attempts += 1
+      }
+    }
+    sys.error(s"publishReport at $historyPath: lost the publish race " +
+      "16 times — a writer is republishing in a tight loop; serialize " +
+      "the publish hooks")
   }
 
   /** Violation trajectories over the last `k` recorded generations of

@@ -436,10 +436,13 @@ object Compaction {
         else if (pubs.contains(g)) "marker_only"
         else "unpublished_dir"
       val (files, bytes) =
-        if (hasDir) {
+        if (hasDir) try {
           val cs = fs.getContentSummary(new Path(main, genName(g)))
           (Some(cs.getFileCount), Some(cs.getLength))
-        } else (None, None)
+        } catch { // pruned between listing and summary — console, not gate
+          case _: java.io.FileNotFoundException => (None, None)
+        }
+        else (None, None)
       ("generation", genName(g), Some(g), status, files, bytes,
         age(new Path(main, ManifestPrefix + genName(g))))
     }
