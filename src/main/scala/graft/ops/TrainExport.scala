@@ -483,6 +483,18 @@ object TrainExport {
     s"export_$digest"
   }
 
+  /** INDEX pins lease under `<exportId>.<inputName>` instead of the
+    * shared export id: a drain export ([[commitStreamDrain]]) pins ONE
+    * index path at MANY versions (text0..textB), and one lease id can
+    * hold only one version per store — under the r13 shared id the
+    * SECOND acquire failed loudly ("already pins vX, not vY") and a
+    * drain export could not be leased at all. Table pins keep the
+    * shared id: duplicate table names resolve to the same (path, gen)
+    * at commit, and re-acquiring the same (id, gen) is idempotent.
+    */
+  private def indexLeaseId(exportDir: String, name: String): String =
+    s"${leaseId(exportDir)}.$name"
+
   /** Hold this committed export's pins past normal retention: one
     * retention lease per pinned table generation
     * ([[Compaction.acquireLease]]) and per pinned index version
@@ -508,8 +520,9 @@ object TrainExport {
     m.tables.toSeq.sortBy(_._1).foreach { case (_, pin) =>
       Compaction.acquireLease(spark, pin.path, pin.gen, id)
     }
-    m.indexes.toSeq.sortBy(_._1).foreach { case (_, pin) =>
-      IndexLifecycle.acquireLease(spark, pin.path, pin.version, id)
+    m.indexes.toSeq.sortBy(_._1).foreach { case (name, pin) =>
+      IndexLifecycle.acquireLease(spark, pin.path, pin.version,
+        indexLeaseId(exportDir, name))
     }
     id
   }
@@ -561,20 +574,20 @@ object TrainExport {
     */
   def leaseReport(spark: SparkSession, exportDir: String): DataFrame = {
     val m = manifest(spark, exportDir)
-    val id = leaseId(exportDir)
     def row(name: String, kind: String, path: String, pin: Long,
-            leases: Seq[Compaction.Lease]) = {
+            ownId: String, leases: Seq[Compaction.Lease]) = {
       val onPin = leases.filter(l => l.gen.contains(pin) && !l.expired)
-      val mine = onPin.find(_.leaseId == id)
+      val mine = onPin.find(_.leaseId == ownId)
       (name, kind, path, pin, mine.nonEmpty, onPin.length.toLong,
         mine.flatMap(_.ageMs))
     }
     val rows =
       m.tables.toSeq.sortBy(_._1).map { case (n, p) =>
-        row(n, "table", p.path, p.gen, Compaction.listLeases(spark, p.path))
+        row(n, "table", p.path, p.gen, leaseId(exportDir),
+          Compaction.listLeases(spark, p.path))
       } ++
       m.indexes.toSeq.sortBy(_._1).map { case (n, p) =>
-        row(n, "index", p.path, p.version,
+        row(n, "index", p.path, p.version, indexLeaseId(exportDir, n),
           IndexLifecycle.listLeases(spark, p.path))
       }
     import spark.implicits._
@@ -589,8 +602,9 @@ object TrainExport {
     m.tables.toSeq.sortBy(_._1).foreach { case (_, pin) =>
       Compaction.releaseLease(spark, pin.path, id)
     }
-    m.indexes.toSeq.sortBy(_._1).foreach { case (_, pin) =>
-      IndexLifecycle.releaseLease(spark, pin.path, id)
+    m.indexes.toSeq.sortBy(_._1).foreach { case (name, pin) =>
+      IndexLifecycle.releaseLease(spark, pin.path,
+        indexLeaseId(exportDir, name))
     }
   }
 

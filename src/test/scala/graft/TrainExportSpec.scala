@@ -616,8 +616,10 @@ class TrainExportSpec extends AnyFunSuite {
       Seq((id, Some(1L), false)), s"table plane: $tl")
     assert(tl.head.ageMs.exists(_ >= 0L))
     val il = IndexLifecycle.listLeases(spark, s"$root/text")
+    // index pins lease under <exportId>.<inputName> (the drain-export
+    // multi-version fix) — the id remains derivable without state
     assert(il.map(l => (l.leaseId, l.gen, l.expired)) ==
-      Seq((id, Some(2L), false)), s"index plane: $il")
+      Seq((s"$id.text", Some(2L), false)), s"index plane: $il")
     // the report now shows this export's lease held on every pin
     assert(repRows() == Seq(("docs", "table", 1L, true, 1L, true),
       ("text", "index", 2L, true, 1L, true)))
@@ -806,6 +808,40 @@ class TrainExportSpec extends AnyFunSuite {
     val v3 = di.filter(col("name") === "v3").collect()(0)
     assert(v3.getLong(5) == 2L, s"segments [base, b9] expected: $v3")
     IndexLifecycle.releaseLease(spark, idx, "op_audit")
+  }
+
+  test("a drain-shaped export (one index path pinned at two versions) is leasable (r13 shared-id defect)") {
+    TrainExport.registerRecipe("spec_multi_pin") { (s, in, p) =>
+      in.table("docs").select("doc_id")
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_texmp").toString
+    Compaction.writeGen(docs(0L to 9L), s"$root/docs")
+    Dedup.writeShingleIndex(docs(0L to 9L), "doc_id", "text", n = 3,
+      s"$root/ix", nBuckets = NB)
+    Dedup.rebuildShingleIndex(spark, s"$root/ix") // v1 convert, v2
+    Dedup.appendToShingleIndex(spark, s"$root/ix", docs(10L to 12L),
+      "doc_id", "text", n = 3, ingestTag = "b0", nBuckets = NB) // v3
+    val m = TrainExport.commit(spark, s"$root/export", "spec_multi_pin",
+      params = Map.empty, tables = Map("docs" -> s"$root/docs"),
+      indexes = Map("text_a" -> s"$root/ix", "text_b" -> s"$root/ix"),
+      indexVersions = Map("text_a" -> 2L, "text_b" -> 3L))
+    assert(m.indexes("text_a").version == 2L &&
+      m.indexes("text_b").version == 3L)
+    // under the r13 shared lease id the SECOND index acquire threw
+    // "already pins v2, not v3" — a drain export could not be leased
+    TrainExport.lease(spark, s"$root/export")
+    TrainExport.lease(spark, s"$root/export") // still idempotent
+    val rep = TrainExport.leaseReport(spark, s"$root/export")
+      .filter(col("kind") === "index").collect()
+    assert(rep.length == 2 && rep.forall(_.getBoolean(4)),
+      s"both version pins must show held: ${rep.mkString(",")}")
+    // both leased versions survive the cycle that scrubs unleased pins
+    Dedup.rebuildShingleIndex(spark, s"$root/ix")
+    Dedup.rebuildShingleIndex(spark, s"$root/ix", orphanGraceMs = 0L)
+    IndexLifecycle.manifestAt(spark, s"$root/ix", 2L)
+    IndexLifecycle.manifestAt(spark, s"$root/ix", 3L)
+    TrainExport.releaseLeases(spark, s"$root/export")
+    assert(IndexLifecycle.listLeases(spark, s"$root/ix").isEmpty)
   }
 
   test("TrainExport.describe renders the committed manifest as a frame") {
