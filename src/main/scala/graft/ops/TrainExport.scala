@@ -575,19 +575,23 @@ object TrainExport {
   def leaseReport(spark: SparkSession, exportDir: String): DataFrame = {
     val m = manifest(spark, exportDir)
     def row(name: String, kind: String, path: String, pin: Long,
-            ownId: String, leases: Seq[Compaction.Lease]) = {
+            ownIds: Set[String], leases: Seq[Compaction.Lease]) = {
       val onPin = leases.filter(l => l.gen.contains(pin) && !l.expired)
-      val mine = onPin.find(_.leaseId == ownId)
+      val mine = onPin.find(l => ownIds(l.leaseId))
       (name, kind, path, pin, mine.nonEmpty, onPin.length.toLong,
         mine.flatMap(_.ageMs))
     }
     val rows =
       m.tables.toSeq.sortBy(_._1).map { case (n, p) =>
-        row(n, "table", p.path, p.gen, leaseId(exportDir),
+        row(n, "table", p.path, p.gen, Set(leaseId(exportDir)),
           Compaction.listLeases(spark, p.path))
       } ++
       m.indexes.toSeq.sortBy(_._1).map { case (n, p) =>
-        row(n, "index", p.path, p.version, indexLeaseId(exportDir, n),
+        // the legacy shared id counts as held too: a pre-r14 lease on
+        // the pinned version IS this export's hold (r14 ADVICE — a
+        // held pin must never report this_export_leased=false)
+        row(n, "index", p.path, p.version,
+          Set(indexLeaseId(exportDir, n), leaseId(exportDir)),
           IndexLifecycle.listLeases(spark, p.path))
       }
     import spark.implicits._
@@ -595,7 +599,14 @@ object TrainExport {
       "live_holders", "own_lease_age_ms")
   }
 
-  /** Release every lease [[lease]] acquired for this export. */
+  /** Release every lease [[lease]] acquired for this export. Also
+    * deletes the LEGACY shared-id index marker (pre-r14 scheme, where
+    * index pins leased under the export id itself): an export leased
+    * before the per-input scheme landed would otherwise keep that
+    * marker pinning its index version forever with no error (r14
+    * ADVICE). Deleting an absent marker is a no-op, so current-scheme
+    * exports pay one extra metadata delete per index.
+    */
   def releaseLeases(spark: SparkSession, exportDir: String): Unit = {
     val m = manifest(spark, exportDir)
     val id = leaseId(exportDir)
@@ -605,6 +616,7 @@ object TrainExport {
     m.indexes.toSeq.sortBy(_._1).foreach { case (name, pin) =>
       IndexLifecycle.releaseLease(spark, pin.path,
         indexLeaseId(exportDir, name))
+      IndexLifecycle.releaseLease(spark, pin.path, id) // legacy shared id
     }
   }
 

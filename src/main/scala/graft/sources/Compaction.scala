@@ -134,6 +134,7 @@ object Compaction {
   private val ManifestPrefix = "_graft_gen."
   private[sources] val ClaimPrefix = "_graft_claim."
   private[sources] val LeasePrefix = "_graft_lease."
+  private[sources] val IntentPrefix = "_graft_intent."
 
   /** Default lease on an unpublished-but-claimed generation dir before
     * other writers may prune it as a crashed orphan (see [[claimNext]]).
@@ -262,62 +263,65 @@ object Compaction {
         leaseId != "..",
       s"leaseId must be [A-Za-z0-9_.-]: '$leaseId'")
 
-  /** RESIDUAL RACE (documented, not fully closable without a lock
-    * service): the post-CAS re-verify below and [[pruneDataDirs]]'s
-    * pre-delete second look close the two WIDE windows — a prune that
-    * finished listing leases before this CAS, and a CAS that landed
-    * after a prune's listing. What remains is the narrow interleaving
-    * (pruner's second look → this CAS → this re-verify → pruner's
-    * delete) where a lease can end up pinning a pruned generation;
-    * the later pinned read/replay then fails LOUDLY with the
-    * retention message — never silently serves wrong data. Deployments
-    * that need the window gone acquire leases within `readerGraceMs`
-    * of the pin (the wall-time floor keeps the dir alive through the
-    * acquire) — the same knob that protects long scans.
+  /** RACE CLOSURE (r15): the pruners delete through
+    * [[deleteUnlessLeased]]'s announce → re-list → delete protocol,
+    * and this acquire re-verifies AFTER its CAS that the generation is
+    * still readable AND no live delete-intent names it — together the
+    * two sides make "a lease silently pins a pruned generation"
+    * impossible (the proof lives on [[deleteUnlessLeased]]). An
+    * acquire racing an in-flight delete fails LOUDLY here and releases
+    * its marker; re-derive the pin from current state and retry.
     *
-    * Re-acquiring the SAME (leaseId, gen) REFRESHES the lease's age
-    * (the keep-alive for deployments running the optional
-    * [[LeaseMaxAgeKey]] expiry): the marker is re-created so its
-    * createdAt moves to now. The delete+create pair is not atomic — a
-    * concurrent acquirer stealing the id for a DIFFERENT generation
-    * in between fails this call loudly on the held-generation check.
+    * Re-acquiring the SAME (leaseId, gen) is a PURE NO-OP when no
+    * [[LeaseMaxAgeKey]] expiry is configured (createdAt is then
+    * meaningless, and re-creating the marker would open a momentary
+    * no-lease window a concurrent prune could slip through — the r14
+    * ADVICE finding). Under an expiry policy the re-acquire REFRESHES
+    * the marker's age (the keep-alive), through
+    * [[refreshLeaseMarker]]'s cleanup-race-safe retry loop.
     */
   def acquireLease(spark: SparkSession, path: String, gen: Long,
                    leaseId: String): Unit = {
     requireLeaseId(leaseId)
     val main = new Path(path)
-    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = main.getFileSystem(conf)
     require(fs.exists(new Path(main, ManifestPrefix + genName(gen))) &&
         fs.exists(new Path(main, genName(gen))),
       s"cannot lease generation $gen at $path — not readable " +
         s"(readable: ${generations(spark, path).mkString(",")})")
     val mc = new FsManifestCommit(fs, main)
     val name = LeasePrefix + leaseId
-    if (!mc.createExclusive(name, genName(gen).getBytes("UTF-8"))) {
+    // `placed` = this call created (or re-created) the marker, so its
+    // CAS may have landed after an announced pruner's lease re-list —
+    // only then does the intent re-verify below apply. A pure no-op
+    // re-acquire (marker pre-existed, no refresh) is covered by
+    // continuity: the marker was placed by an earlier CHECKED acquire,
+    // and every pruner announcing since re-lists after it exists.
+    var placed = mc.createExclusive(name, genName(gen).getBytes("UTF-8"))
+    if (!placed) {
       val held = mc.read(name).map(new String(_, "UTF-8"))
       require(held.contains(genName(gen)),
         s"lease '$leaseId' at $path already pins generation " +
           s"${held.getOrElse("?")}, not ${genName(gen)} — release it " +
           "first or use a distinct leaseId per export")
-      // same (id, gen): refresh the marker's age (keep-alive under
-      // maxAge expiry); a concurrent steal of the id between the
-      // delete and the create is caught by the recheck below
-      mc.delete(name)
-      if (!mc.createExclusive(name, genName(gen).getBytes("UTF-8"))) {
-        val now = mc.read(name).map(new String(_, "UTF-8"))
-        require(now.contains(genName(gen)),
-          s"lease '$leaseId' at $path was re-acquired for generation " +
-            s"${now.getOrElse("?")} while refreshing — use a distinct " +
-            "leaseId per holder")
+      // refresh ONLY under an expiry policy — see the scaladoc
+      if (leaseMaxAgeMs(conf) > 0L) {
+        refreshLeaseMarker(mc, name, genName(gen),
+          s"lease '$leaseId' at $path")
+        placed = true
       }
     }
     // the lease only protects from NOW on — re-verify nothing pruned
-    // the generation between the readability check and the lease CAS
+    // (or is announcing it will prune: a live intent means a pruner's
+    // lease re-list may predate this CAS and its delete can still land)
     if (!fs.exists(new Path(main, ManifestPrefix + genName(gen))) ||
-        !fs.exists(new Path(main, genName(gen)))) {
+        !fs.exists(new Path(main, genName(gen))) ||
+        (placed && liveIntent(mc, genName(gen)))) {
       mc.delete(name)
-      sys.error(s"generation $gen at $path was pruned while acquiring " +
-        "the lease — re-derive the pin from current state")
+      sys.error(s"generation $gen at $path was pruned (or is being " +
+        "pruned) while acquiring the lease — re-derive the pin from " +
+        "current state")
     }
   }
 
@@ -399,6 +403,98 @@ object Compaction {
       .map(new String(_, "UTF-8"))
       .flatMap(genNumber)
       .toSet
+  }
+
+  /** True when a LIVE delete-intent (younger than
+    * [[DefaultOrphanGraceMs]]) names `target` — the pruner's announce
+    * phase of [[deleteUnlessLeased]]. A stale intent past the grace is
+    * a crashed pruner's leftover and pins nothing (same orphan
+    * discipline as writer claims).
+    */
+  private[sources] def liveIntent(mc: ManifestCommit, target: String): Boolean = {
+    val now = System.currentTimeMillis()
+    mc.list(IntentPrefix + target + ".").exists(n =>
+      mc.createdAt(n).forall(t => now - t < DefaultOrphanGraceMs))
+  }
+
+  /** Delete crashed pruners' intent leftovers (older than `graceMs`). */
+  private[sources] def cleanStaleIntents(mc: ManifestCommit,
+                                         graceMs: Long): Unit = {
+    val now = System.currentTimeMillis()
+    mc.list(IntentPrefix).foreach { n =>
+      if (mc.createdAt(n).exists(t => now - t >= graceMs)) mc.delete(n)
+    }
+  }
+
+  /** Two-phase lease-checked delete — CLOSES the lease-vs-prune race
+    * the r14 "second look" only narrowed, without a lock service:
+    *  1. ANNOUNCE: create a unique `_graft_intent.<target>.<token>`
+    *     marker in the same commit store as the leases;
+    *  2. RE-LIST: re-read the lease set AFTER the intent is visible —
+    *     held means a lease CAS landed since the caller's snapshot:
+    *     abort, keep the target;
+    *  3. DELETE the targets, then remove the intent.
+    * The acquire side re-verifies AFTER its lease CAS that no live
+    * intent names its generation. Interleaving proof: a pruner deletes
+    * only when its re-list (step 2) saw no lease, i.e. the lease CAS
+    * landed after the re-list — but the intent (created before the
+    * re-list) is then still visible at the acquirer's post-CAS
+    * re-verify, which fails the acquire LOUDLY and releases the lease;
+    * conversely an acquire that succeeded proves every announced
+    * pruner's re-list saw the lease and aborted. The one liveness
+    * assumption: a pruner finishes (or is declared crashed) within
+    * [[DefaultOrphanGraceMs]] — stale intents past that grace are
+    * ignored by acquirers and cleaned by the next cycle.
+    *
+    * `afterRelist` is a test seam (deterministic-interleaving specs
+    * inject the racing lease CAS between the re-list and the delete);
+    * production callers leave the no-op default.
+    */
+  private[graft] def deleteUnlessLeased(fs: org.apache.hadoop.fs.FileSystem,
+                                        main: Path, gen: Long,
+                                        targets: Seq[Path],
+                                        leaseMaxAge: Long,
+                                        afterRelist: () => Unit = () => ()): Boolean = {
+    val mc = new FsManifestCommit(fs, main)
+    val name = IntentPrefix + genName(gen) + "." +
+      java.util.UUID.randomUUID().toString.take(8)
+    if (!mc.createExclusive(name, genName(gen).getBytes("UTF-8")))
+      return false // token collision — skip; the next cycle retries
+    try {
+      val pinned = leasedGens(fs, main, leaseMaxAge)(gen)
+      afterRelist()
+      if (pinned) false
+      else { targets.foreach(p => fs.delete(p, true)); true }
+    } finally mc.delete(name)
+  }
+
+  /** Refresh an already-held same-(id, payload) lease marker's age —
+    * the keep-alive under [[LeaseMaxAgeKey]] expiry. The delete+create
+    * pair is not atomic: a concurrent expired-marker cleanup that read
+    * the OLD createdAt can delete the just-recreated marker (the r14
+    * ADVICE TOCTOU) — so the refresh re-reads after every create and
+    * retries when cleanup raced it, failing loudly (never silently
+    * lease-less) when the marker keeps vanishing or another holder
+    * steals the id for a different pin.
+    */
+  private[sources] def refreshLeaseMarker(mc: ManifestCommit, name: String,
+                                          payload: String, what: String): Unit = {
+    var attempts = 0
+    while (attempts < 4) {
+      attempts += 1
+      mc.delete(name)
+      val created = mc.createExclusive(name, payload.getBytes("UTF-8"))
+      val now = mc.read(name).map(new String(_, "UTF-8"))
+      if (now.contains(payload)) return // landed (ours or an equal holder's)
+      require(now.isEmpty,
+        s"$what was re-acquired for ${now.getOrElse("?")} while " +
+          "refreshing — use a distinct leaseId per holder")
+      // absent: an expired-marker cleanup deleted it (created or not) —
+      // retry the create with a fresh timestamp
+      val _ = created
+    }
+    sys.error(s"$what: lease refresh kept losing to the expired-marker " +
+      "cleanup after 4 attempts — raise the expiry or re-acquire")
   }
 
   /** Operator console for a generational table — generations, writer
@@ -495,27 +591,30 @@ object Compaction {
     val retiredLongAgo = agedPast(fs,
       new Path(main, ManifestPrefix + genName(graceFloor)), readerGraceMs)
     val leased = leasedGens(fs, main, leaseMaxAge) // retention holds; RTBF ignores
+    val mc = new FsManifestCommit(fs, main)
     // clean EXPIRED lease markers (maxAge enabled only): leasedGens
     // already ignores them, but the dead marker would otherwise block
     // its leaseId forever and clutter listLeases
     if (leaseMaxAge > 0) {
-      val mc = new FsManifestCommit(fs, main)
       val now = System.currentTimeMillis()
       mc.list(LeasePrefix).foreach { n =>
         if (mc.createdAt(n).exists(t => now - t >= leaseMaxAge)) mc.delete(n)
       }
     }
-    // SECOND LOOK (r13 ADVICE): a lease CAS that landed after the
-    // listing above must still pin — re-list immediately before any
-    // aged dir actually deletes. Lazy: costs nothing when no dir is
-    // up for deletion. The residual narrow window is documented on
-    // [[acquireLease]].
-    lazy val leasedNow = leasedGens(fs, main, leaseMaxAge)
+    // crashed pruners' delete-intent leftovers age out on the same
+    // orphan grace as writer claims
+    cleanStaleIntents(mc, orphanGraceMs)
     fs.listStatus(main).toSeq.filter(_.isDirectory).foreach { s =>
       genNumber(s.getPath.getName).foreach { nn =>
         if (nn < graceFloor) {
-          if (retiredLongAgo && !leased(nn) && !leasedNow(nn))
-            fs.delete(s.getPath, true) }
+          // the `leased` snapshot is the cheap first look; the actual
+          // delete runs the announce → re-list → delete protocol that
+          // closes the race against a concurrent acquire (see
+          // [[deleteUnlessLeased]] — this replaces the r14 lazy
+          // "second look", whose one-snapshot-per-pass reuse the r14
+          // ADVICE flagged)
+          if (retiredLongAgo && !leased(nn))
+            deleteUnlessLeased(fs, main, nn, Seq(s.getPath), leaseMaxAge) }
         else if (nn > curN) {
           val live = liveClaim(fs,
             new Path(main, ClaimPrefix + genName(nn)), orphanGraceMs)
@@ -692,7 +791,10 @@ object Compaction {
       if (name.startsWith(ManifestPrefix))
         genNumber(name.stripPrefix(ManifestPrefix)) match {
           case Some(m) if m < graceFloor && retiredLongAgo && !leased(m) =>
-            fs.delete(p, false)
+            // markers and dirs expire together — and both delete
+            // through the announce→re-list→delete protocol, so a lease
+            // CAS racing this publish keeps marker AND dir
+            deleteUnlessLeased(fs, main, m, Seq(p), leaseMaxAgeMs(conf))
           case _ => ()
         }
       else if (name.startsWith(ClaimPrefix))

@@ -206,32 +206,38 @@ object IndexLifecycle {
     val mc = commitOf(spark, main)
     manifestAt(spark, path, v) // throws when v is not pinnable
     val name = LeaseMarker + leaseId
-    if (!mc.createExclusive(name,
-        Compaction.genName(v).getBytes("UTF-8"))) {
+    // `placed` gating + refresh-only-under-expiry: the same contract as
+    // [[Compaction.acquireLease]] (which owns the full scaladoc) — a
+    // no-expiry re-acquire is a pure no-op, an expiry keep-alive goes
+    // through the cleanup-race-safe refresh loop, and only an acquire
+    // that PLACED the marker re-verifies against delete intents.
+    var placed = mc.createExclusive(name,
+      Compaction.genName(v).getBytes("UTF-8"))
+    if (!placed) {
       val held = mc.read(name).map(new String(_, "UTF-8"))
       require(held.contains(Compaction.genName(v)),
         s"index lease '$leaseId' at $path already pins version " +
           s"${held.getOrElse("?")}, not v$v — release it first or use " +
           "a distinct leaseId per export")
-      // same (id, v): refresh the marker's age — the keep-alive under
-      // [[Compaction.LeaseMaxAgeKey]] expiry ([[Compaction.acquireLease]]
-      // documents the non-atomic delete+create and its loud failure)
-      mc.delete(name)
-      if (!mc.createExclusive(name,
-          Compaction.genName(v).getBytes("UTF-8"))) {
-        val now = mc.read(name).map(new String(_, "UTF-8"))
-        require(now.contains(Compaction.genName(v)),
-          s"index lease '$leaseId' at $path was re-acquired for " +
-            s"version ${now.getOrElse("?")} while refreshing — use a " +
-            "distinct leaseId per holder")
+      if (Compaction.leaseMaxAgeMs(
+          spark.sparkContext.hadoopConfiguration) > 0L) {
+        Compaction.refreshLeaseMarker(mc, name, Compaction.genName(v),
+          s"index lease '$leaseId' at $path")
+        placed = true
       }
     }
-    // re-verify after the lease lands: a concurrent rebuild's prune may
-    // have been past the lease listing already (the residual narrow
-    // window and its loud failure mode are documented on
-    // [[Compaction.acquireLease]])
-    try manifestAt(spark, path, v)
-    catch { case e: Throwable => mc.delete(name); throw e }
+    // re-verify after the lease lands: still pinnable, and no pruner
+    // mid-delete on the version's marker or its data dir (the announce
+    // → re-list → delete protocol; proof on
+    // [[Compaction.deleteUnlessLeased]])
+    try {
+      val m = manifestAt(spark, path, v)
+      if (placed && (
+          Compaction.liveIntent(mc, s"marker.${Compaction.genName(v)}") ||
+          Compaction.liveIntent(mc, s"dir.${m.dir}")))
+        sys.error(s"index version $v at $path is being pruned while " +
+          "acquiring the lease — re-derive the pin from current state")
+    } catch { case e: Throwable => mc.delete(name); throw e }
   }
 
   /** Enumerate every retention lease on the index at `path` —
@@ -289,6 +295,31 @@ object IndexLifecycle {
         if (mc.createdAt(n).exists(t => now - t >= maxAgeMs)) mc.delete(n)
       }
     }
+
+  /** The index-plane twin of [[Compaction.deleteUnlessLeased]]:
+    * announce a unique `_graft_intent.<target>.<token>` in the SAME
+    * commit store as the leases, re-evaluate `pinned` AFTER the intent
+    * is visible, delete only when unpinned, remove the intent. Targets
+    * are namespaced (`marker.g<v>` / `dir.<name>`) because version
+    * markers and claim-numbered data dirs occupy different number
+    * spaces; [[acquireLease]] re-verifies both namespaces. Proof and
+    * the orphan-grace liveness assumption live on the Compaction twin.
+    * `afterRelist` is the deterministic-interleaving test seam.
+    */
+  private[graft] def deleteUnlessPinned(mc: ManifestCommit, target: String,
+                                        pinned: () => Boolean,
+                                        doDelete: () => Unit,
+                                        afterRelist: () => Unit = () => ()): Boolean = {
+    val name = Compaction.IntentPrefix + target + "." +
+      java.util.UUID.randomUUID().toString.take(8)
+    if (!mc.createExclusive(name, target.getBytes("UTF-8")))
+      return false // token collision — skip; the next cycle retries
+    try {
+      val p = pinned()
+      afterRelist()
+      if (p) false else { doDelete(); true }
+    } finally mc.delete(name)
+  }
 
   private def markerNums(mc: ManifestCommit): Seq[Long] =
     mc.list(Marker).flatMap(n => Compaction.genNumber(n.stripPrefix(Marker)))
@@ -1084,8 +1115,12 @@ object IndexLifecycle {
     val maxAge = Compaction.leaseMaxAgeMs(
       spark.sparkContext.hadoopConfiguration)
     cleanExpiredLeases(mc, maxAge)
+    Compaction.cleanStaleIntents(mc, orphanGraceMs)
     val leased = leasedVersions(mc, maxAge)
-    nums.drop(MarkerKeep).filterNot(leased).foreach(v => mc.delete(markerName(v)))
+    nums.drop(MarkerKeep).filterNot(leased).foreach { v =>
+      deleteUnlessPinned(mc, s"marker.${Compaction.genName(v)}",
+        () => leasedVersions(mc, maxAge)(v), () => mc.delete(markerName(v)))
+    }
     val manifests = nums.take(MarkerKeep).flatMap(v => readMarker(mc, v))
     manifests.map(_.dir).distinct.take(2).foreach { d =>
       val dp = new Path(main, d)
@@ -1121,8 +1156,12 @@ object IndexLifecycle {
     val maxAge = Compaction.leaseMaxAgeMs(
       spark.sparkContext.hadoopConfiguration)
     cleanExpiredLeases(mc, maxAge)
+    Compaction.cleanStaleIntents(mc, orphanGraceMs)
     val leased = leasedVersions(mc, maxAge)
-    nums.drop(MarkerKeep).filterNot(leased).foreach(v => mc.delete(markerName(v)))
+    nums.drop(MarkerKeep).filterNot(leased).foreach { v =>
+      deleteUnlessPinned(mc, s"marker.${Compaction.genName(v)}",
+        () => leasedVersions(mc, maxAge)(v), () => mc.delete(markerName(v)))
+    }
     val kept = nums.take(MarkerKeep)
     val manifests = kept.flatMap(v => readMarker(mc, v))
     val keepDirs = manifests.map(_.dir).distinct.take(2)
@@ -1140,21 +1179,26 @@ object IndexLifecycle {
           .forall(t => System.currentTimeMillis() - t >= readerGraceMs)
       }
     val keepSet = keepDirs.toSet ++ leasedDirs
-    // SECOND LOOK (r13 ADVICE, the Compaction.pruneDataDirs twin):
-    // re-list leases immediately before any dir actually deletes, so
-    // a lease CAS that landed after the listing above still pins.
-    // Lazy — costs nothing when nothing is up for deletion.
-    lazy val leasedDirsNow = {
+    // a dir up for deletion runs the announce → re-list → delete
+    // protocol ([[deleteUnlessPinned]]): the lease set is re-derived
+    // per delete AFTER the intent is visible, so a lease CAS landing
+    // at any point either pins (seen by the re-list) or fails its own
+    // re-verify on the intent — this replaces the r14 lazy "second
+    // look", whose once-per-pass snapshot the r14 ADVICE flagged
+    def leasedDirsNow(): Set[String] = {
       val live = leasedVersions(mc, maxAge)
-      nums.filter(live).flatMap(v => readMarker(mc, v)).map(_.dir).toSet
+      markerNums(mc).filter(live).flatMap(v => readMarker(mc, v))
+        .map(_.dir).toSet
     }
     fs.listStatus(main).toSeq.filter(_.isDirectory).foreach { s =>
       val nm = s.getPath.getName
       if (Compaction.genNumber(nm).isDefined && !keepSet.contains(nm)) {
         val claim = new Path(main, Compaction.ClaimPrefix + nm)
         val live = Compaction.liveClaim(fs, claim, orphanGraceMs)
-        if (!live && retiredLongAgo && !leasedDirsNow.contains(nm))
-          fs.delete(s.getPath, true)
+        if (!live && retiredLongAgo)
+          deleteUnlessPinned(mc, s"dir.$nm",
+            () => leasedDirsNow().contains(nm),
+            () => fs.delete(s.getPath, true))
       }
     }
     // crashed appenders' temp dirs inside retained data dirs

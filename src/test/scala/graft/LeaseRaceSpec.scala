@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, TrainExport}
+import graft.sources.{Compaction, IndexLifecycle, ManifestCommit}
+
+/** The r15 lease-vs-prune race CLOSURE (r14 verdict #3 + all four r14
+  * ADVICE lease findings), pinned by deterministic interleavings of
+  * the announce → re-list → delete protocol
+  * ([[Compaction.deleteUnlessLeased]] / the IndexLifecycle twin):
+  *
+  *  - the exact r14 residual window (pruner lists leases → lease CAS →
+  *    acquirer re-verify → pruner deletes) now FAILS THE ACQUIRE
+  *    LOUDLY (the live delete-intent is visible at re-verify) instead
+  *    of leaving a lease silently pinning a pruned generation — on r14
+  *    code the acquire in that window succeeded and the dir vanished;
+  *  - the opposite order (lease CAS before the pruner's post-intent
+  *    re-list) aborts the delete;
+  *  - a no-expiry same-(id, gen) re-acquire is a PURE NO-OP — the r14
+  *    delete+create refresh opened a momentary no-lease window on
+  *    every keep-alive even with expiry disabled (ADVICE, medium);
+  *  - under an expiry policy the re-acquire still refreshes;
+  *  - releaseLeases also clears a LEGACY shared-id index lease
+  *    (pre-r14 scheme) and leaseReport counts it as held (ADVICE).
+  */
+class LeaseRaceSpec extends AnyFunSuite {
+  import GraftSpark.spark
+  import spark.implicits._
+
+  private def docs(ids: Seq[Long]) =
+    ids.toDF("doc_id").withColumn("text",
+      concat_ws(" ",
+        concat(lit("a"), pmod(col("doc_id"), lit(5))),
+        concat(lit("b"), pmod(col("doc_id"), lit(3))),
+        concat(lit("c"), col("doc_id")),
+        concat(lit("d"), col("doc_id") + 1)))
+
+  private def fsOf(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** A generational table whose g1 dir AND marker still exist but sit
+    * below the grace floor unleased — exactly the state a prune cycle
+    * is about to collect (a transient lease keeps them through the
+    * g3 publish, then releases).
+    */
+  private def agedG1Table(root: String): String = {
+    val t = s"$root/tbl"
+    Compaction.writeGen(docs(0L to 4L), t) // g1
+    Compaction.writeGen(docs(0L to 5L), t) // g2
+    Compaction.acquireLease(spark, t, 1L, "scaffold")
+    Compaction.writeGen(docs(0L to 6L), t) // g3: g1 survives leased
+    Compaction.releaseLease(spark, t, "scaffold")
+    assert(Compaction.generations(spark, t) == Seq(1L, 2L, 3L))
+    t
+  }
+
+  test("interleaving CLOSED: pruner re-lists before the lease CAS -> the acquire fails loudly on the live intent, never a silent pinned-pruned lease") {
+    val root = java.nio.file.Files.createTempDirectory("graft_lrace1").toString
+    val t = agedG1Table(root)
+    val main = new Path(t)
+    val fs = fsOf(t)
+    var acquireFailed = false
+    // drive the pruner's protocol by hand; the hook runs BETWEEN its
+    // lease re-list (which saw nothing) and its delete — the r14
+    // residual window, where the old code's acquire succeeded and the
+    // delete then landed anyway
+    val deleted = Compaction.deleteUnlessLeased(fs, main, 1L,
+      Seq(new Path(main, "g000000001"), new Path(main, "_graft_gen.g000000001")),
+      leaseMaxAge = 0L,
+      afterRelist = () => {
+        val e = intercept[RuntimeException](
+          Compaction.acquireLease(spark, t, 1L, "racer"))
+        assert(e.getMessage.contains("being pruned") ||
+          e.getMessage.contains("pruned"), e.getMessage)
+        acquireFailed = true
+        // the failed acquire released its marker — nothing pins
+        assert(Compaction.listLeases(spark, t).isEmpty,
+          "a failed acquire must not leave a lease marker behind")
+      })
+    assert(acquireFailed)
+    assert(deleted, "unleased aged generation must delete")
+    assert(Compaction.generations(spark, t) == Seq(2L, 3L))
+    // the intent was removed with the delete
+    assert(!fs.listStatus(main).exists(
+      _.getPath.getName.startsWith("_graft_intent.")))
+    // post-protocol: a fresh acquire on a LIVE generation works
+    Compaction.acquireLease(spark, t, 2L, "racer")
+    Compaction.releaseLease(spark, t, "racer")
+  }
+
+  test("interleaving CLOSED: lease CAS before the pruner's post-intent re-list -> the delete aborts and the pinned read survives") {
+    val root = java.nio.file.Files.createTempDirectory("graft_lrace2").toString
+    val t = agedG1Table(root)
+    val main = new Path(t)
+    val fs = fsOf(t)
+    Compaction.acquireLease(spark, t, 1L, "holder")
+    val deleted = Compaction.deleteUnlessLeased(fs, main, 1L,
+      Seq(new Path(main, "g000000001"), new Path(main, "_graft_gen.g000000001")),
+      leaseMaxAge = 0L)
+    assert(!deleted, "a leased generation must survive the protocol")
+    assert(Compaction.readTableAt(spark, t, 1L).count() == 5L)
+    // and a full prune cycle (writeGen) keeps honoring the lease
+    Compaction.writeGen(docs(0L to 7L), t) // g4
+    assert(Compaction.generations(spark, t).contains(1L))
+    Compaction.releaseLease(spark, t, "holder")
+  }
+
+  test("no-expiry re-acquire is a PURE no-op (marker untouched); expiry keep-alive still refreshes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_lrace3").toString
+    val t = s"$root/tbl"
+    Compaction.writeGen(docs(0L to 4L), t)
+    Compaction.acquireLease(spark, t, 1L, "keeper")
+    val fs = fsOf(t)
+    val marker = new Path(t, "_graft_lease.keeper")
+    // age the marker artificially so any recreate is detectable
+    val old = System.currentTimeMillis() - 600000L
+    fs.setTimes(marker, old, old)
+    // expiry DISABLED (the default): re-acquire must not delete+create
+    // — the r14 behavior opened a no-lease window on every keep-alive
+    Compaction.acquireLease(spark, t, 1L, "keeper")
+    assert(fs.getFileStatus(marker).getModificationTime == old,
+      "no-expiry re-acquire must leave the marker bytes untouched")
+    // expiry ENABLED: the same call refreshes the age (keep-alive)
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.setLong(Compaction.LeaseMaxAgeKey, 3600000L)
+    try {
+      Compaction.acquireLease(spark, t, 1L, "keeper")
+      assert(fs.getFileStatus(marker).getModificationTime > old,
+        "expiry keep-alive must refresh the marker age")
+    } finally conf.unset(Compaction.LeaseMaxAgeKey)
+    Compaction.releaseLease(spark, t, "keeper")
+  }
+
+  test("index plane: the intent protocol guards version markers and data dirs; acquire racing an announced delete fails loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_lrace4").toString
+    val idx = s"$root/ix"
+    Dedup.writeShingleIndex(docs(0L to 19L), "doc_id", "text", n = 3, idx,
+      nBuckets = 4)
+    Dedup.rebuildShingleIndex(spark, idx) // convert: v1
+    val v = IndexLifecycle.versions(spark, idx).max
+    val m = IndexLifecycle.manifestAt(spark, idx, v)
+    val mc = ManifestCommit.forIndex(fsOf(idx), new Path(idx))
+    // pruner announces the dir delete, re-lists (no lease), and the
+    // racing acquire lands in the window — must fail loudly, leave no
+    // marker; the pruner's delete is a no-op stand-in (the dir is
+    // current here; real prunes only target retired dirs)
+    var acquireFailed = false
+    IndexLifecycle.deleteUnlessPinned(mc, s"dir.${m.dir}",
+      pinned = () => false,
+      doDelete = () => (),
+      afterRelist = () => {
+        val e = intercept[RuntimeException](
+          IndexLifecycle.acquireLease(spark, idx, v, "racer"))
+        assert(e.getMessage.contains("being pruned"), e.getMessage)
+        acquireFailed = true
+        assert(IndexLifecycle.listLeases(spark, idx).isEmpty)
+      })
+    assert(acquireFailed)
+    // same for the version-marker namespace
+    IndexLifecycle.deleteUnlessPinned(mc,
+      f"marker.g$v%09d",
+      pinned = () => false,
+      doDelete = () => (),
+      afterRelist = () => {
+        val e = intercept[RuntimeException](
+          IndexLifecycle.acquireLease(spark, idx, v, "racer2"))
+        assert(e.getMessage.contains("being pruned"), e.getMessage)
+        assert(IndexLifecycle.listLeases(spark, idx).isEmpty)
+      })
+    // intents removed; a clean acquire now succeeds, and a lease held
+    // FIRST makes the protocol abort the delete
+    IndexLifecycle.acquireLease(spark, idx, v, "holder")
+    val deleted = IndexLifecycle.deleteUnlessPinned(mc, s"dir.${m.dir}",
+      pinned = () => true, // the re-list sees the lease
+      doDelete = () => fail("delete must not run against a pinned dir"))
+    assert(!deleted)
+    IndexLifecycle.releaseLease(spark, idx, "holder")
+  }
+
+  test("releaseLeases clears a LEGACY shared-id index lease and leaseReport counts it as held (r14 ADVICE back-compat)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_lrace5").toString
+    Compaction.writeGen(docs(20L to 29L), s"$root/docs")
+    Dedup.writeShingleIndex(docs(0L to 14L), "doc_id", "text", n = 3,
+      s"$root/text", nBuckets = 4)
+    Dedup.rebuildShingleIndex(spark, s"$root/text")
+    TrainExport.registerRecipe("spec_legacy_lease_v1") { (s, in, _) =>
+      val t = in.index("text")
+      val b = in.table("docs")
+      Dedup.jaccardAgainstIndexAt(s, t.path, t.version, b,
+          "doc_id", "text", n = 3, threshold = 0.8, nBuckets = 4)
+        .select(col("i"), col("j"))
+    }
+    val ex = s"$root/export"
+    TrainExport.commit(spark, ex, "spec_legacy_lease_v1",
+      params = Map.empty, tables = Map("docs" -> s"$root/docs"),
+      indexes = Map("text" -> s"$root/text"))
+    val pin = TrainExport.manifest(spark, ex).indexes("text")
+    // simulate a pre-r14 deployment: the index pin leased under the
+    // SHARED export id (what TrainExport.lease used to do)
+    IndexLifecycle.acquireLease(spark, pin.path, pin.version,
+      TrainExport.leaseId(ex))
+    val rep = TrainExport.leaseReport(spark, ex)
+      .filter(col("kind") === "index").head()
+    assert(rep.getAs[Boolean]("this_export_leased"),
+      "a legacy shared-id hold IS this export's lease")
+    // release must clear the legacy marker too — on r14 code it stayed
+    // behind, pinning the version forever with no error
+    TrainExport.releaseLeases(spark, ex)
+    assert(IndexLifecycle.listLeases(spark, pin.path).isEmpty,
+      "legacy shared-id lease must be released")
+  }
+}
