@@ -605,6 +605,28 @@ object LlmPipelineQueries {
       },
       Some(streamingCurateOracleSql)),
 
+    // STREAMING CURATION + PII SCRUB (r14 verdict #1) — the flagship
+    // loop with Redact.StandardRules composed in BEFORE the repetition
+    // gate: every third batch doc carries a planted distinct email
+    // span, and the gate ratios, dedup shingles, index appends, and
+    // DSIR features are all computed on the SCRUBBED text (the corpus
+    // index/model stay clean-offline). The oracle replays plant +
+    // scrub (the exact RE2 regex chain) + gate + hot-list-governed
+    // cross-batch dedup + bucket-model scoring in one WITH stack —
+    // batch token CTEs over the scrubbed text, corpus CTEs over the
+    // clean text. The scrub's cross-batch dedup materiality (two form
+    // letters differing only in their PII span dedup ONLY after the
+    // scrub canonicalizes it) is pinned by CdcStreamSpec.
+    GQuery("streaming_curate_redacted",
+      (s, d) => {
+        val out = streamingCurateRedactedFor(s, d)
+        s.read.parquet(out)
+          .select(col("batch").cast("int").as("batch"),
+            col("doc").as("doc_id"), col("n_feats"), col("logw"))
+          .orderBy(col("batch"), col("doc_id"))
+      },
+      Some(streamingCurateRedactedOracleSql)),
+
     // The streaming run's DRAIN EXPORT, replayed (VERDICT r12 #5): the
     // streaming_curate loop run with the chain intact, then
     // TrainExport.commitStreamDrain at drain time — a generational

@@ -82,10 +82,25 @@ object Redact {
     df.withColumn(textCol, scrubbed)
   }
 
-  /** [[apply]] plus a `pii_hits` BIGINT column (total matches across
-    * all rules in the ORIGINAL text) — the routing signal: a
+  /** [[apply]] plus a `pii_hits` BIGINT column — the routing signal: a
     * quarantine-heavy deployment routes rows past a hit threshold to
     * review instead of silently scrubbing them. Still map-only.
+    *
+    * `pii_hits` SEMANTICS (r14 ADVICE, pinned by RedactSpec): the sum
+    * of INDEPENDENT per-rule match counts over the ORIGINAL text — a
+    * density estimate, NOT the number of replacements the chained
+    * scrub performs. The two differ exactly when rules overlap: a span
+    * matchable by two rules counts twice while the chain replaces it
+    * once (custom sheet `ipv4` then `[0-9]+`: "1.2.3.4" counts
+    * 1 + 4 = 5 hits, scrubs to one "<IP>"), and a rule whose match
+    * only EXISTS in chain-rewritten text counts zero. The
+    * [[StandardRules]] are constructed not to overlap (the email rule
+    * requires a letter TLD, so "user@10.0.0.1" is one ipv4 hit, not
+    * email + ipv4), which makes hits = replacements there; a custom
+    * sheet author counting replacements should measure
+    * `report(apply(df))` deltas instead. Counting on the original
+    * text is what keeps the column one codegen'd projection — and
+    * what the DuckDB oracle replays.
     */
   def redacted(df: DataFrame, textCol: String,
                rules: Seq[Rule] = StandardRules): DataFrame = {
@@ -134,6 +149,38 @@ object Redact {
     */
   def noPiiContract(rules: Seq[Rule] = StandardRules): Seq[Validate.Check] =
     rules.map(r => Validate.NoMatch("text", r.regex, r.name))
+
+  /** Per-rule hit trajectories over
+    * [[graft.streaming.StreamingDedup.attachRedacted]]'s per-batch
+    * report feed — the redaction twin of [[Validate.batchTrend]]: one
+    * row per (rule, batch) in the last `k` batches with the document
+    * hit micro-ratio (`hit_u` = floor(docs_hit·1e6/n_rows)), its delta
+    * vs the previous batch, and the raw counts. The alerting view that
+    * catches a PII-density regression in the ingest (a new upstream
+    * source leaking emails shows up as a `delta_u` spike) without
+    * scanning any document bytes: the feed is O(#rules) rows per
+    * batch, landed batchId-idempotently, so a replayed batch converges
+    * and the trend never double-counts.
+    */
+  def batchTrend(spark: SparkSession, reportDir: String,
+                 k: Int = 5): DataFrame = {
+    require(k >= 1, s"trend window must be >= 1 batches, got $k")
+    val h = spark.read.parquet(reportDir)
+      .withColumn("batch", col("batch").cast("long"))
+    val lastK = h.select("batch").distinct()
+      .orderBy(col("batch").desc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("rule_name").orderBy("batch")
+    h.join(broadcast(lastK), Seq("batch"))
+      .withColumn("hit_u", when(col("n_rows") === 0L, 0L)
+        .otherwise(floor(col("docs_hit").cast("double") * 1e6
+          / col("n_rows").cast("double"))))
+      .withColumn("delta_u", col("hit_u") - lag(col("hit_u"), 1).over(w))
+      .select(col("rule_name"), col("batch"), col("n_rows"),
+        col("docs_hit"), col("total_matches"), col("hit_u"),
+        col("delta_u"))
+      .orderBy(col("rule_name"), col("batch"))
+  }
 
   /** The redaction export recipe: scrub the pinned docs table with
     * [[StandardRules]] — committed under [[noPiiContract]] it is the
@@ -186,9 +233,10 @@ object Redact {
 
   /** The [[StandardRules]] chain replayed in DuckDB (RE2), innermost
     * rule first — shared by every oracle that re-derives scrubbed
-    * text.
+    * text (including the streaming-curation composition in
+    * [[LlmShared]]).
     */
-  private def scrubSql(c: String): String =
+  private[ops] def scrubSql(c: String): String =
     s"""regexp_replace(regexp_replace(regexp_replace(
           regexp_replace($c,
             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
@@ -214,6 +262,53 @@ object Redact {
         params = Map.empty, tables = Map("docs" -> (root + "/docs")),
         indexes = Map.empty, contract = noPiiContract())
     } + "/export"
+
+  /** Streaming-scrub fixture: the planted corpus in two MemoryStream
+    * micro-batches (doc_id %20==0, then %20==10) through
+    * [[graft.streaming.StreamingDedup.attachRedacted]] — scrubbed rows
+    * land under `out/batch=<id>`, the per-rule audit under
+    * `report/batch=<id>`. Memoized per dataset dir; the registered
+    * query reads the trend over the report feed.
+    */
+  private def streamingRedactFor(s: SparkSession, d: String): String =
+    TempFixtures.dir(s"sredact:$d") { root =>
+      val docs = planted(Tables(s, d, "documents").select("doc_id", "text"))
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingDedup.attachRedacted(
+          input.toDS().toDF("doc_id", "text"), "text", StandardRules,
+          root + "/out", root + "/report")
+        .option("checkpointLocation", root + "/ckpt")
+        .start()
+      try {
+        // MemoryStream TRANSPORT harness collect (LlmShared doctrine):
+        // a real deployment's batches arrive via readStream; the scrub
+        // and its audit are fully distributed
+        def slice(m: Long) = docs.filter(col("doc_id") % 20 === m)
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        input.addData(slice(0): _*)
+        q.processAllAvailable()
+        input.addData(slice(10): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+
+  /** One oracle arm per (batch, rule): the per-document match count
+    * over the planted slice, replayed in RE2.
+    */
+  private def trendArm(batch: Int, src: String, rule: String,
+                       re: String): String =
+    s"""SELECT $batch AS batch, '$rule' AS rule_name,
+          CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS c
+        FROM $src"""
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  private val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  private val Ipv4Re =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   val queries: Seq[GQuery] = Seq(
     // Scrub parity: the redacted text itself is hash-compared (md5 so
@@ -279,6 +374,43 @@ object Redact {
       },
       Some(s"""WITH p AS ($PlantSql)
         SELECT doc_id, md5(${scrubSql("text")}) AS text_md5
-        FROM p ORDER BY doc_id"""))
+        FROM p ORDER BY doc_id""")),
+
+    // The per-micro-batch redaction TRAIL (r14 verdict #2): two
+    // streamed batches of the planted corpus through attachRedacted,
+    // replayed as per-rule hit trajectories with lag deltas over the
+    // batchId-keyed report feed — the PII-density alerting view. The
+    // oracle rebuilds each batch's slice and recomputes every rule's
+    // counts and the identical lag window closed-form.
+    GQuery("streaming_redact_trend",
+      (s, d) => batchTrend(s, streamingRedactFor(s, d) + "/report", k = 2),
+      Some(s"""WITH p AS ($PlantSql),
+        b0 AS (SELECT text FROM p WHERE doc_id % 20 = 0),
+        b1 AS (SELECT text FROM p WHERE doc_id % 20 = 10),
+        m AS (
+          ${trendArm(0, "b0", "email", EmailRe)}
+          UNION ALL ${trendArm(0, "b0", "ssn", SsnRe)}
+          UNION ALL ${trendArm(0, "b0", "phone", PhoneRe)}
+          UNION ALL ${trendArm(0, "b0", "ipv4", Ipv4Re)}
+          UNION ALL ${trendArm(1, "b1", "email", EmailRe)}
+          UNION ALL ${trendArm(1, "b1", "ssn", SsnRe)}
+          UNION ALL ${trendArm(1, "b1", "phone", PhoneRe)}
+          UNION ALL ${trendArm(1, "b1", "ipv4", Ipv4Re)}),
+        rep AS (
+          SELECT batch, rule_name, CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_hit,
+                 CAST(sum(c) AS BIGINT) AS total_matches
+          FROM m GROUP BY batch, rule_name),
+        scored AS (
+          SELECT rule_name, CAST(batch AS BIGINT) AS batch, n_rows,
+                 docs_hit, total_matches,
+                 CAST(floor(docs_hit * 1000000.0 / n_rows) AS BIGINT)
+                   AS hit_u
+          FROM rep)
+        SELECT rule_name, batch, n_rows, docs_hit, total_matches, hit_u,
+               hit_u - lag(hit_u) OVER (
+                 PARTITION BY rule_name ORDER BY batch) AS delta_u
+        FROM scored ORDER BY rule_name, batch"""))
   )
 }

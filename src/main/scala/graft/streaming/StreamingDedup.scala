@@ -302,6 +302,11 @@ object StreamingDedup {
     * gate map-only, both probes bucket-pruned batch×history, the
     * scoring join carries the 256-row model.
     */
+  /** `redactRules`: the same scrub-before-the-gate option as
+    * [[attachCurate]] — scrubbed text feeds the gate, both canons'
+    * probes, the index appends, and the scored output; the image
+    * payload columns pass through untouched.
+    */
   def attachCurateMm(docs: DataFrame, idCol: String, textCol: String,
                      images: DataFrame => DataFrame,
                      indexPath: String, phashIndexPath: String,
@@ -311,10 +316,13 @@ object StreamingDedup {
                      phashBuckets: Int = 64,
                      maxSegments: Int = ShingleMaxSegments,
                      phashMaxSegments: Int = BucketedMaxSegments,
-                     readerGraceMs: Long = 0L): DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
+                     readerGraceMs: Long = 0L,
+                     redactRules: Seq[graft.ops.Redact.Rule] = Nil): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch(perTrigger { (raw: DataFrame, batchId: Long) =>
+      val spark = raw.sparkSession
       import org.apache.spark.sql.functions._
+      val batch = if (redactRules.isEmpty) raw
+                  else graft.ops.Redact.apply(raw, textCol, redactRules)
       val rep = graft.ops.TextAnalysis.repetition(batch, idCol, textCol)
       // keep EVERY batch column (unlike attachCurate's id+text): the
       // image payload must still be there when `images` runs on the
@@ -389,13 +397,27 @@ object StreamingDedup {
     * first batch processes. Run the maintenance rebuild AFTER the
     * drain export commits.
     */
+  /** `redactRules` (empty = no scrub, the pre-r15 behavior): a PII
+    * rule sheet ([[graft.ops.Redact.StandardRules]] or a custom one)
+    * applied to `textCol` BEFORE the repetition gate — so the gate's
+    * ratios, the dedup shingles, the index postings, and the DSIR
+    * features are all computed on SCRUBBED text, and no raw PII span
+    * ever reaches the output, the index, or a drain export derived
+    * from them. Scrub position matters beyond hygiene: two documents
+    * identical up to a distinct PII span (the same form letter sent to
+    * different addresses) dedup ONLY after the scrub canonicalizes the
+    * span — CdcStreamSpec pins that cross-batch case. Map-only
+    * (chained codegen'd regexp_replace), so the scrub adds zero
+    * shuffles to the trigger.
+    */
   def attachCurate(docs: DataFrame, idCol: String, textCol: String,
                    indexPath: String, modelPath: String, outDir: String,
                    n: Int = 3, threshold: Double = 0.8,
                    nBuckets: Int = 64,
                    maxSegments: Int = ShingleMaxSegments,
                    readerGraceMs: Long = 0L,
-                   exportable: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] = {
+                   exportable: Boolean = false,
+                   redactRules: Seq[graft.ops.Redact.Rule] = Nil): DataStreamWriter[org.apache.spark.sql.Row] = {
     require(!exportable || maxSegments == ShingleMaxSegments ||
         maxSegments == 0,
       s"attachCurate(exportable = true) forbids in-loop compaction — " +
@@ -403,9 +425,14 @@ object StreamingDedup {
         "commitStreamDrain's pins become underivable; got maxSegments " +
         s"= $maxSegments (leave it at the default or pass 0)")
     val effMaxSegments = if (exportable) 0 else maxSegments
-    docs.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
+    docs.writeStream.foreachBatch(perTrigger { (raw: DataFrame, batchId: Long) =>
+      val spark = raw.sparkSession
       import org.apache.spark.sql.functions._
+      // scrub FIRST (when configured): everything downstream — gate
+      // ratios, shingles, postings, DSIR features, the landed rows —
+      // sees only scrubbed text
+      val batch = if (redactRules.isEmpty) raw
+                  else graft.ops.Redact.apply(raw, textCol, redactRules)
       val rep = graft.ops.TextAnalysis.repetition(batch, idCol, textCol)
       val kept = batch.join(rep, idCol)
         .filter(floor(col("dup_trigram_ratio") * 1e6) <= 20000L &&

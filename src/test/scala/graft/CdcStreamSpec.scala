@@ -1278,6 +1278,63 @@ class CdcStreamSpec extends AnyFunSuite {
       s"non-finite importance weights: $scored")
   }
 
+  test("streaming curation + redaction: a planted-PII doc's scrubbed form dedups against its clean cross-batch duplicate") {
+    import graft.ops.{Dedup, Dsir, Redact}
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    def body(seed: Int) = (0 until 20).map(i => s"w${seed}_$i").mkString(" ")
+    val corpus = Seq((1L, body(1)), (2L, body(2))).toDF("doc_id", "text")
+    // the same form letter sent to two addresses: unscrubbed they
+    // differ by one token of 15 (2 of 13 shingles -> jaccard
+    // 11/15 = 0.733 < 0.8); scrubbed both emails canonicalize to
+    // <EMAIL> -> identical text, jaccard 1
+    val letter = (0 until 12).map(i => s"v10_$i").mkString(" ")
+    val letterA = letter + " contact alice@example.com now"
+    val letterB = letter + " contact bob@example.org now"
+    def run(rules: Seq[Redact.Rule]): Set[(Int, Long)] = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_scurate_red").toString
+      val idx = root + "/index"; val model = root + "/model"
+      val out = root + "/out"
+      Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx,
+        nBuckets = 8)
+      Dsir.writeModel(corpus, corpus.filter(col("doc_id") === 1),
+        "doc_id", "text", model)
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingDedup.attachCurate(
+          input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          idx, model, out, n = 3, threshold = 0.8, nBuckets = 8,
+          redactRules = rules)
+        .option("checkpointLocation", root + "/ckpt")
+        .start()
+      try {
+        input.addData((10L, letterA))
+        q.processAllAvailable()
+        input.addData((20L, letterB), (30L, body(30)))
+        q.processAllAvailable()
+      } finally q.stop()
+      // with rules on, no raw span may survive in the appended postings
+      if (rules.nonEmpty) {
+        val shingles = spark.read.parquet(idx).select("s")
+          .as[String].collect()
+        assert(!shingles.exists(s =>
+            s.contains("alice@example.com") || s.contains("bob@example.org")),
+          "raw PII spans leaked into the index postings")
+        assert(shingles.exists(_.contains("<EMAIL>")),
+          "scrubbed batch shingles must carry the replacement token")
+      }
+      spark.read.parquet(out).select("batch", "doc")
+        .as[(Int, Long)].collect().toSet
+    }
+    // UNSCRUBBED control: the distinct addresses keep the letters
+    // below threshold, so batch 1's copy sneaks through as "novel"
+    assert(run(Nil) == Set((0, 10L), (1, 20L), (1, 30L)))
+    // scrubbed: batch 0's letter is appended in canonical form and
+    // batch 1's copy dedups against it across the batch boundary
+    assert(run(Redact.StandardRules) == Set((0, 10L), (1, 30L)),
+      "the scrubbed form must dedup against the clean duplicate")
+  }
+
   test("streaming multimodal curation: text canon AND image canon, both histories cross batches") {
     import graft.ops.{Dedup, Dsir, Multimodal, PpmImage}
     import graft.streaming.StreamingDedup

@@ -139,6 +139,65 @@ class RedactSpec extends AnyFunSuite {
         Redact.StandardRules, root + "/x", root + "/y"))
   }
 
+  test("pii_hits semantics pinned: independent per-rule counts on the original text, NOT replacement counts (overlapping custom sheets double-count)") {
+    // StandardRules are constructed NOT to overlap: the email rule
+    // requires a letter TLD, so an @-glued ipv4 is ONE ipv4 hit
+    val std = Redact.redacted(Seq((1L, "ping user@10.0.0.1 ok"))
+      .toDF("id", "text"), "text")
+    val r = std.select("text", "pii_hits").as[(String, Long)].head()
+    assert(r == ("ping user@<IP> ok", 1L), s"got $r")
+    // an OVERLAPPING custom sheet: ipv4 then bare digit runs — the
+    // one span "1.2.3.4" counts 1 (ipv4) + 4 (digit runs) = 5 hits on
+    // the original text while the chain performs ONE replacement (the
+    // digit rule sees "<IP>", which carries no digits). This is the
+    // documented density-not-replacement contract; a sheet author who
+    // needs replacement counts diffs report(apply(df)) instead.
+    val overlapping = Seq(
+      Rule("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+        "<IP>"),
+      Rule("digits", "[0-9]+", "<NUM>"))
+    val o = Redact.redacted(Seq((1L, "from 1.2.3.4 end"))
+        .toDF("id", "text"), "text", overlapping)
+      .select("text", "pii_hits").as[(String, Long)].head()
+    assert(o == ("from <IP> end", 5L),
+      s"overlap must double-count hits yet scrub once: $o")
+    // and the ipv4 rule's documented false-positive class: a dotted
+    // version string in prose is indistinguishable from an address
+    val v = Redact.apply(Seq((1L, "since v 10.0.3.77 shipped"))
+        .toDF("id", "text"), "text")
+      .select("text").as[String].head()
+    assert(v == "since v <IP> shipped",
+      s"dotted version strings scrub as ipv4 (documented tradeoff): $v")
+  }
+
+  test("batchTrend over attachRedacted's report feed: per-rule hit trajectories with lag deltas") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_redtrend").toString
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.attachRedacted(
+        input.toDF().toDF("doc_id", "text"), "text",
+        Redact.StandardRules, root + "/out", root + "/report")
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    try {
+      // batch 0: 1 of 2 docs carries an email; batch 1: 2 of 2 do —
+      // the email hit ratio jumps 500000 -> 1000000 micro-units
+      input.addData((1L, "write a@b.co now"), (2L, "clean"))
+      q.processAllAvailable()
+      input.addData((3L, "c@d.org"), (4L, "e@f.org and g@h.org"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val t = Redact.batchTrend(spark, root + "/report", k = 2)
+      .filter(col("rule_name") === "email")
+      .select("batch", "docs_hit", "total_matches", "hit_u", "delta_u")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) null else r.getLong(4)))
+    assert(t.toSeq == Seq((0L, 1L, 1L, 500000L, null),
+      (1L, 2L, 3L, 1000000L, 500000L)), s"trend: ${t.toSeq}")
+  }
+
   test("rule-sheet guards fail loudly") {
     val df = Seq((1L, "x")).toDF("id", "text")
     intercept[IllegalArgumentException](Redact.apply(df, "text", Nil))
