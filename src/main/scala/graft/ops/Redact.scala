@@ -193,6 +193,19 @@ object Redact {
     apply(in.table("docs").select("doc_id", "text"), "text")
   }
 
+  /** A DERIVED recipe consuming another export (the
+    * manifest-of-manifests shape): token counts over an upstream
+    * export's shipped scrubbed text. `in.table("up")` resolves to the
+    * upstream's `data/` — the same accessor a generational table uses,
+    * so recipe bodies stay input-kind-agnostic.
+    */
+  val TokenizeRecipe = "redact_tokens_v1"
+
+  TrainExport.registerRecipe(TokenizeRecipe) { (s, in, p) =>
+    in.table("up").select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+  }
+
   // ---- registered queries ----
   //
   // The synthetic documents corpus carries no PII, so the fixture
@@ -374,6 +387,33 @@ object Redact {
       },
       Some(s"""WITH p AS ($PlantSql)
         SELECT doc_id, md5(${scrubSql("text")}) AS text_md5
+        FROM p ORDER BY doc_id""")),
+
+    // EXPORT-OF-EXPORT lineage, replayed (r14 verdict #5): a derived
+    // export (token counts) committed OVER the redaction export's
+    // shipped data — commit pins the upstream manifest's result
+    // fingerprint + recipe version (a v3 `upstream.` manifest line),
+    // and the registered query's replay validates the upstream
+    // manifest AND its data fingerprint before re-running the derived
+    // recipe. The oracle re-derives the whole two-hop chain
+    // closed-form: plant -> scrub (RE2 chain) -> whitespace token
+    // count. TrainExportSpec pins the failure paths (upstream
+    // tampered/forgotten/re-exported -> loud errors naming the
+    // upstream).
+    GQuery("pipeline_lineage_export",
+      (s, d) => {
+        val up = redactedExportFor(s, d)
+        val ex = TempFixtures.dir(s"redlineage:$d") { root =>
+          TrainExport.commit(s, root + "/export", TokenizeRecipe,
+            params = Map.empty, tables = Map("up" -> up),
+            indexes = Map.empty)
+        } + "/export"
+        TrainExport.replay(s, ex).orderBy(col("doc_id"))
+      },
+      Some(s"""WITH p AS ($PlantSql)
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(${scrubSql("text")}, ' '),
+                 x -> x <> '')) AS INT) AS n_tokens
         FROM p ORDER BY doc_id""")),
 
     // The per-micro-batch redaction TRAIL (r14 verdict #2): two

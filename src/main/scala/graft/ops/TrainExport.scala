@@ -64,6 +64,19 @@ object TrainExport {
     */
   final case class IndexPin(path: String, version: Long, paramsFp: String)
 
+  /** An UPSTREAM EXPORT input (manifest-of-manifests, r14 verdict #5):
+    * a derived dataset consumes another committed export's `data/`
+    * dir. Pinning it as a plain table path would make the upstream
+    * manifest's own pins invisible — an upstream RTBF or re-export
+    * would surface only as a confusing fingerprint mismatch deep in
+    * the downstream replay. Instead the pin records the upstream
+    * manifest's result fingerprint and recipe version; replay verifies
+    * the upstream manifest AND its shipped data against them FIRST,
+    * failing with a message that names the upstream export.
+    */
+  final case class UpstreamPin(path: String, resultFp: String,
+                               recipeVersion: Option[Int])
+
   /** A model input (DSIR importance weights, an LR scorer — any plain
     * parquet artifact with no generation or version of its own) pinned
     * by a content fingerprint: the same order-insensitive row hash as
@@ -88,7 +101,8 @@ object TrainExport {
                                   models: Map[String, ModelPin],
                                   resultFp: String,
                                   contract: Seq[Validate.Check] = Nil,
-                                  recipeVersion: Option[Int] = None)
+                                  recipeVersion: Option[Int] = None,
+                                  upstreams: Map[String, UpstreamPin] = Map.empty)
 
   /** What a recipe sees: pinned reads only. A recipe that bypasses
     * this (reading a current table or probing an unpinned index) is
@@ -99,15 +113,25 @@ object TrainExport {
       spark: SparkSession,
       tables: Map[String, TablePin],
       indexes: Map[String, IndexPin],
-      models: Map[String, ModelPin] = Map.empty) {
+      models: Map[String, ModelPin] = Map.empty,
+      upstreams: Map[String, UpstreamPin] = Map.empty) {
 
-    /** The named table AT its pinned generation. */
-    def table(name: String): DataFrame = {
-      val pin = tables.getOrElse(name, sys.error(
-        s"export recipe asked for table '$name' but the manifest pins " +
-          s"only: ${tables.keys.toSeq.sorted.mkString(",")}"))
-      Compaction.readTableAt(spark, pin.path, pin.gen)
-    }
+    /** The named table AT its pinned generation — or, when the name
+      * resolved to an UPSTREAM EXPORT at commit, that export's shipped
+      * `data/` rows (fingerprint-validated before the recipe runs).
+      * One accessor for both keeps recipes input-kind-agnostic: the
+      * same recipe body consumes a generational table or another
+      * export's output.
+      */
+    def table(name: String): DataFrame =
+      upstreams.get(name) match {
+        case Some(up) => spark.read.parquet(s"${up.path}/data")
+        case None =>
+          val pin = tables.getOrElse(name, sys.error(
+            s"export recipe asked for table '$name' but the manifest pins " +
+              s"only: ${(tables.keys ++ upstreams.keys).toSeq.sorted.mkString(",")}"))
+          Compaction.readTableAt(spark, pin.path, pin.gen)
+      }
 
     /** The named index's pin — recipes pass `(pin.path, pin.version)`
       * to the family's `*AgainstIndexAt` probe.
@@ -175,12 +199,15 @@ object TrainExport {
     * `contract.NNN`, and `recipeVersion` (r13 ADVICE: the version
     * string must identify the format — a v1-only reader now fails on
     * the HEADER with a "newer format" diagnosis instead of on some
-    * arbitrary first unknown key). New manifests always render v2;
-    * parse accepts both, and v1 manifests without the new keys stay
-    * replayable unchanged.
+    * arbitrary first unknown key); v3 adds `upstream.*` (the
+    * manifest-of-manifests pins). Render picks the LOWEST header whose
+    * keys the manifest actually uses (v2 unless upstreams are present)
+    * so existing manifests stay byte-stable and old readers keep
+    * reading everything they can; parse accepts all three.
     */
   private val Header = "graft-export-v1"
   private val HeaderV2 = "graft-export-v2"
+  private val HeaderV3 = "graft-export-v3"
 
   /** Run `recipe` against the CURRENT state of every input, pinned:
     * each table at its newest published generation, each index at its
@@ -240,11 +267,34 @@ object TrainExport {
       require(!path.exists(_.isControl),
         s"input '$name' path must be single-line printable text: '$path'")
     }
-    val tPins = tables.map { case (name, path) =>
+    // a `tables` path holding a committed export manifest is an
+    // UPSTREAM EXPORT input (manifest-of-manifests): pin its result
+    // fingerprint + recipe version instead of a table generation, so
+    // the upstream's own pin story stays visible to this manifest
+    val (upstreamIn, tableIn) = tables.partition { case (_, path) =>
+      val p = new Path(path)
+      val pfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      ManifestCommit.forIndex(pfs, p).read(ManifestName).isDefined
+    }
+    val uPins = upstreamIn.map { case (name, path) =>
+      val um = manifest(spark, path)
+      // the recipe reads the upstream's SHIPPED bytes — prove they
+      // still match the upstream manifest before pinning, or a
+      // pre-tampered upstream would commit an instantly-broken pin
+      val fp = rowFingerprint(spark.read.parquet(s"$path/data"))
+      require(fp == um.resultFp,
+        s"upstream export '$name' at $path: shipped data fingerprint " +
+          s"$fp does not match its manifest (${um.resultFp}) — the " +
+          "upstream artifact was modified or partially erased; " +
+          "re-export it before deriving from it")
+      name -> UpstreamPin(path, um.resultFp, um.recipeVersion)
+    }
+    val tPins = tableIn.map { case (name, path) =>
       val gens = Compaction.generations(spark, path)
       require(gens.nonEmpty, s"table '$name' at $path has no published " +
         "generations — exports pin generational tables " +
-        "(Compaction.writeGen); a flat table has no stable pin to record")
+        "(Compaction.writeGen) or committed export dirs; a flat table " +
+        "has no stable pin to record")
       name -> TablePin(path, gens.max)
     }
     val iPins = indexes.map { case (name, path) =>
@@ -264,7 +314,8 @@ object TrainExport {
       // aggregate, no collect)
       name -> ModelPin(path, rowFingerprint(spark.read.parquet(path)))
     }
-    val out = fn(spark, new PinnedInputs(spark, tPins, iPins, mPins), params)
+    val out = fn(spark, new PinnedInputs(spark, tPins, iPins, mPins, uPins),
+      params)
     val main = new Path(exportDir)
     val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mc = ManifestCommit.forIndex(fs, main)
@@ -298,7 +349,8 @@ object TrainExport {
       // the authoritative bytes a consumer reads), not the live plan
       val m = ExportManifest(recipe, params, tPins, iPins, mPins,
         resultFp = rowFingerprint(spark.read.parquet(staging.toString)),
-        contract = contractC, recipeVersion = Some(recipeVer))
+        contract = contractC, recipeVersion = Some(recipeVer),
+        upstreams = uPins)
       require(mc.createExclusive(ManifestName, render(m).getBytes("UTF-8")),
         s"lost the export-commit race at $exportDir — another export " +
           "committed this dir first; write a new dir")
@@ -361,6 +413,39 @@ object TrainExport {
           "recipe body under its committed version, or re-export " +
           "under the new one")
     }
+    // UPSTREAM exports validate FIRST (r14 verdict #5): an upstream
+    // RTBF / re-export / in-place edit must fail HERE naming the
+    // upstream, never as a confusing downstream fingerprint mismatch
+    m.upstreams.foreach { case (name, up) =>
+      val um =
+        try manifest(spark, up.path)
+        catch { case e: RuntimeException => throw new RuntimeException(
+          s"replay of $exportDir: upstream export '$name' is gone — " +
+            s"${e.getMessage}", e) }
+      require(um.resultFp == up.resultFp,
+        s"replay of $exportDir: upstream export '$name' at ${up.path} " +
+          s"was re-exported since the commit (committed result " +
+          s"fingerprint ${up.resultFp}, now ${um.resultFp}) — re-derive " +
+          "this export from the new upstream")
+      require(um.recipeVersion == up.recipeVersion,
+        s"replay of $exportDir: upstream export '$name' at ${up.path} " +
+          s"changed recipe version since the commit " +
+          s"(${up.recipeVersion.fold("v1-era")(v => s"v$v")} → " +
+          s"${um.recipeVersion.fold("v1-era")(v => s"v$v")})")
+      val fp =
+        try rowFingerprint(spark.read.parquet(s"${up.path}/data"))
+        catch { case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"replay of $exportDir: upstream export '$name' at " +
+              s"${up.path} has no readable data dir — " +
+              s"${e.getMessage.linesIterator.next()}", e) }
+      require(fp == up.resultFp,
+        s"replay of $exportDir: upstream export '$name' at ${up.path} " +
+          s"no longer ships the rows its manifest committed " +
+          s"(fingerprint $fp vs ${up.resultFp}) — an upstream forget " +
+          "or in-place modification invalidated this derived export; " +
+          "re-run the upstream export and re-derive")
+    }
     // eager pin validation, so a broken pin fails HERE with its own
     // retention message rather than deep inside the recipe's plan
     m.tables.foreach { case (name, pin) =>
@@ -400,8 +485,8 @@ object TrainExport {
     // caller consumes the rows (graft.util.Caches sweeps owned persists
     // at the operator-lifecycle points)
     val out = graft.util.Caches.own(
-      fn(spark, new PinnedInputs(spark, m.tables, m.indexes, m.models),
-        m.params))
+      fn(spark, new PinnedInputs(spark, m.tables, m.indexes, m.models,
+        m.upstreams), m.params))
     // fingerprint the SAME representation commit fingerprinted — the
     // parquet round-trip — by staging the replayed frame next to the
     // export (same shared FS a cluster's executors can reach) and
@@ -554,6 +639,9 @@ object TrainExport {
       m.models.toSeq.sortBy(_._1).map { case (k, p) =>
         ("model", k, s"${p.path} content_fp=${p.contentFp}",
           None: Option[Long]) } ++
+      m.upstreams.toSeq.sortBy(_._1).map { case (k, p) =>
+        ("upstream", k, s"${p.path} result_fp=${p.resultFp}",
+          p.recipeVersion.map(_.toLong)) } ++
       m.contract.zipWithIndex.map { case (c, i) =>
         ("contract", c.name, Validate.serialize(c), Some(i.toLong)) }
     import spark.implicits._
@@ -668,7 +756,7 @@ object TrainExport {
 
   private def render(m: ExportManifest): String = {
     val b = new StringBuilder
-    b.append(HeaderV2).append('\n')
+    b.append(if (m.upstreams.nonEmpty) HeaderV3 else HeaderV2).append('\n')
     b.append("recipe=").append(m.recipe).append('\n')
     m.recipeVersion.foreach(v =>
       b.append("recipeVersion=").append(v).append('\n'))
@@ -688,6 +776,12 @@ object TrainExport {
       b.append("model.").append(k).append('=')
         .append(p.contentFp).append('|').append(p.path).append('\n')
     }
+    m.upstreams.toSeq.sortBy(_._1).foreach { case (k, p) =>
+      b.append("upstream.").append(k).append('=')
+        .append(p.resultFp).append('|')
+        .append(p.recipeVersion.map(_.toString).getOrElse("-"))
+        .append('|').append(p.path).append('\n')
+    }
     // zero-padded index keys: parse orders lexicographically, so the
     // sheet's declaration order (= quarantine reason order) survives
     m.contract.zipWithIndex.foreach { case (c, i) =>
@@ -698,7 +792,8 @@ object TrainExport {
 
   private def parse(s: String, where: String): ExportManifest = {
     val lines = s.linesIterator.toSeq.filter(_.nonEmpty)
-    require(lines.headOption.exists(h => h == Header || h == HeaderV2),
+    require(lines.headOption.exists(h =>
+        h == Header || h == HeaderV2 || h == HeaderV3),
       s"unrecognized export manifest at $where: " +
         s"'${lines.headOption.getOrElse("")}'" +
         (if (lines.headOption.exists(_.startsWith("graft-export-")))
@@ -712,6 +807,7 @@ object TrainExport {
     val tables = Map.newBuilder[String, TablePin]
     val indexes = Map.newBuilder[String, IndexPin]
     val models = Map.newBuilder[String, ModelPin]
+    val upstreams = Map.newBuilder[String, UpstreamPin]
     val contract = Seq.newBuilder[(Int, Validate.Check)]
     lines.tail.foreach { line =>
       val eq = line.indexOf('=')
@@ -738,6 +834,13 @@ object TrainExport {
           require(bar > 0, s"malformed model pin at $where: '$line'")
           models += k.stripPrefix("model.") ->
             ModelPin(value.substring(bar + 1), value.substring(0, bar))
+        case k if k.startsWith("upstream.") =>
+          val parts = value.split("\\|", 3)
+          require(parts.length == 3,
+            s"malformed upstream pin at $where: '$line'")
+          upstreams += k.stripPrefix("upstream.") ->
+            UpstreamPin(parts(2), parts(0),
+              if (parts(1) == "-") None else Some(parts(1).toInt))
         case k if k.startsWith("contract.") =>
           contract += k.stripPrefix("contract.").toInt ->
             Validate.deserialize(value)
@@ -749,7 +852,8 @@ object TrainExport {
       s"export manifest at $where is missing recipe/result")
     ExportManifest(recipe, params.result(), tables.result(),
       indexes.result(), models.result(), result,
-      contract.result().sortBy(_._1).map(_._2), recipeVersion)
+      contract.result().sortBy(_._1).map(_._2), recipeVersion,
+      upstreams.result())
   }
 
   // ---- built-in recipes ----

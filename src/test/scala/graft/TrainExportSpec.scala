@@ -388,6 +388,66 @@ class TrainExportSpec extends AnyFunSuite {
     }
   }
 
+  test("export-of-export lineage: upstream pins validate first, two-hop replay green, upstream erasure fails naming the upstream") {
+    val root = java.nio.file.Files.createTempDirectory("graft_texpu").toString
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Compaction.writeGen(docs(0L to 9L), s"$root/docs")
+    TrainExport.registerRecipe("spec_up_base_v1") { (_, in, _) =>
+      in.table("docs").select(col("doc_id"))
+        .filter(col("doc_id") % 2 === 0)
+    }
+    TrainExport.commit(spark, s"$root/base", "spec_up_base_v1",
+      params = Map.empty, tables = Map("docs" -> s"$root/docs"),
+      indexes = Map.empty)
+    // the derived export consumes the BASE EXPORT as a table input —
+    // commit must resolve it to an upstream pin, not a table pin
+    TrainExport.registerRecipe("spec_up_derived_v1") { (_, in, _) =>
+      in.table("base").withColumn("x2", col("doc_id") * 2)
+    }
+    val dm = TrainExport.commit(spark, s"$root/derived",
+      "spec_up_derived_v1", params = Map.empty,
+      tables = Map("base" -> s"$root/base"), indexes = Map.empty)
+    val baseM = TrainExport.manifest(spark, s"$root/base")
+    assert(dm.tables.isEmpty && dm.upstreams.keySet == Set("base"))
+    assert(dm.upstreams("base").resultFp == baseM.resultFp)
+    assert(dm.upstreams("base").recipeVersion == baseM.recipeVersion)
+    // the v3 manifest round-trips and describe surfaces the lineage
+    assert(TrainExport.manifest(spark, s"$root/derived") == dm)
+    assert(TrainExport.describe(spark, s"$root/derived")
+      .filter(col("kind") === "upstream").count() == 1L)
+    // two-hop replay green
+    val rows = TrainExport.replay(spark, s"$root/derived")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(rows == Seq(0L, 2L, 4L, 6L, 8L))
+    // upstream erasure (the physical effect of an upstream forget):
+    // one row scrubbed from the shipped data -> the derived replay
+    // fails NAMING the upstream export, before the recipe executes
+    val scrubbed = spark.read.parquet(s"$root/base/data")
+      .filter(col("doc_id") =!= 0L)
+    scrubbed.write.parquet(s"$root/rewrite")
+    fs.delete(new Path(s"$root/base/data"), true)
+    assert(fs.rename(new Path(s"$root/rewrite"), new Path(s"$root/base/data")))
+    val e = intercept[RuntimeException](
+      TrainExport.replay(spark, s"$root/derived"))
+    assert(e.getMessage.contains("upstream export 'base'") &&
+      e.getMessage.contains("no longer ships"), e.getMessage)
+    // committing a NEW derived export from the tampered upstream also
+    // fails loudly at commit (never pins bytes that contradict the
+    // upstream manifest)
+    val e2 = intercept[IllegalArgumentException](
+      TrainExport.commit(spark, s"$root/derived2", "spec_up_derived_v1",
+        params = Map.empty, tables = Map("base" -> s"$root/base"),
+        indexes = Map.empty))
+    assert(e2.getMessage.contains("upstream export 'base'") &&
+      e2.getMessage.contains("does not match its manifest"), e2.getMessage)
+    // upstream manifest gone entirely -> "is gone", naming the upstream
+    fs.delete(new Path(s"$root/base/${TrainExport.ManifestName}"), false)
+    val e3 = intercept[RuntimeException](
+      TrainExport.replay(spark, s"$root/derived"))
+    assert(e3.getMessage.contains("upstream export 'base' is gone"),
+      e3.getMessage)
+  }
+
   test("model pins: a recipe's DSIR/LR-style model input is content-fingerprinted at commit and validated at replay") {
     // the r12 verdict's gap #3: model artifacts are plain parquet dirs
     // with no generation/version — without a pin, replay silently
