@@ -592,7 +592,11 @@ object TrainExport {
     * retention GC only — RTBF forgets still physically erase, and a
     * subsequent [[replay]] fails loudly with the pin-gone message.
     * Model pins need no lease: a model dir is not retention-managed,
-    * only fingerprint-validated.
+    * only fingerprint-validated. UPSTREAM pins likewise: a committed
+    * export dir is immutable and nothing prunes it automatically —
+    * the derived replay reads the upstream's `data/` bytes, never
+    * re-runs its recipe, so the upstream's OWN pins are irrelevant to
+    * downstream replayability and there is nothing to lease.
     *
     * Idempotent (the per-store CAS accepts a re-acquire of the same
     * (id, pin)). Acquire order is deterministic (sorted by input name)

@@ -243,7 +243,85 @@ object ScaleSmoke {
       }
     }
 
-    for (n <- reps) {
+    // STREAMING-LOOP per-trigger cost over a LONG drain (r14 verdict
+    // #4): 32 triggers of a fixed-size batch through attachCurate
+    // against an offline index built over the xN corpus, per-trigger
+    // wall time printed for BOTH compaction modes:
+    //  - compact (maxSegments=8, the default in-loop policy): one
+    //    segment accumulates per trigger and maybeRebuild fires every
+    //    ~8 triggers — expect a SAWTOOTH whose flat part stays flat in
+    //    trigger number (probes on the measured-knee plateau) and
+    //    whose spikes are the amortized rebuild;
+    //  - exportable (cap forced 0 for drain-export pins): segments
+    //    accumulate unboundedly — expect per-trigger cost to grow with
+    //    trigger number at the measured probe-vs-segment slope, the
+    //    price the drain-export contract pays until its post-drain
+    //    rebuild.
+    // Batches are mutually dissimilar (per-trigger token tags) and
+    // dissimilar from the corpus, so every trigger's survivors append:
+    // the honest steady-state segment-growth regime.
+    // Run: SCALE_OPS=stream runMain graft.tools.ScaleSmoke <sfDir> 8 32
+    if (only.exists(_.contains("stream"))) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val triggers = 32
+      // fixed batch base: the ORIGINAL %20==0 slice (size independent
+      // of the corpus replica count), collected once — the MemoryStream
+      // transport harness, not the operator (LlmShared doctrine)
+      val baseRows = docs.filter(col("doc_id") % 20 === 0)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      def batchRows(t: Int): Seq[(Long, String)] =
+        baseRows.map { case (id, text) =>
+          (id + (100L + t) * ReplicaStep,
+            text.split(" ").map(tok => s"${tok}_T$t").mkString(" "))
+        }
+      for (n <- reps) {
+        val corpus = replicateDocs(docs, n).filter(col("doc_id") % 10 =!= 0)
+        for (mode <- Seq("compact", "exportable")) {
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft_scale_stream_${mode}_x$n").toString
+          val idx = root + "/index"
+          graft.ops.Dedup.writeShingleIndex(corpus, "doc_id", "text",
+            n = 3, idx, maxDf = 5)
+          graft.ops.Dsir.writeModel(
+            corpus.filter(col("doc_id") % 7 =!= 0),
+            corpus.filter(col("doc_id") % 7 === 0),
+            "doc_id", "text", root + "/model")
+          val input = MemoryStream[(Long, String)]
+          val q = graft.streaming.StreamingDedup.attachCurate(
+              input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+              idx, root + "/model", root + "/out", n = 3,
+              threshold = 0.8,
+              maxSegments = if (mode == "exportable") 0 else 8,
+              exportable = mode == "exportable")
+            .option("checkpointLocation", root + "/ckpt")
+            .start()
+          try {
+            for (t <- 0 until triggers) {
+              val t0 = System.nanoTime()
+              input.addData(batchRows(t): _*)
+              q.processAllAvailable()
+              val sec = (System.nanoTime() - t0) / 1e9
+              val segs = graft.sources.IndexLifecycle.segmentCount(spark, idx)
+              println(f"SCALE stream_$mode x$n trigger=$t%02d " +
+                f"sec=$sec%.2f segs=$segs%d")
+            }
+          } finally q.stop()
+          graft.util.Caches.sweep()
+        }
+      }
+    }
+
+    // the dedicated blocks above own these tags; when ONLY they were
+    // requested, skip the main sweep entirely — its locally-blocks run
+    // unconditional prep (index builds, generational snapshots) that
+    // `timed`'s per-tag gate cannot suppress
+    val dedicated = Set("seg", "segsh", "stream")
+    val mainReps =
+      if (only.exists(_.forall(dedicated.contains))) Seq.empty else reps
+    for (n <- mainReps) {
       val d = replicateDocs(docs, n)
       val e = replicateEmb(emb, n)
       timed(s"jaccard x$n")(

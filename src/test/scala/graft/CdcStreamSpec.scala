@@ -1335,6 +1335,53 @@ class CdcStreamSpec extends AnyFunSuite {
       "the scrubbed form must dedup against the clean duplicate")
   }
 
+  test("attachCurateMm scrubs text before the gate too; image payloads pass through untouched") {
+    import graft.ops.{Dedup, Dsir, Multimodal, PpmImage, Redact}
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    def body(seed: Int) = (0 until 20).map(i => s"w${seed}_$i").mkString(" ")
+    def img(seed: Int): Array[Byte] = {
+      val r = new scala.util.Random(seed)
+      PpmImage.encode(
+        PpmImage.Image(16, 16, Array.fill(16 * 16 * 3)(r.nextInt(256).toByte)))
+    }
+    val corpus = Seq((1L, body(1), img(1))).toDF("doc_id", "text", "payload")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_scuratemm_red").toString
+    val idx = root + "/shingle"; val ph = root + "/phash"
+    Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx,
+      nBuckets = 8)
+    val toImgs = (b: org.apache.spark.sql.DataFrame) =>
+      b.select(col("doc_id"), lit("image/x-portable-pixmap").as("mime"),
+        col("payload"))
+    Multimodal.writePhashIndex(toImgs(corpus), ph, maxDist = 3, nBuckets = 8)
+    Dsir.writeModel(corpus.select("doc_id", "text"),
+      corpus.select("doc_id", "text"), "doc_id", "text", root + "/model")
+    val input = MemoryStream[(Long, String, Array[Byte])]
+    val q = StreamingDedup.attachCurateMm(
+        input.toDF().toDF("doc_id", "text", "payload"), "doc_id", "text",
+        images = toImgs, indexPath = idx, phashIndexPath = ph,
+        modelPath = root + "/model", outDir = root + "/out",
+        n = 3, threshold = 0.5, nBuckets = 8, maxDist = 3,
+        phashBuckets = 8, redactRules = Redact.StandardRules)
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    try {
+      input.addData((10L, body(10) + " mail a@b.co now", img(10)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(root + "/out").select("batch", "doc")
+      .as[(Int, Long)].collect().toSet == Set((0, 10L)))
+    // the scrub ran before the text canon's append...
+    val shingles = spark.read.parquet(idx).select("s").as[String].collect()
+    assert(!shingles.exists(_.contains("a@b.co")) &&
+      shingles.exists(_.contains("<EMAIL>")),
+      "mm loop must append scrubbed postings")
+    // ...and the binary payload column reached the image canon intact
+    val phIds = spark.read.parquet(ph).select("id").as[Long].collect().toSet
+    assert(phIds == Set(1L, 10L), s"phash index ids: $phIds")
+  }
+
   test("streaming multimodal curation: text canon AND image canon, both histories cross batches") {
     import graft.ops.{Dedup, Dsir, Multimodal, PpmImage}
     import graft.streaming.StreamingDedup
