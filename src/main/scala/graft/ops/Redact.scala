@@ -69,6 +69,34 @@ object Redact {
       s"duplicate rule names: ${rules.map(_.name)}")
   }
 
+  /** OPTIONAL sheet-stability lint for custom rule sheets (r14
+    * verdict #7): rejects a sheet where any rule's regex matches any
+    * rule's REPLACEMENT token — the one statically checkable way a
+    * chained scrub goes wrong (a later rule re-matching an earlier
+    * rule's replacement rewrites the sentinel; a rule matching its own
+    * replacement makes `apply∘apply ≠ apply`, breaking the
+    * scrub-is-idempotent property audits rely on). Full
+    * overlap-freedom between arbitrary regexes is undecidable — this
+    * checks the replacement plane exactly, which is where the chain
+    * semantics bite; the pii_hits density-vs-replacement caveat on
+    * [[redacted]] still applies to overlapping MATCH shapes.
+    * [[StandardRules]] passes (spec-pinned). Throws on the first
+    * violating (rule, replacement) pair; call it once where a custom
+    * sheet is constructed.
+    */
+  def requireStableSheet(rules: Seq[Rule]): Unit = {
+    requireRules(rules)
+    for (r <- rules; s <- rules) {
+      val p = java.util.regex.Pattern.compile(r.regex)
+      require(!p.matcher(s.replacement).find(),
+        s"unstable rule sheet: rule '${r.name}' (${r.regex}) matches " +
+          s"rule '${s.name}''s replacement '${s.replacement}' — the " +
+          "chained scrub would rewrite its own sentinel" +
+          (if (r eq s) " (and the scrub would not be idempotent)"
+           else "") + "; pick replacement tokens no rule can match")
+    }
+  }
+
   /** Scrub `textCol` in place: chained regexp_replace in sheet order —
     * map-only, codegen'd, no new columns. The projection an ingest
     * composes right after its scan.

@@ -550,8 +550,22 @@ object Compaction {
       ("lease", l.leaseId, l.gen, if (l.expired) "expired" else "held",
         None: Option[Long], None: Option[Long], l.ageMs)
     }
+    // delete intents are normally milliseconds-lived; a visible one is
+    // either a prune in flight ("announced") or a crashed pruner's
+    // leftover ("stale", ignored by acquirers, cleaned next cycle) —
+    // the row that makes the latter diagnosable without fs spelunking
+    val intentRows = {
+      val mc = new FsManifestCommit(fs, main)
+      mc.list(IntentPrefix).sorted.map { n =>
+        val body = n.stripPrefix(IntentPrefix)
+        val a = mc.createdAt(n).map(t => math.max(0L, now - t))
+        ("intent", body, genNumber(body.takeWhile(_ != '.')),
+          if (a.forall(_ < DefaultOrphanGraceMs)) "announced" else "stale",
+          None: Option[Long], None: Option[Long], a)
+      }
+    }
     import spark.implicits._
-    (genRows ++ claimRows ++ leaseRows)
+    (genRows ++ claimRows ++ leaseRows ++ intentRows)
       .toDF("kind", "name", "gen", "status", "files", "bytes", "age_ms")
   }
 

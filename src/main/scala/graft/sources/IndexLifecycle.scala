@@ -370,9 +370,20 @@ object IndexLifecycle {
         None: Option[String], None: Option[Long], None: Option[Long],
         l.ageMs)
     }
+    // delete intents (the [[deleteUnlessPinned]] announce phase) —
+    // `marker.g<v>.<token>` / `dir.<name>.<token>`; a "stale" one is a
+    // crashed pruner's leftover, ignored by acquirers, cleaned by the
+    // next prune cycle (the Compaction.describe twin row)
+    val intentRows = mc.list(Compaction.IntentPrefix).sorted.map { n =>
+      val body = n.stripPrefix(Compaction.IntentPrefix)
+      val a = mc.createdAt(n).map(t => math.max(0L, now - t))
+      ("intent", body, None: Option[Long],
+        if (a.forall(_ < DefaultOrphanGraceMs)) "announced" else "stale",
+        None: Option[String], None: Option[Long], None: Option[Long], a)
+    }
     import spark.implicits._
-    (verRows ++ claimRows ++ leaseRows).toDF("kind", "name", "version",
-      "status", "dir", "segments", "absorbed", "age_ms")
+    (verRows ++ claimRows ++ leaseRows ++ intentRows).toDF("kind", "name",
+      "version", "status", "dir", "segments", "absorbed", "age_ms")
   }
 
   /** Read marker V's payload. On the HDFS commit branch the

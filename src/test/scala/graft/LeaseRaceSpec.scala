@@ -71,6 +71,12 @@ class LeaseRaceSpec extends AnyFunSuite {
       Seq(new Path(main, "g000000001"), new Path(main, "_graft_gen.g000000001")),
       leaseMaxAge = 0L,
       afterRelist = () => {
+        // the in-flight announce is operator-visible
+        val con = Compaction.describe(spark, t)
+          .filter(col("kind") === "intent").collect()
+        assert(con.length == 1 && con(0).getAs[String]("status") == "announced"
+          && con(0).getAs[Long]("gen") == 1L,
+          s"describe must surface the live intent: ${con.toSeq}")
         val e = intercept[RuntimeException](
           Compaction.acquireLease(spark, t, 1L, "racer"))
         assert(e.getMessage.contains("being pruned") ||
@@ -178,6 +184,93 @@ class LeaseRaceSpec extends AnyFunSuite {
       doDelete = () => fail("delete must not run against a pinned dir"))
     assert(!deleted)
     IndexLifecycle.releaseLease(spark, idx, "holder")
+  }
+
+  test("a STALE intent (crashed pruner, aged past the orphan grace) is ignored by acquirers, shown by describe, and cleaned by the next prune") {
+    val root = java.nio.file.Files.createTempDirectory("graft_lrace6").toString
+    val t = s"$root/tbl"
+    Compaction.writeGen(docs(0L to 4L), t) // g1
+    val fs = fsOf(t)
+    // a pruner that crashed between announce and delete
+    val stale = new Path(t, "_graft_intent.g000000001.deadbeef")
+    val out = fs.create(stale, true)
+    try out.write("g000000001".getBytes("UTF-8")) finally out.close()
+    val old = System.currentTimeMillis() - Compaction.DefaultOrphanGraceMs - 60000L
+    fs.setTimes(stale, old, old)
+    val con = Compaction.describe(spark, t)
+      .filter(col("kind") === "intent").collect()
+    assert(con.length == 1 && con(0).getAs[String]("status") == "stale",
+      s"describe must flag the crashed pruner's intent: ${con.toSeq}")
+    // the liveness assumption: a stale intent pins NOTHING — the
+    // acquire succeeds right through it
+    Compaction.acquireLease(spark, t, 1L, "survivor")
+    Compaction.releaseLease(spark, t, "survivor")
+    // and the next prune cycle sweeps it
+    Compaction.writeGen(docs(0L to 5L), t) // g2 (writeGen runs pruneDataDirs)
+    assert(!fs.exists(stale), "stale intents must be cleaned by pruning")
+  }
+
+  test("index soak: under append+rebuild churn, a successfully leased version stays pinnable for the whole held window") {
+    import graft.ops.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_lsoak2").toString
+    val idx = s"$root/ix"
+    Dedup.writeShingleIndex(docs(0L to 19L), "doc_id", "text", n = 3, idx,
+      nBuckets = 4)
+    Dedup.rebuildShingleIndex(spark, idx) // convert: v1
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val pins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val writer = new Thread(() => {
+      try {
+        // 12 appends with a rebuild every 3rd — each rebuild's prune
+        // races the acquirers for the retired dir and old markers
+        (0 until 12).foreach { i =>
+          Dedup.appendToShingleIndex(spark, idx,
+            docs((100L + i * 10) to (100L + i * 10 + 9)), "doc_id",
+            "text", n = 3, ingestTag = s"soak$i", nBuckets = 4)
+          if (i % 3 == 2) Dedup.rebuildShingleIndex(spark, idx)
+        }
+      } catch { case e: Throwable => violations.add(s"writer: $e") }
+      finally stop.set(true)
+    })
+    val acquirers = (1 to 2).map { k =>
+      new Thread(() => {
+        while (!stop.get) {
+          IndexLifecycle.versions(spark, idx).minOption.foreach { v =>
+            val id = s"ixsoak$k"
+            val acquired =
+              try { IndexLifecycle.acquireLease(spark, idx, v, id); true }
+              catch {
+                case e: RuntimeException
+                    if e.getMessage.contains("not readable") ||
+                       e.getMessage.contains("pruned") ||
+                       e.getMessage.contains("already pins") =>
+                  losses.incrementAndGet(); false
+              }
+            if (acquired) {
+              try {
+                // HELD window: the pinned version must resolve and its
+                // dir must read — the forbidden outcome is a silent
+                // pinned-but-pruned lease
+                val m = IndexLifecycle.manifestAt(spark, idx, v)
+                if (spark.read.parquet(
+                    new Path(new Path(idx), m.dir).toString).count() <= 0)
+                  violations.add(s"empty pinned read of v$v")
+                pins.incrementAndGet()
+              } catch {
+                case e: Throwable =>
+                  violations.add(s"pinned v$v broken while held: $e")
+              } finally IndexLifecycle.releaseLease(spark, idx, id)
+            }
+          }
+        }
+      })
+    }
+    (writer +: acquirers).foreach(_.start())
+    (writer +: acquirers).foreach(_.join(300000))
+    assert(violations.isEmpty, s"protocol violations: $violations")
+    assert(pins.get > 0, "no successful pin ever happened — soak too weak")
   }
 
   test("soak: under writeGen churn, a successful acquire ALWAYS yields a readable pinned generation — losses are loud, never silent") {

@@ -198,6 +198,25 @@ class RedactSpec extends AnyFunSuite {
       (1L, 2L, 3L, 1000000L, 500000L)), s"trend: ${t.toSeq}")
   }
 
+  test("requireStableSheet: rejects rules that match any replacement token; StandardRules pass") {
+    Redact.requireStableSheet(Redact.StandardRules) // the shipped sheet
+    // a rule matching its OWN replacement breaks scrub idempotence
+    val selfEating = Seq(Rule("num", "[0-9]+", "<NUM1>"))
+    val e1 = intercept[IllegalArgumentException](
+      Redact.requireStableSheet(selfEating))
+    assert(e1.getMessage.contains("unstable rule sheet") &&
+      e1.getMessage.contains("not be idempotent"), e1.getMessage)
+    // a rule matching ANOTHER rule's replacement rewrites its sentinel
+    val crossEating = Seq(
+      Rule("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+        "<EMAIL>"),
+      Rule("angle", "<[A-Z]+>", "X"))
+    val e2 = intercept[IllegalArgumentException](
+      Redact.requireStableSheet(crossEating))
+    assert(e2.getMessage.contains("'angle'") &&
+      e2.getMessage.contains("<EMAIL>"), e2.getMessage)
+  }
+
   test("rule-sheet guards fail loudly") {
     val df = Seq((1L, "x")).toDF("id", "text")
     intercept[IllegalArgumentException](Redact.apply(df, "text", Nil))
