@@ -627,6 +627,46 @@ object LlmPipelineQueries {
       },
       Some(streamingCurateRedactedOracleSql)),
 
+    // THE ONE-CALL PRODUCTION INGEST (StreamingDedup.attachIngest):
+    // admission gate -> PII scrub -> curate, composed inside ONE
+    // foreachBatch so all five artifacts (quarantine, validation
+    // report, curated output, index postings, checkpoint) share one
+    // batchId-keyed idempotence unit. The sheet's n_chars cut really
+    // bites (the corpus length distribution tails past 500), the
+    // scrub really bites (planted emails), the dedup crosses batches.
+    // Oracle = the scrubbed-curation replay restricted to the
+    // ADMITTED batch — one parameterized SQL builder shared with
+    // streaming_curate_redacted, so the composed pipeline's oracle
+    // cannot drift from the stage's.
+    GQuery("streaming_ingest",
+      (s, d) => {
+        val root = streamingIngestFor(s, d)
+        s.read.parquet(root + "/out")
+          .select(col("batch").cast("int").as("batch"),
+            col("doc").as("doc_id"), col("n_feats"), col("logw"))
+          .orderBy(col("batch"), col("doc_id"))
+      },
+      Some(streamingIngestOracleSql)),
+
+    // The ingest's QUARANTINE feed: rows the admission sheet rejected,
+    // per batch with reasons — proving malformed rows route out BEFORE
+    // the scrub/index/scorer ever see them.
+    GQuery("streaming_ingest_quarantine",
+      (s, d) => {
+        val root = streamingIngestFor(s, d)
+        s.read.parquet(root + "/quarantine")
+          .select(col("batch").cast("int").as("batch"), col("doc_id"),
+            col("n_chars"), col("reasons"))
+          .orderBy(col("batch"), col("doc_id"))
+      },
+      Some("""SELECT CAST(CASE WHEN doc_id % 20 = 0 THEN 0 ELSE 1 END AS INT)
+                 AS batch,
+               doc_id, n_chars, 'in_range:n_chars' AS reasons
+        FROM documents
+        WHERE (doc_id % 20 = 0 OR doc_id % 20 = 10)
+          AND (n_chars < 0 OR n_chars > 500)
+        ORDER BY batch, doc_id""")),
+
     // The streaming run's DRAIN EXPORT, replayed (VERDICT r12 #5): the
     // streaming_curate loop run with the chain intact, then
     // TrainExport.commitStreamDrain at drain time — a generational

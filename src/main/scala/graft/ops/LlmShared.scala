@@ -489,13 +489,22 @@ private[ops] object LlmShared {
     * whole scrub → gate → cross-batch dedup → DSIR chain from the
     * data.
     */
-  lazy val streamingCurateRedactedOracleSql: String = {
+  lazy val streamingCurateRedactedOracleSql: String = curateRedactedSql("")
+
+  /** The scrubbed-curation replay, parameterized by an extra batch
+    * admission predicate — `streaming_curate_redacted` uses the empty
+    * filter, `streaming_ingest` injects the validation sheet's cut
+    * (`AND n_chars BETWEEN 0 AND 500`): one SQL builder, so the
+    * composed pipeline's oracle can never drift from the stage's.
+    */
+  private def curateRedactedSql(batchFilter: String): String = {
     val plantExpr = """text || CASE WHEN doc_id % 3 = 0
         THEN ' contact user' || doc_id || '@example.com now'
         ELSE '' END"""
     s"""WITH bsrc AS (
       SELECT doc_id, ${Redact.scrubSql(plantExpr)} AS text
-      FROM documents WHERE doc_id % 20 = 0 OR doc_id % 20 = 10),
+      FROM documents
+      WHERE (doc_id % 20 = 0 OR doc_id % 20 = 10)$batchFilter),
     toksC AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
       FROM documents),
@@ -609,6 +618,64 @@ private[ops] object LlmShared {
     FROM w SEMI JOIN surv1 USING (doc_id)
     ORDER BY batch, doc_id"""
   }
+
+  /** The streaming_ingest oracle: the scrubbed-curation replay over
+    * the ADMITTED batch only (the validation sheet's n_chars cut).
+    */
+  lazy val streamingIngestOracleSql: String =
+    curateRedactedSql(" AND n_chars BETWEEN 0 AND 500")
+
+  /** The ONE-CALL INGEST fixture
+    * ([[graft.streaming.StreamingDedup.attachIngest]]): the
+    * streamingCurateRedactedFor setup with an admission sheet in
+    * front — the stream carries (doc_id, text, n_chars), the sheet's
+    * InRange(n_chars, 0, 500) really bites on the synthetic corpus
+    * (lengths tail past 500), quarantined rows land per batch, and
+    * only admitted rows are scrubbed/gated/deduped/scored. Returns
+    * the fixture root (out/, quarantine/, report/ under it).
+    */
+  def streamingIngestFor(s: org.apache.spark.sql.SparkSession,
+                         datasetDir: String): String =
+    graft.util.TempFixtures.dir(s"singest:$datasetDir") { root =>
+      val idx = root + "/index"
+      val docs = Tables(s, datasetDir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx,
+        maxDf = shingleMaxDf)
+      Dsir.writeModel(corpus.filter(col("doc_id") % 7 =!= 0),
+        corpus.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+        root + "/model")
+      val plantedB = docs.withColumn("text", concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"),
+            lit("@example.com now"))).otherwise(lit(""))))
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input = MemoryStream[(Long, String, Long)]
+      val q = graft.streaming.StreamingDedup.attachIngest(
+          input.toDS().toDF("doc_id", "text", "n_chars"),
+          "doc_id", "text",
+          checks = Seq(Validate.InRange("n_chars", 0.0, 500.0),
+            Validate.Unique(Seq("doc_id"))),
+          redactRules = Redact.StandardRules,
+          indexPath = idx, modelPath = root + "/model",
+          outDir = root + "/out", quarantineDir = root + "/quarantine",
+          reportDir = root + "/report", n = 3, threshold = 0.8)
+        .option("checkpointLocation", root + "/ckpt")
+        .start()
+      try {
+        // MemoryStream TRANSPORT harness collect — see
+        // streamingDedupPairsFor's note
+        def slice(m: Int) = plantedB.filter(col("doc_id") % 20 === m)
+          .select("doc_id", "text", "n_chars").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+        input.addData(slice(0): _*)
+        q.processAllAvailable()
+        input.addData(slice(10): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
 
   /** The DRAIN-EXPORT fixture (streaming_curate_export): the
     * streamingCurateFor run made exportable — the shingle index is

@@ -506,6 +506,100 @@ object StreamingDedup {
     })
   }
 
+  /** The ONE-CALL PRODUCTION INGEST — the three proven stages composed
+    * in the order a real pipeline runs them, inside ONE foreachBatch:
+    *
+    *  1. ADMIT ([[attachValidated]]'s routing): the constraint sheet's
+    *     row-level checks split the batch — violating rows land in
+    *     `quarantineDir/batch=<id>` with `reasons`, the O(#checks)
+    *     report appends to `reportDir/batch=<id>` (the
+    *     [[graft.ops.Validate.batchTrend]] feed), and ONLY clean rows
+    *     proceed: malformed rows never reach the scrub, the index, or
+    *     the scorer;
+    *  2. SCRUB ([[attachRedacted]]'s stage, positioned as
+    *     [[attachCurate]]'s `redactRules` does): the clean rows' text
+    *     is redacted BEFORE the gate, so every downstream artifact
+    *     sees only scrubbed text;
+    *  3. CURATE ([[attachCurate]]'s body): repetition gate → near-dup
+    *     probe against everything already ingested → DSIR scoring into
+    *     `outDir/batch=<id>` → survivors' postings join the index
+    *     under `ingest=b<id>`.
+    *
+    * Running the trio in one trigger (not three chained streams) is
+    * what makes the composition exactly-once AS A UNIT: all five
+    * writes are batchId-keyed dynamic overwrites under one checkpoint,
+    * so an at-least-once replay rewrites every artifact bit-for-bit —
+    * three separate streams would need three checkpoints and an
+    * intermediate landing table between each pair. Per-trigger cost is
+    * the sum of the stages' (all batch-proportional): map-only routing
+    * + one tiny report aggregate + map-only scrub + the bucket-pruned
+    * probe + the broadcast-model scoring join.
+    *
+    * `exportable` carries [[attachCurate]]'s drain-export contract
+    * (forces in-loop compaction off, validated at attach).
+    */
+  def attachIngest(rows: DataFrame, idCol: String, textCol: String,
+                   checks: Seq[Validate.Check],
+                   redactRules: Seq[graft.ops.Redact.Rule],
+                   indexPath: String, modelPath: String, outDir: String,
+                   quarantineDir: String, reportDir: String,
+                   n: Int = 3, threshold: Double = 0.8,
+                   nBuckets: Int = 64,
+                   maxSegments: Int = ShingleMaxSegments,
+                   readerGraceMs: Long = 0L,
+                   exportable: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val rowChecks = checks.filterNot(_.isInstanceOf[Validate.Unique])
+    require(rowChecks.nonEmpty,
+      "the admission stage needs at least one row-level check to route on")
+    require(!exportable || maxSegments == ShingleMaxSegments ||
+        maxSegments == 0,
+      s"attachIngest(exportable = true) forbids in-loop compaction " +
+        s"(the attachCurate drain-export contract); got maxSegments = " +
+        s"$maxSegments (leave it at the default or pass 0)")
+    val effMaxSegments = if (exportable) 0 else maxSegments
+    Seq("batch", "reasons", "violations").foreach(c =>
+      require(!rows.columns.contains(c),
+        s"attachIngest writes column '$c' — rename it in the input " +
+          "(it would be silently overwritten)"))
+    rows.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      import org.apache.spark.sql.functions._
+      def land(df: DataFrame, dir: String): Unit =
+        df.withColumn("batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(dir)
+      // 1. ADMIT
+      land(Validate.quarantine(batch, rowChecks)
+        .withColumn("reasons", concat_ws(",", col("violations")))
+        .drop("violations"), quarantineDir)
+      land(Validate.report(batch, checks), reportDir)
+      val admitted = Validate.clean(batch, rowChecks)
+      // 2. SCRUB (before the gate — the attachCurate redactRules
+      // position: hashes/shingles/features computed on scrubbed text)
+      val scrubbed = if (redactRules.isEmpty) admitted
+                     else graft.ops.Redact.apply(admitted, textCol, redactRules)
+      // 3. CURATE
+      val rep = graft.ops.TextAnalysis.repetition(scrubbed, idCol, textCol)
+      val kept = scrubbed.join(rep, idCol)
+        .filter(floor(col("dup_trigram_ratio") * 1e6) <= 20000L &&
+          floor(col("top_token_ratio") * 1e6) <= 120000L)
+        .select(idCol, textCol)
+      val dups = graft.ops.Dedup.jaccardAgainstIndex(spark, indexPath,
+          kept, idCol, textCol, n, threshold, nBuckets,
+          excludeIngest = Some(s"b$batchId"))
+        .select(col("i").as(idCol)).distinct()
+      val survivors = kept.join(dups, Seq(idCol), "left_anti")
+      land(graft.ops.Dsir.scoreAgainstModel(spark, modelPath, survivors,
+        idCol, textCol), outDir)
+      graft.ops.Dedup.appendToShingleIndex(spark, indexPath, survivors,
+        idCol, textCol, n, ingestTag = s"b$batchId", nBuckets = nBuckets)
+      if (effMaxSegments > 0)
+        Dedup.maybeRebuildShingleIndex(spark, indexPath, effMaxSegments,
+          readerGraceMs = readerGraceMs)
+    })
+  }
+
   /** Streaming PII SCRUB stage: every micro-batch lands
     * [[graft.ops.Redact.redacted]] rows (text scrubbed in place, a
     * pre-scrub `pii_hits` count) in `outDir/batch=<id>` and the

@@ -1335,6 +1335,61 @@ class CdcStreamSpec extends AnyFunSuite {
       "the scrubbed form must dedup against the clean duplicate")
   }
 
+  test("attachIngest: admit -> scrub -> curate in one trigger; quarantined rows never reach scrub, index, or scorer") {
+    import graft.ops.{Dedup, Dsir, Redact, Validate}
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    def body(seed: Int) = (0 until 12).map(i => s"v${seed}_$i").mkString(" ")
+    val corpus = Seq((1L, body(1)), (2L, body(2))).toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_singest_spec").toString
+    val idx = root + "/index"
+    Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx,
+      nBuckets = 8)
+    Dsir.writeModel(corpus, corpus.filter(col("doc_id") === 1),
+      "doc_id", "text", root + "/model")
+    val letterA = body(10) + " contact alice@example.com now"
+    val letterB = body(10) + " contact bob@example.org now"
+    val input = MemoryStream[(Long, String, Long)]
+    val q = StreamingDedup.attachIngest(
+        input.toDF().toDF("doc_id", "text", "n_chars"), "doc_id", "text",
+        checks = Seq(Validate.InRange("n_chars", 0.0, 100.0),
+          Validate.Unique(Seq("doc_id"))),
+        redactRules = Redact.StandardRules,
+        indexPath = idx, modelPath = root + "/model",
+        outDir = root + "/out", quarantineDir = root + "/quarantine",
+        reportDir = root + "/report", n = 3, threshold = 0.8, nBuckets = 8)
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    try {
+      // 10 admitted (PII scrubbed, survives); 11 QUARANTINED by the
+      // sheet — its tokens must never reach the index even though its
+      // text is novel
+      input.addData((10L, letterA, 50L), (11L, body(99) + " qban", 500L))
+      q.processAllAvailable()
+      // 20 = the same letter with a different address: admitted,
+      // scrubbed to the identical canonical form, deduped against
+      // batch 0's appended survivor; 30 novel, survives
+      input.addData((20L, letterB, 50L), (30L, body(30), 50L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(root + "/out").select("batch", "doc")
+      .as[(Int, Long)].collect().toSet == Set((0, 10L), (1, 30L)))
+    assert(spark.read.parquet(root + "/quarantine")
+      .select("batch", "doc_id", "reasons")
+      .as[(Int, Long, String)].collect().toSet ==
+      Set((0, 11L, "in_range:n_chars")))
+    val shingles = spark.read.parquet(idx).select("s").as[String].collect()
+    assert(!shingles.exists(_.contains("qban")),
+      "a quarantined row's tokens leaked into the index")
+    assert(!shingles.exists(_.contains("alice@example.com")) &&
+      shingles.exists(_.contains("<EMAIL>")),
+      "admitted rows must append scrubbed postings")
+    // the per-batch validation report feed landed for both batches
+    assert(Validate.batchTrend(spark, root + "/report", k = 2)
+      .filter(col("check_name") === "in_range:n_chars").count() == 2L)
+  }
+
   test("attachCurateMm scrubs text before the gate too; image payloads pass through untouched") {
     import graft.ops.{Dedup, Dsir, Multimodal, PpmImage, Redact}
     import graft.streaming.StreamingDedup
