@@ -99,6 +99,72 @@ object SpanDedup {
           .otherwise(lit(0.0)).as("dup_ratio"))
   }
 
+  /** The ACTION half of Lee et al. — rewrite every document with each
+    * duplicated span occurrence REMOVED except one corpus-wide
+    * canonical copy (the globally smallest (doc, pos), so the choice
+    * is deterministic and partition-order-free): [[spanCoverage]] says
+    * where duplication lives; this produces the deduplicated corpus a
+    * training run actually consumes, preserving exactly one copy of
+    * each boilerplate region instead of dropping whole documents.
+    *
+    * Semantics (replayed exactly by the DuckDB oracle):
+    *  - a k-gram start is REMOVABLE when its hash occurs ≥ `minOcc`
+    *    times corpus-wide and it is not the canonical occurrence;
+    *  - a token survives iff NO removable start covers it (the union
+    *    of [pos, pos+k) intervals) — a canonical span's tokens can
+    *    still fall to an OVERLAPPING removable span, which keeps the
+    *    rule one-pass and order-free;
+    *  - surviving tokens re-join with single spaces, so the output
+    *    text is whitespace-normalized like every text op here (an
+    *    untouched document comes back token-identical, not
+    *    byte-identical, when its raw text had irregular spacing).
+    *
+    * Scale shape: fingerprints (map-only zipped-slice explode) → one
+    * partial-agg'd groupBy on the 32-byte hash → one min(struct) agg
+    * for canonicals → the removable set fans out k rows per removable
+    * START (k small, set bounded by duplication, not corpus) → one
+    * (doc, position) anti-join → per-doc ordered reassembly via
+    * sort_array(collect_list), bounded by document length. No pair
+    * joins, nothing corpus-sized on the driver.
+    *
+    * Returns `(doc, text, n_tokens_kept)` — `doc` from `idCol` (ids
+    * must be unique), `text` rewritten. A fully-boilerplate document
+    * comes back as the empty string with 0 kept tokens — route those
+    * to a drop list downstream if empty docs are unwanted.
+    */
+  def rewriteWithoutSpans(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int, minOcc: Int = 2): DataFrame = {
+    val fp = fingerprints(docs, idCol, textCol, k)
+    val dup = duplicatedSpans(docs, idCol, textCol, k, minOcc).select("h")
+    val dupFp = fp.join(dup, "h")
+    // canonical occurrence per span: the tuple min — a map-side
+    // partial-aggregating struct-min (the KMeansStep argmin pattern),
+    // never a window over the expansion
+    val canon = dupFp.groupBy("h")
+      .agg(min(struct(col("doc"), col("pos"))).as("c"))
+      .select(col("h"), col("c.doc").as("cdoc"), col("c.pos").as("cpos"))
+    val removable = dupFp.join(canon, "h")
+      .filter(!(col("doc") === col("cdoc") && col("pos") === col("cpos")))
+      .select("doc", "pos")
+    val covered = removable
+      .select(col("doc"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+    val toks = docs.select(col(idCol).as("doc"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val rebuilt = toks.join(covered, Seq("doc", "pos"), "left_anti")
+      .groupBy("doc")
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s("tok")), " ").as("__rw"),
+        count(lit(1)).as("n_tokens_kept"))
+    docs.select(col(idCol).as("doc"))
+      .join(rebuilt, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("__rw"), lit("")).as("text"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+  }
+
   // ------------------------------------------------- persisted index
 
   /** The span-fingerprint index — the one text op that still rescanned
@@ -379,6 +445,68 @@ object SpanDedup {
             THEN CAST(coalesce(covered_tokens, 0) AS DOUBLE) / len(l)
             ELSE 0.0 END AS dup_ratio
         FROM tok LEFT JOIN cov USING (doc_id)
+        ORDER BY doc""")),
+
+    // The REWRITE — Lee et al.'s removal applied, not just measured:
+    // every 5th doc carries a planted 10-token boilerplate suffix, so
+    // its interior 8-grams are duplicated corpus-wide; the rewrite
+    // must strip the whole suffix from every planted doc EXCEPT the
+    // canonical occurrence's (plus whatever natural duplication the
+    // synthetic corpus carries — the oracle re-derives ALL of it
+    // closed-form: plant, gram, dup set, tuple-min canonicals,
+    // interval union, ordered reassembly). text_md5 hash-compares the
+    // REBUILT TEXT itself — replacement parity, not just counts.
+    GQuery("dedup_span_rewrite",
+      (s, d) => {
+        val planted = Tables(s, d, "documents").withColumn("text",
+          concat(col("text"), when(col("doc_id") % 5 === 0,
+            lit(" zlic0 zlic1 zlic2 zlic3 zlic4 zlic5 zlic6 zlic7" +
+              " zlic8 zlic9")).otherwise(lit(""))))
+        rewriteWithoutSpans(planted, "doc_id", "text", K)
+          .select(col("doc"), md5(col("text")).as("text_md5"),
+            col("n_tokens_kept"))
+          .orderBy(col("doc"))
+      },
+      Some(s"""WITH p AS (
+          SELECT doc_id, text || CASE WHEN doc_id % 5 = 0
+            THEN ' zlic0 zlic1 zlic2 zlic3 zlic4 zlic5 zlic6 zlic7' ||
+                 ' zlic8 zlic9'
+            ELSE '' END AS text
+          FROM documents),
+        tok AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+          FROM p),
+        fp AS (
+          SELECT doc_id, CAST(q.i - 1 AS INT) AS pos,
+            md5(array_to_string(l[q.i:q.i + ${K - 1}], ' ')) AS h
+          FROM tok, LATERAL (SELECT unnest(range(1, len(l) - ${K - 2})) AS i) q
+          WHERE len(l) >= $K),
+        dup AS (SELECT h FROM fp GROUP BY h HAVING count(*) >= 2),
+        dfp AS (SELECT fp.* FROM fp SEMI JOIN dup USING (h)),
+        canon AS (
+          SELECT h, doc_id AS cdoc, pos AS cpos FROM (
+            SELECT h, doc_id, pos,
+              row_number() OVER (PARTITION BY h
+                ORDER BY doc_id, pos) AS rn
+            FROM dfp) WHERE rn = 1),
+        removable AS (
+          SELECT d.doc_id, d.pos FROM dfp d JOIN canon c ON d.h = c.h
+          WHERE NOT (d.doc_id = c.cdoc AND d.pos = c.cpos)),
+        covered AS (
+          SELECT DISTINCT doc_id, pos + g.i AS pos
+          FROM removable, LATERAL (SELECT unnest(range(0, $K)) AS i) g),
+        toks AS (
+          SELECT doc_id, CAST(q.i - 1 AS INT) AS pos, l[q.i] AS tok
+          FROM tok, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) q),
+        kept AS (
+          SELECT toks.* FROM toks ANTI JOIN covered USING (doc_id, pos)),
+        rw AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+            CAST(count(*) AS BIGINT) AS n_tokens_kept
+          FROM kept GROUP BY doc_id)
+        SELECT p.doc_id AS doc, md5(coalesce(rw.text, '')) AS text_md5,
+          coalesce(rw.n_tokens_kept, 0) AS n_tokens_kept
+        FROM p LEFT JOIN rw USING (doc_id)
         ORDER BY doc""")),
 
     // Incremental span coverage against the PERSISTED fingerprint

@@ -153,6 +153,38 @@ class SpanDedupSpec extends AnyFunSuite {
       new org.apache.hadoop.fs.Path(dir)) == Seq("base"))
   }
 
+  test("rewriteWithoutSpans: canonical occurrence survives, every other copy is stripped, fully-boilerplate docs go empty") {
+    val docs = Seq(
+      // doc 1 holds the canonical (smallest (doc, pos)) copy of the
+      // boilerplate — its text must come back token-identical
+      (1L, s"alpha beta gamma $boiler delta epsilon"),
+      // doc 2's copy is removable — the 8 boilerplate tokens vanish,
+      // its own tokens survive
+      (2L, s"$boiler zeta eta theta iota kappa lambda"),
+      // doc 3 is clean — untouched (whitespace-normalized)
+      (3L, "mu nu xi omicron pi rho sigma tau upsilon phi chi psi"),
+      // doc 4 is NOTHING BUT the boilerplate — rewritten to empty
+      (4L, boiler))
+      .toDF("doc_id", "text")
+    val out = SpanDedup.rewriteWithoutSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        (r.getAs[String]("text"), r.getAs[Long]("n_tokens_kept"))).toMap
+    assert(out(1L) == (s"alpha beta gamma $boiler delta epsilon", 13L))
+    assert(out(2L) == ("zeta eta theta iota kappa lambda", 6L))
+    assert(out(3L) ==
+      ("mu nu xi omicron pi rho sigma tau upsilon phi chi psi", 12L))
+    assert(out(4L) == ("", 0L),
+      "a fully-boilerplate non-canonical doc must rewrite to empty")
+    // idempotence on the REWRITTEN corpus: nothing left to remove
+    val again = SpanDedup.rewriteWithoutSpans(
+        out.toSeq.map { case (id, (t, _)) => (id, t) }.toDF("doc_id", "text"),
+        "doc_id", "text", k = 8)
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[String]("text"))
+      .toMap
+    assert(out.map { case (id, (t, _)) => id -> t } == again,
+      "rewrite must be a fixed point on its own output")
+  }
+
   test("docs shorter than k emit no fingerprints but still report") {
     val docs = Seq((1L, "too short"), (2L, "a b c d e f g h"))
       .toDF("doc_id", "text")
