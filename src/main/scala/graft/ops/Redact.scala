@@ -70,28 +70,50 @@ object Redact {
   }
 
   /** OPTIONAL sheet-stability lint for custom rule sheets (r14
-    * verdict #7): rejects a sheet where any rule's regex matches any
-    * rule's REPLACEMENT token — the one statically checkable way a
-    * chained scrub goes wrong (a later rule re-matching an earlier
-    * rule's replacement rewrites the sentinel; a rule matching its own
-    * replacement makes `apply∘apply ≠ apply`, breaking the
-    * scrub-is-idempotent property audits rely on). Full
-    * overlap-freedom between arbitrary regexes is undecidable — this
-    * checks the replacement plane exactly, which is where the chain
-    * semantics bite; the pii_hits density-vs-replacement caveat on
-    * [[redacted]] still applies to overlapping MATCH shapes.
-    * [[StandardRules]] passes (spec-pinned). Throws on the first
-    * violating (rule, replacement) pair; call it once where a custom
-    * sheet is constructed.
+    * verdict #7, tightened per r15 ADVICE): rejects a sheet where any
+    * rule's regex matches any rule's REPLACEMENT token — either the
+    * bare token, or the token EMBEDDED in representative surviving
+    * text (`a<REPL>a`, `0<REPL>0`, `.<REPL>.` — a match is a violation
+    * only when it OVERLAPS the embedded token, so a rule matching the
+    * context characters alone never false-positives). The embedded
+    * check catches boundary-spanning rules (e.g. a rule matching
+    * `>x`), which a bare-token check missed. This remains a LINT, not
+    * a proof: full overlap-freedom between arbitrary regexes is
+    * undecidable, and a rule could straddle a sentinel only next to
+    * context characters not probed here — it catches the statically
+    * checkable failure classes (sentinel re-match, a-digit-adjacent or
+    * dot-adjacent straddle, non-idempotent self-match), which is where
+    * chained scrubs actually break; the pii_hits
+    * density-vs-replacement caveat on [[redacted]] still applies to
+    * overlapping MATCH shapes. [[StandardRules]] passes (spec-pinned).
+    * Throws on the first violating (rule, replacement) pair; call it
+    * once where a custom sheet is constructed.
     */
   def requireStableSheet(rules: Seq[Rule]): Unit = {
     requireRules(rules)
-    for (r <- rules; s <- rules) {
-      val p = java.util.regex.Pattern.compile(r.regex)
-      require(!p.matcher(s.replacement).find(),
+    val compiled = rules.map(r => r -> java.util.regex.Pattern.compile(r.regex))
+    val contexts = Seq("a", "0", ".")
+    for ((r, p) <- compiled; s <- rules) {
+      // a match anywhere in the bare token is a violation; in the
+      // embedded probes only a match overlapping the token region
+      // [ctx.length, ctx.length + token.length) is
+      val bareHit = p.matcher(s.replacement).find()
+      val embeddedHit = !bareHit && contexts.exists { ctx =>
+        val text = ctx + s.replacement + ctx
+        val lo = ctx.length
+        val hi = ctx.length + s.replacement.length
+        val m = p.matcher(text)
+        Iterator.continually(m.find()).takeWhile(identity)
+          .exists(_ => m.start() < hi && m.end() > lo &&
+            // ignore matches wholly inside the context padding
+            !(m.end() <= lo || m.start() >= hi))
+      }
+      require(!bareHit && !embeddedHit,
         s"unstable rule sheet: rule '${r.name}' (${r.regex}) matches " +
-          s"rule '${s.name}''s replacement '${s.replacement}' — the " +
-          "chained scrub would rewrite its own sentinel" +
+          s"rule '${s.name}''s replacement '${s.replacement}'" +
+          (if (embeddedHit) " when embedded in surviving text (a span" +
+            " straddling the sentinel and adjacent text)" else "") +
+          " — the chained scrub would rewrite its own sentinel" +
           (if (r eq s) " (and the scrub would not be idempotent)"
            else "") + "; pick replacement tokens no rule can match")
     }
@@ -199,11 +221,18 @@ object Redact {
       .orderBy(col("batch").desc).limit(k)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("rule_name").orderBy("batch")
-    h.join(broadcast(lastK), Seq("batch"))
-      .withColumn("hit_u", when(col("n_rows") === 0L, 0L)
+    // hit_u and its lag delta are computed over the FULL report
+    // history and only then filtered to the last-k window (r15
+    // ADVICE): filtering first made the earliest in-window batch
+    // report delta_u = null even when the feed held its predecessor —
+    // one silently lost delta per query. The feed is O(#rules) rows
+    // per batch, so the full-history window is bounded metadata, not
+    // a corpus scan.
+    h.withColumn("hit_u", when(col("n_rows") === 0L, 0L)
         .otherwise(floor(col("docs_hit").cast("double") * 1e6
           / col("n_rows").cast("double"))))
       .withColumn("delta_u", col("hit_u") - lag(col("hit_u"), 1).over(w))
+      .join(broadcast(lastK), Seq("batch"))
       .select(col("rule_name"), col("batch"), col("n_rows"),
         col("docs_hit"), col("total_matches"), col("hit_u"),
         col("delta_u"))

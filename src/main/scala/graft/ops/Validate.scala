@@ -407,9 +407,14 @@ object Validate {
       .orderBy(col(timeCol).desc).limit(k)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("check_name").orderBy(timeCol)
-    h.join(broadcast(lastK), Seq(timeCol))
-      .withColumn("delta_u",
+    // lag over the FULL history, THEN filter to the window (the
+    // Redact.batchTrend r15-ADVICE fix, applied to both trends):
+    // filtering first made the earliest in-window step report
+    // delta_u = null even when the feed held its predecessor. The
+    // feed is O(#checks) rows per step — bounded metadata.
+    h.withColumn("delta_u",
         col("violation_u") - lag(col("violation_u"), 1).over(w))
+      .join(broadcast(lastK), Seq(timeCol))
       .select(col("check_name"), col("kind"), col(timeCol),
         col("n_rows"), col("n_violations"), col("violation_u"),
         col("delta_u"), col("status"))

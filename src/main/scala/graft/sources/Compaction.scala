@@ -317,7 +317,7 @@ object Compaction {
     // lease re-list may predate this CAS and its delete can still land)
     if (!fs.exists(new Path(main, ManifestPrefix + genName(gen))) ||
         !fs.exists(new Path(main, genName(gen))) ||
-        (placed && liveIntent(mc, genName(gen)))) {
+        (placed && liveIntent(mc, genName(gen), intentGraceMs(conf)))) {
       mc.delete(name)
       sys.error(s"generation $gen at $path was pruned (or is being " +
         "pruned) while acquiring the lease — re-derive the pin from " +
@@ -352,6 +352,37 @@ object Compaction {
   private[graft] def leaseMaxAgeMs(
       conf: org.apache.hadoop.conf.Configuration): Long =
     conf.getLong(LeaseMaxAgeKey, 0L)
+
+  /** Acquirer-visible delete-intent grace: how long an announced
+    * `_graft_intent.*` marker pins lease acquires (and counts as
+    * "announced" in [[describe]]) before being treated as a crashed
+    * pruner's leftover. Read from the Hadoop configuration like
+    * [[LeaseMaxAgeKey]] (set `spark.hadoop.graft.orphan.grace.ms`);
+    * default [[DefaultOrphanGraceMs]]. INVARIANT (r15 ADVICE — this is
+    * what keeps the lease-vs-prune closure sound): every prune cycle's
+    * `orphanGraceMs` must be <= this value, so an intent a cleaner
+    * still considers live is NEVER ignored by an acquirer — enforced
+    * loudly by [[requirePruneGrace]] at every prune entry point. A
+    * deployment running slower prune cycles raises BOTH by setting the
+    * conf key and passing the same (or smaller) value to prune.
+    */
+  val OrphanGraceKey = "graft.orphan.grace.ms"
+
+  private[graft] def intentGraceMs(
+      conf: org.apache.hadoop.conf.Configuration): Long =
+    conf.getLong(OrphanGraceKey, DefaultOrphanGraceMs)
+
+  /** Enforce the [[OrphanGraceKey]] invariant at a prune entry point. */
+  private[graft] def requirePruneGrace(
+      conf: org.apache.hadoop.conf.Configuration,
+      pruneGraceMs: Long): Unit = {
+    val acq = intentGraceMs(conf)
+    require(pruneGraceMs <= acq,
+      s"orphanGraceMs = $pruneGraceMs exceeds the acquirer-visible " +
+        s"intent grace $acq ms ($OrphanGraceKey) — a pruner running " +
+        "longer than the acquirer grace re-opens the lease-vs-prune " +
+        s"race; set spark.hadoop.$OrphanGraceKey >= orphanGraceMs")
+  }
 
   /** One held retention lease, as the operator-facing listing row.
     * `gen` is None when the payload does not parse as a generation
@@ -405,16 +436,18 @@ object Compaction {
       .toSet
   }
 
-  /** True when a LIVE delete-intent (younger than
-    * [[DefaultOrphanGraceMs]]) names `target` — the pruner's announce
-    * phase of [[deleteUnlessLeased]]. A stale intent past the grace is
-    * a crashed pruner's leftover and pins nothing (same orphan
-    * discipline as writer claims).
+  /** True when a LIVE delete-intent (younger than `graceMs` — the
+    * acquirer-visible [[OrphanGraceKey]] grace, threaded by callers
+    * from the SESSION conf, never hardcoded: r15 ADVICE) names
+    * `target` — the pruner's announce phase of [[deleteUnlessLeased]].
+    * A stale intent past the grace is a crashed pruner's leftover and
+    * pins nothing (same orphan discipline as writer claims).
     */
-  private[sources] def liveIntent(mc: ManifestCommit, target: String): Boolean = {
+  private[sources] def liveIntent(mc: ManifestCommit, target: String,
+                                  graceMs: Long): Boolean = {
     val now = System.currentTimeMillis()
     mc.list(IntentPrefix + target + ".").exists(n =>
-      mc.createdAt(n).forall(t => now - t < DefaultOrphanGraceMs))
+      mc.createdAt(n).forall(t => now - t < graceMs))
   }
 
   /** Delete crashed pruners' intent leftovers (older than `graceMs`). */
@@ -556,11 +589,12 @@ object Compaction {
     // the row that makes the latter diagnosable without fs spelunking
     val intentRows = {
       val mc = new FsManifestCommit(fs, main)
+      val grace = intentGraceMs(spark.sparkContext.hadoopConfiguration)
       mc.list(IntentPrefix).sorted.map { n =>
         val body = n.stripPrefix(IntentPrefix)
         val a = mc.createdAt(n).map(t => math.max(0L, now - t))
         ("intent", body, genNumber(body.takeWhile(_ != '.')),
-          if (a.forall(_ < DefaultOrphanGraceMs)) "announced" else "stale",
+          if (a.forall(_ < grace)) "announced" else "stale",
           None: Option[Long], None: Option[Long], a)
       }
     }
@@ -893,6 +927,7 @@ object Compaction {
                  readerGraceMs: Long = 0L): Stats = {
     val main = new Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
+    requirePruneGrace(conf, orphanGraceMs)
     val fs = main.getFileSystem(conf)
     if (currentGen(fs, main).isEmpty) toGenerational(spark, path)
     val cur = currentGen(fs, main).get
@@ -961,6 +996,7 @@ object Compaction {
                  orphanGraceMs: Long = DefaultOrphanGraceMs,
                  readerGraceMs: Long = 0L): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
+    requirePruneGrace(spark.sparkContext.hadoopConfiguration, orphanGraceMs)
     val hit = coalesce(victim, lit(false))
     var attempts = 0
     while (attempts < 8) {
@@ -1004,6 +1040,7 @@ object Compaction {
                        orphanGraceMs: Long = DefaultOrphanGraceMs,
                        readerGraceMs: Long = 0L): Boolean = {
     val main = new Path(path)
+    requirePruneGrace(spark.sparkContext.hadoopConfiguration, orphanGraceMs)
     val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val pubs = listNums(fs, main, ManifestPrefix).sorted.reverse
     if (pubs.isEmpty) return true
@@ -1030,6 +1067,7 @@ object Compaction {
     val spark = df.sparkSession
     val main = new Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
+    requirePruneGrace(conf, orphanGraceMs)
     val fs = main.getFileSystem(conf)
     val next = genName(claimNext(fs, main, s"writeGen@${spark.sparkContext.applicationId}"))
     df.write.mode("overwrite").parquet(new Path(main, next).toString)

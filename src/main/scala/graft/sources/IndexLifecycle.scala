@@ -232,9 +232,12 @@ object IndexLifecycle {
     // [[Compaction.deleteUnlessLeased]])
     try {
       val m = manifestAt(spark, path, v)
+      val grace = Compaction.intentGraceMs(
+        spark.sparkContext.hadoopConfiguration)
       if (placed && (
-          Compaction.liveIntent(mc, s"marker.${Compaction.genName(v)}") ||
-          Compaction.liveIntent(mc, s"dir.${m.dir}")))
+          Compaction.liveIntent(mc, s"marker.${Compaction.genName(v)}",
+            grace) ||
+          Compaction.liveIntent(mc, s"dir.${m.dir}", grace)))
         sys.error(s"index version $v at $path is being pruned while " +
           "acquiring the lease — re-derive the pin from current state")
     } catch { case e: Throwable => mc.delete(name); throw e }
@@ -374,11 +377,13 @@ object IndexLifecycle {
     // `marker.g<v>.<token>` / `dir.<name>.<token>`; a "stale" one is a
     // crashed pruner's leftover, ignored by acquirers, cleaned by the
     // next prune cycle (the Compaction.describe twin row)
+    val intentGrace = Compaction.intentGraceMs(
+      spark.sparkContext.hadoopConfiguration)
     val intentRows = mc.list(Compaction.IntentPrefix).sorted.map { n =>
       val body = n.stripPrefix(Compaction.IntentPrefix)
       val a = mc.createdAt(n).map(t => math.max(0L, now - t))
       ("intent", body, None: Option[Long],
-        if (a.forall(_ < DefaultOrphanGraceMs)) "announced" else "stale",
+        if (a.forall(_ < intentGrace)) "announced" else "stale",
         None: Option[String], None: Option[Long], None: Option[Long], a)
     }
     import spark.implicits._
@@ -1118,6 +1123,8 @@ object IndexLifecycle {
     */
   private def pruneMarkers(spark: SparkSession, path: String,
                            orphanGraceMs: Long = DefaultOrphanGraceMs): Unit = {
+    Compaction.requirePruneGrace(
+      spark.sparkContext.hadoopConfiguration, orphanGraceMs)
     val main = new Path(path)
     val fs = fsOf(spark, main)
     val mc = commitOf(spark, main)
@@ -1159,6 +1166,8 @@ object IndexLifecycle {
   def prune(spark: SparkSession, path: String,
             orphanGraceMs: Long = DefaultOrphanGraceMs,
             readerGraceMs: Long = 0L): Unit = {
+    Compaction.requirePruneGrace(
+      spark.sparkContext.hadoopConfiguration, orphanGraceMs)
     val main = new Path(path)
     val fs = fsOf(spark, main)
     val mc = commitOf(spark, main)

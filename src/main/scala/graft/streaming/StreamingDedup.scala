@@ -426,35 +426,54 @@ object StreamingDedup {
         s"= $maxSegments (leave it at the default or pass 0)")
     val effMaxSegments = if (exportable) 0 else maxSegments
     docs.writeStream.foreachBatch(perTrigger { (raw: DataFrame, batchId: Long) =>
-      val spark = raw.sparkSession
-      import org.apache.spark.sql.functions._
-      // scrub FIRST (when configured): everything downstream — gate
-      // ratios, shingles, postings, DSIR features, the landed rows —
-      // sees only scrubbed text
-      val batch = if (redactRules.isEmpty) raw
-                  else graft.ops.Redact.apply(raw, textCol, redactRules)
-      val rep = graft.ops.TextAnalysis.repetition(batch, idCol, textCol)
-      val kept = batch.join(rep, idCol)
-        .filter(floor(col("dup_trigram_ratio") * 1e6) <= 20000L &&
-          floor(col("top_token_ratio") * 1e6) <= 120000L)
-        .select(idCol, textCol)
-      val dups = graft.ops.Dedup.jaccardAgainstIndex(spark, indexPath,
-          kept, idCol, textCol, n, threshold, nBuckets,
-          excludeIngest = Some(s"b$batchId"))
-        .select(col("i").as(idCol)).distinct()
-      val survivors = kept.join(dups, Seq(idCol), "left_anti")
-      graft.ops.Dsir.scoreAgainstModel(spark, modelPath, survivors,
-          idCol, textCol)
-        .withColumn("batch", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch").parquet(outDir)
-      graft.ops.Dedup.appendToShingleIndex(spark, indexPath, survivors,
-        idCol, textCol, n, ingestTag = s"b$batchId", nBuckets = nBuckets)
-      if (effMaxSegments > 0)
-        Dedup.maybeRebuildShingleIndex(spark, indexPath, effMaxSegments,
-          readerGraceMs = readerGraceMs)
+      curateBatch(raw, batchId, idCol, textCol, indexPath, modelPath,
+        outDir, n, threshold, nBuckets, effMaxSegments, readerGraceMs,
+        redactRules)
     })
+  }
+
+  /** The per-batch curate body — SCRUB → repetition gate → near-dup
+    * probe → DSIR score → land → index append → optional in-loop
+    * compaction — shared verbatim by [[attachCurate]] and
+    * [[attachIngest]] (r15 ADVICE: the ingest composition must not
+    * drift from the standalone loop when a gate threshold or stage
+    * order changes — the same single-source discipline the
+    * parameterized oracle builder enforces on the SQL side). The scrub
+    * runs FIRST when rules are given, so gate ratios, shingles,
+    * postings, and DSIR features all see scrubbed text.
+    */
+  private def curateBatch(raw: DataFrame, batchId: Long,
+                          idCol: String, textCol: String,
+                          indexPath: String, modelPath: String,
+                          outDir: String, n: Int, threshold: Double,
+                          nBuckets: Int, effMaxSegments: Int,
+                          readerGraceMs: Long,
+                          redactRules: Seq[graft.ops.Redact.Rule]): Unit = {
+    val spark = raw.sparkSession
+    import org.apache.spark.sql.functions._
+    val batch = if (redactRules.isEmpty) raw
+                else graft.ops.Redact.apply(raw, textCol, redactRules)
+    val rep = graft.ops.TextAnalysis.repetition(batch, idCol, textCol)
+    val kept = batch.join(rep, idCol)
+      .filter(floor(col("dup_trigram_ratio") * 1e6) <= 20000L &&
+        floor(col("top_token_ratio") * 1e6) <= 120000L)
+      .select(idCol, textCol)
+    val dups = graft.ops.Dedup.jaccardAgainstIndex(spark, indexPath,
+        kept, idCol, textCol, n, threshold, nBuckets,
+        excludeIngest = Some(s"b$batchId"))
+      .select(col("i").as(idCol)).distinct()
+    val survivors = kept.join(dups, Seq(idCol), "left_anti")
+    graft.ops.Dsir.scoreAgainstModel(spark, modelPath, survivors,
+        idCol, textCol)
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(outDir)
+    graft.ops.Dedup.appendToShingleIndex(spark, indexPath, survivors,
+      idCol, textCol, n, ingestTag = s"b$batchId", nBuckets = nBuckets)
+    if (effMaxSegments > 0)
+      Dedup.maybeRebuildShingleIndex(spark, indexPath, effMaxSegments,
+        readerGraceMs = readerGraceMs)
   }
 
   /** Streaming ADMISSION GATE: every micro-batch runs a
@@ -562,7 +581,6 @@ object StreamingDedup {
         s"attachIngest writes column '$c' — rename it in the input " +
           "(it would be silently overwritten)"))
     rows.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
       import org.apache.spark.sql.functions._
       def land(df: DataFrame, dir: String): Unit =
         df.withColumn("batch", lit(batchId))
@@ -575,28 +593,13 @@ object StreamingDedup {
         .drop("violations"), quarantineDir)
       land(Validate.report(batch, checks), reportDir)
       val admitted = Validate.clean(batch, rowChecks)
-      // 2. SCRUB (before the gate — the attachCurate redactRules
-      // position: hashes/shingles/features computed on scrubbed text)
-      val scrubbed = if (redactRules.isEmpty) admitted
-                     else graft.ops.Redact.apply(admitted, textCol, redactRules)
-      // 3. CURATE
-      val rep = graft.ops.TextAnalysis.repetition(scrubbed, idCol, textCol)
-      val kept = scrubbed.join(rep, idCol)
-        .filter(floor(col("dup_trigram_ratio") * 1e6) <= 20000L &&
-          floor(col("top_token_ratio") * 1e6) <= 120000L)
-        .select(idCol, textCol)
-      val dups = graft.ops.Dedup.jaccardAgainstIndex(spark, indexPath,
-          kept, idCol, textCol, n, threshold, nBuckets,
-          excludeIngest = Some(s"b$batchId"))
-        .select(col("i").as(idCol)).distinct()
-      val survivors = kept.join(dups, Seq(idCol), "left_anti")
-      land(graft.ops.Dsir.scoreAgainstModel(spark, modelPath, survivors,
-        idCol, textCol), outDir)
-      graft.ops.Dedup.appendToShingleIndex(spark, indexPath, survivors,
-        idCol, textCol, n, ingestTag = s"b$batchId", nBuckets = nBuckets)
-      if (effMaxSegments > 0)
-        Dedup.maybeRebuildShingleIndex(spark, indexPath, effMaxSegments,
-          readerGraceMs = readerGraceMs)
+      // 2+3. SCRUB → CURATE: the SAME body attachCurate runs
+      // (curateBatch scrubs first, so hashes/shingles/features are
+      // computed on scrubbed text) — shared so a gate-threshold or
+      // stage-order change can never reach one loop and not the other
+      curateBatch(admitted, batchId, idCol, textCol, indexPath,
+        modelPath, outDir, n, threshold, nBuckets, effMaxSegments,
+        readerGraceMs, redactRules)
     })
   }
 

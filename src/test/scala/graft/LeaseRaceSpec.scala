@@ -369,4 +369,58 @@ class LeaseRaceSpec extends AnyFunSuite {
     assert(IndexLifecycle.listLeases(spark, pin.path).isEmpty,
       "legacy shared-id lease must be released")
   }
+
+  test("intent grace is conf-plumbed (r15 ADVICE): slow prune cycles are rejected unless the acquirer-visible grace covers them; acquirers honor the configured grace") {
+    val root = java.nio.file.Files.createTempDirectory("graft_lrace7").toString
+    val t = s"$root/tbl"
+    Compaction.writeGen(docs(0L to 4L), t) // g1
+    val conf = spark.sparkContext.hadoopConfiguration
+    // 1. the invariant is LOUD: a prune cycle whose orphanGraceMs
+    // exceeds the acquirer-visible grace (default 15 min) re-opens the
+    // lease-vs-prune race — every prune entry point rejects it
+    val e = intercept[IllegalArgumentException](
+      Compaction.writeGen(docs(0L to 5L), t,
+        orphanGraceMs = Compaction.DefaultOrphanGraceMs + 1))
+    assert(e.getMessage.contains(Compaction.OrphanGraceKey), e.getMessage)
+    intercept[IllegalArgumentException](Compaction.compactGen(spark, t,
+      orphanGraceMs = Compaction.DefaultOrphanGraceMs + 1))
+    intercept[IllegalArgumentException](IndexLifecycle.prune(spark, t,
+      orphanGraceMs = Compaction.DefaultOrphanGraceMs + 1))
+    // 2. raising the conf key admits the slower cycle
+    conf.setLong(Compaction.OrphanGraceKey,
+      4L * Compaction.DefaultOrphanGraceMs)
+    try {
+      Compaction.writeGen(docs(0L to 5L), t, // g2
+        orphanGraceMs = Compaction.DefaultOrphanGraceMs + 1)
+      // 3. and the ACQUIRE side honors the same configured grace: an
+      // intent older than the default but inside the configured grace
+      // still pins the acquire (on r15 code the acquirer hardcoded the
+      // default and would have treated this live pruner as stale)
+      val fs = fsOf(t)
+      val intent = new Path(t, "_graft_intent.g000000002.spec0000")
+      val out = fs.create(intent, false)
+      out.write("g000000002".getBytes("UTF-8")); out.close()
+      val midAge = System.currentTimeMillis() -
+        (2L * Compaction.DefaultOrphanGraceMs)
+      fs.setTimes(intent, midAge, midAge)
+      val e2 = intercept[RuntimeException](
+        Compaction.acquireLease(spark, t, 2L, "late"))
+      assert(e2.getMessage.contains("being"), e2.getMessage)
+      assert(!fs.exists(new Path(t, "_graft_lease.late")),
+        "the failed acquire must leave no marker")
+      fs.delete(intent, false)
+    } finally conf.unset(Compaction.OrphanGraceKey)
+    // 4. with the conf back at the default, the same mid-age intent is
+    // a crashed pruner's leftover — the acquire proceeds
+    val fs = fsOf(t)
+    val intent = new Path(t, "_graft_intent.g000000002.spec0001")
+    val out = fs.create(intent, false)
+    out.write("g000000002".getBytes("UTF-8")); out.close()
+    val midAge = System.currentTimeMillis() -
+      (2L * Compaction.DefaultOrphanGraceMs)
+    fs.setTimes(intent, midAge, midAge)
+    Compaction.acquireLease(spark, t, 2L, "late")
+    Compaction.releaseLease(spark, t, "late")
+    fs.delete(intent, false)
+  }
 }

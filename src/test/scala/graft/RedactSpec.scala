@@ -217,6 +217,43 @@ class RedactSpec extends AnyFunSuite {
       e2.getMessage.contains("<EMAIL>"), e2.getMessage)
   }
 
+  test("requireStableSheet catches boundary-spanning rules (r15 ADVICE): a rule matching a span straddling a sentinel and adjacent text") {
+    // '>a' never matches the bare token '<S>' — only the embedded
+    // probe 'a<S>a' exposes the straddle (the scrub would rewrite the
+    // sentinel's closing bracket together with surviving text)
+    val straddling = Seq(
+      Rule("secret", "secret", "<S>"),
+      Rule("bad", ">a", "!"))
+    val e = intercept[IllegalArgumentException](
+      Redact.requireStableSheet(straddling))
+    assert(e.getMessage.contains("'bad'") &&
+      e.getMessage.contains("embedded in surviving text"), e.getMessage)
+    // a rule matching ONLY the context padding must NOT be flagged —
+    // 'aa' appears in no probe ('a<S>a' has single a's on each side)
+    Redact.requireStableSheet(Seq(
+      Rule("secret", "secret", "<S>"),
+      Rule("fine", "aa", "<AA>")))
+  }
+
+  test("batchTrend lags over the FULL report history (r15 ADVICE): the earliest in-window batch keeps its true delta") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_redtrend2").toString
+    // a hand-landed 3-batch report feed (the attachRedacted layout)
+    Seq((0L, "email", 4L, 1L, 1L), (1L, "email", 4L, 2L, 2L),
+        (2L, "email", 4L, 4L, 5L))
+      .toDF("batch", "rule_name", "n_rows", "docs_hit", "total_matches")
+      .write.partitionBy("batch").parquet(root + "/report")
+    val t = Redact.batchTrend(spark, root + "/report", k = 2)
+      .select("batch", "hit_u", "delta_u")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2)))
+    // window = batches {1, 2}; batch 1's delta vs batch 0 (OUTSIDE the
+    // window but INSIDE the feed) must be carried — on r15 code it was
+    // silently null
+    assert(t.toSeq == Seq((1L, 500000L, 250000L), (2L, 1000000L, 500000L)),
+      s"trend: ${t.toSeq}")
+  }
+
   test("rule-sheet guards fail loudly") {
     val df = Seq((1L, "x")).toDF("id", "text")
     intercept[IllegalArgumentException](Redact.apply(df, "text", Nil))

@@ -305,15 +305,18 @@ class ValidateSpec extends AnyFunSuite {
     assert(Compaction.readTable(spark, p).count() == 4,
       "2 checks x 2 generations after an idempotent republish")
     publishReport(spark, p, 3L, report(frame(5), sheet))
-    // k = 2: only generations 2 and 3; the window's first delta is null
+    // k = 2: only generations 2 and 3 are RETURNED, but the lag runs
+    // over the full trail (r15 ADVICE fix) — generation 2's delta vs
+    // generation 1 (outside the window, inside the feed) is carried
+    // instead of silently nulled
     val t2 = historyTrend(spark, p, k = 2)
       .select("check_name", "generation", "violation_u", "delta_u", "status")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getString(4)))
     assert(t2.toSeq == Seq(
-      ("in_range:v", 2L, 200000L, None, "fail"),
+      ("in_range:v", 2L, 200000L, Some(200000L), "fail"),
       ("in_range:v", 3L, 500000L, Some(300000L), "fail"),
-      ("not_null:v", 2L, 0L, None, "pass"),
+      ("not_null:v", 2L, 0L, Some(0L), "pass"),
       ("not_null:v", 3L, 0L, Some(0L), "pass")), t2.mkString(","))
     // k past the recorded depth: the whole trail, gen 1 leads
     val t9 = historyTrend(spark, p, k = 99)
