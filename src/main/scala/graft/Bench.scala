@@ -119,6 +119,13 @@ object Bench {
       catch { case e: Throwable => logErr(name, e) }
       graft.util.Caches.sweep()
     }
+    // steal-immune channel (r15 verdict #3): per-query executor CPU
+    // time alongside wall time. Host steal stretches wall clocks
+    // ~uniformly but not the cycles our tasks burned, so cross-round
+    // CPU ratios stay meaningful on a noisy host where two rounds of
+    // wall medians were forensics-grade noise. The bus drain before
+    // each snapshot is what makes attribution per-query-exact.
+    val meter = org.apache.spark.GraftCpuMeter.install(spark.sparkContext)
     // THREE timed passes, keep the per-query MEDIAN: single-pass numbers
     // swing ±20% from GC/compilation hiccups at these sub-second scales,
     // and the previous min-of-2 hid systematic regressions behind one
@@ -127,13 +134,17 @@ object Bench {
     // round-over-round artifact diffs are signal, not noise.
     // A query that throws records -1 (not its instant wall time) and lands
     // in "errors" — a regression must not masquerade as a speedup.
-    def timed(): Map[String, Double] = qs.map { case (name, fn) =>
+    def timed(): Map[String, (Double, Double)] = qs.map { case (name, fn) =>
+      org.apache.spark.GraftCpuMeter.drain(spark.sparkContext)
+      val c0 = meter.cpuNs.get()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case e: Throwable => logErr(name, e); false }
       val dt = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftCpuMeter.drain(spark.sparkContext)
+      val dc = (meter.cpuNs.get() - c0) / 1e9
       graft.util.Caches.sweep() // driver-side bookkeeping, outside the timing
-      name -> (if (ok) dt else -1.0)
+      name -> (if (ok) (dt, dc) else (-1.0, -1.0))
     }.toMap
     // ISOLATED measure for the documented suite-pressure canaries.
     // Historical: q84 earned this slot when it was the buffering
@@ -171,8 +182,15 @@ object Bench {
       .mkString("{", ",", "}")
     val passes = Seq(timed(), timed(), timed())
     val results = qs.map { case (name, _) =>
-      val ts = passes.map(_(name))
+      val ts = passes.map(_(name)._1)
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1)) }
+    // CPU medians taken independently of the wall medians: the two
+    // channels answer different questions (end-to-end vs compute) and
+    // pairing them to one pass would couple the steal-immune number
+    // to the steal-prone pick
+    val cpuResults = qs.map { case (name, _) =>
+      val cs = passes.map(_(name)._2)
+      name -> (if (cs.exists(_ < 0)) -1.0 else cs.sorted.apply(1)) }
     // a failed isolated canary lands in the SAME errors array as a
     // failed suite query — automation keys on "errors", and a canary
     // that died must not read as "no regressions"
@@ -180,7 +198,10 @@ object Bench {
       iso.collect { case (k, v) if v < 0 => s"\"isolated:" + k + "\"" }
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val cjson = cpuResults.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val cpuTotal = cpuResults.map(_._2).filter(_ >= 0).sum
     val ejson = errors.mkString("[", ",", "]")
     // host-steal evidence over the WHOLE run (warmup + isolated +
     // 3 timed passes): -1 = unreadable (non-Linux). The round
@@ -190,7 +211,7 @@ object Bench {
     // headline total goes LAST in the line: the driver's artifact keeps the
     // tail of stdout, and r1–r4 artifacts lost the leading total field when
     // the long line was head-truncated.
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","steal_pct":$steal,"errors":$ejson,"isolated":$ijson,"queries":$qjson,"value":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","steal_pct":$steal,"errors":$ejson,"isolated":$ijson,"cpu_total":$cpuTotal,"cpu":$cjson,"queries":$qjson,"value":$total}"""
     println(line)
     // the SAME json, untruncated: the driver artifact keeps only ~2000
     // chars of stdout, so only ~60 of the per-query medians survive into

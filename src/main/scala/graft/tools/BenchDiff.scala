@@ -22,8 +22,8 @@ object BenchDiff {
 
   private val Pair = """"([^"]+)":(-?[0-9][0-9.eE+\-]*)""".r
 
-  private def queriesOf(json: String): Map[String, Double] = {
-    val key = "\"queries\":{"
+  private def mapOf(json: String, name: String): Map[String, Double] = {
+    val key = "\"" + name + "\":{"
     val i = json.indexOf(key)
     if (i < 0) return Map.empty
     val start = i + key.length
@@ -31,6 +31,9 @@ object BenchDiff {
     Pair.findAllMatchIn(json.substring(start, end))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
+
+  private def queriesOf(json: String): Map[String, Double] =
+    mapOf(json, "queries")
 
   private def scalarOf(json: String, name: String): Option[Double] = {
     val key = s""""$name":"""
@@ -95,14 +98,52 @@ object BenchDiff {
         println(f"  $k%-40s ${p}%8.2f -> ${c}%8.2f  (${r}%.2fx)")
       }
     }
+    // STEAL-IMMUNE channel (r16): per-query executor CPU time, when
+    // both artifacts carry it. Host steal stretches wall clocks, not
+    // the cycles the tasks burned — so a wall flag whose CPU ratio is
+    // flat is host noise, and a CPU flag is a real plan/compute
+    // regression regardless of steal. The CPU verdict therefore
+    // OVERRIDES the wall heuristics wherever it is available.
+    val (cc, pc) = (mapOf(cur, "cpu"), mapOf(prior, "cpu"))
+    val cpuRatios = cc.keySet.intersect(pc.keySet).toSeq
+      .filter(k => cc(k) >= 0 && pc(k) > 0)
+      .map(k => (k, cc(k), pc(k), cc(k) / pc(k)))
+      .sortBy(-_._4)
+    val cpuBoth = cpuRatios.nonEmpty
+    val cpuFlagged = cpuRatios.filter(r => r._4 > 1.5 && r._3 >= 0.05)
+    if (cpuBoth) {
+      val cpuMedian = cpuRatios.map(_._4).sorted.apply(cpuRatios.size / 2)
+      println(f"CPU channel: median ratio ${cpuMedian}%.3f over ${cpuRatios.size} queries " +
+        f"(cpu_total ${scalarOf(prior, "cpu_total").getOrElse(-1.0)}%.1f -> " +
+        f"${scalarOf(cur, "cpu_total").getOrElse(-1.0)}%.1f s)")
+      if (cpuFlagged.isEmpty) {
+        if (flagged.nonEmpty)
+          println("CPU channel flags nothing past 1.5x — the wall flags above are host noise")
+        else
+          println("CPU channel flags nothing past 1.5x")
+      } else {
+        println("CPU REGRESSIONS (steal-immune — these are real):")
+        cpuFlagged.take(20).foreach { case (k, c, p, r) =>
+          println(f"  $k%-40s ${p}%8.2f -> ${c}%8.2f cpu-s  (${r}%.2fx)")
+        }
+      }
+    } else println("CPU channel absent in one artifact (pre-r16) — wall heuristics only")
     val errs = """"errors":\[([^\]]*)\]""".r.findFirstMatchIn(cur)
       .map(_.group(1)).getOrElse("")
     if (errs.nonEmpty) println(s"ERRORS in current artifact: $errs")
     val verdict =
-      if (cSteal.exists(s => s > 0.5))
+      if (errs.nonEmpty) "VERDICT: current run has errors — fix before committing"
+      else if (cpuBoth && cpuFlagged.nonEmpty)
+        "VERDICT: CPU-channel regressions (steal-immune) — fix or explain before committing"
+      else if (cpuBoth && cSteal.exists(s => s > 0.5))
+        // wall totals are contaminated but the CPU trend is clean —
+        // committable for the CPU channel; note the wall caveat
+        "VERDICT: CPU channel clean; wall numbers steal-contaminated — committable for the CPU trend, re-run for a clean wall total"
+      else if (cSteal.exists(s => s > 0.5))
         "VERDICT: current run is steal-contaminated — not committable, re-run"
-      else if (errs.nonEmpty) "VERDICT: current run has errors — fix before committing"
       else if (flagged.isEmpty) "VERDICT: clean — committable"
+      else if (cpuBoth)
+        "VERDICT: wall flags with a clean CPU channel — host noise; committable, cite the CPU medians"
       else "VERDICT: clean host but flagged queries — explain or fix before committing"
     println(verdict)
   }
