@@ -711,123 +711,46 @@ object LlmPipelineQueries {
             col("doc").as("doc_id"), col("n_feats"), col("logw"))
           .orderBy(col("batch"), col("doc_id"))
       },
-      Some(s"""${phashBandsCteFor(1)},
-        phcorp AS (
-          SELECT * FROM bands WHERE id % 10 NOT IN (0, 8)
-            AND (id % 10 <> 7 OR id % 40 = 27)),
-        toksA AS (
-          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
-          FROM documents),
-        tri AS (
-          SELECT doc_id, CASE WHEN len(tk) >= 3
-            THEN list_transform(range(1, len(tk) - 1),
-                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
-            ELSE [] END AS tg
-          FROM toksA WHERE doc_id % 20 = 0 OR doc_id % 20 = 10),
-        trir AS (
-          SELECT doc_id, CASE WHEN len(tg) > 0
-            THEN 1.0 - len(list_distinct(tg))::DOUBLE / len(tg)
-            ELSE 0.0 END AS dtr
-          FROM tri),
-        cnt AS (
-          SELECT doc_id, t, count(*) AS k
-          FROM (SELECT doc_id, unnest(tk) AS t FROM toksA
-                WHERE doc_id % 20 = 0 OR doc_id % 20 = 10)
-          GROUP BY 1, 2),
-        topr AS (SELECT doc_id, max(k)::DOUBLE / sum(k) AS ttr
-                 FROM cnt GROUP BY 1),
-        keptb AS (
-          SELECT trir.doc_id FROM trir LEFT JOIN topr USING (doc_id)
-          WHERE CAST(floor(trir.dtr * 1e6) AS BIGINT) <= 20000
-            AND CAST(floor(COALESCE(topr.ttr, 0.0) * 1e6) AS BIGINT) <= 120000),
-        sh0 AS (
-          SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
-          FROM toksA, LATERAL (SELECT unnest(generate_series(1,
-            greatest(len(tk) - 2, 0))) AS i)),
-        cor0 AS (SELECT * FROM sh0 WHERE doc_id % 10 <> 0),
-        hot AS (SELECT s FROM cor0 GROUP BY s HAVING count(*) > $shingleMaxDf),
-        cor AS (SELECT cor0.* FROM cor0 ANTI JOIN hot USING (s)),
-        b0 AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (s)
-               SEMI JOIN keptb USING (doc_id) WHERE doc_id % 20 = 0),
-        corn AS (SELECT doc_id, count(*) AS n FROM cor GROUP BY 1),
-        b0n AS (SELECT doc_id, count(*) AS n FROM b0 GROUP BY 1),
-        j0 AS (
-          SELECT i FROM (
-            SELECT a.doc_id AS i, c.doc_id AS j, count(*) AS common
-            FROM b0 a JOIN cor c ON a.s = c.s GROUP BY 1, 2) p
-          JOIN b0n ON b0n.doc_id = p.i JOIN corn ON corn.doc_id = p.j
-          WHERE common::DOUBLE / (b0n.n + corn.n - common) >= 0.8),
-        imgd0 AS (
-          SELECT DISTINCT q.id AS doc_id
-          FROM phcorp c JOIN (SELECT * FROM bands WHERE id % 20 = 0) q
-            ON c.b = q.b AND c.v = q.v
-          WHERE bit_count(xor(c.h, q.h)) <= 1),
-        surv0 AS (
-          SELECT doc_id FROM keptb
-          ANTI JOIN (SELECT DISTINCT i AS doc_id FROM j0) USING (doc_id)
-          ANTI JOIN imgd0 USING (doc_id)
-          WHERE doc_id % 20 = 0),
-        hist AS (
-          SELECT * FROM cor
-          UNION ALL
-          SELECT b0.* FROM b0 SEMI JOIN surv0 USING (doc_id)),
-        hn AS (SELECT doc_id, count(*) AS n FROM hist GROUP BY 1),
-        b1 AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (s)
-               SEMI JOIN keptb USING (doc_id) WHERE doc_id % 20 = 10),
-        b1n AS (SELECT doc_id, count(*) AS n FROM b1 GROUP BY 1),
-        j1 AS (
-          SELECT i FROM (
-            SELECT a.doc_id AS i, h.doc_id AS j, count(*) AS common
-            FROM b1 a JOIN hist h ON a.s = h.s GROUP BY 1, 2) p
-          JOIN b1n ON b1n.doc_id = p.i JOIN hn ON hn.doc_id = p.j
-          WHERE common::DOUBLE / (b1n.n + hn.n - common) >= 0.8),
-        ph1 AS (
-          SELECT * FROM phcorp
-          UNION ALL
-          SELECT * FROM bands WHERE id IN (SELECT doc_id FROM surv0)),
-        imgd1 AS (
-          SELECT DISTINCT q.id AS doc_id
-          FROM ph1 c JOIN (SELECT * FROM bands WHERE id % 20 = 10) q
-            ON c.b = q.b AND c.v = q.v
-          WHERE bit_count(xor(c.h, q.h)) <= 1),
-        surv1 AS (
-          SELECT doc_id FROM keptb
-          ANTI JOIN (SELECT DISTINCT i AS doc_id FROM j1) USING (doc_id)
-          ANTI JOIN imgd1 USING (doc_id)
-          WHERE doc_id % 20 = 10),
-        uni AS (SELECT doc_id, unnest(tk) AS g FROM toksA),
-        bi AS (
-          SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS g
-          FROM toksA, LATERAL (SELECT unnest(generate_series(1,
-            greatest(len(tk) - 1, 0))) AS i)),
-        feats AS (
-          SELECT doc_id, (${duckHex32("'dsir:' || g")}) % 256 AS bk
-          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
-        tf AS (SELECT bk, count(*) AS c FROM feats
-               WHERE doc_id % 10 <> 0 AND doc_id % 7 = 0 GROUP BY 1),
-        rf AS (SELECT bk, count(*) AS c FROM feats
-               WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 0 GROUP BY 1),
-        tt AS (SELECT count(*) AS n FROM feats
-               WHERE doc_id % 10 <> 0 AND doc_id % 7 = 0),
-        rt AS (SELECT count(*) AS n FROM feats
-               WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 0),
-        lr AS (
-          SELECT sp.bk,
-            CAST(floor(ln((COALESCE(tf.c, 0) + 1)::DOUBLE / (tt.n + 256)) * 1e6) AS BIGINT)
-            - CAST(floor(ln((COALESCE(rf.c, 0) + 1)::DOUBLE / (rt.n + 256)) * 1e6) AS BIGINT)
-              AS lr_u
-          FROM range(256) sp(bk) LEFT JOIN tf USING (bk)
-          LEFT JOIN rf USING (bk), tt, rt),
-        w AS (
-          SELECT f.doc_id, CAST(count(*) AS INT) AS n_feats,
-            CAST(sum(lr.lr_u) AS BIGINT) AS logw_u
-          FROM feats f JOIN lr USING (bk) GROUP BY 1)
-        SELECT 0 AS batch, w.doc_id, n_feats,
-          CAST(logw_u AS DOUBLE) / 1e6 AS logw
-        FROM w SEMI JOIN surv0 USING (doc_id)
-        UNION ALL
-        SELECT 1, w.doc_id, n_feats, CAST(logw_u AS DOUBLE) / 1e6
-        FROM w SEMI JOIN surv1 USING (doc_id)
+      Some(curateMmSql("", scrub = false))),
+
+    // THE ONE-CALL MULTIMODAL INGEST (StreamingDedup.attachIngestMm,
+    // r15 verdict #4): admission gate -> PII scrub -> text canon ->
+    // IMAGE canon -> DSIR, composed inside ONE foreachBatch — six
+    // artifacts (quarantine, report feed, curated output, text
+    // postings, dHash bands, checkpoint) share one batchId-keyed
+    // idempotence unit. The sheet's n_chars cut bites, the scrub
+    // bites (planted emails), both canons bite (cross-batch text
+    // dups + pre-existing perceptual image duplicates). Oracle = the
+    // SAME parameterized MM builder as streaming_curate_mm with the
+    // admission filter and the plant+scrub injected — the composed
+    // pipeline's oracle cannot drift from the stage's.
+    GQuery("streaming_ingest_mm",
+      (s, d) => {
+        val root = streamingIngestMmFor(s, d)
+        s.read.parquet(root + "/out")
+          .select(col("batch").cast("int").as("batch"),
+            col("doc").as("doc_id"), col("n_feats"), col("logw"))
+          .orderBy(col("batch"), col("doc_id"))
+      },
+      Some(curateMmSql(" AND n_chars BETWEEN 0 AND 500", scrub = true))),
+
+    // The MM ingest's QUARANTINE feed: rows the admission sheet
+    // rejected, per batch with reasons — malformed rows never reach
+    // the scrub, either index, or the scorer.
+    GQuery("streaming_ingest_mm_quarantine",
+      (s, d) => {
+        val root = streamingIngestMmFor(s, d)
+        s.read.parquet(root + "/quarantine")
+          .select(col("batch").cast("int").as("batch"), col("doc_id"),
+            col("n_chars"), col("reasons"))
+          .orderBy(col("batch"), col("doc_id"))
+      },
+      Some("""SELECT CAST(CASE WHEN doc_id % 20 = 0 THEN 0 ELSE 1 END AS INT)
+                 AS batch,
+               doc_id, n_chars, 'in_range:n_chars' AS reasons
+        FROM documents
+        WHERE (doc_id % 20 = 0 OR doc_id % 20 = 10)
+          AND (n_chars < 0 OR n_chars > 500)
         ORDER BY batch, doc_id"""))
   )
 }

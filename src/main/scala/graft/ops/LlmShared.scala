@@ -677,6 +677,228 @@ private[ops] object LlmShared {
       } finally q.stop()
     }
 
+  /** The ONE-CALL MULTIMODAL INGEST fixture
+    * ([[graft.streaming.StreamingDedup.attachIngestMm]], r15 verdict
+    * #4): the streamingCurateMmFor setup (offline shingle index,
+    * phash index over the canon-bites population, DSIR model) with an
+    * admission sheet in front and the PII scrub composed in — the
+    * stream carries (doc_id, text, n_chars), the sheet's
+    * InRange(n_chars, 0, 500) really bites, quarantined rows land per
+    * batch BEFORE the scrub or either canon sees them, planted emails
+    * are scrubbed before the gate, and the image canon still cuts the
+    * perceptual duplicates of already-curated images. Returns the
+    * fixture root (out/, quarantine/, report/ under it).
+    */
+  def streamingIngestMmFor(s: org.apache.spark.sql.SparkSession,
+                           datasetDir: String): String =
+    graft.util.TempFixtures.dir(s"singestmm:$datasetDir") { root =>
+      val idx = s"$root/shingle"
+      val ph = s"$root/phash"
+      val model = s"$root/model"
+      val docs = Tables(s, datasetDir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx,
+        maxDf = shingleMaxDf)
+      // the canon-bites population — see streamingCurateMmFor's
+      // predicate comment (exact copies kept only for id ≡ 27 mod 40)
+      val phPop = docs.filter(col("doc_id") % 10 =!= 0 &&
+        col("doc_id") % 10 =!= 8 &&
+        (col("doc_id") % 10 =!= 7 || col("doc_id") % 40 === 27))
+      Multimodal.writePhashIndex(Multimodal.asPhashImageTable(phPop), ph,
+        maxDist = 1, nBuckets = 16)
+      Dsir.writeModel(corpus.filter(col("doc_id") % 7 =!= 0),
+        corpus.filter(col("doc_id") % 7 === 0), "doc_id", "text", model)
+      val plantedB = docs.withColumn("text", concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"),
+            lit("@example.com now"))).otherwise(lit(""))))
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input = MemoryStream[(Long, String, Long)]
+      val q = graft.streaming.StreamingDedup.attachIngestMm(
+          input.toDS().toDF("doc_id", "text", "n_chars"),
+          "doc_id", "text",
+          images = b => Multimodal.asPhashImageTable(b),
+          checks = Seq(Validate.InRange("n_chars", 0.0, 500.0),
+            Validate.Unique(Seq("doc_id"))),
+          redactRules = Redact.StandardRules,
+          indexPath = idx, phashIndexPath = ph, modelPath = model,
+          outDir = s"$root/out", quarantineDir = s"$root/quarantine",
+          reportDir = s"$root/report", n = 3, threshold = 0.8,
+          maxDist = 1, phashBuckets = 16)
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try {
+        // MemoryStream TRANSPORT harness collect — see
+        // streamingDedupPairsFor's note
+        def slice(m: Int) = plantedB.filter(col("doc_id") % 20 === m)
+          .select("doc_id", "text", "n_chars").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+        input.addData(slice(0): _*)
+        q.processAllAvailable()
+        input.addData(slice(10): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+
+  /** The streaming MULTIMODAL curation replay, parameterized by an
+    * admission predicate and an optional plant+scrub on the BATCH
+    * text: `streaming_curate_mm` uses `("", scrub = false)` — raw
+    * batch text, no extra cut — and `streaming_ingest_mm` injects the
+    * validation sheet's cut (`AND n_chars BETWEEN 0 AND 500`) and the
+    * planted-PII scrub. ONE builder, so the composed MM pipeline's
+    * oracle can never drift from the stage's (the
+    * [[curateRedactedSql]] discipline, applied to the MM stack):
+    * corpus CTEs (index shingles, hot list, DSIR model, phash bands)
+    * always derive from the clean corpus; batch CTEs (gate ratios,
+    * probe shingles, per-doc features) derive from `bsrc` — the
+    * admitted, optionally scrubbed batch slice.
+    */
+  private[ops] def curateMmSql(batchFilter: String, scrub: Boolean): String = {
+    val batchText =
+      if (scrub) Redact.scrubSql("""text || CASE WHEN doc_id % 3 = 0
+          THEN ' contact user' || doc_id || '@example.com now'
+          ELSE '' END""")
+      else "text"
+    s"""${phashBandsCteFor(1)},
+      phcorp AS (
+        SELECT * FROM bands WHERE id % 10 NOT IN (0, 8)
+          AND (id % 10 <> 7 OR id % 40 = 27)),
+      bsrc AS (
+        SELECT doc_id, $batchText AS text
+        FROM documents
+        WHERE (doc_id % 20 = 0 OR doc_id % 20 = 10)$batchFilter),
+      toksC AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents),
+      toksB AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM bsrc),
+      tri AS (
+        SELECT doc_id, CASE WHEN len(tk) >= 3
+          THEN list_transform(range(1, len(tk) - 1),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+          ELSE [] END AS tg
+        FROM toksB),
+      trir AS (
+        SELECT doc_id, CASE WHEN len(tg) > 0
+          THEN 1.0 - len(list_distinct(tg))::DOUBLE / len(tg)
+          ELSE 0.0 END AS dtr
+        FROM tri),
+      cnt AS (
+        SELECT doc_id, t, count(*) AS k
+        FROM (SELECT doc_id, unnest(tk) AS t FROM toksB)
+        GROUP BY 1, 2),
+      topr AS (SELECT doc_id, max(k)::DOUBLE / sum(k) AS ttr
+               FROM cnt GROUP BY 1),
+      keptb AS (
+        SELECT trir.doc_id FROM trir LEFT JOIN topr USING (doc_id)
+        WHERE CAST(floor(trir.dtr * 1e6) AS BIGINT) <= 20000
+          AND CAST(floor(COALESCE(topr.ttr, 0.0) * 1e6) AS BIGINT) <= 120000),
+      shC AS (
+        SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+        FROM toksC, LATERAL (SELECT unnest(generate_series(1,
+          greatest(len(tk) - 2, 0))) AS i)),
+      shB AS (
+        SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+        FROM toksB, LATERAL (SELECT unnest(generate_series(1,
+          greatest(len(tk) - 2, 0))) AS i)),
+      cor0 AS (SELECT * FROM shC WHERE doc_id % 10 <> 0),
+      hot AS (SELECT s FROM cor0 GROUP BY s HAVING count(*) > $shingleMaxDf),
+      cor AS (SELECT cor0.* FROM cor0 ANTI JOIN hot USING (s)),
+      b0 AS (SELECT shB.* FROM shB ANTI JOIN hot USING (s)
+             SEMI JOIN keptb USING (doc_id) WHERE doc_id % 20 = 0),
+      corn AS (SELECT doc_id, count(*) AS n FROM cor GROUP BY 1),
+      b0n AS (SELECT doc_id, count(*) AS n FROM b0 GROUP BY 1),
+      j0 AS (
+        SELECT i FROM (
+          SELECT a.doc_id AS i, c.doc_id AS j, count(*) AS common
+          FROM b0 a JOIN cor c ON a.s = c.s GROUP BY 1, 2) p
+        JOIN b0n ON b0n.doc_id = p.i JOIN corn ON corn.doc_id = p.j
+        WHERE common::DOUBLE / (b0n.n + corn.n - common) >= 0.8),
+      imgd0 AS (
+        SELECT DISTINCT q.id AS doc_id
+        FROM phcorp c JOIN (SELECT * FROM bands WHERE id % 20 = 0) q
+          ON c.b = q.b AND c.v = q.v
+        WHERE bit_count(xor(c.h, q.h)) <= 1),
+      surv0 AS (
+        SELECT doc_id FROM keptb
+        ANTI JOIN (SELECT DISTINCT i AS doc_id FROM j0) USING (doc_id)
+        ANTI JOIN imgd0 USING (doc_id)
+        WHERE doc_id % 20 = 0),
+      hist AS (
+        SELECT * FROM cor
+        UNION ALL
+        SELECT b0.* FROM b0 SEMI JOIN surv0 USING (doc_id)),
+      hn AS (SELECT doc_id, count(*) AS n FROM hist GROUP BY 1),
+      b1 AS (SELECT shB.* FROM shB ANTI JOIN hot USING (s)
+             SEMI JOIN keptb USING (doc_id) WHERE doc_id % 20 = 10),
+      b1n AS (SELECT doc_id, count(*) AS n FROM b1 GROUP BY 1),
+      j1 AS (
+        SELECT i FROM (
+          SELECT a.doc_id AS i, h.doc_id AS j, count(*) AS common
+          FROM b1 a JOIN hist h ON a.s = h.s GROUP BY 1, 2) p
+        JOIN b1n ON b1n.doc_id = p.i JOIN hn ON hn.doc_id = p.j
+        WHERE common::DOUBLE / (b1n.n + hn.n - common) >= 0.8),
+      ph1 AS (
+        SELECT * FROM phcorp
+        UNION ALL
+        SELECT * FROM bands WHERE id IN (SELECT doc_id FROM surv0)),
+      imgd1 AS (
+        SELECT DISTINCT q.id AS doc_id
+        FROM ph1 c JOIN (SELECT * FROM bands WHERE id % 20 = 10) q
+          ON c.b = q.b AND c.v = q.v
+        WHERE bit_count(xor(c.h, q.h)) <= 1),
+      surv1 AS (
+        SELECT doc_id FROM keptb
+        ANTI JOIN (SELECT DISTINCT i AS doc_id FROM j1) USING (doc_id)
+        ANTI JOIN imgd1 USING (doc_id)
+        WHERE doc_id % 20 = 10),
+      uniC AS (SELECT doc_id, unnest(tk) AS g FROM toksC),
+      biC AS (
+        SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS g
+        FROM toksC, LATERAL (SELECT unnest(generate_series(1,
+          greatest(len(tk) - 1, 0))) AS i)),
+      featsC AS (
+        SELECT doc_id, (${duckHex32("'dsir:' || g")}) % 256 AS bk
+        FROM (SELECT * FROM uniC UNION ALL SELECT * FROM biC)),
+      tf AS (SELECT bk, count(*) AS c FROM featsC
+             WHERE doc_id % 10 <> 0 AND doc_id % 7 = 0 GROUP BY 1),
+      rf AS (SELECT bk, count(*) AS c FROM featsC
+             WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 0 GROUP BY 1),
+      tt AS (SELECT count(*) AS n FROM featsC
+             WHERE doc_id % 10 <> 0 AND doc_id % 7 = 0),
+      rt AS (SELECT count(*) AS n FROM featsC
+             WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 0),
+      lr AS (
+        SELECT sp.bk,
+          CAST(floor(ln((COALESCE(tf.c, 0) + 1)::DOUBLE / (tt.n + 256)) * 1e6) AS BIGINT)
+          - CAST(floor(ln((COALESCE(rf.c, 0) + 1)::DOUBLE / (rt.n + 256)) * 1e6) AS BIGINT)
+            AS lr_u
+        FROM range(256) sp(bk) LEFT JOIN tf USING (bk)
+        LEFT JOIN rf USING (bk), tt, rt),
+      uniB AS (SELECT doc_id, unnest(tk) AS g FROM toksB),
+      biB AS (
+        SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS g
+        FROM toksB, LATERAL (SELECT unnest(generate_series(1,
+          greatest(len(tk) - 1, 0))) AS i)),
+      featsB AS (
+        SELECT doc_id, (${duckHex32("'dsir:' || g")}) % 256 AS bk
+        FROM (SELECT * FROM uniB UNION ALL SELECT * FROM biB)),
+      w AS (
+        SELECT f.doc_id, CAST(count(*) AS INT) AS n_feats,
+          CAST(sum(lr.lr_u) AS BIGINT) AS logw_u
+        FROM featsB f JOIN lr USING (bk) GROUP BY 1)
+      SELECT 0 AS batch, w.doc_id, n_feats,
+        CAST(logw_u AS DOUBLE) / 1e6 AS logw
+      FROM w SEMI JOIN surv0 USING (doc_id)
+      UNION ALL
+      SELECT 1, w.doc_id, n_feats, CAST(logw_u AS DOUBLE) / 1e6
+      FROM w SEMI JOIN surv1 USING (doc_id)
+      ORDER BY batch, doc_id"""
+  }
+
   /** The DRAIN-EXPORT fixture (streaming_curate_export): the
     * streamingCurateFor run made exportable — the shingle index is
     * rebuilt to generational BEFORE the stream (so per-batch versions

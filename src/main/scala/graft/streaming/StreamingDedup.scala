@@ -319,49 +319,126 @@ object StreamingDedup {
                      readerGraceMs: Long = 0L,
                      redactRules: Seq[graft.ops.Redact.Rule] = Nil): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch(perTrigger { (raw: DataFrame, batchId: Long) =>
-      val spark = raw.sparkSession
-      import org.apache.spark.sql.functions._
-      val batch = if (redactRules.isEmpty) raw
-                  else graft.ops.Redact.apply(raw, textCol, redactRules)
-      val rep = graft.ops.TextAnalysis.repetition(batch, idCol, textCol)
-      // keep EVERY batch column (unlike attachCurate's id+text): the
-      // image payload must still be there when `images` runs on the
-      // text survivors and again on the final survivors
-      val kept = batch.join(rep, idCol)
-        .filter(floor(col("dup_trigram_ratio") * 1e6) <= 20000L &&
-          floor(col("top_token_ratio") * 1e6) <= 120000L)
-        .select(batch.columns.map(col): _*)
-      val textDups = graft.ops.Dedup.jaccardAgainstIndex(spark, indexPath,
-          kept, idCol, textCol, n, threshold, nBuckets,
-          excludeIngest = Some(s"b$batchId"))
-        .select(col("i").as(idCol)).distinct()
-      val ddText = kept.join(textDups, Seq(idCol), "left_anti")
-      val imgDups = graft.ops.Multimodal.phashAgainstIndex(spark,
-          phashIndexPath, images(ddText), maxDist, phashBuckets,
-          excludeIngest = Some(s"b$batchId"))
-        .select(col("j").as(idCol)).distinct()
-      val survivors = ddText.join(imgDups, Seq(idCol), "left_anti")
-      graft.ops.Dsir.scoreAgainstModel(spark, modelPath, survivors,
-          idCol, textCol)
-        .withColumn("batch", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch").parquet(outDir)
-      graft.ops.Dedup.appendToShingleIndex(spark, indexPath, survivors,
-        idCol, textCol, n, ingestTag = s"b$batchId", nBuckets = nBuckets)
-      graft.ops.Multimodal.appendToPhashIndex(spark, phashIndexPath,
-        images(survivors), ingestTag = s"b$batchId", maxDist = maxDist,
-        nBuckets = phashBuckets)
-      // per-family caps: the shingle knee is ~8 segments, the banded
-      // phash probe stays flat to ~64 — one shared cap would rebuild
-      // the image index twice as often as its measured policy
-      if (maxSegments > 0)
-        graft.ops.Dedup.maybeRebuildShingleIndex(spark, indexPath,
-          maxSegments, readerGraceMs = readerGraceMs)
-      if (phashMaxSegments > 0)
-        graft.ops.Multimodal.maybeRebuildPhashIndex(spark, phashIndexPath,
-          phashMaxSegments, readerGraceMs = readerGraceMs)
+      curateMmBatch(raw, batchId, idCol, textCol, images, indexPath,
+        phashIndexPath, modelPath, outDir, n, threshold, nBuckets,
+        maxDist, phashBuckets, maxSegments, phashMaxSegments,
+        readerGraceMs, redactRules)
     })
+
+  /** The per-batch MULTIMODAL curate body — SCRUB → gate → text canon
+    * → image canon → DSIR score → land → both index appends →
+    * per-family in-loop compaction — shared verbatim by
+    * [[attachCurateMm]] and [[attachIngestMm]] (the same
+    * single-source discipline as [[curateBatch]]: a threshold or
+    * stage-order change must reach the composed ingest and the
+    * standalone loop together).
+    */
+  private def curateMmBatch(raw: DataFrame, batchId: Long,
+                            idCol: String, textCol: String,
+                            images: DataFrame => DataFrame,
+                            indexPath: String, phashIndexPath: String,
+                            modelPath: String, outDir: String,
+                            n: Int, threshold: Double, nBuckets: Int,
+                            maxDist: Int, phashBuckets: Int,
+                            maxSegments: Int, phashMaxSegments: Int,
+                            readerGraceMs: Long,
+                            redactRules: Seq[graft.ops.Redact.Rule]): Unit = {
+    val spark = raw.sparkSession
+    import org.apache.spark.sql.functions._
+    val batch = if (redactRules.isEmpty) raw
+                else graft.ops.Redact.apply(raw, textCol, redactRules)
+    val rep = graft.ops.TextAnalysis.repetition(batch, idCol, textCol)
+    // keep EVERY batch column (unlike attachCurate's id+text): the
+    // image payload must still be there when `images` runs on the
+    // text survivors and again on the final survivors
+    val kept = batch.join(rep, idCol)
+      .filter(floor(col("dup_trigram_ratio") * 1e6) <= 20000L &&
+        floor(col("top_token_ratio") * 1e6) <= 120000L)
+      .select(batch.columns.map(col): _*)
+    val textDups = graft.ops.Dedup.jaccardAgainstIndex(spark, indexPath,
+        kept, idCol, textCol, n, threshold, nBuckets,
+        excludeIngest = Some(s"b$batchId"))
+      .select(col("i").as(idCol)).distinct()
+    val ddText = kept.join(textDups, Seq(idCol), "left_anti")
+    val imgDups = graft.ops.Multimodal.phashAgainstIndex(spark,
+        phashIndexPath, images(ddText), maxDist, phashBuckets,
+        excludeIngest = Some(s"b$batchId"))
+      .select(col("j").as(idCol)).distinct()
+    val survivors = ddText.join(imgDups, Seq(idCol), "left_anti")
+    graft.ops.Dsir.scoreAgainstModel(spark, modelPath, survivors,
+        idCol, textCol)
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(outDir)
+    graft.ops.Dedup.appendToShingleIndex(spark, indexPath, survivors,
+      idCol, textCol, n, ingestTag = s"b$batchId", nBuckets = nBuckets)
+    graft.ops.Multimodal.appendToPhashIndex(spark, phashIndexPath,
+      images(survivors), ingestTag = s"b$batchId", maxDist = maxDist,
+      nBuckets = phashBuckets)
+    // per-family caps: the shingle knee is ~8 segments, the banded
+    // phash probe stays flat to ~64 — one shared cap would rebuild
+    // the image index twice as often as its measured policy
+    if (maxSegments > 0)
+      graft.ops.Dedup.maybeRebuildShingleIndex(spark, indexPath,
+        maxSegments, readerGraceMs = readerGraceMs)
+    if (phashMaxSegments > 0)
+      graft.ops.Multimodal.maybeRebuildPhashIndex(spark, phashIndexPath,
+        phashMaxSegments, readerGraceMs = readerGraceMs)
+  }
+
+  /** [[attachIngest]] for the MULTIMODAL pipeline (r15 verdict #4):
+    * ADMIT ([[attachValidated]]'s routing) → SCRUB → CURATE-MM
+    * ([[attachCurateMm]]'s body, via the shared [[curateMmBatch]]) in
+    * ONE foreachBatch — quarantine, validation report feed, curated
+    * output, BOTH index appends (text postings + dHash bands), and
+    * the checkpoint share a single batchId-keyed idempotence unit. A
+    * quarantined row never reaches the scrub, either index, or the
+    * scorer; a doc whose image perceptually duplicates an
+    * already-curated image is cut even when its text is unique.
+    * Per-trigger cost is the sum of the stages' — all
+    * batch-proportional, nothing corpus-sized.
+    */
+  def attachIngestMm(rows: DataFrame, idCol: String, textCol: String,
+                     images: DataFrame => DataFrame,
+                     checks: Seq[Validate.Check],
+                     redactRules: Seq[graft.ops.Redact.Rule],
+                     indexPath: String, phashIndexPath: String,
+                     modelPath: String, outDir: String,
+                     quarantineDir: String, reportDir: String,
+                     n: Int = 3, threshold: Double = 0.8,
+                     nBuckets: Int = 64, maxDist: Int = 3,
+                     phashBuckets: Int = 64,
+                     maxSegments: Int = ShingleMaxSegments,
+                     phashMaxSegments: Int = BucketedMaxSegments,
+                     readerGraceMs: Long = 0L): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val rowChecks = checks.filterNot(_.isInstanceOf[Validate.Unique])
+    require(rowChecks.nonEmpty,
+      "the admission stage needs at least one row-level check to route on")
+    Seq("batch", "reasons", "violations").foreach(c =>
+      require(!rows.columns.contains(c),
+        s"attachIngestMm writes column '$c' — rename it in the input " +
+          "(it would be silently overwritten)"))
+    rows.writeStream.foreachBatch(perTrigger { (batch: DataFrame, batchId: Long) =>
+      import org.apache.spark.sql.functions._
+      def land(df: DataFrame, dir: String): Unit =
+        df.withColumn("batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(dir)
+      // 1. ADMIT
+      land(Validate.quarantine(batch, rowChecks)
+        .withColumn("reasons", concat_ws(",", col("violations")))
+        .drop("violations"), quarantineDir)
+      land(Validate.report(batch, checks), reportDir)
+      val admitted = Validate.clean(batch, rowChecks)
+      // 2+3. SCRUB → CURATE-MM: the SAME body attachCurateMm runs
+      curateMmBatch(admitted, batchId, idCol, textCol, images,
+        indexPath, phashIndexPath, modelPath, outDir, n, threshold,
+        nBuckets, maxDist, phashBuckets, maxSegments, phashMaxSegments,
+        readerGraceMs, redactRules)
+    })
+  }
 
   /** The full per-batch CURATION loop — the streaming composition of
     * three already-proven stages, chained the way a production ingest

@@ -1508,6 +1508,89 @@ class CdcStreamSpec extends AnyFunSuite {
       .select("doc").distinct().as[Long].collect().toSet
     assert(inSh == Set(1L, 2L, 10L, 60L, 70L), s"shingle index ids: $inSh")
   }
+
+  test("attachIngestMm: admit -> scrub -> curate-mm in one trigger; a quarantined image-dup row reaches neither index") {
+    import graft.ops.{Dedup, Dsir, Multimodal, PpmImage, Redact, Validate}
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    def body(seed: Int) = (0 until 20).map(i => s"m${seed}_$i").mkString(" ")
+    def img(seed: Int): Array[Byte] = {
+      val r = new scala.util.Random(seed)
+      PpmImage.encode(
+        PpmImage.Image(16, 16, Array.fill(16 * 16 * 3)(r.nextInt(256).toByte)))
+    }
+    val corpus = Seq((1L, body(1), img(1)), (2L, body(2), img(2)))
+      .toDF("doc_id", "text", "payload")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_singestmm_spec").toString
+    val idx = root + "/shingle"; val ph = root + "/phash"
+    Dedup.writeShingleIndex(corpus, "doc_id", "text", n = 3, idx,
+      nBuckets = 8)
+    val toImgs = (b: org.apache.spark.sql.DataFrame) =>
+      b.select(col("doc_id"), lit("image/x-portable-pixmap").as("mime"),
+        col("payload"))
+    Multimodal.writePhashIndex(toImgs(corpus), ph, maxDist = 3, nBuckets = 8)
+    Dsir.writeModel(corpus.select("doc_id", "text"),
+      corpus.filter(col("doc_id") === 1).select("doc_id", "text"),
+      "doc_id", "text", root + "/model")
+    val letterA = body(10) + " contact alice@example.com now"
+    val letterB = body(10) + " contact bob@example.org now"
+    val input = MemoryStream[(Long, String, Array[Byte], Long)]
+    val q = StreamingDedup.attachIngestMm(
+        input.toDF().toDF("doc_id", "text", "payload", "n_chars"),
+        "doc_id", "text", images = toImgs,
+        checks = Seq(Validate.InRange("n_chars", 0.0, 100.0),
+          Validate.Unique(Seq("doc_id"))),
+        redactRules = Redact.StandardRules,
+        indexPath = idx, phashIndexPath = ph,
+        modelPath = root + "/model", outDir = root + "/out",
+        quarantineDir = root + "/quarantine", reportDir = root + "/report",
+        n = 3, threshold = 0.5, nBuckets = 8, maxDist = 3,
+        phashBuckets = 8)
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    try {
+      // 10: admitted, scrubbed, survives — both indexes absorb it.
+      // 11: QUARANTINED (n_chars) even though its image is an exact
+      //     copy of corpus image 1 and its text is novel — the
+      //     admission gate must cut it BEFORE either canon sees it,
+      //     so neither its novel tokens nor its image may land
+      input.addData((10L, letterA, img(10), 50L),
+        (11L, body(99) + " qban", img(1), 500L))
+      q.processAllAvailable()
+      // 20: letterA with a different address — scrubs to the identical
+      //     canonical form and text-dedups against batch 0's survivor;
+      // 30: UNIQUE text but an exact copy of batch-0 survivor 10's
+      //     image — only the cross-batch IMAGE history can cut it;
+      // 40: novel on both axes, survives
+      input.addData((20L, letterB, img(20), 50L),
+        (30L, body(30), img(10), 50L),
+        (40L, body(40), img(40), 50L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(root + "/out").select("batch", "doc")
+      .as[(Int, Long)].collect().toSet == Set((0, 10L), (1, 40L)))
+    assert(spark.read.parquet(root + "/quarantine")
+      .select("batch", "doc_id", "reasons")
+      .as[(Int, Long, String)].collect().toSet ==
+      Set((0, 11L, "in_range:n_chars")))
+    val shingles = spark.read.parquet(
+        graft.sources.IndexLifecycle.resolveDir(spark, idx))
+      .select("s").as[String].collect()
+    assert(!shingles.exists(_.contains("qban")),
+      "a quarantined row's tokens leaked into the shingle index")
+    assert(!shingles.exists(_.contains("alice@example.com")) &&
+      shingles.exists(_.contains("<EMAIL>")),
+      "admitted rows must append scrubbed postings")
+    val inPh = spark.read.parquet(
+        graft.sources.IndexLifecycle.resolveDir(spark, ph))
+      .select("id").distinct().as[Long].collect().toSet
+    assert(inPh == Set(1L, 2L, 10L, 40L),
+      s"phash index must hold base + survivors only (the quarantined " +
+        s"image-dup row 11 and the canon-cut rows never append): $inPh")
+    assert(Validate.batchTrend(spark, root + "/report", k = 2)
+      .filter(col("check_name") === "in_range:n_chars").count() == 2L)
+  }
 }
 
 object CdcStreamSpecSchemas {
