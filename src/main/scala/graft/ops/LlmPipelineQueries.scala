@@ -687,6 +687,35 @@ object LlmPipelineQueries {
       },
       Some(streamingCurateOracleSql)),
 
+    // The drain export's COMMIT half, split out (r15 verdict #6): the
+    // row above times the REPLAY of the committed export; this one
+    // times committing a fresh drain export over the same drained run
+    // — generational input snapshot, per-batch index-version pins,
+    // result fingerprint, manifest CAS, shipped data — into its own
+    // temp root each invocation (the memoized fixture is never
+    // mutated). Both halves are linear in drained batch count by
+    // design; with them separated, BenchDiff localizes drift to the
+    // half that moved instead of flagging one 2×-sized audit row.
+    GQuery("streaming_curate_export_commit",
+      (s, d) => {
+        val root = streamingCurateExportFor(s, d).stripSuffix("/export")
+        val docs = Tables(s, d, "documents")
+        val streamed = docs.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id"), col("text")).withColumn("batch", lit(0))
+          .unionByName(docs.filter(col("doc_id") % 20 === 10)
+            .select(col("doc_id"), col("text")).withColumn("batch", lit(1)))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_scexp_commit").toString
+        TrainExport.commitStreamDrain(s, tmp + "/export", streamed,
+          tmp + "/docs", root + "/index", root + "/model",
+          batchTags = Seq("b0", "b1"), n = 3, threshold = 0.8)
+        s.read.parquet(tmp + "/export/data")
+          .select(col("batch").cast("int").as("batch"),
+            col("doc").as("doc_id"), col("n_feats"), col("logw"))
+          .orderBy(col("batch"), col("doc_id"))
+      },
+      Some(streamingCurateOracleSql)),
+
     // STREAMING MULTIMODAL CURATION — streaming_curate plus the IMAGE
     // canon (round-10): per micro-batch, repetition gate → text
     // near-dup probe against the shingle index → PERCEPTUAL image

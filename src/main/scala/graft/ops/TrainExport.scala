@@ -382,16 +382,67 @@ object TrainExport {
     parse(new String(bytes, "UTF-8"), exportDir)
   }
 
+  /** Validate an upstream-pin set and RECURSE into each upstream's own
+    * pins (r15 verdict #5): for every ancestor — manifest present,
+    * result fingerprint unchanged, recipe version unchanged, shipped
+    * `data/` rows still matching the fingerprint. Tampering with a
+    * chain's ROOT fails a leaf's replay with a message naming the
+    * root's path, instead of only surfacing when the middle export is
+    * itself replayed. `seen` (by path) bounds diamond-shaped chains to
+    * one validation per ancestor and makes a (mis)constructed cyclic
+    * chain terminate.
+    */
+  private def validateUpstreamChain(spark: SparkSession, exportDir: String,
+                                    upstreams: Map[String, UpstreamPin],
+                                    seen: scala.collection.mutable.Set[String]): Unit =
+    upstreams.foreach { case (name, up) =>
+      if (seen.add(up.path)) {
+        val um =
+          try manifest(spark, up.path)
+          catch { case e: RuntimeException => throw new RuntimeException(
+            s"replay of $exportDir: upstream export '$name' is gone — " +
+              s"${e.getMessage}", e) }
+        require(um.resultFp == up.resultFp,
+          s"replay of $exportDir: upstream export '$name' at ${up.path} " +
+            s"was re-exported since the commit (committed result " +
+            s"fingerprint ${up.resultFp}, now ${um.resultFp}) — re-derive " +
+            "this export from the new upstream")
+        require(um.recipeVersion == up.recipeVersion,
+          s"replay of $exportDir: upstream export '$name' at ${up.path} " +
+            s"changed recipe version since the commit " +
+            s"(${up.recipeVersion.fold("v1-era")(v => s"v$v")} → " +
+            s"${um.recipeVersion.fold("v1-era")(v => s"v$v")})")
+        val fp =
+          try rowFingerprint(spark.read.parquet(s"${up.path}/data"))
+          catch { case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"replay of $exportDir: upstream export '$name' at " +
+                s"${up.path} has no readable data dir — " +
+                s"${e.getMessage.linesIterator.next()}", e) }
+        require(fp == up.resultFp,
+          s"replay of $exportDir: upstream export '$name' at ${up.path} " +
+            s"no longer ships the rows its manifest committed " +
+            s"(fingerprint $fp vs ${up.resultFp}) — an upstream forget " +
+            "or in-place modification invalidated this derived export; " +
+            "re-run the upstream export and re-derive")
+        // the ancestor's own lineage: its upstream pins validate on
+        // the same contract, to any depth
+        validateUpstreamChain(spark, exportDir, um.upstreams, seen)
+      }
+    }
+
   /** Re-run the export from its manifest alone and verify it is
     * hash-identical to what was committed. Fails loudly when: a pinned
     * table generation is outside the retention window
     * ([[Compaction.readTableAt]]'s message), a pinned index version is
     * marker-pruned or its dir scrubbed ([[IndexLifecycle.manifestAt]]'s
     * messages — the documented consequence of RTBF with zero reader
-    * grace), a pinned version's params sidecars changed, the recipe id
-    * is not registered in this JVM, or the replayed rows' fingerprint
-    * differs from the committed one (a non-deterministic recipe).
-    * Returns the replayed frame after verification.
+    * grace), a pinned version's params sidecars changed, an upstream
+    * export ANYWHERE in the lineage chain was re-exported, forgotten,
+    * or modified in place ([[validateUpstreamChain]] — transitive), the
+    * recipe id is not registered in this JVM, or the replayed rows'
+    * fingerprint differs from the committed one (a non-deterministic
+    * recipe). Returns the replayed frame after verification.
     */
   def replay(spark: SparkSession, exportDir: String): DataFrame = {
     val m = manifest(spark, exportDir)
@@ -413,39 +464,15 @@ object TrainExport {
           "recipe body under its committed version, or re-export " +
           "under the new one")
     }
-    // UPSTREAM exports validate FIRST (r14 verdict #5): an upstream
-    // RTBF / re-export / in-place edit must fail HERE naming the
-    // upstream, never as a confusing downstream fingerprint mismatch
-    m.upstreams.foreach { case (name, up) =>
-      val um =
-        try manifest(spark, up.path)
-        catch { case e: RuntimeException => throw new RuntimeException(
-          s"replay of $exportDir: upstream export '$name' is gone — " +
-            s"${e.getMessage}", e) }
-      require(um.resultFp == up.resultFp,
-        s"replay of $exportDir: upstream export '$name' at ${up.path} " +
-          s"was re-exported since the commit (committed result " +
-          s"fingerprint ${up.resultFp}, now ${um.resultFp}) — re-derive " +
-          "this export from the new upstream")
-      require(um.recipeVersion == up.recipeVersion,
-        s"replay of $exportDir: upstream export '$name' at ${up.path} " +
-          s"changed recipe version since the commit " +
-          s"(${up.recipeVersion.fold("v1-era")(v => s"v$v")} → " +
-          s"${um.recipeVersion.fold("v1-era")(v => s"v$v")})")
-      val fp =
-        try rowFingerprint(spark.read.parquet(s"${up.path}/data"))
-        catch { case e: org.apache.spark.sql.AnalysisException =>
-          throw new IllegalArgumentException(
-            s"replay of $exportDir: upstream export '$name' at " +
-              s"${up.path} has no readable data dir — " +
-              s"${e.getMessage.linesIterator.next()}", e) }
-      require(fp == up.resultFp,
-        s"replay of $exportDir: upstream export '$name' at ${up.path} " +
-          s"no longer ships the rows its manifest committed " +
-          s"(fingerprint $fp vs ${up.resultFp}) — an upstream forget " +
-          "or in-place modification invalidated this derived export; " +
-          "re-run the upstream export and re-derive")
-    }
+    // UPSTREAM exports validate FIRST (r14 verdict #5), and the
+    // validation walks the CHAIN transitively (r15 verdict #5): an
+    // upstream RTBF / re-export / in-place edit — at ANY depth — must
+    // fail HERE naming the tampered ancestor, never as a confusing
+    // downstream fingerprint mismatch. Manifests are tiny, so a
+    // d-deep chain costs d manifest reads + d data fingerprints; the
+    // `seen` set validates each ancestor once under diamond shapes.
+    validateUpstreamChain(spark, exportDir, m.upstreams,
+      scala.collection.mutable.Set.empty[String])
     // eager pin validation, so a broken pin fails HERE with its own
     // retention message rather than deep inside the recipe's plan
     m.tables.foreach { case (name, pin) =>

@@ -527,6 +527,16 @@ object ScaleSmoke {
       // distinct across replicas: duplication structure grows linearly)
       timed(s"span_coverage x$n")(
         graft.ops.SpanDedup.spanCoverage(d, "doc_id", "text", 8).count())
+      // the ACTION half (rewriteWithoutSpans): the k-row removable
+      // fan-out + (doc,pos) anti-join + per-doc reassembly must track
+      // span_coverage's linear curve — a quadratic here would mean the
+      // canonical-argmin or the interval union degraded to pair work.
+      // Aggregate over length(text), NOT count(): a bare count lets
+      // column pruning drop the sort_array/array_join reassembly and
+      // the curve measures nothing
+      timed(s"span_rewrite x$n")(
+        graft.ops.SpanDedup.rewriteWithoutSpans(d, "doc_id", "text", 8)
+          .agg(sum(length(col("text")))).head.getLong(0))
       // behavioral analytics over n× users: three chained user-keyed
       // min-aggs (funnel) / cohort equi-join with no forced broadcast
       timed(s"funnel x$n")(

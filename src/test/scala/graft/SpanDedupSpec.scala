@@ -185,6 +185,40 @@ class SpanDedupSpec extends AnyFunSuite {
       "rewrite must be a fixed point on its own output")
   }
 
+  test("SpanRewriteRecipe: replay == direct rewrite; k is a pinned manifest param; missing k fails loudly") {
+    import graft.ops.TrainExport
+    import graft.sources.Compaction
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_spanrw_recipe").toString
+    val boiler = "q1 q2 q3 q4 q5 q6 q7 q8 q9"
+    val docs = (1L to 6L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i $boiler"))
+      .toDF("doc_id", "text")
+    Compaction.writeGen(docs, root + "/docs")
+    val ex = root + "/export"
+    TrainExport.commit(spark, ex, SpanDedup.SpanRewriteRecipe,
+      params = Map("k" -> "8", "min_occ" -> "2"),
+      tables = Map("docs" -> (root + "/docs")), indexes = Map.empty)
+    val replayed = TrainExport.replay(spark, ex)
+      .orderBy("doc").collect().map(r =>
+        (r.getAs[Long]("doc"), r.getAs[String]("text"),
+          r.getAs[Long]("n_tokens_kept")))
+    val direct = SpanDedup.rewriteWithoutSpans(docs, "doc_id", "text",
+        k = 8).orderBy("doc").collect().map(r =>
+        (r.getAs[Long]("doc"), r.getAs[String]("text"),
+          r.getAs[Long]("n_tokens_kept")))
+    assert(replayed.toSeq == direct.toSeq,
+      "recipe replay must equal the direct operator output")
+    // the boilerplate survives exactly once corpus-wide
+    assert(replayed.count(_._2.contains("q1 q2 q3")) == 1)
+    // k rides the manifest: a commit without it fails loudly
+    val e = intercept[Exception](TrainExport.commit(spark,
+      root + "/export2", SpanDedup.SpanRewriteRecipe,
+      params = Map.empty, tables = Map("docs" -> (root + "/docs")),
+      indexes = Map.empty))
+    assert(e.getMessage.contains("needs param 'k'"), e.getMessage)
+  }
+
   test("docs shorter than k emit no fingerprints but still report") {
     val docs = Seq((1L, "too short"), (2L, "a b c d e f g h"))
       .toDF("doc_id", "text")

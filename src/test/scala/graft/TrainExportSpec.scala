@@ -448,6 +448,52 @@ class TrainExportSpec extends AnyFunSuite {
       e3.getMessage)
   }
 
+  test("lineage validation is TRANSITIVE (r15 verdict #5): tampering with a 3-deep chain's ROOT fails the leaf's replay naming the root") {
+    val root = java.nio.file.Files.createTempDirectory("graft_texp3").toString
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Compaction.writeGen(docs(0L to 9L), s"$root/docs")
+    TrainExport.registerRecipe("spec_chain_a_v1") { (_, in, _) =>
+      in.table("docs").select(col("doc_id"))
+        .filter(col("doc_id") % 2 === 0)
+    }
+    TrainExport.registerRecipe("spec_chain_b_v1") { (_, in, _) =>
+      in.table("a").withColumn("x2", col("doc_id") * 2)
+    }
+    TrainExport.registerRecipe("spec_chain_c_v1") { (_, in, _) =>
+      in.table("b").withColumn("x4", col("x2") * 2)
+    }
+    TrainExport.commit(spark, s"$root/a", "spec_chain_a_v1",
+      params = Map.empty, tables = Map("docs" -> s"$root/docs"),
+      indexes = Map.empty)
+    TrainExport.commit(spark, s"$root/b", "spec_chain_b_v1",
+      params = Map.empty, tables = Map("a" -> s"$root/a"),
+      indexes = Map.empty)
+    TrainExport.commit(spark, s"$root/c", "spec_chain_c_v1",
+      params = Map.empty, tables = Map("b" -> s"$root/b"),
+      indexes = Map.empty)
+    // three-hop replay green
+    assert(TrainExport.replay(spark, s"$root/c")
+      .select("x4").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 8L, 16L, 24L, 32L))
+    // tamper the ROOT export's shipped data (one row scrubbed): the
+    // LEAF's replay must fail naming A — on r15 code B's pins (A) were
+    // only checked when B itself was replayed, so C replayed green
+    // over a tampered chain
+    val scrubbed = spark.read.parquet(s"$root/a/data")
+      .filter(col("doc_id") =!= 0L)
+    scrubbed.write.parquet(s"$root/rewrite")
+    fs.delete(new Path(s"$root/a/data"), true)
+    assert(fs.rename(new Path(s"$root/rewrite"), new Path(s"$root/a/data")))
+    val e = intercept[RuntimeException](
+      TrainExport.replay(spark, s"$root/c"))
+    assert(e.getMessage.contains(s"$root/a") &&
+      e.getMessage.contains("no longer ships"), e.getMessage)
+    // the middle hop still validates on its own contract too
+    val e2 = intercept[RuntimeException](
+      TrainExport.replay(spark, s"$root/b"))
+    assert(e2.getMessage.contains("upstream export 'a'"), e2.getMessage)
+  }
+
   test("model pins: a recipe's DSIR/LR-style model input is content-fingerprinted at commit and validated at replay") {
     // the r12 verdict's gap #3: model artifacts are plain parquet dirs
     // with no generation/version — without a pin, replay silently
