@@ -725,6 +725,23 @@ object Compaction {
       .filter(n => fs.exists(new Path(main, genName(n))))
   }
 
+  /** Readable generations with their PUBLISH times (manifest-marker
+    * mtimes, ms since epoch) — what `TIMESTAMP AS OF` resolves
+    * against ([[GraftCatalog.loadTable]]): markers are
+    * rename-committed exactly once at publish and never rewritten, so
+    * the mtime IS the publish instant. Same retention filter as
+    * [[generations]].
+    */
+  private[sources] def generationsWithPublishTimes(
+      spark: SparkSession, path: String): Seq[(Long, Long)] = {
+    val main = new Path(path)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listNums(fs, main, ManifestPrefix).sorted
+      .filter(n => fs.exists(new Path(main, genName(n))))
+      .map(n => n -> fs.getFileStatus(
+        new Path(main, ManifestPrefix + genName(n))).getModificationTime)
+  }
+
   /** Time travel: read the table as of published generation `gen`.
     * Generation numbers come from [[generations]]; reading a number
     * that was never published (an in-flight or fenced writer's dir

@@ -296,6 +296,36 @@ object FileFormats {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders ORDER BY o_orderkey""")),
 
+    // The CATALOG face (GraftCatalog): standard SQL time travel —
+    // `VERSION AS OF <gen>` through spark.sql.catalog.* registration,
+    // no Scala API in sight. Same fixture and oracle as
+    // fmt_time_travel: all three faces (Scala readTableAt, reader
+    // options, catalog SQL) must agree bit-for-bit.
+    GQuery("fmt_dsv2_catalog",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_tt",
+          "graft.sources.GraftCatalog")
+        val path = timeTravelFixture(s, d)
+        val gens = Compaction.generations(s, path)
+        require(gens.length == 2,
+          s"retention window must hold exactly 2 generations, got $gens")
+        def stats(g: Long, rank: Int) = s.sql(
+          s"""SELECT $rank AS gen_rank, count(*) AS n_rows,
+            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS cents
+          FROM graft_tt.`$path` VERSION AS OF $g""")
+        stats(gens.min, 1).unionByName(stats(gens.max, 2))
+          .orderBy(col("gen_rank"))
+      },
+      Some("""SELECT 1 AS gen_rank, count(*) AS n_rows,
+          CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 3 <= 1
+        UNION ALL
+        SELECT 2, count(*),
+          CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM orders
+        ORDER BY gen_rank""")),
+
     // Right-to-be-forgotten on a generational TABLE (the CDC-side twin
     // of the index families' forgetViaRebuild): publish current-minus-
     // victims as a new generation, then SCRUB the retired dirs — the

@@ -219,15 +219,39 @@ object GraftDataSource {
   }
 }
 
-/** The resolved-generation table: the built-in parquet DSv2 table
-  * (scan/pushdown/pruning untouched) with the write path closed.
+/** The resolved-generation table: DELEGATES every read-side method to
+  * the built-in parquet DSv2 table (scan/pushdown/pruning untouched)
+  * while being structurally read-only. Deliberately a WRAPPER, not a
+  * `ParquetTable` subclass: Spark's `FallBackFileSourceV2` analyzer
+  * rule rewrites ANY insert on a `FileTable` into a V1
+  * InsertIntoHadoopFsRelationCommand on the table's paths — bypassing
+  * `newWriteBuilder` entirely, so a subclass's throwing override never
+  * runs and an `INSERT INTO` SILENTLY lands part-files inside a
+  * published generation dir (observed; spec pins it). As a plain
+  * `SupportsRead` table, batch inserts fail analysis loudly (no
+  * BATCH_WRITE capability) and `df.write.format("graft")` falls to the
+  * V1 route, where [[GraftDataSource.createRelation]] throws.
   */
 private[sources] class GraftReadOnlyTable(
-    name: String, spark: SparkSession, options: CaseInsensitiveStringMap,
+    tableName: String, spark: SparkSession,
+    options: CaseInsensitiveStringMap,
     paths: Seq[String], userSpecifiedSchema: Option[StructType],
     fallback: Class[_ <: FileFormat])
-  extends ParquetTable(name, spark, options, paths, userSpecifiedSchema,
-    fallback) {
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    throw new UnsupportedOperationException(GraftDataSource.ReadOnlyMessage)
+  extends org.apache.spark.sql.connector.catalog.Table
+  with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  private val delegate = ParquetTable(tableName, spark, options, paths,
+    userSpecifiedSchema, fallback)
+
+  override def name(): String = tableName
+  override def schema(): StructType = delegate.schema
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    delegate.partitioning()
+  override def properties(): java.util.Map[String, String] =
+    delegate.properties()
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitiveStringMap: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    delegate.newScanBuilder(caseInsensitiveStringMap)
 }

@@ -115,6 +115,60 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(flat).count() == 7L)
   }
 
+  test("GraftCatalog: VERSION AS OF / TIMESTAMP AS OF SQL time travel, path addressing, writes closed") {
+    spark.conf.set("spark.sql.catalog.gct", "graft.sources.GraftCatalog")
+    val t = tmp("graft_cat") + "/tbl"
+    Compaction.writeGen(rows(0, 10), t) // g1
+    Compaction.writeGen(rows(0, 15), t) // g2
+    // age g1's publish instant so a wall-clock between the two
+    // publishes is expressible (marker mtime IS the publish time)
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val g1Marker = new Path(t, "_graft_gen.g000000001")
+    val t1 = System.currentTimeMillis() - 3600000L
+    fs.setTimes(g1Marker, t1, t1)
+    // current / VERSION AS OF through plain SQL
+    assert(spark.sql(s"SELECT count(*) FROM gct.`$t`").head().getLong(0) == 15L)
+    assert(spark.sql(s"SELECT count(*) FROM gct.`$t` VERSION AS OF 1")
+      .head().getLong(0) == 10L)
+    assert(spark.sql(s"SELECT count(*) FROM gct.`$t` VERSION AS OF 2")
+      .head().getLong(0) == 15L)
+    // TIMESTAMP AS OF between the publishes -> the g1 snapshot
+    val mid = java.time.Instant.ofEpochMilli(t1 + 600000L).toString
+      .replace("T", " ").stripSuffix("Z")
+    assert(spark.sql(
+      s"SELECT count(*) FROM gct.`$t` TIMESTAMP AS OF '$mid'")
+      .head().getLong(0) == 10L)
+    // after the latest publish -> current
+    val late = java.time.Instant.ofEpochMilli(
+        System.currentTimeMillis() + 60000L).toString
+      .replace("T", " ").stripSuffix("Z")
+    assert(spark.sql(
+      s"SELECT count(*) FROM gct.`$t` TIMESTAMP AS OF '$late'")
+      .head().getLong(0) == 15L)
+    // pushdown survives the catalog face
+    val p = spark.sql(s"SELECT v FROM gct.`$t` WHERE v > 10")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(v), GreaterThan(v,10)"),
+      s"catalog face must push filters:\n$p")
+    // loud errors: unreadable version, timestamp before retention
+    val e1 = intercept[Exception](spark.sql(
+      s"SELECT * FROM gct.`$t` VERSION AS OF 9").collect())
+    assert(e1.getMessage.contains("not readable"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      s"SELECT * FROM gct.`$t` TIMESTAMP AS OF '1990-01-01 00:00:00'")
+      .collect())
+    assert(e2.getMessage.contains("predates retention"), e2.getMessage)
+    // writes are closed on the catalog route too
+    val e3 = intercept[Throwable](spark.sql(
+      s"INSERT INTO gct.`$t` VALUES (99, 99, 's99')"))
+    def chain(x: Throwable): Seq[Throwable] =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(e3).exists(c =>
+        Option(c.getMessage).exists(m => m.contains("READ-ONLY") ||
+          m.contains("does not support"))), s"got: $e3")
+    assert(Compaction.readTable(spark, t).count() == 15L)
+  }
+
   test("SQL faces: CREATE TEMP VIEW USING graft (with a generation pin) and SELECT FROM graft.`path`") {
     val t = tmp("graft_dsv2s") + "/tbl"
     Compaction.writeGen(rows(0, 10), t) // g1
