@@ -531,8 +531,88 @@ object CdcQueries {
         FROM a FULL OUTER JOIN orders b ON a.o_orderkey = b.o_orderkey)
       SELECT * FROM j WHERE op IS NOT NULL ORDER BY o_orderkey"""))
 
+  /** The CURSOR-TAILED feed ([[graft.sources.Compaction.changeFeedNext]]
+    * / [[graft.sources.Compaction.advanceFeedCursor]]): the full
+    * consumer walk over the two-publish fixture, re-run per invocation
+    * against a FRESH cursor dir (the memoized table is never mutated)
+    * — step 1 is the initial snapshot of the drifted generation (every
+    * row a create, the Debezium snapshot convention), step 2 the
+    * c/u/d diff to current, and a third poll must return None. The
+    * oracle replays the drift, the snapshot, and the diff closed-form.
+    * Delivery-contract edges (idempotent redelivery before advance,
+    * second-consumer advance rejected, out-of-retention cursor loud)
+    * are pinned in OperatorsSpec.
+    */
+  private val changeFeedCursor = GQuery("cdc_change_feed_cursor",
+    (s, d) => {
+      import graft.sources.Compaction
+      // self-contained per invocation (NOT the memoized fixture): the
+      // walk must interleave with the publishes — snapshot while the
+      // drifted generation is current, then diff after the second
+      // publish — so the query pays the real consumer cost each run:
+      // two publishes + snapshot + diff + three cursor steps
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_feedwalk").toString
+      val path = root + "/tbl"; val cursor = root + "/cursor"
+      val orders = Tables(s, d, "orders")
+      val key = col("o_orderkey")
+      val drifted = orders.filter(key % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(key % 101 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(orders.filter(key % 103 === 0)
+          .withColumn("o_orderkey", key + 10000000L))
+      def cents(c: org.apache.spark.sql.Column) =
+        floor(c * 100).cast("long")
+      def shape(step: Int, df: org.apache.spark.sql.DataFrame) =
+        df.select(lit(step).as("step"), col("o_orderkey"), col("op"),
+          cents(col("before.o_totalprice")).as("before_cents"),
+          cents(col("after.o_totalprice")).as("after_cents"))
+      graft.sources.Compaction.writeGen(drifted, path) // g1 current
+      val s1 = Compaction.changeFeedNext(s, path, cursor,
+        Seq("o_orderkey")).get // initial snapshot OF THE DRIFTED STATE
+      Compaction.advanceFeedCursor(s, cursor, s1.fromGen, s1.toGen)
+      graft.sources.Compaction.writeGen(orders, path) // g2 publishes
+      val s2 = Compaction.changeFeedNext(s, path, cursor,
+        Seq("o_orderkey")).get // the c/u/d window g1 -> g2
+      Compaction.advanceFeedCursor(s, cursor, s2.fromGen, s2.toGen)
+      // a third poll is empty: the cursor is caught up
+      require(Compaction.changeFeedNext(s, path, cursor,
+        Seq("o_orderkey")).isEmpty, "caught-up poll must return None")
+      require(s1.fromGen.isEmpty && s2.fromGen.contains(s1.toGen),
+        s"windows must chain: $s1 -> $s2")
+      shape(1, s1.changes).unionByName(shape(2, s2.changes))
+        .orderBy(col("step"), col("o_orderkey"))
+    },
+    Some("""WITH a AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+               ELSE o_totalprice END AS p
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_totalprice
+        FROM orders WHERE o_orderkey % 103 = 0),
+      snap AS (
+        SELECT 1 AS step, o_orderkey, 'c' AS op,
+          CAST(NULL AS BIGINT) AS before_cents,
+          CAST(floor(p * 100) AS BIGINT) AS after_cents
+        FROM a),
+      j AS (
+        SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+          CASE WHEN a.o_orderkey IS NULL THEN 'c'
+               WHEN b.o_orderkey IS NULL THEN 'd'
+               WHEN a.p <> b.o_totalprice THEN 'u' END AS op,
+          CAST(floor(a.p * 100) AS BIGINT) AS before_cents,
+          CAST(floor(b.o_totalprice * 100) AS BIGINT) AS after_cents
+        FROM a FULL OUTER JOIN orders b ON a.o_orderkey = b.o_orderkey),
+      d2 AS (
+        SELECT 2 AS step, o_orderkey, op, before_cents, after_cents
+        FROM j WHERE op IS NOT NULL)
+      SELECT * FROM snap UNION ALL SELECT * FROM d2
+      ORDER BY step, o_orderkey"""))
+
   val queries: Seq[GQuery] = Seq(
     envelopeApply, decimalRoundtrip, applyOps, changeDiffQ, genTransactions,
     changeDiffWide, incrementalUpsert, scd2History, incrementalAgg, scd2Asof,
-    aggTimeTravel, generationFeed)
+    aggTimeTravel, generationFeed, changeFeedCursor)
 }

@@ -794,6 +794,121 @@ object Compaction {
       .filter(col("op").isNotNull)
   }
 
+  // --------------------------------------------------------- change feed
+
+  /** One step of the cursor-tailed change feed: the half-open window
+    * (`fromGen`, `toGen`] this consumer should process — `fromGen` =
+    * None is the initial snapshot (every current row as a create).
+    */
+  final case class FeedStep(fromGen: Option[Long], toGen: Long,
+                            changes: org.apache.spark.sql.DataFrame)
+
+  private val FeedCursorPrefix = "_graft_feed_cursor."
+
+  private def feedCursorOf(mc: ManifestCommit): Option[Long] =
+    mc.list(FeedCursorPrefix)
+      .flatMap(n => genNumber(n.stripPrefix(FeedCursorPrefix))).maxOption
+
+  /** The DURABLE-CURSOR change feed — [[generationDiff]] turned into a
+    * tailable CDC source, the consumer-offset story the reference's
+    * Kafka consumer gets for free from its broker, rebuilt on the
+    * generational layout with nothing but the manifest store:
+    *
+    *  - first call (no cursor at `cursorDir`): the INITIAL SNAPSHOT —
+    *    every current row as `op = 'c'` (`before` null), the Debezium
+    *    snapshot convention, `toGen` = the current generation;
+    *  - subsequent calls: the Debezium-shaped diff (op c/u/d,
+    *    before/after) between the cursor generation and current —
+    *    exactly what a downstream replays to catch up;
+    *  - nothing new published since the cursor: `None` (poll again
+    *    later);
+    *  - the cursor generation fell OUT OF RETENTION (the consumer
+    *    lagged more than two publishes + grace): fails LOUDLY with
+    *    re-snapshot guidance — a silent full-diff against the oldest
+    *    retained generation would replay creates the consumer already
+    *    has. Pin the cursor generation with [[acquireLease]] when the
+    *    consumer's poll interval can exceed the publish cadence.
+    *
+    * DELIVERY CONTRACT (at-least-once, idempotent): process the
+    * returned frame keyed by `toGen` (a dynamic partition overwrite on
+    * a `gen=` column makes redelivery bit-identical), THEN call
+    * [[advanceFeedCursor]] with the step's exact window. A crash
+    * between the two re-delivers the SAME window on the next call.
+    * One consumer per cursorDir; a second consumer fails the advance
+    * loudly (exclusive-create markers), never silently double-feeds.
+    *
+    * Scale: a feed step costs one marker listing plus one
+    * key-partitioned diff join of two retained generations — the same
+    * shape as [[generationDiff]]; the cursor is O(1) metadata.
+    */
+  def changeFeedNext(spark: SparkSession, path: String, cursorDir: String,
+                     keyCols: Seq[String]): Option[FeedStep] = {
+    require(keyCols.nonEmpty, "changeFeedNext needs key columns")
+    val gens = generations(spark, path)
+    require(gens.nonEmpty,
+      s"$path is not a generational graft table — nothing to feed")
+    val cur = gens.max
+    val cdir = new Path(cursorDir)
+    val fs = cdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val from = if (fs.exists(cdir))
+      feedCursorOf(new FsManifestCommit(fs, cdir)) else None
+    from match {
+      case Some(f) if f == cur => None
+      case Some(f) =>
+        require(f < cur,
+          s"feed cursor at $cursorDir is at generation $f, AHEAD of " +
+            s"$path's current $cur — cursor and table mismatched?")
+        require(gens.contains(f),
+          s"feed cursor at $cursorDir points at generation $f of $path, " +
+            s"which left the retention window (readable: " +
+            s"${gens.mkString(",")}) — the consumer fell behind; " +
+            "delete the cursor dir and re-snapshot (or lease the " +
+            "cursor generation to widen retention)")
+        Some(FeedStep(Some(f), cur,
+          generationDiff(spark, path, f, cur, keyCols)))
+      case None =>
+        import org.apache.spark.sql.functions._
+        val snap = readTableAt(spark, path, cur)
+        val valCols = snap.columns.filterNot(keyCols.contains).toSeq
+        val packed = snap.select(
+          (keyCols.map(col) :+ struct(valCols.map(col): _*).as("after")): _*)
+        val afterType = packed.schema("after").dataType
+        Some(FeedStep(None, cur, packed
+          .withColumn("before", lit(null).cast(afterType))
+          .withColumn("op", lit("c"))
+          .select((keyCols.map(col) ++
+            Seq(col("before"), col("after"), col("op"))): _*)))
+    }
+  }
+
+  /** Commit a processed [[FeedStep]]'s window: the cursor moves
+    * `expectFrom` → `to` via an exclusive-create marker (two consumers
+    * racing one cursor lose LOUDLY, never double-advance), superseded
+    * markers are pruned. Call strictly AFTER the step's output landed.
+    */
+  def advanceFeedCursor(spark: SparkSession, cursorDir: String,
+                        expectFrom: Option[Long], to: Long): Unit = {
+    val cdir = new Path(cursorDir)
+    val fs = cdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(cdir)
+    val mc = new FsManifestCommit(fs, cdir)
+    val cur = feedCursorOf(mc)
+    require(cur == expectFrom,
+      s"feed cursor at $cursorDir is at ${cur.fold("<none>")(genName)}, " +
+        s"not ${expectFrom.fold("<none>")(genName)} — a second consumer " +
+        "advanced it; this step's window is stale")
+    require(expectFrom.forall(_ < to),
+      s"cursor can only advance: ${expectFrom.get} -> $to")
+    require(mc.createExclusive(FeedCursorPrefix + genName(to),
+        genName(to).getBytes("UTF-8")),
+      s"concurrent cursor advance to generation $to at $cursorDir lost " +
+        "the exclusive create — two consumers share this cursor")
+    mc.list(FeedCursorPrefix).foreach { n =>
+      if (genNumber(n.stripPrefix(FeedCursorPrefix)).exists(_ < to))
+        mc.delete(n)
+    }
+  }
+
   /** Atomically publish `gen` as the current generation: FENCE (reject
     * a non-monotonic publish — see below), create the generation's
     * immutable marker file, then prune markers and claims superseded by

@@ -818,4 +818,53 @@ class OperatorsSpec extends AnyFunSuite {
       .map { case (g, c, v) => g -> ((c, v)) }.toMap
     assert(merged == got)
   }
+
+  test("changeFeedNext/advanceFeedCursor: snapshot -> diff -> caught-up; redelivery idempotent; stale consumers and lagging cursors fail loudly") {
+    import graft.sources.Compaction
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_feed").toString
+    val t = root + "/tbl"; val cursor = root + "/cursor"
+    Compaction.writeGen((0 to 4).map(k => (k.toLong, k * 2L)).toDF("k", "v"), t) // g1
+    // initial snapshot: every row a create, before null
+    val s1 = Compaction.changeFeedNext(spark, t, cursor, Seq("k")).get
+    assert(s1.fromGen.isEmpty && s1.toGen == 1L)
+    val snap = s1.changes.select("k", "op").as[(Long, String)].collect().toSet
+    assert(snap == (0 to 4).map(k => (k.toLong, "c")).toSet)
+    assert(s1.changes.filter(col("before").isNotNull).count() == 0L)
+    // REDELIVERY before the advance: the identical window again (the
+    // crash-between-process-and-advance contract)
+    val s1b = Compaction.changeFeedNext(spark, t, cursor, Seq("k")).get
+    assert(s1b.fromGen == s1.fromGen && s1b.toGen == s1.toGen &&
+      s1b.changes.count() == s1.changes.count())
+    Compaction.advanceFeedCursor(spark, cursor, None, 1L)
+    // caught up -> None
+    assert(Compaction.changeFeedNext(spark, t, cursor, Seq("k")).isEmpty)
+    // publish g2: update k=1, delete k=2, insert k=9
+    Compaction.writeGen(Seq((0L, 0L), (1L, 99L), (3L, 6L), (4L, 8L),
+      (9L, 18L)).toDF("k", "v"), t)
+    val s2 = Compaction.changeFeedNext(spark, t, cursor, Seq("k")).get
+    assert(s2.fromGen.contains(1L) && s2.toGen == 2L)
+    val ops = s2.changes.select("k", "op").as[(Long, String)]
+      .collect().toMap
+    assert(ops == Map(1L -> "u", 2L -> "d", 9L -> "c"), ops.toString)
+    Compaction.advanceFeedCursor(spark, cursor, Some(1L), 2L)
+    // a SECOND consumer holding the stale window loses loudly
+    val e1 = intercept[IllegalArgumentException](
+      Compaction.advanceFeedCursor(spark, cursor, Some(1L), 2L))
+    assert(e1.getMessage.contains("second consumer"), e1.getMessage)
+    // the cursor can only move forward
+    intercept[IllegalArgumentException](
+      Compaction.advanceFeedCursor(spark, cursor, Some(2L), 2L))
+    // lag past retention: two more publishes retire g2; the next poll
+    // must fail loudly with re-snapshot guidance, never silently
+    // replay creates the consumer already processed
+    Compaction.writeGen((0 to 5).map(k => (k.toLong, k * 3L)).toDF("k", "v"), t)
+    Compaction.writeGen((0 to 6).map(k => (k.toLong, k * 4L)).toDF("k", "v"), t)
+    assert(!Compaction.generations(spark, t).contains(2L),
+      "fixture must have retired the cursor generation")
+    val e2 = intercept[IllegalArgumentException](
+      Compaction.changeFeedNext(spark, t, cursor, Seq("k")))
+    assert(e2.getMessage.contains("left the retention window") &&
+      e2.getMessage.contains("re-snapshot"), e2.getMessage)
+  }
 }
