@@ -34,6 +34,46 @@ object Bench {
       case _ => -1.0
     }
 
+  /** Cumulative PROCESS CPU seconds (utime + stime from
+    * /proc/self/stat, USER_HZ = 100) — the second steal-immune channel
+    * (r16 verdict #6): the executor-CPU listener is blind to
+    * driver-side work (fixture builds, collect-based audit ops) and
+    * excludes sub-50 ms rows from diffs, so a wall flag on a
+    * driver-heavy query had no CPU evidence either way. In local mode
+    * every executor is a thread of THIS process, so this channel is a
+    * superset: executor compute + driver work, still immune to wall
+    * steal. Granularity is a jiffy (10 ms) per sample — coarser than
+    * the listener, which is why both channels ship.
+    */
+  private[graft] def procSelfCpuSec(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/stat")
+      val line = try src.mkString finally src.close()
+      // comm (field 2) may contain spaces/parens — parse after the
+      // LAST ')': state is then index 0, utime field 14 -> index 11
+      val rest = line.substring(line.lastIndexOf(')') + 2).split(" ")
+      (rest(11).toLong + rest(12).toLong) / 100.0
+    } catch { case _: Exception => -1.0 }
+
+  /** One line per testdata table: `bytes:files:mtimeMax` — enough to
+    * pin WHICH fixture a bench ran against (r16 verdict #2: the
+    * semantic-dedup family swings with the testdata's pile structure,
+    * and artifacts that don't name their input data need out-of-band
+    * mtime forensics every time).
+    */
+  private[graft] def dataFingerprint(sfDir: String): String = {
+    def walk(x: java.io.File): (Long, Long, Long) =
+      if (x.isFile) (x.length, 1L, x.lastModified)
+      else Option(x.listFiles()).getOrElse(Array.empty).map(walk)
+        .fold((0L, 0L, 0L)) { case ((a, b, c), (d, e, f)) =>
+          (a + d, b + e, math.max(c, f)) }
+    Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+      .sortBy(_.getName).map { f =>
+        val (bytes, files, mtime) = walk(f)
+        s""""${f.getName}":"$bytes:$files:$mtime""""
+      }.mkString("{", ",", "}")
+  }
+
   /** Sweep stale fixture dirs a KILLED run leaked (TempFixtures cleans
     * on JVM shutdown; SIGKILL never delivers it). Measured: 3,362
     * leftover dirs cost +28 s on a 150 s suite by degrading every
@@ -134,17 +174,20 @@ object Bench {
     // round-over-round artifact diffs are signal, not noise.
     // A query that throws records -1 (not its instant wall time) and lands
     // in "errors" — a regression must not masquerade as a speedup.
-    def timed(): Map[String, (Double, Double)] = qs.map { case (name, fn) =>
+    def timed(): Map[String, (Double, Double, Double)] = qs.map { case (name, fn) =>
       org.apache.spark.GraftCpuMeter.drain(spark.sparkContext)
       val c0 = meter.cpuNs.get()
+      val p0 = procSelfCpuSec()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case e: Throwable => logErr(name, e); false }
       val dt = (System.nanoTime() - t0) / 1e9
+      val dp = { val p1 = procSelfCpuSec()
+                 if (p0 < 0 || p1 < 0) -1.0 else p1 - p0 }
       org.apache.spark.GraftCpuMeter.drain(spark.sparkContext)
       val dc = (meter.cpuNs.get() - c0) / 1e9
       graft.util.Caches.sweep() // driver-side bookkeeping, outside the timing
-      name -> (if (ok) (dt, dc) else (-1.0, -1.0))
+      name -> (if (ok) (dt, dc, dp) else (-1.0, -1.0, -1.0))
     }.toMap
     // ISOLATED measure for the documented suite-pressure canaries.
     // Historical: q84 earned this slot when it was the buffering
@@ -191,6 +234,11 @@ object Bench {
     val cpuResults = qs.map { case (name, _) =>
       val cs = passes.map(_(name)._2)
       name -> (if (cs.exists(_ < 0)) -1.0 else cs.sorted.apply(1)) }
+    // PROCESS-CPU channel (driver + executors in local mode): medians
+    // independent of the other two, same reasoning
+    val pcpuResults = qs.map { case (name, _) =>
+      val ps = passes.map(_(name)._3)
+      name -> (if (ps.exists(_ < 0)) -1.0 else ps.sorted.apply(1)) }
     // a failed isolated canary lands in the SAME errors array as a
     // failed suite query — automation keys on "errors", and a canary
     // that died must not read as "no regressions"
@@ -200,8 +248,11 @@ object Bench {
       .mkString("{", ",", "}")
     val cjson = cpuResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val pjson = pcpuResults.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val cpuTotal = cpuResults.map(_._2).filter(_ >= 0).sum
+    val pcpuTotal = pcpuResults.map(_._2).filter(_ >= 0).sum
     val ejson = errors.mkString("[", ",", "]")
     // host-steal evidence over the WHOLE run (warmup + isolated +
     // 3 timed passes): -1 = unreadable (non-Linux). The round
@@ -211,7 +262,7 @@ object Bench {
     // headline total goes LAST in the line: the driver's artifact keeps the
     // tail of stdout, and r1–r4 artifacts lost the leading total field when
     // the long line was head-truncated.
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","steal_pct":$steal,"errors":$ejson,"isolated":$ijson,"cpu_total":$cpuTotal,"cpu":$cjson,"queries":$qjson,"value":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","steal_pct":$steal,"data_fp":${dataFingerprint(sfDir)},"errors":$ejson,"isolated":$ijson,"cpu_total":$cpuTotal,"cpu":$cjson,"pcpu_total":$pcpuTotal,"pcpu":$pjson,"queries":$qjson,"value":$total}"""
     println(line)
     // the SAME json, untruncated: the driver artifact keeps only ~2000
     // chars of stdout, so only ~60 of the per-query medians survive into

@@ -725,12 +725,16 @@ object Compaction {
       .filter(n => fs.exists(new Path(main, genName(n))))
   }
 
-  /** Readable generations with their PUBLISH times (manifest-marker
-    * mtimes, ms since epoch) — what `TIMESTAMP AS OF` resolves
-    * against ([[GraftCatalog.loadTable]]): markers are
-    * rename-committed exactly once at publish and never rewritten, so
-    * the mtime IS the publish instant. Same retention filter as
-    * [[generations]].
+  /** Readable generations with their PUBLISH times (ms since epoch) —
+    * what `TIMESTAMP AS OF` resolves against
+    * ([[GraftCatalog.loadTable]]). The instant comes from the marker
+    * PAYLOAD (`publishedAtMs=` line, written at publish — r16 verdict
+    * #4): the marker file's mtime is rename-committed once on this FS,
+    * but a restore/copy/rsync of the table root rewrites every mtime
+    * and would silently shift every timestamp-travel answer, while the
+    * payload survives any byte-preserving move. Markers published
+    * before the payload carried the instant fall back to mtime (legacy
+    * only). Same retention filter as [[generations]].
     */
   private[sources] def generationsWithPublishTimes(
       spark: SparkSession, path: String): Seq[(Long, Long)] = {
@@ -738,8 +742,30 @@ object Compaction {
     val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
     listNums(fs, main, ManifestPrefix).sorted
       .filter(n => fs.exists(new Path(main, genName(n))))
-      .map(n => n -> fs.getFileStatus(
-        new Path(main, ManifestPrefix + genName(n))).getModificationTime)
+      .map(n => n -> publishInstant(fs, main, n))
+  }
+
+  private val PublishedAtKey = "publishedAtMs="
+
+  /** The instant generation `n` was published: the marker payload's
+    * `publishedAtMs=` line, mtime fallback for pre-payload markers.
+    * One small-file open per retained generation — driver metadata,
+    * never data-sized.
+    */
+  private def publishInstant(fs: org.apache.hadoop.fs.FileSystem,
+                             main: Path, n: Long): Long = {
+    val p = new Path(main, ManifestPrefix + genName(n))
+    val fromPayload =
+      try {
+        val in = fs.open(p)
+        val buf = new Array[Byte](256)
+        val k = try in.read(buf) finally in.close()
+        val text = if (k <= 0) "" else new String(buf, 0, k, "UTF-8")
+        text.linesIterator
+          .find(_.startsWith(PublishedAtKey))
+          .flatMap(l => l.stripPrefix(PublishedAtKey).trim.toLongOption)
+      } catch { case _: java.io.IOException => None }
+    fromPayload.getOrElse(fs.getFileStatus(p).getModificationTime)
   }
 
   /** Time travel: read the table as of published generation `gen`.
@@ -805,9 +831,61 @@ object Compaction {
 
   private val FeedCursorPrefix = "_graft_feed_cursor."
 
-  private def feedCursorOf(mc: ManifestCommit): Option[Long] =
-    mc.list(FeedCursorPrefix)
-      .flatMap(n => genNumber(n.stripPrefix(FeedCursorPrefix))).maxOption
+  /** Consumer-group ids namespace cursors inside one cursorDir (the
+    * Kafka group.id story): letters/digits/underscore/dash only, so a
+    * group can never collide with the marker-name grammar.
+    */
+  private def requireGroup(group: String): Unit =
+    require(group.nonEmpty && group.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-'),
+      s"feed consumer group '$group' — use letters, digits, '_', '-'")
+
+  /** Cursor markers are keyed by the generation the step DEPARTS from:
+    * `_graft_feed_cursor.<group>.from.g<from>` with payload = the
+    * generation advanced TO. Keying by `from` (not `to`) is what makes
+    * the advance a real CAS: two consumers that both read cursor ==
+    * `from` but computed different `to`s (a publish landed between
+    * their polls) now contend on ONE marker name, so exactly one wins —
+    * with `to`-keyed names both would "succeed" and the window would be
+    * delivered twice. The initial snapshot departs from the g0
+    * sentinel (generations start at 1).
+    */
+  private[graft] def cursorMarkerName(group: String, from: Option[Long]): String =
+    s"$FeedCursorPrefix$group.from.${genName(from.getOrElse(0L))}"
+
+  /** Current cursor of `group`: the payload (`to`) of the marker with
+    * the highest `from`. Legacy single-group markers
+    * (`_graft_feed_cursor.g<to>`, pre-group format) are read as the
+    * default group's cursor when no new-format marker exists.
+    */
+  private def feedCursorOf(mc: ManifestCommit, group: String): Option[Long] = {
+    val prefix = s"$FeedCursorPrefix$group.from."
+    val froms = mc.list(prefix).flatMap(n => genNumber(n.stripPrefix(prefix)))
+    froms.maxOption match {
+      case Some(maxFrom) =>
+        val name = s"$prefix${genName(maxFrom)}"
+        // local hard-link creates land with their full payload; the
+        // HDFS create→write→close branch has a transient empty-payload
+        // window — bounded retry, then loud (a cursor with no target is
+        // a broken chain, not a position)
+        var attempt = 0
+        while (attempt < 20) {
+          mc.read(name).map(b => new String(b, "UTF-8").trim)
+            .flatMap(genNumber) match {
+            case Some(to) => return Some(to)
+            case None => attempt += 1; Thread.sleep(5L)
+          }
+        }
+        sys.error(s"feed cursor marker $name has no readable target " +
+          s"generation in its payload (${mc.describe}) — cursor chain corrupt")
+      case None if group == DefaultFeedGroup =>
+        mc.list(FeedCursorPrefix)
+          .flatMap(n => genNumber(n.stripPrefix(FeedCursorPrefix))).maxOption
+      case None => None
+    }
+  }
+
+  val DefaultFeedGroup = "default"
 
   /** The DURABLE-CURSOR change feed — [[generationDiff]] turned into a
     * tailable CDC source, the consumer-offset story the reference's
@@ -842,8 +920,10 @@ object Compaction {
     * shape as [[generationDiff]]; the cursor is O(1) metadata.
     */
   def changeFeedNext(spark: SparkSession, path: String, cursorDir: String,
-                     keyCols: Seq[String]): Option[FeedStep] = {
+                     keyCols: Seq[String],
+                     group: String = DefaultFeedGroup): Option[FeedStep] = {
     require(keyCols.nonEmpty, "changeFeedNext needs key columns")
+    requireGroup(group)
     val gens = generations(spark, path)
     require(gens.nonEmpty,
       s"$path is not a generational graft table — nothing to feed")
@@ -851,7 +931,7 @@ object Compaction {
     val cdir = new Path(cursorDir)
     val fs = cdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val from = if (fs.exists(cdir))
-      feedCursorOf(new FsManifestCommit(fs, cdir)) else None
+      feedCursorOf(new FsManifestCommit(fs, cdir), group) else None
     from match {
       case Some(f) if f == cur => None
       case Some(f) =>
@@ -867,46 +947,98 @@ object Compaction {
         Some(FeedStep(Some(f), cur,
           generationDiff(spark, path, f, cur, keyCols)))
       case None =>
-        import org.apache.spark.sql.functions._
-        val snap = readTableAt(spark, path, cur)
-        val valCols = snap.columns.filterNot(keyCols.contains).toSeq
-        val packed = snap.select(
-          (keyCols.map(col) :+ struct(valCols.map(col): _*).as("after")): _*)
-        val afterType = packed.schema("after").dataType
-        Some(FeedStep(None, cur, packed
-          .withColumn("before", lit(null).cast(afterType))
-          .withColumn("op", lit("c"))
-          .select((keyCols.map(col) ++
-            Seq(col("before"), col("after"), col("op"))): _*)))
+        Some(FeedStep(None, cur, feedSnapshot(spark, path, cur, keyCols)))
     }
   }
 
-  /** Commit a processed [[FeedStep]]'s window: the cursor moves
-    * `expectFrom` → `to` via an exclusive-create marker (two consumers
-    * racing one cursor lose LOUDLY, never double-advance), superseded
-    * markers are pruned. Call strictly AFTER the step's output landed.
+  /** The initial-snapshot frame of generation `gen` in the feed shape
+    * (keys…, before = null, after, op = 'c') — the Debezium snapshot
+    * convention, shared by [[changeFeedNext]] and the streaming source
+    * ([[GraftChangeFeedSource]]).
+    */
+  private[graft] def feedSnapshot(spark: SparkSession, path: String,
+                                  gen: Long, keyCols: Seq[String]
+                                 ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val snap = readTableAt(spark, path, gen)
+    val valCols = snap.columns.filterNot(keyCols.contains).toSeq
+    val packed = snap.select(
+      (keyCols.map(col) :+ struct(valCols.map(col): _*).as("after")): _*)
+    val afterType = packed.schema("after").dataType
+    packed
+      .withColumn("before", lit(null).cast(afterType))
+      .withColumn("op", lit("c"))
+      .select((keyCols.map(col) ++
+        Seq(col("before"), col("after"), col("op"))): _*)
+  }
+
+  /** The feed-frame schema for `path` keyed by `keyCols`, derived from
+    * the CURRENT generation's schema with every field nullable (outer
+    * joins and the snapshot's null `before` make nullability the
+    * frame's property, not the table's). The streaming source declares
+    * this schema once at stream start; per-batch frames bind to it.
+    */
+  private[graft] def feedSchema(spark: SparkSession, path: String,
+                                keyCols: Seq[String]
+                               ): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val snap = readTable(spark, path).schema
+    val missing = keyCols.filterNot(k => snap.fieldNames.contains(k))
+    require(missing.isEmpty,
+      s"key column(s) ${missing.mkString(",")} not in $path's schema " +
+        s"(${snap.fieldNames.mkString(",")})")
+    val valStruct = StructType(snap.fields
+      .filterNot(f => keyCols.contains(f.name))
+      .map(f => f.copy(nullable = true)).toIndexedSeq)
+    StructType(
+      keyCols.map(k => snap(k).copy(nullable = true)) ++ Seq(
+        StructField("before", valStruct),
+        StructField("after", valStruct),
+        StructField("op", StringType)))
+  }
+
+  /** Commit a processed [[FeedStep]]'s window for `group`: the cursor
+    * moves `expectFrom` → `to` via an exclusive create of the
+    * FROM-KEYED marker ([[cursorMarkerName]]) — two consumers of one
+    * group racing the same departure generation contend on one marker
+    * name and exactly one wins, LOUDLY, even when they computed
+    * different `to`s (the duplicate-window race a `to`-keyed marker
+    * left open). Distinct groups never contend: each is its own CAS
+    * chain over the same cursorDir. Superseded markers of the group
+    * (and, for the default group, pre-group legacy markers) are
+    * pruned. Call strictly AFTER the step's output landed.
     */
   def advanceFeedCursor(spark: SparkSession, cursorDir: String,
-                        expectFrom: Option[Long], to: Long): Unit = {
+                        expectFrom: Option[Long], to: Long,
+                        group: String = DefaultFeedGroup): Unit = {
+    requireGroup(group)
     val cdir = new Path(cursorDir)
     val fs = cdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(cdir)
     val mc = new FsManifestCommit(fs, cdir)
-    val cur = feedCursorOf(mc)
+    val cur = feedCursorOf(mc, group)
     require(cur == expectFrom,
-      s"feed cursor at $cursorDir is at ${cur.fold("<none>")(genName)}, " +
+      s"feed cursor '$group' at $cursorDir is at " +
+        s"${cur.fold("<none>")(genName)}, " +
         s"not ${expectFrom.fold("<none>")(genName)} — a second consumer " +
         "advanced it; this step's window is stale")
     require(expectFrom.forall(_ < to),
       s"cursor can only advance: ${expectFrom.get} -> $to")
-    require(mc.createExclusive(FeedCursorPrefix + genName(to),
+    require(mc.createExclusive(cursorMarkerName(group, expectFrom),
         genName(to).getBytes("UTF-8")),
-      s"concurrent cursor advance to generation $to at $cursorDir lost " +
-        "the exclusive create — two consumers share this cursor")
-    mc.list(FeedCursorPrefix).foreach { n =>
-      if (genNumber(n.stripPrefix(FeedCursorPrefix)).exists(_ < to))
+      s"concurrent advance of feed cursor '$group' from " +
+        s"${genName(expectFrom.getOrElse(0L))} at $cursorDir lost the " +
+        "exclusive create — two consumers share this group's cursor")
+    val fromN = expectFrom.getOrElse(0L)
+    val groupPrefix = s"$FeedCursorPrefix$group.from."
+    mc.list(groupPrefix).foreach { n =>
+      if (genNumber(n.stripPrefix(groupPrefix)).exists(_ < fromN))
         mc.delete(n)
     }
+    if (group == DefaultFeedGroup)
+      mc.list(FeedCursorPrefix)
+        .filter(n => genNumber(n.stripPrefix(FeedCursorPrefix)).isDefined)
+        .foreach(mc.delete) // legacy pre-group markers, superseded
   }
 
   /** Atomically publish `gen` as the current generation: FENCE (reject
@@ -950,7 +1082,11 @@ object Compaction {
     }
     val tmp = new Path(main, s".${ManifestPrefix}$gen.tmp")
     val out = fs.create(tmp, true)
-    try out.write(gen.getBytes("UTF-8")) finally out.close()
+    // payload carries the publish instant (generationsWithPublishTimes
+    // prefers it over the restore-fragile file mtime)
+    try out.write(
+      s"$gen\n$PublishedAtKey${System.currentTimeMillis()}".getBytes("UTF-8"))
+    finally out.close()
     if (!fs.rename(tmp, new Path(main, ManifestPrefix + gen)))
       sys.error(s"compaction: publishing manifest for $gen failed")
     // rank-based marker grace (keep the two most recent published),
@@ -1209,5 +1345,125 @@ object Compaction {
     // two publishes ago may still be scanning), crashed-claim expiry,
     // optional wall-time retention for concurrent-writer deployments
     pruneDataDirs(fs, main, orphanGraceMs, readerGraceMs, leaseMaxAgeMs(conf))
+  }
+
+  /** APPEND `df` to a generational table as a new generation — the
+    * `INSERT INTO` primitive behind the DSv2/catalog write face.
+    *
+    * Snapshot-per-directory makes the naive append (read current ∪ new
+    * → writeGen) O(table) per insert; this one is O(new data): the new
+    * rows are written as fresh parquet files into the claimed
+    * generation dir, the current generation's DATA files are carried
+    * forward by hard link on link-capable stores (`file:` — one
+    * metadata op per file, no bytes move) or FileUtil.copy elsewhere,
+    * and the publish is fenced on the generation the append READ
+    * (`expectCur` — a concurrent publish between the read and this
+    * publish would otherwise be silently rolled back). On an object
+    * store the carry-forward maps to server-side copy; a
+    * manifest-of-files layer (Iceberg's move) would make it O(1) —
+    * documented trade-off of keeping the one-pointer manifest.
+    *
+    * - Empty/absent root: the append bootstraps generation 1
+    *   ([[writeGen]]).
+    * - Flat non-generational dir with data: LOUD error — publishing g1
+    *   beside unreferenced flat files would silently hide them; run
+    *   [[toGenerational]] first.
+    * - Partitioned current generation (subdirectories): falls back to
+    *   the rewrite path (union → writeGen) so partition discovery never
+    *   sees a mixed flat+partitioned dir.
+    * - Schema: new rows must carry exactly the table's columns with the
+    *   same types (order-free; nullability-free) — parquet reads
+    *   resolve columns by name per file, so carried and fresh files
+    *   interleave safely.
+    *
+    * Concurrency: claim fencing + `expectCur` keep the two-writer story
+    * identical to [[writeGen]] — one of two concurrent appends loses
+    * with [[FencedWriteException]] and retries on the new current.
+    */
+  def appendGen(df: org.apache.spark.sql.DataFrame, path: String,
+                orphanGraceMs: Long = DefaultOrphanGraceMs,
+                readerGraceMs: Long = 0L): Unit = {
+    val spark = df.sparkSession
+    val main = new Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = main.getFileSystem(conf)
+    listNums(fs, main, ManifestPrefix).maxOption match {
+      case None =>
+        val flatData = fs.exists(main) && fs.listStatus(main).exists { s =>
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        require(!flatData,
+          s"appendGen: $path holds flat (non-generational) data — " +
+            "publishing a generation beside it would silently hide it " +
+            "from readers; run Compaction.toGenerational first")
+        writeGen(df, path, orphanGraceMs = orphanGraceMs,
+          readerGraceMs = readerGraceMs)
+      case Some(cur) =>
+        val curDir = new Path(main, genName(cur))
+        val curDf = readTableAt(spark, path, cur)
+        val want = curDf.schema.fields
+          .map(f => f.name -> f.dataType.sql).toMap
+        val got = df.schema.fields
+          .map(f => f.name -> f.dataType.sql).toMap
+        require(want == got,
+          s"appendGen: schema mismatch at $path — table has " +
+            s"${curDf.schema.simpleString}, append has " +
+            s"${df.schema.simpleString}")
+        if (fs.listStatus(curDir).exists(s => s.isDirectory &&
+            !s.getPath.getName.startsWith("."))) {
+          // partitioned snapshot: rewrite, don't mix layouts
+          writeGen(curDf.unionByName(df), path,
+            orphanGraceMs = orphanGraceMs, readerGraceMs = readerGraceMs,
+            expectGen = Some(cur))
+        } else {
+          requirePruneGrace(conf, orphanGraceMs)
+          val next = genName(claimNext(fs, main,
+            s"appendGen@${spark.sparkContext.applicationId}"))
+          val nextDir = new Path(main, next)
+          df.select(curDf.columns.map(org.apache.spark.sql.functions.col)
+              .toIndexedSeq: _*)
+            .write.mode("overwrite").parquet(nextDir.toString)
+          carryDataFiles(fs, conf, curDir, nextDir)
+          publish(fs, conf, main, next, readerGraceMs, Some(cur))
+          pruneDataDirs(fs, main, orphanGraceMs, readerGraceMs,
+            leaseMaxAgeMs(conf))
+        }
+    }
+  }
+
+  /** Carry generation `from`'s data files into `to`: hard links on the
+    * local scheme (the kernel refuses a clobber — carried names can
+    * never overwrite the fresh write's part files), byte copy
+    * elsewhere. Underscore/dot sidecars stay behind — the fresh write
+    * produced its own `_SUCCESS`, and state sidecars ride
+    * [[carrySidecars]] only on rewrite paths that preserve them
+    * deliberately.
+    */
+  private def carryDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                             conf: org.apache.hadoop.conf.Configuration,
+                             from: Path, to: Path): Unit = {
+    val linkable = fs.getScheme == "file"
+    fs.listStatus(from).toSeq.filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.foreach { s =>
+      val dest = new Path(to, s.getPath.getName)
+      require(!fs.exists(dest),
+        s"appendGen: carried file ${s.getPath.getName} collides with a " +
+          s"fresh part file in $to — aborting before clobber")
+      val linked = linkable && {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dest.toUri.getPath),
+            java.nio.file.Paths.get(s.getPath.toUri.getPath))
+          true
+        } catch { case _: java.io.IOException |
+                       _: UnsupportedOperationException => false }
+      }
+      if (!linked)
+        org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs, dest,
+          false /* deleteSource */, conf)
+    }
   }
 }

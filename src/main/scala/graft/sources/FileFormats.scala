@@ -282,6 +282,33 @@ object FileFormats {
         FROM orders
         ORDER BY gen_rank""")),
 
+    // The WRITE face (r16 verdict #1): `INSERT INTO` through the
+    // catalog publishes a NEW generation (Compaction.appendGen —
+    // current files hard-link-carried, fresh rows as new part files,
+    // publish fenced on the read generation). Self-contained per
+    // invocation (the walk IS the cost being timed: bootstrap write,
+    // SQL insert, read-back); the read-back must hash-match the plain
+    // orders table — INSERT-then-read ≡ writeGen-then-readTable.
+    // Concurrent-reader isolation and two-writer fencing are
+    // spec-pinned (GraftWriteSpec).
+    GQuery("fmt_dsv2_write",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_w",
+          "graft.sources.GraftCatalog")
+        val path = tmp("graft_dsv2w") + "/tbl"
+        val orders = Tables(s, d, "orders")
+        Compaction.writeGen(
+          orders.filter(col("o_orderkey") % 3 === 0), path) // g1
+        orders.filter(col("o_orderkey") % 3 =!= 0)
+          .createOrReplaceTempView("graft_dsv2_insert_src")
+        s.sql(s"INSERT INTO graft_w.`$path` " +
+          "SELECT * FROM graft_dsv2_insert_src") // g2 = g1 ∪ inserted
+        require(Compaction.generations(s, path) == Seq(1L, 2L),
+          "INSERT must have published generation 2")
+        s.read.format("graft").load(path).orderBy(col("o_orderkey"))
+      },
+      Some("SELECT * FROM orders ORDER BY o_orderkey")),
+
     // The SQL face: a temp view over USING graft (the V1
     // RelationProvider path — same manifest resolution, then the
     // plain parquet relation). What a SQL-only user types.

@@ -29,10 +29,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   once, never rewritten) is <= t, i.e. the snapshot a reader at
   *   that wall-clock would have seen; a timestamp before the first
   *   retained publish fails loudly naming the readable window;
-  * - the scan is the same [[GraftReadOnlyTable]] the reader face
-  *   builds — pushdown/pruning intact, writes closed (createTable /
-  *   alterTable / dropTable and the DSv2 write path all throw the
-  *   read-only message; publish through [[Compaction.writeGen]]).
+  * - an UNPINNED reference is the same [[GraftWritableTable]] the
+  *   reader face builds — pushdown/pruning intact, and `INSERT INTO`
+  *   / `INSERT OVERWRITE` / `df.writeTo` publish a NEW generation
+  *   ([[Compaction.appendGen]]/[[Compaction.writeGen]]); a fresh root
+  *   is bootstrap-writable (the first INSERT creates generation 1).
+  *   PINNED references (either time-travel clause) carry no write
+  *   capability. createTable / alterTable / dropTable stay closed:
+  *   the table IS its directory, so DDL is directory management.
   *
   * Scale: catalog resolution is one marker listing (O(retained
   * generations) driver metadata); nothing else changes vs the reader.
@@ -59,10 +63,23 @@ class GraftCatalog extends TableCatalog {
   private def tableFor(path: String,
                        pin: (Option[Long], Option[Long])): Table = {
     val spark = SparkSession.active
-    val dir = GraftDataSource.resolveGenDir(spark, path, pin)
-    new GraftReadOnlyTable(s"$catalogName $path", spark,
-      CaseInsensitiveStringMap.empty(), Seq(dir), None,
-      classOf[ParquetFileFormat])
+    if (pin == ((None, None))) {
+      // unpinned: writable — INSERT INTO publishes a new generation;
+      // a fresh root is bootstrap-writable (first INSERT creates g1)
+      if (GraftDataSource.isEmptyRoot(spark, path))
+        new GraftBootstrapTable(s"$catalogName $path", path)
+      else {
+        val dir = GraftDataSource.resolveGenDir(spark, path, pin)
+        new GraftWritableTable(s"$catalogName $path", spark,
+          CaseInsensitiveStringMap.empty(), Seq(dir), None,
+          classOf[ParquetFileFormat], path)
+      }
+    } else {
+      val dir = GraftDataSource.resolveGenDir(spark, path, pin)
+      new GraftReadOnlyTable(s"$catalogName $path", spark,
+        CaseInsensitiveStringMap.empty(), Seq(dir), None,
+        classOf[ParquetFileFormat])
+    }
   }
 
   // Resolution failures (retention, not-a-generation, bad pins)
@@ -106,8 +123,13 @@ class GraftCatalog extends TableCatalog {
       tableFor(path, (Some(at.maxBy(_._2)._1), None))
   }
 
+  // Only RESOLUTION failures mean "no table" (bad namespace, retention
+  // messages — both IllegalArgumentException here); an IO error during
+  // the manifest listing must propagate, not misreport an existing
+  // table as absent.
   override def tableExists(ident: Identifier): Boolean =
-    try { loadTable(ident); true } catch { case _: Exception => false }
+    try { loadTable(ident); true }
+    catch { case _: IllegalArgumentException => false }
 
   /** Path-addressed: there is no namespace to enumerate. */
   override def listTables(namespace: Array[String]): Array[Identifier] =

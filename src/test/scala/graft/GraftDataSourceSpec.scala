@@ -96,23 +96,38 @@ class GraftDataSourceSpec extends AnyFunSuite {
         .select("v").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
-  test("the write path is closed loudly; flat parquet dirs read as plain parquet") {
+  test("df.write.format(\"graft\") publishes generations; flat dirs write-guarded, read as plain parquet") {
     val t = tmp("graft_dsv2w") + "/tbl"
-    Compaction.writeGen(rows(0, 5), t)
-    val e = intercept[Throwable] {
-      rows(5, 8).write.format("graft").mode("append").save(t)
+    Compaction.writeGen(rows(0, 5), t) // g1
+    // append = a NEW generation holding old + new (never loose files)
+    rows(5, 8).write.format("graft").mode("append").save(t)
+    assert(Compaction.generations(spark, t) == Seq(1L, 2L))
+    assert(Compaction.readTable(spark, t).count() == 8L)
+    // overwrite = the replacement snapshot
+    rows(0, 3).write.format("graft").mode("overwrite").save(t)
+    assert(Compaction.readTable(spark, t).count() == 3L)
+    // a pinned snapshot is never writable
+    val ep = intercept[Throwable] {
+      rows(0, 1).write.format("graft").mode("append")
+        .option(GraftDataSource.GenerationOption, "2").save(t)
     }
     def chain(x: Throwable): Seq[Throwable] =
       Iterator.iterate(x)(_.getCause).takeWhile(_ != null).take(8).toSeq
-    assert(chain(e).exists(_.getMessage != null) &&
-      chain(e).exists(c => Option(c.getMessage).exists(_.contains("READ-ONLY"))),
-      s"write must fail with the read-only pointer, got: $e")
-    assert(Compaction.readTable(spark, t).count() == 5L,
-      "the rejected write must not have touched the table")
+    assert(chain(ep).exists(c => Option(c.getMessage)
+        .exists(m => m.contains("pinned") || m.contains("immutable"))),
+      s"pinned write must fail loudly, got: $ep")
     // flat (non-generational) parquet: format("graft") == plain parquet
     val flat = tmp("graft_dsv2f") + "/flat"
     rows(0, 7).write.parquet(flat)
     assert(spark.read.format("graft").load(flat).count() == 7L)
+    // ... but WRITES refuse to shadow flat data with a generation
+    val ef = intercept[Throwable] {
+      rows(7, 9).write.format("graft").mode("append").save(flat)
+    }
+    assert(chain(ef).exists(c => Option(c.getMessage)
+        .exists(_.contains("toGenerational"))), s"got: $ef")
+    assert(spark.read.parquet(flat).count() == 7L,
+      "the refused write must not have touched the flat dir")
   }
 
   test("GraftCatalog: VERSION AS OF / TIMESTAMP AS OF SQL time travel, path addressing, writes closed") {
@@ -121,11 +136,21 @@ class GraftDataSourceSpec extends AnyFunSuite {
     Compaction.writeGen(rows(0, 10), t) // g1
     Compaction.writeGen(rows(0, 15), t) // g2
     // age g1's publish instant so a wall-clock between the two
-    // publishes is expressible (marker mtime IS the publish time)
+    // publishes is expressible: the instant lives in the marker
+    // PAYLOAD (publishedAtMs=), so the test rewrites that line —
+    // test-only surgery on an otherwise immutable marker
     val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val g1Marker = new Path(t, "_graft_gen.g000000001")
     val t1 = System.currentTimeMillis() - 3600000L
-    fs.setTimes(g1Marker, t1, t1)
+    val out = fs.create(g1Marker, true)
+    out.write(s"g000000001\npublishedAtMs=$t1".getBytes("UTF-8"))
+    out.close()
+    // a restore/copy/rsync rewrites mtimes; the payload instant must
+    // win — perturb BOTH markers' mtimes to nonsense and expect no
+    // timestamp-travel shift anywhere below
+    fs.setTimes(g1Marker, System.currentTimeMillis() + 86400000L, -1L)
+    fs.setTimes(new Path(t, "_graft_gen.g000000002"),
+      System.currentTimeMillis() - 7200000L, -1L)
     // current / VERSION AS OF through plain SQL
     assert(spark.sql(s"SELECT count(*) FROM gct.`$t`").head().getLong(0) == 15L)
     assert(spark.sql(s"SELECT count(*) FROM gct.`$t` VERSION AS OF 1")
@@ -158,14 +183,14 @@ class GraftDataSourceSpec extends AnyFunSuite {
       s"SELECT * FROM gct.`$t` TIMESTAMP AS OF '1990-01-01 00:00:00'")
       .collect())
     assert(e2.getMessage.contains("predates retention"), e2.getMessage)
-    // writes are closed on the catalog route too
+    // catalog DDL stays closed (the table IS its directory)
     val e3 = intercept[Throwable](spark.sql(
-      s"INSERT INTO gct.`$t` VALUES (99, 99, 's99')"))
+      s"DROP TABLE gct.`$t`"))
     def chain(x: Throwable): Seq[Throwable] =
       Iterator.iterate(x)(_.getCause).takeWhile(_ != null).take(8).toSeq
-    assert(chain(e3).exists(c =>
-        Option(c.getMessage).exists(m => m.contains("READ-ONLY") ||
-          m.contains("does not support"))), s"got: $e3")
+    assert(chain(e3).exists(c => Option(c.getMessage).exists(m =>
+        m.contains("path-addressed") || m.contains("deleting the table") ||
+          m.contains("read-only"))), s"got: $e3")
     assert(Compaction.readTable(spark, t).count() == 15L)
   }
 

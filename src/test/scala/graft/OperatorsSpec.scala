@@ -867,4 +867,71 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("left the retention window") &&
       e2.getMessage.contains("re-snapshot"), e2.getMessage)
   }
+
+  test("feed cursor groups: independent chains per group; from-keyed CAS; legacy markers migrate") {
+    import graft.sources.Compaction
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_feedg").toString
+    val t = root + "/tbl"; val cursor = root + "/cursor"
+    val k = Seq("k")
+    Compaction.writeGen((0 to 4).map(n => (n.toLong, n * 2L)).toDF("k", "v"), t) // g1
+    // group A consumes; group B's chain is untouched
+    val a1 = Compaction.changeFeedNext(spark, t, cursor, k, "grp-a").get
+    Compaction.advanceFeedCursor(spark, cursor, a1.fromGen, a1.toGen, "grp-a")
+    assert(Compaction.changeFeedNext(spark, t, cursor, k, "grp-a").isEmpty)
+    val b0 = Compaction.changeFeedNext(spark, t, cursor, k, "grp-b").get
+    assert(b0.fromGen.isEmpty && b0.toGen == 1L,
+      "group B never advanced — its first poll is still the snapshot")
+    Compaction.writeGen((0 to 5).map(n => (n.toLong, n * 3L)).toDF("k", "v"), t) // g2
+    val a2 = Compaction.changeFeedNext(spark, t, cursor, k, "grp-a").get
+    assert(a2.fromGen.contains(1L) && a2.toGen == 2L, "A gets the diff")
+    val b1 = Compaction.changeFeedNext(spark, t, cursor, k, "grp-b").get
+    assert(b1.fromGen.isEmpty && b1.toGen == 2L,
+      "B, still uncursored, snapshots CURRENT — no phantom history")
+    Compaction.advanceFeedCursor(spark, cursor, a2.fromGen, a2.toGen, "grp-a")
+    Compaction.advanceFeedCursor(spark, cursor, b1.fromGen, b1.toGen, "grp-b")
+    assert(Compaction.changeFeedNext(spark, t, cursor, k, "grp-a").isEmpty &&
+      Compaction.changeFeedNext(spark, t, cursor, k, "grp-b").isEmpty)
+    // the advance CAS is keyed by the DEPARTURE generation: two
+    // consumers of one group that both read cursor==2 but computed
+    // different targets contend on ONE marker name — simulate the
+    // winner's commit landing first, then the loser's position check
+    // (or, in the true race window, its exclusive create) fails loudly
+    val fs = new org.apache.hadoop.fs.Path(cursor).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val mc = new graft.sources.FsManifestCommit(fs,
+      new org.apache.hadoop.fs.Path(cursor))
+    assert(Compaction.cursorMarkerName("grp-a", Some(2L)) ==
+      Compaction.cursorMarkerName("grp-a", Some(2L)) &&
+      !Compaction.cursorMarkerName("grp-a", Some(2L))
+        .contains("g000000003"), "marker name keys on FROM, never TO")
+    assert(mc.createExclusive(
+      Compaction.cursorMarkerName("grp-a", Some(2L)),
+      "g000000003".getBytes("UTF-8")), "winner's commit")
+    val eRace = intercept[IllegalArgumentException](
+      Compaction.advanceFeedCursor(spark, cursor, Some(2L), 4L, "grp-a"))
+    assert(eRace.getMessage.contains("second consumer"), eRace.getMessage)
+    assert(!mc.createExclusive(
+        Compaction.cursorMarkerName("grp-a", Some(2L)), "x".getBytes),
+      "the from-keyed name is one CAS: a second create always loses")
+    // group ids are validated (marker-name grammar safety)
+    intercept[IllegalArgumentException](
+      Compaction.changeFeedNext(spark, t, cursor, k, "bad.group"))
+    // LEGACY single-group markers (pre-group `_graft_feed_cursor.g<to>`)
+    // read as the default group's cursor and migrate on first advance
+    val legacyDir = root + "/legacy_cursor"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(legacyDir))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(legacyDir, "_graft_feed_cursor.g000000001"),
+      "g000000001".getBytes("UTF-8"))
+    val l1 = Compaction.changeFeedNext(spark, t, legacyDir, k).get
+    assert(l1.fromGen.contains(1L) && l1.toGen == 2L,
+      "legacy marker must read as the default group's cursor position")
+    Compaction.advanceFeedCursor(spark, legacyDir, l1.fromGen, l1.toGen)
+    assert(Compaction.changeFeedNext(spark, t, legacyDir, k).isEmpty)
+    val names = new java.io.File(legacyDir).list().toSeq
+      .filter(_.startsWith("_graft_feed_cursor."))
+    assert(names == Seq("_graft_feed_cursor.default.from.g000000001"),
+      s"advance migrates to the group format and prunes legacy: $names")
+  }
 }
