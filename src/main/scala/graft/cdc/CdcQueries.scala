@@ -811,9 +811,57 @@ object CdcQueries {
       UNION ALL SELECT * FROM d3
       ORDER BY step, o_orderkey"""))
 
+  /** The streaming WRITE face ([[graft.sources.GraftStreamSink]]):
+    * `writeStream.format("graft")` publishes ONE generation per
+    * micro-batch with an in-generation batch sidecar for
+    * effectively-once redelivery — the reference's idempotent consumer
+    * sink (O14, transaction_consumer.py:85-103) as a native sink on
+    * the generational table. Two MemoryStream batches (even/odd
+    * custkeys) through one continuous query; the read-back must equal
+    * the plain customer projection. Redelivery skip, checkpoint
+    * resume, sidecar survival across interleaved INSERTs, and Complete
+    * mode are spec-pinned (GraftStreamSinkSpec).
+    */
+  private val streamSink = GQuery("cdc_stream_sink",
+    (s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ssinkq").toString
+      val t = root + "/tbl"
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val cust = Tables(s, d, "customer").select(
+        col("c_custkey").cast("long"),
+        col("c_nationkey").cast("long"),
+        floor(col("c_acctbal") * 100).cast("long"))
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val q = input.toDS().toDF("c_custkey", "c_nationkey", "cents")
+        .writeStream.format("graft")
+        .option("checkpointLocation", root + "/ckpt")
+        .start(t)
+      try {
+        // MemoryStream TRANSPORT harness collect (LlmShared doctrine):
+        // a real deployment's batches arrive via readStream and never
+        // touch the driver; the sink's publish path is distributed
+        def slice(m: Int) = cust.filter(col("c_custkey") % 2 === m)
+          .as[(Long, Long, Long)].collect().toSeq
+        input.addData(slice(0): _*)
+        q.processAllAvailable()
+        input.addData(slice(1): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      require(graft.sources.Compaction.generations(s, t) == Seq(1L, 2L),
+        "each batch publishes one generation")
+      graft.sources.Compaction.readTable(s, t).orderBy(col("c_custkey"))
+    },
+    Some("""SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer ORDER BY c_custkey"""))
+
   val queries: Seq[GQuery] = Seq(
     envelopeApply, decimalRoundtrip, applyOps, changeDiffQ, genTransactions,
     changeDiffWide, incrementalUpsert, scd2History, incrementalAgg, scd2Asof,
     aggTimeTravel, generationFeed, changeFeedCursor, changeFeedGroups,
-    streamFeed)
+    streamFeed, streamSink)
 }

@@ -1382,7 +1382,8 @@ object Compaction {
     */
   def appendGen(df: org.apache.spark.sql.DataFrame, path: String,
                 orphanGraceMs: Long = DefaultOrphanGraceMs,
-                readerGraceMs: Long = 0L): Unit = {
+                readerGraceMs: Long = 0L,
+                beforePublish: Path => Unit = _ => ()): Unit = {
     val spark = df.sparkSession
     val main = new Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1397,8 +1398,8 @@ object Compaction {
           s"appendGen: $path holds flat (non-generational) data — " +
             "publishing a generation beside it would silently hide it " +
             "from readers; run Compaction.toGenerational first")
-        writeGen(df, path, orphanGraceMs = orphanGraceMs,
-          readerGraceMs = readerGraceMs)
+        writeGen(df, path, beforePublish = beforePublish,
+          orphanGraceMs = orphanGraceMs, readerGraceMs = readerGraceMs)
       case Some(cur) =>
         val curDir = new Path(main, genName(cur))
         val curDf = readTableAt(spark, path, cur)
@@ -1412,8 +1413,12 @@ object Compaction {
             s"${df.schema.simpleString}")
         if (fs.listStatus(curDir).exists(s => s.isDirectory &&
             !s.getPath.getName.startsWith("."))) {
-          // partitioned snapshot: rewrite, don't mix layouts
+          // partitioned snapshot: rewrite, don't mix layouts; the
+          // rewrite must carry state sidecars like the linked path does
           writeGen(curDf.unionByName(df), path,
+            beforePublish = { next =>
+              carrySidecars(fs, conf, curDir, next); beforePublish(next)
+            },
             orphanGraceMs = orphanGraceMs, readerGraceMs = readerGraceMs,
             expectGen = Some(cur))
         } else {
@@ -1425,6 +1430,14 @@ object Compaction {
               .toIndexedSeq: _*)
             .write.mode("overwrite").parquet(nextDir.toString)
           carryDataFiles(fs, conf, curDir, nextDir)
+          // an append PRESERVES table state: underscore sidecars
+          // (Materialize's _graft_last_batch, the stream sink's batch
+          // marker) describe state the new generation still holds —
+          // dropping them would let a redelivered batch re-apply
+          // (carrySidecars skips names the write produced, i.e.
+          // _SUCCESS; beforePublish may then overwrite its own)
+          carrySidecars(fs, conf, curDir, nextDir)
+          beforePublish(nextDir)
           publish(fs, conf, main, next, readerGraceMs, Some(cur))
           pruneDataDirs(fs, main, orphanGraceMs, readerGraceMs,
             leaseMaxAgeMs(conf))

@@ -83,7 +83,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftDataSource extends TableProvider with DataSourceRegister
     with RelationProvider with CreatableRelationProvider
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   import GraftDataSource._
 
@@ -187,6 +188,32 @@ class GraftDataSource extends TableProvider with DataSourceRegister
                             parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val (path, keyCols) = streamParams(parameters)
     new GraftChangeFeedSource(sqlContext, path, keyCols)
+  }
+
+  /** The STREAMING write face: `df.writeStream.format("graft")
+    * .outputMode("append"|"complete").start(root)` — one generation
+    * per micro-batch, effectively-once via the in-generation batch
+    * sidecar ([[GraftStreamSink]]).
+    */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    val lower = parameters.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val path = lower.getOrElse("path",
+      sys.error("graft streaming sink: start(<table root>) or " +
+        "option(\"path\", ...)"))
+    require(partitionColumns.isEmpty,
+      "graft streaming sink: partitionBy is not supported — a " +
+        "generation is one snapshot directory")
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Update(),
+      "graft streaming sink: Update mode needs keyed upsert semantics — " +
+        "use CdcPipeline.idempotentParquetUpsert / materialize in " +
+        "foreachBatch (they know the key); Append publishes each batch " +
+        "as a new generation, Complete publishes it as the replacement " +
+        "snapshot")
+    new GraftStreamSink(sqlContext.sparkSession, path, outputMode)
   }
 
   private def streamParams(parameters: Map[String, String]): (String, Seq[String]) = {

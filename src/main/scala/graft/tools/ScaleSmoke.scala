@@ -200,6 +200,45 @@ object ScaleSmoke {
       }
     }
 
+    // appendGen cost vs TABLE SIZE (r17 write face): the append's
+    // claim is O(new data) — fresh rows write as new part files and
+    // the current generation's files carry forward by hard link
+    // (metadata per file, no bytes) — so with the APPEND BATCH FIXED
+    // the append column must stay ~flat while the table (and the
+    // naive rewrite, measured beside it for contrast) grows with x.
+    // The seed column prices the snapshots; it is expected to scale.
+    // Run: SCALE_OPS=appendgen runMain graft.tools.ScaleSmoke <sfDir> 0
+    if (only.exists(_.contains("appendgen"))) {
+      val orders = graft.util.Tables(spark, sfDir, "orders")
+      val batchRows = orders.filter(col("o_orderkey") % 101 === 0)
+      for (x <- Seq(1, 4, 16, 32)) {
+        val t = java.nio.file.Files
+          .createTempDirectory(s"graft_scale_app_x$x").toString + "/tbl"
+        val base = orders.crossJoin(spark.range(x).toDF("__r"))
+          .withColumn("o_orderkey",
+            col("o_orderkey") + col("__r") * 100000000L)
+          .drop("__r")
+        timed(s"appendgen_seed x$x") {
+          graft.sources.Compaction.writeGen(base.repartition(32), t)
+          graft.sources.Compaction.readTable(spark, t).count()
+        }
+        val b1 = batchRows.withColumn("o_orderkey",
+          col("o_orderkey") + lit(9000000000L))
+        timed(s"appendgen_append x$x") {
+          graft.sources.Compaction.appendGen(b1, t)
+          b1.count()
+        }
+        val b2 = batchRows.withColumn("o_orderkey",
+          col("o_orderkey") + lit(9100000000L))
+        timed(s"appendgen_rewrite x$x") {
+          // the naive union-rewrite of the SAME batch, for contrast
+          graft.sources.Compaction.writeGen(
+            graft.sources.Compaction.readTable(spark, t).unionByName(b2), t)
+          b2.count()
+        }
+      }
+    }
+
     // The same probe-vs-segment-count curve for the SHINGLE family —
     // a second measured instance of the cost model, and (round 10) the
     // one whose append path now runs the absorbed-replay pre-check on

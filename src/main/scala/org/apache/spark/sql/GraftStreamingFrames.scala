@@ -32,6 +32,20 @@ object GraftStreamingFrames {
     * and hits the loud error. Delta's streaming source defers its
     * vacuumed-version errors the same way.
     */
+  /** The inverse direction, for the streaming SINK: the frame a V1
+    * `Sink.addBatch` receives is bound to the engine's
+    * IncrementalExecution and refuses `.write` ("write cannot be
+    * called on streaming Dataset") — re-wrap its physical RDD as a
+    * plain batch frame so the generation publish can run the normal
+    * distributed parquet write (the construction FileStreamSink's
+    * FileFormatWriter path performs implicitly).
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, cdf.schema, isStreaming = false)
+  }
+
   def deferredError(session: SparkSession, schema: StructType,
                     msg: String): DataFrame = {
     val cs = session.asInstanceOf[classic.SparkSession]
