@@ -163,23 +163,37 @@ object IndexLifecycle {
     * if a stale plan no longer parses against the mutated layout (a
     * cached flat-root read after the first rebuild converts the index
     * to generational hits CONFLICTING_DIRECTORY_STRUCTURES). The
-    * intent here is INVALIDATION, not refresh — so a failed recache
-    * falls back to dropping the whole session cache: a recompute cost
-    * for unrelated entries, never a correctness cost, and only on the
-    * rare layout-changing mutation.
+    * intent here is INVALIDATION, not refresh. CacheManager's
+    * recacheByCondition removes a matching entry from the registry and
+    * clears its buffers BEFORE attempting the rebuild that throws, so
+    * every failed refreshByPath call has already invalidated at least
+    * the entry that threw — retrying the call processes the remaining
+    * matches and converges with all stale entries under `path`
+    * dropped. The previous fallback cleared the WHOLE session cache,
+    * which both recomputed unrelated entries and raced concurrent
+    * jobs reading their own persisted frames (a prober's in-flight
+    * task died with "Block rdd_N does not exist" when a rebuilder's
+    * fallback dropped its blocks mid-job — the two-writer soak).
     */
-  private def refresh(spark: SparkSession, path: String): Unit =
-    try spark.catalog.refreshByPath(path)
-    catch {
-      case scala.util.control.NonFatal(e) =>
-        // the fallback is session-wide — leave a trace so a recompute
-        // storm after a layout-changing mutation is diagnosable
-        System.err.println(s"[IndexLifecycle] refreshByPath($path) " +
-          s"failed (${e.getClass.getSimpleName}: " +
-          String.valueOf(e.getMessage).linesIterator.take(1).mkString +
-          ") — clearing the session cache to guarantee invalidation")
-        spark.catalog.clearCache()
+  private def refresh(spark: SparkSession, path: String): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done && attempts < 64) {
+      attempts += 1
+      try { spark.catalog.refreshByPath(path); done = true }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[IndexLifecycle] refreshByPath($path) " +
+            s"attempt $attempts dropped a stale entry " +
+            s"(${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).linesIterator.take(1).mkString +
+            ") — retrying for the remaining entries")
+      }
     }
+    // 64 distinct failing entries under one index path means something
+    // structural; the session-wide clear is the last-resort guarantee
+    if (!done) spark.catalog.clearCache()
+  }
 
   private def markerName(v: Long): String = Marker + Compaction.genName(v)
 
