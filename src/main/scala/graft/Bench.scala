@@ -134,6 +134,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(graft.util.Tuning.sqlDefaults.toMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional CLI filter (substring match) for local single-query timing;

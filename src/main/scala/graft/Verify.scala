@@ -19,6 +19,7 @@ object Verify {
       // ns differently from DuckDB's µs rendering (r2 gen_transactions)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      .config(graft.util.Tuning.sqlDefaults.toMap)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

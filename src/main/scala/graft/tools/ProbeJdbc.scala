@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions.col
 object ProbeJdbc {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[2]")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config(graft.util.Tuning.sqlDefaults.toMap)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val url = "jdbc:derby:memory:limdb;create=true"
     val c = java.sql.DriverManager.getConnection(url)

@@ -16,6 +16,7 @@ object ProfileCdc {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(graft.util.Tuning.sqlDefaults.toMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def t[A](label: String)(f: => A): Unit = {
