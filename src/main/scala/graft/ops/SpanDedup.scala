@@ -34,17 +34,21 @@ import graft.util.{GQuery, Tables}
 object SpanDedup {
 
   /** All k-grams of a token array as "w1 w2 … wk" strings, one per
-    * start position — k shifted slices zipped element-wise, codegen'd
-    * end to end (NOT transform(sequence)/element_at — interpreted and
-    * re-evaluates the tokenize per element; see bigramSurprisal).
+    * start position.
+    *
+    * History: r2–r4 was transform(sequence)/element_at (interpreted,
+    * re-evaluated the tokenize per element); r5 switched to k shifted
+    * slices zipped element-wise — but arrays_zip/transform are
+    * HigherOrderFunctions, i.e. CodegenFallback: still interpreted AND
+    * a whole-stage-codegen break around the shingling stage of every
+    * dedup/span query (r17 JFR: ZipWith.eval/ConcatWs.eval in the top
+    * executor frames). Round 17 moves the loop into the codegen'd
+    * [[graft.functions.TextKernels.tokenNgrams]] — identical output
+    * (TextKernelsSpec property-checks it against the zipped-slices
+    * form, including the <k-token clamp and null propagation).
     */
-  def kgrams(tk: Column, k: Int): Column = {
-    // clamp: a doc shorter than k has no k-gram, and ANSI slice() throws
-    // on a negative length rather than returning empty
-    val m = greatest(size(tk) - (k - 1), lit(0))
-    val zipped = arrays_zip((1 to k).map(j => slice(tk, lit(j), m).as(s"w$j")): _*)
-    transform(zipped, s => concat_ws(" ", (1 to k).map(j => s(s"w$j")): _*))
-  }
+  def kgrams(tk: Column, k: Int): Column =
+    graft.functions.TextKernels.tokenNgrams(tk, k)
 
   /** (doc, pos, h): md5 fingerprint of the k-gram starting at each
     * token position (0-based). Docs shorter than k tokens emit nothing.

@@ -10,8 +10,17 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, empties dropped. */
-  def tokens(text: Column): Column = filter(split(text, " "), t => t =!= "")
+  /** Whitespace tokens, empties dropped.
+    *
+    * Round 17: the original `filter(split(text, " "), t => t =!= "")`
+    * rendering is an ArrayFilter HOF — CodegenFallback, interpreted per
+    * element, and a whole-stage-codegen break in every tokenizing query
+    * (guide §4). [[graft.functions.TextKernels]] computes the identical
+    * array in one codegen'd byte scan (TextKernelsSpec pins equivalence
+    * property-wise; the 30+ token/shingle oracle rows pin it end-to-end).
+    */
+  def tokens(text: Column): Column =
+    graft.functions.TextKernels.whitespaceTokens(text)
 
   /** Quality/statistics columns for a text column. */
   def stats(df: DataFrame, textCol: String): DataFrame = {
