@@ -904,14 +904,18 @@ object Dedup {
     }
     val buckets = sh.select(col("doc"), col("simhash"),
       explode(array(bandCols: _*)).as("bk"))
+    // verify-then-distinct (r17): dist is a pure per-pair function, so
+    // the hamming filter commutes with the candidate dedup — computing
+    // the codegen'd bit_count per candidate row and filtering BEFORE
+    // the distinct's exchange shuffles only the surviving near-dup
+    // rows, not every banded candidate (guide §2.3; the same shape
+    // phashPairs and embeddingPairsLsh use).
     buckets.as("a").join(buckets.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("i"), col("b.doc").as("j"),
-        col("a.simhash").as("si"), col("b.simhash").as("sj"))
-      .distinct()
-      .withColumn("dist", bit_count(col("si").bitwiseXOR(col("sj"))))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))
       .filter(col("dist") <= maxDist)
-      .select("i", "j", "dist")
+      .distinct()
   }
 
   /** md5-twin of [[simhashPairs]]: 32-bit fingerprints from

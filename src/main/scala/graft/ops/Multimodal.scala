@@ -256,13 +256,20 @@ object Multimodal {
           .select("b", "v")
         bands.join(hot, Seq("b", "v"), "left_anti")
       }
+    // verify-then-distinct (r17): dist is a pure function of the pair,
+    // so the hamming filter commutes with the candidate dedup — and the
+    // filter drops the (on low-entropy corpora, vastly) larger share of
+    // candidate rows BEFORE the distinct's exchange instead of after it
+    // (guide §2.3, shuffle fewer bytes). bit_count is one codegen'd
+    // instruction per candidate row; re-evaluating it on band-duplicate
+    // candidates costs nothing next to shuffling them.
     pruned.as("a").join(pruned.as("b"),
         col("a.b") === col("b.b") && col("a.v") === col("b.v") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
         bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("dist"))
-      .distinct()
       .filter(col("dist") <= maxDist)
+      .distinct()
   }
 
   // ----- persisted perceptual-hash index (the image-side lifecycle:
