@@ -23,17 +23,19 @@ import org.apache.spark.sql.SparkSession
   *    cached plan's output partitioning becomes advisory-size-
   *    dependent — no consumer here assumes a cache's partitioning.
   *
-  *  - `spark.sql.adaptive.coalescePartitions.parallelismFirst=false`
-  *    The default `true` deliberately over-splits small shuffles down
-  *    to `minPartitionSize` (1 MB) "to maximize parallelism", which
-  *    recreates the tiny-task problem AQE coalescing exists to solve;
-  *    the guide (§2.2) says to size partitions by
-  *    `advisoryPartitionSizeInBytes` instead. Measured on top of the
-  *    cache conf: dedup_jaccard 39 → 15 tasks, task CPU 3.85 → 2.01 s;
-  *    dedup_containment 3.40 → 1.40 s. At scale the advisory size
-  *    (64 MB default, overridable per deployment) keeps reduce
-  *    parallelism ∝ data, so this is NOT a local[32] tune: a 100 TB
-  *    shuffle still fans out to ~1.6 M partitions.
+  * A second knob — `coalescePartitions.parallelismFirst=false`, the
+  * guide-§2.2 "respect the advisory size" setting — was MEASURED AND
+  * REVERTED: it cut another ~40% of task CPU on the shingle family
+  * (dedup_jaccard 39 → 15 tasks, 3.85 → 2.01 s) but collapsed every
+  * compute-DENSE mid-size shuffle to one task (the 46 MB / 6.3 M-row
+  * candidate distinct of multimodal_phash_pairs went 32 tasks → 1;
+  * wall 1.9 → 6.2 s, same pattern on the phash probes, er_entities,
+  * dedup_semantic). Advisory-size coalescing reasons in bytes, and
+  * bytes are the wrong proxy for popcount-/parse-dense reduce stages
+  * at bench scale; parallelismFirst's deliberate over-split down to
+  * `minPartitionSize` is the right default for CPU-bound reducers.
+  * (At 100 TB the two settings agree — every real shuffle partition
+  * is over the advisory size anyway.)
   *
   * Applied by every engine main (Bench/Verify/EntrySmoke and the dev
   * tools); library embedders get the same defaults from
@@ -43,8 +45,7 @@ import org.apache.spark.sql.SparkSession
 object Tuning {
 
   val sqlDefaults: Seq[(String, String)] = Seq(
-    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true",
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false")
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true")
 
   def tuned(b: SparkSession.Builder): SparkSession.Builder =
     sqlDefaults.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
