@@ -52,14 +52,13 @@ object Dsir {
     val tkn = split(col(textCol), " ")
     val uni = df.select(col(idCol).as("doc"), explode(tkn).as("g"))
       .filter(col("g") =!= "")
+    // bigrams = the k=2 kgram kernel (r17: the zipped-slices arrays_zip
+    // form was a CodegenFallback HOF; TokenNgrams is the codegen'd
+    // byte-scan twin, byte-identical output — TextKernelsSpec)
     val tkf = TextAnalysis.tokens(col(textCol))
-    val n = size(tkf)
-    val m = greatest(n - 1, lit(0))
     val bi = df
       .select(col(idCol).as("doc"),
-        explode(arrays_zip(slice(tkf, lit(1), m).as("t1"),
-          slice(tkf, lit(2), m).as("t2"))).as("b"))
-      .select(col("doc"), concat_ws(" ", col("b.t1"), col("b.t2")).as("g"))
+        explode(SpanDedup.kgrams(tkf, 2)).as("g"))
     uni.unionByName(bi).withColumn("bk",
       conv(substring(md5(concat_ws(":", lit(salt), col("g"))), 1, 8), 16, 10)
         .cast("long") % buckets)

@@ -576,7 +576,7 @@ object Search {
       (s, d) => {
         val mg = udaf(graft.functions.MisraGries(64))
         Tables(s, d, "documents")
-          .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("t"))
+          .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
           .agg(mg(col("t")).as("m"))
           .select(explode(col("m")))
           .select(col("key").as("term"), col("value").as("cnt"))
@@ -600,7 +600,7 @@ object Search {
           .orderBy(col("cnt").desc, col("term"))
         Tables(s, d, "documents")
           .select(col("lang"),
-            explode(filter(split(col("text"), " "), t => t =!= "")).as("t"))
+            explode(TextAnalysis.tokens(col("text"))).as("t"))
           .groupBy(col("lang")).agg(mg(col("t")).as("m"))
           .select(col("lang"), explode(col("m")))
           .select(col("lang"), col("key").as("term"), col("value").as("cnt"))

@@ -238,15 +238,14 @@ object TextAnalysis {
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     val n = size(toks)
-    // trigram strings from three shifted slices: the zip and slices are
-    // codegen'd and evaluated once per row; the transform lambda only
-    // touches the zipped struct's fields (the element_at-per-index form
-    // re-ran the tokenize per element — see bigramSurprisal)
-    val tri = when(n >= 3,
-        transform(arrays_zip(slice(toks, lit(1), n - 2).as("a"),
-            slice(toks, lit(2), n - 2).as("b"), slice(toks, lit(3), n - 2).as("c")),
-          s => concat_ws(" ", s("a"), s("b"), s("c"))))
-      .otherwise(array().cast("array<string>"))
+    // trigram strings via the codegen'd k=3 kgram kernel (r17 — the
+    // previous transform(arrays_zip(slice×3)) form's lambda was a
+    // CodegenFallback HOF; TokenNgrams is byte-identical, incl. the
+    // sub-3-token → empty-array clamp, TextKernelsSpec). A null text
+    // yields tri = null here where the old when() yielded [], but the
+    // only consumer distinguishes via size(tri) > 0, and size(null) =
+    // -1 takes the same otherwise-branch as size([]) = 0.
+    val tri = SpanDedup.kgrams(toks, 3)
     val triRatio = when(size(tri) > 0,
         lit(1.0) - size(array_distinct(tri)).cast("double") / size(tri))
       .otherwise(lit(0.0))

@@ -47,8 +47,13 @@ object DiagQ {
         jobs.incrementAndGet()
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        // the name's callsite is often an async-execution frame; the
+        // first graft.* line of the long-form details is the real site
+        val graftSite = s.stageInfo.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("DiagQ"))
+          .map(_.trim.take(90)).getOrElse("")
         stageName.put(s.stageInfo.stageId, s.stageInfo.name.linesIterator
-          .take(1).mkString.take(110))
+          .take(1).mkString.take(60) + " | " + graftSite)
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
