@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
+
 
 /** Connected components over a near-duplicate pair list — the step that
   * turns pairwise dedup verdicts ([[Dedup.jaccardPairs]], MinHash/SimHash
@@ -117,23 +117,60 @@ object Cluster {
       case _ => df.localCheckpoint(eager = true)
     }
 
+  /** A materialized edge frame plus the exact row count and a
+    * commutative xxhash64 XOR digest of its (`u`, `v`) rows, both
+    * harvested from the materialization job itself.
+    */
+  private final case class MatEdges(df: DataFrame, n: Long, hx: Option[Long])
+
+  /** [[materialize]] with the fixpoint-test inputs folded into the
+    * materializing action (round-18, guide §1.2 "don't compute things
+    * you throw away" applied to JOBS): the loop previously paid one
+    * `count()` job per round on the just-checkpointed frame, plus an
+    * `exceptAll` job on every count tie. A `Dataset.observe` below the
+    * checkpoint harvests the row count and an order-independent
+    * `bit_xor(xxhash64(u, v))` digest from the SAME job that builds the
+    * checkpoint blocks (verified: the eager-checkpoint action fires the
+    * observation; a lazy checkpoint + external count does NOT). The
+    * digest is only a NEGATIVE gate — unequal digests prove the edge
+    * sets differ, skipping the exceptAll job on false ties (counts tie,
+    * edges moved — every pre-convergence plateau round); equal digests
+    * still run the exact `exceptAll` confirmation, so convergence
+    * remains EXACT and a hash collision costs one extra round's work,
+    * never a wrong fixpoint. XOR is collision-safe against duplicate
+    * rows here because every loop frame closes with `distinct()`.
+    */
+  private def materializeCounted(df: DataFrame): MatEdges = {
+    val obs = org.apache.spark.sql.Observation()
+    val out = materialize(df.observe(obs,
+      count(lit(1)).as("n"),
+      bit_xor(xxhash64(col("u"), col("v"))).as("hx")))
+    val m = obs.get
+    MatEdges(out, m("n").asInstanceOf[Long],
+      Option(m("hx")).map(_.asInstanceOf[Long]))
+  }
+
   /** Assign every node appearing in `edges` (columns `i`, `j`) the min
     * node id of its connected component. Returns (`node`, `cluster`).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     // canonical undirected edge set, self-loops dropped
-    var e = materialize(edges
+    var eM = materializeCounted(edges
       .select(least(col("i"), col("j")).as("u"),
         greatest(col("i"), col("j")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct())
+    var e = eM.df
     // every node that appears in any pair — the label domain (fixed
     // across rounds; star contraction may drop a node from the edge
-    // set once it is directly attached to its minimum)
+    // set once it is directly attached to its minimum). Consumed
+    // exactly once (the closing label join), so it is NOT persisted:
+    // the r18 job audit found the old persist built an InMemoryRelation
+    // inside the one job that read it and the unpersist ran before that
+    // job even started — pure overhead.
     val nodes = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // large-star: u links every STRICTLY LARGER neighbor to
     // m = min(N(u) ∪ {u}); small-star: u links its ≤ neighbors and
@@ -184,11 +221,6 @@ object Cluster {
       sys.env.get("GRAFT_CC_SCHEDULE").contains("tail")
     var shrinkStopped = false
     var mustVerify = false
-    // carry each round's edge count forward: the fixpoint test needs
-    // (prev, next) counts, and recounting the checkpointed prev frame
-    // every round (plus once more for the stats) is a redundant job
-    // per round on the bench's hottest iterative operator
-    var eCount = e.count()
     while (!converged && iter < maxIter) {
       val t0 = System.nanoTime()
       val smallOnly = tailSchedule && shrinkStopped && !mustVerify
@@ -197,37 +229,38 @@ object Cluster {
       // unmaterialized plan (4 grouped-min passes + 2 distincts in one
       // query) planned strictly worse — 5.5 s vs 1.7 s for
       // dedup_clusters at sf0.1.
-      val next = materialize(
+      val nextM = materializeCounted(
         if (smallOnly) smallStar(e) else smallStar(largeStar(e)))
-      val nextCount = next.count()
-      // exact fixpoint test on the (pair-bounded) edge set — a hash
-      // compare could terminate early on a collision
-      val same = nextCount == eCount &&
+      val next = nextM.df
+      // exact fixpoint test on the (pair-bounded) edge set: count and
+      // digest come free with the materialization (materializeCounted);
+      // an exceptAll job runs only when BOTH tie, and its emptiness —
+      // never the digest — is what declares convergence (a hash compare
+      // alone could terminate early on a collision)
+      val same = nextM.n == eM.n && nextM.hx == eM.hx &&
         next.exceptAll(e).limit(1).count() == 0
       if (same) {
         if (smallOnly) mustVerify = true // stable under smallStar only
         else converged = true
       } else mustVerify = false
-      if (nextCount >= eCount) shrinkStopped = true
+      if (nextM.n >= eM.n) shrinkStopped = true
       roundSecs += (System.nanoTime() - t0) / 1e9
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"[cc] iter=$iter edges=$nextCount smallOnly=$smallOnly " +
+        println(s"[cc] iter=$iter edges=${nextM.n} smallOnly=$smallOnly " +
           s"converged=$converged")
       e.unpersist(blocking = false)
+      eM = nextM
       e = next
-      eCount = nextCount
       iter += 1
     }
-    lastRunTL.set(CcRunStats(iter, eCount, roundSecs.result()))
+    lastRunTL.set(CcRunStats(iter, eM.n, roundSecs.result()))
 
     // fixpoint edges are stars (node → component min); the min itself
     // appears only on the v side and labels itself
-    val out = nodes
+    nodes
       .join(e.select(col("u").as("node"), col("v").as("c")), Seq("node"), "left")
       .groupBy("node")
       .agg(coalesce(min(col("c")), first(col("node"))).as("cluster"))
-    nodes.unpersist(blocking = false)
-    out
   }
 
   /** INCREMENTAL components: fold a batch of NEW edges into an
