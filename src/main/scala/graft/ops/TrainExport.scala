@@ -276,44 +276,58 @@ object TrainExport {
       val pfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       ManifestCommit.forIndex(pfs, p).read(ManifestName).isDefined
     }
-    val uPins = upstreamIn.map { case (name, path) =>
-      val um = manifest(spark, path)
-      // the recipe reads the upstream's SHIPPED bytes — prove they
-      // still match the upstream manifest before pinning, or a
-      // pre-tampered upstream would commit an instantly-broken pin
-      val fp = rowFingerprint(spark.read.parquet(s"$path/data"))
-      require(fp == um.resultFp,
-        s"upstream export '$name' at $path: shipped data fingerprint " +
-          s"$fp does not match its manifest (${um.resultFp}) — the " +
-          "upstream artifact was modified or partially erased; " +
-          "re-export it before deriving from it")
-      name -> UpstreamPin(path, um.resultFp, um.recipeVersion)
-    }
-    val tPins = tableIn.map { case (name, path) =>
-      val gens = Compaction.generations(spark, path)
-      require(gens.nonEmpty, s"table '$name' at $path has no published " +
-        "generations — exports pin generational tables " +
-        "(Compaction.writeGen) or committed export dirs; a flat table " +
-        "has no stable pin to record")
-      name -> TablePin(path, gens.max)
-    }
-    val iPins = indexes.map { case (name, path) =>
-      val m = indexVersions.get(name) match {
-        case Some(v) => IndexLifecycle.manifestAt(spark, path, v)
-        case None => IndexLifecycle.manifest(spark, path).getOrElse(sys.error(
-          s"index '$name' at $path has no manifest chain — exports pin " +
-            "manifest versions; rebuild it once (IndexLifecycle.rebuild) " +
-            "to convert it to generational"))
-      }
-      name -> IndexPin(path, m.v,
-        paramsFingerprint(spark, new Path(new Path(path), m.dir)))
-    }
-    val mPins = models.map { case (name, path) =>
-      // content fingerprint at commit time — the params-sidecar md5
-      // treatment scaled to a data-sized artifact (one distributed
-      // aggregate, no collect)
-      name -> ModelPin(path, rowFingerprint(spark.read.parquet(path)))
-    }
+    // the four pin groups are independent and each runs its own Spark
+    // actions (upstream/model content fingerprints, params-sidecar
+    // reads) — overlapped via Par (guide §2.6); same-dir params
+    // fingerprints computed once (a multi-batch drain pins several
+    // versions of one index sharing one data dir)
+    var uPins: Map[String, UpstreamPin] = null
+    var tPins: Map[String, TablePin] = null
+    var iPins: Map[String, IndexPin] = null
+    var mPins: Map[String, ModelPin] = null
+    val paramsFpMemo =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+    graft.util.Par.all[Unit](Seq(
+      () => uPins = upstreamIn.map { case (name, path) =>
+        val um = manifest(spark, path)
+        // the recipe reads the upstream's SHIPPED bytes — prove they
+        // still match the upstream manifest before pinning, or a
+        // pre-tampered upstream would commit an instantly-broken pin
+        val fp = rowFingerprint(spark.read.parquet(s"$path/data"))
+        require(fp == um.resultFp,
+          s"upstream export '$name' at $path: shipped data fingerprint " +
+            s"$fp does not match its manifest (${um.resultFp}) — the " +
+            "upstream artifact was modified or partially erased; " +
+            "re-export it before deriving from it")
+        name -> UpstreamPin(path, um.resultFp, um.recipeVersion)
+      },
+      () => tPins = tableIn.map { case (name, path) =>
+        val gens = Compaction.generations(spark, path)
+        require(gens.nonEmpty, s"table '$name' at $path has no published " +
+          "generations — exports pin generational tables " +
+          "(Compaction.writeGen) or committed export dirs; a flat table " +
+          "has no stable pin to record")
+        name -> TablePin(path, gens.max)
+      },
+      () => iPins = indexes.map { case (name, path) =>
+        val m = indexVersions.get(name) match {
+          case Some(v) => IndexLifecycle.manifestAt(spark, path, v)
+          case None => IndexLifecycle.manifest(spark, path).getOrElse(sys.error(
+            s"index '$name' at $path has no manifest chain — exports pin " +
+              "manifest versions; rebuild it once (IndexLifecycle.rebuild) " +
+              "to convert it to generational"))
+        }
+        val dir = new Path(new Path(path), m.dir)
+        name -> IndexPin(path, m.v,
+          paramsFpMemo.computeIfAbsent(dir.toString,
+            _ => paramsFingerprint(spark, dir)))
+      },
+      () => mPins = models.map { case (name, path) =>
+        // content fingerprint at commit time — the params-sidecar md5
+        // treatment scaled to a data-sized artifact (one distributed
+        // aggregate, no collect)
+        name -> ModelPin(path, rowFingerprint(spark.read.parquet(path)))
+      }))
     val out = fn(spark, new PinnedInputs(spark, tPins, iPins, mPins, uPins),
       params)
     val main = new Path(exportDir)
@@ -474,39 +488,51 @@ object TrainExport {
     validateUpstreamChain(spark, exportDir, m.upstreams,
       scala.collection.mutable.Set.empty[String])
     // eager pin validation, so a broken pin fails HERE with its own
-    // retention message rather than deep inside the recipe's plan
-    m.tables.foreach { case (name, pin) =>
-      try Compaction.readTableAt(spark, pin.path, pin.gen)
-      catch { case e: IllegalArgumentException => throw new IllegalArgumentException(
-        s"replay of $exportDir: pinned table '$name' is gone — ${e.getMessage}", e) }
-    }
-    m.indexes.foreach { case (name, pin) =>
-      val im =
-        try IndexLifecycle.manifestAt(spark, pin.path, pin.version)
-        catch { case e: RuntimeException => throw new RuntimeException(
-          s"replay of $exportDir: pinned index '$name' is gone — ${e.getMessage}", e) }
-      val fp = paramsFingerprint(spark, new Path(new Path(pin.path), im.dir))
-      require(fp == pin.paramsFp,
-        s"replay of $exportDir: index '$name' params sidecars changed " +
-          s"under the pinned version (committed ${pin.paramsFp}, now " +
-          s"$fp) — the index was retuned in place; replay would not be " +
-          "faithful")
-    }
-    m.models.foreach { case (name, pin) =>
-      val fp =
-        try rowFingerprint(spark.read.parquet(pin.path))
-        catch { case e: org.apache.spark.sql.AnalysisException =>
-          throw new IllegalArgumentException(
-            s"replay of $exportDir: pinned model '$name' is gone — " +
-              s"${e.getMessage.linesIterator.next()}", e) }
-      require(fp == pin.contentFp,
-        s"replay of $exportDir: model '$name' at ${pin.path} changed " +
-          s"since the commit (committed content fingerprint " +
-          s"${pin.contentFp}, now $fp) — a model dir has no retained " +
-          "versions to pin, so replay against the changed artifact " +
-          "would not be faithful; restore the committed model or " +
-          "re-export")
-    }
+    // retention message rather than deep inside the recipe's plan.
+    // The per-pin checks are independent Spark actions (sidecar reads,
+    // content fingerprints) — overlapped via Par (guide §2.6), with
+    // failures surfacing in declaration order (tables, indexes,
+    // models), and same-dir params fingerprints computed ONCE: a
+    // multi-batch drain pins several versions of one index whose
+    // sidecars live in one shared data dir (r18 job audit — the second
+    // fingerprint job was byte-for-byte the first).
+    val paramsFpMemo =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+    graft.util.Par.all[Unit](
+      m.tables.toSeq.map { case (name, pin) => () =>
+        try { Compaction.readTableAt(spark, pin.path, pin.gen); () }
+        catch { case e: IllegalArgumentException => throw new IllegalArgumentException(
+          s"replay of $exportDir: pinned table '$name' is gone — ${e.getMessage}", e) }
+      } ++
+      m.indexes.toSeq.map { case (name, pin) => () =>
+        val im =
+          try IndexLifecycle.manifestAt(spark, pin.path, pin.version)
+          catch { case e: RuntimeException => throw new RuntimeException(
+            s"replay of $exportDir: pinned index '$name' is gone — ${e.getMessage}", e) }
+        val dir = new Path(new Path(pin.path), im.dir)
+        val fp = paramsFpMemo.computeIfAbsent(dir.toString,
+          _ => paramsFingerprint(spark, dir))
+        require(fp == pin.paramsFp,
+          s"replay of $exportDir: index '$name' params sidecars changed " +
+            s"under the pinned version (committed ${pin.paramsFp}, now " +
+            s"$fp) — the index was retuned in place; replay would not be " +
+            "faithful")
+      } ++
+      m.models.toSeq.map { case (name, pin) => () =>
+        val fp =
+          try rowFingerprint(spark.read.parquet(pin.path))
+          catch { case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"replay of $exportDir: pinned model '$name' is gone — " +
+                s"${e.getMessage.linesIterator.next()}", e) }
+        require(fp == pin.contentFp,
+          s"replay of $exportDir: model '$name' at ${pin.path} changed " +
+            s"since the commit (committed content fingerprint " +
+            s"${pin.contentFp}, now $fp) — a model dir has no retained " +
+            "versions to pin, so replay against the changed artifact " +
+            "would not be faithful; restore the committed model or " +
+            "re-export")
+      })
     // own the persist: the staging write below materializes the full
     // recipe, and the returned frame must not re-execute it when the
     // caller consumes the rows (graft.util.Caches sweeps owned persists
@@ -919,15 +945,19 @@ object TrainExport {
       .withColumn("score_u", floor(col("quality_score") * 1e6).cast("long"))
     val gated = Sampling.qualityGate(scored, "doc_id", "source",
       col("score_u"), keepBps = p("keepBps").toInt)
-    val textDrop = Dedup.jaccardAgainstIndexAt(s, t.path, t.version,
-        batch, "doc_id", "text", n = p("n").toInt,
-        threshold = p("threshold").toDouble,
-        nBuckets = p.getOrElse("nBuckets", "64").toInt)
-      .select(col("i").as("doc_id")).distinct()
-    val imgDrop = Multimodal.phashAgainstIndexAt(s, im.path, im.version,
-        Multimodal.asPhashImageTable(batch), maxDist = p("maxDist").toInt,
-        nBuckets = p.getOrElse("phashBuckets", "64").toInt)
-      .select(col("j").as("doc_id")).distinct()
+    // the text and image canon probes are independent and each is
+    // eagerly constructed (touched-bucket collect) — overlap them
+    // (guide §2.6)
+    val Seq(textDrop, imgDrop) = graft.util.Par.all(Seq(
+      () => Dedup.jaccardAgainstIndexAt(s, t.path, t.version,
+          batch, "doc_id", "text", n = p("n").toInt,
+          threshold = p("threshold").toDouble,
+          nBuckets = p.getOrElse("nBuckets", "64").toInt)
+        .select(col("i").as("doc_id")).distinct(),
+      () => Multimodal.phashAgainstIndexAt(s, im.path, im.version,
+          Multimodal.asPhashImageTable(batch), maxDist = p("maxDist").toInt,
+          nBuckets = p.getOrElse("phashBuckets", "64").toInt)
+        .select(col("j").as("doc_id")).distinct()))
     val kept = gated.join(textDrop, Seq("doc_id"), "left_anti")
       .join(imgDrop, Seq("doc_id"), "left_anti")
     val trainBps = p("trainBps").toInt
@@ -959,7 +989,10 @@ object TrainExport {
     val n = p("n").toInt
     val thr = p("threshold").toDouble
     val nb = p.getOrElse("nBuckets", "64").toInt
-    val parts = (0 until p("batches").toInt).map { k =>
+    // per-batch sub-plans are independent (each probes ITS pinned index
+    // version) but their construction is eager (touched-bucket collect,
+    // params-sidecar read per probe) — overlap them (guide §2.6)
+    val parts = graft.util.Par.all((0 until p("batches").toInt).map { k => () =>
       val t = in.index(s"text$k")
       val b = docs.filter(col("batch") === k).drop("batch")
       // the gate, canon, and scoring mirror attachCurate's trigger
@@ -976,7 +1009,7 @@ object TrainExport {
       val surv = kept.join(dups, Seq("doc_id"), "left_anti")
       Dsir.scoreWithModel(model, surv, "doc_id", "text")
         .withColumn("batch", lit(k))
-    }
+    })
     parts.reduce(_ unionByName _)
       .select(col("batch"), col("doc"), col("n_feats"),
         col("logw_u"), col("logw"), col("mean_lr"))

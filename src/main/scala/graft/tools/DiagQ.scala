@@ -42,9 +42,23 @@ object DiagQ {
     val gc = new LongAdder; val resultSer = new LongAdder
     val shRead = new LongAdder; val shWrite = new LongAdder
     val deserWall = new LongAdder; val runWall = new LongAdder
+    val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        // remember each stage's owning job callsite/description — AQE
+        // shuffle-map stages carry an async-pool callsite of their own,
+        // but the JOB was submitted with the user action's site
+        val p = Option(j.properties)
+        val desc = p.flatMap(pp => Option(pp.getProperty("spark.job.description"))
+            .orElse(Option(pp.getProperty("callSite.short"))))
+          .getOrElse("?") +
+          p.flatMap(pp => Option(pp.getProperty("spark.sql.execution.root.id"))
+            .orElse(Option(pp.getProperty("spark.sql.execution.id"))))
+            .map(id => s" sqlExec=$id").getOrElse("")
+        j.stageInfos.foreach(si =>
+          stageJob.put(si.stageId, s"job${j.jobId}:$desc"))
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         // the name's callsite is often an async-execution frame; the
@@ -54,6 +68,13 @@ object DiagQ {
           .map(_.trim.take(90)).getOrElse("")
         stageName.put(s.stageInfo.stageId, s.stageInfo.name.linesIterator
           .take(1).mkString.take(60) + " | " + graftSite)
+        // GRAFT_DIAG_DETAILS: dump the whole callsite long-form per
+        // stage — the async AQE/broadcast threads hide the graft site
+        // from the one-line name, but the details string keeps it
+        if (sys.env.contains("GRAFT_DIAG_DETAILS"))
+          println(s"  [details stage ${s.stageInfo.stageId}] " +
+            s.stageInfo.details.linesIterator.filter(_.contains("graft"))
+              .take(3).mkString(" <- "))
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
@@ -106,6 +127,7 @@ object DiagQ {
           case (sid, cpu) =>
             println(f"  stage $sid%-5d cpu=${cpu.sum / 1e9}%6.2fs " +
               f"tasks=${Option(stageTasks.get(sid)).map(_.get).getOrElse(0L)}%-4d " +
+              s"[${stageJob.getOrDefault(sid, "?")}] " +
               s"${stageName.getOrDefault(sid, "?")}")
         }
       }

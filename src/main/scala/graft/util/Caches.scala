@@ -129,4 +129,20 @@ object Caches {
 
   /** Entries currently awaiting a sweep (diagnostics / specs). */
   def pending: Int = owned.size()
+
+  /** The caller's scope token, for [[Par]] to carry into worker
+    * threads — a parallel sub-plan's owned persists must release with
+    * the SCOPE that spawned them (a streaming trigger's scoped block),
+    * not linger until the next harness-wide sweep.
+    */
+  private[util] def currentScope: AnyRef = current.get()
+
+  /** Run `body` under the given scope token on THIS thread (token may
+    * be null = unscoped). Restores the thread's previous scope.
+    */
+  private[util] def withScope[T](s: AnyRef)(body: => T): T = {
+    val prev = current.get()
+    current.set(s.asInstanceOf[Scope])
+    try body finally current.set(prev)
+  }
 }

@@ -45,7 +45,25 @@ import org.apache.spark.sql.SparkSession
 object Tuning {
 
   val sqlDefaults: Seq[(String, String)] = Seq(
-    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true")
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true",
+    // Round 18, guide §6 (file listing): Spark launches a DISTRIBUTED
+    // listing job (sc.parallelize over the leaf dirs) whenever a scan's
+    // root holds more than parallelPartitionDiscovery.threshold
+    // (default 32) directories. Every bucket-partitioned index in this
+    // engine (64 buckets × ingest segments ≈ 130–260 leaf dirs) trips
+    // that on EVERY uncached listing: the r18 job audit of
+    // streaming_curate_export found 8 listing jobs × 64 tasks = 512 of
+    // its 713 tasks were ParallelCollectionRDD listing work for a few
+    // hundred directory stats (DiagQ: tasks 713 → 201, executor
+    // deserialize CPU 6.4 s → 0.8 s with the threshold raised). A
+    // driver-side sequential listing of ≤1024 dirs is sub-millisecond
+    // per dir on any fs with sane metadata latency (local, HDFS); the
+    // Spark default targets object-store listings of very wide tables.
+    // Tables wider than 1024 partition dirs still get the distributed
+    // listing, so the 100 TB path is unchanged — this is a threshold
+    // between two implementations of the same listing, never a
+    // result-affecting knob.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold" -> "1024")
 
   def tuned(b: SparkSession.Builder): SparkSession.Builder =
     sqlDefaults.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
