@@ -73,7 +73,15 @@ case class TokenNgrams(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // n < 1 would pass analysis and ngrams() would then emit
+        // sz-n+1 empty grams — silently diverging from the HOF form
+        // this kernel claims byte-identity with (r17 ADVICE). All
+        // engine callers pass 2/3/5; fail analysis, not execution.
+        right.eval() match {
+          case n: Integer if n < 1 => TypeCheckResult.TypeCheckFailure(
+            s"token_ngrams expects n >= 1, got $n")
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
       case _ => TypeCheckResult.TypeCheckFailure(
         s"token_ngrams expects (ARRAY<STRING>, INT literal), got " +
           s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")

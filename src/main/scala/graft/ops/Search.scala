@@ -71,10 +71,20 @@ object Search {
       .filter(col("len") > 0)
     val stats = docLen.agg(count(lit(1)).as("n"),
       (sum(col("len")).cast("double") / count(lit(1))).as("avglen"))
+    // vocabulary cut AFTER the explode, not as an array-filter HOF
+    // before it: `filter(arr, lambda)` is a CodegenFallback
+    // HigherOrderFunction — interpreted per element and a whole-stage
+    // break around the hottest map stage (r17's TextKernels finding;
+    // this site was the one surviving interpreted HOF on a >0.5 s row,
+    // plans/r17/text_bm25_topk_after.txt:67). `explode` + an
+    // `isInCollection` Filter is the same row set (order-preserving,
+    // per-element filter commutes with explode) in one codegen span;
+    // the cut still happens BEFORE the groupBy exchange, so shuffle
+    // bytes are unchanged.
     val tf = docs
       .select(col(idCol).as("doc_id"),
-        explode(filter(toks(col(textCol)),
-          t => t.isInCollection(qtermSet))).as("t"))
+        explode(toks(col(textCol))).as("t"))
+      .filter(col("t").isInCollection(qtermSet))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy("t").agg(count(lit(1)).as("dft"))
 

@@ -243,8 +243,9 @@ object TextAnalysis {
     // CodegenFallback HOF; TokenNgrams is byte-identical, incl. the
     // sub-3-token → empty-array clamp, TextKernelsSpec). A null text
     // yields tri = null here where the old when() yielded [], but the
-    // only consumer distinguishes via size(tri) > 0, and size(null) =
-    // -1 takes the same otherwise-branch as size([]) = 0.
+    // only consumer distinguishes via size(tri) > 0, and size(null) is
+    // -1 (legacy sizeOfNull) or NULL (ANSI default) — BOTH fail the
+    // > 0 test and take the same otherwise-branch as size([]) = 0.
     val tri = SpanDedup.kgrams(toks, 3)
     val triRatio = when(size(tri) > 0,
         lit(1.0) - size(array_distinct(tri)).cast("double") / size(tri))

@@ -174,6 +174,18 @@ object IndexLifecycle {
     * jobs reading their own persisted frames (a prober's in-flight
     * task died with "Block rdd_N does not exist" when a rebuilder's
     * fallback dropped its blocks mid-job — the two-writer soak).
+    *
+    * Known bounded leak (r17 ADVICE, accepted trade-off): when a
+    * refreshByPath attempt throws AFTER recacheByCondition deregistered
+    * several matching entries, the entries deregistered in that same
+    * batch but never re-materialized keep their cached RDD blocks
+    * orphaned — unreachable by any retry (they are no longer
+    * registered) and unpersisted only at session stop. Only the rare
+    * layout-changing-mutation error path hits this, the orphaned
+    * storage is bounded by what was cached under the mutated path, and
+    * the alternative (clearCache() on first failure) re-introduces the
+    * two-writer race above — storage pressure there is preferred over
+    * correctness here.
     */
   private def refresh(spark: SparkSession, path: String): Unit = {
     var attempts = 0
